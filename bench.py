@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect — the reference's collect() bottleneck,
+spark_processor.py:168, is exactly what we avoid measuring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one representative per operator family (scan+agg,
+# shuffle join, broadcast star join, analytic window, event-time
+# window, session window, exact dedup, minhash near-dup, cosine
+# top-k, token stats). Coverage queries that bound their input
+# (scalar_* samples) aren't benchmarked — they measure nothing.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_shuffle_orders_lineitem",
+    "join_star_broadcast",
+    "agg_distinct",
+    "window_rank_topk_per_group",
+    "window_running_agg",
+    "events_tumbling_window",
+    "events_session_window",
+    "events_asof_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_token_stats",
+    "text_quality_filter",
+]
+
+
+def main() -> None:
+    from ibd_pipeline_spark.queries import all_queries
+    from ibd_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ibd-pipeline-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    registry = all_queries()
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # plan, not first-run JIT.
+    registry["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Table catalog over the driver-generated parquet fixtures.
+
+``load(spark, sf_dir, name)`` returns the table as a DataFrame;
+``register_all`` also creates temp views so queries can be written in
+pure SQL. Scans stay declarative (``spark.read.parquet``) so Catalyst
+gets predicate pushdown, column pruning, and partition pruning for
+free — .explain() on any downstream query should show PushedFilters
+and a ReadSchema restricted to the used columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are small at every scale factor and should be
+# broadcast in joins (region: 5 rows, nation: 25 rows — fixed-size in
+# TPC-H-style schemas regardless of SF).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects (PARQUET_TYPE_ILLEGAL). Read it as int64 nanos via
+    the legacy conf and truncate to microseconds — the same ns→µs
+    truncation DuckDB applies on CAST(ts AS TIMESTAMP), so oracle
+    comparisons agree. Integer DIV, not float division: ns values
+    (~1.7e18) exceed double's 53-bit exact-integer range."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table and register it as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the north-star dedup suite (SURVEY.md §2.2) for
+LLM-training-data pipelines.
+
+Design for 100 TB:
+  * exact dedup = hash-groupBy on a content digest — one shuffle on
+    a 128-bit key, perfectly parallel;
+  * near-dup never compares all O(n²) pairs: MinHash LSH bands (or
+    SimHash prefixes) generate candidate buckets, pairs are verified
+    only within buckets. All hashing uses Spark's built-in xxhash64 —
+    deterministic, JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    txt = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(txt)), r"\s+", " ")
+
+
+def content_digest(text: Column | str) -> Column:
+    """md5 of normalized text — the exact-dedup grouping key."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle set (distinct), via higher-order array fns:
+    slide a window over the token array with transform(sequence(...)).
+    Stays in codegen — no explode, no Python."""
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    return F.array_distinct(
+        F.when(n >= k, F.transform(idx, gram)).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for each of `num_hashes` salted xxhash64
+    functions, the minimum hash over the shingle set. Approximates
+    Jaccard similarity: P[sig_i matches] = J(A,B).
+
+    array(min(transform(...))) — each hash family is xxhash64 with a
+    distinct int salt column; all JVM-side."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH banding: split the signature into bands and hash each band.
+    Docs sharing ANY band key are candidates. For signature length
+    n = num_bands * rows_per_band, P[candidate] = 1-(1-J^r)^b."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH, with exact Jaccard
+    verification computed on the shingle sets of each candidate pair.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated
+    across bands.
+
+    Scale: the only join is bucket-key equi-join on (band, band_hash)
+    — shuffle is O(n·bands), candidate verification is O(pairs in
+    buckets) not O(n²). Mega-buckets (boilerplate docs) are the skew
+    risk: cap or salt them upstream if a bucket exceeds ~10⁴ docs.
+    """
+    rows_per_band = num_hashes // num_bands
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, k_shingle).alias("sh"),
+    ).withColumn("bands", band_keys(minhash_signature(F.col("sh"), num_hashes),
+                                    num_bands, rows_per_band))
+    banded = base.select(
+        "id", "sh", F.posexplode("bands").alias("band", "bucket")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+def simhash64(text: Column | str, ngram: int = 2) -> Column:
+    """64-bit SimHash over word n-grams, as pure column algebra.
+
+    For each of the 64 bit positions: sum over shingles of ±1
+    depending on that bit of xxhash64(shingle); sign of the sum gives
+    the output bit. Near-identical docs differ in few bits (small
+    Hamming distance). Implemented with aggregate() over the shingle
+    array per bit — 64 JVM expressions, no Python, no explode.
+    """
+    sh = shingles(text, ngram)
+    h = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def mask(bit: int) -> Column:
+        # 1<<63 overflows signed int64; it is the sign bit itself.
+        return F.lit((1 << bit) if bit < 63 else -(2**63)).cast("long")
+
+    def bit_sign_sum(bit: int) -> Column:
+        # +1 when bit set, -1 otherwise, summed across shingles.
+        return F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(x.bitwiseAND(mask(bit)) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for bit in range(64):
+        out = out + F.when(bit_sign_sum(bit) > 0, mask(bit)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top `prefix_bits` of
+    the signature (near-dups almost always share the prefix), verify
+    Hamming distance within blocks.
+
+    Scale: prefix blocking bounds the join the same way LSH bands do.
+    For higher recall at scale, rotate the signature and block on
+    multiple prefixes (the standard multi-table SimHash scheme).
+    """
+    sig = docs.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sig")
+    ).withColumn("blk", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming64(F.col("l.sig"), F.col("r.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+Tokenization, quality scoring, language-ID heuristics, token
+counting, and document fingerprinting — all as pure Column
+expressions (JVM built-ins, zero Python in the hot path), per the
+north-star operator set (SURVEY.md §2.2). The reference has no text
+processing at all; these are the capability extension for 100 TB
+document corpora.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Small fixed stopword list used by the quality score. Deliberately
+# tiny and hard-coded so the DuckDB oracle can embed the same list.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the corpus is space-separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-ish regex: runs of word chars, runs of
+    digits, or single non-space symbols — a cheap proxy for subword
+    tokenizer counts, fully JVM-side via regexp_count."""
+    return F.regexp_count(F.col(text) if isinstance(text, str) else text,
+                          F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def stopword_count(text: Column | str) -> Column:
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop, t)))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length = (chars - separators) / tokens."""
+    n = token_count(text)
+    txt = F.col(text) if isinstance(text, str) else text
+    return (F.length(txt) - (n - F.lit(1))) / n
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length,
+    lexical diversity, and a natural stopword ratio. Mirrors the
+    shape of published quality filters (e.g. Gopher rules): pure
+    arithmetic over token stats, so it runs in codegen.
+    """
+    n = token_count(text).cast("double")
+    uniq = distinct_token_count(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / n
+    diversity = uniq / n
+    length_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    stop_score = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.06)) * 4
+    return F.round(
+        F.greatest(
+            F.least((length_score + diversity + F.greatest(stop_score, F.lit(0.0))) / 3,
+                    F.lit(1.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Locality-insensitive document fingerprint: md5 of the sorted
+    distinct token set. Two documents with identical vocabulary (any
+    order / multiplicity) collide — the classic 'fingerprint
+    clustering' key for near-dup candidate generation, expressible in
+    any SQL engine (sorted-set md5), so it's oracle-checkable."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Deterministic character-class language heuristic.
+
+    Real systems use fastText/CLD3; neither ships in this container,
+    so this is the honest declarative stand-in: CJK codepoints → zh,
+    character markers for es/fr/de, else en. Returns 'en' for the
+    ASCII word-soup fixture. The point is the operator shape — a
+    cheap, branchy codegen expression that scales linearly and can
+    gate a corpus before expensive downstream ops."""
+    txt = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(txt.rlike("[一-鿿]"), "zh")
+        .when(txt.rlike("[¿¡ñ]"), "es")
+        .when(txt.rlike("[àâçéèêëîïôùûœ]"), "fr")
+        .when(txt.rlike("[äöüß]"), "de")
+        .otherwise("en")
+    )

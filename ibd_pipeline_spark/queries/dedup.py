@@ -1,0 +1,155 @@
+"""Deduplication queries over `documents` (north-star set).
+
+Exact and unigram-Jaccard dedup are oracle-checked (DuckDB list
+functions express the same set algebra). MinHash-LSH and SimHash are
+registered without oracles — banding/blocking isn't ANSI-SQL — and
+carry property tests in tests/test_dedup.py instead (precision vs
+exact Jaccard, identical-doc invariants).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.operators import dedup as D
+from ibd_pipeline_spark.queries import query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+  FROM documents
+)
+SELECT digest, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+FROM hashed
+GROUP BY digest
+ORDER BY digest
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup digest groups: md5 over normalized text, lowest
+    doc_id as the keeper per group. One shuffle on the digest; at
+    100 TB this is the standard first dedup pass (hash-partition by
+    digest, min-id winner, no text comparison at all).
+
+    Emits every digest group (the fixture corpus has near-dups but no
+    exact dups, so a >1-copies filter would be vacuously empty — the
+    full histogram keeps the oracle check meaningful)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(D.content_digest("text").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("digest")
+    )
+
+
+@query(
+    "dedup_survivors",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+  FROM documents
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM hashed GROUP BY digest
+)
+SELECT h.lang, COUNT(*) AS n_docs
+FROM hashed h JOIN keepers k ON h.doc_id = k.doc_id
+GROUP BY h.lang
+ORDER BY h.lang
+""",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup corpus composition: per-language doc counts after
+    keeping one representative per exact-duplicate group — the
+    deduped-corpus materialization pattern (window row_number = 1 is
+    equivalent; min-id-join shown here because it map-side combines)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "digest", D.content_digest("text")
+    )
+    keepers = d.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        d.join(keepers, ["doc_id"], "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toksets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 150
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-Jaccard near-dup pairs (J ≥ 0.6) on a bounded
+    doc subset — the ground-truth verifier the approximate methods
+    (MinHash, SimHash) are measured against in tests.
+
+    Scale: deliberately bounded (doc_id < 150) because all-pairs
+    Jaccard is O(n²); the unbounded scale path is minhash_lsh below.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")).cast("double") / F.size(
+        F.array_union("a.toks", "b.toks")
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: LSH banding; property-tested
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with exact-Jaccard
+    verification (J ≥ 0.5), over the full documents table.
+
+    The 100 TB near-dup path: signature = 32 salted xxhash64 mins
+    over 3-gram shingles, 8 bands × 4 rows, bucket equi-join, verify
+    only bucket collisions. See operators.dedup.minhash_candidate_pairs.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        D.minhash_candidate_pairs(d, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("dedup_simhash")  # no SQL oracle: bit-algebra blocking; property-tested
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 8 on 64-bit signatures,
+    prefix-blocked). See operators.dedup.simhash64."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")

@@ -1,0 +1,296 @@
+"""Event-time windowing over the `events` table — the batch-checkable
+mirror of the reference's streaming core (SURVEY.md §5.2).
+
+The reference's one real query is: watermark → 5-minute tumbling
+window → avg/max/stddev (spark_processor.py:149-164). Completed-window
+semantics are batch-expressible, so each variant here is a batch
+DataFrame query with a DuckDB time_bucket oracle; the true streaming
+versions (update mode, watermark eviction, pluggable sink) live in
+ibd_pipeline_spark.streaming and are smoke-tested separately.
+
+Timestamp precision contract: the fixture's ts is parquet timestamp[ns];
+Spark truncates to microseconds on read, so every oracle casts
+ts to TIMESTAMP (µs) before bucketing/comparison.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*)                       AS n_events,
+       ROUND(AVG(value), 4)           AS avg_value,
+       ROUND(MAX(value), 4)           AS max_value,
+       ROUND(COALESCE(STDDEV_SAMP(value), 0.0), 4) AS stddev_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window + the reference's aggregate trio.
+
+    Mirrors spark_processor.py:150-164 (window → avg/max/stddev) as a
+    batch query, keyed additionally by event_type. The stddev is
+    coalesced to 0.0 for single-row windows — fixing the reference's
+    float(None) sink crash (spark_processor.py:183) instead of
+    reproducing it.
+
+    Scale: window(ts) is just a computed grouping key — one shuffle,
+    map-side partial aggregation applies. Streaming version adds a
+    state store but the same partial-agg shape.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.coalesce(F.stddev("value"), F.lit(0.0)), 4).alias("stddev_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "max_value",
+            "stddev_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE])
+           AS window_start,
+         value
+  FROM events
+)
+SELECT window_start,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM expanded
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide — each event
+    contributes to exactly 2 windows (window length / slide).
+
+    The oracle reproduces the duplication with unnest of the two
+    candidate window starts; Spark's window() does the same expansion
+    internally (Expand node).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                   > INTERVAL 6 HOUR
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts)              AS session_start,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 6-hour inactivity gap.
+
+    Spark: F.session_window (native, state-store-backed in streaming).
+    Oracle: classic gaps-and-islands SQL — LAG to mark session breaks,
+    running SUM to number islands.
+
+    Scale: session_window shuffles once on user_id; skewed users are
+    the risk (one mega-user = one giant partition) — mitigate with
+    AQE skew handling, or pre-split pathological keys.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "events_weather_parity_agg",
+    oracle="""
+SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start,
+       ROUND(AVG(value), 4)                         AS avg_temperature_c,
+       ROUND(MAX(value), 4)                         AS max_wind_gust_kmph,
+       ROUND(COALESCE(STDDEV_SAMP(value), 0.0), 4)  AS temperature_stddev,
+       ROUND(AVG(value), 4)                         AS total_precipitation_mm
+FROM events
+GROUP BY 1
+ORDER BY window_start
+""",
+)
+def events_weather_parity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity aggregate shape: 5-minute tumbling window with
+    the exact output-name quirks of spark_processor.py:153-164 —
+    including `total_precipitation_mm` being an AVG despite its name
+    (spark_processor.py:163, documented in SURVEY §2 A4) and stddev
+    coalesced to 0.0 (the reference would crash on NULL,
+    spark_processor.py:183)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_temperature_c"),
+            F.round(F.max("value"), 4).alias("max_wind_gust_kmph"),
+            F.round(F.coalesce(F.stddev("value"), F.lit(0.0)), 4).alias("temperature_stddev"),
+            F.round(F.avg("value"), 4).alias("total_precipitation_mm"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "avg_temperature_c",
+            "max_wind_gust_kmph",
+            "temperature_stddev",
+            "total_precipitation_mm",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_dedup_exact",
+    oracle="""
+SELECT user_id, event_type, COUNT(*) AS n
+FROM (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""",
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a key subset — batch analog of streaming
+    dropDuplicatesWithinWatermark (SURVEY §2.2 'stateful ops')."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS order_ts,
+       e.last_event_ts
+FROM orders o
+LEFT JOIN LATERAL (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) AS last_event_ts
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) <= CAST(o.o_orderdate AS TIMESTAMP)
+    AND user_id = o.o_custkey % 50
+) e ON TRUE
+WHERE o.o_orderkey < 100
+ORDER BY o.o_orderkey
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event (same synthetic
+    key) at-or-before the order date.
+
+    Spark lacks a native ASOF JOIN; the scalable composition is
+    union-and-window (tag both streams, sort by time within key,
+    last() of the event timestamp over a running frame) — one shuffle
+    on the key, no range explosion. This beats the naive
+    range-join-then-max formulation, which explodes to O(pairs) before
+    aggregating.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("t"),
+            (F.col("o_custkey") % 50).alias("k"),
+        )
+    )
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t")
+    )
+    from pyspark.sql import Window
+
+    # Tag and union: events carry their own ts as the value; probe rows
+    # carry null. last(value, ignorenulls) over time order = as-of match.
+    # side=0 sorts events before probes at identical timestamps so a
+    # probe at exactly an event's ts matches it (<= semantics).
+    probes = o.select(
+        "k", "t", F.lit(None).cast("timestamp").alias("event_ts"), F.lit(1).alias("side"),
+        F.col("o_orderkey"),
+    )
+    evts = e.select(
+        "k", "t", F.col("t").alias("event_ts"), F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        probes.unionByName(evts)
+        .withColumn("last_event_ts", F.last("event_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("o_orderkey", F.col("t").alias("order_ts"), "last_event_ts")
+        .orderBy("o_orderkey")
+    )

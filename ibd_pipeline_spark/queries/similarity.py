@@ -1,0 +1,160 @@
+"""Similarity-search queries over `embeddings` (north-star set).
+
+Brute-force cosine top-k is oracle-checked (DuckDB list_dot_product
+reproduces the same double-precision arithmetic); the LSH-bucketed
+ANN variant is approximate by design → rows-only check + recall test
+in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.operators import similarity as S
+from ibd_pipeline_spark.queries import query
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.qid, c.cid,
+         ROUND(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine_sim
+  FROM q JOIN c ON q.qid <> c.cid
+),
+ranked AS (
+  SELECT qid AS query_id, cid AS corpus_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine_sim DESC, cid) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors against the full
+    corpus. Scoring via zip_with+aggregate (JVM), broadcast query
+    side, TakeOrdered-style window top-k. The exactness baseline the
+    ANN path is measured against."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")),
+        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")),
+        k=5,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+@query("similarity_ann_lsh")  # approximate: no oracle, recall-tested
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via sign-LSH bucketing (8 deterministic hyperplanes
+    → 256 buckets): score only within the shared bucket. The scale
+    path for large query sets; recall vs brute force asserted in
+    tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.lsh_bucketed_topk(
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")),
+        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")),
+        k=5,
+        n_planes=8,
+        dim=64,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 4)
+         AS avg_l2_norm,
+       ROUND(AVG(embedding[1]), 6) AS avg_first_dim,
+       CAST(MIN(len(embedding)) AS INT) AS min_dim,
+       CAST(MAX(len(embedding)) AS INT) AS max_dim
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster vector statistics: norms, first-dim mean, dim
+    bounds — the data-quality profile pass before any ANN build."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = S.as_double_array("embedding")
+    return (
+        emb.select(
+            "label",
+            S.l2_norm(v).alias("nrm"),
+            F.element_at("embedding", 1).cast("double").alias("d1"),
+            F.size("embedding").alias("dim"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_l2_norm"),
+            F.round(F.avg("d1"), 6).alias("avg_first_dim"),
+            F.min("dim").cast("int").alias("min_dim"),
+            F.max("dim").cast("int").alias("max_dim"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "similarity_centroid_per_label",
+    oracle="""
+WITH norms AS (
+  SELECT label, vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS sq
+  FROM embeddings
+)
+SELECT label,
+       CAST(MIN(CASE WHEN sq = msq THEN vec_id END) AS BIGINT) AS medoid_vec_id,
+       ROUND(sqrt(msq), 6) AS max_l2_norm
+FROM (SELECT *, MAX(sq) OVER (PARTITION BY label) AS msq FROM norms)
+GROUP BY label, msq
+ORDER BY label
+""",
+)
+def similarity_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label extremal vector (max L2 norm, min vec_id tiebreak) —
+    exercises argmax-over-group on vector-derived scalars, the
+    building block for IVF coarse-quantizer seeding."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = S.dot(S.as_double_array("embedding"), S.as_double_array("embedding"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
+    d = emb.select("label", "vec_id", sq.alias("sq")).withColumn(
+        "msq", F.max("sq").over(w)
+    )
+    return (
+        d.groupBy("label", "msq")
+        .agg(
+            F.min(F.when(F.col("sq") == F.col("msq"), F.col("vec_id")))
+            .cast("bigint")
+            .alias("medoid_vec_id"),
+            F.round(F.sqrt(F.col("msq")), 6).alias("max_l2_norm"),
+        )
+        .select("label", "medoid_vec_id", "max_l2_norm")
+        .orderBy("label")
+    )

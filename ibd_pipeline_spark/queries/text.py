@@ -1,0 +1,182 @@
+"""Text-analysis queries over the `documents` table (north-star set).
+
+Oracle-checked where SQL can express the semantics (token stats,
+stopword ratios, fingerprints — DuckDB list functions mirror Spark's
+higher-order array functions); heuristics whose value is the operator
+shape (quality score, lang-id) are oracle-checked too since both
+sides are deterministic arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.operators import text as T
+from ibd_pipeline_spark.queries import query
+
+_STOP_SQL = "['" + "','".join(T.STOPWORDS) + "']"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)      AS total_tokens,
+       ROUND(AVG(len(string_split(text, ' '))), 4)            AS avg_tokens,
+       ROUND(AVG(len(list_distinct(string_split(text, ' ')))), 4) AS avg_distinct_tokens,
+       ROUND(AVG(n_chars), 4)                                 AS avg_chars,
+       ROUND(AVG(CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                 / len(string_split(text, ' '))), 6)          AS avg_stopword_ratio
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: counts, lexical
+    diversity, stopword ratio. Pure higher-order array functions —
+    single scan + 5-key aggregate; at 100 TB this is a map-side-
+    combined one-shuffle query."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.token_count("text")
+    return (
+        d.select(
+            "lang",
+            "n_chars",
+            toks.alias("nt"),
+            T.distinct_token_count("text").alias("ndt"),
+            (T.stopword_count("text").cast("double") / toks).alias("stop_ratio"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("nt"), 4).alias("avg_tokens"),
+            F.round(F.avg("ndt"), 4).alias("avg_distinct_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS nt,
+         ROUND(GREATEST(LEAST((
+             LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+           + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' '))
+           + GREATEST(1.0 - ABS(CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                     / len(string_split(text, ' ')) - 0.06) * 4, 0.0)
+         ) / 3, 1.0), 0.0), 6) AS quality
+  FROM documents
+)
+SELECT doc_id, lang, nt AS n_tokens, quality
+FROM scored
+WHERE quality >= 0.5
+ORDER BY doc_id
+""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score gate: keep documents scoring ≥ 0.5 (Gopher-style
+    arithmetic over token stats; ibd_pipeline_spark.operators.text).
+    The filter is a codegen expression — at scale it gates the corpus
+    before any expensive op, and pushes nothing to Python."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            T.token_count("text").alias("n_tokens"),
+            T.quality_score("text").alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint_clusters",
+    oracle="""
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fp,
+       COUNT(*)          AS cluster_size,
+       MIN(doc_id)       AS keeper_doc_id
+FROM documents
+GROUP BY fp
+HAVING COUNT(*) > 1
+ORDER BY fp
+""",
+)
+def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-fingerprint clustering: md5 of the sorted distinct
+    token set groups docs that differ only in word order/multiplicity
+    — a zero-false-negative candidate generator for bag-of-words
+    near-dups. One shuffle on a 128-bit key."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(T.fingerprint("text").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("fp")
+    )
+
+
+@query(
+    "text_bpeish_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]'))
+            AS INT) AS bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def text_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts (cost-estimation
+    primitive for training-data budgeting)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        T.bpe_ish_token_count("text").cast("int").alias("bpe_tokens"),
+        T.token_count("text").cast("int").alias("ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+SELECT CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[¿¡ñ]') THEN 'es'
+            WHEN regexp_matches(text, '[àâçéèêëîïôùûœ]') THEN 'fr'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            ELSE 'en' END AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY predicted_lang
+ORDER BY predicted_lang
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class language-ID heuristic distribution (see
+    operators.text.lang_id — the fastText stand-in)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(T.lang_id("text").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("predicted_lang")
+    )

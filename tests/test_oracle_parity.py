@@ -1,0 +1,101 @@
+"""Differential testing against DuckDB — the local mirror of the
+driver's correctness gate (SURVEY.md §5.1).
+
+For every registered query with an oracle: run the Spark DataFrame
+and the DuckDB SQL on the same parquet fixtures, then compare
+row count, column names, and order-insensitive values (columns
+sorted by name, rows sorted by their full value tuple — the same
+normalization the driver's value-hash implies).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ibd_pipeline_spark.queries import all_oracles, all_queries
+
+ORACLES = all_oracles()
+QUERIES = all_queries()
+
+
+def _normalize(value):
+    """Make Spark and DuckDB cell values comparable."""
+    import datetime
+    import decimal
+
+    if isinstance(value, decimal.Decimal):
+        return float(value)
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # collapse -0.0 vs 0.0 and FP noise below round() precision
+        return round(value + 0.0, 9)
+    if isinstance(value, datetime.datetime):
+        return value.replace(tzinfo=None).isoformat()
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    if isinstance(value, list):
+        return tuple(_normalize(v) for v in value)
+    return value
+
+
+def _key(row):
+    return tuple((v is None, str(type(v)), v) if False else _sortable(v) for v in row)
+
+
+def _sortable(v):
+    if v is None:
+        return (0, "")
+    return (1, str(v))
+
+
+def _rows_sorted(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_normalize(r[i]) for i in order) for r in rows]
+    return sorted(out, key=_key), [cols[i] for i in order]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, duck, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_sorted, cols = _rows_sorted(spark_cols, spark_rows)
+    d_sorted, _ = _rows_sorted(duck_cols, duck_rows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_sorted, d_sorted)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; cols={cols}; "
+        f"first 3: {mismatches[:3]}"
+    )
+
+
+def test_every_query_runs(spark, sf_dir):
+    """Queries without oracles must still execute and return a stable schema."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, f"{name}: empty schema"
+        df.limit(5).collect()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
