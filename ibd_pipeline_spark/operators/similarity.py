@@ -118,43 +118,71 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_bucket_tables(
+    vec_col: Column, dim: int, n_tables: int, bits_per_table: int, seed: int = 42
+) -> Column:
+    """Multi-table sign-LSH: an array of (table_id << 32 | bucket)
+    keys, one per hash table. Candidate = any shared key."""
+    keys = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, bits_per_table, seed=seed + 1000 * t)
+        keys.append(
+            (F.lit(t).cast("long") * F.lit(2**32).cast("long"))
+            + lsh_bucket(vec_col, planes)
+        )
+    return F.array(*keys)
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    bits_per_table: int = 6,
     dim: int = 64,
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec: str = "vec",
 ) -> DataFrame:
-    """ANN top-k: sign-LSH bucket both sides, score only within the
-    shared bucket, top-k per query.
+    """ANN top-k via multi-table sign-LSH: L independent hash tables
+    of b hyperplane bits each; a corpus vector is a candidate for a
+    query iff they share a bucket in ANY table. Score (exact cosine)
+    only candidates, keep top-k.
 
-    Approximate (recall < 1): vectors near a hyperplane can land in
-    different buckets. Recall is tested against brute_force_topk in
-    tests/test_similarity.py; raise recall with multiple hash tables
-    (union over rotated plane sets) at ~table-count× cost.
+    Recall for a neighbor at angle θ: 1-(1-p^b)^L with
+    p = 1-θ/π — e.g. θ=45°, b=6, L=8 → ~74%; raise L for more
+    recall at linear cost. On data with *no* angular structure
+    (near-orthogonal pairs, p≈0.5) recall is honestly poor — LSH
+    only buys what the geometry gives; recall is asserted on
+    clustered data in tests/test_similarity.py.
 
-    Scale: the bucket equi-join replaces the cross product — with
-    2^n_planes balanced buckets the scored-pair count drops by that
-    factor; buckets partition cleanly across executors.
+    Scale: explode(bucket_keys) → equi-join on the key replaces the
+    cross product; per-table buckets are balanced by construction
+    (sign bits of random projections), and the dedup before scoring
+    keeps each (query, candidate) pair scored once.
     """
     from pyspark.sql import Window
 
-    planes = random_hyperplanes(dim, n_planes)
     q = queries.select(
         F.col(query_id).alias("qid"), as_double_array(vec).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    ).withColumn(
+        "bkey",
+        F.explode(lsh_bucket_tables(F.col("qv"), dim, n_tables, bits_per_table)),
+    )
     c = corpus.select(
         F.col(corpus_id).alias("cid"), as_double_array(vec).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
-    scored = (
-        c.join(F.broadcast(q), ["bucket"])
+    ).withColumn(
+        "bkey",
+        F.explode(lsh_bucket_tables(F.col("cv"), dim, n_tables, bits_per_table)),
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["bkey"])
         .filter(F.col("qid") != F.col("cid"))
-        .select(
-            "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim")
-        )
+        .select("qid", "cid", "qv", "cv")
+        .dropDuplicates(["qid", "cid"])
+    )
+    scored = candidates.select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("cid"))
     return (

@@ -65,9 +65,11 @@ def _ensure_loaded() -> None:
     from ibd_pipeline_spark.queries import (  # noqa: F401
         dedup,
         events,
+        multimodal,
         relational,
         similarity,
         text,
+        weather,
         windows,
     )
 

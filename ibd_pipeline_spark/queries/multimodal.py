@@ -1,0 +1,38 @@
+"""Registry entries for multimodal binary-column processing.
+
+Assets are synthesized deterministically (no media tables in the
+fixtures); rows-only checks — the unit tests assert determinism and
+batch-shape properties.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.operators import multimodal as M
+from ibd_pipeline_spark.queries import query
+
+
+@query("multimodal_feature_extract")  # rows-only: synthesized binary assets
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    content columns (decode stubbed deterministically — no media
+    codecs in this container)."""
+    assets = M.synthesize_assets(spark, n=64)
+    return M.extract_features(assets, fake_decode=True).orderBy("asset_id")
+
+
+@query("multimodal_metadata_profile")  # rows-only: synthesized binary assets
+def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only profile over the asset table — the
+    column-pruned path that never reads blob bytes."""
+    assets = M.synthesize_assets(spark, n=64)
+    prof = M.metadata_profile(assets)
+    return prof.select(
+        "media_type",
+        "n_assets",
+        F.round("avg_bytes", 4).alias("avg_bytes"),
+        F.round("avg_width", 4).alias("avg_width"),
+        F.round("avg_duration_ms", 4).alias("avg_duration_ms"),
+    )

@@ -62,17 +62,18 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ann_lsh")  # approximate: no oracle, recall-tested
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via sign-LSH bucketing (8 deterministic hyperplanes
-    → 256 buckets): score only within the shared bucket. The scale
-    path for large query sets; recall vs brute force asserted in
-    tests."""
+    """ANN top-5 via multi-table sign-LSH (8 tables × 6 bits,
+    deterministic hyperplanes): candidates from any shared bucket,
+    exact cosine re-rank. The scale path for large query sets;
+    recall vs brute force asserted in tests on clustered data."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     out = S.lsh_bucketed_topk(
         q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")),
         emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")),
         k=5,
-        n_planes=8,
+        n_tables=8,
+        bits_per_table=6,
         dim=64,
     )
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")

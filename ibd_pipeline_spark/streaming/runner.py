@@ -1,0 +1,94 @@
+"""Streaming runner: source → weather pipeline → sink, with every
+piece swappable (SURVEY.md §7.3).
+
+Sources:
+  * kafka_source — the production source, reproducing the reference's
+    reader config (spark_processor.py:47-69) including SASL_SSL
+    auth options, behind a config object (no secrets in code — the
+    reference hard-codes credentials, spark_processor.py:30-33).
+    Not exercisable in this container (no broker, no connector jar);
+    constructed lazily so importing this module never needs Kafka.
+  * file_json_source — a drop-in file-based stream with the same
+    downstream schema (`value` string column), used by tests.
+
+Sinks: memory (tests/debug — the reference's basic_consumer.py
+analog), console, or any foreachBatch handler (sinks.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ibd_pipeline_spark.streaming.weather import weather_pipeline
+
+
+@dataclass
+class KafkaSourceConfig:
+    """Reader options mirroring spark_processor.py:47-69."""
+
+    bootstrap_servers: str
+    topic: str = "sensor_data"
+    starting_offsets: str = "latest"
+    # Auth options (SASL_SSL / SCRAM-SHA-256, spark_processor.py:54-66).
+    # Values come from the environment/secret store, never source.
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+
+def kafka_source(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
+        .option("subscribe", cfg.topic)
+        .option("startingOffsets", cfg.starting_offsets)
+    )
+    for k, v in cfg.extra_options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def file_json_source(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File stream of raw JSON lines exposed as a `value` string
+    column — the same downstream contract as the Kafka source, so
+    the full pipeline is testable without a broker."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(directory).withColumnRenamed("value", "value")
+
+
+def run_weather_query(
+    raw: DataFrame,
+    checkpoint_dir: str,
+    sink: str = "memory",
+    query_name: str = "weather_metrics",
+    output_mode: str = "update",
+    foreach_batch=None,
+    trigger_available_now: bool = False,
+    window_duration: str = "5 minutes",
+    watermark: str = "2 minutes",
+) -> StreamingQuery:
+    """Start the streaming weather query (W1 of the reference,
+    spark_processor.py:201-210): update mode by default (only changed
+    windows re-emitted per micro-batch), checkpointed.
+
+    trigger_available_now=True processes all available input then
+    stops — the batch-like mode tests use; production leaves the
+    default ASAP micro-batch trigger like the reference."""
+    agg = weather_pipeline(
+        raw, window_duration=window_duration, watermark=watermark, streaming=True
+    )
+    writer = agg.writeStream.outputMode(output_mode).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    if foreach_batch is not None:
+        writer = writer.foreachBatch(foreach_batch)
+    else:
+        writer = writer.format(sink).queryName(query_name)
+    return writer.start()
