@@ -44,15 +44,18 @@ def shingles(text: Column | str, k: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for each of `num_hashes` salted xxhash64
-    functions, the minimum hash over the shingle set. Approximates
-    Jaccard similarity: P[sig_i matches] = J(A,B).
+    """MinHash signature: for each of `num_hashes` hash families, the
+    minimum hash over the shingle set. Approximates Jaccard
+    similarity: P[sig_i matches] = J(A,B).
 
-    array(min(transform(...))) — each hash family is xxhash64 with a
-    distinct int salt column; all JVM-side."""
+    Cost shape: the variable-length shingle *strings* are hashed
+    exactly once (xxhash64); each additional family re-hashes the
+    resulting 8-byte longs — O(shingles + families·shingles·const)
+    instead of O(families·shingles·strlen). All JVM-side."""
+    base_hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(base_hashes, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
@@ -88,27 +91,58 @@ def minhash_candidate_pairs(
     num_bands: int = 8,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH, with exact Jaccard
-    verification computed on the shingle sets of each candidate pair.
+    verification on the (64-bit-hashed) shingle sets of each
+    candidate pair. Returns (id_a, id_b, jaccard), id_a < id_b,
+    deduplicated across bands.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated
-    across bands.
+    Shape chosen for both cluster scale AND codegen sanity:
+      1. explode word k-grams → (id, shingle_hash) rows — the string
+         is hashed once, immediately, so no stage ever shuffles text;
+      2. ONE hash aggregate computes the whole state per doc:
+         collect_set(hash) (the verification set) + num_hashes ×
+         min(xxhash64(hash, i)) (the signature) — plain aggregates,
+         no giant higher-order lambdas for the JIT to chew on;
+      3. band keys are multi-arg xxhash64 over signature slices;
+      4. bucket equi-join on (band, bucket) → shuffle O(n·bands);
+      5. Jaccard on long-hash sets (collision odds ~2⁻⁶⁴ — immaterial)
+         via array_intersect sizes, only for bucket-colliding pairs.
 
-    Scale: the only join is bucket-key equi-join on (band, band_hash)
-    — shuffle is O(n·bands), candidate verification is O(pairs in
-    buckets) not O(n²). Mega-buckets (boilerplate docs) are the skew
-    risk: cap or salt them upstream if a bucket exceeds ~10⁴ docs.
+    The per-doc state relation is cached: it feeds banding and both
+    join sides of the verification. Mega-buckets (boilerplate docs)
+    remain the skew risk: cap or salt upstream if a bucket exceeds
+    ~10⁴ docs.
     """
     rows_per_band = num_hashes // num_bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, k_shingle).alias("sh"),
-    ).withColumn("bands", band_keys(minhash_signature(F.col("sh"), num_hashes),
-                                    num_bands, rows_per_band))
-    banded = base.select(
-        "id", "sh", F.posexplode("bands").alias("band", "bucket")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k_shingle)]
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    idx = F.sequence(F.lit(0), F.greatest(n - k_shingle, F.lit(0)))
+    grams = F.when(n >= k_shingle, F.transform(idx, gram)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("g")
+    ).select("id", F.xxhash64("g").alias("h"))
+
+    state = (
+        exploded.groupBy("id")
+        .agg(
+            F.collect_set("h").alias("hs"),
+            *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)],
+        )
+        .cache()
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"b{b}")
+        for b in range(num_bands)
+    ]
+    banded = state.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    left, right = banded.alias("l"), banded.alias("r")
     pairs = (
         left.join(
             right,
@@ -116,18 +150,17 @@ def minhash_candidate_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return pairs.select(
-        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    a = state.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = state.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
     )
 
 

@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
         events,
         multimodal,
         relational,
+        relational2,
         similarity,
         text,
         weather,

@@ -132,16 +132,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh")  # no SQL oracle: LSH banding; property-tested
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs with exact-Jaccard
-    verification (J ≥ 0.5), over the full documents table.
+    """Near-dup pairs (J ≥ 0.5) via the staged 100 TB pipeline:
+    exact-dedup first (one representative per identical-text group,
+    so the quadratic stage never sees copies), then MinHash-LSH over
+    representatives — 32 hash-family signature over 3-gram shingles,
+    8 bands × 4 rows, bucket equi-join, exact-Jaccard verification of
+    bucket collisions only. See operators.dedup.minhash_candidate_pairs.
 
-    The 100 TB near-dup path: signature = 32 salted xxhash64 mins
-    over 3-gram shingles, 8 bands × 4 rows, bucket equi-join, verify
-    only bucket collisions. See operators.dedup.minhash_candidate_pairs.
-    """
+    Staging matters: the fixture (like real crawl corpora) is ~10×
+    exact copies; LSH on raw docs wastes all its candidate budget on
+    identical pairs the digest pass removes for free."""
     d = load(spark, sf_dir, "documents")
+    reps = (
+        d.groupBy(D.content_digest("text").alias("digest"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("rep"))
+        .select(F.col("rep.doc_id").alias("doc_id"), F.col("rep.text").alias("text"))
+    )
     return (
-        D.minhash_candidate_pairs(d, "doc_id", "text")
+        D.minhash_candidate_pairs(reps, "doc_id", "text")
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     )

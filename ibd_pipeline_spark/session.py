@@ -41,6 +41,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode runs every executor thread in the driver JVM —
+        # size the heap for the core count (the 1 GiB default OOMs a
+        # 32-thread shuffle). Ignored if a JVM already exists.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # AQE: runtime partition coalescing, skew-join splitting, and
         # dynamic join-strategy switching. This is the main line of
         # defense for skew at 100 TB — keep it on everywhere.
