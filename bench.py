@@ -40,8 +40,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
+    "similarity_ann_lsh",
     "text_token_stats",
     "text_quality_filter",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "stats_percentiles",
+    "weather_synth_throughput",
 ]
 
 
@@ -59,6 +64,15 @@ def main() -> None:
     # Warm the JVM/codegen path once so per-query numbers measure the
     # plan, not first-run JIT.
     registry["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # The weather throughput query's generated code is large (nested
+    # to_json/from_json); compile it once on a small N — same plan
+    # shape, so the codegen cache carries over to the timed 1M run.
+    from ibd_pipeline_spark.sources.weather_synth import synth_weather_json
+    from ibd_pipeline_spark.streaming.weather import weather_pipeline
+
+    weather_pipeline(synth_weather_json(spark, 10_000)).write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -133,6 +133,123 @@ def lsh_bucket_tables(
     return F.array(*keys)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: partition the corpus into
+    Voronoi cells around coarse centroids; a query scores only the
+    cells of its n_probe nearest centroids.
+
+    Centroid selection is deterministic: the n_centroids corpus
+    vectors with the lowest ids (a k-means iteration would sharpen
+    cells; for ANN recall the assignment mechanics matter more than
+    centroid quality, and determinism keeps runs reproducible).
+
+    Scale: centroids are a broadcast (tiny); cell assignment is one
+    scan of the corpus; the probe join fans each query to n_probe
+    cells — the scored-pair count drops by ~n_centroids/n_probe vs
+    brute force. This is the layout to persist: a corpus bucketed by
+    cell_id makes the probe join shuffle-free on re-query.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(corpus_id).alias("cid"), as_double_array(vec).alias("cv"))
+    q = queries.select(F.col(query_id).alias("qid"), as_double_array(vec).alias("qv"))
+    cents = c.orderBy("cid").limit(n_centroids).select(
+        F.col("cid").alias("cent_id"), F.col("cv").alias("cent_v")
+    )
+
+    # Assign every corpus vector to its nearest centroid (1 scan ×
+    # broadcast centroids, argmin via min_by over the small fan-out).
+    assign_w = F.broadcast(cents)
+    corpus_cells = (
+        c.join(assign_w)
+        .select("cid", "cv", "cent_id", cosine(F.col("cv"), F.col("cent_v")).alias("sim"))
+        .groupBy("cid")
+        .agg(
+            F.max_by("cent_id", "sim").alias("cell_id"),
+            F.first("cv").alias("cv"),
+        )
+    )
+    # Each query probes its n_probe nearest cells.
+    probe_w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    query_cells = (
+        q.join(assign_w)
+        .select("qid", "qv", "cent_id", cosine(F.col("qv"), F.col("cent_v")).alias("sim"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qv", F.col("cent_id").alias("cell_id"))
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), ["cell_id"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("cid").alias(corpus_id),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    bits_per_table: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via
+    multi-table sign-LSH blocking + exact verification — the
+    embedding-space sibling of MinHash text dedup (semantic dups that
+    share no n-grams).
+
+    Scale: identical shape to minhash_candidate_pairs — bucket
+    equi-join candidates, exact cosine only within buckets. At high
+    thresholds (≥0.9 → small angles) sign-LSH recall per table is
+    high, so few tables suffice.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), as_double_array(vec).alias("v"))
+    keyed = v.withColumn(
+        "bkey", F.explode(lsh_bucket_tables(F.col("v"), dim, n_tables, bits_per_table))
+    ).select("id", "bkey")
+    l, r = keyed.alias("l"), keyed.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         relational2,
+        scalar_ext,
         similarity,
         text,
         weather,

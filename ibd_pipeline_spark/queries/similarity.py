@@ -79,6 +79,44 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
 
 
+@query("similarity_ann_ivf")  # approximate: no oracle, recall-tested
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF coarse quantization (16 deterministic
+    centroids, 4 probes): queries score only their probed Voronoi
+    cells. The bucketed-layout scale path; recall vs brute force
+    asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")),
+        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")),
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+@query("dedup_embedding_cosine")  # approximate blocking: no oracle, tested
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates via sign-LSH
+    blocking + exact verification — semantic dedup for documents that
+    share meaning but not n-grams (operators.similarity.
+    cosine_near_dup_pairs; planted-pair recovery tested in
+    tests/test_similarity.py).
+
+    The fixture corpus has no true semantic dups (max pairwise cosine
+    ≈0.5), so rather than a high threshold that returns an empty
+    frame, this emits the 20 most-similar blocked pairs — exercising
+    the same block→verify→rank machinery with checkable output."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        S.cosine_near_dup_pairs(emb, threshold=-1.0)
+        .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
 @query(
     "embedding_stats",
     oracle="""

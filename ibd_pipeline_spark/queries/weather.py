@@ -32,6 +32,29 @@ def weather_pipeline_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
+@query("weather_synth_throughput")  # rows-only: distributed synthesis
+def weather_synth_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume variant of the reference pipeline: 1,000,000 messages
+    synthesized JVM-side (sources.weather_synth — spark.range +
+    to_json, zero driver involvement) pushed through the full
+    parse→window→aggregate path. Benchmarked in bench.py; the fixed
+    1 msg/s producer of the reference (weather-producer.py:17) maps
+    to ~11.5 days of simulated stream."""
+    from ibd_pipeline_spark.sources.weather_synth import synth_weather_json
+
+    raw = synth_weather_json(spark, 1_000_000)
+    agg = weather_pipeline(raw)
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        "sample_count",
+        *[
+            F.round(c, 4).alias(c)
+            for c in agg.columns
+            if c.startswith(("avg_", "max_", "total_", "temperature_"))
+        ],
+    ).orderBy("window_start")
+
+
 @query("weather_parse_flatten")  # rows-only: source is synthesized
 def weather_parse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1→P4 alone (decode → from_json → flatten to the 12-column

@@ -1,0 +1,156 @@
+"""Stateful streaming extensions beyond the reference's single
+watermarked tumbling aggregate (SURVEY §2.2 'stateful ops / dedup /
+late data'): streaming dedup within watermark, sliding & session
+windows, and a custom per-key stateful operator via
+applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def dedup_within_watermark(
+    parsed: DataFrame,
+    keys: list[str],
+    event_time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key seen within
+    the watermark horizon. State is evicted as the watermark advances
+    — bounded memory, unlike a naive dropDuplicates whose state grows
+    forever on an unbounded stream."""
+    return parsed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def sliding_window_agg(
+    parsed: DataFrame,
+    value_col: str,
+    event_time_col: str = "event_time",
+    length: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in length/slide
+    windows) — the streaming extension of the reference's tumbling
+    window (spark_processor.py:151)."""
+    src = (
+        parsed.withWatermark(event_time_col, watermark)
+        if parsed.isStreaming
+        else parsed
+    )
+    return src.groupBy(F.window(event_time_col, length, slide).alias("window")).agg(
+        F.avg(value_col).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def session_window_agg(
+    parsed: DataFrame,
+    key_col: str,
+    value_col: str,
+    event_time_col: str = "event_time",
+    gap: str = "5 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Session windows per key with an inactivity gap — state closes
+    (and memory frees) when the watermark passes session end + gap."""
+    src = (
+        parsed.withWatermark(event_time_col, watermark)
+        if parsed.isStreaming
+        else parsed
+    )
+    return src.groupBy(
+        F.session_window(event_time_col, gap).alias("session"), F.col(key_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+    )
+
+
+USER_STATS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_seen", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("last_event_time", TimestampType()),
+        StructField("emit_reason", StringType()),
+    ]
+)
+
+USER_STATS_STATE = StructType(
+    [
+        StructField("events_seen", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
+    """Custom stateful operator: per-user running count/sum that emits
+    on every update and flushes on processing-time timeout — the
+    applyInPandasWithState pattern for operators Spark's built-in
+    aggregates can't express (per-key custom state machines).
+
+    Scale: state lives in the state store partitioned by user_id —
+    the same shuffle key as the groupBy, no extra exchange. Arrow
+    batches cross the Python boundary, not rows."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            seen, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "events_seen": [seen],
+                    "value_sum": [vsum],
+                    "last_event_time": [pd.NaT],
+                    "emit_reason": ["timeout"],
+                }
+            )
+            return
+        seen, vsum = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            seen += len(pdf)
+            vsum += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((seen, vsum))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "events_seen": [seen],
+                "value_sum": [vsum],
+                "last_event_time": [last_ts],
+                "emit_reason": ["update"],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_OUTPUT,
+        stateStructType=USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

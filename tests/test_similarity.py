@@ -96,6 +96,47 @@ def test_lsh_recall_vs_bruteforce(spark, clustered):
     assert recall >= 0.7, f"ANN recall {recall:.2f}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, clustered):
+    """IVF with 16 cells / 4 probes recovers most true neighbors on
+    clustered data (neighbors share the query's cell by
+    construction)."""
+    q = clustered.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    c = clustered.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    exact = {(r.query_id, r.corpus_id) for r in S.brute_force_topk(q, c, k=5).collect()}
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in S.ivf_topk(q, c, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f}"
+
+
+def test_cosine_near_dup_finds_planted_pairs(spark):
+    """Plant exact and near duplicates among noise; the cosine-LSH
+    dedup must recover them with correct similarity values."""
+    import random
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.02) for x in base]
+    rows = [(0, base), (1, list(base)), (2, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(3, 100)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in S.cosine_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.99
+    # noise pairs must not appear (random 64-dim cosines ≪ 0.9)
+    assert all({a, b} <= {0, 1, 2} for a, b in pairs)
+
+
 def test_normalize_makes_unit_vectors(spark, emb):
     n = emb.select(S.l2_norm(S.normalize(S.as_double_array("embedding"))).alias("n"))
     assert all(abs(r.n - 1.0) < 1e-9 for r in n.collect())

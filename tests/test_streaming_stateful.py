@@ -1,0 +1,144 @@
+"""Streaming stateful-operator tests: dedup-within-watermark,
+sliding/session windows in true streaming mode, and the
+applyInPandasWithState custom operator — all via file source +
+memory sink, no external services."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from ibd_pipeline_spark.streaming import stateful
+
+
+def _write_events(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    """JSON-file event stream with schema (ts, user_id, value)."""
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "ts": (t0 + timedelta(seconds=30 * i)).isoformat(),
+                "user_id": i % 3,
+                "value": float(i),
+                "event_id": i,
+            }
+        )
+    # duplicates of the first 10 event_ids
+    for i in range(10):
+        rows.append(
+            {
+                "ts": (t0 + timedelta(seconds=30 * i, milliseconds=1)).isoformat(),
+                "user_id": i % 3,
+                "value": float(i),
+                "event_id": i,
+            }
+        )
+    _write_events(tmp_path / "in" / "a.json", rows)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ts", StringType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    import pyspark.sql.functions as F
+
+    raw = spark.readStream.schema(schema).json(str(tmp_path / "in"))
+    return raw.withColumn("event_time", F.to_timestamp("ts")), tmp_path
+
+
+def test_dedup_within_watermark_streaming(spark, event_stream):
+    df, tmp = event_stream
+    q = (
+        stateful.dedup_within_watermark(df, ["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id, count(*) c from dedup_stream group by 1").collect()
+    assert len(rows) == 60  # 70 inputs, 10 dups removed
+    assert all(r.c == 1 for r in rows)
+
+
+def test_session_window_streaming(spark, event_stream):
+    df, tmp = event_stream
+    q = (
+        stateful.session_window_agg(df, "user_id", "value", gap="2 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_stream").collect()
+    # users appear every 90s < 2-min gap → one continuous session each
+    assert len(rows) == 3
+    assert {r.user_id for r in rows} == {0, 1, 2}
+
+
+def test_sliding_window_streaming(spark, event_stream):
+    df, tmp = event_stream
+    q = (
+        stateful.sliding_window_agg(df, "value", length="10 minutes", slide="5 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp / "ck_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from slide_stream").collect()
+    # 30 minutes of data / 5-min slide → 7 overlapping 10-min windows
+    assert len(rows) == 7
+    total = sum(r.n for r in rows)
+    assert total == 140  # each of 70 events in exactly 2 windows
+
+
+def test_apply_in_pandas_with_state(spark, event_stream):
+    df, tmp = event_stream
+    q = (
+        stateful.running_user_stats(df.select("user_id", "event_time", "value").withColumnRenamed("event_time", "ts"))
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp / "ck_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user_id, max(events_seen) seen, max(value_sum) vs from user_stats group by 1"
+    ).collect()
+    got = {r.user_id: (r.seen, r.vs) for r in rows}
+    # 70 events (60 + 10 dups — this operator counts raw arrivals)
+    assert sum(v[0] for v in got.values()) == 70
+    expected_sum = sum(float(i) for i in range(60)) + sum(float(i) for i in range(10))
+    assert abs(sum(v[1] for v in got.values()) - expected_sum) < 1e-6
