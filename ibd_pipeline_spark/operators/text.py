@@ -82,6 +82,35 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+def winnowing_fingerprints(
+    text: Column | str, k: int = 4, window: int = 5
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every word k-gram (the rolling-hash step — xxhash64 per
+    gram), then keep the minimum hash of each sliding window of
+    `window` consecutive gram hashes. Guarantees any shared substring
+    of ≥ k+window-1 words yields a shared fingerprint — the classic
+    plagiarism/near-dup detection key set.
+
+    Pure column algebra: sequence + transform for the grams, a second
+    sequence + transform + array_min for the window minima,
+    array_distinct for the final set. No explode, no Python."""
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    n = F.size(toks)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    )
+    n_grams = F.greatest(n - k + 1, F.lit(1))
+    hashes = F.transform(F.sequence(F.lit(0), n_grams - 1), gram)
+    n_windows = F.greatest(n_grams - window + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda w: F.array_min(F.slice(hashes, w + 1, window)),
+        )
+    )
+
+
 def lang_id(text: Column | str) -> Column:
     """Deterministic character-class language heuristic.
 

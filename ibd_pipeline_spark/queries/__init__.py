@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         return
     # Imports deferred to avoid import cycles with the decorator.
     from ibd_pipeline_spark.queries import (  # noqa: F401
+        analytics,
         dedup,
         events,
         multimodal,
