@@ -45,7 +45,10 @@ HEADLINE = [
     "text_quality_filter",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "stats_percentiles",
+    # approx (t-digest) percentiles, not exact: exact percentile's
+    # per-group value buffering is the anti-scale path (3 groups →
+    # 3 giant single-task sorts); the sketch is the one you'd run.
+    "stats_approx_percentiles",
     "weather_synth_throughput",
 ]
 

@@ -121,16 +121,51 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 def lsh_bucket_tables(
     vec_col: Column, dim: int, n_tables: int, bits_per_table: int, seed: int = 42
 ) -> Column:
-    """Multi-table sign-LSH: an array of (table_id << 32 | bucket)
-    keys, one per hash table. Candidate = any shared key."""
-    keys = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, bits_per_table, seed=seed + 1000 * t)
-        keys.append(
-            (F.lit(t).cast("long") * F.lit(2**32).cast("long"))
-            + lsh_bucket(vec_col, planes)
-        )
-    return F.array(*keys)
+    """Multi-table sign-LSH: an array of (table_id·2³² + bucket) keys,
+    one per hash table. Candidate = any shared key.
+
+    Implemented as an Arrow-batched pandas_udf (numpy matmul of the
+    batch against all n_tables·bits_per_table hyperplanes at once)
+    rather than column expressions: the expression form embeds
+    dim·tables·bits literal coefficients (~3000 for 8×6×64), which
+    overflows whole-stage-codegen method limits and degrades to slow
+    interpreted evaluation. One matmul per Arrow batch is both faster
+    and planner-friendly; the hyperplanes are regenerated
+    deterministically inside each executor (no broadcast needed)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    total_bits = n_tables * bits_per_table
+
+    # No type hints: the module uses `from __future__ import
+    # annotations`, which stringifies hints and breaks pandas-UDF
+    # type inference — PandasUDFType.SCALAR is passed explicitly.
+    def bucket_keys(vecs):
+        planes = np.array(
+            [
+                random_hyperplanes(dim, bits_per_table, seed=seed + 1000 * t)[b]
+                for t in range(n_tables)
+                for b in range(bits_per_table)
+            ]
+        )  # (total_bits, dim)
+        V = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (V @ planes.T) >= 0  # (batch, total_bits)
+        weights = (1 << np.arange(bits_per_table, dtype=np.int64))
+        out = []
+        for row in bits:
+            keys = [
+                (t << 32)
+                + int(row[t * bits_per_table : (t + 1) * bits_per_table] @ weights)
+                for t in range(n_tables)
+            ]
+            out.append(keys)
+        return pd.Series(out)
+
+    from pyspark.sql.functions import PandasUDFType
+
+    udf = pandas_udf(bucket_keys, "array<long>", PandasUDFType.SCALAR)
+    return udf(vec_col)
 
 
 def ivf_topk(

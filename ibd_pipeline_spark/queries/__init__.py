@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         scalar_ext,
         similarity,
         text,
+        udf,
         weather,
         windows,
     )

@@ -1,0 +1,126 @@
+"""UDF / UDAF / UDTF coverage (SURVEY §2.2): the three Python
+extension points, each in its Arrow-batched form, with a DuckDB
+oracle where the computation is deterministic arithmetic.
+
+Rule of the house: a UDF must earn its place — everything here is
+also expressible in SQL (that's what makes it oracle-checkable), and
+the docstrings say when you'd actually drop to Python (external
+libraries, per-group model scoring), per the 'UDFs are the slow
+path' design note.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+
+
+@query(
+    "pandas_udf_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(EXP((LN(l_quantity) + LN(l_extendedprice) + LN(1 + l_tax)) / 3), 6)
+         AS geo_mean
+FROM lineitem
+WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow batches, numpy vectorized): per-row
+    geometric mean of three measures. In production you'd keep this
+    exact computation in SQL (the oracle shows how); the UDF form is
+    for when the per-row function needs a Python library."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def geo_mean_fn(q, p, t):
+        return pd.Series(
+            np.exp((np.log(q.to_numpy()) + np.log(p.to_numpy()) + np.log1p(t.to_numpy())) / 3.0)
+        )
+
+    geo_mean = pandas_udf(geo_mean_fn, "double", PandasUDFType.SCALAR)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(geo_mean("l_quantity", "l_extendedprice", "l_tax"), 6).alias("geo_mean"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "grouped_agg_pandas_udf",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 6)
+         AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): quantity-weighted mean
+    price per flag. The built-in formulation is two SUMs (the oracle);
+    the UDAF form is the template for sketch-merge or model-fit
+    aggregations that have no built-in."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def wavg_fn(q, p):
+        qn = q.to_numpy()
+        return float((qn * p.to_numpy()).sum() / qn.sum())
+
+    wavg = pandas_udf(wavg_fn, "double", PandasUDFType.GROUPED_AGG)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_quantity", "l_extendedprice"), 6).alias("weighted_avg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "apply_in_pandas_zscore",
+    oracle="""
+SELECT user_id, event_id,
+       ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+             / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0.0), 6)
+         AS zscore
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map UDTF shape): per-user z-score
+    normalization — each group arrives as one pandas frame, returns a
+    frame. The oracle shows the analytic-window equivalent; the
+    grouped-map form is the template for per-key model inference or
+    resampling where a window function can't express the body.
+
+    Scale: one shuffle on user_id; each group must fit in one
+    executor's memory — bound group sizes (salt or pre-aggregate)
+    before using this on power-law keys."""
+    li = load(spark, sf_dir, "events")
+
+    def zscore_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        sd = v.std(ddof=1)
+        z = (v - v.mean()) / sd if (sd and sd == sd and sd != 0.0) else v * float("nan")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "zscore": (z).round(6),
+            }
+        )
+
+    return (
+        li.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore_fn, "user_id long, event_id long, zscore double")
+        .orderBy("user_id", "event_id")
+    )
