@@ -84,6 +84,81 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "python_udtf_ngrams",
+    oracle="""
+SELECT doc_id, pos, gram
+FROM (
+  SELECT doc_id,
+         CAST(unnest(range(1, len(string_split(text,' ')))) AS INT) AS pos,
+         string_split(text,' ')[CAST(unnest(range(1, len(string_split(text,' ')))) AS INT)]
+           || ' ' ||
+         string_split(text,' ')[CAST(unnest(range(1, len(string_split(text,' ')))) AS INT) + 1]
+           AS gram
+  FROM documents WHERE doc_id < 20
+)
+ORDER BY doc_id, pos
+""",
+)
+def python_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input doc row → many
+    (pos, bigram) rows. The lateral-join table-function extension
+    point; here equivalent to explode over a gram array (the oracle),
+    which is what you'd ship — the UDTF form is for generators that
+    need Python state or libraries per emitted row."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, gram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i + 1, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigrams", Bigrams)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.gram
+        FROM docs_for_udtf d, LATERAL bigrams(d.text) b
+        ORDER BY d.doc_id, b.pos
+        """
+    )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+SELECT event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP)
+                              RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW), 6)
+         AS avg_6h
+FROM events
+ORDER BY event_id
+""",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing 6-hour average — the
+    value-based frame over event time that rowsBetween can't express
+    (irregular event spacing). Spark SQL interval RANGE frames via
+    the SQL path."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_tr")
+    return spark.sql(
+        """
+        SELECT event_id,
+               ROUND(AVG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW), 6)
+                 AS avg_6h
+        FROM events_tr
+        ORDER BY event_id
+        """
+    )
+
+
+@query(
     "apply_in_pandas_zscore",
     oracle="""
 SELECT user_id, event_id,

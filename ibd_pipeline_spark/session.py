@@ -45,6 +45,14 @@ def get_spark(
         # size the heap for the core count (the 1 GiB default OOMs a
         # 32-thread shuffle). Ignored if a JVM already exists.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Whole-stage codegen emits one class per stage; a workload
+        # that plans many distinct queries (bench, test suite) fills
+        # the default 240 MB JIT code cache, after which HotSpot
+        # stops compiling and everything runs interpreted (~10×).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         # AQE: runtime partition coalescing, skew-join splitting, and
         # dynamic join-strategy switching. This is the main line of
         # defense for skew at 100 TB — keep it on everywhere.
