@@ -29,6 +29,30 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
+def dsum(col, scale: int = 2):
+    """Order-independent SUM for cross-engine value comparison: cast
+    each double term to DECIMAL(28,8) (deterministic per-row), sum
+    exactly (decimal addition commutes — no partial-aggregation-order
+    noise), return double rounded to `scale`.
+
+    Plain SUM(double) differs between engines (and between runs with
+    different partitioning) in the last ulps; when the true value
+    sits near a rounding boundary the rounded outputs diverge and the
+    driver's value-hash flips. The SQL twin is
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), scale) AS DOUBLE)`` —
+    rounding happens in the exact decimal domain on both sides (HALF_UP
+    away from zero) because decimal-structured data lands sums exactly
+    on half-points, where double-rounding conventions diverge.
+    """
+    import pyspark.sql.functions as F
+
+    return F.round(F.sum(col.cast("decimal(28,8)")), scale).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(28,8))), {scale}) AS DOUBLE)"
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query (and optionally its DuckDB oracle SQL)."""
 
@@ -69,6 +93,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         scalar_ext,
         similarity,
         text,

@@ -82,7 +82,7 @@ WITH expanded AS (
 )
 SELECT window_start,
        COUNT(*)             AS n_events,
-       ROUND(SUM(value), 4) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_value
 FROM expanded
 GROUP BY window_start
 ORDER BY window_start
@@ -101,7 +101,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
         .orderBy("window_start")
@@ -129,7 +129,7 @@ islands AS (
 SELECT user_id,
        MIN(ts)              AS session_start,
        COUNT(*)             AS n_events,
-       ROUND(SUM(value), 4) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_value
 FROM islands
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -151,7 +151,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "6 hours").alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double").alias("sum_value"),
         )
         .select(
             "user_id",

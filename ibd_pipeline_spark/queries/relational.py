@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
-from ibd_pipeline_spark.queries import query
+from ibd_pipeline_spark.queries import dsum, query
 
 # ---------------------------------------------------------------------------
 # Flagship: pricing summary (scan → filter → groupBy → agg → sort).
@@ -33,9 +33,12 @@ SELECT
   l_returnflag,
   l_linestatus,
   ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+                                                                  AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE)
+                                                                  AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE)
+                                                                  AS sum_charge,
   ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
   ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
   ROUND(AVG(l_discount), 4)                                       AS avg_disc,
@@ -65,10 +68,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantity is integral-valued → double sum is exact; the
+            # price sums are not → exact decimal sums (see dsum) so
+            # partial-agg order can't flip the rounded hash.
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -123,7 +129,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_broadcast",
     oracle="""
 SELECT r.r_name AS region_name, n.n_name AS nation_name,
-       COUNT(*) AS num_customers, ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+       COUNT(*) AS num_customers, CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_acctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -147,7 +153,7 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("num_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
         )
         .orderBy("region_name", "nation_name")
     )
@@ -158,7 +164,7 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o.o_orderpriority,
        COUNT(*) AS line_count,
-       ROUND(SUM(l.l_extendedprice), 2) AS total_price
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_price
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderstatus = 'F'
@@ -184,7 +190,7 @@ def join_shuffle_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("line_count"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -412,7 +418,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       COUNT(*) AS n, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -423,7 +429,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),

@@ -1,0 +1,230 @@
+"""Third relational batch: the remaining classic TPC-H query shapes —
+cross-filter volume analysis, conditional aggregation over joins,
+disjunctive multi-column predicates, IN-lists, and subqueries in
+HAVING. These stress join reordering, predicate normalization (CNF/
+DNF pushdown), and nested aggregation — the optimizer paths the
+earlier batches don't reach.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import dsum, query
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY cn.n_name, sn.n_name, YEAR(l.l_shipdate)
+ORDER BY cust_nation, supp_nation, ship_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between distinct nation pairs.
+    Exercises the same dim table joined twice under different roles
+    (customer-nation vs supplier-nation) — both broadcast; the
+    cross-nation inequality lands in the join graph, not a
+    post-filter over a cross product."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    cn = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    sn = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(cn, c.c_nationkey == F.col("cn_key"))
+        .join(sn, s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts (IN-list CASE) over a
+    fact-fact join — the pivot-by-predicate pattern."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END AS DECIMAL(28,8))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l.l_shipdate < TIMESTAMP '1997-08-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional to total revenue in one
+    aggregate pass (no second scan, no self-join)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-08-01").cast("timestamp"))
+    )
+    p = F.broadcast(load(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0).cast("decimal(28,8)")).cast("double")
+                / F.sum(rev.cast("decimal(28,8)")).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(t.total_qty, 2) AS total_qty
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150) t
+  ON o.o_orderkey = t.l_orderkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join (the HAVING subquery
+    shrinks lineitem to qualifying orderkeys BEFORE joining —
+    orders of magnitude less join input than join-then-aggregate)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_type = 'SMALL'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
+   OR (p.p_type = 'MEDIUM' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 20)
+   OR (p.p_type = 'LARGE'  AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 30)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three-branch disjunction mixing columns from
+    both join sides. Catalyst extracts the common sub-predicates it
+    can push (p_type/p_size terms to the part scan, l_quantity ≥ 10
+    to lineitem) and evaluates the full disjunction at the join."""
+    l = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(load(spark, sf_dir, "part"))
+    cond = (
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 30))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "global_row_ids",
+    oracle="""
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_orderkey) AS global_id
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+)
+def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global ID assignment via row_number over a total
+    order. (monotonically_increasing_id is the shuffle-free
+    alternative when IDs only need uniqueness, not density — but its
+    values are partition-dependent, hence not oracle-checkable.)"""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    from pyspark.sql import Window
+
+    return o.select(
+        "o_orderkey", F.row_number().over(Window.orderBy("o_orderkey")).alias("global_id")
+    ).orderBy("o_orderkey")

@@ -67,6 +67,9 @@ def get_spark(
         # Arrow transfer for every pandas_udf / applyInPandas /
         # toPandas path — the only acceptable Python boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batches for Python UDTFs too (default is pickled
+        # row-batches — BatchEvalPythonUDTF in the plan).
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # 128 MB parquet split targets: big enough for vectorized-read
         # efficiency, small enough that a task's working set fits in
         # executor memory at any SF.
