@@ -49,6 +49,22 @@ def dsum(col, scale: int = 2):
     return F.round(F.sum(col.cast("decimal(28,8)")), scale).cast("double")
 
 
+def davg(col, scale: int = 4):
+    """Partitioning-independent AVG for cross-engine comparison:
+    exact decimal sum (order-independent) cast to double, divided by
+    the non-null count — both engines then round the *same* double.
+    Plain AVG(double) merges partial sums in partition order; on
+    decimal-structured data whose true mean lands on a rounding
+    half-point, the last-ulp noise decides the rounded digit. SQL
+    twin: ``ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) /
+    COUNT(x), scale)``."""
+    import pyspark.sql.functions as F
+
+    return F.round(
+        F.sum(col.cast("decimal(28,8)")).cast("double") / F.count(col), scale
+    )
+
+
 def dsum_sql(expr: str, scale: int = 2) -> str:
     return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(28,8))), {scale}) AS DOUBLE)"
 

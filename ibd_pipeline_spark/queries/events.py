@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
-from ibd_pipeline_spark.queries import query
+from ibd_pipeline_spark.queries import davg, query
 
 
 @query(
@@ -28,7 +28,7 @@ from ibd_pipeline_spark.queries import query
 SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
        event_type,
        COUNT(*)                       AS n_events,
-       ROUND(AVG(value), 4)           AS avg_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
        ROUND(MAX(value), 4)           AS max_value,
        ROUND(COALESCE(STDDEV_SAMP(value), 0.0), 4) AS stddev_value
 FROM events
@@ -54,7 +54,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            davg(F.col("value"), 4).alias("avg_value"),
             F.round(F.max("value"), 4).alias("max_value"),
             F.round(F.coalesce(F.stddev("value"), F.lit(0.0)), 4).alias("stddev_value"),
         )
@@ -167,10 +167,10 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_weather_parity_agg",
     oracle="""
 SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start,
-       ROUND(AVG(value), 4)                         AS avg_temperature_c,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value), 4) AS avg_temperature_c,
        ROUND(MAX(value), 4)                         AS max_wind_gust_kmph,
        ROUND(COALESCE(STDDEV_SAMP(value), 0.0), 4)  AS temperature_stddev,
-       ROUND(AVG(value), 4)                         AS total_precipitation_mm
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value), 4) AS total_precipitation_mm
 FROM events
 GROUP BY 1
 ORDER BY window_start
@@ -187,10 +187,10 @@ def events_weather_parity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_temperature_c"),
+            davg(F.col("value"), 4).alias("avg_temperature_c"),
             F.round(F.max("value"), 4).alias("max_wind_gust_kmph"),
             F.round(F.coalesce(F.stddev("value"), F.lit(0.0)), 4).alias("temperature_stddev"),
-            F.round(F.avg("value"), 4).alias("total_precipitation_mm"),
+            davg(F.col("value"), 4).alias("total_precipitation_mm"),
         )
         .select(
             F.col("w.start").alias("window_start"),

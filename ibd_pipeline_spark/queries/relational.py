@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
-from ibd_pipeline_spark.queries import dsum, query
+from ibd_pipeline_spark.queries import davg, dsum, query
 
 # ---------------------------------------------------------------------------
 # Flagship: pricing summary (scan → filter → groupBy → agg → sort).
@@ -39,9 +39,12 @@ SELECT
                                                                   AS sum_disc_price,
   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE)
                                                                   AS sum_charge,
-  ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
-  ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_quantity), 4)
+                                                                  AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_extendedprice), 4)
+                                                                  AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_discount), 4)
+                                                                  AS avg_disc,
   ROUND(STDDEV_SAMP(l_extendedprice), 4)                          AS stddev_price,
   ROUND(MAX(l_extendedprice), 2)                                  AS max_price,
   COUNT(*)                                                        AS count_order
@@ -75,9 +78,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
             dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # averages via exact-decimal sum / count: immune to
+            # partial-aggregation order (see dsum docstring).
+            davg(F.col("l_quantity"), 4).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            davg(F.col("l_discount"), 4).alias("avg_disc"),
             F.round(F.stddev("l_extendedprice"), 4).alias("stddev_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -667,7 +672,7 @@ SELECT
        ELSE 'large' END AS price_band,
   o_orderstatus,
   COUNT(*) AS n,
-  ROUND(AVG(o_totalprice), 4) AS avg_price
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o_totalprice), 4) AS avg_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY price_band, o_orderstatus
@@ -683,6 +688,6 @@ def case_when_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.groupBy(band.alias("price_band"), F.col("o_orderstatus"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .agg(F.count(F.lit(1)).alias("n"), davg(F.col("o_totalprice"), 4).alias("avg_price"))
         .orderBy("price_band", "o_orderstatus")
     )
