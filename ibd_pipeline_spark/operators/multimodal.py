@@ -126,6 +126,96 @@ def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Image resize over mapInPandas — the standard pre-embedding
+    normalization pass.
+
+    STUB decode/encode (no imaging libs here): the fake path emits a
+    deterministic pseudo-resized payload (sha512-seeded bytes of the
+    right nominal size) so schema, batching, and partition behavior
+    are testable; swap `_fake_resize` for PIL `Image.resize` +
+    re-encode in production — the Spark-side plumbing is unchanged."""
+
+    def _fake_resize(content: bytes) -> bytes:
+        h = hashlib.sha512(content).digest()
+        need = max(1, (target_w * target_h) // 256)
+        return (h * ((need // len(h)) + 1))[:need]
+
+    if not fake:
+        raise NotImplementedError("real resize requires an imaging library")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            imgs = pdf[pdf["media_type"] == "image"]
+            if imgs.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": imgs["asset_id"].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "content": [ _fake_resize(bytes(b)) for b in imgs["content"] ],
+                }
+            )
+
+    return assets.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    assets: DataFrame, every_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling (1 row in → N frame rows out) over
+    mapInPandas — the fan-out shape of media preprocessing.
+
+    STUB frame extraction (no ffmpeg here): fake frames are
+    deterministic digests of (content, index); the row-explosion
+    contract (duration_ms // every_ms frames per video, typed
+    timestamps) is the real, tested part."""
+    if not fake:
+        raise NotImplementedError("real frame sampling requires ffmpeg/av")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["media_type"] == "video"]
+            out = {"asset_id": [], "frame_index": [], "frame_ts_ms": [], "frame": []}
+            for _, row in vids.iterrows():
+                n_frames = max(1, int(row["duration_ms"]) // every_ms)
+                blob = bytes(row["content"])
+                for i in range(n_frames):
+                    out["asset_id"].append(row["asset_id"])
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        hashlib.sha256(blob + i.to_bytes(4, "little")).digest()
+                    )
+            if out["asset_id"]:
+                yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def metadata_profile(assets: DataFrame) -> DataFrame:
     """Metadata-only profile — reads zero blob bytes thanks to parquet
     column pruning; the query that must stay cheap at 100 TB."""

@@ -256,41 +256,26 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-join-then-max formulation, which explodes to O(pairs) before
     aggregating.
     """
-    o = (
+    from ibd_pipeline_spark.operators.joins import as_of_join
+
+    probes = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 100)
         .select(
             "o_orderkey",
-            F.col("o_orderdate").cast("timestamp").alias("t"),
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
             (F.col("o_custkey") % 50).alias("k"),
         )
     )
-    e = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), F.col("ts").alias("t")
-    )
-    from pyspark.sql import Window
-
-    # Tag and union: events carry their own ts as the value; probe rows
-    # carry null. last(value, ignorenulls) over time order = as-of match.
-    # side=0 sorts events before probes at identical timestamps so a
-    # probe at exactly an event's ts matches it (<= semantics).
-    probes = o.select(
-        "k", "t", F.lit(None).cast("timestamp").alias("event_ts"), F.lit(1).alias("side"),
-        F.col("o_orderkey"),
-    )
-    evts = e.select(
-        "k", "t", F.col("t").alias("event_ts"), F.lit(0).alias("side"),
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("event_ts")
     )
     return (
-        probes.unionByName(evts)
-        .withColumn("last_event_ts", F.last("event_ts", ignorenulls=True).over(w))
-        .filter(F.col("side") == 1)
-        .select("o_orderkey", F.col("t").alias("order_ts"), "last_event_ts")
+        as_of_join(probes, events, key="k", probe_time="order_ts", event_time="event_ts")
+        .select(
+            "o_orderkey",
+            "order_ts",
+            F.col("asof_event_ts").alias("last_event_ts"),
+        )
         .orderBy("o_orderkey")
     )

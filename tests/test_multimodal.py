@@ -32,6 +32,41 @@ def test_metadata_profile_schema(spark):
     assert img.avg_duration_ms is None
 
 
+def test_resize_images_shape_and_determinism(spark):
+    assets = M.synthesize_assets(spark, 30)
+    out = M.resize_images(assets, 224, 224).collect()
+    n_images = assets.filter("media_type = 'image'").count()
+    assert len(out) == n_images
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    again = {r.asset_id: bytes(r.content) for r in M.resize_images(assets, 224, 224).collect()}
+    assert {r.asset_id: bytes(r.content) for r in out} == again
+
+
+def test_sample_video_frames_fanout(spark):
+    assets = M.synthesize_assets(spark, 30)
+    frames = M.sample_video_frames(assets, every_ms=1000).collect()
+    vids = {
+        r.asset_id: r.duration_ms
+        for r in assets.filter("media_type = 'video'").collect()
+    }
+    from collections import Counter
+
+    per_vid = Counter(r.asset_id for r in frames)
+    for vid, dur in vids.items():
+        assert per_vid[vid] == max(1, dur // 1000)
+    # frame timestamps are the sampling grid
+    ts = sorted(r.frame_ts_ms for r in frames if r.asset_id == min(vids))
+    assert ts == [i * 1000 for i in range(len(ts))]
+
+
+def test_real_media_paths_honestly_stubbed(spark):
+    assets = M.synthesize_assets(spark, 3)
+    with pytest.raises(NotImplementedError):
+        M.resize_images(assets, fake=False)
+    with pytest.raises(NotImplementedError):
+        M.sample_video_frames(assets, fake=False)
+
+
 def test_binary_roundtrip_through_parquet(spark, tmp_path):
     """Binary columns survive a parquet write/read cycle and metadata
     queries don't change results after the roundtrip."""
