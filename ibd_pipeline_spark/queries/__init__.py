@@ -110,6 +110,7 @@ def _ensure_loaded() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         scalar_ext,
         similarity,
         text,

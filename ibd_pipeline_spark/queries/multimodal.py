@@ -23,6 +23,32 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(assets, fake_decode=True).orderBy("asset_id")
 
 
+@query("multimodal_resize")  # rows-only: synthesized binary assets
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pass (decode/encode stubbed deterministically):
+    mapInPandas with a typed output schema — the standard
+    pre-embedding normalization stage of a media pipeline."""
+    assets = M.synthesize_assets(spark, n=64)
+    return (
+        M.resize_images(assets, 224, 224)
+        .select("asset_id", "width", "height", F.length("content").alias("n_bytes"))
+        .orderBy("asset_id")
+    )
+
+
+@query("multimodal_frame_sample")  # rows-only: synthesized binary assets
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1 video row → N frame rows, extraction
+    stubbed): the row-explosion contract of media preprocessing with
+    typed frame timestamps."""
+    assets = M.synthesize_assets(spark, n=64)
+    return (
+        M.sample_video_frames(assets, every_ms=1000)
+        .select("asset_id", "frame_index", "frame_ts_ms", F.length("frame").alias("n_bytes"))
+        .orderBy("asset_id", "frame_index")
+    )
+
+
 @query("multimodal_metadata_profile")  # rows-only: synthesized binary assets
 def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only profile over the asset table — the
