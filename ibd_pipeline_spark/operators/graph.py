@@ -1,0 +1,82 @@
+"""Iterative graph operators the dedup pipeline needs — currently
+connected components, used to resolve near-duplicate candidate PAIRS
+into transitive duplicate CLUSTERS (a~b and b~c must land a, b, c in
+one cluster even when a~c was never emitted as a candidate).
+
+North-star surface (SURVEY.md §2.2 dedup row): pair generation
+(MinHash/SimHash/Jaccard, operators.dedup) finds edges; this module
+finds the clusters. Not SQL-expressible in one query — it is a
+fixpoint iteration — so the registry entry carries a DuckDB
+*recursive-CTE* oracle instead of plain ANSI SQL.
+
+Algorithm: minimum-label propagation. Every vertex starts labeled
+with its own id; each round replaces a vertex's label with the min of
+its own and its neighbors' labels; converged when no label changes.
+Rounds needed = graph diameter, and near-dup clusters are
+shallow (copies of a common ancestor — diameters of 2-4), so this
+beats the O(log²n)-round large-star/small-star alternation in
+practice while using only groupBy/join primitives. Each round is one
+shuffle-join plus one aggregation; lineage is truncated per round
+with localCheckpoint so the plan doesn't grow with the iteration
+count (the classic iterative-DataFrame failure mode at scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve undirected `edges` into components.
+
+    Returns (vertex, component) for every vertex appearing in an
+    edge; component = the minimum vertex id reachable from it.
+    Deterministic (min is order-independent). Vertices with no edges
+    simply don't appear — callers union isolated vertices back with
+    component = own id (see dedup_cluster_components).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.vertex == nbr_min.a, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

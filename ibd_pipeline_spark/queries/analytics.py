@@ -196,3 +196,33 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_fingerprints") >= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "stratified_hash_sample",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_sampled, MIN(o_orderkey) AS min_key
+FROM orders
+WHERE CAST(('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via content hashing (md5 of the key,
+    first 8 hex digits mod 100) — unlike seeded Bernoulli sampling
+    (sample_deterministic above), the selection is a pure function of
+    the DATA, so it is identical across engines, partitionings, and
+    reruns: the property train/eval splits and A/B holdouts need at
+    100 TB. Oracle-checked because DuckDB computes the same md5."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        o.filter(bucket < 10)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("o_orderkey").alias("min_key"))
+        .orderBy("o_orderpriority")
+    )

@@ -161,3 +161,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-blocked). See operators.dedup.simhash64."""
     d = load(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+WITH RECURSIVE toksets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 150
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: unigram-Jaccard pairs (J ≥ 0.6,
+    same bounded subset as dedup_ngram_jaccard) resolved into
+    connected components — a~b and b~c must cluster a, b, c together
+    even though a~c was never emitted. Iterative min-label propagation
+    (operators.graph.connected_components); the oracle is a DuckDB
+    recursive CTE computing min-reachable-id per doc, so this
+    fixpoint op is still hash-checked end-to-end.
+
+    Scale: candidate pairs come from LSH banding (never all-pairs);
+    CC rounds = cluster diameter (2-4 for copy-clusters), each round
+    one join + one groupBy on the (tiny) edge set — the cluster
+    resolution cost is negligible next to pair generation."""
+    from ibd_pipeline_spark.operators.graph import connected_components
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")).cast("double") / F.size(
+        F.array_union("a.toks", "b.toks")
+    )
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    comps = connected_components(pairs, "src", "dst")
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select("doc_id")
+    return (
+        docs.join(comps, docs.doc_id == comps.vertex, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .orderBy("doc_id")
+    )

@@ -180,3 +180,59 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("predicted_lang")
     )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-' || SUBSTRING(CAST(1000 + doc_id % 9000 AS VARCHAR), 1, 4) AS text
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       LENGTH(text) - LENGTH(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+           '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS chars_removed,
+       md5(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+           '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_digest
+FROM enriched
+ORDER BY doc_id
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — email/phone patterns replaced with typed
+    placeholder tokens, the standard pre-training privacy pass. The
+    fixture corpus is PII-free, so deterministic synthetic PII is
+    appended per doc first; output is hash-compared (digest of the
+    redacted text + chars removed), so both the match positions and
+    the replacement semantics are oracle-checked.
+
+    Scale: pure per-row regexp in whole-stage codegen — embarrassingly
+    parallel, no shuffle; patterns kept ASCII-anchored so Java and RE2
+    regex dialects agree."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.substring((1000 + F.col("doc_id") % 9000).cast("string"), 1, 4),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+", "<EMAIL>"
+        ),
+        r"\+1-[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    return enriched.select(
+        "doc_id",
+        (F.length("text") - F.length(redacted)).alias("chars_removed"),
+        F.md5(redacted).alias("redacted_digest"),
+    ).orderBy("doc_id")

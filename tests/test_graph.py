@@ -1,0 +1,38 @@
+"""Connected-components operator: known-graph and invariant tests."""
+
+import pyspark.sql.functions as F
+
+from ibd_pipeline_spark.operators.graph import connected_components
+
+
+def test_cc_known_graph(spark):
+    # Components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["src", "dst"],
+    )
+    got = {
+        r.vertex: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_chain_diameter_beyond_one_round(spark):
+    # A 12-vertex chain needs multiple propagation rounds; the label
+    # must still collapse to the global minimum.
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    comps = connected_components(edges).collect()
+    assert {r.component for r in comps} == {0}
+    assert len(comps) == n + 1
+
+
+def test_cc_direction_invariance(spark):
+    # Undirected semantics: reversing every edge changes nothing.
+    fwd = spark.createDataFrame([(5, 1), (2, 5), (7, 8)], ["src", "dst"])
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    a = {(r.vertex, r.component) for r in connected_components(fwd).collect()}
+    b = {(r.vertex, r.component) for r in connected_components(rev).collect()}
+    assert a == b == {(1, 1), (2, 1), (5, 1), (7, 7), (8, 7)}
