@@ -154,3 +154,73 @@ def running_user_stats(events: DataFrame, timeout_ms: int = 30_000) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+TWS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_seen", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("value_max", DoubleType()),
+    ]
+)
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-key running-stats state machine as
+    running_user_stats, on the Spark 4 `transformWithStateInPandas`
+    API — typed ValueState in the (RocksDB) state store, per-key
+    Arrow batches, no GroupState tuple packing. This is the
+    forward-looking stateful-operator surface: composable named state
+    variables, timers, and TTL live on the handle instead of a single
+    opaque state blob.
+
+    Scale: identical runtime shape to applyInPandasWithState — state
+    partitioned on the grouping key, one shuffle, Arrow across the
+    Python boundary; RocksDB keeps per-key state off-heap so state
+    size is bounded by disk, not executor memory.
+
+    Runtime requirement: a working `google.protobuf` (the stateful
+    processor speaks a protobuf protocol to the JVM state server) and
+    the RocksDB state store provider. The test suite skips this
+    operator where protobuf is unavailable; applyInPandasWithState
+    (running_user_stats above) is the dependency-free fallback."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "seen BIGINT, vsum DOUBLE, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            prior = self._stats.get()
+            seen, vsum, vmax = prior if prior is not None else (0, 0.0, None)
+            for pdf in rows:
+                seen += len(pdf)
+                vsum += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max())
+                vmax = batch_max if vmax is None else max(vmax, batch_max)
+            self._stats.update((seen, vsum, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "events_seen": [seen],
+                    "value_sum": [vsum],
+                    "value_max": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=TWS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -142,3 +142,56 @@ def test_apply_in_pandas_with_state(spark, event_stream):
     assert sum(v[0] for v in got.values()) == 70
     expected_sum = sum(float(i) for i in range(60)) + sum(float(i) for i in range(10))
     assert abs(sum(v[1] for v in got.values()) - expected_sum) < 1e-6
+
+
+def _protobuf_usable() -> bool:
+    # transformWithStateInPandas talks to a JVM-side state server over
+    # a protobuf protocol; without a working google.protobuf the
+    # streaming Python runner crashes at init.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_usable(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in this container)",
+)
+def test_transform_with_state_in_pandas(spark, event_stream):
+    """Spark-4 transformWithStateInPandas: same running-stats machine
+    as the GroupState version, typed ValueState + RocksDB provider."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        df, tmp = event_stream
+        q = (
+            stateful.running_user_stats_tws(df.select("user_id", "value"))
+            .writeStream.format("memory")
+            .queryName("user_stats_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp / "ck_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "select user_id, max(events_seen) seen, max(value_sum) vs, max(value_max) vm "
+            "from user_stats_tws group by 1"
+        ).collect()
+        got = {r.user_id: (r.seen, r.vs, r.vm) for r in rows}
+        assert sum(v[0] for v in got.values()) == 70
+        expected_sum = sum(float(i) for i in range(60)) + sum(float(i) for i in range(10))
+        assert abs(sum(v[1] for v in got.values()) - expected_sum) < 1e-6
+        # per-user max value: user k sees values k, k+3, ..., 57+? → max = 57+k offsets
+        assert got[0][2] == 57.0 and got[1][2] == 58.0 and got[2][2] == 59.0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
