@@ -45,6 +45,11 @@ HEADLINE = [
     "text_quality_filter",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    # widest joins + correlated-subquery decorrelation in the suite
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    # iterative fixpoint op (connected components over near-dup pairs)
+    "dedup_cluster_components",
     # approx (t-digest) percentiles, not exact: exact percentile's
     # per-group value buffering is the anti-scale path (3 groups →
     # 3 giant single-task sorts); the sketch is the one you'd run.

@@ -53,30 +53,37 @@ def connected_components(
         .select("vertex", F.col("vertex").alias("component"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.vertex)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.vertex == nbr_min.a, "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym.b == labels.vertex)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(nbr_min, labels.vertex == nbr_min.a, "left")
+                .select(
+                    "vertex",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "vertex")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()  # checkpoint blocks would otherwise accumulate
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    # The final labels stay checkpointed: they ARE the result (one
+    # small (vertex, component) table); every intermediate round's
+    # blocks were released above.
     return labels
