@@ -202,3 +202,36 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_nullif_f"
         ),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "variant_json_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the Spark 4 VARIANT type:
+    parse_json once into a binary variant, variant_get typed paths —
+    the modern replacement for per-path get_json_object string
+    re-parsing (scalar_json_funcs shows the classic form). At scale
+    VARIANT decodes the JSON a single time per row into a
+    shredded-access binary; N path extractions don't re-tokenize N
+    times. k is integral, so AVG is exact and partition-independent."""
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(k).cast("int").alias("max_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
