@@ -53,6 +53,7 @@ def connected_components(
         .select("vertex", F.col("vertex").alias("component"))
         .localCheckpoint()
     )
+    prev_sum = None
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -71,16 +72,19 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "vertex")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
+            # Convergence check without a join: labels are monotone
+            # non-increasing, so the exact integer sum is a fixpoint
+            # witness — unchanged sum ⟺ no label changed. One
+            # reduce over the label table per round instead of a
+            # self-join + count.
+            new_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).first()[0]
             labels.unpersist()  # checkpoint blocks would otherwise accumulate
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
     finally:
         sym.unpersist()
     # The final labels stay checkpointed: they ARE the result (one
