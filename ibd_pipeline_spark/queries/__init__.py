@@ -114,6 +114,7 @@ def _ensure_loaded() -> None:
         scalar_ext,
         similarity,
         text,
+        training,
         udf,
         weather,
         windows,
