@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: measure wall time of representative
+operators as input volume grows (1x / 4x / 16x), on local[32]. The
+point is the SHAPE of the curve — near-linear scan/agg, sub-linear
+candidate growth for LSH vs quadratic for brute force — not the
+absolute numbers. Results land in SCALE.md §Measured scaling.
+
+    python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+
+
+def timed(df) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def replicate(df, times: int, id_cols: dict[str, int]):
+    """Union `times` shifted copies so keys stay distinct per copy."""
+    out = None
+    for i in range(times):
+        c = df
+        for col, stride in id_cols.items():
+            c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators import dedup as D
+    from ibd_pipeline_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+    from ibd_pipeline_spark.session import get_spark
+    from ibd_pipeline_spark.sources.weather_synth import synth_weather_json
+    from ibd_pipeline_spark.streaming.weather import weather_pipeline
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    results: dict[str, dict[str, float]] = {}
+
+    # 1. streaming-parity pipeline throughput: parse → window → agg
+    weather_pipeline(synth_weather_json(spark, 10_000)).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm codegen
+    for n in (1_000_000, 4_000_000, 16_000_000):
+        results.setdefault("weather_pipeline_msgs", {})[str(n)] = timed(
+            weather_pipeline(synth_weather_json(spark, n))
+        )
+
+    # 2. scan+filter+groupBy (q1 shape) over replicated lineitem
+    li = load(spark, SF, "lineitem")
+    for k in (1, 4, 16):
+        fact = replicate(li, k, {"l_orderkey": 10_000_000})
+        agg = (
+            fact.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        results.setdefault("scan_agg_lineitem_x", {})[str(k)] = timed(agg)
+
+    # 3. fact-fact shuffle join over replicated orders ⋈ lineitem
+    o = load(spark, SF, "orders")
+    for k in (1, 4, 8):
+        fact_l = replicate(li, k, {"l_orderkey": 10_000_000})
+        fact_o = replicate(o, k, {"o_orderkey": 10_000_000})
+        j = fact_o.join(fact_l, fact_o.o_orderkey == fact_l.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        results.setdefault("shuffle_join_x", {})[str(k)] = timed(j)
+
+    # 4. ANN: brute force vs LSH as the corpus replicates
+    emb = load(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    for k in (1, 4):
+        corpus = replicate(emb, k, {"vec_id": 10_000_000}).select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+        )
+        results.setdefault("ann_bruteforce_x", {})[str(k)] = timed(
+            brute_force_topk(q, corpus, k=5)
+        )
+        results.setdefault("ann_lsh_x", {})[str(k)] = timed(
+            lsh_bucketed_topk(q, corpus, k=5, n_tables=8, bits_per_table=6, dim=64)
+        )
+
+    # 5. minhash LSH dedup as the corpus replicates (candidate growth)
+    docs = load(spark, SF, "documents")
+    for k in (1, 4):
+        corpus = replicate(docs, k, {"doc_id": 10_000_000})
+        reps = (
+            corpus.groupBy(D.content_digest("text").alias("digest"))
+            .agg(F.min(F.struct("doc_id", "text")).alias("rep"))
+            .select(F.col("rep.doc_id").alias("doc_id"), F.col("rep.text").alias("text"))
+        )
+        pairs = D.minhash_candidate_pairs(reps, "doc_id", "text").filter(
+            F.col("jaccard") >= 0.5
+        )
+        results.setdefault("minhash_lsh_x", {})[str(k)] = timed(pairs)
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
