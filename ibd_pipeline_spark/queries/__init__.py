@@ -106,6 +106,7 @@ def _ensure_loaded() -> None:
         analytics,
         dedup,
         events,
+        maintenance,
         multimodal,
         relational,
         relational2,

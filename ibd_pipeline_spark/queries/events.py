@@ -279,3 +279,56 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "events_rollup_cascade",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value), 4)
+         AS avg_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+""",
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: a 5-minute
+    rollup holds MERGEABLE partials (count, exact decimal sum, max) —
+    never avg — and the 1-hour grain is computed FROM those partials
+    (sum of counts, sum of sums, max of maxes), not from raw events.
+    The oracle aggregates raw directly, proving the two-level merge is
+    lossless.
+
+    Scale design: this is how coarse grains stay cheap at 100 TB —
+    the hourly/daily/monthly cascade re-reads only the 5-min rollup
+    (~1/300th the rows), and each level is an ordinary map-side-
+    combined groupBy. Storing avg instead of (sum, count) partials
+    would make re-aggregation WRONG (avg of avgs weights windows
+    equally); storing double sums instead of decimal would make it
+    partition-order-dependent. The same partial schema is what a
+    streaming materialization would checkpoint incrementally.
+    """
+    e = load(spark, sf_dir, "events")
+    fine = (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,8)")).alias("s"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return (
+        fine.groupBy(
+            F.date_trunc("hour", F.col("w.start")).alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s").cast("double") / F.sum("n"), 4).alias("avg_value"),
+            F.round(F.max("mx"), 4).alias("max_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
