@@ -54,6 +54,10 @@ HEADLINE = [
     # per-group value buffering is the anti-scale path (3 groups →
     # 3 giant single-task sorts); the sketch is the one you'd run.
     "stats_approx_percentiles",
+    # continuous-aggregate cascade + sequence packing + MERGE upsert
+    "events_rollup_cascade",
+    "train_pack_sequences",
+    "merge_upsert_dimension",
     "weather_synth_throughput",
 ]
 
