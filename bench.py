@@ -57,6 +57,7 @@ HEADLINE = [
     # continuous-aggregate cascade + sequence packing + MERGE upsert
     "events_rollup_cascade",
     "train_pack_sequences",
+    "train_embed_quantize_int8",
     "merge_upsert_dimension",
     "weather_synth_throughput",
 ]
