@@ -117,6 +117,39 @@ def main() -> None:
         )
         results.setdefault("minhash_lsh_x", {})[str(k)] = timed(pairs)
 
+    # 6. skew: one key holding 90% of a 2.4M-row fact, joined to a
+    # non-broadcastable dim — plain SMJ vs AQE skew-split vs salting.
+    from ibd_pipeline_spark.operators.skew import salted_join
+
+    fact = replicate(li, 4, {"l_orderkey": 10_000_000}).select(
+        F.when(F.rand(1) < 0.9, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 10_000)
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = lambda j: j.agg(  # noqa: E731
+            F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        results.setdefault("skew_join", {})["plain_smj"] = timed(
+            agg(fact.join(dim, "k"))
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        results["skew_join"]["aqe_skew_split"] = timed(agg(fact.join(dim, "k")))
+        results["skew_join"]["salted_8"] = timed(
+            agg(salted_join(fact, dim, "k", "k", salt_factor=8))
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
     print(json.dumps(results, indent=2))
     spark.stop()
 
