@@ -162,16 +162,51 @@ def try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@query("sample_deterministic")  # sampling is engine-specific: rows-only
+@query(
+    "sample_deterministic",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty
+FROM lineitem
+WHERE CAST(('0x' || SUBSTRING(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample of lineitem (10%). Deterministic given
-    (seed, partitioning) — used for the profile-before-process pass at
-    scale. No oracle: RNG streams differ per engine by design."""
+    """Content-hash Bernoulli sample of lineitem (10%): keep a row iff
+    the leading 32 bits of md5(orderkey-linenumber) mod 100 < 10.
+    Unlike `.sample(seed=…)` (whose RNG stream depends on engine AND
+    partitioning), the gate is a pure function of the data — identical
+    across engines, partition counts, and reruns, which is what
+    train/eval splits and profile-before-process passes need at 100 TB.
+    Exact-oracle-checked: DuckDB computes the same md5 gate."""
+    from ibd_pipeline_spark.queries import davg
+
     li = load(spark, sf_dir, "lineitem")
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
     return (
-        li.sample(fraction=0.1, seed=42)
+        li.filter(gate < 10)
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("l_quantity"), 4).alias("avg_qty"))
+        .agg(F.count(F.lit(1)).alias("n"), davg(F.col("l_quantity"), 4).alias("avg_qty"))
         .orderBy("l_returnflag")
     )
 
