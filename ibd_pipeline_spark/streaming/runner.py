@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -71,6 +72,7 @@ def run_weather_query(
     trigger_available_now: bool = False,
     window_duration: str = "5 minutes",
     watermark: str = "2 minutes",
+    kafka_sink_cfg=None,
 ) -> StreamingQuery:
     """Start the streaming weather query (W1 of the reference,
     spark_processor.py:201-210): update mode by default (only changed
@@ -78,10 +80,33 @@ def run_weather_query(
 
     trigger_available_now=True processes all available input then
     stops — the batch-like mode tests use; production leaves the
-    default ASAP micro-batch trigger like the reference."""
+    default ASAP micro-batch trigger like the reference.
+
+    sink="kafka" (with kafka_sink_cfg=KafkaSinkConfig(...)) produces
+    the aggregate stream back into a topic — the engine-side W4
+    (weather-producer.py:224-225) via sinks.kafka_stream_writer."""
     agg = weather_pipeline(
         raw, window_duration=window_duration, watermark=watermark, streaming=True
     )
+    if sink == "kafka":
+        from ibd_pipeline_spark.streaming.sinks import kafka_stream_writer
+
+        if kafka_sink_cfg is None:
+            raise ValueError("sink='kafka' requires kafka_sink_cfg")
+        flat = agg.select(
+            F.col("window.start").cast("string").alias("window_start"),
+            *[c for c in agg.columns if c != "window"],
+        )
+        writer = kafka_stream_writer(
+            flat,
+            kafka_sink_cfg,
+            checkpoint_dir,
+            key_col="window_start",
+            output_mode=output_mode,
+        ).queryName(query_name)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
     writer = agg.writeStream.outputMode(output_mode).option(
         "checkpointLocation", checkpoint_dir
     )
