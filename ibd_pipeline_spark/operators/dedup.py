@@ -108,9 +108,12 @@ def minhash_candidate_pairs(
          via array_intersect sizes, only for bucket-colliding pairs.
 
     The per-doc state relation is cached: it feeds banding and both
-    join sides of the verification. Mega-buckets (boilerplate docs)
-    remain the skew risk: cap or salt upstream if a bucket exceeds
-    ~10⁴ docs.
+    join sides of the verification. The cached blocks live until the
+    session ends or the caller releases them — after consuming the
+    result, call ``release_state(result)`` (bench.py and the test
+    suite do) so repeated invocations don't accumulate executor
+    memory. Mega-buckets (boilerplate docs) remain the skew risk: cap
+    or salt upstream if a bucket exceeds ~10⁴ docs.
     """
     rows_per_band = num_hashes // num_bands
     toks = F.split(F.col(text_col), " ")
@@ -157,11 +160,24 @@ def minhash_candidate_pairs(
     b = state.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
-    return (
+    result = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
     )
+    result._cached_state = state  # release handle; see release_state()
+    return result
+
+
+def release_state(df: DataFrame) -> bool:
+    """Unpersist the cached per-doc state backing a DataFrame returned
+    by minhash_candidate_pairs (no-op on other frames). Call after the
+    result has been consumed; returns True if blocks were released."""
+    state = getattr(df, "_cached_state", None)
+    if state is None:
+        return False
+    state.unpersist()
+    return True
 
 
 def simhash64(text: Column | str, ngram: int = 2) -> Column:

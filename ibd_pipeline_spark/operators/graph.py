@@ -17,14 +17,32 @@ shallow (copies of a common ancestor — diameters of 2-4), so this
 beats the O(log²n)-round large-star/small-star alternation in
 practice while using only groupBy/join primitives. Each round is one
 shuffle-join plus one aggregation; lineage is truncated per round
-with localCheckpoint so the plan doesn't grow with the iteration
-count (the classic iterative-DataFrame failure mode at scale).
+so the plan doesn't grow with the iteration count (the classic
+iterative-DataFrame failure mode at scale).
+
+Fault tolerance: by default rounds truncate lineage with
+localCheckpoint() — executor-memory/disk resident, fastest, but a
+lost executor mid-iteration fails the job. For long-running 100 TB
+runs pass `checkpoint_dir`: rounds then use reliable checkpoint()
+against that directory (HDFS/object store) and survive executor loss
+at the cost of a write per round.
 """
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+
+class ConvergenceWarning(UserWarning):
+    """Raised (as a warning) when an iterative operator exhausts
+    max_iter without reaching its fixpoint."""
+
+
+def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
+    return df.checkpoint() if reliable else df.localCheckpoint()
 
 
 def connected_components(
@@ -32,6 +50,8 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Resolve undirected `edges` into components.
 
@@ -40,20 +60,35 @@ def connected_components(
     Deterministic (min is order-independent). Vertices with no edges
     simply don't appear — callers union isolated vertices back with
     component = own id (see dedup_cluster_components).
+
+    checkpoint_dir: when set, per-round lineage truncation uses
+    reliable checkpoint() into this directory (survives executor
+    loss; required posture for 100 TB runs). Default localCheckpoint
+    is the single-node/test fast path.
+
+    If the label sum has not stabilized after max_iter rounds the
+    result is NOT a fixpoint (components of diameter > max_iter would
+    be split): a ConvergenceWarning is emitted, or ValueError raised
+    when strict=True.
     """
-    sym = (
+    spark = edges.sparkSession
+    reliable = checkpoint_dir is not None
+    if reliable:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    sym = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
-    labels = (
+    labels = _truncate(
         sym.select(F.col("a").alias("vertex"))
         .distinct()
-        .select("vertex", F.col("vertex").alias("component"))
-        .localCheckpoint()
+        .select("vertex", F.col("vertex").alias("component")),
+        reliable,
     )
     prev_sum = None
+    converged = False
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -61,16 +96,15 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("component").alias("nbr_component"))
             )
-            new_labels = (
-                labels.join(nbr_min, labels.vertex == nbr_min.a, "left")
-                .select(
+            new_labels = _truncate(
+                labels.join(nbr_min, labels.vertex == nbr_min.a, "left").select(
                     "vertex",
                     F.least(
                         F.col("component"),
                         F.coalesce("nbr_component", F.col("component")),
                     ).alias("component"),
-                )
-                .localCheckpoint()
+                ),
+                reliable,
             )
             # Convergence check without a join: labels are monotone
             # non-increasing, so the exact integer sum is a fixpoint
@@ -83,10 +117,20 @@ def connected_components(
             labels.unpersist()  # checkpoint blocks would otherwise accumulate
             labels = new_labels
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
     finally:
         sym.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components hit max_iter={max_iter} before the "
+            "label sum stabilized — components wider than max_iter hops "
+            "are split; raise max_iter"
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, ConvergenceWarning, stacklevel=2)
     # The final labels stay checkpointed: they ARE the result (one
     # small (vertex, component) table); every intermediate round's
     # blocks were released above.

@@ -36,12 +36,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Contract schema for a multimodal asset row.
+# Contract schema for a multimodal asset row. content_bytes is
+# precomputed at ingest (len of the blob) so metadata-only queries
+# never have to touch the binary column — see metadata_profile.
 ASSET_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
         StructField("media_type", StringType()),  # image|audio|video
         StructField("content", BinaryType()),  # opaque encoded bytes
+        StructField("content_bytes", LongType()),  # len(content), ingest-time
         StructField("width", IntegerType()),  # media metadata (nullable)
         StructField("height", IntegerType()),
         StructField("duration_ms", IntegerType()),
@@ -73,6 +76,7 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 i,
                 media,
                 bytearray(blob),
+                len(blob),
                 64 + i % 512 if media == "image" else None,
                 64 + (i * 3) % 512 if media == "image" else None,
                 1000 + i * 37 if media != "image" else None,
@@ -82,19 +86,47 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def _pil():
+    """Optional-import hook for a real imaging library. Returns the
+    PIL.Image module when pillow is installed, else None — the
+    container default. Tests exercise both branches (real branch
+    skips when pillow is absent)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Decode an encoded image to pixel statistics.
 
-    STUB: real decoding needs PIL/libjpeg, not present in this
-    container. fake=True computes deterministic pseudo-features from
-    the bytes so the distributed plumbing is testable end-to-end."""
-    if not fake:
+    fake=True computes deterministic pseudo-features from the bytes so
+    the distributed plumbing is testable end-to-end with no codec.
+    fake=False decodes for real when pillow is installed (guarded
+    import); in this container (no imaging libs) it raises
+    NotImplementedError, per the build contract."""
+    if fake:
+        h = hashlib.sha256(content).digest()
+        return {"mean_luma": h[0] / 255.0, "edge_score": h[1] / 255.0}
+    Image = _pil()
+    if Image is None:
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this "
-            "environment; pass fake=True for the deterministic stand-in"
+            "image decode requires pillow, not present in this environment; "
+            "pass fake=True for the deterministic stand-in"
         )
-    h = hashlib.sha256(content).digest()
-    return {"mean_luma": h[0] / 255.0, "edge_score": h[1] / 255.0}
+    import io
+
+    with Image.open(io.BytesIO(content)) as im:
+        gray = im.convert("L")
+        px = list(gray.getdata())
+        mean = sum(px) / (255.0 * len(px)) if px else 0.0
+        # crude edge proxy: mean absolute horizontal neighbor delta
+        w = gray.width
+        diffs = [abs(px[i] - px[i - 1]) for i in range(1, len(px)) if i % w]
+        edge = (sum(diffs) / (255.0 * len(diffs))) if diffs else 0.0
+        return {"mean_luma": mean, "edge_score": edge}
 
 
 def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -142,19 +174,33 @@ def resize_images(
     """Image resize over mapInPandas — the standard pre-embedding
     normalization pass.
 
-    STUB decode/encode (no imaging libs here): the fake path emits a
-    deterministic pseudo-resized payload (sha512-seeded bytes of the
-    right nominal size) so schema, batching, and partition behavior
-    are testable; swap `_fake_resize` for PIL `Image.resize` +
-    re-encode in production — the Spark-side plumbing is unchanged."""
+    Decode/encode is fake by default (this container has no imaging
+    libs): the fake path emits a deterministic pseudo-resized payload
+    (sha512-seeded bytes of the right nominal size) so schema,
+    batching, and partition behavior are testable. fake=False resizes
+    for real when pillow is installed (guarded import) — the
+    Spark-side plumbing is identical either way."""
 
     def _fake_resize(content: bytes) -> bytes:
         h = hashlib.sha512(content).digest()
         need = max(1, (target_w * target_h) // 256)
         return (h * ((need // len(h)) + 1))[:need]
 
-    if not fake:
-        raise NotImplementedError("real resize requires an imaging library")
+    def _real_resize(content: bytes) -> bytes:
+        import io
+
+        Image = _pil()
+        with Image.open(io.BytesIO(content)) as im:
+            out = io.BytesIO()
+            im.resize((target_w, target_h)).save(out, format=im.format or "PNG")
+            return out.getvalue()
+
+    if not fake and _pil() is None:
+        raise NotImplementedError(
+            "real resize requires pillow, not present in this environment; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    resize_fn = _fake_resize if fake else _real_resize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -166,7 +212,7 @@ def resize_images(
                     "asset_id": imgs["asset_id"].values,
                     "width": target_w,
                     "height": target_h,
-                    "content": [ _fake_resize(bytes(b)) for b in imgs["content"] ],
+                    "content": [resize_fn(bytes(b)) for b in imgs["content"]],
                 }
             )
 
@@ -217,13 +263,15 @@ def sample_video_frames(
 
 
 def metadata_profile(assets: DataFrame) -> DataFrame:
-    """Metadata-only profile — reads zero blob bytes thanks to parquet
-    column pruning; the query that must stay cheap at 100 TB."""
+    """Metadata-only profile — touches ONLY metadata columns (size
+    comes from the ingest-time content_bytes column, never
+    length(content)), so parquet column pruning reads zero blob
+    bytes; the query that must stay cheap at 100 TB."""
     return (
         assets.groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
-            F.avg(F.length("content")).alias("avg_bytes"),
+            F.avg("content_bytes").alias("avg_bytes"),
             F.avg("width").alias("avg_width"),
             F.avg("duration_ms").alias("avg_duration_ms"),
         )

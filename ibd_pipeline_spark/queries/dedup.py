@@ -148,11 +148,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("doc_id", "text")).alias("rep"))
         .select(F.col("rep.doc_id").alias("doc_id"), F.col("rep.text").alias("text"))
     )
-    return (
-        D.minhash_candidate_pairs(reps, "doc_id", "text")
-        .filter(F.col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    )
+    pairs = D.minhash_candidate_pairs(reps, "doc_id", "text")
+    result = pairs.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+    result._cached_state = pairs._cached_state  # keep release handle
+    return result
 
 
 @query("dedup_simhash")  # no SQL oracle: bit-algebra blocking; property-tested

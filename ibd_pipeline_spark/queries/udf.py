@@ -35,15 +35,8 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometric mean of three measures. In production you'd keep this
     exact computation in SQL (the oracle shows how); the UDF form is
     for when the per-row function needs a Python library."""
-    import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from ibd_pipeline_spark.operators._arrow_udfs import geo_mean_udf as geo_mean
 
-    def geo_mean_fn(q, p, t):
-        return pd.Series(
-            np.exp((np.log(q.to_numpy()) + np.log(p.to_numpy()) + np.log1p(t.to_numpy())) / 3.0)
-        )
-
-    geo_mean = pandas_udf(geo_mean_fn, "double", PandasUDFType.SCALAR)
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
     return li.select(
         "l_orderkey",
@@ -68,13 +61,8 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per flag. The built-in formulation is two SUMs (the oracle);
     the UDAF form is the template for sketch-merge or model-fit
     aggregations that have no built-in."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from ibd_pipeline_spark.operators._arrow_udfs import weighted_avg_udf as wavg
 
-    def wavg_fn(q, p):
-        qn = q.to_numpy()
-        return float((qn * p.to_numpy()).sum() / qn.sum())
-
-    wavg = pandas_udf(wavg_fn, "double", PandasUDFType.GROUPED_AGG)
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -180,22 +168,26 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor's memory — bound group sizes (salt or pre-aggregate)
     before using this on power-law keys."""
     li = load(spark, sf_dir, "events")
-
-    def zscore_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        sd = v.std(ddof=1)
-        z = (v - v.mean()) / sd if (sd and sd == sd and sd != 0.0) else v * float("nan")
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "zscore": (z).round(6),
-            }
-        )
-
     return (
         li.select("user_id", "event_id", "value")
         .groupBy("user_id")
-        .applyInPandas(zscore_fn, "user_id long, event_id long, zscore double")
+        .applyInPandas(zscore_group_fn, "user_id long, event_id long, zscore double")
         .orderBy("user_id", "event_id")
+    )
+
+
+def zscore_group_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score body for apply_in_pandas_zscore. Degenerate
+    groups (single row, or zero variance) emit NULL — not NaN — to
+    match the SQL NULLIF(stddev, 0) semantics of the oracle; Arrow
+    converts pandas nullable Float64 NA to a Spark NULL, whereas a
+    float64 NaN stays NaN and hash-diverges."""
+    v = pdf["value"]
+    sd = v.std(ddof=1)
+    if sd and sd == sd and sd != 0.0:
+        z = ((v - v.mean()) / sd).round(6).astype("Float64")
+    else:
+        z = pd.array([None] * len(v), dtype="Float64")
+    return pd.DataFrame(
+        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z}
     )

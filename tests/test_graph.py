@@ -36,3 +36,33 @@ def test_cc_direction_invariance(spark):
     a = {(r.vertex, r.component) for r in connected_components(fwd).collect()}
     b = {(r.vertex, r.component) for r in connected_components(rev).collect()}
     assert a == b == {(1, 1), (2, 1), (5, 1), (7, 7), (8, 7)}
+
+
+def test_cc_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir switches per-round truncation to reliable
+    checkpoint(); results identical to the localCheckpoint default."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["src", "dst"],
+    )
+    got = {
+        r.vertex: r.component
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    import os
+    assert os.listdir(tmp_path / "cc_ckpt")  # checkpoint blocks were written
+
+
+def test_cc_max_iter_exhaustion_warns_and_strict_raises(spark):
+    import pytest
+    from ibd_pipeline_spark.operators.graph import ConvergenceWarning
+
+    n = 12  # diameter 12 chain cannot converge in 2 rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    with pytest.warns(ConvergenceWarning):
+        connected_components(edges, max_iter=2).collect()
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=2, strict=True)

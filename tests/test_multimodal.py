@@ -78,3 +78,40 @@ def test_binary_roundtrip_through_parquet(spark, tmp_path):
     orig = {r.asset_id: bytes(r.content) for r in assets.collect()}
     readback = {r.asset_id: bytes(r.content) for r in back.collect()}
     assert orig == readback
+
+
+def test_metadata_profile_prunes_blob_column(spark, tmp_path):
+    """The profile over a parquet asset table must not read the binary
+    content column — ReadSchema in the scan excludes it."""
+    import ibd_pipeline_spark.operators.multimodal as M
+
+    path = str(tmp_path / "assets.parquet")
+    M.synthesize_assets(spark, 30).write.parquet(path)
+    prof = M.metadata_profile(spark.read.parquet(path))
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("content," not in ln and "binary" not in ln for ln in read_schema)
+    rows = {r.media_type: r.avg_bytes for r in prof.collect()}
+    assert set(rows) == {"image", "audio", "video"} and all(v > 0 for v in rows.values())
+
+
+def test_real_codec_paths_when_pillow_present(spark):
+    """Real decode/resize run when pillow exists; otherwise they must
+    raise NotImplementedError (the documented container behavior)."""
+    import pytest
+    import ibd_pipeline_spark.operators.multimodal as M
+
+    if M._pil() is None:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\x00", fake=False)
+        with pytest.raises(NotImplementedError):
+            M.resize_images(M.synthesize_assets(spark, 3), fake=False)
+        return
+    # pillow installed: encode a tiny real PNG and round-trip it.
+    import io
+
+    Image = M._pil()
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    d = M.decode_image(buf.getvalue(), fake=False)
+    assert 0.49 < d["mean_luma"] < 0.52 and d["edge_score"] == 0.0

@@ -140,3 +140,51 @@ def test_cosine_near_dup_finds_planted_pairs(spark):
 def test_normalize_makes_unit_vectors(spark, emb):
     n = emb.select(S.l2_norm(S.normalize(S.as_double_array("embedding"))).alias("n"))
     assert all(abs(r.n - 1.0) < 1e-9 for r in n.collect())
+
+
+def test_broadcast_knob_paths_identical(spark, clustered):
+    """broadcast_queries True / False / auto return identical top-k;
+    the False path's candidate join has no broadcast of the query side
+    (forced by disabling the auto-broadcast threshold)."""
+    q = clustered.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    c = clustered.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+
+    def rows(mode):
+        df = S.lsh_bucketed_topk(q, c, k=3, broadcast_queries=mode)
+        return sorted((r.query_id, r.corpus_id, r.rank) for r in df.collect())
+
+    r_true, r_false, r_auto = rows(True), rows(False), rows("auto")
+    assert r_true == r_false == r_auto
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_false = S.lsh_bucketed_topk(
+            q, c, k=3, broadcast_queries=False
+        )._jdf.queryExecution().executedPlan().toString()
+        plan_true = S.lsh_bucketed_topk(
+            q, c, k=3, broadcast_queries=True
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan_false and "SortMergeJoin" in plan_false
+    assert "BroadcastHashJoin" in plan_true
+
+
+def test_ivf_broadcast_knob_paths_identical(spark, clustered):
+    q = clustered.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    c = clustered.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+
+    def rows(mode):
+        df = S.ivf_topk(q, c, k=3, broadcast_queries=mode)
+        return sorted((r.query_id, r.corpus_id, r.rank) for r in df.collect())
+
+    assert rows(True) == rows(False) == rows("auto")
