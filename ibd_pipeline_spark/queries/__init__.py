@@ -212,6 +212,7 @@ def _ensure_loaded() -> None:
     # Imports deferred to avoid import cycles with the decorator.
     from ibd_pipeline_spark.queries import (  # noqa: F401
         analytics,
+        composite,
         dedup,
         events,
         maintenance,
