@@ -2,11 +2,13 @@
 columns with typed metadata (north-star set, SURVEY.md §2.2).
 
 What's real here (and tested): the schema contract, the Arrow-batched
-mapInPandas plumbing, batch shapes, partition sizing for large blobs.
-What's stubbed: actual codec work — the image/audio libraries aren't
-in this container, so decode_image() raises NotImplementedError
-unless given the deterministic fake decoder, exactly as the build
-contract prescribes.
+mapInPandas plumbing, batch shapes, partition sizing for large blobs —
+and the ENTIRE audio path (synthesize_wav/decode_audio/slice_audio),
+which runs a genuine RIFF/WAV codec from the Python stdlib, no
+external library needed. Image decode/resize run real when pillow is
+installed (guarded import); video frame extraction is stubbed
+(needs ffmpeg/av) with the fan-out contract fully tested, exactly as
+the build contract prescribes.
 
 Scale design for binary columns:
   * store blobs in Parquet binary columns NEXT TO their metadata —
@@ -260,6 +262,177 @@ def sample_video_frames(
                 yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# -- audio: REAL codec path (stdlib wave — no external dependency) ------
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", StringType()),  # fixed-point string: stable hashing
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def synthesize_wav(
+    i: int, seed: int = 42, sample_rate: int = 8000
+) -> tuple[bytes, int]:
+    """A real RIFF/WAV blob: 16-bit PCM mono sine burst whose
+    frequency, amplitude and duration derive deterministically from
+    (seed, i). Unlike the image/video stand-ins these bytes are a
+    *valid media container* — the decode below is a genuine codec
+    pass, not a digest trick. Returns (bytes, duration_ms)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    duration_ms = 200 + (seed * 7 + i * 37) % 800
+    freq = 220.0 * (1 + (i % 5))
+    amp = 8000 + (i * 997) % 20000
+    n = sample_rate * duration_ms // 1000
+    pcm = b"".join(
+        struct.pack(
+            "<h", int(amp * math.sin(2 * math.pi * freq * t / sample_rate))
+        )
+        for t in range(n)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return buf.getvalue(), duration_ms
+
+
+def synthesize_audio_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Asset table (ASSET_SCHEMA) of real WAV blobs."""
+    rows = []
+    for i in range(n):
+        blob, duration_ms = synthesize_wav(i, seed)
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(blob),
+                len(blob),
+                None,
+                None,
+                duration_ms,
+                f"synthetic://assets/audio/{i}.wav",
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def decode_audio(content: bytes) -> dict:
+    """REAL audio decode via the stdlib wave module: parses the RIFF
+    container, reads PCM frames, computes sample-rate/duration/RMS/
+    peak. No fake path needed — the codec ships with Python, which is
+    exactly why audio is the modality where this engine's media
+    plumbing runs end-to-end against true encoded bytes even in a
+    minimal container."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate, ch, width, n = (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getnframes(),
+        )
+        if width != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width={width}")
+        samples = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_frames": n,
+        "duration_ms": int(n * 1000 // rate) if rate else 0,
+        # fixed-point (4 dp) string: float64 RMS is deterministic here
+        # (single-pass numpy sum over a fixed-order buffer), rendered
+        # in a hash-stable form for the rows-only driver check
+        "rms": f"{rms:.4f}",
+        "peak": int(np.max(np.abs(samples))) if samples.size else 0,
+    }
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Per-clip audio features via mapInPandas: Arrow batches of
+    binary WAV blobs decoded JVM→Python once per batch, never on the
+    driver. Same partition-sizing rules as image features; the decode
+    itself is real (see decode_audio)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            auds = pdf[pdf["media_type"] == "audio"]
+            if auds.empty:
+                continue
+            feats = [decode_audio(bytes(b)) for b in auds["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", auds["asset_id"].values)
+            yield out[
+                [
+                    "asset_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_frames",
+                    "duration_ms",
+                    "rms",
+                    "peak",
+                ]
+            ]
+
+    return assets.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+def slice_audio(assets: DataFrame, start_ms: int = 0, end_ms: int = 250) -> DataFrame:
+    """Real audio clipping: decode the WAV container, slice the PCM
+    frame range [start_ms, end_ms), re-encode a valid WAV — the audio
+    twin of resize_images, except nothing is stubbed. Output rows
+    remain decodable by decode_audio (tested round-trip)."""
+    import io
+    import wave
+
+    def _clip(content: bytes) -> bytes:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            rate = w.getframerate()
+            lo = min(rate * start_ms // 1000, w.getnframes())
+            hi = min(rate * end_ms // 1000, w.getnframes())
+            w.setpos(lo)
+            frames = w.readframes(max(0, hi - lo))
+            params = w.getparams()
+        out = io.BytesIO()
+        with wave.open(out, "wb") as o:
+            o.setparams(params)
+            o.writeframes(frames)
+        return out.getvalue()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            auds = pdf[pdf["media_type"] == "audio"]
+            if auds.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": auds["asset_id"].values,
+                    "width": None,
+                    "height": None,
+                    "content": [_clip(bytes(b)) for b in auds["content"]],
+                }
+            )
+
+    return assets.mapInPandas(batches, RESIZE_SCHEMA)
 
 
 def metadata_profile(assets: DataFrame) -> DataFrame:

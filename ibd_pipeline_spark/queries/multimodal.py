@@ -49,6 +49,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_audio_features")  # rows-only: synthesized binary assets
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over Arrow batches: valid RIFF/WAV blobs
+    (stdlib wave codec — nothing stubbed) → sample-rate / duration /
+    RMS / peak per clip. The one modality whose media path runs
+    end-to-end against true encoded bytes in this container."""
+    assets = M.synthesize_audio_assets(spark, n=48)
+    return M.extract_audio_features(assets).orderBy("asset_id")
+
+
 @query("multimodal_metadata_profile")  # rows-only: synthesized binary assets
 def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only profile over the asset table — the
