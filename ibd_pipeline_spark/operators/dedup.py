@@ -180,21 +180,29 @@ def release_state(df: DataFrame) -> bool:
     return True
 
 
+def _bit_mask(bit: int) -> Column:
+    # 1<<63 overflows signed int64; it is the sign bit itself.
+    return F.lit((1 << bit) if bit < 63 else -(2**63)).cast("long")
+
+
 def simhash64(text: Column | str, ngram: int = 2) -> Column:
     """64-bit SimHash over word n-grams, as pure column algebra.
 
     For each of the 64 bit positions: sum over shingles of ±1
     depending on that bit of xxhash64(shingle); sign of the sum gives
     the output bit. Near-identical docs differ in few bits (small
-    Hamming distance). Implemented with aggregate() over the shingle
-    array per bit — 64 JVM expressions, no Python, no explode.
+    Hamming distance).
+
+    ⚠ Expression-form trade-off: the 64 per-bit aggregate() calls each
+    inline the tokenize+hash subtree (CollapseProject re-substitutes
+    common subexpressions), and the resulting mega-expression exceeds
+    codegen limits and falls back to interpreted eval — fine for tests
+    and small frames, ~100× too slow on a corpus. Use
+    simhash_signatures() (explode + one hash-aggregate, identical
+    output) for anything sized; simhash_near_dup_pairs does.
     """
     sh = shingles(text, ngram)
     h = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def mask(bit: int) -> Column:
-        # 1<<63 overflows signed int64; it is the sign bit itself.
-        return F.lit((1 << bit) if bit < 63 else -(2**63)).cast("long")
 
     def bit_sign_sum(bit: int) -> Column:
         # +1 when bit set, -1 otherwise, summed across shingles.
@@ -202,15 +210,49 @@ def simhash64(text: Column | str, ngram: int = 2) -> Column:
             h,
             F.lit(0),
             lambda acc, x: acc
-            + F.when(x.bitwiseAND(mask(bit)) != 0, 1).otherwise(-1),
+            + F.when(x.bitwiseAND(_bit_mask(bit)) != 0, 1).otherwise(-1),
         )
 
     out = F.lit(0).cast("long")
     for bit in range(64):
-        out = out + F.when(bit_sign_sum(bit) > 0, mask(bit)).otherwise(
+        out = out + F.when(bit_sign_sum(bit) > 0, _bit_mask(bit)).otherwise(
             F.lit(0).cast("long")
         )
     return out
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2
+) -> DataFrame:
+    """SimHash signatures as a distributed plan: tokenize + hash each
+    document ONCE (explode the shingle-hash array), then one
+    map-side-combined hash-aggregate computes all 64 per-bit ±1 sums
+    as ordinary sum(when(...)) columns, and a final projection folds
+    them into the signature. Output: (id, sig) with id named after
+    `id_col`.
+
+    Bit-for-bit identical to the simhash64 expression (same shingle
+    set, same xxhash64, same sign rule — asserted in tests), but every
+    operator stays in whole-stage codegen: the explode is linear in
+    corpus tokens, the aggregate is 64 longs of state per doc. This is
+    the form that survives a 100 TB corpus; the shuffle key is the doc
+    id, so it co-partitions with any downstream per-doc join."""
+    h = F.transform(shingles(text_col, ngram), lambda s: F.xxhash64(s))
+    exploded = docs.select(F.col(id_col).alias("id"), F.explode(h).alias("hv"))
+    sums = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("hv").bitwiseAND(_bit_mask(b)) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"b{b}") > 0, _bit_mask(b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("id", sig.alias("sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -233,9 +275,9 @@ def simhash_near_dup_pairs(
     For higher recall at scale, rotate the signature and block on
     multiple prefixes (the standard multi-table SimHash scheme).
     """
-    sig = docs.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("sig")
-    ).withColumn("blk", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    sig = simhash_signatures(docs, id_col, text_col).withColumn(
+        "blk", F.shiftrightunsigned("sig", 64 - prefix_bits)
+    )
     l, r = sig.alias("l"), sig.alias("r")
     return (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
