@@ -7,6 +7,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect — the reference's collect() bottleneck,
 spark_processor.py:168, is exactly what we avoid measuring).
+
+Round-over-round regression tracking: if BENCH_r01.json exists, the
+output also carries "r01_subtotal" (this run's wall time summed over
+exactly the 26 queries round 1 timed — the 1:1 comparable number),
+"vs_r01" (per-query ratio this-run / r01), and "regressions" (queries
+>1.5x their r01 time). The headline set itself is wider than round
+1's: every query family that measures real work at sf0.1 has a
+representative, so a regression anywhere in the engine shows up here.
 """
 
 from __future__ import annotations
@@ -21,13 +29,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+R01_PATH = Path(__file__).resolve().parent / "BENCH_r01.json"
 
-# Headline set: one representative per operator family (scan+agg,
-# shuffle join, broadcast star join, analytic window, event-time
-# window, session window, exact dedup, minhash near-dup, cosine
-# top-k, token stats). Coverage queries that bound their input
-# (scalar_* samples) aren't benchmarked — they measure nothing.
-HEADLINE = [
+# Round-1 headline set — kept intact and first, in the same order, so
+# BENCH_r02+ is 1:1 comparable against BENCH_r01 per query.
+HEADLINE_R01 = [
     "q1_pricing_summary",
     "join_shuffle_orders_lineitem",
     "join_star_broadcast",
@@ -61,6 +67,44 @@ HEADLINE = [
     "merge_upsert_dimension",
     "weather_synth_throughput",
 ]
+
+# Round-2 additions: a representative per family that round 1 left
+# unbenchmarked, plus the new composite queries. Coverage queries that
+# bound their input to a few hundred rows (scalar_* samples) are still
+# excluded — they measure task-launch overhead, not the engine.
+HEADLINE_R02 = [
+    # analytic windows: the value-based frame variants
+    "window_time_range_frame",
+    # UDF family: Arrow scalar + grouped-map paths at volume
+    "pandas_udf_scalar",
+    "apply_in_pandas_zscore",
+    # product analytics (conditional-agg funnel, cohort triangle)
+    "funnel_signup_purchase",
+    "retention_cohorts",
+    # semi-structured: VARIANT parse + aggregate over events.props
+    "variant_json_stats",
+    # deterministic content-hash sampling
+    "stratified_hash_sample",
+    # similarity: the IVF ANN path (LSH ANN is already above)
+    "similarity_ann_ivf",
+    # dedup: bit-algebra SimHash + the new prefix-blocked Levenshtein
+    "dedup_simhash",
+    "dedup_fuzzy_edit_distance",
+    # composite pipeline shapes (round 2)
+    "events_sessionize_gaps",
+    "events_cdc_latest_snapshot",
+    "join_interval_overlap",
+    "agg_histogram_bins",
+    "text_tfidf_top_terms",
+    "train_curriculum_schedule",
+    # TPC-H: pure scan-filter-agg + the agg-then-join heavy hitter
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    # multimodal Arrow plumbing at volume (stub codec, real batching)
+    "multimodal_feature_extract",
+]
+
+HEADLINE = HEADLINE_R01 + HEADLINE_R02
 
 
 def main() -> None:
@@ -104,17 +148,25 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "n_queries": len(HEADLINE),
+        "r01_subtotal": round(sum(timings[n] for n in HEADLINE_R01), 3),
+    }
+    if R01_PATH.exists():
+        r01 = json.loads(R01_PATH.read_text()).get("parsed", {}).get("queries", {})
+        vs = {
+            n: round(timings[n] / r01[n], 3)
+            for n in HEADLINE_R01
+            if n in r01 and r01[n] > 0
+        }
+        out["vs_r01"] = vs
+        out["regressions"] = sorted(n for n, r in vs.items() if r > 1.5)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -238,6 +238,15 @@ def simhash_signatures(
     the form that survives a 100 TB corpus; the shuffle key is the doc
     id, so it co-partitions with any downstream per-doc join."""
     h = F.transform(shingles(text_col, ngram), lambda s: F.xxhash64(s))
+    # Tokenize+hash is the dominant cost and runs in the SCAN stage;
+    # a small corpus arrives as 1-2 parquet splits and would serialize
+    # it on 1-2 cores. Fan the rows out first when the source has
+    # fewer splits than the cluster has slots (metadata check, no
+    # job). At real scale the input has plenty of splits and no
+    # exchange is added — the 100 TB path is untouched.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, parallelism // 2):
+        docs = docs.repartition(parallelism)
     exploded = docs.select(F.col(id_col).alias("id"), F.explode(h).alias("hv"))
     sums = exploded.groupBy("id").agg(
         *[

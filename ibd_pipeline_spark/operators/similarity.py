@@ -141,22 +141,36 @@ def lsh_bucket_tables(
 
 
 def _maybe_broadcast(
-    df: DataFrame, mode: bool | str, max_broadcast_rows: int
+    df: DataFrame,
+    mode: bool | str,
+    max_broadcast_rows: int,
+    probe_df: DataFrame | None = None,
+    fanout: int = 1,
 ) -> DataFrame:
     """Resolve the broadcast_queries knob for the probe side of an ANN
     join. True → force the broadcast hint (correct while |Q| is far
     smaller than executor memory). False → plain shuffle equi-join
     (the join key is already an equi-key, so only the hint changes).
-    "auto" → probe |Q| with a LIMIT-bounded count (CollectLimit
+    "auto" → size-check with a LIMIT-bounded count (CollectLimit
     short-circuits the scan) and broadcast only under the cap —
     a large query set then degrades to shuffle instead of dying on
-    the broadcast size limit (the round-1 VERDICT's failure mode)."""
+    the broadcast size limit (the round-1 VERDICT's failure mode).
+
+    The count runs against `probe_df` (the RAW query input) when
+    given, with the cap divided by `fanout` (the deterministic
+    bucket/cell explosion factor between probe_df and df): counting
+    the raw relation keeps the sizing job a pure JVM scan — counting
+    `df` itself would execute the bucket-hash pandas UDF and its
+    explode just to make a yes/no decision (measured ~0.7 s of
+    python-worker wall per ANN call at bench scale)."""
     if mode is True:
         return F.broadcast(df)
     if mode is False:
         return df
-    n = df.limit(max_broadcast_rows + 1).count()
-    return F.broadcast(df) if n <= max_broadcast_rows else df
+    cap = max(1, max_broadcast_rows // max(1, fanout))
+    basis = probe_df if probe_df is not None else df
+    n = basis.limit(cap + 1).count()
+    return F.broadcast(df) if n <= cap else df
 
 
 def ivf_topk(
@@ -217,7 +231,13 @@ def ivf_topk(
     )
     scored = (
         corpus_cells.join(
-            _maybe_broadcast(query_cells, broadcast_queries, max_broadcast_rows),
+            _maybe_broadcast(
+                query_cells,
+                broadcast_queries,
+                max_broadcast_rows,
+                probe_df=queries,
+                fanout=n_probe,
+            ),
             ["cell_id"],
         )
         .filter(F.col("qid") != F.col("cid"))
@@ -326,7 +346,16 @@ def lsh_bucketed_topk(
         F.explode(lsh_bucket_tables(F.col("cv"), dim, n_tables, bits_per_table)),
     )
     candidates = (
-        c.join(_maybe_broadcast(q, broadcast_queries, max_broadcast_rows), ["bkey"])
+        c.join(
+            _maybe_broadcast(
+                q,
+                broadcast_queries,
+                max_broadcast_rows,
+                probe_df=queries,
+                fanout=n_tables,
+            ),
+            ["bkey"],
+        )
         .filter(F.col("qid") != F.col("cid"))
         .select("qid", "cid", "qv", "cv")
         .dropDuplicates(["qid", "cid"])

@@ -157,9 +157,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")  # no SQL oracle: bit-algebra blocking; property-tested
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 8 on 64-bit signatures,
-    prefix-blocked). See operators.dedup.simhash64."""
+    prefix-blocked). See operators.dedup.simhash_signatures (the
+    explode+hash-agg signature build) and simhash64 (the per-row
+    expression twin). No global orderBy: range-sort sampling executes
+    the whole signature+join pipeline a second time (~2× wall), and
+    the rows-only check is order-insensitive."""
     d = load(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+    return D.simhash_near_dup_pairs(d, "doc_id", "text")
 
 
 @query(
