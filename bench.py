@@ -133,14 +133,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Best-of-2 per query: the first execution of a plan at volume
+    # Best-of-3 per query: the first execution of a plan at volume
     # pays JIT tier-up on the hot loops (measured 3-15× noise on
-    # otherwise-identical runs); the minimum is the steady-state
-    # number a long-lived cluster job sees.
+    # otherwise-identical runs), and this box shows multi-second
+    # scheduling jitter on the wide-join queries run-to-run; the
+    # minimum is the steady-state number a long-lived cluster job
+    # sees.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
