@@ -478,3 +478,123 @@ def train_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+SELECT n.n_name,
+       COUNT(c.c_custkey) AS n_customers,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS sum_balance
+FROM customer c
+RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving nations with zero customers —
+    completes the SURVEY §2.2 outer-join inventory (left and full
+    already covered). Catalyst rewrites right-outer as left-outer
+    with sides swapped and still broadcasts the small preserved side;
+    COUNT(col) keeps SQL null semantics for unmatched rows."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            dsum(F.col("c_acctbal"), 2).alias("sum_balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "agg_count_if_bool",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       count_if(o_totalprice > 200000) AS n_large,
+       bool_and(o_totalprice > 900)    AS all_above_floor,
+       bool_or(o_totalprice > 500000)  AS any_jumbo
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates: count_if / bool_and (every) / bool_or
+    (any) per group — the boolean summarization vocabulary (data-
+    quality assertions, SLA checks) in one map-side-combined pass."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
+            F.bool_and(F.col("o_totalprice") > 900).alias("all_above_floor"),
+            F.bool_or(F.col("o_totalprice") > 500000).alias("any_jumbo"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_date_spine_gapfill",
+    oracle="""
+WITH spine AS (
+  SELECT CAST(unnest(range(DATE '1995-01-01', DATE '1995-04-01',
+                           INTERVAL 1 DAY)) AS DATE) AS d
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+  GROUP BY 1
+)
+SELECT s.d AS day,
+       COALESCE(dl.n_orders, 0) AS n_orders,
+       (dl.d IS NULL) AS is_gap
+FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+ORDER BY day
+""",
+)
+def join_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: generate a continuous calendar with
+    sequence(), left-join daily actuals, surface zero-activity days —
+    the reporting primitive every time-series dashboard needs (a
+    groupBy alone silently drops empty days).
+
+    Scale: the spine is sequence()-generated (90 rows here; even a
+    decade of days is broadcast-size), so the join is a broadcast of
+    the spine against pre-aggregated daily counts — the fact table is
+    touched once, by the aggregate."""
+    o = load(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+        )
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("n_orders").isNull().alias("is_gap"),
+        )
+        .orderBy("day")
+    )
