@@ -117,6 +117,52 @@ def main() -> None:
         )
         results.setdefault("minhash_lsh_x", {})[str(k)] = timed(pairs)
 
+    # 5b. simhash signature build (explode + 64-sum hash-agg) as the
+    # corpus replicates — must stay linear in corpus tokens.
+    for k in (1, 4):
+        corpus = replicate(docs, k, {"doc_id": 10_000_000})
+        results.setdefault("simhash_signatures_x", {})[str(k)] = timed(
+            D.simhash_signatures(corpus)
+        )
+
+    # 5c. gap sessionization + stream-stream attribution join (batch
+    # form) as the events stream replicates — both single-shuffle-per-
+    # side shapes that must stay linear.
+    from ibd_pipeline_spark.streaming.joins import attribution_join
+
+    ev = load(spark, SF, "events")
+    for k in (1, 4):
+        str_ev = replicate(ev, k, {"event_id": 10_000_000, "user_id": 10_000_000})
+        # same plan shape as the events_sessionize_gaps registry query
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        sess = (
+            str_ev.select(
+                "user_id", "ts", "value",
+                F.sum(
+                    F.when(gap.isNull() | (gap > 6 * 3600 * 1_000_000), 1).otherwise(0)
+                )
+                .over(
+                    Window.partitionBy("user_id")
+                    .orderBy("ts", "event_id")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                .alias("session_seq"),
+            )
+            .groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("s"))
+        )
+        results.setdefault("sessionize_x", {})[str(k)] = timed(sess)
+        results.setdefault("stream_join_batch_x", {})[str(k)] = timed(
+            attribution_join(
+                str_ev.filter(F.col("event_type") == "click"),
+                str_ev.filter(F.col("event_type") == "purchase"),
+                streaming=False,
+            ).groupBy().agg(F.count(F.lit(1)).alias("n"))
+        )
+
     # 6. skew: one key holding 90% of a 2.4M-row fact, joined to a
     # non-broadcastable dim — plain SMJ vs AQE skew-split vs salting.
     from ibd_pipeline_spark.operators.skew import salted_join
