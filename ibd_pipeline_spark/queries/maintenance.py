@@ -111,3 +111,105 @@ def merge_upsert_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _zinterleave_sql(a: str, b: str, bits: int) -> str:
+    """DuckDB twin of operators.layout.zvalue for two columns —
+    generated bit-shift arithmetic, identical on both engines."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZQ = "GREATEST(0, LEAST(CAST(FLOOR((l_quantity - 0.0) / 50.0 * 255) AS BIGINT), 255))"
+_ZP = (
+    "GREATEST(0, LEAST(CAST(FLOOR((l_extendedprice - 900.0) / 119100.0 * 255)"
+    " AS BIGINT), 255))"
+)
+
+
+@query(
+    "zorder_rowgroup_skipping",
+    oracle=f"""
+WITH coded AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         {_zinterleave_sql(_ZQ, _ZP, 8)} AS z
+  FROM lineitem
+), grouped AS (
+  SELECT *, NTILE(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS rg
+  FROM coded
+)
+SELECT rg,
+       COUNT(*) AS n_rows,
+       MIN(l_quantity)      AS min_qty,
+       MAX(l_quantity)      AS max_qty,
+       CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS min_price,
+       CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS max_price,
+       (MAX(l_quantity) < 10 OR MIN(l_quantity) > 20) AS skips_qty_10_20,
+       (MAX(l_extendedprice) < 20000 OR MIN(l_extendedprice) > 40000)
+         AS skips_price_20k_40k
+FROM grouped
+GROUP BY rg
+ORDER BY rg
+""",
+)
+def zorder_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (quantity,
+    extendedprice) on an 8-bit grid, slice the z-sorted table into 64
+    synthetic row groups (NTILE), and report each group's min/max
+    stats plus whether two example predicates could skip it — the
+    measurable payoff of multi-dimensional clustering (what OPTIMIZE
+    ZORDER BY gives a lakehouse, here as plain column algebra +
+    a sort before write; operators/layout.py).
+
+    On this data the z-layout lets a quantity-band predicate skip
+    most groups AND a price-band predicate skip most groups from the
+    SAME layout — single-column sort can only do one. Everything is
+    deterministic integer bit math, so the DuckDB oracle reproduces
+    the exact same codes, groups, and skip flags.
+
+    Scale: the z-code is O(bits×cols) codegen integer ops per row;
+    the only real cost is the range sort — the same exchange a
+    single-column sort pays. NTILE's global numbering is the audit's
+    convenience; a real write derives row groups from file layout."""
+    from ibd_pipeline_spark.operators.layout import rank_bucket, zvalue
+    from ibd_pipeline_spark.queries import query as _q  # noqa: F401
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    z = zvalue(
+        [
+            rank_bucket(F.col("l_quantity"), 0.0, 50.0, 8),
+            rank_bucket(F.col("l_extendedprice"), 900.0, 120000.0, 8),
+        ],
+        8,
+    )
+    coded = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", z.alias("z"))
+    rg = F.ntile(64).over(Window.orderBy("z", "l_orderkey", "l_linenumber"))
+    return (
+        coded.withColumn("rg", rg)
+        .groupBy("rg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.round(F.min(F.col("l_extendedprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("min_price"),
+            F.round(F.max(F.col("l_extendedprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("max_price"),
+            ((F.max("l_quantity") < 10) | (F.min("l_quantity") > 20)).alias(
+                "skips_qty_10_20"
+            ),
+            (
+                (F.max("l_extendedprice") < 20000)
+                | (F.min("l_extendedprice") > 40000)
+            ).alias("skips_price_20k_40k"),
+        )
+        .orderBy("rg")
+    )
