@@ -598,3 +598,90 @@ def join_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "scalar_json_quarantine",
+    oracle="""
+WITH fed AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN SUBSTRING(props, 1, 5)
+              ELSE props END AS raw
+  FROM events
+), judged AS (
+  SELECT event_id, raw,
+         json_valid(raw) AS ok,
+         CASE WHEN json_valid(raw)
+              THEN TRY_CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k
+  FROM fed
+)
+SELECT CAST(COUNT(*) AS BIGINT)                       AS n_records,
+       CAST(count_if(NOT ok) AS BIGINT)               AS n_quarantined,
+       CAST(SUM(k) AS BIGINT)                         AS sum_k,
+       MIN(CASE WHEN NOT ok THEN event_id END)        AS first_bad_id,
+       md5(string_agg(CASE WHEN NOT ok THEN raw END, '|'
+                      ORDER BY event_id))             AS quarantine_digest
+FROM judged
+""",
+)
+def scalar_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine: a deterministic 1-in-7 slice of the
+    JSON feed is truncated mid-token, then the parse splits the
+    stream into parsed rows vs a quarantine — counts, the surviving
+    aggregate, and an order-stable digest of the quarantined raw
+    bytes (what you'd write to a dead-letter path). The
+    PERMISSIVE-mode pattern of the reference's from_json
+    (spark_processor.py:124: malformed → NULL struct, never a crash)
+    made into an auditable first-class output.
+
+    Spark detects corruption via the PERMISSIVE-mode corrupt-record
+    column (from_json fills `_corrupt` with the raw input on parse
+    failure — a bare NULL-struct check does NOT work: PERMISSIVE
+    returns an all-null struct, not NULL); the oracle uses NOT
+    json_valid — equivalent HERE because the corruption makes
+    byte-level invalid JSON (objects truncated mid-token), never a
+    valid-but-differently-shaped document.
+
+    Scale: pure per-row parse + one global aggregate; the digest uses
+    an explicitly ORDERED string_agg on both sides (aggregation order
+    is partitioning-dependent otherwise)."""
+    e = load(spark, sf_dir, "events")
+    fed = e.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0, F.substring("props", 1, 5)
+        ).otherwise(F.col("props")).alias("raw"),
+    )
+    judged = fed.select(
+        "event_id",
+        "raw",
+        F.from_json(
+            "raw",
+            "k bigint, _corrupt string",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("parsed"),
+    ).select(
+        "event_id",
+        "raw",
+        F.col("parsed._corrupt").isNull().alias("ok"),
+        F.col("parsed.k").alias("k"),
+    )
+    return judged.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_if(~F.col("ok")).alias("n_quarantined"),
+        F.sum("k").alias("sum_k"),
+        F.min(F.when(~F.col("ok"), F.col("event_id"))).alias("first_bad_id"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("ok"),
+                            F.struct("event_id", "raw"),
+                        )
+                    )
+                ).getField("raw"),
+            )
+        ).alias("quarantine_digest"),
+    )
