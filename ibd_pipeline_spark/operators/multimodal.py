@@ -264,6 +264,140 @@ def sample_video_frames(
     return assets.mapInPandas(batches, FRAME_SCHEMA)
 
 
+# -- video: REAL container parsing (ISO-BMFF box walk), frames stubbed --
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_boxes", IntegerType()),
+    ]
+)
+
+
+def synthesize_mp4(i: int, seed: int = 42) -> tuple[bytes, int]:
+    """A minimal but structurally REAL ISO-BMFF (MP4) container:
+    ftyp + moov(mvhd) + mdat boxes with correct 32-bit big-endian
+    size/type framing and an mvhd v0 payload carrying a genuine
+    timescale/duration. Parsers that walk boxes (including
+    parse_mp4_meta below, ffprobe, mp4dump) read it; only media
+    samples are absent. Returns (bytes, duration_ms)."""
+    import struct
+
+    def box(kind: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + kind + payload
+
+    timescale = 1000
+    duration_ms = 1000 + (seed * 13 + i * 37) % 9000
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale, duration_ms)  # timescale, duration
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_id
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_payload))
+    mdat = box(b"mdat", hashlib.sha512(f"{seed}:{i}".encode()).digest())
+    return ftyp + moov + mdat, duration_ms
+
+
+def parse_mp4_meta(content: bytes) -> dict:
+    """REAL ISO-BMFF metadata parse with no media library: walk the
+    top-level box framing (32-bit size + fourcc), recurse into moov,
+    and decode the mvhd v0/v1 timescale + duration fields. This is
+    the actual wire format every MP4 tool speaks — corrupt framing
+    raises, unknown boxes are skipped by size like any conformant
+    reader. Frame DECODE still needs a codec (ffmpeg/av, stubbed in
+    sample_video_frames); container metadata does not."""
+    import struct
+
+    def walk(buf: bytes, offset: int, end: int):
+        while offset + 8 <= end:
+            size, kind = struct.unpack_from(">I4s", buf, offset)
+            if size < 8 or offset + size > end:
+                raise ValueError(f"bad box size {size} at {offset}")
+            yield kind, offset + 8, offset + size
+            offset += size
+        if offset != end:
+            raise ValueError("trailing bytes are not a box")
+
+    major = None
+    timescale = duration = None
+    n_boxes = 0
+    for kind, lo, hi in walk(content, 0, len(content)):
+        n_boxes += 1
+        if kind == b"ftyp":
+            major = content[lo : lo + 4].decode("ascii")
+        elif kind == b"moov":
+            for k2, l2, h2 in walk(content, lo, hi):
+                n_boxes += 1
+                if k2 == b"mvhd":
+                    version = content[l2]
+                    if version == 1:
+                        timescale, duration = struct.unpack_from(
+                            ">IQ", content, l2 + 4 + 16
+                        )
+                    else:
+                        _, _, timescale, duration = struct.unpack_from(
+                            ">IIII", content, l2 + 4
+                        )
+    if timescale is None:
+        raise ValueError("no mvhd box found")
+    return {
+        "major_brand": major,
+        "timescale": int(timescale),
+        "duration_ms": int(duration * 1000 // timescale),
+        "n_boxes": n_boxes,
+    }
+
+
+def synthesize_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Asset table (ASSET_SCHEMA) of structurally valid MP4 blobs."""
+    rows = []
+    for i in range(n):
+        blob, duration_ms = synthesize_mp4(i, seed)
+        rows.append(
+            (
+                i,
+                "video",
+                bytearray(blob),
+                len(blob),
+                None,
+                None,
+                duration_ms,
+                f"synthetic://assets/video/{i}.mp4",
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def extract_video_metadata(assets: DataFrame) -> DataFrame:
+    """Per-video container metadata via mapInPandas — REAL box-walk
+    parse (parse_mp4_meta), same Arrow batching rules as every other
+    media op; blob bytes never reach the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["media_type"] == "video"]
+            if vids.empty:
+                continue
+            metas = [parse_mp4_meta(bytes(b)) for b in vids["content"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "asset_id", vids["asset_id"].values)
+            yield out[
+                ["asset_id", "major_brand", "timescale", "duration_ms", "n_boxes"]
+            ]
+
+    return assets.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
 # -- audio: REAL codec path (stdlib wave — no external dependency) ------
 
 AUDIO_FEATURE_SCHEMA = StructType(

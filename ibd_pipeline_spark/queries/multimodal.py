@@ -49,6 +49,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_video_metadata")  # rows-only: synthesized binary assets
+def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF container parsing over Arrow batches: walk the
+    MP4 box framing, decode mvhd timescale/duration — no media
+    library needed for metadata (frame decode stays codec-gated).
+    Structurally valid synthesized MP4s, like the audio path's WAVs."""
+    assets = M.synthesize_video_assets(spark, n=24)
+    return M.extract_video_metadata(assets).orderBy("asset_id")
+
+
 @query("multimodal_audio_features")  # rows-only: synthesized binary assets
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode over Arrow batches: valid RIFF/WAV blobs

@@ -167,3 +167,35 @@ def test_audio_slice_round_trip(spark):
         d = M.decode_audio(bytes(c.content))
         assert d["duration_ms"] <= 250
         assert d["sample_rate"] == 8000
+
+
+def test_mp4_container_round_trip():
+    """synthesize_mp4 emits real ISO-BMFF framing; parse_mp4_meta
+    walks it back — and rejects corrupted framing like any
+    conformant reader."""
+    import pytest
+
+    import ibd_pipeline_spark.operators.multimodal as M
+
+    blob, duration_ms = M.synthesize_mp4(3)
+    meta = M.parse_mp4_meta(blob)
+    assert meta["major_brand"] == "isom"
+    assert meta["timescale"] == 1000
+    assert meta["duration_ms"] == duration_ms
+    assert meta["n_boxes"] == 4  # ftyp, moov, mvhd, mdat
+    with pytest.raises(ValueError):
+        M.parse_mp4_meta(blob[:20])  # truncated mid-box
+    with pytest.raises(ValueError):
+        M.parse_mp4_meta(b"\x00\x00\x00\x02abcd")  # size < header
+
+
+def test_video_metadata_distributed(spark):
+    import ibd_pipeline_spark.operators.multimodal as M
+
+    assets = M.synthesize_video_assets(spark, n=10)
+    rows = M.extract_video_metadata(assets).orderBy("asset_id").collect()
+    assert len(rows) == 10
+    assert all(r.major_brand == "isom" for r in rows)
+    durations = {r.asset_id: r.duration_ms for r in rows}
+    for i in range(10):
+        assert durations[i] == 1000 + (42 * 13 + i * 37) % 9000
