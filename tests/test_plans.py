@@ -93,3 +93,50 @@ def test_approx_percentile_error_bound(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / v <= 0.01, (k, approx[k], v)
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_python_stage_queries_have_no_sort_above_python(spark, sf_dir):
+    """Perf regression guard: a global orderBy above a Python stage
+    makes the range-sort sample its child — executing the Python
+    stage twice. The grouped-map queries must not reintroduce it
+    (the correctness compare is order-insensitive)."""
+    plan = _formatted_plan(QUERIES["apply_in_pandas_zscore"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "Sort" not in plan.split("FlatMapGroupsIn")[0], (
+        "global sort above the Python stage re-executes it via range sampling"
+    )
+
+
+def test_simhash_signature_agg_is_codegen(spark, sf_dir):
+    """Perf regression guard: the SimHash signature build must stay a
+    plan (explode + hash aggregate inside WholeStageCodegen), never
+    the interpreted mega-expression it replaced."""
+    from ibd_pipeline_spark.operators.dedup import simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _formatted_plan(simhash_signatures(docs))
+    # exactly one explode (one tokenize+hash pass, not 64)
+    assert plan.count("(explode(") == 1 or plan.count("Generate") >= 1
+    assert len([l for l in plan.splitlines() if ") Generate" in l]) == 1
+    # partial+final hash aggregation around one exchange
+    assert "partial_sum" in plan and "HashAggregate" in plan
+    # the interpreted form's signature: per-bit aggregate() lambdas
+    # over the shingle array — must not appear anywhere
+    assert "aggregate(transform" not in plan and "lambdafunction(xxhash64" in plan
+
+
+def test_ann_auto_probe_reads_raw_relation(spark, sf_dir):
+    """The broadcast-size probe must be a pure JVM CollectLimit over
+    the raw query relation — not an execution of the bucket pandas
+    UDF. Guarded by checking the probe's plan directly."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    probe_plan = _formatted_plan(q.limit(100))
+    assert "ArrowEvalPython" not in probe_plan
+    assert "CollectLimit" in probe_plan or "GlobalLimit" in probe_plan
