@@ -101,6 +101,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # md5-gate oracle, and 6 representative TPC-H shapes). The 12 remaining
 # TPC-H shapes and the rows-only entries follow immediately after, then
 # the 50 queries already attested green in round 1.
+#
+# Round-3 TODO (next rotation): promote into the prefix (a) the 17
+# below-the-window entries of this list, and (b) every query ADDED in
+# round 2 — composite.py (sessionization, CDC, SCD2, interval overlap,
+# histogram, fuzzy dedup, TF-IDF, curriculum, triangles, right-outer,
+# count_if/bool, date spine, JSON quarantine), zorder_rowgroup_skipping,
+# and the multimodal audio/video entries — all currently in the
+# registration-order tail with local sf0.01 parity green.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # analytic windows (driver-unattested family in r01)
