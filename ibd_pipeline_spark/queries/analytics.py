@@ -217,7 +217,12 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 3 selected fingerprints with a lower-id document — substring-
     level near-dup detection (operators.text.winnowing_fingerprints).
     Fingerprint sets explode → self-join on fingerprint → pair count;
-    candidate space bounded like every other block-verify op here."""
+    candidate space bounded like every other block-verify op here.
+
+    Rows-only by necessity: fingerprints are xxhash64 values (the
+    right hash at scale), which DuckDB cannot reproduce; the window-
+    min selection property and planted-overlap recovery are tested in
+    tests/test_skew_and_text.py instead."""
     from ibd_pipeline_spark.operators.text import winnowing_fingerprints
 
     d = load(spark, sf_dir, "documents").select(

@@ -139,6 +139,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 bands × 4 rows, bucket equi-join, exact-Jaccard verification of
     bucket collisions only. See operators.dedup.minhash_candidate_pairs.
 
+    Rows-only by necessity: the banding scheme hashes shingles with
+    Spark's xxhash64, which DuckDB cannot reproduce — switching to an
+    oracle-friendly hash would slow the production path to make a
+    test easier. Precision/recall vs exact Jaccard is property-tested
+    in tests/test_dedup.py instead.
+
     Staging matters: the fixture (like real crawl corpora) is ~10×
     exact copies; LSH on raw docs wastes all its candidate budget on
     identical pairs the digest pass removes for free."""

@@ -72,7 +72,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_metadata_profile")  # rows-only: synthesized binary assets
 def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only profile over the asset table — the
-    column-pruned path that never reads blob bytes."""
+    column-pruned path that never reads blob bytes. Rows-only like
+    the rest of the multimodal family: inputs are synthesized binary
+    assets, not fixture tables, so there is no shared relation for a
+    DuckDB oracle to scan; determinism is asserted in
+    tests/test_multimodal.py."""
     assets = M.synthesize_assets(spark, n=64)
     prof = M.metadata_profile(assets)
     return prof.select(
