@@ -134,3 +134,79 @@ def test_winnowing_shared_run_guarantee(spark, shared, pre, post):
         for r in df.select("id", winnowing_fingerprints("text").alias("fp")).collect()
     }
     assert fps[1] & fps[2], (d1, d2)
+
+
+def test_sessionize_agrees_with_session_window(spark):
+    """Cross-operator consistency: the lag/cumsum batch sessionization
+    (events_sessionize_gaps) and the native F.session_window query
+    (events_session_window) use the same 6-hour gap — on the same
+    fixture they must produce the identical session set
+    (user, session_start, n_events)."""
+    from ibd_pipeline_spark.queries import all_queries
+
+    Q = all_queries()
+    sf = "/root/testdata/sf0.001"
+    a = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in Q["events_session_window"](spark, sf).collect()
+    }
+    b = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in Q["events_sessionize_gaps"](spark, sf).collect()
+    }
+    assert a == b
+
+
+@st.composite
+def session_inputs(draw):
+    # (user, t) event stream; t in minutes, gap threshold = 60 min
+    return draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 600)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+
+
+@given(session_inputs())
+@SET
+def test_sessionize_invariants(spark, data):
+    """Gap sessionization invariants against a Python reference:
+    sessions partition the events; intra-session consecutive gaps are
+    ≤ threshold; the gap BETWEEN consecutive sessions is > threshold;
+    session_seq is 1..n_sessions per user."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    GAP = 60
+    rows = [(i, u, t) for i, (u, t) in enumerate(data)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t long")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap = F.col("t") - F.lag("t").over(w)
+    out = (
+        df.select(
+            "event_id", "user_id", "t",
+            F.sum(F.when(gap.isNull() | (gap > GAP), 1).otherwise(0))
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("t", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("session_seq"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.t, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(out) == len(rows)  # partition: every event in a session
+    for _u, rs in by_user.items():
+        seqs = [r.session_seq for r in rs]
+        assert seqs[0] == 1 and max(seqs) == seqs[-1]
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.session_seq == prev.session_seq:
+                assert cur.t - prev.t <= GAP
+            else:
+                assert cur.session_seq == prev.session_seq + 1
+                assert cur.t - prev.t > GAP
