@@ -685,3 +685,48 @@ def scalar_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("quarantine_digest"),
     )
+
+
+@query(
+    "events_attribution_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       p.event_id AS purchase_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       ROUND(p.value, 4) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+ORDER BY c.user_id, click_id, purchase_id
+""",
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming attribution join
+    (streaming/joins.py attribution_join): every click left-joined to
+    same-user purchases within the following 30 minutes — matched
+    conversions plus NULL rows for unconverted clicks. The SAME
+    builder powers the watermarked stream-stream join; registering
+    the batch form puts the join semantics under the driver's
+    hash-check while the streaming tests assert stream/batch
+    equivalence.
+
+    Scale: one shuffle per side on user_id; the time-range predicate
+    is a post-join filter here and the state-TTL bound in streaming."""
+    from ibd_pipeline_spark.streaming.joins import attribution_join
+
+    e = load(spark, sf_dir, "events")
+    out = attribution_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+        how="left_outer",
+        streaming=False,
+    )
+    return out.select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    ).orderBy("user_id", "click_id", "purchase_id")
