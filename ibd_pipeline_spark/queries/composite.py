@@ -730,3 +730,66 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
         F.round("purchase_value", 4).alias("purchase_value"),
     ).orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "window_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+), islands AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+         COUNT(*) AS streak_days
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id, streak_start, streak_end, streak_days
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY streak_days DESC, streak_start) AS rn
+  FROM streaks
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands ARITHMETIC trick: date minus row_number is
+    constant exactly along a run of consecutive days, so the group
+    key needs no lag/cumsum pass (one window + one aggregate instead
+    of two windows; compare events_sessionize_gaps for the
+    flag-and-sum formulation of the same family).
+
+    Scale: distinct day-grid first (shrinks events to user×day before
+    any window), then everything shares the user_id shuffle."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    grp = F.date_sub(
+        F.col("d"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("d"))
+        .cast("int"),
+    )
+    streaks = (
+        days.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id")
+    )
