@@ -102,6 +102,15 @@ HEADLINE_R02 = [
     "q18_large_orders",
     # multimodal Arrow plumbing at volume (stub codec, real batching)
     "multimodal_feature_extract",
+    # real-codec audio decode over Arrow batches
+    "multimodal_audio_features",
+    # stream-stream attribution join, batch twin
+    "events_attribution_join",
+    # Z-order layout audit (global-sort + stats — the layout pass)
+    "zorder_rowgroup_skipping",
+    # gaps-and-islands streaks + corrupt-record quarantine
+    "window_activity_streaks",
+    "scalar_json_quarantine",
 ]
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02
