@@ -46,18 +46,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL). Read it as int64 nanos via
-    the legacy conf and truncate to microseconds — the same ns→µs
-    truncation DuckDB applies on CAST(ts AS TIMESTAMP), so oracle
-    comparisons agree. Integer DIV, not float division: ns values
-    (~1.7e18) exceed double's 53-bit exact-integer range."""
+    """events.ts has shipped as two parquet physical types across
+    driver testdata generations, both normalized here to a session-tz
+    TIMESTAMP so every consumer (watermarks, unix_micros, window())
+    sees one type:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      (PARQUET_TYPE_ILLEGAL) — read as int64 nanos via the legacy
+      conf and truncate to microseconds, the same ns→µs truncation
+      DuckDB applies on CAST(ts AS TIMESTAMP). Integer DIV, not float
+      division: ns values (~1.7e18) exceed double's 53-bit range.
+    - timestamp[us] without the UTC flag: Spark infers TIMESTAMP_NTZ,
+      which withWatermark and unix_micros reject — cast to TIMESTAMP.
+      The session timezone is pinned to UTC (session.py), so the cast
+      is value-preserving and agrees with DuckDB's naive reading."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -231,33 +231,92 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _av():
+    """Optional-import hook for a real media-decode library (PyAV /
+    ffmpeg bindings). Returns the `av` module when installed, else
+    None — the container default. Mirrors `_pil()` exactly: tests
+    exercise the guard on both branches (real branch skips when av is
+    absent)."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
+def _decode_frames_real(content: bytes, every_ms: int) -> list[tuple[int, int, bytes]]:
+    """Real frame extraction via PyAV (guarded import): decode the
+    video stream, keep the first frame at-or-after each every_ms
+    boundary, emit (index, ts_ms, rgb24 bytes of a 32×32 thumbnail).
+    Raises NotImplementedError when av is absent."""
+    av = _av()
+    if av is None:
+        raise NotImplementedError(
+            "real frame sampling requires the 'av' (PyAV/ffmpeg) package, "
+            "not present in this environment; pass fake=True for the "
+            "deterministic stand-in"
+        )
+    import io
+
+    frames: list[tuple[int, int, bytes]] = []
+    with av.open(io.BytesIO(content)) as container:
+        stream = container.streams.video[0]
+        tb = float(stream.time_base) if stream.time_base else 0.0
+        next_ms = 0
+        for frame in container.decode(stream):
+            ts_ms = int((frame.pts or 0) * tb * 1000.0) if tb else next_ms
+            if ts_ms < next_ms:
+                continue
+            thumb = frame.reformat(width=32, height=32, format="rgb24")
+            frames.append((len(frames), ts_ms, thumb.to_ndarray().tobytes()))
+            next_ms += every_ms
+    return frames
+
+
 def sample_video_frames(
     assets: DataFrame, every_ms: int = 1000, fake: bool = True
 ) -> DataFrame:
     """Video frame sampling (1 row in → N frame rows out) over
     mapInPandas — the fan-out shape of media preprocessing.
 
-    STUB frame extraction (no ffmpeg here): fake frames are
+    fake=True (container default, no codec present): frames are
     deterministic digests of (content, index); the row-explosion
     contract (duration_ms // every_ms frames per video, typed
-    timestamps) is the real, tested part."""
-    if not fake:
-        raise NotImplementedError("real frame sampling requires ffmpeg/av")
+    timestamps) is the real, tested part. fake=False decodes for real
+    when PyAV is installed (guarded import, same pattern as image
+    decode); without it the call fails fast at plan time rather than
+    inside an executor batch."""
+    if not fake and _av() is None:
+        raise NotImplementedError(
+            "real frame sampling requires the 'av' (PyAV/ffmpeg) package, "
+            "not present in this environment; pass fake=True for the "
+            "deterministic stand-in"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vids = pdf[pdf["media_type"] == "video"]
             out = {"asset_id": [], "frame_index": [], "frame_ts_ms": [], "frame": []}
             for _, row in vids.iterrows():
-                n_frames = max(1, int(row["duration_ms"]) // every_ms)
                 blob = bytes(row["content"])
-                for i in range(n_frames):
+                if fake:
+                    n_frames = max(1, int(row["duration_ms"]) // every_ms)
+                    decoded = [
+                        (
+                            i,
+                            i * every_ms,
+                            hashlib.sha256(blob + i.to_bytes(4, "little")).digest(),
+                        )
+                        for i in range(n_frames)
+                    ]
+                else:
+                    decoded = _decode_frames_real(blob, every_ms)
+                for i, ts_ms, frame in decoded:
                     out["asset_id"].append(row["asset_id"])
                     out["frame_index"].append(i)
-                    out["frame_ts_ms"].append(i * every_ms)
-                    out["frame"].append(
-                        hashlib.sha256(blob + i.to_bytes(4, "little")).digest()
-                    )
+                    out["frame_ts_ms"].append(ts_ms)
+                    out["frame"].append(frame)
             if out["asset_id"]:
                 yield pd.DataFrame(out)
 

@@ -41,6 +41,37 @@ def normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x / n)
 
 
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Zero-job estimate of how many scan tasks a file-backed frame
+    yields: Σ ceil(file_size / maxPartitionBytes) over its input
+    files. Used to decide whether a corpus scan is narrower than the
+    session's parallelism and worth widening with a repartition.
+    (`df.rdd.getNumPartitions()` answers this exactly but launches a
+    DataFrame→RDD conversion job — ~1 s of wall per call on Spark 4.)
+    Non-local or non-file-backed inputs return a large sentinel so the
+    caller leaves the scan untouched — at cluster scale the scan is
+    already wide and widening would only add a shuffle."""
+    import os
+
+    files = df.inputFiles()
+    if not files:
+        return 1 << 30
+    conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(conf) if ch.isdigit()) or "134217728"
+    max_bytes = int(digits)
+    splits = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return 1 << 30
+        path = f[len("file:") :]
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return 1 << 30
+        splits += max(1, -(-size // max_bytes))
+    return splits
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -59,21 +90,36 @@ def brute_force_topk(
     is scanned exactly once with no shuffle until the final top-k
     (which is a window over query_id). This is the exact-verification
     building block; use lsh_bucketed_topk for large |Q|.
+
+    Norms are hoisted out of the pair loop: each side computes its
+    own L2 norm once per ROW before the join, so the O(|Q|·|C|) inner
+    loop is a single dot product per pair instead of dot + two norm
+    re-derivations (3× less expression work and a much smaller
+    codegen body). A corpus whose file scan is narrower than the
+    session's parallelism (tiny file < one split) is widened first —
+    at real scale the scan is already thousands of splits and the
+    repartition is a no-op branch.
     """
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(query_id).alias("qid"), as_double_array(vec).alias("qv")
-    )
+    ).withColumn("qnorm", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(corpus_id).alias("cid"), as_double_array(vec).alias("cv")
     )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if _estimated_scan_splits(corpus) < par:
+        c = c.repartition(par)
+    c = c.withColumn("cnorm", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
         .select(
             "qid",
             "cid",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("cid"))

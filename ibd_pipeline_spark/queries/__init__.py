@@ -94,85 +94,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # prefix. Queries attested green in an earlier round move to the back;
 # their evidence lives in that round's CORRECTNESS_r{N}.json.
 #
-# Round-2 prefix: the 50 highest-value queries with no driver row in
-# CORRECTNESS_r01.json (all 8 analytic-window queries, the UDF family,
-# text, training, similarity, stats/subquery, scalar-ext, weather-parity
-# — plus sample_deterministic, re-attested now that it carries an exact
-# md5-gate oracle, and 6 representative TPC-H shapes). The 12 remaining
-# TPC-H shapes and the rows-only entries follow immediately after, then
-# the 50 queries already attested green in round 1.
-#
-# Round-3 TODO (next rotation): promote into the prefix (a) the 17
-# below-the-window entries of this list, and (b) every query ADDED in
-# round 2 — composite.py (sessionization, CDC, SCD2, interval overlap,
-# histogram, fuzzy dedup, TF-IDF, curriculum, triangles, right-outer,
-# count_if/bool, date spine, JSON quarantine), zorder_rowgroup_skipping,
-# and the multimodal audio/video entries — all currently in the
-# registration-order tail with local sf0.01 parity green.
+# Round-4 prefix: the 46 registry queries with no green driver row in
+# ANY of CORRECTNESS_r01/r02/r03.json. (The round-3 rotation never
+# shipped — r03 re-attested the same 50 entries as r02 — so this list
+# is exactly the cumulative-unattested set as of round 4, including the
+# two array-output queries that ERR'd in r02/r03, now fixed to emit
+# joined strings.) Queries ADDED in round 4 are appended right after,
+# so they fill the remaining window slots; everything already attested
+# green in an earlier round follows in registration order.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # analytic windows (driver-unattested family in r01)
-    "window_rank_topk_per_group",
-    "window_lag_lead",
-    "window_running_agg",
-    "window_sliding_rows_frame",
-    "window_range_frame",
-    "window_ntile_percent",
-    "window_first_last_value",
-    "window_time_range_frame",
-    # UDF family (Arrow-only policy)
-    "pandas_udf_scalar",
-    "grouped_agg_pandas_udf",
-    "python_udtf_ngrams",
-    "apply_in_pandas_zscore",
-    # text analysis
-    "text_token_stats",
-    "text_quality_filter",
-    "text_fingerprint_clusters",
-    "text_bpeish_token_count",
-    "text_lang_id",
-    "text_pii_redaction",
-    # training-data assembly
-    "train_pack_sequences",
-    "train_domain_mix",
-    "train_quality_quantile_gate",
-    "train_embed_quantize_int8",
-    # similarity (oracle-bearing members)
-    "similarity_bruteforce_topk",
-    "embedding_stats",
-    "similarity_centroid_per_label",
-    # stats / subqueries / having
-    "stats_percentiles",
-    "stats_corr_covar",
-    "agg_min_max_by",
-    "scalar_subquery_above_avg",
-    "correlated_exists_subquery",
-    "groupby_having",
-    # reshaping / ids
-    "unpivot_measures",
-    "explode_token_frequency",
+    # driver-ERR in r02/r03, fixed this round (array → joined string)
     "collect_sorted_list",
-    "global_row_ids",
-    # scalar-function extensions
     "array_higher_order_funcs",
-    "map_type_funcs",
-    "regexp_string_funcs",
-    "datetime_construction_funcs",
-    "null_handling_funcs",
-    "variant_json_stats",
-    # weather reference-parity (oracle-backed as of round 2)
-    "weather_pipeline_5min",
-    "weather_parse_flatten",
-    # re-attest: rows-only in r01, exact oracle as of round 2
-    "sample_deterministic",
-    # representative TPC-H shapes (remainder queued for round 3)
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    # --- below the expected driver window: next-round queue -------------
+    # TPC-H remainder (local sf0.01 parity green since round 1/2)
     "q4_order_priority_exists",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -185,17 +120,52 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_disjunctive_predicates",
     "q20_part_promotion",
     "q22_idle_customers",
+    # round-2 composite family (never in a driver window)
+    "events_sessionize_gaps",
+    "events_cdc_latest_snapshot",
+    "events_scd2_history",
+    "join_interval_overlap",
+    "agg_histogram_bins",
+    "dedup_fuzzy_edit_distance",
+    "dedup_pair_triangles",
+    "text_tfidf_top_terms",
+    "train_curriculum_schedule",
+    "join_right_outer",
+    "agg_count_if_bool",
+    "join_date_spine_gapfill",
+    "scalar_json_quarantine",
+    "events_attribution_join",
+    "window_activity_streaks",
+    "zorder_rowgroup_skipping",
+    # rows-only entries never in a driver window (docstring-justified)
     "stats_approx_percentiles",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "dedup_embedding_cosine",
     "weather_synth_throughput",
+    "text_winnowing_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_video_metadata",
+    "multimodal_audio_features",
+    "multimodal_metadata_profile",
+    "agg_approx_distinct",
+    "weather_sim_golden",
+    # --- round-4 additions slot in here (new registrations below) -------
 ]
+
+# Queries registered by round-4 modules that should enter the window
+# immediately after the backlog above (new code → needs a driver row).
+_ROUND4_NEW: list[str] = []
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    prio = [n for n in _DRIVER_PRIORITY if n in names]
-    rest = [n for n in names if n not in set(_DRIVER_PRIORITY)]
+    head = _DRIVER_PRIORITY + [n for n in _ROUND4_NEW if n not in _DRIVER_PRIORITY]
+    prio = [n for n in head if n in names]
+    rest = [n for n in names if n not in set(head)]
     return prio + rest
 
 

@@ -61,7 +61,11 @@ def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are engine- and partitioning-independent."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # events.ts arrives as TIMESTAMP_NTZ from parquet (no UTC flag);
+    # unix_micros requires TIMESTAMP. Session tz is pinned to UTC
+    # (session.py), so the cast is value-preserving.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     flagged = e.select(
         "user_id", "event_id", "ts", "value",
         F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0).alias("is_new"),
@@ -83,9 +87,10 @@ def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
-                "duration_us"
-            ),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("duration_us"),
             dsum(F.col("value"), 2).alias("sum_value"),
         )
         .orderBy("user_id", "session_seq")

@@ -244,7 +244,7 @@ def explode_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_list",
     oracle="""
 SELECT o_custkey,
-       list_sort(list(o_orderkey)) AS order_keys,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
        string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq
 FROM orders
 WHERE o_custkey < 30
@@ -256,12 +256,18 @@ def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered collection aggregates: sorted key list + ordered
     string_agg. collect_list order is nondeterministic in a
     distributed engine — always sort (or aggregate over structs then
-    sort) before comparing or emitting."""
+    sort) before comparing or emitting. The sorted list is emitted
+    as a ','-joined string: the driver's canonicalizer hashes scalar
+    columns only (raw array columns raise `unhashable type: 'list'`
+    in pandas factorize — see VERDICT r02)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"),
+                ",",
+            ).alias("order_keys"),
             F.array_join(
                 F.transform(
                     F.array_sort(

@@ -22,7 +22,8 @@ WITH t AS (
   FROM documents WHERE doc_id < 50
 )
 SELECT doc_id,
-       list_transform(list_slice(toks, 1, 5), x -> upper(x))  AS first5_upper,
+       array_to_string(list_transform(list_slice(toks, 1, 5), x -> upper(x)), '-')
+                                                              AS first5_upper,
        len(list_filter(toks, x -> length(x) > 5))             AS n_long_tokens,
        ROUND(list_reduce(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
                          (a, b) -> a + b), 1)                 AS total_chars,
@@ -41,7 +42,9 @@ def array_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)).alias("first5_upper"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)), "-"
+        ).alias("first5_upper"),
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
         F.round(
             F.aggregate(

@@ -44,7 +44,7 @@ def to_line_protocol(
         F.concat(F.lit(f"{c}="), F.col(c).cast("double").cast("string"))
         for c in field_cols
     ]
-    ts_ns = (F.unix_micros(F.col(time_col)) * 1000).cast("string")
+    ts_ns = (F.unix_micros(F.col(time_col).cast("timestamp")) * 1000).cast("string")
     return df.select(
         F.concat(
             F.lit(prefix),
@@ -65,6 +65,108 @@ def file_line_writer(directory: str) -> Callable[[int, Iterable[str]], None]:
         with open(path, "a", encoding="utf-8") as fh:
             for line in lines:
                 fh.write(line + "\n")
+
+    return write
+
+
+@dataclass
+class InfluxHTTPConfig:
+    """Connection shape for InfluxDB's public v2 write API.
+
+    The token is sourced from the environment ON THE EXECUTOR at write
+    time (`token_env`), never embedded in the plan or the closure —
+    the reference hard-codes url/token/org in source
+    (spark_processor.py:15-18,30-33), which this deliberately refuses
+    to reproduce."""
+
+    url: str
+    org: str
+    bucket: str
+    token_env: str = "INFLUXDB_TOKEN"
+    precision: str = "ns"
+    batch_lines: int = 5000
+    timeout_s: float = 10.0
+    max_retries: int = 3
+
+    def write_url(self) -> str:
+        from urllib.parse import quote
+
+        return (
+            f"{self.url.rstrip('/')}/api/v2/write"
+            f"?org={quote(self.org)}&bucket={quote(self.bucket)}"
+            f"&precision={self.precision}"
+        )
+
+
+def _urllib_transport(timeout_s: float) -> Callable[[str, dict, bytes], int]:
+    """Default HTTP transport: stdlib urllib POST (no extra deps).
+    Returns the response status; HTTP errors surface as their status
+    code so the retry policy can distinguish 429/5xx from 4xx."""
+
+    def send(url: str, headers: dict, body: bytes) -> int:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return int(resp.status)
+        except urllib.error.HTTPError as ex:
+            return int(ex.code)
+
+    return send
+
+
+def http_line_writer(
+    cfg: InfluxHTTPConfig,
+    transport: Callable[[str, dict, bytes], int] | None = None,
+) -> Callable[[int, Iterable[str]], None]:
+    """Partition writer that POSTs line-protocol chunks to the Influx
+    v2 write endpoint — the production counterpart of
+    `file_line_writer`, executed per partition on the executors (the
+    driver never sees a line).
+
+    `transport(url, headers, body) -> status` is injectable (the
+    deterministic-twin pattern of sources/rest_feeder.py:87-130) so
+    the chunking / auth / retry policy is testable with no server.
+    Retryable statuses (429, 5xx) back off exponentially up to
+    `max_retries`; other non-2xx statuses fail the task immediately —
+    Spark's task retry then re-runs the partition, and Influx write
+    idempotence (same measurement+tags+timestamp ⇒ upsert) makes the
+    replay safe."""
+    import itertools
+    import time
+
+    def write(partition_id: int, lines: Iterable[str]) -> None:
+        send = transport or _urllib_transport(cfg.timeout_s)
+        token = os.environ.get(cfg.token_env, "")
+        headers = {
+            "Authorization": f"Token {token}",
+            "Content-Type": "text/plain; charset=utf-8",
+        }
+        url = cfg.write_url()
+        it = iter(lines)
+        while True:
+            chunk = list(itertools.islice(it, cfg.batch_lines))
+            if not chunk:
+                return
+            body = "\n".join(chunk).encode("utf-8")
+            for attempt in range(cfg.max_retries + 1):
+                status = send(url, headers, body)
+                if status < 300:
+                    break
+                if status in (429,) or status >= 500:
+                    if attempt == cfg.max_retries:
+                        raise RuntimeError(
+                            f"influx write failed after {attempt + 1} tries "
+                            f"(partition {partition_id}, status {status})"
+                        )
+                    time.sleep(min(2.0**attempt * 0.1, 5.0))
+                else:
+                    raise RuntimeError(
+                        f"influx write rejected (partition {partition_id}, "
+                        f"status {status})"
+                    )
 
     return write
 
