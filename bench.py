@@ -113,7 +113,25 @@ HEADLINE_R02 = [
     "scalar_json_quarantine",
 ]
 
-HEADLINE = HEADLINE_R01 + HEADLINE_R02
+# Round-4 additions: the LLM-data operators that do real volume work
+# (the per-row-only members of the family are covered by
+# text_repetition_ratio as a representative).
+HEADLINE_R04 = [
+    # shingle explode → broadcast overlap join (decontamination)
+    "text_decontaminate_ngram_overlap",
+    # two-pass token scoring (vocab agg + broadcast re-join)
+    "text_unigram_logprob_score",
+    # per-row higher-order array ops at volume
+    "text_repetition_ratio",
+    # hash-reduce cross-corpus anti dedup
+    "dedup_cross_corpus_anti",
+    # ordered per-group assembly (collect_list + struct sort)
+    "train_conversation_assembly",
+    # iterative Lloyd's (4 rounds, centroid re-broadcast)
+    "similarity_kmeans_clusters",
+]
+
+HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04
 
 
 def main() -> None:

@@ -80,3 +80,24 @@ def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load`, then widen the scan to the session's parallelism when
+    the file layout would yield fewer splits than cores.
+
+    Per-row-heavy operators (shingling, decode UDFs, vector math) over
+    a table that is physically one small file otherwise execute as ONE
+    task regardless of cluster size — at bench scale the documents
+    table is a single 600 KB split, serializing seconds of expression
+    work onto one core. At 100 TB the scan is thousands of splits and
+    the estimator (operators.similarity._estimated_scan_splits — a
+    zero-job file-size heuristic) leaves the plan untouched, so this
+    is safe to use unconditionally on CPU-bound paths."""
+    from ibd_pipeline_spark.operators.similarity import _estimated_scan_splits
+
+    df = load(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if _estimated_scan_splits(df) < par:
+        df = df.repartition(par)
+    return df

@@ -420,3 +420,105 @@ def lsh_bucketed_topk(
             "rank",
         )
     )
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance via zip_with + aggregate (JVM codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, DataFrame ops only.
+
+    Init is deterministic (the k lowest-id vectors — the same seed
+    rule ivf_topk uses for its coarse centroids; kmeans is the
+    sharpening pass that docstring points at). Each iteration:
+
+      assign  — corpus × broadcast(centroids) fan-out (k rows per
+                vector), argmin via MIN over (dist, cent_id) structs —
+                ties break on centroid id, so assignment is exact and
+                partitioning-independent;
+      update  — posexplode each assigned vector and hash-aggregate
+                (cent_id, dim_pos) → mean, then re-assemble the k
+                centroid arrays with a sort-by-position collect.
+
+    No driver collect anywhere: centroids stay a k-row DataFrame,
+    re-broadcast each round. Per round the k-row centroid frame is
+    checkpointed — `checkpoint_dir` set: reliable checkpoint (survives
+    executor loss — production); unset: localCheckpoint (tests) — the
+    same durability contract as operators.graph.connected_components.
+    Cost per iteration: one shuffle of k·dim (cent_id, pos) partial
+    means — corpus is scanned, never shuffled.
+
+    Returns (id_col, cluster_id, dist) — dist is the squared L2 to
+    the final centroid (inertia = SUM(dist)).
+    """
+    from pyspark.sql import Window
+
+    sc = corpus.sparkSession
+    if checkpoint_dir is not None:
+        sc.sparkContext.setCheckpointDir(checkpoint_dir)
+    c = corpus.select(F.col(id_col).alias("cid"), as_double_array(vec).alias("cv"))
+    cents = (
+        c.orderBy("cid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("cid")) - 1).alias("cent_id"),
+            F.col("cv").alias("cent_v"),
+        )
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        pairs = c.join(F.broadcast(cent_df))
+        best = F.min(
+            F.struct(
+                sq_dist(F.col("cv"), F.col("cent_v")).alias("dist"),
+                F.col("cent_id").alias("cent_id"),
+            )
+        ).alias("best")
+        return (
+            pairs.groupBy("cid")
+            .agg(F.first("cv").alias("cv"), best)
+            .select(
+                "cid",
+                "cv",
+                F.col("best.cent_id").alias("cluster_id"),
+                F.col("best.dist").alias("dist"),
+            )
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        dims = assigned.select("cluster_id", F.posexplode("cv").alias("pos", "x"))
+        cents = (
+            dims.groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent_v")
+            )
+            .select(F.col("cluster_id").alias("cent_id"), "cent_v")
+        )
+        cents = (
+            cents.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else cents.localCheckpoint(eager=True)
+        )
+
+    return assign(cents).select("cid", "cluster_id", "dist").withColumnRenamed(
+        "cid", id_col
+    )

@@ -159,7 +159,17 @@ _DRIVER_PRIORITY: list[str] = [
 
 # Queries registered by round-4 modules that should enter the window
 # immediately after the backlog above (new code → needs a driver row).
-_ROUND4_NEW: list[str] = []
+# Oracle-bearing entries first: the 46-entry backlog + the first 4 of
+# these fill the driver's 50-slot window; the rest queue for round 5.
+_ROUND4_NEW: list[str] = [
+    "text_decontaminate_ngram_overlap",
+    "text_unigram_logprob_score",
+    "text_repetition_ratio",
+    "dedup_cross_corpus_anti",
+    "train_conversation_assembly",
+    "train_lang_balanced_quota",
+    "similarity_kmeans_clusters",
+]
 
 
 def _driver_order(names: list[str]) -> list[str]:
@@ -193,6 +203,7 @@ def _ensure_loaded() -> None:
         composite,
         dedup,
         events,
+        llmdata,
         maintenance,
         multimodal,
         relational,

@@ -591,13 +591,17 @@ def join_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
             & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
         )
-        .groupBy(F.col("o_orderdate").alias("d"))
+        # o_orderdate is a timestamp in the fixtures — truncate to the
+        # day grid explicitly so the spine join is date-to-date.
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return (
         spine.join(daily, "d", "left")
         .select(
-            F.col("d").alias("day"),
+            # DATE → TIMESTAMP for the driver compare (pandas maps
+            # Spark dates to objects, DuckDB dates to datetime64).
+            F.col("d").cast("timestamp").alias("day"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.col("n_orders").isNull().alias("is_gap"),
         )
@@ -795,6 +799,14 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         streaks.withColumn("rn", F.row_number().over(best))
         .filter(F.col("rn") == 1)
-        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .select(
+            "user_id",
+            # DATE → TIMESTAMP for the driver compare: pandas maps
+            # Spark DateType to python-date objects but DuckDB DATE to
+            # datetime64 — same values, different hash inputs.
+            F.col("streak_start").cast("timestamp").alias("streak_start"),
+            F.col("streak_end").cast("timestamp").alias("streak_end"),
+            "streak_days",
+        )
         .orderBy("user_id")
     )

@@ -197,3 +197,27 @@ def similarity_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("label", "medoid_vec_id", "max_l2_norm")
         .orderBy("label")
     )
+
+
+@query("similarity_kmeans_clusters")  # iterative (Lloyd's): no SQL oracle
+def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (k=8, 4 Lloyd
+    iterations, deterministic lowest-id init): cluster sizes and mean
+    squared distance to the final centroid. Rows-only by design: the
+    fixpoint iteration isn't expressible as one SQL statement; the
+    operator's invariants (full coverage, monotone inertia, exact
+    argmin ties) are property-tested in tests/test_similarity.py.
+
+    Scale: per iteration one k·dim-sized shuffle (dimension partial
+    means) — the corpus is scanned, never shuffled; centroids stay a
+    k-row broadcast frame, never driver state."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = S.kmeans(emb, k=8, iters=4, id_col="vec_id", vec="embedding")
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist"), 4).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -188,3 +188,31 @@ def test_ivf_broadcast_knob_paths_identical(spark, clustered):
         return sorted((r.query_id, r.corpus_id, r.rank) for r in df.collect())
 
     assert rows(True) == rows(False) == rows("auto")
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """Lloyd's k-means: full coverage, k clusters max, monotone
+    inertia over iterations, deterministic across input partitioning."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.operators.similarity import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    a1 = kmeans(emb, k=4, iters=1)
+    a3 = kmeans(emb, k=4, iters=3)
+    assert a3.count() == n  # every vector assigned
+    assert a3.select("cluster_id").distinct().count() <= 4
+
+    inertia1 = a1.agg(F.sum("dist")).collect()[0][0]
+    inertia3 = a3.agg(F.sum("dist")).collect()[0][0]
+    assert inertia3 <= inertia1 + 1e-9  # Lloyd's never increases inertia
+
+    # partitioning-invariance: same sizes from a reshuffled input
+    b3 = kmeans(emb.repartition(7), k=4, iters=3)
+    sizes = lambda df: sorted(
+        (r["cluster_id"], r["n"])
+        for r in df.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes(a3) == sizes(b3)
