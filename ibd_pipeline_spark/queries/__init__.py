@@ -169,6 +169,8 @@ _ROUND4_NEW: list[str] = [
     "train_conversation_assembly",
     "train_lang_balanced_quota",
     "similarity_kmeans_clusters",
+    "quality_expectations_audit",
+    "profile_table_columns",
 ]
 
 
@@ -205,6 +207,7 @@ def _ensure_loaded() -> None:
         events,
         llmdata,
         maintenance,
+        quality,
         multimodal,
         relational,
         relational2,
