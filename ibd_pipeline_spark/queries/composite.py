@@ -559,7 +559,7 @@ WITH spine AS (
   WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
   GROUP BY 1
 )
-SELECT s.d AS day,
+SELECT CAST(s.d AS TIMESTAMP) AS day,
        COALESCE(dl.n_orders, 0) AS n_orders,
        (dl.d IS NULL) AS is_gap
 FROM spine s LEFT JOIN daily dl ON s.d = dl.d
@@ -757,7 +757,10 @@ WITH days AS (
          COUNT(*) AS streak_days
   FROM islands GROUP BY user_id, grp
 )
-SELECT user_id, streak_start, streak_end, streak_days
+SELECT user_id,
+       CAST(streak_start AS TIMESTAMP) AS streak_start,
+       CAST(streak_end AS TIMESTAMP)   AS streak_end,
+       streak_days
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY streak_days DESC, streak_start) AS rn
