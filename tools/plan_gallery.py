@@ -56,6 +56,24 @@ CURATED = {
     "customer key + range filter; fan-out bounded by per-key order count.",
     "train_curriculum_schedule": "per-language NTILE banding, then a global "
     "total-order position — the one deliberate single-partition window.",
+    "text_decontaminate_ngram_overlap": "zip_with-fold shingling in one "
+    "projection, eval shingle set broadcast against the train explode — the "
+    "train corpus never shuffles; contamination counts map-side-combine.",
+    "text_unigram_logprob_score": "two-pass scoring: vocab hash-aggregate "
+    "(shuffle O(vocab), not O(tokens)), corpus total as a broadcast 1-row "
+    "aggregate, count re-join broadcast back onto the token explode.",
+    "text_repetition_ratio": "widened single-split scan; shingle + distinct "
+    "counts materialized once in an inner projection (CollapseProject keeps "
+    "multi-referenced non-cheap expressions), ratios from scalars.",
+    "dedup_cross_corpus_anti": "both corpora reduced to 128-bit digests "
+    "before a single hash join; survivors and drops counted in one pass "
+    "via FILTER aggregates instead of a second anti-join scan.",
+    "quality_expectations_audit": "four constraint rules fused into ONE "
+    "aggregate over one scan + an anti-join referential check; stack() "
+    "unpivot emits the rule rows shuffle-free.",
+    "similarity_kmeans_clusters": "Lloyd's iteration as plan: broadcast "
+    "centroid fan-out with MIN(struct) argmin, posexplode dimension means "
+    "(shuffle is k·dim rows), k-row localCheckpoint per round.",
 }
 
 
