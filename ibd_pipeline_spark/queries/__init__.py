@@ -171,6 +171,7 @@ _ROUND4_NEW: list[str] = [
     "similarity_kmeans_clusters",
     "quality_expectations_audit",
     "profile_table_columns",
+    "gdpr_delete_propagation",
 ]
 
 

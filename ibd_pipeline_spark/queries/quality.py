@@ -152,3 +152,63 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "gdpr_delete_propagation",
+    oracle="""
+WITH tombstones AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+),
+ev AS (
+  SELECT CAST(COUNT(*) FILTER (t.user_id IS NOT NULL) AS BIGINT) AS n_deleted,
+         CAST(COUNT(*) FILTER (t.user_id IS NULL) AS BIGINT)     AS n_retained
+  FROM events e LEFT JOIN tombstones t USING (user_id)
+),
+cust AS (
+  SELECT CAST(COUNT(*) FILTER (t.user_id IS NOT NULL) AS BIGINT) AS n_deleted,
+         CAST(COUNT(*) FILTER (t.user_id IS NULL) AS BIGINT)     AS n_retained
+  FROM customer c LEFT JOIN tombstones t ON c.c_custkey = t.user_id
+)
+SELECT table_name, n_deleted, n_retained
+FROM (
+  SELECT 'events' AS table_name, n_deleted, n_retained FROM ev
+  UNION ALL SELECT 'customer', n_deleted, n_retained FROM cust
+)
+ORDER BY table_name
+""",
+)
+def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: given a tombstone set
+    of user ids (user_id % 97 == 0 plays the deletion-request table),
+    report per table how many rows the delete pass will remove vs
+    retain. The rewrite itself is the same plan with the aggregate
+    swapped for a filtered write — this query is the dry-run every
+    deletion pipeline executes first.
+
+    Scale: the tombstone set is tiny relative to any fact table
+    (deletion requests vs 100 TB of events) — broadcast left join,
+    zero fact-side shuffle, counts map-side-combine. Per-table
+    audits stay separate scans because they scan DIFFERENT tables;
+    nothing is scanned twice."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    tomb = (
+        e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    ).withColumn("hit", F.lit(1))
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        joined = df.join(
+            F.broadcast(tomb), df[key] == tomb["user_id"], "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("table_name"),
+            F.count("hit").alias("n_deleted"),
+            F.count(F.when(F.col("hit").isNull(), 1)).alias("n_retained"),
+        )
+
+    return (
+        audit(e, "user_id", "events")
+        .unionByName(audit(c, "c_custkey", "customer"))
+        .orderBy("table_name")
+    )
