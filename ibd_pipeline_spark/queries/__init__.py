@@ -172,6 +172,7 @@ _ROUND4_NEW: list[str] = [
     "quality_expectations_audit",
     "profile_table_columns",
     "gdpr_delete_propagation",
+    "join_point_in_time_scd2",
 ]
 
 

@@ -344,3 +344,73 @@ def train_lang_balanced_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"), "n_chars")
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+hist AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS version,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+         ROUND(value, 4) AS state_value
+  FROM p
+),
+probes AS (
+  SELECT user_id, event_id AS probe_id, CAST(ts AS TIMESTAMP) AS probe_ts
+  FROM events WHERE event_type = 'view' AND event_id % 7 = 0
+)
+SELECT pr.user_id, pr.probe_id, pr.probe_ts,
+       h.version, h.state_value
+FROM probes pr JOIN hist h
+  ON pr.user_id = h.user_id
+ AND pr.probe_ts >= h.valid_from
+ AND (h.valid_to IS NULL OR pr.probe_ts < h.valid_to)
+ORDER BY pr.user_id, pr.probe_id
+""",
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each probe event is matched to
+    the SCD2 dimension version that was valid AT its event time —
+    the feature-store lookup that keeps training features leakage-free
+    (a probe never sees a version from its future). Half-open
+    [valid_from, valid_to) intervals guarantee exactly one match.
+
+    Scale: equi-join on user_id carries the interval predicate as a
+    post-join filter — fan-out per probe is that user's version count,
+    never a cross product. Both sides come out of the same events
+    scan; the history build is one window pass (see
+    events_scd2_history). At warehouse scale the history table is the
+    small side and broadcasts."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("h_user"),
+            F.row_number().over(w).alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.round("value", 4).alias("state_value"),
+        )
+    )
+    probes = e.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") % 7 == 0)
+    ).select("user_id", F.col("event_id").alias("probe_id"), F.col("ts").alias("probe_ts"))
+    return (
+        probes.join(
+            hist,
+            (probes["user_id"] == hist["h_user"])
+            & (probes["probe_ts"] >= hist["valid_from"])
+            & (hist["valid_to"].isNull() | (probes["probe_ts"] < hist["valid_to"])),
+        )
+        .select("user_id", "probe_id", "probe_ts", "version", "state_value")
+        .orderBy("user_id", "probe_id")
+    )
