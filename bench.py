@@ -129,6 +129,10 @@ HEADLINE_R04 = [
     "train_conversation_assembly",
     # iterative Lloyd's (4 rounds, centroid re-broadcast)
     "similarity_kmeans_clusters",
+    # fused constraint audit (one aggregate + anti-join) and the
+    # temporal probe-vs-history join
+    "quality_expectations_audit",
+    "join_point_in_time_scd2",
 ]
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04
