@@ -248,6 +248,12 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    # Widen a genuinely-narrow corpus scan before the centroid
+    # fan-out (16× per-row cosine work) — same single-split guard as
+    # brute_force_topk; a no-op branch on real multi-split corpora.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if _estimated_scan_splits(corpus) < par:
+        corpus = corpus.repartition(par)
     c = corpus.select(F.col(corpus_id).alias("cid"), as_double_array(vec).alias("cv"))
     q = queries.select(F.col(query_id).alias("qid"), as_double_array(vec).alias("qv"))
     cents = c.orderBy("cid").limit(n_centroids).select(
@@ -323,6 +329,12 @@ def cosine_near_dup_pairs(
     thresholds (≥0.9 → small angles) sign-LSH recall per table is
     high, so few tables suffice.
     """
+    # Single-split inputs serialize the bucket-hash UDF and the
+    # pairwise verification onto one core — widen first (no-op branch
+    # on real multi-split corpora; see brute_force_topk).
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    if _estimated_scan_splits(vectors) < par:
+        vectors = vectors.repartition(par)
     v = vectors.select(F.col(id_col).alias("id"), as_double_array(vec).alias("v"))
     keyed = v.withColumn(
         "bkey", F.explode(lsh_bucket_tables(F.col("v"), dim, n_tables, bits_per_table))
@@ -379,6 +391,12 @@ def lsh_bucketed_topk(
     """
     from pyspark.sql import Window
 
+    # Widen a narrow corpus scan before the bucket-hash pandas UDF:
+    # on a single-split file the Arrow batches would all flow through
+    # ONE python worker (see brute_force_topk's guard).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if _estimated_scan_splits(corpus) < par:
+        corpus = corpus.repartition(par)
     q = queries.select(
         F.col(query_id).alias("qid"), as_double_array(vec).alias("qv")
     ).withColumn(
