@@ -18,7 +18,16 @@ Design stance (SURVEY.md §7):
     semantics, and then Arrow-batched (pandas_udf / applyInPandas).
 """
 
+from ibd_pipeline_spark.catalog import load, load_wide, register_all
+from ibd_pipeline_spark.queries import all_oracles, all_queries
 from ibd_pipeline_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",      # tuned SparkSession factory
+    "load",           # fixture-table loader (type normalization included)
+    "load_wide",      # load + widen narrow single-split scans
+    "register_all",   # register every table as a temp view (SQL entry)
+    "all_queries",    # name -> (spark, sf_dir) -> DataFrame registry
+    "all_oracles",    # name -> DuckDB oracle SQL (the correctness twin)
+]
 __version__ = "0.1.0"
