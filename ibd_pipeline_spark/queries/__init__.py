@@ -173,6 +173,7 @@ _ROUND4_NEW: list[str] = [
     "profile_table_columns",
     "gdpr_delete_propagation",
     "join_point_in_time_scd2",
+    "join_salted_hot_key",
 ]
 
 

@@ -414,3 +414,52 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "probe_id", "probe_ts", "version", "state_value")
         .orderBy("user_id", "probe_id")
     )
+
+
+@query(
+    "join_salted_hot_key",
+    oracle="""
+WITH seg AS (
+  SELECT DISTINCT user_id, user_id % 5 AS segment FROM events
+)
+SELECT s.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_value
+FROM events e JOIN seg s USING (user_id)
+GROUP BY s.segment
+ORDER BY s.segment
+""",
+)
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join through operators.skew.salted_join:
+    the fact side gets a random salt, the dim side is exploded across
+    all salt values, and the join key becomes (key, salt) — a hot key's
+    rows spread over salt_factor tasks instead of one. The salt is an
+    execution detail: output equals the plain join (which is exactly
+    what the oracle runs), so this attests the pattern's correctness,
+    not just its plan shape (plan tests live in
+    tests/test_skew_and_text.py).
+
+    Scale: this is the explicit fallback for pathological keys where
+    AQE's runtime skew splitting can't help (pre-aggregated inputs,
+    streaming state); the dim side inflates salt_factor×, acceptable
+    by definition of being the small side."""
+    from ibd_pipeline_spark.operators.skew import salted_join
+
+    e = load(spark, sf_dir, "events")
+    seg = (
+        e.select("user_id").distinct()
+        .withColumn("segment", F.col("user_id") % 5)
+        .withColumnRenamed("user_id", "seg_user")
+    )
+    joined = salted_join(e, seg, "user_id", "seg_user", salt_factor=8)
+    from ibd_pipeline_spark.queries import dsum
+
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
