@@ -391,12 +391,13 @@ def lsh_bucketed_topk(
     """
     from pyspark.sql import Window
 
-    # Widen a narrow corpus scan before the bucket-hash pandas UDF:
-    # on a single-split file the Arrow batches would all flow through
-    # ONE python worker (see brute_force_topk's guard).
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if _estimated_scan_splits(corpus) < par:
-        corpus = corpus.repartition(par)
+    # NOTE deliberately NOT widened (contrast brute_force_topk/ivf_topk):
+    # the per-row work here is an Arrow pandas UDF, and a corpus small
+    # enough to be one split is also small enough that one python
+    # worker with one large Arrow batch beats 32 workers paying the
+    # per-worker serialization floor — measured 0.99 s → 1.89 s WORSE
+    # with widening at bench scale. Widening pays off for JVM
+    # expression stages (cosine fan-outs), not UDF-bound ones.
     q = queries.select(
         F.col(query_id).alias("qid"), as_double_array(vec).alias("qv")
     ).withColumn(
