@@ -61,3 +61,59 @@ def test_repetition_gate_stream_equals_batch(spark, sf_dir, tmp_path):
 
     assert stream_ids == batch_ids
     assert len(batch_ids) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static dim join (streaming/enrich.py): events streamed
+    file-by-file, enriched with a static user->segment dim, aggregated
+    per segment — totals must equal the batch join. No watermark or
+    state store is involved (the static side re-executes per batch)."""
+    from ibd_pipeline_spark.streaming.enrich import enrich_stream
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = str(tmp_path / "ev_src")
+    events.coalesce(3).write.parquet(src)
+
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("segment", F.col("user_id") % 7)
+    )
+
+    batch = {
+        r["segment"]: r["n"]
+        for r in spark.read.parquet(src)
+        .join(dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    stream = spark.readStream.schema("event_id long, user_id long, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        enrich_stream(stream, dim, on="user_id", how="inner")
+        .writeStream.format("memory")
+        .queryName("enriched_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["segment"]: r["n"]
+        for r in spark.sql(
+            "select segment, count(*) as n from enriched_events group by segment"
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_stream_static_right_outer_rejected(spark, sf_dir):
+    import pytest
+
+    from ibd_pipeline_spark.streaming.enrich import enrich_stream
+
+    events = load(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="unknowable"):
+        enrich_stream(events, events.limit(1), on="user_id", how="right_outer")
