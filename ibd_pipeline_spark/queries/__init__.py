@@ -161,6 +161,11 @@ _DRIVER_PRIORITY: list[str] = [
 # immediately after the backlog above (new code → needs a driver row).
 # Oracle-bearing entries first: the 46-entry backlog + the first 4 of
 # these fill the driver's 50-slot window; the rest queue for round 5.
+#
+# Round-5 rotation TODO: promote into the prefix the 8 below-window
+# entries of this list (train_conversation_assembly onward) plus any
+# round-5 additions; everything in the round-4 window moves to the
+# back once CORRECTNESS_r04.json records it green.
 _ROUND4_NEW: list[str] = [
     "text_decontaminate_ngram_overlap",
     "text_unigram_logprob_score",
