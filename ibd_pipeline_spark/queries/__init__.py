@@ -162,8 +162,8 @@ _DRIVER_PRIORITY: list[str] = [
 # Oracle-bearing entries first: the 46-entry backlog + the first 4 of
 # these fill the driver's 50-slot window; the rest queue for round 5.
 #
-# Round-5 rotation TODO: promote into the prefix the 8 below-window
-# entries of this list (train_conversation_assembly onward) plus any
+# Round-5 rotation TODO: promote into the prefix the below-window
+# tail of this list (train_conversation_assembly onward) plus any
 # round-5 additions; everything in the round-4 window moves to the
 # back once CORRECTNESS_r04.json records it green.
 _ROUND4_NEW: list[str] = [
@@ -179,6 +179,7 @@ _ROUND4_NEW: list[str] = [
     "gdpr_delete_propagation",
     "join_point_in_time_scd2",
     "join_salted_hot_key",
+    "train_chunk_documents",
 ]
 
 

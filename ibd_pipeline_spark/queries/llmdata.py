@@ -463,3 +463,60 @@ def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_CHUNK, _STRIDE = 50, 25
+
+
+@query(
+    "train_chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {_CHUNK} THEN 1
+              ELSE CAST(ceil((n - {_CHUNK}) / {_STRIDE}.0) AS INT) + 1 END
+           AS n_chunks,
+         t
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(t[(1 + {_STRIDE} * i):({_STRIDE} * i + {_CHUNK})], ' ')
+         AS chunk_text,
+       CAST(LEAST({_CHUNK}, n - {_STRIDE} * i) AS INT) AS n_tokens
+FROM chunked, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, 25-token
+    stride): the split step before embedding — long
+    documents become overlapping rows so no passage is cut mid-context.
+    Last chunk is the remainder (never padded, never dropped).
+
+    Scale: chunk starts come from one sequence() per row and the
+    explode multiplies rows by ~n/stride — per-row array ops with no
+    shuffle until whatever consumes the chunks. Chunk text via ONE
+    slice per chunk (bounded width), not per token."""
+    d = load_wide(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((n - _CHUNK) / float(_STRIDE)).cast("int") + 1
+    )
+    based = d.select("doc_id", toks.alias("t"), n.alias("n"), n_chunks.alias("nc"))
+    idx = F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx")
+    exploded = based.select("doc_id", "t", "n", idx)
+    start = F.lit(1) + F.lit(_STRIDE) * F.col("chunk_idx")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("t", start, F.lit(_CHUNK)), " ").alias("chunk_text"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.lit(_STRIDE) * F.col("chunk_idx"))
+        .cast("int")
+        .alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
