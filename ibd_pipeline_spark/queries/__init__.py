@@ -180,6 +180,7 @@ _ROUND4_NEW: list[str] = [
     "join_point_in_time_scd2",
     "join_salted_hot_key",
     "train_chunk_documents",
+    "quality_psi_drift",
 ]
 
 

@@ -212,3 +212,75 @@ def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(c, "c_custkey", "customer"))
         .orderBy("table_name")
     )
+
+
+@query(
+    "quality_psi_drift",
+    oracle="""
+WITH binned AS (
+  SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+              THEN 'expected' ELSE 'actual' END AS era,
+         LEAST(9, CAST(FLOOR(value / 50.0) AS INT)) AS bin
+  FROM events
+),
+counts AS (
+  SELECT bin,
+         COUNT(*) FILTER (era = 'expected') AS n_exp,
+         COUNT(*) FILTER (era = 'actual')   AS n_act
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT SUM(n_exp) AS te, SUM(n_act) AS ta FROM counts
+)
+SELECT bin,
+       ROUND(CAST(n_exp AS DOUBLE) / te, 6) AS expected_pct,
+       ROUND(CAST(n_act AS DOUBLE) / ta, 6) AS actual_pct,
+       ROUND((CAST(n_act AS DOUBLE) / ta - CAST(n_exp AS DOUBLE) / te)
+             * ln((CAST(n_act AS DOUBLE) / ta + 1e-6)
+                  / (CAST(n_exp AS DOUBLE) / te + 1e-6)), 6) AS psi_term
+FROM counts, tot
+ORDER BY bin
+""",
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection: bin the metric,
+    compare the distribution of a reference era (first half of the
+    month) against the current era, emit the per-bin PSI contribution
+    (Σ psi_term > 0.2 is the conventional "investigate" threshold).
+    The standard ML-ops gate for feature drift before retraining.
+
+    Scale: one scan, one hash-aggregate on ~10 bins (map-side
+    combine collapses everything before the exchange), bin totals via
+    a broadcast 1-row aggregate. Adding dimensions (per feature, per
+    segment) only widens the tiny aggregate key."""
+    e = load(spark, sf_dir, "events")
+    binned = e.select(
+        F.when(
+            F.col("ts").cast("timestamp") < F.lit("2024-01-15").cast("timestamp"),
+            F.lit("expected"),
+        )
+        .otherwise(F.lit("actual"))
+        .alias("era"),
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("era") == "expected", 1)).alias("n_exp"),
+        F.count(F.when(F.col("era") == "actual", 1)).alias("n_act"),
+    )
+    tot = counts.agg(
+        F.sum("n_exp").alias("te"), F.sum("n_act").alias("ta")
+    )
+    pe = F.col("n_exp").cast("double") / F.col("te")
+    pa = F.col("n_act").cast("double") / F.col("ta")
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(pe, 6).alias("expected_pct"),
+            F.round(pa, 6).alias("actual_pct"),
+            F.round((pa - pe) * F.log((pa + 1e-6) / (pe + 1e-6)), 6).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin")
+    )
