@@ -123,3 +123,40 @@ def test_cross_corpus_dedup_drops_exact_normalized_dupes(spark, tmp_path):
     assert row["n_candidates"] == 2
     assert row["n_dropped"] == 1
     assert row["n_survivors"] == 1
+
+
+def test_chunking_covers_and_reconstructs(spark, tmp_path):
+    """Chunk invariants: stride-aligned prefixes reconstruct the doc,
+    every chunk except the last is full-width, token accounting adds
+    up, and a short doc yields exactly one unpadded chunk."""
+    import ibd_pipeline_spark.queries.llmdata as L
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(137)),  # 137 tokens → 5 chunks
+        1: " ".join(f"w{i}" for i in range(50)),   # exactly one chunk
+        2: "solo",                                  # 1 token
+    }
+    docs = _docs(spark, list(texts.items())).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text"))
+    out_dir = str(tmp_path / "docs")
+    docs.write.parquet(out_dir + "/documents.parquet")
+
+    rows = L.train_chunk_documents(spark, out_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    assert [r["n_tokens"] for r in by_doc[1]] == [50]
+    assert [r["n_tokens"] for r in by_doc[2]] == [1]
+
+    chunks = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert len(chunks) == 5  # ceil((137-50)/25)+1
+    # all but the last are full-width; the last is the remainder
+    assert [c["n_tokens"] for c in chunks[:-1]] == [50] * 4
+    assert chunks[-1]["n_tokens"] == 137 - 25 * 4
+    # reconstruction: chunk i's first 25 tokens == original[25i:25i+25]
+    orig = texts[0].split(" ")
+    for c in chunks:
+        toks = c["chunk_text"].split(" ")
+        assert toks == orig[25 * c["chunk_idx"] : 25 * c["chunk_idx"] + 50]
