@@ -216,3 +216,22 @@ def test_kmeans_invariants(spark, sf_dir):
         for r in df.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes(a3) == sizes(b3)
+
+
+def test_kmeans_reliable_checkpoint_path(spark, sf_dir, tmp_path):
+    """checkpoint_dir set → reliable checkpoint() branch (production
+    durability contract, same as connected_components): results must
+    equal the localCheckpoint branch."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators.similarity import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = kmeans(emb, k=4, iters=2)
+    b = kmeans(emb, k=4, iters=2, checkpoint_dir=str(tmp_path / "ckpt"))
+    sizes = lambda df: sorted(
+        (r["cluster_id"], r["n"])
+        for r in df.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes(a) == sizes(b)
