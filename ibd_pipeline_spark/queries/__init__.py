@@ -181,6 +181,8 @@ _ROUND4_NEW: list[str] = [
     "join_salted_hot_key",
     "train_chunk_documents",
     "quality_psi_drift",
+    "events_period_over_period",
+    "ab_test_proportion_ztest",
 ]
 
 

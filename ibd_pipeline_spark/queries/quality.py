@@ -284,3 +284,151 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "events_period_over_period",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       n_events,
+       CAST(LAG(n_events) OVER (ORDER BY d) AS BIGINT) AS prev_day,
+       ROUND(CASE WHEN LAG(n_events) OVER (ORDER BY d) IS NULL THEN NULL
+             ELSE 100.0 * (n_events - LAG(n_events) OVER (ORDER BY d))
+                  / LAG(n_events) OVER (ORDER BY d) END, 4) AS pct_change,
+       ROUND(AVG(CAST(n_events AS DOUBLE)) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS ma7
+FROM daily
+ORDER BY day
+""",
+)
+def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: daily volumes with day-over-day
+    percent change and a trailing 7-day moving average — the
+    aggregate-then-window composition every operational dashboard
+    runs (the window operates on the AGGREGATED grain, so its input
+    is days, not events).
+
+    Scale: the event scan collapses to ~30 day rows in one map-side-
+    combined aggregate before any window; the ordered window over the
+    day grain is a single tiny partition BY CONSTRUCTION (one row per
+    day), so the global orderBy is not the anti-pattern it would be
+    on raw rows."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("timestamp").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d")
+    ma = Window.orderBy("d").rowsBetween(-6, 0)
+    prev = F.lag("n_events").over(w)
+    return daily.select(
+        F.col("d").cast("timestamp").alias("day"),
+        "n_events",
+        prev.alias("prev_day"),
+        F.round(
+            F.when(prev.isNull(), F.lit(None)).otherwise(
+                100.0 * (F.col("n_events") - prev) / prev
+            ),
+            4,
+        ).alias("pct_change"),
+        F.round(F.avg(F.col("n_events").cast("double")).over(ma), 4).alias("ma7"),
+    ).orderBy("day")
+
+
+@query(
+    "ab_test_proportion_ztest",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 80 THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT variant,
+         COUNT(*) AS n_users,
+         SUM(converted) AS n_converted,
+         CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS rate
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_users END)     AS n0,
+         MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+         MAX(CASE WHEN variant = 0 THEN rate END)        AS r0,
+         MAX(CASE WHEN variant = 1 THEN n_users END)     AS n1,
+         MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1,
+         MAX(CASE WHEN variant = 1 THEN rate END)        AS r1
+  FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+       ROUND(r0, 6) AS rate_control,
+       CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
+       ROUND(r1, 6) AS rate_treatment,
+       ROUND(r1 - r0, 6) AS lift_abs,
+       ROUND((r1 - r0) / NULLIF(sqrt(
+         (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         * (1.0 / n0 + 1.0 / n1)), 0), 4) AS z_score
+FROM wide
+""",
+)
+def ab_test_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: deterministic
+    variant assignment (user_id parity), per-user conversion, pooled
+    standard error, and the z statistic (|z| > 1.96 ⇒ significant at
+    5%) — the experimentation-platform readout as one declarative
+    plan.
+
+    Scale: per-user conversion is one hash-aggregate on user_id; the
+    arms aggregate is 2 rows; everything after is constant-size
+    arithmetic. Nothing about the experiment readout needs a driver
+    loop or a stats library."""
+    e = load(spark, sf_dir, "events")
+    assigned = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 80), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("rate"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 0, F.col("rate"))).alias("r0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+        F.max(F.when(F.col("variant") == 1, F.col("rate"))).alias("r1"),
+    )
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.round("r0", 6).alias("rate_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("c1").cast("long").alias("conv_treatment"),
+        F.round("r1", 6).alias("rate_treatment"),
+        F.round(F.col("r1") - F.col("r0"), 6).alias("lift_abs"),
+        F.round(
+            (F.col("r1") - F.col("r0")) / F.nullif(se, F.lit(0.0)), 4
+        ).alias("z_score"),
+    )
