@@ -19,10 +19,16 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the composed training-data preprocessing pass
+    (quality gate → benchmark decontamination → cross-corpus dedup →
+    chunking as ONE Catalyst plan, queries/llmdata.py:
+    train_e2e_pipeline) — the query that states what this engine IS;
+    oracle-attested like every other stage of it."""
     from ibd_pipeline_spark.queries import all_queries
 
-    return all_queries()["q1_pricing_summary"](spark, SF0001)
+    return all_queries()["train_e2e_pipeline"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

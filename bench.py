@@ -133,6 +133,9 @@ HEADLINE_R04 = [
     # temporal probe-vs-history join
     "quality_expectations_audit",
     "join_point_in_time_scd2",
+    # the composed preprocessing pass: gate → decontaminate → dedup →
+    # chunk as ONE Catalyst tree
+    "train_e2e_pipeline",
 ]
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04

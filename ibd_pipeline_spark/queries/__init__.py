@@ -183,6 +183,7 @@ _ROUND4_NEW: list[str] = [
     "quality_psi_drift",
     "events_period_over_period",
     "ab_test_proportion_ztest",
+    "train_e2e_pipeline",
 ]
 
 

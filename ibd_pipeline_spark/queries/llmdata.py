@@ -520,3 +520,129 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_tokens"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "train_e2e_pipeline",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+gated AS (  -- stage 1: repetition/quality gate
+  SELECT doc_id, source, text, t, n
+  FROM (
+    SELECT *, {_shingles_sql('t', 3)} AS s3 FROM toks
+  )
+  WHERE n >= 20
+    AND (len(s3) = 0 OR
+         1.0 - CAST(len(list_distinct(s3)) AS DOUBLE) / len(s3) <= 0.2)
+),
+eval_sh AS (  -- the benchmark shingle set (eval slice of the raw corpus)
+  SELECT DISTINCT unnest(list_distinct({_shingles_sql('t', 5)})) AS shingle
+  FROM toks WHERE doc_id % 10 = 0
+),
+decon AS (  -- stage 2: drop eval-contaminated training docs
+  SELECT g.* FROM gated g
+  WHERE g.doc_id % 10 <> 0
+    AND NOT EXISTS (
+      SELECT 1 FROM unnest(list_distinct({_shingles_sql('g.t', 5)})) AS u(sh)
+      JOIN eval_sh e ON e.shingle = u.sh
+    )
+),
+ref AS (
+  SELECT DISTINCT {_NORM_SQL} AS h FROM documents WHERE source = 'src0'
+),
+deduped AS (  -- stage 3: drop docs already in the reference corpus
+  SELECT d.* FROM decon d
+  WHERE d.source = 'src0'
+     OR NOT EXISTS (SELECT 1 FROM ref r
+                    WHERE r.h = md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))))
+),
+chunked AS (  -- stage 4: 50/25 sliding chunks
+  SELECT doc_id, source,
+         CASE WHEN n <= {_CHUNK} THEN 1
+              ELSE CAST(ceil((n - {_CHUNK}) / {_STRIDE}.0) AS INT) + 1 END
+           AS n_chunks,
+         n
+  FROM deduped
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs_kept,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(n) AS BIGINT)        AS total_tokens
+FROM chunked
+GROUP BY source
+ORDER BY source
+""",
+)
+def train_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preprocessing pass as ONE declarative plan: quality
+    gate (≥20 tokens, trigram repetition ≤ 0.2) → benchmark
+    decontamination (no shared 5-gram with the eval slice) →
+    cross-corpus dedup (normalized hash not already in the reference
+    corpus) → sliding-window chunking, reported as per-source
+    accounting. Each stage exists standalone in the registry; the
+    point of this query is that COMPOSED, Catalyst sees one tree —
+    filters fuse with the scan, both anti-joins share the corpus
+    read, and no intermediate result is ever materialized (contrast
+    a step-per-job orchestrator writing parquet between stages).
+
+    Scale: the eval shingle set is broadcast (benchmarks are MBs);
+    the dedup reference reduces to digests; everything else is
+    per-row. One shuffle for each anti-join + the final tiny
+    aggregate."""
+    d = load_wide(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    s3 = _shingles(toks, 3)
+    tri_rep = F.when(F.size(s3) == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(s3)).cast("double") / F.size(s3)
+    )
+    base = d.select("doc_id", "source", "text", toks.alias("t"), n.alias("n"))
+    gated = base.filter((F.col("n") >= 20)).filter(
+        F.when(F.size(_shingles(F.col("t"), 3)) == 0, F.lit(0.0)).otherwise(
+            1.0
+            - F.size(F.array_distinct(_shingles(F.col("t"), 3))).cast("double")
+            / F.size(_shingles(F.col("t"), 3))
+        )
+        <= 0.2
+    )
+    sh5 = F.explode(F.array_distinct(_shingles(F.split("text", " "), 5))).alias(
+        "shingle"
+    )
+    eval_sh = (
+        d.filter(F.col("doc_id") % 10 == 0).select(sh5).distinct()
+    )
+    train = gated.filter(F.col("doc_id") % 10 != 0)
+    train_sh = train.select("doc_id", F.explode(
+        F.array_distinct(_shingles(F.col("t"), 5))
+    ).alias("shingle"))
+    contaminated = train_sh.join(F.broadcast(eval_sh), "shingle").select(
+        "doc_id"
+    ).distinct()
+    decon = train.join(contaminated, "doc_id", "left_anti")
+    norm_h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    ref = (
+        d.filter(F.col("source") == "src0").select(norm_h.alias("h")).distinct()
+    )
+    deduped = decon.filter(F.col("source") == "src0").unionByName(
+        decon.filter(F.col("source") != "src0")
+        .withColumn("h", norm_h)
+        .join(ref, "h", "left_anti")
+        .drop("h")
+    )
+    n_chunks = F.when(F.col("n") <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - _CHUNK) / float(_STRIDE)).cast("int") + 1
+    )
+    return (
+        deduped.select("source", F.col("n"), n_chunks.alias("n_chunks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
