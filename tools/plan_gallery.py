@@ -74,6 +74,10 @@ CURATED = {
     "similarity_kmeans_clusters": "Lloyd's iteration as plan: broadcast "
     "centroid fan-out with MIN(struct) argmin, posexplode dimension means "
     "(shuffle is k·dim rows), k-row localCheckpoint per round.",
+    "train_e2e_pipeline": "the FLAGSHIP: gate → decontaminate → dedup → "
+    "chunk composed into one tree — filters fused into the scan, both "
+    "anti-joins broadcast their small sides, zero intermediate "
+    "materialization between stages.",
 }
 
 
