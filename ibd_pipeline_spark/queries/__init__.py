@@ -184,6 +184,7 @@ _ROUND4_NEW: list[str] = [
     "events_period_over_period",
     "ab_test_proportion_ztest",
     "train_e2e_pipeline",
+    "dedup_pagerank_canonical",
 ]
 
 

@@ -241,3 +241,55 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("dedup_pagerank_canonical")  # iterative (power iteration): no SQL oracle
+def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection by centrality: PageRank over the
+    bounded Jaccard near-dup pair graph (same ≥0.6 pairs as
+    dedup_ngram_jaccard), then per connected component keep the
+    highest-ranked doc — "the most representative copy", the
+    curation rule that beats keep-lowest-id when clusters chain
+    through weak links. Rows-only by design (two fixpoint iterations:
+    power iteration + label propagation); mass conservation and
+    convergence are property-tested in tests/test_graph.py.
+
+    Scale: both iterations are one join + one aggregate per round on
+    vertex-partitioned state; the pair graph itself is the bounded
+    blocked join (never all-pairs)."""
+    from ibd_pipeline_spark.operators.graph import connected_components, pagerank
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toksets = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toksets.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toksets.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("ta", "tb")).cast("double")
+            / F.size(F.array_union("ta", "tb"))
+            >= 0.6
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    ranks = pagerank(pairs, iters=8)
+    comps = connected_components(pairs, src="src", dst="dst")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("rank").desc(), F.col("doc_id")
+    )
+    return (
+        ranks.join(comps, ranks["vertex"] == comps["vertex"])
+        .select(ranks["vertex"].alias("doc_id"), "component", "rank")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc"),
+            F.round("rank", 4).alias("rank"),
+        )
+        .orderBy("component")
+    )

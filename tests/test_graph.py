@@ -66,3 +66,31 @@ def test_cc_max_iter_exhaustion_warns_and_strict_raises(spark):
         connected_components(edges, max_iter=2).collect()
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(edges, max_iter=2, strict=True)
+
+
+def test_pagerank_mass_conservation_and_centrality(spark):
+    """Σ rank == |V| (mass conservation) and the hub of a star graph
+    outranks every leaf; deterministic across input partitioning."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)] + [(8, 9)], "src long, dst long"
+    )
+    r = pagerank(edges, iters=12)
+    rows = {row["vertex"]: row["rank"] for row in r.collect()}
+    assert abs(sum(rows.values()) - len(rows)) < 1e-6
+    hub = rows[0]
+    assert all(hub > rows[i] for i in range(1, 8))
+    # partitioning invariance (ranks are join+agg over the same graph)
+    r2 = {row["vertex"]: row["rank"] for row in pagerank(edges.repartition(5), iters=12).collect()}
+    assert all(abs(rows[k] - r2[k]) < 1e-9 for k in rows)
+
+
+def test_pagerank_reliable_checkpoint_branch(spark, tmp_path):
+    from ibd_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    r = pagerank(edges, iters=3, checkpoint_dir=str(tmp_path / "ck"))
+    assert r.count() == 3
