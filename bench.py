@@ -136,6 +136,8 @@ HEADLINE_R04 = [
     # the composed preprocessing pass: gate → decontaminate → dedup →
     # chunk as ONE Catalyst tree
     "train_e2e_pipeline",
+    # second iterative op (power iteration + label propagation)
+    "dedup_pagerank_canonical",
 ]
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04

@@ -274,22 +274,33 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    ranks = pagerank(pairs, iters=8)
-    comps = connected_components(pairs, src="src", dst="dst")
+    # Both fixpoint algorithms seed from the same pair graph; cache it
+    # so the blocked Jaccard self-join runs once, not once per
+    # algorithm's first checkpointed round.
+    pairs = pairs.cache()
     from pyspark.sql import Window
 
     w = Window.partitionBy("component").orderBy(
         F.col("rank").desc(), F.col("doc_id")
     )
-    return (
-        ranks.join(comps, ranks["vertex"] == comps["vertex"])
-        .select(ranks["vertex"].alias("doc_id"), "component", "rank")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "component",
-            F.col("doc_id").alias("canonical_doc"),
-            F.round("rank", 4).alias("rank"),
+    try:
+        ranks = pagerank(pairs, iters=6)
+        comps = connected_components(pairs, src="src", dst="dst")
+        out = (
+            ranks.join(comps, ranks["vertex"] == comps["vertex"])
+            .select(ranks["vertex"].alias("doc_id"), "component", "rank")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "component",
+                F.col("doc_id").alias("canonical_doc"),
+                F.round("rank", 4).alias("rank"),
+            )
+            .orderBy("component")
         )
-        .orderBy("component")
-    )
+        # Materialize before releasing the cached pair graph: the
+        # checkpointed iteration state no longer references it.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
+    return out
