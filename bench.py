@@ -8,13 +8,17 @@ Each query is forced end-to-end with the noop sink (full computation,
 no driver collect — the reference's collect() bottleneck,
 spark_processor.py:168, is exactly what we avoid measuring).
 
-Round-over-round regression tracking: if BENCH_r01.json exists, the
-output also carries "r01_subtotal" (this run's wall time summed over
-exactly the 26 queries round 1 timed — the 1:1 comparable number),
-"vs_r01" (per-query ratio this-run / r01), and "regressions" (queries
->1.5x their r01 time). The headline set itself is wider than round
-1's: every query family that measures real work at sf0.1 has a
-representative, so a regression anywhere in the engine shows up here.
+Round-over-round regression tracking: the full per-query detail —
+all three raw runs per query (the variance evidence), "vs_r01" AND
+"vs_prev" ratios over EVERY query (vs the previous round's recorded
+timings, so a blowup in any post-r01 query trips the alarm too), and
+the merged "regressions" list — is written to BENCH_FULL.json next to
+this script. The PRINTED line is kept compact (r01-era per-query map
++ totals + regression summary) because the driver records only the
+last 2000 bytes of stdout: the r02–r04 60-query lines overflowed that
+window and landed as parsed=null. Previous-round timings are loaded
+from the committed BENCH_FULL.json when present, else reconstructed
+from the newest BENCH_r{N}.json tail fragment by regex.
 """
 
 from __future__ import annotations
@@ -176,36 +180,118 @@ def main() -> None:
     # minimum is the steady-state number a long-lived cluster job
     # sees.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
+        rs = []
         for _ in range(3):
             t0 = time.perf_counter()
             registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            rs.append(round(time.perf_counter() - t0, 3))
+        runs[name] = rs
+        timings[name] = min(rs)
     total = round(sum(timings.values()), 3)
 
+    prev = _load_prev_timings()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "n_queries": len(HEADLINE),
         "r01_subtotal": round(sum(timings[n] for n in HEADLINE_R01), 3),
     }
+    regressions: set[str] = set()
     if R01_PATH.exists():
-        r01 = json.loads(R01_PATH.read_text()).get("parsed", {}).get("queries", {})
+        r01 = (
+            json.loads(R01_PATH.read_text()).get("parsed") or {}
+        ).get("queries", {})
         vs = {
             n: round(timings[n] / r01[n], 3)
             for n in HEADLINE_R01
             if n in r01 and r01[n] > 0
         }
         out["vs_r01"] = vs
-        out["regressions"] = sorted(n for n, r in vs.items() if r > 1.5)
-    print(json.dumps(out))
+        regressions |= {n for n, r in vs.items() if r > 1.5}
+    if prev:
+        vs_prev = {
+            n: round(timings[n] / prev[n], 3)
+            for n in HEADLINE
+            if n in prev and prev[n] > 0
+        }
+        out["vs_prev"] = vs_prev
+        # Previous-round minimum-of-3 under ±8% box noise: a >1.5×
+        # best-of-3 is a real change or sustained contention, either
+        # way worth a row in the alarm list.
+        regressions |= {n for n, r in vs_prev.items() if r > 1.5}
+    out["regressions"] = sorted(regressions)
+
+    FULL_PATH.write_text(json.dumps(out, indent=1))
+
+    # Printed line: the driver records only the last ~2000 bytes of
+    # stdout, so keep this parseable — r01-era per-query map (the 1:1
+    # baseline-comparable set) + totals; full detail in BENCH_FULL.json.
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE_R01},
+        "sf": out["sf"],
+        "n_queries": len(HEADLINE),
+        "r01_subtotal": out["r01_subtotal"],
+        "regressions": out["regressions"],
+        "detail": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
+
+
+FULL_PATH = Path(__file__).resolve().parent / "BENCH_FULL.json"
+
+
+def _load_prev_timings() -> dict[str, float]:
+    """Previous-round per-query timings: the committed BENCH_FULL.json
+    (written by the previous round's bench run) when present, else the
+    newest BENCH_r{N}.json — whose 2000-byte tail fragment may hold a
+    truncated JSON line, recovered per-query by regex."""
+    import re
+
+    if FULL_PATH.exists():
+        try:
+            q = json.loads(FULL_PATH.read_text()).get("queries", {})
+            if q:
+                return {k: float(v) for k, v in q.items()}
+        except (ValueError, TypeError):
+            pass
+    here = Path(__file__).resolve().parent
+    for p in sorted(here.glob("BENCH_r*.json"), reverse=True):
+        try:
+            d = json.loads(p.read_text())
+        except ValueError:
+            continue
+        parsed = d.get("parsed") or {}
+        if parsed.get("queries"):
+            return {k: float(v) for k, v in parsed["queries"].items()}
+        tail = d.get("tail", "")
+        # The fragment may include the vs_r01 ratio map after the
+        # timings — regex over that would overwrite real timings with
+        # ratios, so cut it (and everything after) off first.
+        for marker in ('"vs_r01"', '"regressions"', '"vs_prev"'):
+            idx = tail.find(marker)
+            if idx != -1:
+                tail = tail[:idx]
+        found = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+        }
+        # Drop non-timing scalars that match the pattern (sf, value).
+        found.pop("sf", None)
+        found.pop("value", None)
+        if len(found) >= 10:
+            return found
+    return {}
 
 
 if __name__ == "__main__":

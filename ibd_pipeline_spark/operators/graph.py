@@ -164,14 +164,24 @@ def pagerank(
     conservation — asserted in tests).
     """
     sess = edges.sparkSession
-    if checkpoint_dir is not None:
+    reliable = checkpoint_dir is not None
+    if reliable:
         sess.sparkContext.setCheckpointDir(checkpoint_dir)
-    und = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionByName(
-        edges.selectExpr(f"{dst} AS u", f"{src} AS v")
-    ).distinct()
-    degrees = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # Materialize the loop-invariant state ONCE: every checkpoint job
+    # re-executes the rank frame's whole un-truncated lineage, so if
+    # und/degrees stay lazy they are recomputed inside every round's
+    # job. (Measured on local[8]: this + the cadence below takes a
+    # 6-round run from 5.7 s to 3.6 s of pure scheduler cost.)
+    und = _truncate(
+        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+        .unionByName(edges.selectExpr(f"{dst} AS u", f"{src} AS v"))
+        .distinct(),
+        reliable,
+    )
+    degrees = _truncate(
+        und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")), reliable
+    )
     vertices = degrees.select("u")
-    n_b = F.broadcast(vertices.agg(F.count(F.lit(1)).alias("n")))
 
     ranks = degrees.select("u", F.lit(1.0).alias("rank"))
     for i in range(iters):
@@ -191,10 +201,14 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # Truncate lineage every 3rd round (and on the last): each
-        # eager checkpoint is a full job, and a 3-round-deep plan of
-        # join+agg is still shallow — 3× fewer scheduler round-trips
-        # than checkpointing every iteration.
-        if (i + 1) % 3 == 0 or i == iters - 1:
-            ranks = _truncate(ranks, reliable=checkpoint_dir is not None)
+        # Truncate lineage every 2nd round (and on the last). AQE
+        # splits each shuffle of the un-truncated plan into its own
+        # job, so checkpoint cost grows superlinearly with lineage
+        # depth: every-3 was MEASURED slower than every-1 on a tiny
+        # graph (5.7 s vs 3.8 s for 6 rounds); every-2 balances the
+        # per-checkpoint job count against rounds-per-checkpoint
+        # (3.6 s) and at cluster scale halves the materialized-state
+        # writes of every-1.
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            ranks = _truncate(ranks, reliable=reliable)
     return ranks.select(F.col("u").alias("vertex"), "rank")

@@ -270,7 +270,11 @@ def _decode_frames_real(content: bytes, every_ms: int) -> list[tuple[int, int, b
                 continue
             thumb = frame.reformat(width=32, height=32, format="rgb24")
             frames.append((len(frames), ts_ms, thumb.to_ndarray().tobytes()))
-            next_ms += every_ms
+            # Advance PAST the kept frame's boundary: after a timestamp
+            # gap that skips several every_ms boundaries, the next keep
+            # must be the first frame at-or-after the NEXT boundary —
+            # `next_ms += every_ms` would keep nearly every frame.
+            next_ms = (ts_ms // every_ms + 1) * every_ms
     return frames
 
 

@@ -41,6 +41,25 @@ def normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x / n)
 
 
+def _parse_byte_size(conf: str, default: int = 134217728) -> int:
+    """Parse a Spark byte-size config value (JavaUtils grammar subset:
+    optional k/m/g/t/p suffix, optional trailing 'b', case-insensitive).
+    A bare number is bytes. Unparseable input returns the default —
+    this feeds a performance heuristic, never correctness."""
+    s = conf.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    try:
+        return max(1, int(float(s)) * mult)
+    except ValueError:
+        return default
+
+
 def _estimated_scan_splits(df: DataFrame) -> int:
     """Zero-job estimate of how many scan tasks a file-backed frame
     yields: Σ ceil(file_size / maxPartitionBytes) over its input
@@ -57,8 +76,7 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     if not files:
         return 1 << 30
     conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    digits = "".join(ch for ch in str(conf) if ch.isdigit()) or "134217728"
-    max_bytes = int(digits)
+    max_bytes = _parse_byte_size(str(conf))
     splits = 0
     for f in files:
         if not f.startswith("file:"):
@@ -520,7 +538,7 @@ def kmeans(
     for _ in range(iters):
         assigned = assign(cents)
         dims = assigned.select("cluster_id", F.posexplode("cv").alias("pos", "x"))
-        cents = (
+        updated = (
             dims.groupBy("cluster_id", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("cluster_id")
@@ -530,7 +548,15 @@ def kmeans(
                     lambda s: s["m"],
                 ).alias("cent_v")
             )
-            .select(F.col("cluster_id").alias("cent_id"), "cent_v")
+            .select(F.col("cluster_id").alias("cent_id"), F.col("cent_v").alias("new_v"))
+        )
+        # A centroid that lost every member vanishes from the update
+        # aggregate; keep its previous position instead of silently
+        # shrinking k — later rounds can re-capture vectors for it,
+        # and the operator's k-clusters contract stays true.
+        cents = (
+            cents.join(updated, "cent_id", "left")
+            .select("cent_id", F.coalesce("new_v", "cent_v").alias("cent_v"))
         )
         cents = (
             cents.checkpoint(eager=True)

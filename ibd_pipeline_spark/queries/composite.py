@@ -522,7 +522,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       count_if(o_totalprice > 200000) AS n_large,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_large,
        bool_and(o_totalprice > 900)    AS all_above_floor,
        bool_or(o_totalprice > 500000)  AS any_jumbo
 FROM orders

@@ -255,28 +255,26 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence are property-tested in tests/test_graph.py.
 
     Scale: both iterations are one join + one aggregate per round on
-    vertex-partitioned state; the pair graph itself is the bounded
-    blocked join (never all-pairs)."""
+    vertex-partitioned state; the pair graph is seeded from the
+    MinHash-LSH bucketed band join (`minhash_candidate_pairs`) — the
+    same O(n·bands) shuffle dedup_minhash_lsh rides, never an
+    all-pairs product. The doc_id < 150 slice bounds the ITERATION
+    cost for the bench, not the join shape."""
+    from ibd_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        release_state,
+    )
     from ibd_pipeline_spark.operators.graph import connected_components, pagerank
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    toksets = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    a = toksets.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-    b = toksets.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    cand = minhash_candidate_pairs(d)
     pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.size(F.array_intersect("ta", "tb")).cast("double")
-            / F.size(F.array_union("ta", "tb"))
-            >= 0.6
-        )
+        cand.filter(F.col("jaccard") >= 0.6)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     # Both fixpoint algorithms seed from the same pair graph; cache it
-    # so the blocked Jaccard self-join runs once, not once per
-    # algorithm's first checkpointed round.
+    # so the LSH band join runs once, not once per algorithm's first
+    # checkpointed round.
     pairs = pairs.cache()
     from pyspark.sql import Window
 
@@ -303,4 +301,5 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.localCheckpoint(eager=True)
     finally:
         pairs.unpersist()
+        release_state(cand)
     return out

@@ -596,19 +596,19 @@ def train_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_wide(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
-    s3 = _shingles(toks, 3)
-    tri_rep = F.when(F.size(s3) == 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(s3)).cast("double") / F.size(s3)
-    )
-    base = d.select("doc_id", "source", "text", toks.alias("t"), n.alias("n"))
-    gated = base.filter((F.col("n") >= 20)).filter(
-        F.when(F.size(_shingles(F.col("t"), 3)) == 0, F.lit(0.0)).otherwise(
-            1.0
-            - F.size(F.array_distinct(_shingles(F.col("t"), 3))).cast("double")
-            / F.size(_shingles(F.col("t"), 3))
+    # Materialize the trigram-shingle counts ONCE in an inner
+    # projection (the `text_repetition_ratio` idiom) so the repetition
+    # predicate shingles each row a single time instead of three.
+    s3 = _shingles(F.col("t"), 3)
+    base = d.select(
+        "doc_id", "source", "text", toks.alias("t"), n.alias("n")
+    ).withColumns({"n_s3": F.size(s3), "n_s3_uniq": F.size(F.array_distinct(s3))})
+    gated = base.filter(F.col("n") >= 20).filter(
+        F.when(F.col("n_s3") == 0, F.lit(0.0)).otherwise(
+            1.0 - F.col("n_s3_uniq").cast("double") / F.col("n_s3")
         )
         <= 0.2
-    )
+    ).drop("n_s3", "n_s3_uniq")
     sh5 = F.explode(F.array_distinct(_shingles(F.split("text", " "), 5))).alias(
         "shingle"
     )

@@ -57,6 +57,49 @@ def _rows_sorted(cols, rows):
     return sorted(out, key=_key), [cols[i] for i in order]
 
 
+def _dtype_kind(series):
+    """Collapse a pandas dtype to the comparison kind the driver's
+    canonicalizer distinguishes: ints ('i'), floats ('f'), bools ('b'),
+    datetimes ('M'), everything else ('O'). Signed/unsigned widths are
+    equivalent; int-vs-float is NOT (the `count_if`-returns-HUGEINT →
+    float64 trap that produced the r04 `agg_count_if_bool` hash-FAIL
+    while value-level comparison passed 1822 == 1822.0)."""
+    import datetime
+
+    k = series.dtype.kind
+    if k == "u":
+        return "i"
+    if k in ("i", "f", "b", "M"):
+        return k
+    if k == "O":
+        sample = series.dropna()
+        if len(sample) and all(
+            isinstance(v, (datetime.date, datetime.datetime))
+            for v in sample.head(5)
+        ):
+            return "M"
+    return "O"
+
+
+def _check_dtypes(name, sdf, duck, sql):
+    """Driver-mirror dtype check: compare pandas dtype kinds per column
+    the way the driver's hash canonicalizer sees them."""
+    spd = sdf.toPandas()
+    dpd = duck.execute(sql).df()
+    for col in spd.columns:
+        if col not in dpd.columns:
+            continue
+        sk, dk = _dtype_kind(spd[col]), _dtype_kind(dpd[col])
+        # A column that is all-null (or empty) degrades to object/float
+        # on either side without carrying information — skip those.
+        if spd[col].isna().all() or dpd[col].isna().all():
+            continue
+        assert sk == dk, (
+            f"{name}.{col}: dtype-kind mismatch spark={spd[col].dtype} "
+            f"duck={dpd[col].dtype} — driver hash would diverge"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(name, spark, duck, sf_dir):
     sdf = QUERIES[name](spark, sf_dir)
@@ -66,6 +109,8 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+
+    _check_dtypes(name, sdf, duck, ORACLES[name])
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
