@@ -144,7 +144,33 @@ HEADLINE_R04 = [
     "dedup_pagerank_canonical",
 ]
 
-HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04
+# Round-5 additions that do real volume work (the input-bounded
+# coverage queries — scalar_string_reshape ≤100 rows, unpivot ≤200,
+# join_null_safe_eq ≤500 — stay out per the round-2 rule).
+HEADLINE_R05 = [
+    # adjacent-pair explode → hash agg (the BPE merge-step plan)
+    "train_bpe_pair_counts",
+    # word explode → two-level agg
+    "text_vocab_hapax_stats",
+    # per-user window lead + pair agg
+    "events_transition_matrix",
+    # agg + 3 global ntile windows
+    "customer_rfm_segments",
+    # exact grouped percentiles (the sketch's value oracle)
+    "text_length_percentiles",
+    # digest agg → histogram agg
+    "dedup_cluster_size_stats",
+    # posexplode dim-wise mean (k-means update primitive)
+    "similarity_centroid_dims",
+    # two grouped-percentile passes + broadcast joins
+    "quality_mad_outliers",
+    # per-row interval arithmetic + agg
+    "events_late_arrival_audit",
+    # double window (per-source + global) interleave
+    "train_interleave_roundrobin",
+]
+
+HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04 + HEADLINE_R05
 
 
 def main() -> None:

@@ -53,9 +53,19 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     resulting 8-byte longs — O(shingles + families·shingles·const)
     instead of O(families·shingles·strlen). All JVM-side."""
     base_hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+    # NB: the family id must be closed over with a one-argument lambda.
+    # A two-argument `lambda h, i=i:` looks like a default-arg capture
+    # but Spark passes (element, array_index) to binary transform
+    # lambdas — the index SHADOWS the default and every "family"
+    # becomes the same function (caught by the Hypothesis property
+    # test: signature agreement hit 1.0 on a J=0.5 pair).
+    def family(fam: int):
+        return lambda h: F.xxhash64(h, F.lit(fam))
+
     return F.array(
         *[
-            F.array_min(F.transform(base_hashes, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            F.array_min(F.transform(base_hashes, family(i)))
             for i in range(num_hashes)
         ]
     )

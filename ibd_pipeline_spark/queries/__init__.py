@@ -104,7 +104,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # green in an earlier round follows in registration order.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # driver-ERR in r02/r03, fixed this round (array → joined string)
+    # ------------------------------------------------------------------
+    # ROUND-5 WINDOW PREFIX.
+    # The 14 round-4 additions that never got a driver row (queued
+    # behind the r04 50-slot window; all locally oracle-green or
+    # rows-only by design), then the two re-attests: agg_count_if_bool
+    # (r04 hash-FAIL — DuckDB count_if HUGEINT→float64 dtype trap,
+    # oracle now CASTs to BIGINT) and weather_sim_golden (previously
+    # rows-only; now carries a VALUES-literal oracle of the seeded
+    # generator's expected output). Round-5 additions follow via
+    # _ROUND5_NEW; everything attested green in r01–r04 moves to the
+    # back — its evidence lives in that round's CORRECTNESS_r{N}.json.
+    # ------------------------------------------------------------------
+    "train_conversation_assembly",
+    "train_lang_balanced_quota",
+    "similarity_kmeans_clusters",
+    "quality_expectations_audit",
+    "profile_table_columns",
+    "gdpr_delete_propagation",
+    "join_point_in_time_scd2",
+    "join_salted_hot_key",
+    "train_chunk_documents",
+    "quality_psi_drift",
+    "events_period_over_period",
+    "ab_test_proportion_ztest",
+    "train_e2e_pipeline",
+    "dedup_pagerank_canonical",
+    "agg_count_if_bool",
+    "weather_sim_golden",
+]
+
+# Round-5 additions (new registrations) slot in right after the
+# backlog so they land inside the 50-slot window too.
+_ROUND5_NEW: list[str] = [
+    # relational5 — SQL-surface widening
+    "agg_mode_per_group",
+    "window_distribution_funcs",
+    "agg_pivot_priority",
+    "unpivot_part_measures",
+    "join_null_safe_eq",
+    "agg_corr_regression",
+    "agg_bitwise_flags",
+    "scalar_string_reshape",
+    # analytics2 — behavioral sequences & segmentation
+    "events_transition_matrix",
+    "events_heavy_hitters",
+    "customer_rfm_segments",
+    "events_late_arrival_audit",
+    # llmdata2 — corpus curation round 5
+    "train_bpe_pair_counts",
+    "train_source_temperature",
+    "train_split_three_way",
+    "text_vocab_hapax_stats",
+    "text_length_percentiles",
+    "dedup_cluster_size_stats",
+    "train_interleave_roundrobin",
+    # dim-wise centroid primitive (similarity.py)
+    "similarity_centroid_dims",
+    # quality round 5 (quality.py)
+    "quality_benford_digits",
+    "quality_mad_outliers",
+]
+
+# ---------------------------------------------------------------------------
+# Rounds 1–4 attested history, kept in original order behind the
+# window (green driver rows already recorded in CORRECTNESS_r01–r04).
+# ---------------------------------------------------------------------------
+_ATTESTED: list[str] = [
+    # driver-ERR in r02/r03, fixed round 4 (array → joined string)
     "collect_sorted_list",
     "array_higher_order_funcs",
     # TPC-H remainder (local sf0.01 parity green since round 1/2)
@@ -131,7 +198,6 @@ _DRIVER_PRIORITY: list[str] = [
     "text_tfidf_top_terms",
     "train_curriculum_schedule",
     "join_right_outer",
-    "agg_count_if_bool",
     "join_date_spine_gapfill",
     "scalar_json_quarantine",
     "events_attribution_join",
@@ -153,43 +219,19 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_features",
     "multimodal_metadata_profile",
     "agg_approx_distinct",
-    "weather_sim_golden",
-    # --- round-4 additions slot in here (new registrations below) -------
-]
-
-# Queries registered by round-4 modules that should enter the window
-# immediately after the backlog above (new code → needs a driver row).
-# Oracle-bearing entries first: the 46-entry backlog + the first 4 of
-# these fill the driver's 50-slot window; the rest queue for round 5.
-#
-# Round-5 rotation TODO: promote into the prefix the below-window
-# tail of this list (train_conversation_assembly onward) plus any
-# round-5 additions; everything in the round-4 window moves to the
-# back once CORRECTNESS_r04.json records it green.
-_ROUND4_NEW: list[str] = [
+    # round-4 window, attested green in CORRECTNESS_r04.json
     "text_decontaminate_ngram_overlap",
     "text_unigram_logprob_score",
     "text_repetition_ratio",
     "dedup_cross_corpus_anti",
-    "train_conversation_assembly",
-    "train_lang_balanced_quota",
-    "similarity_kmeans_clusters",
-    "quality_expectations_audit",
-    "profile_table_columns",
-    "gdpr_delete_propagation",
-    "join_point_in_time_scd2",
-    "join_salted_hot_key",
-    "train_chunk_documents",
-    "quality_psi_drift",
-    "events_period_over_period",
-    "ab_test_proportion_ztest",
-    "train_e2e_pipeline",
-    "dedup_pagerank_canonical",
 ]
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    head = _DRIVER_PRIORITY + [n for n in _ROUND4_NEW if n not in _DRIVER_PRIORITY]
+    head = _DRIVER_PRIORITY + [
+        n for n in _ROUND5_NEW if n not in _DRIVER_PRIORITY
+    ]
+    head = head + [n for n in _ATTESTED if n not in head]
     prio = [n for n in head if n in names]
     rest = [n for n in names if n not in set(head)]
     return prio + rest
@@ -216,10 +258,12 @@ def _ensure_loaded() -> None:
     # Imports deferred to avoid import cycles with the decorator.
     from ibd_pipeline_spark.queries import (  # noqa: F401
         analytics,
+        analytics2,
         composite,
         dedup,
         events,
         llmdata,
+        llmdata2,
         maintenance,
         quality,
         multimodal,
@@ -227,6 +271,7 @@ def _ensure_loaded() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         scalar_ext,
         similarity,
         text,

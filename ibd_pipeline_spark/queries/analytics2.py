@@ -1,0 +1,223 @@
+"""Product-analytics round 5: behavioral-sequence and segmentation
+shapes — event-transition matrices (the Markov view of a product),
+exact heavy hitters per dimension, RFM customer segmentation, and
+late-arrival accounting (the batch audit of streaming watermark
+semantics). No reference analog (SURVEY.md §2.2 capability-gap
+families); all pure DataFrame ops, one to two shuffles each.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+         AS p_transition
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: P(next event type |
+    current event type) per user journey — the Markov-chain view of
+    product flow (where do users go after 'view'?). lead() over the
+    per-user time order builds the bigram; one aggregate counts it;
+    a window over the 5×5 result normalizes rows to probabilities.
+
+    Scale: one shuffle on user_id (window), one on the 25-cell pair
+    space. Ties in ts are broken by event_id so the sequence — and
+    therefore every count — is partition-invariant."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(wrow), 6
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "events_heavy_hitters",
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+), r AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rk
+  FROM c
+)
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n_events, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5
+ORDER BY event_type, rk
+""",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-5 users by event volume per event
+    type. Aggregate FIRST (map-side combine shrinks the stream to one
+    row per (type, user)), then rank the small result — the order
+    that scales; ranking raw events would sort the full table.
+
+    Scale: shuffle 1 = (type, user) hash agg; shuffle 2 = the
+    aggregated counts only. Skewed users fold into one row each at
+    stage 1, so the window never sees skew."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*)         AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         NTILE(4) OVER (ORDER BY frequency, o_custkey)  AS f_score,
+         NTILE(4) OVER (ORDER BY monetary, o_custkey)   AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — quartile scores for Recency / Frequency /
+    Monetary per customer, then segment population counts. The
+    classic CRM cube, built from one aggregate + three global ntile
+    windows over the AGGREGATED (one-row-per-customer) relation.
+
+    Monetary ranks on the exact decimal sum (not a rounded double):
+    ntile over a last-ulp-noisy double would be partition-dependent
+    near quartile boundaries. Every window carries a custkey tiebreak
+    for total order.
+
+    Scale: the global ntile is the one single-partition sort — over
+    customers, not orders (aggregate first). At 100 TB you'd swap
+    ntile for approx-percentile boundaries + a broadcast bucket join;
+    the exact form is the oracle-checkable contract."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "events_late_arrival_audit",
+    oracle="""
+WITH arr AS (
+  SELECT CAST(ts AS TIMESTAMP) AS event_time,
+         CAST(ts AS TIMESTAMP)
+           + INTERVAL 1 SECOND * (event_id % 600) AS arrival_time,
+         event_type
+  FROM events
+), marked AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 5 MINUTE, event_time) AS window_start,
+         CASE WHEN arrival_time > time_bucket(INTERVAL 5 MINUTE, event_time)
+                                  + INTERVAL 5 MINUTE + INTERVAL 120 SECOND
+              THEN 1 ELSE 0 END AS is_late
+  FROM arr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)    AS n_events,
+       CAST(SUM(is_late) AS BIGINT) AS n_late,
+       ROUND(SUM(is_late) * 1.0 / COUNT(*), 6) AS late_ratio
+FROM marked
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-semantics audit, batch twin: how much data would a
+    2-minute watermark have dropped? Arrival time is derived
+    deterministically (event_id-seeded skew up to 10 min); an event
+    is late when it arrives after its 5-minute window's close +
+    watermark delay. This is the accounting report you run BEFORE
+    picking a production watermark (streaming/weather.py:169 uses
+    2 min) — the streaming dedup/window operators drop exactly these
+    rows.
+
+    Scale: pure per-row derivation + one hash aggregate; no window
+    functions, no join."""
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    arrival = F.col("ts") + F.make_dt_interval(
+        secs=(F.col("event_id") % 600).cast("double")
+    )
+    marked = e.select(
+        "event_type",
+        F.when(
+            arrival > win["end"] + F.expr("INTERVAL 120 SECONDS"), 1
+        ).otherwise(0).alias("is_late"),
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_late").alias("n_late"),
+            F.round(F.sum("is_late") / F.count(F.lit(1)), 6).alias("late_ratio"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,372 @@
+"""Round-5 LLM training-data operators: BPE-style pair statistics,
+temperature-based source reweighting, deterministic three-way splits,
+vocabulary/hapax statistics, exact length percentiles, duplicate-
+cluster shape accounting, and round-robin source interleaving.
+
+Like queries/llmdata.py these have no reference analog (SURVEY.md
+§2.2 north-star families) — they are the corpus-curation operators a
+100 TB pretraining pipeline runs between crawl and tokenizer. All
+oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ibd_pipeline_spark.catalog import load, load_wide
+from ibd_pipeline_spark.queries import query
+
+
+@query(
+    "train_bpe_pair_counts",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT w[i] AS left_tok, w[i + 1] AS right_tok
+  FROM toks, UNNEST(range(1, len(w))) t(i)
+), c AS (
+  SELECT left_tok, right_tok, COUNT(*) AS n
+  FROM pairs GROUP BY left_tok, right_tok
+), r AS (
+  SELECT left_tok, right_tok, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, left_tok, right_tok) AS rk
+  FROM c
+)
+SELECT CAST(rk AS INT) AS rk, left_tok, right_tok, CAST(n AS BIGINT) AS n_pairs
+FROM r WHERE rk <= 20
+ORDER BY rk
+""",
+)
+def train_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration at corpus scale: global counts of
+    adjacent token pairs, top 20. The pair stream is built per row
+    with zip_with(toks, toks[2:]) — one flat array traversal, no
+    position explode — then exploded straight into a hash aggregate
+    (map-side combined; the explode never shuffles raw pairs of one
+    doc to two places).
+
+    A full BPE trainer is this query in a loop: count → merge the
+    argmax pair → re-tokenize. The loop's per-round plan is exactly
+    this one, which is what makes the single round the right
+    registry/bench unit.
+
+    Scale: shuffle = distinct pair space (vocab²-bounded, Zipf-small
+    in practice), never the corpus. Top-20 via one tiny window."""
+    d = load_wide(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    c = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "left_tok", "right_tok")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("rk").cast("int"),
+            "left_tok",
+            "right_tok",
+            F.col("n").alias("n_pairs"),
+        )
+        .orderBy("rk")
+    )
+
+
+@query(
+    "train_source_temperature",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, n_tokens,
+         n_tokens / SUM(n_tokens) OVER () AS p_raw,
+         POW(n_tokens / SUM(n_tokens) OVER (), 0.7) AS p_temp
+  FROM s
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT)               AS n_tokens,
+       ROUND(p_raw, 6)                        AS p_raw,
+       ROUND(p_temp / SUM(p_temp) OVER (), 6) AS p_sampled,
+       ROUND((p_temp / SUM(p_temp) OVER ()) / p_raw, 4) AS upweight
+FROM p
+ORDER BY source
+""",
+)
+def train_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source reweighting (T = 0.7): the mixture
+    rule that upsamples small high-quality sources and downsamples
+    the crawl — p_sampled ∝ p_raw^0.7, renormalized. The standard
+    pretraining-mixture knob reported per source with its effective
+    upweight factor.
+
+    Scale: one hash aggregate over the corpus (token counts), then
+    window math over the ~dozens-of-sources relation — the global
+    windows run on rows-per-source, not rows-per-doc."""
+    d = load_wide(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    p_raw = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    p = s.select(
+        "source",
+        "n_tokens",
+        p_raw.alias("p_raw"),
+        F.pow(p_raw, 0.7).alias("p_temp"),
+    )
+    p_sampled = F.col("p_temp") / F.sum("p_temp").over(wall)
+    return p.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(p_sampled, 6).alias("p_sampled"),
+        F.round(p_sampled / F.col("p_raw"), 4).alias("upweight"),
+    ).orderBy("source")
+
+
+@query(
+    "train_split_three_way",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM t
+GROUP BY 1, 2
+ORDER BY source, split
+""",
+)
+def train_split_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-derived
+    hash bucket (md5(doc_id) — the stratified_hash_sample contract):
+    membership is a pure function of the ROW, so the split is stable
+    across reruns, engines, partitioning, and appended data — the
+    property rand(seed) does NOT give (rand is per-task-attempt) and
+    the one that prevents eval-set leakage when the corpus is
+    re-sharded.
+
+    Scale: per-row hash + one hash aggregate on (source, split);
+    no shuffle of document text, ever."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "text_vocab_hapax_stats",
+    oracle="""
+WITH words AS (
+  SELECT source, w, COUNT(*) AS n
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source, w
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                           AS vocab_size,
+       CAST(SUM(n) AS BIGINT)                             AS n_tokens,
+       CAST(COUNT(*) FILTER (n = 1) AS BIGINT)            AS n_hapax,
+       ROUND(COUNT(*) * 1.0 / SUM(n), 6)                  AS type_token_ratio,
+       ROUND(COUNT(*) FILTER (n = 1) * 1.0 / COUNT(*), 6) AS hapax_ratio
+FROM words
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_vocab_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: vocabulary size, hapax
+    legomena (words occurring once — the OCR-noise / boilerplate
+    smell test), type-token ratio. Hapax-heavy sources are candidates
+    for quality filtering; a COLLAPSING type-token ratio flags
+    TEMPLATE/degenerate text.
+
+    Two-level aggregation, both hash-based and map-side combined:
+    (source, word) counts, then per-source rollup — the corpus text
+    itself is exploded into words exactly once and never re-shuffled
+    as raw text."""
+    d = load_wide(spark, sf_dir, "documents")
+    words = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        words.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("n").alias("n_tokens"),
+            F.count_if(F.col("n") == 1).alias("n_hapax"),
+            F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("type_token_ratio"),
+            F.round(F.count_if(F.col("n") == 1) / F.count(F.lit(1)), 6).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_length_percentiles",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(percentile_cont(0.5)
+         WITHIN GROUP (ORDER BY CAST(len(string_split(text,' ')) AS DOUBLE)), 4)
+         AS p50_tokens,
+       ROUND(percentile_cont(0.9)
+         WITHIN GROUP (ORDER BY CAST(len(string_split(text,' ')) AS DOUBLE)), 4)
+         AS p90_tokens,
+       ROUND(percentile_cont(0.99)
+         WITHIN GROUP (ORDER BY CAST(len(string_split(text,' ')) AS DOUBLE)), 4)
+         AS p99_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated token-length percentiles (p50/p90/p99) per
+    source — the dataset-card number. Exact percentile is the
+    oracle-checkable contract here; the 100 TB form is
+    approx_percentile (t-digest, mergeable, no per-group value
+    buffering), already attested as stats_approx_percentiles — this
+    query pins the VALUES the sketch approximates.
+
+    Scale note (honest): exact percentile buffers each group's values
+    in one aggregation buffer — bounded by docs-per-source. Run the
+    sketch twin when a single source exceeds executor memory."""
+    d = load_wide(spark, sf_dir, "documents")
+    nt = F.size(F.split("text", " ")).cast("double")
+    t = d.select("source", nt.alias("nt"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("nt", F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile("nt", F.lit(0.9)), 4).alias("p90_tokens"),
+            F.round(F.percentile("nt", F.lit(0.99)), 4).alias("p99_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_cluster_size_stats",
+    oracle="""
+WITH clusters AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest,
+         COUNT(*) AS sz
+  FROM documents GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+FROM clusters
+GROUP BY sz
+ORDER BY cluster_size
+""",
+)
+def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster shape accounting: the size histogram of
+    exact-dup clusters (normalized-text md5) plus how many docs
+    dedup would remove at each size. THE first report of any dedup
+    campaign — it tells you whether duplication is a few mega-
+    clusters (boilerplate: handle by pattern) or a long tail of
+    pairs (crawl overlap: handle by digest), and n_removable prices
+    the storage win before you spend the shuffle.
+
+    Scale: two hash aggregates, both on digests (text leaves the
+    wire after the first projection); output is ~max-cluster-size
+    rows."""
+    d = load_wide(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    clusters = d.groupBy(digest.alias("digest")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        clusters.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            (F.sum("sz") - F.count(F.lit(1))).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@query(
+    "train_interleave_roundrobin",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), g AS (
+  SELECT doc_id, source, rn,
+         ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS pos
+  FROM r
+)
+SELECT CAST(pos AS BIGINT) AS pos, doc_id, source
+FROM g WHERE pos <= 100
+ORDER BY pos
+""",
+)
+def train_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across sources — the
+    training-order schedule that prevents source-blocked gradient
+    drift (a million crawl docs in a row before any code). Doc k of
+    each source lands at global position ~k·n_sources: row_number per
+    source, then a global order by (rn, source).
+
+    Scale: the per-source numbering shuffles once on source; the
+    global top-100 presentation is a limit, not a full sort
+    materialization. For the full 100 TB schedule you'd write
+    files sorted by (rn, source) — same plan minus the limit."""
+    d = load(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    g = r.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.orderBy("rn", "source", "doc_id"))
+        .alias("pos"),
+    )
+    return (
+        g.filter(F.col("pos") <= 100)
+        .select(F.col("pos").cast("bigint"), "doc_id", "source")
+        .orderBy("pos")
+    )

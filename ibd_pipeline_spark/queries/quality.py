@@ -10,7 +10,7 @@ passes over the table.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
@@ -431,4 +431,126 @@ def ab_test_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("r1") - F.col("r0")) / F.nullif(se, F.lit(0.0)), 4
         ).alias("z_score"),
+    )
+
+
+@query(
+    "quality_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), t AS (
+  SELECT digit, n, SUM(n) OVER () AS total FROM c
+)
+SELECT digit,
+       CAST(n AS BIGINT)                       AS n_values,
+       ROUND(n * 1.0 / total, 6)               AS p_observed,
+       ROUND(LOG(1.0 + 1.0 / digit) / LOG(10.0), 6) AS p_benford,
+       ROUND(n * 1.0 / total
+             - LOG(1.0 + 1.0 / digit) / LOG(10.0), 6) AS deviation
+FROM t
+ORDER BY digit
+""",
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: observed vs expected first-significant-
+    digit distribution of order totals — the classic fabricated-data
+    / unit-mixing smell test for financial columns. The first digit
+    is taken from the INTEGER string (floor → bigint → substring):
+    double→string formatting differs between engines, integer
+    formatting doesn't.
+
+    Scale: per-row digit extraction + one 9-row hash aggregate; the
+    window normalization runs over 9 rows."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    p_obs = F.col("n") / total
+    p_ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.select(
+            "digit",
+            F.col("n").alias("n_values"),
+            F.round(p_obs, 6).alias("p_observed"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round(p_obs - p_ben, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "quality_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+  FROM orders GROUP BY o_orderpriority
+), dev AS (
+  SELECT o.o_orderpriority, o.o_totalprice, m.med,
+         ABS(o.o_totalprice - m.med) AS absdev
+  FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+), mad AS (
+  SELECT o_orderpriority,
+         ANY_VALUE(med) AS med,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY absdev) AS mad
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(ANY_VALUE(m.med), 4) AS median_price,
+       ROUND(ANY_VALUE(m.mad), 4) AS mad_price,
+       CAST(COUNT(*) FILTER (ABS(d.o_totalprice - m.med)
+                             > 3 * 1.4826 * m.mad) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.o_orderpriority = m.o_orderpriority
+GROUP BY d.o_orderpriority
+ORDER BY d.o_orderpriority
+""",
+)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x − median| > 3·1.4826·MAD per
+    group — the monitoring rule that, unlike z-scores, doesn't let
+    the outliers inflate their own threshold (median and MAD have a
+    50% breakdown point; mean/stddev have 0%).
+
+    Two passes by necessity (MAD needs the median first), each a
+    grouped percentile + broadcast-joinable per-group constant; the
+    fact table streams through both joins without shuffling (group
+    medians are a 5-row broadcast).
+
+    Scale: swap percentile for approx_percentile at 100 TB (same
+    plan shape); exact form is the oracle contract."""
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "absdev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.any_value("med").alias("med"),
+        F.percentile("absdev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        o.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.any_value("med"), 4).alias("median_price"),
+            F.round(F.any_value("mad"), 4).alias("mad_price"),
+            F.count_if(
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                > 3 * 1.4826 * F.col("mad")
+            ).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
     )

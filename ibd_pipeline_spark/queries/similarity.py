@@ -221,3 +221,49 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "similarity_centroid_dims",
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT label, i AS pos, v[i] AS x
+  FROM e, UNNEST(generate_series(1, len(v))) t(i)
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_val
+FROM dims
+GROUP BY label, pos
+ORDER BY label, pos
+""",
+)
+def similarity_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid as (label, pos, mean) rows — the dim-wise
+    aggregation primitive under k-means' update step (operators.
+    similarity.kmeans) exposed as a standalone oracle-checked query.
+    Emitting rows instead of re-assembled arrays keeps the oracle
+    exact AND mirrors how the mean is actually computed: posexplode →
+    hash aggregate on (label, pos), map-side combined, exact decimal
+    sums.
+
+    Scale: shuffle = labels × dims rows of partial sums — independent
+    of vector count; the classic mergeable-state shape."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(S.as_double_array("embedding")).alias("pos0", "x")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "x")
+    return (
+        dims.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_val")
+        )
+        .select("label", F.col("pos").cast("int"), "mean_val")
+        .orderBy("label", "pos")
+    )

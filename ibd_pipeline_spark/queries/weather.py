@@ -249,18 +249,60 @@ def weather_synth_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
-@query("weather_sim_golden")  # rows-only: seeded Python producer twin
+def _sim_golden_oracle(n: int = 300) -> str:
+    """Materialize the seeded simulator's expected flattened rows as a
+    VALUES table — the golden-test technique elevated to a driver
+    oracle. The generator is pure seeded Python (no Spark), so the
+    exact expected output of P1→P4 over its stream is computable here
+    at registration time; Python `repr` float literals round-trip
+    bit-exactly through both DuckDB's parser and Spark's from_json
+    (shortest-repr), so the comparison needs NO rounding: any parse or
+    projection drift on any leaf flips the driver hash."""
+    import json as _json
+
+    rows = []
+    for m in generate_messages(n):
+        d = _json.loads(m)
+        cc = d["current_conditions"]
+        ts = d["timestamp"].replace("T", " ")
+        # CAST every literal to DOUBLE: DuckDB types a bare decimal
+        # literal as DECIMAL, which would surface as full-precision
+        # Decimal objects (and a different driver hash dtype).
+        vals = [f"CAST('{ts}' AS TIMESTAMP)"] + [
+            f"CAST({repr(v)} AS DOUBLE)"
+            for v in (
+                d["location"]["latitude"],
+                d["location"]["longitude"],
+                cc["temperature"]["value"],
+                cc["temperature"]["apparent"],
+                cc["humidity"]["value"],
+                cc["wind"]["speed"],
+                cc["wind"]["gusts"],
+                cc["wind"]["direction"],
+                cc["atmosphere"]["pressure_msl"],
+                cc["atmosphere"]["cloud_cover"],
+                cc["precipitation"]["total"],
+            )
+        ]
+        rows.append("(" + ", ".join(vals) + ")")
+    cols = (
+        "event_time, lat, lon, temperature_c, apparent_temperature_c, "
+        "humidity_pct, wind_speed_kmph, wind_gust_kmph, wind_direction_deg, "
+        "pressure_hpa, cloud_cover_pct, precipitation_mm"
+    )
+    body = ",\n".join(rows)
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({cols})\nORDER BY event_time"
+
+
+@query("weather_sim_golden", oracle=_sim_golden_oracle())
 def weather_sim_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The original seeded producer-twin path (weather_sim.generate_
     messages, the faithful Python re-expression of weather-producer.py
-    :109-221) through P1→P4. Rows-only: the simulator's math.sin +
-    random.Random(42) stream is driver-Python and has no DuckDB twin;
-    value-level correctness is covered by the golden tests
-    (tests/test_streaming_weather.py) which hand-compute the window
-    aggregates for this exact stream."""
+    :109-221) through P1→P4. The oracle is the generator's expected
+    flattened output materialized as a VALUES literal table at
+    registration time (see _sim_golden_oracle) — the simulator's
+    math.sin + random.Random(42) stream has no SQL twin, but its
+    OUTPUT is a deterministic constant, and constants are the one
+    thing every engine agrees on bit-for-bit."""
     raw = spark.createDataFrame([(m,) for m in generate_messages(300)], ["value"])
-    parsed = parse_weather_json(raw)
-    numeric = [c for c, t in parsed.dtypes if t == "double"]
-    return parsed.select(
-        "event_time", *[F.round(c, 6).alias(c) for c in numeric]
-    ).orderBy("event_time")
+    return parse_weather_json(raw).orderBy("event_time")

@@ -235,3 +235,70 @@ def test_kmeans_reliable_checkpoint_path(spark, sf_dir, tmp_path):
         for r in df.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes(a) == sizes(b)
+
+
+def test_kmeans_inertia_monotone_per_iteration(spark, sf_dir):
+    """Lloyd's invariant, per-round: inertia never increases from one
+    iteration to the next (not just 1-vs-3). A regression in either
+    the argmin assignment or the dim-mean update breaks monotonicity
+    immediately."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.operators.similarity import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    inertias = [
+        kmeans(emb, k=4, iters=i).agg(F.sum("dist")).collect()[0][0]
+        for i in range(1, 5)
+    ]
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev + 1e-9, f"inertia increased: {inertias}"
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Quality, not just shape: on 3 well-separated planted clusters
+    the assignment must be pure — every planted group lands wholly in
+    its own predicted cluster."""
+    import random
+
+    from ibd_pipeline_spark.operators.similarity import kmeans
+
+    rng = random.Random(7)
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0, 10.0] * 4]
+    rows = []
+    vec_id = 0
+    for g, c in enumerate(centers):
+        for _ in range(30):
+            rows.append(
+                (vec_id, g, [x + rng.uniform(-0.5, 0.5) for x in c])
+            )
+            vec_id += 1
+    df = spark.createDataFrame(
+        rows, "vec_id int, planted int, embedding array<double>"
+    )
+    out = kmeans(df, k=3, iters=5).join(
+        df.select("vec_id", "planted"), "vec_id"
+    )
+    groups = out.groupBy("planted").agg(
+        F.collect_set("cluster_id").alias("preds")
+    ).collect()
+    # each planted group maps to exactly one predicted cluster...
+    assert all(len(r.preds) == 1 for r in groups), groups
+    # ...and the three predicted clusters are distinct
+    assert len({r.preds[0] for r in groups}) == 3
+
+
+def test_kmeans_empty_cluster_keeps_k_centroids(spark):
+    """A centroid that captures no members must stay at its previous
+    position (not vanish): with k=4 over 2 tight planted blobs, the
+    result still assigns against 4 centroids and every assignment is
+    a valid id in [0, k)."""
+    from ibd_pipeline_spark.operators.similarity import kmeans
+
+    rows = [(i, [0.0] * 4) for i in range(10)] + [
+        (10 + i, [100.0] * 4) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = kmeans(df, k=4, iters=3).collect()
+    assert len(out) == 20
+    assert all(0 <= r.cluster_id < 4 for r in out)
