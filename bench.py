@@ -168,6 +168,8 @@ HEADLINE_R05 = [
     "events_late_arrival_audit",
     # double window (per-source + global) interleave
     "train_interleave_roundrobin",
+    # shared-shuffle double window + session-size agg
+    "events_bounce_rate",
 ]
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04 + HEADLINE_R05

@@ -50,18 +50,33 @@ def dsum(col, scale: int = 2):
 
 
 def davg(col, scale: int = 4):
-    """Partitioning-independent AVG for cross-engine comparison:
-    exact decimal sum (order-independent) cast to double, divided by
-    the non-null count — both engines then round the *same* double.
-    Plain AVG(double) merges partial sums in partition order; on
-    decimal-structured data whose true mean lands on a rounding
-    half-point, the last-ulp noise decides the rounded digit. SQL
-    twin: ``ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) /
-    COUNT(x), scale)``."""
+    """Partitioning- AND engine-independent AVG: exact decimal sum
+    (order-independent), HALF_UP-rounded at `scale` IN THE DECIMAL
+    DOMAIN, cast to double, divided by the non-null count. No rounding
+    ever happens after the division — both engines divide bit-identical
+    doubles by the same integer, so the comparison is exact.
+
+    The earlier form (round the double *quotient*) was the r05 scale-
+    parity lesson: Spark's round() goes through Java's
+    BigDecimal.valueOf — i.e. the double's SHORTEST string repr —
+    while DuckDB rounds the exact binary expansion; a quotient whose
+    shortest repr lands on a half-point (47.25375 printing for
+    47.253749999…97) rounds UP in Spark and DOWN in DuckDB. Rounding
+    before the division keeps every rounding step in exact decimal,
+    where both engines agree. SQL twin:
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), scale) AS DOUBLE) /
+    COUNT(x)`` (= weather.py's _avg_rsd, now the one true form)."""
     import pyspark.sql.functions as F
 
-    return F.round(
-        F.sum(col.cast("decimal(28,8)")).cast("double") / F.count(col), scale
+    return F.round(F.sum(col.cast("decimal(28,8)")), scale).cast(
+        "double"
+    ) / F.count(col)
+
+
+def davg_sql(expr: str, scale: int = 4) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(28,8))), {scale}) AS DOUBLE)"
+        f" / COUNT({expr})"
     )
 
 
@@ -139,7 +154,6 @@ _DRIVER_PRIORITY: list[str] = [
 _ROUND5_NEW: list[str] = [
     # relational5 — SQL-surface widening
     "agg_mode_per_group",
-    "window_distribution_funcs",
     "agg_pivot_priority",
     "unpivot_part_measures",
     "join_null_safe_eq",
@@ -164,6 +178,10 @@ _ROUND5_NEW: list[str] = [
     # quality round 5 (quality.py)
     "quality_benford_digits",
     "quality_mad_outliers",
+    "scalar_datetime_arith",
+    "agg_string_concat_group",
+    "events_bounce_rate",
+    "profile_key_candidates",
 ]
 
 # ---------------------------------------------------------------------------

@@ -167,7 +167,7 @@ def try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
 FROM lineitem
 WHERE CAST(('0x' || SUBSTRING(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
 GROUP BY l_returnflag

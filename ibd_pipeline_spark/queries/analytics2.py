@@ -221,3 +221,71 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+), sess AS (
+  SELECT user_id,
+         SUM(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+), sizes AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT CAST(COUNT(*) AS BIGINT)                        AS n_sessions,
+       CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT)  AS n_bounces,
+       ROUND(COUNT(*) FILTER (n_events = 1) * 1.0 / COUNT(*), 6)
+         AS bounce_rate,
+       ROUND(AVG(n_events), 4)                         AS avg_session_depth
+FROM sizes
+""",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over gap-based sessions (30-min inactivity): the
+    share of sessions containing exactly one event, plus average
+    session depth — the composition of sessionization (the
+    events_sessionize_gaps primitive) into THE engagement KPI.
+    Session ids come from the cumulative-sum-of-boundaries idiom;
+    every window carries an event_id tiebreak.
+
+    Scale: both windows share ONE user_id shuffle (same partition
+    key and ordering → one sort, two frames); the session-size
+    aggregate reuses that partitioning."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    sizes = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_if(F.col("n_events") == 1).alias("n_bounces"),
+        F.round(F.count_if(F.col("n_events") == 1) / F.count(F.lit(1)), 6).alias(
+            "bounce_rate"
+        ),
+        F.round(F.avg("n_events"), 4).alias("avg_session_depth"),
+    )

@@ -28,7 +28,7 @@ from ibd_pipeline_spark.queries import davg, query
 SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
        event_type,
        COUNT(*)                       AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(value) AS avg_value,
        ROUND(MAX(value), 4)           AS max_value,
        ROUND(COALESCE(STDDEV_SAMP(value), 0.0), 4) AS stddev_value
 FROM events
@@ -167,10 +167,10 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_weather_parity_agg",
     oracle="""
 SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value), 4) AS avg_temperature_c,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(value) AS avg_temperature_c,
        ROUND(MAX(value), 4)                         AS max_wind_gust_kmph,
        ROUND(COALESCE(STDDEV_SAMP(value), 0.0), 4)  AS temperature_stddev,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value), 4) AS total_precipitation_mm
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(value) AS total_precipitation_mm
 FROM events
 GROUP BY 1
 ORDER BY window_start
@@ -287,7 +287,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hour_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value), 4)
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(value)
          AS avg_value,
        ROUND(MAX(value), 4) AS max_value
 FROM events
@@ -327,7 +327,9 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("s").cast("double") / F.sum("n"), 4).alias("avg_value"),
+            (F.round(F.sum("s"), 4).cast("double") / F.sum("n")).alias(
+                "avg_value"
+            ),
             F.round(F.max("mx"), 4).alias("max_value"),
         )
         .orderBy("hour_start", "event_type")

@@ -230,8 +230,8 @@ total AS (
   SELECT SUM(cnt) AS n FROM vocab
 )
 SELECT t.doc_id,
-       ROUND(CAST(SUM(CAST(-log2(CAST(v.cnt AS DOUBLE) / total.n)
-                           AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 4)
+       CAST(ROUND(SUM(CAST(-log2(CAST(v.cnt AS DOUBLE) / total.n)
+                          AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*)
          AS bits_per_token
 FROM tok t JOIN vocab v USING (token), total
 GROUP BY t.doc_id

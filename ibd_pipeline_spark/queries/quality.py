@@ -554,3 +554,67 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "profile_key_candidates",
+    oracle="""
+SELECT 'event_id'            AS column_name,
+       CAST(COUNT(*) AS BIGINT)                 AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       COUNT(DISTINCT event_id) = COUNT(event_id)
+         AND COUNT(event_id) = COUNT(*)         AS is_key
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(DISTINCT user_id),
+       COUNT(DISTINCT user_id) = COUNT(user_id)
+         AND COUNT(user_id) = COUNT(*)
+FROM events
+UNION ALL
+SELECT 'ts', COUNT(*), COUNT(DISTINCT ts),
+       COUNT(DISTINCT ts) = COUNT(ts) AND COUNT(ts) = COUNT(*)
+FROM events
+ORDER BY column_name
+""",
+)
+def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: for each proposed key column, exact
+    distinct count vs row count (unique AND non-null ⟺ key). The
+    schema-inference pass that decides merge keys and dedup grain
+    before a pipeline is wired up.
+
+    All three columns are profiled in ONE scan via a multi-distinct
+    aggregate (Spark expands it to a single expand+aggregate pair),
+    then unpivoted to a row per column — contrast the oracle's
+    3-scan UNION ALL, which is the semantics, not the plan.
+
+    Scale: expand multiplies rows × columns-profiled before the
+    combine — bounded fan-out, one shuffle; at 100 TB swap exact
+    distinct for approx_count_distinct per column (mergeable sketch,
+    no expand) once is_key can tolerate ε."""
+    e = load(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("event_id")).alias("d_event_id"),
+        F.count("event_id").alias("c_event_id"),
+        F.count_distinct(F.col("user_id")).alias("d_user_id"),
+        F.count("user_id").alias("c_user_id"),
+        F.count_distinct(F.col("ts")).alias("d_ts"),
+        F.count("ts").alias("c_ts"),
+    )
+    rows = [
+        agg.select(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"d_{name}").alias("n_distinct"),
+            (
+                (F.col(f"d_{name}") == F.col(f"c_{name}"))
+                & (F.col(f"c_{name}") == F.col("n_rows"))
+            ).alias("is_key"),
+        )
+        for name in ("event_id", "user_id", "ts")
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column_name")

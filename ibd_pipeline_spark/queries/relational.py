@@ -39,11 +39,11 @@ SELECT
                                                                   AS sum_disc_price,
   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE)
                                                                   AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_quantity), 4)
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(l_quantity)
                                                                   AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_extendedprice), 4)
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(l_extendedprice)
                                                                   AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_discount), 4)
+  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(l_discount)
                                                                   AS avg_disc,
   ROUND(STDDEV_SAMP(l_extendedprice), 4)                          AS stddev_price,
   ROUND(MAX(l_extendedprice), 2)                                  AS max_price,
@@ -678,7 +678,7 @@ SELECT
        ELSE 'large' END AS price_band,
   o_orderstatus,
   COUNT(*) AS n,
-  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o_totalprice), 4) AS avg_price
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY price_band, o_orderstatus

@@ -37,7 +37,7 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     "q2_min_cost_supplier",
     oracle="""
 SELECT p.p_partkey, l.l_suppkey,
-       ROUND(l.l_extendedprice / l.l_quantity, 4) AS unit_price
+       CAST(ROUND(CAST(l.l_extendedprice / l.l_quantity AS DECIMAL(28,8)), 4) AS DOUBLE) AS unit_price
 FROM part p
 JOIN lineitem l ON p.p_partkey = l.l_partkey
 WHERE p.p_size IN (15, 25, 35) AND p.p_type = 'LARGE'
@@ -72,7 +72,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "l_suppkey",
-            F.round(unit, 4).alias("unit_price"),
+            F.round(unit.cast("decimal(28,8)"), 4).cast("double").alias("unit_price"),
         )
         .orderBy("p_partkey", "l_suppkey", "unit_price")
     )

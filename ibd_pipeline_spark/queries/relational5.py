@@ -70,48 +70,6 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_distribution_funcs",
-    oracle="""
-SELECT c_custkey,
-       n_name,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       ROUND(CUME_DIST()    OVER w, 6) AS cume,
-       NTILE(4)             OVER w     AS quartile
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-WHERE n_name IN ('FRANCE', 'GERMANY')
-WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
-ORDER BY n_name, c_acctbal, c_custkey
-""",
-)
-def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions — percent_rank / cume_dist /
-    ntile — the analytic vocabulary for in-group position (scoring
-    percentiles, quartile bucketing). Total order inside each window
-    is forced with a key tiebreak so every value (not just rank) is
-    partition-count invariant.
-
-    Scale: one shuffle on the window key; per-partition sort only."""
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .filter(F.col("n_name").isin("FRANCE", "GERMANY"))
-        .select(
-            "c_custkey",
-            "n_name",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.ntile(4).over(w).alias("quartile"),
-            "c_acctbal",
-        )
-        .orderBy("n_name", "c_acctbal", "c_custkey")
-        .drop("c_acctbal")
-    )
-
-
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PRIO_ALIAS = {
     "1-URGENT": "n_urgent",
@@ -371,3 +329,82 @@ def scalar_string_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("c_mktsegment").alias("seg_rev"),
         F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_datetime_arith",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders WHERE o_orderkey <= 400
+)
+SELECT o_orderkey,
+       CAST(last_day(d) AS DATE)                  AS month_end,
+       CAST(date_trunc('week', d) AS DATE)        AS week_start,
+       CAST(isodow(d) AS INT)                     AS iso_dow,
+       CAST(weekofyear(d) AS INT)                 AS iso_week,
+       CAST((YEAR(CURRENT_DATE) * 12 + MONTH(CURRENT_DATE))
+            - (YEAR(d) * 12 + MONTH(d)) AS INT)   AS months_ago,
+       CAST(d + INTERVAL 90 DAY AS DATE)          AS due_90d
+FROM t
+ORDER BY o_orderkey
+""",
+)
+def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic vocabulary: last_day / week truncation /
+    ISO day-of-week / ISO week number / whole-month deltas / day
+    offsets. The cross-engine traps are deliberate test targets:
+    Spark dayofweek() is Sunday=1 while DuckDB's is Sunday=0, so the
+    portable spelling is ISO (weekday()+1 ≡ isodow); month deltas use
+    the year*12+month lattice because months_between/datediff
+    fraction-vs-boundary semantics differ between engines.
+
+    months_ago is anchored to CURRENT_DATE evaluated per engine —
+    both run the same day, and month resolution absorbs the clock
+    skew. Per-row, zero shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate").cast("date")
+    month_idx = F.year(F.current_date()) * 12 + F.month(F.current_date())
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        (month_idx - (F.year(d) * 12 + F.month(d))).cast("int").alias("months_ago"),
+        F.date_add(d, 90).alias("due_90d"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "agg_string_concat_group",
+    oracle="""
+SELECT n_regionkey AS region_key,
+       string_agg(n_name, '|' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY region_key
+""",
+)
+def agg_string_concat_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): one
+    delimiter-joined, explicitly SORTED line per group. The sort
+    inside the aggregate is what makes the result partition-invariant
+    — collect_list alone returns arrival order, which changes with
+    parallelism; array_sort before array_join pins it.
+
+    Scale: one hash aggregate; the concatenated payload is the
+    group's own data — bounded here (nations per region), cap or
+    truncate when groups are open-ended."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("region_key"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("region_key")
+    )

@@ -233,7 +233,7 @@ WITH e AS (
   FROM e, UNNEST(generate_series(1, len(v))) t(i)
 )
 SELECT label, CAST(pos AS INT) AS pos,
-       ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+       CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 6) AS DOUBLE) / COUNT(*)
          AS mean_val
 FROM dims
 GROUP BY label, pos
@@ -258,10 +258,11 @@ def similarity_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dims.groupBy("label", "pos")
         .agg(
-            F.round(
-                F.sum(F.col("x").cast("decimal(28,8)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            (
+                F.round(F.sum(F.col("x").cast("decimal(28,8)")), 6).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
             ).alias("mean_val")
         )
         .select("label", F.col("pos").cast("int"), "mean_val")

@@ -250,9 +250,9 @@ WITH d AS (
 )
 SELECT label,
        COUNT(*) AS n_vecs,
-       ROUND(CAST(SUM(CAST(scale AS DECIMAL(28,8))) AS DOUBLE) / COUNT(scale), 6)
+       CAST(ROUND(SUM(CAST(scale AS DECIMAL(28,8))), 6) AS DOUBLE) / COUNT(scale)
          AS avg_scale,
-       ROUND(CAST(SUM(CAST(mse_ppm AS DECIMAL(28,8))) AS DOUBLE) / COUNT(mse_ppm), 4)
+       CAST(ROUND(SUM(CAST(mse_ppm AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(mse_ppm)
          AS avg_mse_ppm,
        CAST(MAX(max_abs_q) AS BIGINT) AS max_abs_q
 FROM err

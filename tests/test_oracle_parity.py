@@ -144,3 +144,62 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# ---------------------------------------------------------------------------
+# Scale parity pass (opt-in, slow): the same differential check at a
+# larger SF to catch scale-sensitive dtype/rounding traps before the
+# driver does (round-4 lesson: traps can hide at small N). Enable with
+#   SPARK_GRAFT_SLOW_SF=/root/testdata/sf0.1 python -m pytest \
+#       tests/test_oracle_parity.py -k at_scale -q
+# ---------------------------------------------------------------------------
+import os as _os
+
+_SLOW_SF = _os.environ.get("SPARK_GRAFT_SLOW_SF")
+
+
+@pytest.fixture(scope="session")
+def duck_slow():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{_SLOW_SF}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.skipif(
+    not _SLOW_SF,
+    reason="scale parity pass: set SPARK_GRAFT_SLOW_SF=/root/testdata/sf0.1",
+)
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity_at_scale(name, spark, duck_slow):
+    sdf = QUERIES[name](spark, _SLOW_SF)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck_slow.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    _check_dtypes(name, sdf, duck_slow, ORACLES[name])
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rows spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_sorted, cols = _rows_sorted(spark_cols, spark_rows)
+    d_sorted, _ = _rows_sorted(duck_cols, duck_rows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_sorted, d_sorted)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatches at {_SLOW_SF}; cols={cols}; "
+        f"first 3: {mismatches[:3]}"
+    )
