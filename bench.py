@@ -286,13 +286,20 @@ def _load_prev_timings() -> dict[str, float]:
     truncated JSON line, recovered per-query by regex."""
     import re
 
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     if FULL_PATH.exists():
         try:
-            q = json.loads(FULL_PATH.read_text()).get("queries", {})
-            if q:
+            full = json.loads(FULL_PATH.read_text())
+            q = full.get("queries", {})
+            # Only comparable at the same scale factor: a BENCH_FULL
+            # left behind by an sf0.01 smoke run must not become the
+            # baseline for an sf0.1 run (every ratio would inflate).
+            if q and str(full.get("sf")) == sf:
                 return {k: float(v) for k, v in q.items()}
         except (ValueError, TypeError):
             pass
+    if sf != "0.1":
+        return {}  # driver BENCH_r records are sf0.1 — not comparable
     here = Path(__file__).resolve().parent
     for p in sorted(here.glob("BENCH_r*.json"), reverse=True):
         try:
