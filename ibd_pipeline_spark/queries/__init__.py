@@ -182,6 +182,8 @@ _ROUND5_NEW: list[str] = [
     "agg_string_concat_group",
     "events_bounce_rate",
     "profile_key_candidates",
+    "text_repeated_span_detection",
+    "dedup_near_dup_prune",
 ]
 
 # ---------------------------------------------------------------------------

@@ -370,3 +370,152 @@ def train_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pos").cast("bigint"), "doc_id", "source")
         .orderBy("pos")
     )
+
+
+@query(
+    "text_repeated_span_detection",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(w[i:i+4], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 4)) t(i)
+  WHERE len(w) >= 5
+), rep AS (
+  SELECT doc_id, gram, COUNT(*) AS n
+  FROM grams GROUP BY doc_id, gram
+  HAVING COUNT(*) >= 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT)  AS n_repeated_5grams,
+       CAST(MAX(n) AS BIGINT)    AS max_repeats,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS excess_occurrences
+FROM rep
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-span detection: 5-gram positions that
+    occur ≥ 2 times in the same document — the memorization-risk /
+    template-text report (a doc whose own content loops is both a
+    quality smell and a verbatim-memorization amplifier when it
+    repeats across the corpus too). Distinct from
+    text_repetition_ratio (a per-doc scalar): this names the
+    offending spans' multiplicity and excess mass.
+
+    Scale: the 5-gram stream is per-row (zip_with fold, O(len)), the
+    aggregate keys on (doc_id, gram) — co-partitioned with the doc,
+    so the HAVING filter collapses everything before any cross-doc
+    movement; output is only documents that actually loop."""
+    d = load_wide(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = F.greatest(F.size(toks) - 4, F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, 5):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = d.filter(F.size(toks) >= 5).select(
+        "doc_id", F.explode(acc).alias("gram")
+    )
+    rep = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return (
+        rep.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeated_5grams"),
+            F.max("n").alias("max_repeats"),
+            (F.sum("n") - F.count(F.lit(1))).alias("excess_occurrences"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_near_dup_prune")  # rows-only: LSH banding is engine-specific
+def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup removal pipeline as one plan: exact-dedup
+    representatives → MinHash-LSH candidate pairs (J ≥ 0.5) →
+    connected components → keep the min-id doc per cluster → per-
+    source survivor accounting. This is the query a pretraining
+    pipeline actually ships (the standalone registry entries are its
+    stages); end-to-end it proves the stages compose without
+    materializing anything between them.
+
+    Scale: every stage is the attested scale shape — digest agg,
+    banded bucket join (never all-pairs), edge-set label propagation
+    (rounds = cluster diameter, checkpointed), broadcast-joinable
+    survivor set. Rows-only because the banding hash (xxhash64) has
+    no DuckDB twin; the stage outputs are individually oracle- or
+    property-attested (dedup_exact r01, minhash recall tests,
+    dedup_cluster_components r01).
+
+    Returns (source, n_docs, n_after_exact, n_after_near, pct_kept).
+    """
+    from ibd_pipeline_spark.operators import dedup as D
+    from ibd_pipeline_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    digest = D.content_digest("text")
+    reps = (
+        d.groupBy(digest.alias("h"))
+        .agg(F.min(F.struct("doc_id", "text", "source")).alias("r"))
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.text").alias("text"),
+            F.col("r.source").alias("source"),
+        )
+    )
+    reps = reps.localCheckpoint(eager=True)  # reused by pairs + survivors
+    try:
+        cand = D.minhash_candidate_pairs(reps, "doc_id", "text")
+        pairs = cand.filter(F.col("jaccard") >= 0.5).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        comps = connected_components(pairs, "src", "dst")
+        # keep the min doc_id of each near-dup cluster; docs in no
+        # cluster keep themselves
+        keep_in_cluster = comps.groupBy("component").agg(
+            F.min("vertex").alias("doc_id")
+        ).select("doc_id")
+        clustered = comps.select(F.col("vertex").alias("doc_id"))
+        survivors = (
+            reps.join(clustered, "doc_id", "left_anti")
+            .select("doc_id", "source")
+            .unionByName(
+                reps.join(keep_in_cluster, "doc_id").select("doc_id", "source")
+            )
+        )
+        per_source = (
+            d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+            .join(
+                reps.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_after_exact")
+                ),
+                "source",
+            )
+            .join(
+                survivors.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_after_near")
+                ),
+                "source",
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_after_exact",
+                "n_after_near",
+                F.round(
+                    F.col("n_after_near") / F.col("n_docs") * 100, 2
+                ).alias("pct_kept"),
+            )
+            .orderBy("source")
+        )
+        out = per_source.localCheckpoint(eager=True)
+    finally:
+        D.release_state(cand)
+    return out

@@ -100,3 +100,29 @@ def test_simhash_invariants(spark, docs):
 def test_simhash_pairs_find_near_dups(spark, docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_dup_pairs(docs).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] == 0
+
+
+def test_near_dup_prune_invariants(spark, sf_dir):
+    """End-to-end prune pipeline: survivor counts are monotone
+    (near ≤ exact ≤ total), every source survives with ≥ 1 doc, and
+    the totals reconcile with the standalone exact-dedup stage."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators import dedup as D
+    from ibd_pipeline_spark.queries import all_queries
+
+    out = {
+        r["source"]: r
+        for r in all_queries()["dedup_near_dup_prune"](spark, sf_dir).collect()
+    }
+    assert out, "no sources"
+    for r in out.values():
+        assert r["n_after_near"] <= r["n_after_exact"] <= r["n_docs"]
+        assert r["n_after_near"] >= 1
+
+    d = load(spark, sf_dir, "documents")
+    n_exact_total = (
+        d.select(D.content_digest("text").alias("h")).distinct().count()
+    )
+    assert sum(r["n_after_exact"] for r in out.values()) == n_exact_total

