@@ -379,16 +379,16 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), grams AS (
   SELECT doc_id,
-         array_to_string(w[i:i+4], ' ') AS gram
-  FROM toks, UNNEST(generate_series(1, len(w) - 4)) t(i)
-  WHERE len(w) >= 5
+         array_to_string(w[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+  WHERE len(w) >= 3
 ), rep AS (
   SELECT doc_id, gram, COUNT(*) AS n
   FROM grams GROUP BY doc_id, gram
   HAVING COUNT(*) >= 2
 )
 SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT)  AS n_repeated_5grams,
+       CAST(COUNT(*) AS BIGINT)  AS n_repeated_3grams,
        CAST(MAX(n) AS BIGINT)    AS max_repeats,
        CAST(SUM(n) - COUNT(*) AS BIGINT) AS excess_occurrences
 FROM rep
@@ -397,7 +397,7 @@ ORDER BY doc_id
 """,
 )
 def text_repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WITHIN-document repeated-span detection: 5-gram positions that
+    """WITHIN-document repeated-span detection: 3-gram positions that
     occur ≥ 2 times in the same document — the memorization-risk /
     template-text report (a doc whose own content loops is both a
     quality smell and a verbatim-memorization amplifier when it
@@ -411,13 +411,13 @@ def text_repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     movement; output is only documents that actually loop."""
     d = load_wide(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    m = F.greatest(F.size(toks) - 4, F.lit(0))
+    m = F.greatest(F.size(toks) - 2, F.lit(0))
     acc = F.slice(toks, 1, m)
-    for j in range(1, 5):
+    for j in range(1, 3):
         acc = F.zip_with(
             acc, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    grams = d.filter(F.size(toks) >= 5).select(
+    grams = d.filter(F.size(toks) >= 3).select(
         "doc_id", F.explode(acc).alias("gram")
     )
     rep = (
@@ -428,7 +428,7 @@ def text_repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rep.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_repeated_5grams"),
+            F.count(F.lit(1)).alias("n_repeated_3grams"),
             F.max("n").alias("max_repeats"),
             (F.sum("n") - F.count(F.lit(1))).alias("excess_occurrences"),
         )
