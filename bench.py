@@ -170,6 +170,8 @@ HEADLINE_R05 = [
     "train_interleave_roundrobin",
     # shared-shuffle double window + session-size agg
     "events_bounce_rate",
+    # positional n-gram explode → co-partitioned (doc, gram) agg
+    "text_repeated_span_detection",
 ]
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04 + HEADLINE_R05
