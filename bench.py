@@ -172,6 +172,8 @@ HEADLINE_R05 = [
     "events_bounce_rate",
     # positional n-gram explode → co-partitioned (doc, gram) agg
     "text_repeated_span_detection",
+    # pair + prefix hash-aggs, broadcast re-join (bigram LM)
+    "text_bigram_logprob_score",
 ]
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04 + HEADLINE_R05

@@ -184,6 +184,7 @@ _ROUND5_NEW: list[str] = [
     "profile_key_candidates",
     "text_repeated_span_detection",
     "dedup_near_dup_prune",
+    "text_bigram_logprob_score",
 ]
 
 # ---------------------------------------------------------------------------

@@ -519,3 +519,72 @@ def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         D.release_state(cand)
     return out
+
+
+@query(
+    "text_bigram_logprob_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT doc_id, w[i] AS l, w[i + 1] AS r
+  FROM toks, UNNEST(range(1, len(w))) t(i)
+), pc AS (
+  SELECT l, r, COUNT(*) AS c_lr FROM pairs GROUP BY l, r
+), lc AS (
+  SELECT l, SUM(c_lr) AS c_l FROM pc GROUP BY l
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(ROUND(SUM(CAST(-log2(CAST(pc.c_lr AS DOUBLE) / lc.c_l)
+                           AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*)
+         AS bits_per_bigram
+FROM pairs p
+JOIN pc USING (l, r)
+JOIN lc USING (l)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+""",
+)
+def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional surprisal per document: mean of
+    −log₂ P(wᵢ | wᵢ₋₁) with P = c(prev,w) / c(prev,·) — one Markov
+    order above `text_unigram_logprob_score`, and the better
+    boilerplate detector (template text has near-deterministic
+    transitions → bits collapse toward 0 even when its unigram
+    distribution looks ordinary).
+
+    Scale: the adjacent-pair stream is per-row (zip_with, no
+    positional explode); pair and prefix counts are hash aggregates
+    on the Zipf-small pair/vocab spaces (c(prev,·) derives FROM the
+    pair counts — the corpus is never re-read); both count tables
+    re-join broadcast (same size argument, and degrade-to-shuffle
+    story, as the unigram scorer). The per-doc mean is an exact
+    decimal sum — partial-agg order can't flip the rounded digit."""
+    d = load_wide(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    pairs = d.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", F.col("p.l").alias("l"), F.col("p.r").alias("r")
+    )
+    pc = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+    lc = pc.groupBy("l").agg(F.sum("c_lr").alias("c_l"))
+    bits = -F.log2(F.col("c_lr").cast("double") / F.col("c_l"))
+    return (
+        pairs.join(F.broadcast(pc), ["l", "r"])
+        .join(F.broadcast(lc), "l")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.round(F.sum(bits.cast("decimal(28,8)")), 4).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bits_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
