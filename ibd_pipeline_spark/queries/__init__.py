@@ -185,6 +185,8 @@ _ROUND5_NEW: list[str] = [
     "text_repeated_span_detection",
     "dedup_near_dup_prune",
     "text_bigram_logprob_score",
+    "events_anomaly_rolling_zscore",
+    "agg_weighted_stats",
 ]
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,63 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("n_events"), 4).alias("avg_session_depth"),
     )
+
+
+@query(
+    "events_anomaly_rolling_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT d, n,
+         AVG(n)    OVER w AS mu,
+         STDDEV_SAMP(n) OVER w AS sigma,
+         COUNT(*)  OVER w AS n_window
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT d, CAST(n AS BIGINT) AS n_events,
+       ROUND(mu, 4)    AS trailing_mean,
+       ROUND(CASE WHEN sigma > 0 THEN (n - mu) / sigma END, 4) AS z_score,
+       CASE WHEN sigma > 0 AND ABS((n - mu) / sigma) > 3
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM stats
+WHERE n_window = 7
+ORDER BY d
+""",
+)
+def events_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each day's event count scored against
+    its own TRAILING 7-day window (ROWS 7 PRECEDING .. 1 PRECEDING —
+    today excluded, so a spike can't suppress its own alarm). The
+    pipeline-monitoring twin of quality_psi_drift: PSI asks "did the
+    distribution move between eras", this asks "is today's volume
+    out of its own recent band". Days without a full trailing week
+    are not scored (no partial-window false alarms).
+
+    Scale: aggregate-then-window — the window's input is one row per
+    DAY, not per event; the bounded ROWS frame holds 7 values of
+    state. Same one-shuffle shape at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    stats = daily.select(
+        "d",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev("n").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    ).filter(F.col("n_window") == 7)
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return stats.select(
+        "d",
+        F.col("n").alias("n_events"),
+        F.round("mu", 4).alias("trailing_mean"),
+        F.round(F.when(F.col("sigma") > 0, z), 4).alias("z_score"),
+        F.when((F.col("sigma") > 0) & (F.abs(z) > 3), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    ).orderBy("d")

@@ -408,3 +408,41 @@ def agg_string_concat_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_key")
     )
+
+
+@query(
+    "agg_weighted_stats",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS total_weight,
+       CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))), 2)
+            AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+         AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean — Σ(w·x)/Σw per group, the aggregation SQL has no
+    built-in for. Both sums ride exact decimals (order-invariant); the
+    numerator is rounded in the decimal domain BEFORE the division
+    (the davg rule: no rounding after a division, ever), so the
+    quotient is bit-identical cross-engine.
+
+    Scale: one map-side-combined hash aggregate carrying two decimal
+    accumulators — same cost as an unweighted avg."""
+    li = load(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,8)")
+    )
+    tw = F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            tw.alias("total_weight"),
+            (F.round(wsum, 2).cast("double") / tw).alias("weighted_avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -78,6 +78,32 @@ CURATED = {
     "chunk composed into one tree — filters fused into the scan, both "
     "anti-joins broadcast their small sides, zero intermediate "
     "materialization between stages.",
+    # --- round 5 ---
+    "train_bpe_pair_counts": "BPE merge step: zip_with pair stream (no "
+    "positional explode), hash aggregate on the Zipf-small pair space, "
+    "top-20 window over the aggregated result only.",
+    "text_bigram_logprob_score": "bigram LM: pair + prefix counts are two "
+    "chained hash aggregates off ONE corpus read; both re-join broadcast; "
+    "exact-decimal per-doc mean.",
+    "events_bounce_rate": "two window functions + the session-size "
+    "aggregate share a single user_id exchange — same partition key and "
+    "ordering collapse to one sort.",
+    "customer_rfm_segments": "aggregate-then-ntile: the three global "
+    "quartile windows run over one row per CUSTOMER (the aggregate), "
+    "never over raw orders.",
+    "events_anomaly_rolling_zscore": "aggregate-then-window: the trailing "
+    "7-day frame sees one row per day; bounded ROWS frame = 7 values of "
+    "state regardless of corpus size.",
+    "quality_mad_outliers": "two grouped-percentile passes; each per-group "
+    "constant (median, MAD) returns as a 5-row broadcast, so the fact "
+    "table streams through both joins unshuffled.",
+    "similarity_centroid_dims": "the k-means update step standalone: "
+    "posexplode to (label, pos) rows, map-side-combined decimal mean — "
+    "shuffle is labels × dims, independent of vector count.",
+    "dedup_near_dup_prune": "the composed prune pipeline: digest agg → "
+    "banded LSH join → label-propagation components → survivor anti/semi "
+    "joins — every stage the attested scale shape, nothing materialized "
+    "between them except the checkpointed reps relation.",
 }
 
 
