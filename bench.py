@@ -174,6 +174,10 @@ HEADLINE_R05 = [
     "text_repeated_span_detection",
     # pair + prefix hash-aggs, broadcast re-join (bigram LM)
     "text_bigram_logprob_score",
+    # aggregate-then-window trailing-frame anomaly scan
+    "events_anomaly_rolling_zscore",
+    # two-decimal-accumulator weighted mean
+    "agg_weighted_stats",
 ]
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04 + HEADLINE_R05

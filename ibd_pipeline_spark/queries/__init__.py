@@ -109,14 +109,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # prefix. Queries attested green in an earlier round move to the back;
 # their evidence lives in that round's CORRECTNESS_r{N}.json.
 #
-# Round-4 prefix: the 46 registry queries with no green driver row in
-# ANY of CORRECTNESS_r01/r02/r03.json. (The round-3 rotation never
-# shipped — r03 re-attested the same 50 entries as r02 — so this list
-# is exactly the cumulative-unattested set as of round 4, including the
-# two array-output queries that ERR'd in r02/r03, now fixed to emit
-# joined strings.) Queries ADDED in round 4 are appended right after,
-# so they fill the remaining window slots; everything already attested
-# green in an earlier round follows in registration order.
+# Round-5 ordering: _DRIVER_PRIORITY (the r04 backlog + two
+# re-attests) → _ROUND5_NEW (this round's additions) → _ATTESTED
+# (r01–r04 green history) → any remaining registrations. The window
+# is sized so every query without a green row sits inside the first
+# 50 (tools/attestation_status.py prints the accounting).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------

@@ -53,7 +53,11 @@ def train_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry/bench unit.
 
     Scale: shuffle = distinct pair space (vocab²-bounded, Zipf-small
-    in practice), never the corpus. Top-20 via one tiny window."""
+    in practice), never the corpus. The top-20 goes through
+    orderBy+limit — TakeOrderedAndProject, per-task 20-row heaps
+    merged on the driver — NOT a global row_number window, which
+    would sort the whole pair space on one partition; ranks are then
+    attached to the surviving 20 rows only."""
     d = load_wide(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     pairs = F.zip_with(
@@ -68,10 +72,10 @@ def train_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = c.orderBy(F.col("n").desc(), "left_tok", "right_tok").limit(20)
     w = Window.orderBy(F.col("n").desc(), "left_tok", "right_tok")
     return (
-        c.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w))
         .select(
             F.col("rk").cast("int"),
             "left_tok",
@@ -346,10 +350,14 @@ def train_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source lands at global position ~k·n_sources: row_number per
     source, then a global order by (rn, source).
 
-    Scale: the per-source numbering shuffles once on source; the
-    global top-100 presentation is a limit, not a full sort
-    materialization. For the full 100 TB schedule you'd write
-    files sorted by (rn, source) — same plan minus the limit."""
+    Scale: the per-source numbering shuffles once on source. The
+    global position window would otherwise sort the whole corpus on
+    one partition, so candidates are pre-filtered to rn ≤ 100 FIRST —
+    provably lossless (a row with rn > 100 has ≥ 100 same-source rows
+    ordered before it, so its global pos > 100), which bounds the
+    single-partition sort to ≤ 100 × n_sources rows. For the full
+    100 TB schedule you'd skip the position column and write files
+    range-sorted by (rn, source) — no global window at all."""
     d = load(spark, sf_dir, "documents")
     r = d.select(
         "doc_id",
@@ -357,7 +365,7 @@ def train_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.partitionBy("source").orderBy("doc_id"))
         .alias("rn"),
-    )
+    ).filter(F.col("rn") <= 100)
     g = r.select(
         "doc_id",
         "source",
