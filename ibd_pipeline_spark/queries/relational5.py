@@ -343,7 +343,7 @@ SELECT o_orderkey,
        CAST(date_trunc('week', d) AS DATE)        AS week_start,
        CAST(isodow(d) AS INT)                     AS iso_dow,
        CAST(weekofyear(d) AS INT)                 AS iso_week,
-       CAST((YEAR(CURRENT_DATE) * 12 + MONTH(CURRENT_DATE))
+       CAST((1998 * 12 + 12)
             - (YEAR(d) * 12 + MONTH(d)) AS INT)   AS months_ago,
        CAST(d + INTERVAL 90 DAY AS DATE)          AS due_90d
 FROM t
@@ -359,12 +359,15 @@ def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     the year*12+month lattice because months_between/datediff
     fraction-vs-boundary semantics differ between engines.
 
-    months_ago is anchored to CURRENT_DATE evaluated per engine —
-    both run the same day, and month resolution absorbs the clock
-    skew. Per-row, zero shuffle."""
+    months_ago is anchored to the fixture's TPC-H-style horizon
+    (1998-12) rather than CURRENT_DATE: the engines may evaluate
+    "today" under different timezones (Spark session TZ vs DuckDB
+    system TZ), and a run straddling a month boundary would flip the
+    value — a fixed anchor is deterministic forever. Per-row, zero
+    shuffle."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
     d = F.col("o_orderdate").cast("date")
-    month_idx = F.year(F.current_date()) * 12 + F.month(F.current_date())
+    month_idx = F.lit(1998 * 12 + 12)
     return o.select(
         "o_orderkey",
         F.last_day(d).alias("month_end"),
