@@ -495,6 +495,12 @@ def kmeans(
     checkpointed — `checkpoint_dir` set: reliable checkpoint (survives
     executor loss — production); unset: localCheckpoint (tests) — the
     same durability contract as operators.graph.connected_components.
+    Cadence note: EVERY round is correct here, unlike pagerank's
+    every-2 — a k-means round's lineage contains the corpus-wide
+    assign + dim aggregate, so deferring truncation re-executes that
+    real work (measured: every-2 ≈ 1.4× slower at sf0.1); pagerank's
+    rounds are near-free joins on vertex state, where the checkpoint
+    JOB overhead dominates instead.
     Cost per iteration: one shuffle of k·dim (cent_id, pos) partial
     means — corpus is scanned, never shuffled.
 

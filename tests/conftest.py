@@ -17,8 +17,16 @@ def spark():
     from ibd_pipeline_spark.session import get_spark
 
     # Small core count for tests: fixture data is tiny and task-launch
-    # overhead dominates with 32 threads.
-    s = get_spark(app_name="ibd-pipeline-tests", master="local[4]", shuffle_partitions=4)
+    # overhead dominates with 32 threads. Overridable so the
+    # partition-invariance shakeout can re-run the same suite under a
+    # different (odd/prime) parallelism — results must not change.
+    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "4")
+    parts = int(os.environ.get("SPARK_GRAFT_TEST_PARTS", "4"))
+    s = get_spark(
+        app_name="ibd-pipeline-tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=parts,
+    )
     yield s
     s.stop()
 
