@@ -83,3 +83,53 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar alternative when the downstream stack
+    is Hive/Presto-flavored. Same pushdown/pruning story as parquet
+    (Spark's ORC reader is vectorized and filter-pushing); parquet
+    stays this engine's default, ORC exists for interchange."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_binary_assets(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-binary ingestion via the `binaryFile` source — the front
+    door for multimodal corpora (images/audio/video land as files, not
+    rows). Returns (path, modificationTime, length, content) with
+    content as the raw bytes column the operators/multimodal.py
+    decoders consume.
+
+    Scale: one row per FILE; Spark parallelizes the listing and each
+    task streams its files — no driver-side reads. Filter on `length`
+    or path BEFORE decoding: both come from the file metadata, so a
+    size gate never opens the blob."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.option("recursiveFileLookup", "true").load(path)
+
+
+def read_text_docs(spark: SparkSession, path: str, whole: bool = True) -> DataFrame:
+    """Raw-text corpus ingestion: whole=True reads ONE DOCUMENT PER
+    FILE (the crawl-dump layout — `wholetext` keeps each file a single
+    row, path as the natural doc id); whole=False reads one row per
+    LINE (JSONL-adjacent layouts). Returns (doc_path, text).
+
+    Scale: wholetext makes a file the unit of parallelism — fine for
+    crawl shards (MBs), wrong for one giant file; re-shard upstream
+    rather than raising executor memory."""
+    from pyspark.sql import functions as F
+
+    # NB: pass wholetext as the text() kwarg — a prior .option() call
+    # is ignored by DataFrameReader.text() on this Spark version.
+    df = spark.read.text(path, wholetext=whole)
+    return df.select(
+        F.input_file_name().alias("doc_path"), F.col("value").alias("text")
+    )

@@ -72,3 +72,58 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, joined.collect())) == expected
     spark.sql(f"DROP TABLE IF EXISTS {ot}")
     spark.sql(f"DROP TABLE IF EXISTS {lt}")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves data; predicates reach the ORC scan."""
+    from ibd_pipeline_spark.sources.io import read_orc, write_orc
+
+    src = load(spark, sf_dir, "nation")
+    write_orc(src, str(tmp_path / "nation_orc"))
+    back = read_orc(spark, str(tmp_path / "nation_orc"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    plan = back.filter(F.col("n_nationkey") > 10)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+
+
+def test_binary_assets_ingestion(spark, tmp_path):
+    """binaryFile source: bytes land intact, metadata filter precedes
+    any content read, glob filters by extension."""
+    from ibd_pipeline_spark.sources.io import read_binary_assets
+
+    d = tmp_path / "assets" / "sub"
+    d.mkdir(parents=True)
+    (d / "a.bin").write_bytes(b"\x00\x01\x02payload-a")
+    (d / "b.bin").write_bytes(b"payload-b" * 100)
+    (d / "c.txt").write_bytes(b"not-a-blob")
+
+    df = read_binary_assets(spark, str(tmp_path / "assets"), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"].content) == b"\x00\x01\x02payload-a"
+    assert rows["b.bin"].length == 900
+
+    small = read_binary_assets(
+        spark, str(tmp_path / "assets"), glob="*.bin"
+    ).filter(F.col("length") < 100)
+    assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.bin"]
+
+
+def test_text_docs_wholetext_and_lines(spark, tmp_path):
+    """wholetext: one row per file (doc grain); lines mode: one per line."""
+    from ibd_pipeline_spark.sources.io import read_text_docs
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "doc1.txt").write_text("alpha beta\ngamma")
+    (d / "doc2.txt").write_text("delta")
+
+    docs = read_text_docs(spark, str(d), whole=True).collect()
+    assert len(docs) == 2
+    by_name = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in docs}
+    assert by_name["doc1.txt"] == "alpha beta\ngamma"
+    assert by_name["doc2.txt"] == "delta"
+
+    lines = read_text_docs(spark, str(d), whole=False).collect()
+    assert sorted(r.text for r in lines) == ["alpha beta", "delta", "gamma"]
