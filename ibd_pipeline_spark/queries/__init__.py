@@ -12,9 +12,13 @@ Column-name contract: every computed column is aliased identically in
 the Spark code and the oracle SQL — the driver sorts columns by name
 before hashing values.
 
-Float contract: double-valued aggregates are rounded (ROUND(x, k))
-identically on both sides so that summation-order nondeterminism in
-either engine can't flip the value hash.
+Float contract: double-valued aggregates round in the EXACT DECIMAL
+domain before any division (dsum/davg below) — never round a computed
+double quotient: Spark's round() goes through the double's shortest
+string repr (BigDecimal.valueOf) while DuckDB rounds the exact binary
+expansion, and the two diverge on shortest-repr half-points. The
+sf0.1 scale-parity pass (tests/test_oracle_parity.py, -k at_scale)
+is the canary for this class.
 """
 
 from __future__ import annotations
