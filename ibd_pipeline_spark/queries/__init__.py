@@ -190,6 +190,34 @@ _ROUND5_NEW: list[str] = [
     "agg_weighted_stats",
 ]
 
+# Round-5 wave-3 additions (registered after the r05 driver snapshot
+# window filled; they queue immediately behind it and rotate into the
+# r06 prefix — except the tail of the current window, which they
+# backfill where attested entries were padding it).
+_ROUND5_WAVE3: list[str] = [
+    # relational6 — Spark 4 SQL surface
+    "recursive_cte_supplier_tree",
+    "join_lateral_topn_per_nation",
+    "join_values_inline_dim",
+    "scalar_try_safe_arithmetic",
+    "window_running_distinct",
+    # stats — hypothesis tests & smoothing, exact cross-engine
+    "stats_ks_two_sample",
+    "stats_chi_square_independence",
+    "stats_mann_whitney_u",
+    "events_ewma_daily",
+    # sketches — distributed sketch structures, exact oracles
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_contamination_gate",
+    "sketch_hll_daily_union",
+    # llmdata3 — corpus curation wave 3
+    "train_contamination_containment",
+    "text_boilerplate_sentences",
+    # all-DataFrame ML primitives (rows-only, property-tested)
+    "similarity_pca_top_component",
+    "train_logreg_quality_gate",
+]
+
 # ---------------------------------------------------------------------------
 # Rounds 1–4 attested history, kept in original order behind the
 # window (green driver rows already recorded in CORRECTNESS_r01–r04).
@@ -255,6 +283,7 @@ def _driver_order(names: list[str]) -> list[str]:
     head = _DRIVER_PRIORITY + [
         n for n in _ROUND5_NEW if n not in _DRIVER_PRIORITY
     ]
+    head = head + [n for n in _ROUND5_WAVE3 if n not in head]
     head = head + [n for n in _ATTESTED if n not in head]
     prio = [n for n in head if n in names]
     rest = [n for n in names if n not in set(head)]
@@ -296,6 +325,7 @@ def _ensure_loaded() -> None:
         relational3,
         relational4,
         relational5,
+        relational6,
         scalar_ext,
         similarity,
         text,
