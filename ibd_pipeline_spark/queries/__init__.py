@@ -327,6 +327,7 @@ def _ensure_loaded() -> None:
         relational5,
         relational6,
         scalar_ext,
+        sketches,
         stats,
         similarity,
         text,

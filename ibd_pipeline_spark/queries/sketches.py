@@ -1,0 +1,192 @@
+"""Sketch-structure registry queries (round 5, wave 3): Count-Min
+heavy-hitter estimation and a Bloom contamination pre-gate — both
+built on engine-portable md5 hashing so DuckDB can verify them
+EXACTLY (the estimates, not just the shapes) — plus the
+DataSketches-HLL mergeable rollup (rows-only: the estimator is
+Spark-internal).
+
+These are the approximate/streaming-adjacent counterparts of exact
+operators already in the registry: CMS ↔ events_heavy_hitters
+(exact), Bloom ↔ dedup_cross_corpus_anti (exact anti-join),
+HLL union ↔ agg_distinct / events_rollup_cascade.
+
+Reference parity note: no analog in the reference engine; SURVEY.md
+§2.2 agg-variants / north-star dedup families.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.operators.sketches import (
+    bloom_build,
+    bloom_maybe_contains,
+    cms_build,
+    cms_probe,
+    hll_daily_weekly,
+)
+from ibd_pipeline_spark.queries import query
+
+_CMS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), tc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count FROM tok GROUP BY tok
+), cms AS (
+  SELECT s.seed,
+         CAST(('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':' || tok), 1, 8))
+              AS BIGINT) % 512 AS bucket,
+         CAST(SUM(true_count) AS BIGINT) AS cnt
+  FROM tc CROSS JOIN (VALUES (0), (1), (2), (3)) s(seed)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT tok, true_count FROM tc ORDER BY true_count DESC, tok LIMIT 10
+)
+SELECT p.tok, p.true_count,
+       MIN(c.cnt) AS cms_estimate,
+       CAST(MIN(c.cnt) - p.true_count AS BIGINT) AS overestimate
+FROM probes p
+CROSS JOIN (VALUES (0), (1), (2), (3)) s(seed)
+JOIN cms c
+  ON c.seed = s.seed
+ AND c.bucket = CAST(('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':' || p.tok), 1, 8))
+                     AS BIGINT) % 512
+GROUP BY p.tok, p.true_count
+ORDER BY p.true_count DESC, p.tok
+"""
+
+
+@query("sketch_cms_heavy_hitters", oracle=_CMS_SQL)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the document token stream (depth 4 ×
+    width 512 = 2048 exact counters), probed with the true top-10
+    tokens. Output: per token, the exact count, the CMS estimate
+    (min over depth rows), and the overestimate — never negative, by
+    the CMS one-sided guarantee, which the oracle checks EXACTLY
+    because the hash rows are md5-derived and engine-portable.
+
+    Scale: the token count aggregate is the only corpus-sized shuffle
+    (plain wordcount); the sketch itself reduces to ≤2048 rows
+    regardless of corpus size — the structure a streaming or
+    merge-across-shards heavy-hitter pass would persist. The probe
+    join broadcasts 40 rows.
+
+    Reuses the registry's tokenizer convention (split on single
+    space, operators/text.py:23).
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    cms = cms_build(counts, "tok", "true_count")
+    probes = counts.orderBy(F.col("true_count").desc(), "tok").limit(10)
+    est = cms_probe(cms, probes.select("tok"), "tok")
+    return (
+        probes.join(F.broadcast(est), "tok")
+        .select(
+            "tok",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("true_count").desc(), "tok")
+    )
+
+
+_NORM = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+_BLOOM_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT {_NORM} AS h FROM documents WHERE doc_id % 10 = 0
+), bits AS (
+  SELECT LIST(DISTINCT
+           CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || h), 1, 8))
+                AS BIGINT) % 8192) AS bl
+  FROM e CROSS JOIN (VALUES (0), (1), (2)) s(j)
+), p AS (
+  SELECT {_NORM} AS h,
+         CAST(('0x' || substring(md5('0:' || {_NORM}), 1, 8)) AS BIGINT) % 8192 AS p0,
+         CAST(('0x' || substring(md5('1:' || {_NORM}), 1, 8)) AS BIGINT) % 8192 AS p1,
+         CAST(('0x' || substring(md5('2:' || {_NORM}), 1, 8)) AS BIGINT) % 8192 AS p2
+  FROM documents WHERE doc_id % 10 <> 0
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(COUNT(*) FILTER (
+           list_contains((SELECT bl FROM bits), p0)
+           AND list_contains((SELECT bl FROM bits), p1)
+           AND list_contains((SELECT bl FROM bits), p2)) AS BIGINT) AS n_flagged,
+         CAST(COUNT(*) FILTER (h IN (SELECT h FROM e)) AS BIGINT) AS n_exact_dup
+  FROM p
+)
+SELECT n_train, n_flagged, n_exact_dup,
+       CAST(n_flagged - n_exact_dup AS BIGINT) AS n_false_pos
+FROM c
+"""
+
+
+@query("sketch_bloom_contamination_gate", oracle=_BLOOM_SQL)
+def sketch_bloom_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-gate for cross-corpus contamination: the eval
+    slice's normalized-text hashes populate an 8192-bit / 3-hash
+    filter (materialized as a one-row sorted bit-position array); the
+    train side probes it with three md5-derived positions per doc.
+    Output: train size, Bloom-flagged count, exact-duplicate count
+    (the ground truth the filter can only over-approximate), and the
+    false-positive count — all exact integers the oracle reproduces
+    bit-for-bit, because the 'randomness' is md5.
+
+    This is the cheap first pass in front of the exact
+    `dedup_cross_corpus_anti` anti-join: at 100 TB the filter is built
+    once from the (small, broadcastable) reference corpus and the
+    probe is a per-row expression — zero shuffle on the big side; only
+    the ~0.6% flagged survivors pay the exact hash join.
+
+    Normalization reuses the cross-corpus dedup convention
+    (queries/llmdata.py _NORM_SQL); eval slice = doc_id % 10 == 0,
+    the decontamination convention.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm_h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    eval_h = (
+        docs.filter(F.col("doc_id") % 10 == 0).select(norm_h.alias("h")).distinct()
+    )
+    bits = bloom_build(eval_h, "h")
+    train = docs.filter(F.col("doc_id") % 10 != 0).select(norm_h.alias("h"))
+    probed = (
+        train.crossJoin(F.broadcast(bits))
+        .join(
+            F.broadcast(eval_h.withColumn("is_dup", F.lit(1))), "h", "left"
+        )
+        .select(
+            bloom_maybe_contains("bloom_bits", F.col("h")).alias("flagged"),
+            "is_dup",
+        )
+    )
+    return probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        F.count(F.when(F.col("flagged"), 1)).cast("bigint").alias("n_flagged"),
+        F.count("is_dup").cast("bigint").alias("n_exact_dup"),
+        (
+            F.count(F.when(F.col("flagged"), 1)) - F.count("is_dup")
+        ).cast("bigint").alias("n_false_pos"),
+    )
+
+
+@query("sketch_hll_daily_union")
+def sketch_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users from a UNION of per-day DataSketches HLL
+    partials, next to the direct weekly sketch and the exact count —
+    the mergeable-rollup pattern that replaces re-scans at coarser
+    grains. Rows-only (the HLL binary and its estimator are
+    Spark-internal — DuckDB's approx_count_distinct is a different
+    sketch); the invariants (union estimate == direct estimate,
+    relative error < 5% vs exact) are property-tested in
+    tests/test_sketches.py.
+    """
+    return hll_daily_weekly(load(spark, sf_dir, "events"))

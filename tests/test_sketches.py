@@ -1,0 +1,106 @@
+"""Property tests for the sketch structures (operators/sketches.py).
+
+The CMS and Bloom queries are ALSO exact-oracle-checked in
+test_oracle_parity.py (their md5 hashing is engine-portable); the
+tests here assert the *sketch-theoretic* guarantees that must hold on
+any input — the properties a refactor could silently break while the
+fixture-specific oracle still happened to pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    bloom_build,
+    bloom_maybe_contains,
+    cms_build,
+    cms_probe,
+    hll_daily_weekly,
+)
+
+
+def test_cms_one_sided_and_bounded(spark, sf_dir):
+    """CMS estimates are never below the truth (one-sided error), and
+    the overestimate is bounded by the colliding mass: total weight /
+    width is the expected collision load per counter; 8× that is a
+    generous deterministic ceiling for depth=4."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    total = counts.agg(F.sum("w")).collect()[0][0]
+    cms = cms_build(counts, "tok", "w")
+
+    # sketch is structurally bounded
+    n_counters = cms.count()
+    assert n_counters <= CMS_DEPTH * CMS_WIDTH
+
+    # conservation: every depth row sums to the total mass
+    per_seed = {r["seed"]: r["s"] for r in
+                cms.groupBy("seed").agg(F.sum("cnt").alias("s")).collect()}
+    assert set(per_seed) == set(range(CMS_DEPTH))
+    assert all(v == total for v in per_seed.values())
+
+    probes = counts.orderBy(F.col("w").desc(), "tok").limit(25)
+    est = cms_probe(cms, probes.select("tok"), "tok")
+    joined = probes.join(est, "tok").collect()
+    assert len(joined) == 25
+    ceiling = 8 * total / CMS_WIDTH
+    for r in joined:
+        assert r["cms_estimate"] >= r["w"], r
+        assert r["cms_estimate"] - r["w"] <= ceiling, r
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark, sf_dir):
+    """Every inserted key must probe positive (no false negatives —
+    the Bloom hard guarantee); non-member false positives stay under
+    the loose analytic bound for the observed bit load."""
+    docs = load(spark, sf_dir, "documents")
+    members = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.md5("text").alias("h")
+    ).distinct()
+    others = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.md5("text").alias("h")
+    ).distinct().join(members, "h", "left_anti")
+
+    bits = bloom_build(members, "h")
+    n_bits = bits.select(F.size("bloom_bits")).collect()[0][0]
+
+    n_members = members.count()
+    missed = (
+        members.crossJoin(F.broadcast(bits))
+        .filter(~bloom_maybe_contains("bloom_bits", F.col("h")))
+        .count()
+    )
+    assert missed == 0, "Bloom filter produced a false negative"
+
+    n_others = others.count()
+    fp = (
+        others.crossJoin(F.broadcast(bits))
+        .filter(bloom_maybe_contains("bloom_bits", F.col("h")))
+        .count()
+    )
+    # fp rate ≈ (set bits / m)^k; allow 4× headroom + integer slack
+    expected = (n_bits / 8192.0) ** 3
+    assert fp <= max(5, 4 * expected * n_others), (fp, n_others, n_bits, n_members)
+
+
+def test_hll_union_equals_direct_and_close_to_exact(spark, sf_dir):
+    """Union-of-day-sketches must give the SAME estimate as the
+    direct weekly sketch (DataSketches HLL union over same-lgK
+    sketches is lossless), and the estimate must sit within 5% of the
+    exact distinct count at fixture cardinalities."""
+    rows = hll_daily_weekly(load(spark, sf_dir, "events")).collect()
+    assert rows, "no weeks produced"
+    for r in rows:
+        assert r["est_union_of_days"] == r["est_direct"], r
+        assert abs(r["est_direct"] - r["exact_users"]) <= max(
+            2, 0.05 * r["exact_users"]
+        ), r
