@@ -317,6 +317,7 @@ def _ensure_loaded() -> None:
         events,
         llmdata,
         llmdata2,
+        llmdata3,
         maintenance,
         quality,
         multimodal,
