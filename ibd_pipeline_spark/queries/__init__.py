@@ -319,6 +319,7 @@ def _ensure_loaded() -> None:
         llmdata2,
         llmdata3,
         maintenance,
+        ml,
         quality,
         multimodal,
         relational,

@@ -1,0 +1,106 @@
+"""Property tests for the all-DataFrame ML primitives
+(operators/ml.py) — the correctness evidence for the two rows-only
+registry entries, following the kmeans/pagerank pattern: assert the
+mathematical contract on planted inputs, not fixture-specific values.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.operators.ml import logreg_fit, pca_top_component
+
+
+def _planted_frame(spark, n=400, d=8, seed=7):
+    """Vectors = s·u + noise with a dominant planted direction u."""
+    rng = random.Random(seed)
+    u = [1.0 / math.sqrt(d)] * d
+    rows = []
+    for _ in range(n):
+        s = rng.gauss(0.0, 5.0)
+        vec = [s * u[k] + rng.gauss(0.0, 0.3) for k in range(d)]
+        rows.append((vec,))
+    return spark.createDataFrame(rows, "embedding array<double>"), u
+
+
+def test_pca_recovers_planted_direction(spark):
+    df, u = _planted_frame(spark)
+    comp = pca_top_component(df, iters=10).orderBy("dim").collect()
+    assert len(comp) == 8
+    w = [r["loading"] for r in comp]
+    # unit norm
+    assert abs(sum(x * x for x in w) - 1.0) < 1e-6
+    # aligned with the planted direction
+    cos = abs(sum(a * b for a, b in zip(w, u)))
+    assert cos > 0.99, cos
+    # deterministic sign convention: dominant-|loading| entry positive
+    assert max(w, key=abs) > 0
+    # eigenvalue ≈ planted variance (25) ≫ noise (0.09)
+    lam = comp[0]["eigenvalue"]
+    assert 15.0 < lam < 35.0, lam
+    assert all(r["n_vectors"] == 400 for r in comp)
+
+
+def test_pca_eigenvalue_dominates_residual_on_fixture(spark, sf_dir):
+    """On the real embeddings table: λ₁ must be ≥ the variance along
+    any coordinate axis (the Rayleigh quotient is a maximum)."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = pca_top_component(emb, iters=8).limit(1).collect()[0]
+    lam = comp["eigenvalue"]
+    axis_var = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.max("v"))
+        .collect()[0][0]
+    )
+    assert lam >= axis_var - 1e-9, (lam, axis_var)
+
+
+def _sep_frame(spark, n=300, d=4, margin=2.0, seed=11):
+    """Linearly separable labels along a planted normal."""
+    rng = random.Random(seed)
+    w_true = [1.0, -1.0, 0.5, 0.0]
+    rows = []
+    for _ in range(n):
+        x = [rng.gauss(0.0, 1.0) for _ in range(d)]
+        z = sum(a * b for a, b in zip(w_true, x))
+        y = 1 if z > 0 else 0
+        # push points away from the boundary for a clean margin
+        x = [xi + (margin if y else -margin) * wi / 2.0 for xi, wi in zip(x, w_true)]
+        rows.append(([1.0] + x, y))
+    return spark.createDataFrame(rows, "x array<double>, y int")
+
+
+def test_logreg_separable_converges(spark):
+    df = _sep_frame(spark)
+    fit = logreg_fit(df, "x", "y", iters=15, lr=1.0).collect()[0]
+    assert fit["n_rows"] == 300
+    assert fit["accuracy"] >= 0.97, fit["accuracy"]
+    assert fit["log_loss"] < 0.3, fit["log_loss"]
+
+
+def test_logreg_loss_monotone_decreasing(spark):
+    """With a conservative step size, full-batch GD must decrease the
+    training loss at every horizon."""
+    df = _sep_frame(spark, n=150)
+    losses = [
+        logreg_fit(df, "x", "y", iters=i, lr=0.3).collect()[0]["log_loss"]
+        for i in (1, 3, 6, 10)
+    ]
+    assert all(b < a + 1e-12 for a, b in zip(losses, losses[1:])), losses
+
+
+def test_logreg_l2_shrinks_weights(spark):
+    df = _sep_frame(spark)
+    w_free = logreg_fit(df, "x", "y", iters=10, lr=0.5).collect()[0]["weights"]
+    w_reg = logreg_fit(df, "x", "y", iters=10, lr=0.5, l2=0.5).collect()[0][
+        "weights"
+    ]
+    norm = lambda w: math.sqrt(sum(x * x for x in w))
+    assert norm(w_reg) < norm(w_free)
