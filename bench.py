@@ -180,7 +180,41 @@ HEADLINE_R05 = [
     "agg_weighted_stats",
 ]
 
-HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04 + HEADLINE_R05
+# Round-5 wave-3 additions (same volume rule; recursive_cte /
+# window_running_distinct / the nation-lateral stay out as
+# input-bounded coverage queries).
+HEADLINE_R05W3 = [
+    # global cumulative-ECDF window over the distinct-value frame
+    "stats_ks_two_sample",
+    # global rank window over the pooled sample (tie-corrected U)
+    "stats_mann_whitney_u",
+    # contingency count agg + margins on the cell frame
+    "stats_chi_square_independence",
+    # day-grain decimal agg + fixed-horizon lag smoothing
+    "events_ewma_daily",
+    # wordcount + 4-seed sketch reduce + broadcast probe
+    "sketch_cms_heavy_hitters",
+    # per-row triple md5 probe against a broadcast bit set
+    "sketch_bloom_contamination_gate",
+    # per-day HLL partials + weekly union vs direct vs exact
+    "sketch_hll_daily_union",
+    # shingle explode → broadcast containment join + pair agg
+    "train_contamination_containment",
+    # segment document-frequency join (boilerplate pass)
+    "text_boilerplate_sentences",
+    # full-orders broadcast VALUES join + decimal agg
+    "join_values_inline_dim",
+    # full-lineitem try-family expressions + agg
+    "scalar_try_safe_arithmetic",
+    # iterative covariance-action power iteration (8 rounds)
+    "similarity_pca_top_component",
+    # iterative full-batch GD (12 rounds, broadcast weights)
+    "train_logreg_quality_gate",
+]
+
+HEADLINE = (
+    HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04 + HEADLINE_R05 + HEADLINE_R05W3
+)
 
 
 def main() -> None:
