@@ -216,6 +216,10 @@ _ROUND5_WAVE3: list[str] = [
     # all-DataFrame ML primitives (rows-only, property-tested)
     "similarity_pca_top_component",
     "train_logreg_quality_gate",
+    # sampling wave 3 + bloom-pruned join
+    "train_weighted_sample_ares",
+    "train_nucleus_topp_per_source",
+    "join_bloom_prefiltered",
 ]
 
 # ---------------------------------------------------------------------------
@@ -334,6 +338,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         training,
+        training2,
         udf,
         weather,
         windows,

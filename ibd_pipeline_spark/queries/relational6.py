@@ -250,3 +250,66 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,8))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= DATE '2000-01-01'
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("join_bloom_prefiltered", oracle=_BLOOM_JOIN_SQL)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact join: the selective dimension side
+    (urgent orders since 2000) publishes a Bloom filter of its join
+    keys; the fact scan probes it BEFORE the join, so ~95% of lineitem
+    rows die at the scan instead of riding the join. The final result
+    is EXACT — Bloom false positives (and nothing else) survive to the
+    equi-join, which removes them — so the oracle is the plain join
+    SQL: the filter is a pure physical optimization, invisible in the
+    answer. This hand-rolls, portably and oracle-checkably, what
+    Spark's runtime bloom-filter join injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does inside the
+    engine: at 100 TB the win is shuffle mass — only key-matching
+    fact rows are hashed across the wire.
+
+    Scale: filter side must stay broadcast-sized (it is the SELECTIVE
+    side by construction); the probe is three per-row md5 expressions
+    in whole-stage codegen; one shuffle for the surviving join +
+    map-side-combined aggregate.
+    """
+    from ibd_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    bits = bloom_build(o.select(F.col("o_orderkey").alias("k")), "k")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    li_pruned = li.crossJoin(F.broadcast(bits)).filter(
+        bloom_maybe_contains("bloom_bits", F.col("l_orderkey"))
+    )
+    return (
+        li_pruned.join(F.broadcast(o), li_pruned.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

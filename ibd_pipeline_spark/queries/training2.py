@@ -1,0 +1,161 @@
+"""Training-data assembly, wave 3 (round 5): weighted reservoir
+sampling (A-Res / Efraimidis–Spirakis) and per-source nucleus (top-p)
+filtering — the two sampling primitives between the registry's
+uniform hash gates (stratified_hash_sample, train_lang_balanced_quota)
+and its temperature reweighting (train_source_temperature): sample
+*proportional to a per-document weight* without replacement, and keep
+*the smallest set carrying p of the quality mass*.
+
+Randomness discipline: as everywhere in the registry, 'random' means
+md5-derived — u(doc) is a pure function of the data, so both engines
+draw the SAME sample and the driver's hash compare is exact; at
+100 TB the draw is partitioning-invariant and rerun-stable, which is
+what makes a training mix reproducible.
+
+Reference parity note: no analog in the reference engine; SURVEY.md
+§2.2 sampling/training-data families.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+
+# md5-uniform in (0, 1]: (first-8-hex-digits + 1) / (2^32 + 1).
+_U_SQL = (
+    "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " + 1) / 4294967297.0"
+)
+
+_ARES_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE) AS wt,
+         {_U_SQL} AS u
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY (-ln(u) / wt), doc_id) AS rk
+  FROM w
+)
+SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5
+ORDER BY source, rk
+"""
+
+
+@query("train_weighted_sample_ares", oracle=_ARES_SQL)
+def train_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 5 docs per source,
+    inclusion probability ∝ n_chars (the length-weighted draw that
+    token-budget mixes need: sampling documents uniformly
+    under-represents long documents' tokens). A-Res: each row draws
+    one md5-uniform u and scores -ln(u)/w; the k smallest scores per
+    group are exactly a w-weighted draw without replacement
+    (Efraimidis–Spirakis 2006) — one window, no iteration, no
+    rejection loop.
+
+    Both engines compute the identical score (md5 → one add, one
+    divide, one ln, one divide — deterministic IEEE chain), and the
+    score itself never leaves the plan: the output is the selected
+    (source, doc_id) rows, so there is no float in the hash compare.
+
+    Scale: one shuffle on source (the group key); per-group state is
+    the running top-k — at a billion docs per source you'd pre-prune
+    with a per-partition top-k before the shuffle (TakeOrdered's
+    combiner does this for the global case; per-group, add a salted
+    two-stage top-k), noted per the no-silent-caps rule."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            + 1
+        )
+        / F.lit(4294967297.0)
+    )
+    scored = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars").cast("double")).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+_NUCLEUS_SQL = """
+WITH s AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS mass
+  FROM documents
+), c AS (
+  SELECT source, doc_id, mass,
+         SUM(mass) OVER (PARTITION BY source
+                         ORDER BY mass DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_mass,
+         SUM(mass) OVER (PARTITION BY source) AS tot_mass
+  FROM s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(mass) AS BIGINT) AS kept_mass,
+       CAST(MAX(tot_mass) AS BIGINT) AS tot_mass
+FROM c
+WHERE 10 * (cum_mass - mass) < 9 * tot_mass
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("train_nucleus_topp_per_source", oracle=_NUCLEUS_SQL)
+def train_nucleus_topp_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) filtering per source: keep the smallest set of
+    documents — taken in decreasing mass order — whose cumulative mass
+    reaches 90% of the source's total; everything after the crossing
+    is the long tail a curation pass drops. A document is kept while
+    the mass BEFORE it is under the threshold (so the crossing doc is
+    included, the standard top-p convention).
+
+    The 90% threshold is the exact integer comparison
+    10·(cum−mass) < 9·tot — masses are integers, so no quotient and
+    no float anywhere in the predicate or the output.
+
+    Scale: one shuffle on source; the cumulative window is
+    per-source, and the two window sums share the single partition
+    pass (same partition key, compatible frames)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("mass"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("mass").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    c = s.select(
+        "source",
+        "mass",
+        F.sum("mass").over(w_cum).alias("cum_mass"),
+        F.sum("mass").over(w_all).alias("tot_mass"),
+    )
+    return (
+        c.filter(
+            10 * (F.col("cum_mass") - F.col("mass")) < 9 * F.col("tot_mass")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("mass").cast("bigint").alias("kept_mass"),
+            F.max("tot_mass").cast("bigint").alias("tot_mass"),
+        )
+        .orderBy("source")
+    )
