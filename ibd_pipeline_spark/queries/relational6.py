@@ -298,10 +298,14 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderpriority")
     )
+    from ibd_pipeline_spark.catalog import load_wide
+
     bits = bloom_build(o.select(F.col("o_orderkey").alias("k")), "k")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # The probe is md5-per-row CPU; a 3-split lineitem scan would
+    # serialize it onto 3 cores (the load_wide rationale).
+    li = load_wide(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     li_pruned = li.crossJoin(F.broadcast(bits)).filter(
-        bloom_maybe_contains("bloom_bits", F.col("l_orderkey"))
+        bloom_maybe_contains("bloom_words", F.col("l_orderkey"))
     )
     return (
         li_pruned.join(F.broadcast(o), li_pruned.l_orderkey == o.o_orderkey)

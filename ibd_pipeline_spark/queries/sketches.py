@@ -104,17 +104,27 @@ _NORM = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 _BLOOM_SQL = f"""
 WITH e AS (
   SELECT DISTINCT {_NORM} AS h FROM documents WHERE doc_id % 10 = 0
+), eh AS (
+  SELECT h,
+         CAST(('0x' || substring(md5(h), 1, 8)) AS BIGINT) AS h1,
+         2 * CAST(('0x' || substring(md5(h), 9, 8)) AS BIGINT) + 1 AS st
+  FROM e
 ), bits AS (
-  SELECT LIST(DISTINCT
-           CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || h), 1, 8))
-                AS BIGINT) % 8192) AS bl
-  FROM e CROSS JOIN (VALUES (0), (1), (2)) s(j)
+  SELECT LIST(DISTINCT (h1 + j * st) % 8192) AS bl
+  FROM eh CROSS JOIN (VALUES (0), (1), (2)) s(j)
+), t AS (
+  SELECT {_NORM} AS h FROM documents WHERE doc_id % 10 <> 0
+), th AS (
+  SELECT h,
+         CAST(('0x' || substring(md5(h), 1, 8)) AS BIGINT) AS h1,
+         2 * CAST(('0x' || substring(md5(h), 9, 8)) AS BIGINT) + 1 AS st
+  FROM t
 ), p AS (
-  SELECT {_NORM} AS h,
-         CAST(('0x' || substring(md5('0:' || {_NORM}), 1, 8)) AS BIGINT) % 8192 AS p0,
-         CAST(('0x' || substring(md5('1:' || {_NORM}), 1, 8)) AS BIGINT) % 8192 AS p1,
-         CAST(('0x' || substring(md5('2:' || {_NORM}), 1, 8)) AS BIGINT) % 8192 AS p2
-  FROM documents WHERE doc_id % 10 <> 0
+  SELECT h,
+         (h1 + 0 * st) % 8192 AS p0,
+         (h1 + 1 * st) % 8192 AS p1,
+         (h1 + 2 * st) % 8192 AS p2
+  FROM th
 ), c AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
          CAST(COUNT(*) FILTER (
@@ -164,7 +174,7 @@ def sketch_bloom_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFra
             F.broadcast(eval_h.withColumn("is_dup", F.lit(1))), "h", "left"
         )
         .select(
-            bloom_maybe_contains("bloom_bits", F.col("h")).alias("flagged"),
+            bloom_maybe_contains("bloom_words", F.col("h")).alias("flagged"),
             "is_dup",
         )
     )

@@ -76,7 +76,7 @@ def test_bloom_no_false_negatives_and_fp_bounded(spark, sf_dir):
     n_members = members.count()
     missed = (
         members.crossJoin(F.broadcast(bits))
-        .filter(~bloom_maybe_contains("bloom_bits", F.col("h")))
+        .filter(~bloom_maybe_contains("bloom_words", F.col("h")))
         .count()
     )
     assert missed == 0, "Bloom filter produced a false negative"
@@ -84,7 +84,7 @@ def test_bloom_no_false_negatives_and_fp_bounded(spark, sf_dir):
     n_others = others.count()
     fp = (
         others.crossJoin(F.broadcast(bits))
-        .filter(bloom_maybe_contains("bloom_bits", F.col("h")))
+        .filter(bloom_maybe_contains("bloom_words", F.col("h")))
         .count()
     )
     # fp rate ≈ (set bits / m)^k; allow 4× headroom + integer slack

@@ -104,6 +104,28 @@ CURATED = {
     "banded LSH join → label-propagation components → survivor anti/semi "
     "joins — every stage the attested scale shape, nothing materialized "
     "between them except the checkpointed reps relation.",
+    # round-5 wave 3
+    "recursive_cte_supplier_tree": "Spark 4 recursive CTE: the UnionLoop "
+    "materializes each tree level; every step is a bounded join of "
+    "supplier against the previous level's keys.",
+    "join_lateral_topn_per_nation": "correlated LATERAL with ORDER BY + "
+    "LIMIT: decorrelated into a per-nation rank window — no per-outer-row "
+    "re-execution survives into the physical plan.",
+    "stats_ks_two_sample": "distributed ECDF: per-value count aggregate, "
+    "then ONE ordered window over the distinct-value frame (not raw "
+    "events); statistic carried as exact integers to the final division.",
+    "sketch_cms_heavy_hitters": "wordcount aggregate → 4-seed explode on "
+    "the DISTINCT-token frame → ≤2048-row sketch; probe side broadcast — "
+    "output size is fixed regardless of corpus.",
+    "join_bloom_prefiltered": "hand-rolled runtime filter: one-row bloom "
+    "bit array broadcast into the fact scan, 3 md5 probes per row in "
+    "codegen, then the exact broadcast join over survivors only.",
+    "similarity_pca_top_component": "power iteration on the covariance "
+    "ACTION: per round one corpus scan (zip_with projection fold) + one "
+    "d-row hash aggregate; the d×d matrix never exists.",
+    "train_weighted_sample_ares": "A-Res weighted sampling: md5-uniform "
+    "score per row, one per-source rank window — a weighted draw without "
+    "replacement in a single shuffle, no rejection loop.",
 }
 
 
