@@ -210,6 +210,12 @@ HEADLINE_R05W3 = [
     "similarity_pca_top_component",
     # iterative full-batch GD (12 rounds, broadcast weights)
     "train_logreg_quality_gate",
+    # bitset bloom probe inside the fact scan + exact join
+    "join_bloom_prefiltered",
+    # md5-scored weighted draw (one per-source rank window)
+    "train_weighted_sample_ares",
+    # per-source cumulative-mass cut (shared-window pair)
+    "train_nucleus_topp_per_source",
 ]
 
 HEADLINE = (
