@@ -220,6 +220,8 @@ _ROUND5_WAVE3: list[str] = [
     "train_weighted_sample_ares",
     "train_nucleus_topp_per_source",
     "join_bloom_prefiltered",
+    "quality_snapshot_diff",
+    "train_bpe_learn_apply",
 ]
 
 # ---------------------------------------------------------------------------
@@ -325,6 +327,7 @@ def _ensure_loaded() -> None:
         maintenance,
         ml,
         quality,
+        quality2,
         multimodal,
         relational,
         relational2,

@@ -159,3 +159,37 @@ def train_nucleus_topp_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+@query("train_bpe_learn_apply")
+def train_bpe_learn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer-training loop (operators/bpe.py): LEARN the
+    top-6 greedy BPE merges on a 5% sample (doc_id % 20 == 0 — merge
+    learning is inherently iterative, so it runs on a sample, exactly
+    as production tokenizer trainers do), then APPLY the merge table
+    to the WHOLE corpus as one scan-only projection (6 nested greedy
+    folds per row, rank order, zero shuffle). Output: the merge table
+    (rank, left, right, pair_freq) with the corpus-wide compression it
+    achieved (total symbols before/after) on every row.
+
+    Rows-only: the learning loop is an iterative fixpoint (kmeans/
+    pagerank class); greedy semantics, determinism, losslessness, and
+    identity-at-zero-merges are property-tested in tests/test_bpe.py.
+    """
+    from ibd_pipeline_spark.operators.bpe import bpe_apply, bpe_learn
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_learn(d.filter(F.col("doc_id") % 20 == 0), n_merges=6)
+    applied = bpe_apply(d, merges)
+    totals = applied.agg(
+        F.sum("n_syms_before").cast("bigint").alias("total_syms_before"),
+        F.sum("n_syms_after").cast("bigint").alias("total_syms_after"),
+    )
+    return (
+        merges.crossJoin(F.broadcast(totals))
+        .select(
+            "rank", "left", "right", "pair_freq",
+            "total_syms_before", "total_syms_after",
+        )
+        .orderBy("rank")
+    )
