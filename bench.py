@@ -216,6 +216,10 @@ HEADLINE_R05W3 = [
     "train_weighted_sample_ares",
     # per-source cumulative-mass cut (shared-window pair)
     "train_nucleus_topp_per_source",
+    # null-safe full-outer reconciliation diff
+    "quality_snapshot_diff",
+    # iterative merge learning (sample) + one-scan K-fold apply
+    "train_bpe_learn_apply",
 ]
 
 HEADLINE = (
