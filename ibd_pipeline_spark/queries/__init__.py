@@ -222,6 +222,7 @@ _ROUND5_WAVE3: list[str] = [
     "join_bloom_prefiltered",
     "quality_snapshot_diff",
     "train_bpe_learn_apply",
+    "events_funnel_ordered_steps",
 ]
 
 # ---------------------------------------------------------------------------
@@ -318,6 +319,7 @@ def _ensure_loaded() -> None:
     from ibd_pipeline_spark.queries import (  # noqa: F401
         analytics,
         analytics2,
+        analytics3,
         composite,
         dedup,
         events,
