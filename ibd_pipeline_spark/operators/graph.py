@@ -212,3 +212,86 @@ def pagerank(
         if (i + 1) % 2 == 0 or i == iters - 1:
             ranks = _truncate(ranks, reliable=reliable)
     return ranks.select(F.col("u").alias("vertex"), "rank")
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex: str = "vertex",
+    label: str = "label",
+    max_iter: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Semi-supervised label propagation over undirected `edges`:
+    seed vertices keep their label forever; every other vertex takes,
+    each round, the most common label among its labeled neighbors
+    (ties broken by lexicographically smallest label — deterministic,
+    partition-invariant). Unreached vertices stay NULL.
+
+    Same iterative contract as connected_components/pagerank: per
+    round one join of the (vertex, label) state against the
+    symmetrized edge list + one count aggregate + one argmax via
+    MIN(struct(-cnt, label)); state checkpointed eagerly per round
+    (reliable when `checkpoint_dir` is set, localCheckpoint in
+    tests). State is one row per vertex; the corpus-sized edge
+    relation is never mutated, so each round's shuffle is
+    O(|edges|) partials combining down to O(|vertices|).
+
+    Returns (vertex, label, is_seed) for every vertex in the edge
+    set (plus seed vertices even if isolated).
+    """
+    import pyspark.sql.functions as F
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    verts = sym.select(F.col("a").alias("v")).distinct()
+    seed_state = seeds.select(
+        F.col(vertex).alias("v"), F.col(label).alias("lbl"), F.lit(True).alias("is_seed")
+    )
+    state = (
+        verts.join(seed_state, "v", "left")
+        .select("v", "lbl", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .unionByName(
+            seed_state.join(verts, "v", "left_anti").select(
+                "v", "lbl", F.lit(True).alias("is_seed")
+            )
+        )
+    )
+    for _ in range(max_iter):
+        votes = (
+            sym.join(
+                state.filter(F.col("lbl").isNotNull()).select(
+                    F.col("v").alias("b"), F.col("lbl").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("v"), F.col("nl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("v")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("nl").alias("l")))[
+                    "l"
+                ].alias("new_lbl")
+            )
+        )
+        state = (
+            state.join(votes, "v", "left")
+            .select(
+                "v",
+                F.when(F.col("is_seed"), F.col("lbl"))
+                .otherwise(F.coalesce("new_lbl", "lbl"))
+                .alias("lbl"),
+                "is_seed",
+            )
+        )
+        state = _truncate(state, checkpoint_dir is not None)
+    return state.select(
+        F.col("v").alias(vertex), F.col("lbl").alias(label), "is_seed"
+    )

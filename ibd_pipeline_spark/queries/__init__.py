@@ -223,6 +223,7 @@ _ROUND5_WAVE3: list[str] = [
     "quality_snapshot_diff",
     "train_bpe_learn_apply",
     "events_funnel_ordered_steps",
+    "dedup_label_propagation",
 ]
 
 # ---------------------------------------------------------------------------

@@ -303,3 +303,53 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.unpersist()
         release_state(cand)
     return out
+
+
+@query("dedup_label_propagation")
+def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised source attribution over the near-dup graph:
+    seed every doc whose id is divisible by 3 with its `source` label,
+    then propagate labels across the MinHash-LSH pair graph (5 rounds
+    of neighbor-majority voting, ties lexicographic — see
+    operators/graph.py:label_propagation). The curation use: an
+    UNLABELED crawl shard inherits provenance/license labels from the
+    near-duplicate copies that ARE labeled.
+
+    Rows-only (iterative fixpoint, kmeans/pagerank class); seed
+    stability, two-clique separation, and tie determinism are
+    property-tested in tests/test_graph.py. Output: per reached
+    vertex, the inferred label and whether it was a seed, plus the
+    doc's true source for an agreement readout — aggregated to
+    (label, is_seed, n_docs, n_agree) so the record is compact and
+    partition-invariant.
+
+    Scale: per round one join of vertex state (1 row/vertex) against
+    the symmetrized pair list + a count/argmax aggregate; the LSH
+    band join provides the edges — same shuffle budget as every
+    near-dup query. The doc_id < 150 slice bounds bench iteration
+    cost only."""
+    from ibd_pipeline_spark.operators.dedup import minhash_candidate_pairs
+    from ibd_pipeline_spark.operators.graph import label_propagation
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = (
+        minhash_candidate_pairs(d)
+        .filter(F.col("jaccard") >= 0.6)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    seeds = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("vertex"), F.col("source").alias("label")
+    )
+    labeled = label_propagation(pairs, seeds)
+    truth = d.select(F.col("doc_id").alias("vertex"), "source")
+    return (
+        labeled.join(truth, "vertex")
+        .groupBy("label", "is_seed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("label") == F.col("source"), 1))
+            .cast("bigint")
+            .alias("n_agree"),
+        )
+        .orderBy("label", "is_seed")
+    )

@@ -94,3 +94,55 @@ def test_pagerank_reliable_checkpoint_branch(spark, tmp_path):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     r = pagerank(edges, iters=3, checkpoint_dir=str(tmp_path / "ck"))
     assert r.count() == 3
+
+
+def test_label_propagation_two_cliques(spark):
+    """Disjoint cliques with one seed each: every member inherits its
+    clique's seed label; seeds never change; a vertex in neither
+    clique and with no labeled path stays NULL."""
+    from ibd_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        # clique A: 1-2-3 (path), clique B: 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame(
+        [(1, "alpha"), (10, "beta")], "vertex bigint, label string"
+    )
+    out = {r["vertex"]: (r["label"], r["is_seed"])
+           for r in label_propagation(edges, seeds, max_iter=4).collect()}
+    assert out[1] == ("alpha", True) and out[10] == ("beta", True)
+    assert out[2][0] == "alpha" and out[3][0] == "alpha"
+    assert out[11][0] == "beta" and out[12][0] == "beta"
+    assert out[20][0] is None and out[21][0] is None
+    assert len(out) == 8
+
+
+def test_label_propagation_tie_breaks_lexicographically(spark):
+    from ibd_pipeline_spark.operators.graph import label_propagation
+
+    # vertex 5 has two labeled neighbors with equal vote counts
+    edges = spark.createDataFrame([(1, 5), (2, 5)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame(
+        [(1, "zed"), (2, "ant")], "vertex bigint, label string"
+    )
+    out = {r["vertex"]: r["label"]
+           for r in label_propagation(edges, seeds, max_iter=2).collect()}
+    assert out[5] == "ant"
+
+
+def test_label_propagation_seed_overrides_neighbors(spark):
+    """A seed surrounded by differently-labeled neighbors keeps its
+    own label (seeds are clamped, the semi-supervised contract)."""
+    from ibd_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y")], "vertex bigint, label string"
+    )
+    out = {r["vertex"]: r["label"]
+           for r in label_propagation(edges, seeds, max_iter=3).collect()}
+    assert out[9] == "y"
