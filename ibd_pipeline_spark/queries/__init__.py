@@ -224,6 +224,7 @@ _ROUND5_WAVE3: list[str] = [
     "train_bpe_learn_apply",
     "events_funnel_ordered_steps",
     "dedup_label_propagation",
+    "events_linear_interpolate_gaps",
 ]
 
 # ---------------------------------------------------------------------------

@@ -94,3 +94,118 @@ def events_funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(
         conv.select(F.col("total_convert_seconds").cast("bigint"))
     )
+
+
+_INTERP_SQL = """
+WITH d AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE)
+           / COUNT(value) AS v
+  FROM events GROUP BY 1
+), kept AS (
+  SELECT day, v FROM d
+  WHERE CAST(('0x' || substring(md5(CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) % 5 <> 0
+), spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d),
+           INTERVAL 1 DAY)) AS DATE) AS day
+), s AS (
+  SELECT sp.day, k.v,
+         LAST_VALUE(CASE WHEN k.v IS NOT NULL THEN k.v END IGNORE NULLS)
+           OVER (ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         LAST_VALUE(CASE WHEN k.v IS NOT NULL THEN sp.day END IGNORE NULLS)
+           OVER (ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+         FIRST_VALUE(CASE WHEN k.v IS NOT NULL THEN k.v END IGNORE NULLS)
+           OVER (ORDER BY sp.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+         FIRST_VALUE(CASE WHEN k.v IS NOT NULL THEN sp.day END IGNORE NULLS)
+           OVER (ORDER BY sp.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+  FROM spine sp LEFT JOIN kept k USING (day)
+)
+SELECT day,
+       v IS NULL AS is_gap,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+              vp + (vn - vp) * (CAST(day - dp AS DOUBLE) / CAST(dn - dp AS DOUBLE))
+            ELSE NULL END AS value_filled
+FROM s
+WHERE v IS NOT NULL OR (vp IS NOT NULL AND vn IS NOT NULL)
+ORDER BY day
+"""
+
+
+@query("events_linear_interpolate_gaps", oracle=_INTERP_SQL)
+def events_linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling by LINEAR interpolation: the daily mean-value
+    series loses ~20% of its days (an md5 gate simulates feed
+    outages — deterministic, so the oracle sees the same gaps), a
+    generated date spine restores the missing rows, and each gap is
+    filled as vp + (vn−vp)·Δ — the straight line between its nearest
+    real neighbors. Builds on `join_date_spine_gapfill` (which
+    carries the LAST value forward); interpolation is the variant
+    dashboards and feature pipelines actually want for slowly-varying
+    metrics. Leading/trailing gaps (no neighbor on one side) are
+    dropped, the standard convention.
+
+    Engine-portability: the neighbor lookups are IGNORE NULLS edge
+    windows (Spark: last/first(ignorenulls=True)); the fill chain is
+    one subtraction, one integer-ratio division, one multiply-add on
+    exact inputs — bit-identical IEEE in both engines, so the DOUBLE
+    output needs no rounding.
+
+    Scale: the aggregate is the only event-volume work; spine and
+    windows run on the day frame. The unpartitioned window is
+    day-count-sized — at years-of-days scale, partition by month and
+    stitch boundaries (the rollup-cascade pattern).
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("day").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 5
+    )
+    kept = d.filter(gate != 0)
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    s = (
+        spine.join(kept, "day", "left")
+        .select(
+            "day",
+            "v",
+            F.last(
+                F.when(F.col("v").isNotNull(), F.col("v")), ignorenulls=True
+            ).over(w_prev).alias("vp"),
+            F.last(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_prev).alias("dp"),
+            F.first(F.when(F.col("v").isNotNull(), F.col("v")), ignorenulls=True).over(w_next).alias("vn"),
+            F.first(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_next).alias("dn"),
+        )
+    )
+    frac = F.datediff("day", "dp").cast("double") / F.datediff("dn", "dp").cast(
+        "double"
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("vp").isNotNull() & F.col("vn").isNotNull(),
+            F.col("vp") + (F.col("vn") - F.col("vp")) * frac,
+        )
+    )
+    return (
+        s.select(
+            "day",
+            F.col("v").isNull().alias("is_gap"),
+            filled.alias("value_filled"),
+        )
+        .filter(F.col("value_filled").isNotNull())
+        .orderBy("day")
+    )
