@@ -220,6 +220,12 @@ HEADLINE_R05W3 = [
     "quality_snapshot_diff",
     # iterative merge learning (sample) + one-scan K-fold apply
     "train_bpe_learn_apply",
+    # chained MIN-anchor ordered funnel (user-co-partitioned)
+    "events_funnel_ordered_steps",
+    # LSH-pair label propagation (iterative, vertex state)
+    "dedup_label_propagation",
+    # spine restore + IGNORE NULLS edge windows + line fill
+    "events_linear_interpolate_gaps",
 ]
 
 HEADLINE = (
