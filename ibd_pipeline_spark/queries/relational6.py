@@ -281,8 +281,8 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact rows are hashed across the wire.
 
     Scale: filter side must stay broadcast-sized (it is the SELECTIVE
-    side by construction); the probe is three per-row md5 expressions
-    in whole-stage codegen; one shuffle for the surviving join +
+    side by construction); the probe is one md5 + three O(1) bitset
+    word tests per row in whole-stage codegen; one shuffle for the surviving join +
     map-side-combined aggregate.
     """
     from ibd_pipeline_spark.operators.sketches import (

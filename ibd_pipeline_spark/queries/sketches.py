@@ -144,8 +144,9 @@ FROM c
 def sketch_bloom_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-gate for cross-corpus contamination: the eval
     slice's normalized-text hashes populate an 8192-bit / 3-hash
-    filter (materialized as a one-row sorted bit-position array); the
-    train side probes it with three md5-derived positions per doc.
+    filter (one md5 per key, Kirsch–Mitzenmacher double hashing,
+    packed into a one-row 256-word bitset); the train side probes
+    three O(1) word positions per doc.
     Output: train size, Bloom-flagged count, exact-duplicate count
     (the ground truth the filter can only over-approximate), and the
     false-positive count — all exact integers the oracle reproduces

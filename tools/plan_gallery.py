@@ -118,7 +118,7 @@ CURATED = {
     "the DISTINCT-token frame → ≤2048-row sketch; probe side broadcast — "
     "output size is fixed regardless of corpus.",
     "join_bloom_prefiltered": "hand-rolled runtime filter: one-row bloom "
-    "bit array broadcast into the fact scan, 3 md5 probes per row in "
+    "bitset broadcast into the fact scan, one md5 + 3 O(1) word probes per row in "
     "codegen, then the exact broadcast join over survivors only.",
     "similarity_pca_top_component": "power iteration on the covariance "
     "ACTION: per round one corpus scan (zip_with projection fold) + one "
