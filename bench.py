@@ -226,6 +226,12 @@ HEADLINE_R05W3 = [
     "dedup_label_propagation",
     # spine restore + IGNORE NULLS edge windows + line fill
     "events_linear_interpolate_gaps",
+    # per-type freshness agg + broadcast SLA dim
+    "quality_freshness_sla",
+    # wordcount → vocab rank window → decimal moment fit
+    "text_zipf_fit",
+    # shared-shuffle double edge windows (nearest as-of)
+    "events_asof_nearest",
 ]
 
 HEADLINE = (

@@ -225,6 +225,9 @@ _ROUND5_WAVE3: list[str] = [
     "events_funnel_ordered_steps",
     "dedup_label_propagation",
     "events_linear_interpolate_gaps",
+    "quality_freshness_sla",
+    "text_zipf_fit",
+    "events_asof_nearest",
 ]
 
 # ---------------------------------------------------------------------------

@@ -209,3 +209,93 @@ def events_linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("value_filled").isNotNull())
         .orderBy("day")
     )
+
+
+_NEAREST_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view,
+         FIRST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_view
+  FROM events
+), p AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
+         CAST(FLOOR(EPOCH(prev_view)) AS BIGINT) AS tp,
+         CAST(FLOOR(EPOCH(next_view)) AS BIGINT) AS tn
+  FROM s WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id,
+       CASE WHEN tp IS NULL AND tn IS NULL THEN NULL
+            WHEN tn IS NULL THEN t - tp
+            WHEN tp IS NULL THEN tn - t
+            WHEN (t - tp) <= (tn - t) THEN t - tp
+            ELSE tn - t END AS nearest_view_gap_s,
+       CASE WHEN tp IS NULL AND tn IS NULL THEN NULL
+            WHEN tn IS NULL THEN 'backward'
+            WHEN tp IS NULL THEN 'forward'
+            WHEN (t - tp) <= (tn - t) THEN 'backward'
+            ELSE 'forward' END AS direction
+FROM p
+WHERE user_id < 30
+ORDER BY event_id
+"""
+
+
+@query("events_asof_nearest", oracle=_NEAREST_SQL)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: for every purchase, the closest
+    view by the same user in EITHER time direction (ties prefer
+    backward — the causal side). The backward-only as-of join
+    (`events_asof_join`) answers "state at time t"; the nearest
+    variant answers "which exposure does this outcome belong to",
+    the attribution question when events can be logged out of order.
+
+    Spelled as ONE interleaved pass instead of two joins: both
+    streams share a user_id sort, and two IGNORE NULLS edge windows
+    (1 PRECEDING / 1 FOLLOWING frames, so a row never matches itself)
+    pick each purchase's neighbors; the gap arithmetic is exact
+    integer seconds. The user_id < 30 predicate bounds the emitted
+    rows; it pushes to the scan.
+
+    Scale: one shuffle on user_id shared by both windows — compare
+    two range joins (two shuffles + fan-out) for the same answer.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(view_ts, ignorenulls=True).over(w_prev).alias("prev_view"),
+        F.first(view_ts, ignorenulls=True).over(w_next).alias("next_view"),
+    ).filter(F.col("event_type") == "purchase")
+    t = F.unix_timestamp("ts").cast("bigint")
+    tp = F.unix_timestamp("prev_view").cast("bigint")
+    tn = F.unix_timestamp("next_view").cast("bigint")
+    back_gap, fwd_gap = t - tp, tn - t
+    prefer_back = tp.isNotNull() & (tn.isNull() | (back_gap <= fwd_gap))
+    return (
+        s.select(
+            "event_id",
+            "user_id",
+            F.when(tp.isNull() & tn.isNull(), F.lit(None).cast("bigint"))
+            .when(prefer_back, back_gap)
+            .otherwise(fwd_gap)
+            .alias("nearest_view_gap_s"),
+            F.when(tp.isNull() & tn.isNull(), F.lit(None).cast("string"))
+            .when(prefer_back, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+        .orderBy("event_id")
+    )

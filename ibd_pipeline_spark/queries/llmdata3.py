@@ -162,3 +162,90 @@ def text_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_boiler") > 0)
         .orderBy("doc_id")
     )
+
+
+_ZIPF_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY tok
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM tf
+), pts AS (
+  SELECT LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(freq AS DOUBLE)) AS y
+  FROM ranked
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 4) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(y AS DECIMAL(28,8))), 4) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(CAST(x * x AS DECIMAL(28,8))), 4) AS DOUBLE) AS sxx,
+         CAST(ROUND(SUM(CAST(x * y AS DECIMAL(28,8))), 4) AS DOUBLE) AS sxy,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM pts
+)
+SELECT vocab_size,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_exponent,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         AS log_intercept
+FROM m
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_SQL)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope of
+    ln(freq) on ln(rank) — natural text sits near −1; a corpus of
+    templated/degenerate text drifts toward 0 (flat) or −2+ (a few
+    tokens dominate), making the exponent a one-number corpus-health
+    readout next to the vocabulary/hapax stats.
+
+    Floats: each ln() product is cast to DECIMAL per ROW before the
+    moment sums (per-row libm ulp noise is 8 decimal places below the
+    cast, so both engines see identical decimals; the sums are then
+    order-independent — the agg_corr_regression discipline). The
+    final slope/intercept round at 4, far above any residual noise.
+
+    Scale: wordcount aggregate (the corpus-sized shuffle), one global
+    rank window over the VOCABULARY frame (Zipf-small), one moment
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    d = load_wide(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "tok"))
+        .alias("rank"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(F.col("x").cast("decimal(28,8)")), 4).cast("double").alias("sx"),
+        F.round(F.sum(F.col("y").cast("decimal(28,8)")), 4).cast("double").alias("sy"),
+        F.round(F.sum((F.col("x") * F.col("x")).cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("sxx"),
+        F.round(F.sum((F.col("x") * F.col("y")).cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("sxy"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "vocab_size",
+        F.round(slope, 4).alias("zipf_exponent"),
+        F.round((sy - slope * sx) / n, 4).alias("log_intercept"),
+    )

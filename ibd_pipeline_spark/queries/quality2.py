@@ -125,3 +125,67 @@ def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unchanged"),
     )
+
+
+_FRESHNESS_SQL = """
+WITH sla(event_type, max_gap_minutes) AS (
+  VALUES ('view', 5), ('click', 10), ('purchase', 120),
+         ('error', 60), ('signup', 240)
+), last_seen AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY 1
+), horizon AS (SELECT MAX(ts) AS now_ts FROM events)
+SELECT l.event_type, l.n_events,
+       CAST(FLOOR(EPOCH((SELECT now_ts FROM horizon))) AS BIGINT)
+         - CAST(FLOOR(EPOCH(l.last_ts)) AS BIGINT) AS staleness_seconds,
+       CAST(s.max_gap_minutes AS INT) AS sla_minutes,
+       (CAST(FLOOR(EPOCH((SELECT now_ts FROM horizon))) AS BIGINT)
+         - CAST(FLOOR(EPOCH(l.last_ts)) AS BIGINT)) > s.max_gap_minutes * 60
+         AS breached
+FROM last_seen l JOIN sla s USING (event_type)
+ORDER BY l.event_type
+"""
+
+
+@query("quality_freshness_sla", oracle=_FRESHNESS_SQL)
+def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA readout: per event type, seconds since the
+    last record relative to the corpus horizon (MAX(ts) — the batch
+    stand-in for wall clock, which keeps the query deterministic and
+    oracle-checkable), compared against a per-type SLA from an inline
+    VALUES dim. The operational page every ingestion pipeline
+    publishes; the breach flag is an exact integer comparison.
+
+    Scale: one map-side-combined aggregate per type + a broadcast
+    1-row horizon + a 5-row broadcast SLA dim — the events table is
+    scanned once, shuffled never (the per-type aggregate's shuffle is
+    5 rows).
+    """
+    ev = load(spark, sf_dir, "events")
+    sla = spark.createDataFrame(
+        [("view", 5), ("click", 10), ("purchase", 120), ("error", 60),
+         ("signup", 240)],
+        "event_type string, max_gap_minutes int",
+    )
+    last_seen = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    horizon = ev.agg(F.max("ts").alias("now_ts"))
+    staleness = (
+        F.unix_timestamp("now_ts") - F.unix_timestamp("last_ts")
+    ).cast("bigint")
+    return (
+        last_seen.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(sla), "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            staleness.alias("staleness_seconds"),
+            F.col("max_gap_minutes").cast("int").alias("sla_minutes"),
+            (staleness > F.col("max_gap_minutes") * 60).alias("breached"),
+        )
+        .orderBy("event_type")
+    )
