@@ -232,6 +232,14 @@ HEADLINE_R05W3 = [
     "text_zipf_fit",
     # shared-shuffle double edge windows (nearest as-of)
     "events_asof_nearest",
+    # first-seen join + day rollup (growth accounting)
+    "events_new_vs_returning",
+    # per-basket quadratic pair join + lift gate
+    "analytics_market_basket_pairs",
+    # per-user agg + one global rank window (concentration)
+    "quality_activity_gini",
+    # corpus bigram agg + state-space fixpoint (16 rounds)
+    "events_markov_stationary",
 ]
 
 HEADLINE = (

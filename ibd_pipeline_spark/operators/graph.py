@@ -295,3 +295,57 @@ def label_propagation(
     return state.select(
         F.col("v").alias(vertex), F.col("lbl").alias(label), "is_seed"
     )
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    prob: str = "p",
+    iters: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Stationary distribution of a (row-stochastic) Markov chain by
+    power iteration: π ← πP until fixpoint, all-DataFrame. The state
+    is one row per chain state; each round is one join of state
+    against the transition triples + one sum aggregate on the
+    destination — the pagerank recurrence without damping (pagerank
+    IS this chain with teleportation; kept separate because the
+    transition weights here come from data, not link structure).
+
+    Start vector is uniform over the states appearing as sources.
+    States P doesn't reach keep probability 0; for a reducible chain
+    the result depends on reachability, as mathematically expected —
+    callers wanting ergodicity add damping (use pagerank).
+
+    Returns (state, p) — p sums to 1 whenever P is row-stochastic
+    over the reachable set (conservation is property-tested).
+    """
+    import pyspark.sql.functions as F
+
+    if checkpoint_dir is not None:
+        transitions.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    t = transitions.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(prob).alias("w")
+    )
+    states = t.select(F.col("s").alias("state")).distinct()
+    # uniform start without a driver action: 1/n from a window count
+    # over the (tiny, state-space-sized) state frame
+    from pyspark.sql import Window
+
+    pi = states.select(
+        "state",
+        (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy())).alias("p"),
+    )
+    for _ in range(iters):
+        pi = (
+            t.join(pi.withColumnRenamed("state", "s"), "s")
+            .groupBy(F.col("d").alias("state"))
+            .agg(F.sum(F.col("p") * F.col("w")).alias("p"))
+        )
+        pi = (
+            pi.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else pi.localCheckpoint(eager=True)
+        )
+    return pi

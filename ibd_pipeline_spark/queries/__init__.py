@@ -228,6 +228,10 @@ _ROUND5_WAVE3: list[str] = [
     "quality_freshness_sla",
     "text_zipf_fit",
     "events_asof_nearest",
+    "events_new_vs_returning",
+    "analytics_market_basket_pairs",
+    "quality_activity_gini",
+    "events_markov_stationary",
 ]
 
 # ---------------------------------------------------------------------------

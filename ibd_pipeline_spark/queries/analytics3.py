@@ -299,3 +299,203 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_NEWRET_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(DATE_TRUNC('day', ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT CAST(DATE_TRUNC('day', e.ts) AS DATE) AS day, e.user_id,
+         f.first_day
+  FROM events e JOIN firsts f USING (user_id)
+  GROUP BY 1, 2, 3
+)
+SELECT day,
+       CAST(COUNT(*) FILTER (first_day = day) AS BIGINT) AS new_users,
+       CAST(COUNT(*) FILTER (first_day < day) AS BIGINT) AS returning_users
+FROM daily
+GROUP BY day
+ORDER BY day
+"""
+
+
+@query("events_new_vs_returning", oracle=_NEWRET_SQL)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user accounting — the growth chart every
+    product dashboard leads with: a user is NEW on their first active
+    day, RETURNING on every later active day. First-seen is computed
+    once (per-user MIN), re-joined onto the per-(day, user) activity
+    grain, and classified with a FILTER aggregate.
+
+    Scale: both aggregates and the join key on user_id, so AQE rides
+    one co-partitioned layout; the day rollup shuffles day-grain
+    rows. At years × billions scale, first_day is the incremental
+    dimension you persist (it only ever gains rows), making the daily
+    job a join against a static table — the same pattern as
+    dedup_cross_corpus_anti's reference set.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("first_day")
+    )
+    daily = (
+        ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.count(F.when(F.col("first_day") == F.col("day"), 1))
+            .cast("bigint")
+            .alias("new_users"),
+            F.count(F.when(F.col("first_day") < F.col("day"), 1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 200 AS item
+  FROM lineitem
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY 1, 2
+), singles AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_orders FROM items GROUP BY 1
+), n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items)
+SELECT p.item_a, p.item_b, p.together,
+       sa.n_orders AS n_a, sb.n_orders AS n_b,
+       (SELECT n_baskets FROM n) AS n_baskets
+FROM pairs p
+JOIN singles sa ON sa.item = p.item_a
+JOIN singles sb ON sb.item = p.item_b
+WHERE p.together * (SELECT n_baskets FROM n) > 2 * sa.n_orders * sb.n_orders
+ORDER BY p.together DESC, p.item_a, p.item_b
+LIMIT 20
+"""
+
+
+@query("analytics_market_basket_pairs", oracle=_BASKET_SQL)
+def analytics_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: items (part groups) that co-occur in
+    the same order more than twice as often as independence predicts —
+    lift = P(a,b)/(P(a)P(b)) > 2, spelled as the exact integer
+    comparison together·N > 2·n_a·n_b (no probability quotients
+    anywhere). Output: the 20 strongest pairs with their support
+    counts; lift itself is recomputable from the emitted integers.
+
+    Scale: the pair join is a SELF-join on the basket key — fan-out is
+    Σ sizeᵢ², bounded by basket size (≤ 7 lines here), never |items|².
+    That per-basket quadratic is the honest cost of pairwise basket
+    mining; for big baskets you cap per-basket items first (top-k by
+    frequency), the standard FP-growth preprocessing step. One
+    shuffle on the basket key + two broadcastable single-item
+    aggregates.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("together"))
+    )
+    singles = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets")
+    )
+    sa = singles.select(
+        F.col("item").alias("item_a"), F.col("n_orders").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("item").alias("item_b"), F.col("n_orders").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("together") * F.col("n_baskets")
+            > 2 * F.col("n_a") * F.col("n_b")
+        )
+        .select("item_a", "item_b", "together", "n_a", "n_b", "n_baskets")
+        .orderBy(F.col("together").desc(), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+@query("events_markov_stationary")
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run behavioral mix: the stationary distribution of the
+    per-user event-type transition chain — where user sessions spend
+    their time if the observed transition probabilities persist.
+    Builds the row-stochastic matrix exactly like
+    `events_transition_matrix` (lead() bigrams per user), then runs
+    the power-iteration fixpoint (operators/graph.py:
+    markov_stationary, 16 rounds).
+
+    Rows-only (iterative fixpoint); conservation (Σπ = 1), fixpoint
+    residual, and uniform-chain recovery are property-tested in
+    tests/test_graph.py. Output probabilities are rounded for a
+    stable record; alongside each state's raw visit share for
+    comparison — the stationary mix differs from raw frequency
+    exactly when transition structure matters.
+
+    Scale: the bigram aggregate is the corpus-sized work; the
+    fixpoint runs on a state×state frame (25 rows here) — fixed cost
+    regardless of event volume.
+    """
+    from pyspark.sql import Window
+
+    from ibd_pipeline_spark.operators.graph import markov_stationary
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = bigrams.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("tot"))
+    trans = counts.join(totals, "src").select(
+        "src", "dst", (F.col("n") / F.col("tot")).alias("p")
+    )
+    pi = markov_stationary(trans)
+    visits = ev.groupBy(F.col("event_type").alias("state")).agg(
+        F.count(F.lit(1)).alias("n_visits")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("double").alias("tot_visits"))
+    return (
+        pi.join(visits, "state")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            F.round("p", 6).alias("stationary_p"),
+            F.round(F.col("n_visits") / F.col("tot_visits"), 6).alias(
+                "raw_share"
+            ),
+        )
+        .orderBy("state")
+    )

@@ -189,3 +189,69 @@ def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_GINI_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         SUM(x) OVER () AS tot
+  FROM per_user
+), s AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(tot) AS BIGINT) AS tot,
+         CAST(SUM(i * x) AS BIGINT) AS weighted
+  FROM ranked
+)
+SELECT n AS n_users, tot AS n_events, weighted,
+       CAST(2 * weighted - (n + 1) * tot AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini
+FROM s
+"""
+
+
+@query("quality_activity_gini", oracle=_GINI_SQL)
+def quality_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the concentration
+    readout ("do 1% of users generate 90% of traffic?") that decides
+    whether per-user keys need skew handling at all. Computed from
+    the ranked form G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with a total
+    ordering (count, then user_id) so ranks are deterministic; every
+    accumulator is an exact integer, and the one division at the end
+    is a single IEEE op on exact inputs — no rounding needed.
+
+    Scale: one per-user aggregate, then ONE global rank window over
+    the per-user frame (users, not events — same serial-step caveat
+    and pre-binning escape as the KS query).
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w_rank = Window.orderBy("x", "user_id")
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("x").over(w_all).alias("tot"),
+    )
+    s = ranked.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("tot").cast("bigint").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("tot").alias("n_events"),
+        "weighted",
+        (
+            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
+        ).alias("gini"),
+    )

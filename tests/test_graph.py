@@ -146,3 +146,36 @@ def test_label_propagation_seed_overrides_neighbors(spark):
     out = {r["vertex"]: r["label"]
            for r in label_propagation(edges, seeds, max_iter=3).collect()}
     assert out[9] == "y"
+
+
+def test_markov_stationary_two_state_exact(spark):
+    """P = [[0.9, 0.1], [0.5, 0.5]] has stationary π = (5/6, 1/6)."""
+    from ibd_pipeline_spark.operators.graph import markov_stationary
+
+    t = spark.createDataFrame(
+        [("a", "a", 0.9), ("a", "b", 0.1), ("b", "a", 0.5), ("b", "b", 0.5)],
+        "src string, dst string, p double",
+    )
+    pi = {r["state"]: r["p"] for r in markov_stationary(t, iters=40).collect()}
+    assert abs(pi["a"] - 5 / 6) < 1e-9 and abs(pi["b"] - 1 / 6) < 1e-9
+    assert abs(sum(pi.values()) - 1.0) < 1e-12
+
+
+def test_markov_stationary_conserves_and_fixes(spark):
+    """Row-stochastic chain: Σπ = 1 and π is a fixpoint (πP ≈ π)."""
+    from ibd_pipeline_spark.operators.graph import markov_stationary
+
+    rows = [
+        ("v", "v", 0.2), ("v", "c", 0.5), ("v", "p", 0.3),
+        ("c", "v", 0.6), ("c", "p", 0.4),
+        ("p", "v", 1.0),
+    ]
+    t = spark.createDataFrame(rows, "src string, dst string, p double")
+    pi = {r["state"]: r["p"] for r in markov_stationary(t, iters=60).collect()}
+    assert abs(sum(pi.values()) - 1.0) < 1e-12
+    P = {}
+    for s, d, p in rows:
+        P.setdefault(s, {})[d] = p
+    for d in pi:
+        nxt = sum(pi[s] * P[s].get(d, 0.0) for s in pi)
+        assert abs(nxt - pi[d]) < 1e-9, (d, nxt, pi[d])
