@@ -240,6 +240,8 @@ HEADLINE_R05W3 = [
     "quality_activity_gini",
     # corpus bigram agg + state-space fixpoint (16 rounds)
     "events_markov_stationary",
+    # per-source agg + closed-form waterfill windows
+    "train_epoch_waterfill",
 ]
 
 HEADLINE = (

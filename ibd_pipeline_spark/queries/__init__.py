@@ -232,6 +232,7 @@ _ROUND5_WAVE3: list[str] = [
     "analytics_market_basket_pairs",
     "quality_activity_gini",
     "events_markov_stationary",
+    "train_epoch_waterfill",
 ]
 
 # ---------------------------------------------------------------------------

@@ -193,3 +193,119 @@ def train_bpe_learn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+
+_WATERFILL_SQL = """
+WITH src AS (
+  SELECT source,
+         CAST(SUM(n_chars) AS BIGINT) AS w,
+         CAST(1 + (CAST(SUBSTRING(source, 4) AS INT) % 3) AS BIGINT) AS e_max
+  FROM documents GROUP BY source
+), budgeted AS (
+  SELECT *, CAST((17 * (SELECT SUM(w) FROM src)) // 10 AS BIGINT) AS b,
+         w * e_max AS cap
+  FROM src
+), ranked AS (
+  SELECT *,
+         SUM(cap) OVER (ORDER BY e_max, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS capsum_incl,
+         SUM(w) OVER (ORDER BY e_max, source
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS w_from_here
+  FROM budgeted
+), lvl AS (
+  SELECT MIN(capsum_incl - cap) AS capsum_before,
+         ARG_MIN(w_from_here, capsum_incl - cap) AS w_rest
+  FROM ranked
+  WHERE b - (capsum_incl - cap) < e_max * w_from_here
+)
+SELECT r.source, r.w AS tokens, r.e_max,
+       CASE WHEN l.capsum_before IS NULL THEN r.cap
+            WHEN r.capsum_incl - r.cap < l.capsum_before THEN r.cap
+            ELSE CAST((r.w * (r.b - l.capsum_before)) // l.w_rest AS BIGINT)
+       END AS alloc_tokens
+FROM ranked r CROSS JOIN lvl l
+ORDER BY r.source
+"""
+
+
+@query("train_epoch_waterfill", oracle=_WATERFILL_SQL)
+def train_epoch_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling across sources with per-source epoch
+    caps — the mixture-planning step when the training budget exceeds
+    one pass over the corpus: every source is sampled proportionally
+    to its size (one shared 'water level' λ of epochs) EXCEPT sources
+    already at their repetition cap (quality tiers get e_max 1–3,
+    derived deterministically from the source id), whose surplus
+    redistributes to the rest. Closed form via ONE sort instead of
+    iteration: order sources by e_max; the level sits at the first
+    source whose cap no longer binds, found with the exact integer
+    predicate b − capped_prefix < e_max · remaining_weight; capped
+    sources take cap, the rest take w·(b−capped_prefix) DIV w_rest.
+    Budget = 1.7× corpus tokens, so tier-1 caps bind and higher tiers
+    absorb the surplus — both branches exercised (the all-capped
+    branch, level frame all-NULL, is covered by the property test).
+
+    Everything is exact integer arithmetic — the one division is
+    integer DIV in both engines (Spark `div`, DuckDB `//`), so the
+    oracle match is exact at any scale (no double, no 2⁵³ ceiling).
+
+    Scale: one per-source aggregate (the corpus-sized work), then
+    windows over the SOURCE frame — thousands of rows at worst. The
+    allocation table is the small broadcast input the samplers
+    (A-Res, quota) consume.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("w"),
+        (1 + F.substring("source", 4, 10).cast("int") % 3)
+        .cast("bigint")
+        .alias("e_max"),
+    )
+    tot = src.agg(
+        F.expr("CAST(17 * SUM(w) DIV 10 AS BIGINT)").alias("b")
+    )
+    budgeted = src.crossJoin(F.broadcast(tot)).withColumn(
+        "cap", F.col("w") * F.col("e_max")
+    )
+    w_cum = Window.orderBy("e_max", "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_rest_w = Window.orderBy("e_max", "source").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    ranked = budgeted.select(
+        "*",
+        F.sum("cap").over(w_cum).alias("capsum_incl"),
+        F.sum("w").over(w_rest_w).alias("w_from_here"),
+    )
+    lvl = ranked.filter(
+        F.col("b") - (F.col("capsum_incl") - F.col("cap"))
+        < F.col("e_max") * F.col("w_from_here")
+    ).agg(
+        F.min(F.col("capsum_incl") - F.col("cap")).alias("capsum_before"),
+        F.min_by(
+            F.col("w_from_here"), F.col("capsum_incl") - F.col("cap")
+        ).alias("w_rest"),
+    )
+    r = ranked.crossJoin(F.broadcast(lvl))
+    alloc = (
+        F.when(F.col("capsum_before").isNull(), F.col("cap"))
+        .when(F.col("capsum_incl") - F.col("cap") < F.col("capsum_before"), F.col("cap"))
+        .otherwise(
+            F.expr("CAST(w * (b - capsum_before) DIV w_rest AS BIGINT)")
+        )
+    )
+    return (
+        r.select(
+            "source",
+            F.col("w").alias("tokens"),
+            "e_max",
+            alloc.alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -188,3 +188,85 @@ def test_ks_scaled_statistic_matches_python(spark, data):
         for v in support
     )
     assert got == want
+
+
+@st.composite
+def waterfill_inputs(draw):
+    n = draw(st.integers(1, 8))
+    rows = [
+        (f"s{i}", draw(st.integers(10, 500)), draw(st.integers(1, 4)))
+        for i in range(n)
+    ]
+    budget_x10 = draw(st.integers(5, 60))  # 0.5x .. 6x of total weight
+    return rows, budget_x10
+
+
+@given(waterfill_inputs())
+@SET
+def test_waterfill_invariants(spark, data):
+    """The waterfill allocation (train_epoch_waterfill's core) on
+    random inputs: never exceeds a source's cap, exhausts the budget
+    up to integer flooring loss (< n tokens) whenever the budget is
+    below total caps, allocates every cap when the budget covers
+    them, and uncapped sources share one water level (equal
+    epochs ±rounding)."""
+    from pyspark.sql import Window
+
+    rows, bx10 = data
+    df = spark.createDataFrame(rows, "source string, w long, e_max long")
+    tot_w = sum(r[1] for r in rows)
+    b = (bx10 * tot_w) // 10
+    budgeted = df.withColumn("b", F.lit(b)).withColumn(
+        "cap", F.col("w") * F.col("e_max")
+    )
+    w_cum = Window.orderBy("e_max", "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_rest_w = Window.orderBy("e_max", "source").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    ranked = budgeted.select(
+        "*",
+        F.sum("cap").over(w_cum).alias("capsum_incl"),
+        F.sum("w").over(w_rest_w).alias("w_from_here"),
+    )
+    lvl = ranked.filter(
+        F.col("b") - (F.col("capsum_incl") - F.col("cap"))
+        < F.col("e_max") * F.col("w_from_here")
+    ).agg(
+        F.min(F.col("capsum_incl") - F.col("cap")).alias("capsum_before"),
+        F.min_by(
+            F.col("w_from_here"), F.col("capsum_incl") - F.col("cap")
+        ).alias("w_rest"),
+    )
+    r = ranked.crossJoin(F.broadcast(lvl))
+    alloc = (
+        F.when(F.col("capsum_before").isNull(), F.col("cap"))
+        .when(
+            F.col("capsum_incl") - F.col("cap") < F.col("capsum_before"),
+            F.col("cap"),
+        )
+        .otherwise(
+            F.expr("CAST(w * (b - capsum_before) DIV w_rest AS BIGINT)")
+        )
+    )
+    out = r.select("source", "w", "e_max", "cap", alloc.alias("a")).collect()
+
+    total_caps = sum(x[1] * x[2] for x in rows)
+    got = {o["source"]: o for o in out}
+    assert len(got) == len(rows)
+    for o in out:
+        assert 0 <= o["a"] <= o["cap"], o
+    allocated = sum(o["a"] for o in out)
+    if b >= total_caps:
+        assert allocated == total_caps
+        assert all(o["a"] == o["cap"] for o in out)
+    else:
+        # budget met up to flooring loss (< one token per source)
+        assert b - len(rows) < allocated <= b
+        # uncapped sources share the water level: a/w within 1/w of
+        # each other → cross-difference |a_i w_j − a_j w_i| ≤ w_i w_j
+        unc = [o for o in out if o["a"] < o["cap"]]
+        for i in unc:
+            for j in unc:
+                assert abs(i["a"] * j["w"] - j["a"] * i["w"]) <= i["w"] * j["w"]
