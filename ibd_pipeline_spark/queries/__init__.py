@@ -233,6 +233,7 @@ _ROUND5_WAVE3: list[str] = [
     "quality_activity_gini",
     "events_markov_stationary",
     "train_epoch_waterfill",
+    "multimodal_phash_near_dup",
 ]
 
 # ---------------------------------------------------------------------------

@@ -86,3 +86,75 @@ def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_width", 4).alias("avg_width"),
         F.round("avg_duration_ms", 4).alias("avg_duration_ms"),
     )
+
+
+@query("multimodal_phash_near_dup")
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (aHash) near-duplicate detection over binary image
+    content: every synthesized asset gets a planted near-copy (three
+    deterministic byte flips — the re-encode/watermark stand-in), and
+    the prefix-blocked Hamming pair search must recover exactly the
+    planted pairs. Output: (id_a, id_b, hamming) per recovered pair —
+    rows-only (the signature comes from an Arrow mapInPandas decode
+    stage; locality + recovery are property-tested in
+    tests/test_multimodal.py).
+
+    This is the IMAGE twin of the text near-dup family: content
+    digests (dedup_exact) break on a single changed byte; aHash's
+    Hamming distance is the structural similarity that survives small
+    edits. Scale notes on operators/multimodal.py:
+    phash_near_dup_pairs (simhash-geometry prefix blocking).
+    """
+    import pyspark.sql.functions as F
+
+    base = M.synthesize_assets(spark, n=48).select(
+        (F.col("asset_id") * 2).alias("asset_id"), "media_type", "content"
+    )
+    # the 3-byte deterministic perturbation runs in the same Arrow
+    # stage style as the decode (byte-exact surgery isn't a JVM
+    # binary-function strength)
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def perturb_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_ids, out_media, out_content = [], [], []
+            for aid, media, content in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                b = bytearray(bytes(content))
+                for k in range(3):
+                    pos = (int(aid) * 131 + k * 977) % len(b)
+                    b[pos] ^= 0xFF
+                out_ids.append(int(aid) + 1)
+                out_media.append(media)
+                out_content.append(bytes(b))
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "media_type": out_media,
+                    "content": out_content,
+                }
+            )
+
+    copies = base.mapInPandas(perturb_batches, schema)
+    assets = base.unionByName(copies)
+    return (
+        M.phash_near_dup_pairs(assets, max_hamming=8)
+        .orderBy("id_a", "id_b")
+    )

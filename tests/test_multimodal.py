@@ -199,3 +199,55 @@ def test_video_metadata_distributed(spark):
     durations = {r.asset_id: r.duration_ms for r in rows}
     for i in range(10):
         assert durations[i] == 1000 + (42 * 13 + i * 37) % 9000
+
+
+def test_ahash_locality_and_pair_search(spark):
+    """aHash contract: identical content → identical hash; a few
+    flipped bytes → small Hamming distance; unrelated content → far.
+    The pair search must recover the planted near-duplicates and
+    nothing else at the threshold."""
+    import random
+
+    from ibd_pipeline_spark.operators.multimodal import (
+        ahash64,
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    originals = [bytes(rng.randrange(256) for _ in range(4096)) for _ in range(6)]
+
+    # identical → 0
+    assert ahash64(originals[0]) == ahash64(bytes(originals[0]))
+
+    def perturb(b, k):
+        ba = bytearray(b)
+        for pos in rng.sample(range(len(ba)), k):
+            ba[pos] ^= 0xFF
+        return bytes(ba)
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for b in originals:
+        close = ahash64(perturb(b, 3))
+        assert ham(ahash64(b), close) <= 8, "local edit moved too many bits"
+    far = ham(ahash64(originals[0]), ahash64(originals[1]))
+    assert far > 12, f"unrelated content too close ({far})"
+
+    rows = []
+    for i, b in enumerate(originals):
+        rows.append((2 * i, "image/png", b))
+        rows.append((2 * i + 1, "image/png", perturb(b, 3)))  # planted dup
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(assets, max_hamming=8).collect()
+    }
+    for i in range(len(originals)):
+        assert (2 * i, 2 * i + 1) in pairs, f"planted pair {i} missed"
+    for (ia, ib), h in pairs.items():
+        assert h <= 8
+        # only planted pairs should survive at this threshold
+        assert ib == ia + 1 and ia % 2 == 0, (ia, ib, h)
