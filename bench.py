@@ -242,6 +242,12 @@ HEADLINE_R05W3 = [
     "events_markov_stationary",
     # per-source agg + closed-form waterfill windows
     "train_epoch_waterfill",
+    # the four-term IVM identity (full-join oracle)
+    "maintenance_incremental_join_view",
+    # metadata-frame bin-packing (small-files planner)
+    "maintenance_compaction_plan",
+    # two-table blocked perceptual pair search
+    "multimodal_phash_near_dup",
 ]
 
 HEADLINE = (

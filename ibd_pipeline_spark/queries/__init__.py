@@ -234,6 +234,8 @@ _ROUND5_WAVE3: list[str] = [
     "events_markov_stationary",
     "train_epoch_waterfill",
     "multimodal_phash_near_dup",
+    "maintenance_incremental_join_view",
+    "maintenance_compaction_plan",
 ]
 
 # ---------------------------------------------------------------------------

@@ -213,3 +213,155 @@ def zorder_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rg")
     )
+
+
+_IVM_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,8))), 2)
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("maintenance_incremental_join_view", oracle=_IVM_SQL)
+def maintenance_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an insert-only join view,
+    oracle-attested by the IVM identity itself: with base relations
+    O, L and insert deltas ΔO, ΔL, the maintained view is
+
+        (O⋈L)  ∪  (ΔO⋈L)  ∪  (O⋈ΔL)  ∪  (ΔO⋈ΔL)
+
+    — the three delta terms are what an incremental refresh computes
+    INSTEAD of re-joining the full tables. Here ~10% of each side is
+    carved off as the delta (md5 gates, deterministic), the four
+    terms are computed separately and unioned, and the ORACLE is the
+    plain full join: any error in the delta algebra (a missed term, a
+    doubled term, a wrong gate) breaks the hash match. Same
+    self-attestation pattern as `join_salted_hot_key`.
+
+    Scale: the production win is that the three delta terms touch
+    |Δ|·selectivity rows, not |O|·|L| — base-side scans prune to the
+    delta's join keys (at real scale the base sides are bucketed on
+    the key, making the delta joins shuffle-free); the base⋈base term
+    is the already-materialized view, never recomputed. Here all four
+    terms run (there is no stored view in a bench query) — the
+    identity, not the speedup, is what's under test.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def gate(col, mod=10):
+        return (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % mod
+        )
+
+    o_delta_cond = gate("o_orderkey") == 9
+    l_delta_cond = gate("l_orderkey", 7) == 3
+    o_base, o_dlt = o.filter(~o_delta_cond), o.filter(o_delta_cond)
+    l_base, l_dlt = li.filter(~l_delta_cond), li.filter(l_delta_cond)
+
+    def term(os_, ls_):
+        return os_.select("o_orderkey", "o_orderpriority").join(
+            ls_.select("l_orderkey", "l_extendedprice"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+
+    view = (
+        term(o_base, l_base)
+        .unionByName(term(o_dlt, l_base))
+        .unionByName(term(o_base, l_dlt))
+        .unionByName(term(o_dlt, l_dlt))
+    )
+    return (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_COMPACT_SQL = """
+WITH files AS (
+  SELECT l_orderkey % 500 AS file_id,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) % 8388608 + 65536 AS BIGINT)
+           AS size_bytes
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT file_id, size_bytes,
+         SUM(size_bytes) OVER (ORDER BY size_bytes DESC, file_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM files WHERE size_bytes < 4194304
+), grouped AS (
+  SELECT file_id, size_bytes,
+         CAST((cum - 1) // 134217728 AS BIGINT) AS target_group
+  FROM ranked
+)
+SELECT target_group,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size_bytes) AS BIGINT) AS group_bytes,
+       CAST(MIN(size_bytes) AS BIGINT) AS min_file,
+       CAST(MAX(size_bytes) AS BIGINT) AS max_file
+FROM grouped
+GROUP BY target_group
+ORDER BY target_group
+"""
+
+
+@query("maintenance_compaction_plan", oracle=_COMPACT_SQL)
+def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the answer to Spark's classic
+    small-files problem: from a file-size inventory (synthesized
+    deterministically here; `binaryFile` over a real directory in
+    production — sources/io.py), select files under the 4 MiB
+    smallness threshold and assign them to ~128 MiB rewrite groups by
+    cumulative-size bucketing (size-descending first-fit: big files
+    anchor groups, tails fill them). Output: per planned group, file
+    count and byte totals — the work list a compaction job executes.
+
+    The group assignment (cum−1) DIV 128 MiB is exact integer
+    arithmetic; groups can overshoot the target by at most one file —
+    the standard streaming bin-pack bound, and the reason the sort is
+    size-descending.
+
+    Scale: the inventory is metadata (one row per FILE, not per
+    record); the one ordered window runs over that small frame. The
+    plan's own output is what bounds rewrite parallelism.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    files = li.groupBy((F.col("l_orderkey") % 500).alias("file_id")).agg(
+        (
+            F.sum(F.floor("l_extendedprice").cast("bigint")) % 8388608 + 65536
+        ).cast("bigint").alias("size_bytes")
+    )
+    small = files.filter(F.col("size_bytes") < 4194304)
+    w = Window.orderBy(F.col("size_bytes").desc(), "file_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grouped = small.select(
+        "file_id",
+        "size_bytes",
+        F.expr("CAST((sum(size_bytes) OVER (ORDER BY size_bytes DESC, file_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) "
+               "DIV 134217728 AS BIGINT)").alias("target_group"),
+    )
+    return (
+        grouped.groupBy("target_group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("size_bytes").cast("bigint").alias("group_bytes"),
+            F.min("size_bytes").cast("bigint").alias("min_file"),
+            F.max("size_bytes").cast("bigint").alias("max_file"),
+        )
+        .orderBy("target_group")
+    )
