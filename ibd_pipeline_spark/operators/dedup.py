@@ -99,6 +99,7 @@ def minhash_candidate_pairs(
     k_shingle: int = 3,
     num_hashes: int = 32,
     num_bands: int = 8,
+    restrict_to: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH, with exact Jaccard
     verification on the (64-bit-hashed) shingle sets of each
@@ -124,6 +125,13 @@ def minhash_candidate_pairs(
     suite do) so repeated invocations don't accumulate executor
     memory. Mega-buckets (boilerplate docs) remain the skew risk: cap
     or salt upstream if a bucket exceeds ~10⁴ docs.
+
+    restrict_to: optional one-column DataFrame of delta doc ids —
+    incremental mode: emit only candidate pairs touching those ids
+    (the Δ⋈all geometry; base×base pairs are assumed already
+    materialized by a previous run). The invariant
+    pairs(all) = pairs(base) ∪ pairs(all, restrict_to=Δ) is
+    property-tested in tests/test_dedup.py.
     """
     rows_per_band = num_hashes // num_bands
     toks = F.split(F.col(text_col), " ")
@@ -155,17 +163,44 @@ def minhash_candidate_pairs(
         for b in range(num_bands)
     ]
     banded = state.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
-    left, right = banded.alias("l"), banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+    if restrict_to is not None:
+        # Incremental mode: only pairs TOUCHING the delta id set are
+        # generated — the delta's band rows join against everyone, so
+        # base×base candidates (already materialized by the previous
+        # run) are never re-enumerated. This is the LSH form of
+        # insert-only incremental view maintenance: cost scales with
+        # |Δ|·bands, not |corpus|·bands.
+        delta_banded = banded.join(
+            restrict_to.select(F.col(restrict_to.columns[0]).alias("id")),
+            "id",
+            "left_semi",
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        d, o = delta_banded.alias("l"), banded.alias("r")
+        pairs = (
+            d.join(
+                o,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") != F.col("r.id")),
+            )
+            .select(
+                F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+                F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        left, right = banded.alias("l"), banded.alias("r")
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     a = state.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     b = state.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")

@@ -236,6 +236,9 @@ _ROUND5_WAVE3: list[str] = [
     "multimodal_phash_near_dup",
     "maintenance_incremental_join_view",
     "maintenance_compaction_plan",
+    "quality_column_entropy",
+    "text_ngram_novelty",
+    "dedup_incremental_lsh",
 ]
 
 # ---------------------------------------------------------------------------

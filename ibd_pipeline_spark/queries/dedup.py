@@ -353,3 +353,38 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "is_seed")
     )
+
+
+@query("dedup_incremental_lsh")
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidate generation: 20% of the corpus
+    (doc_id % 5 == 0) arrives as an insert delta, and the band join
+    runs in Δ⋈all mode — base×base pairs, already materialized by the
+    previous run, are never re-enumerated
+    (operators/dedup.py:minhash_candidate_pairs restrict_to). This is
+    the LSH face of insert-only incremental view maintenance: daily
+    dedup cost scales with the delta, not the corpus. Rows-only (LSH
+    banding); the exact identity pairs(all) = pairs(base) ∪
+    pairs(Δ-touching) is property-tested in tests/test_dedup.py.
+
+    Output: the Δ-touching verified pairs (id_a, id_b, jaccard ≥ 0.6)
+    — what a production run would append to the pair store before
+    re-resolving components.
+    """
+    from ibd_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        release_state,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    cand = minhash_candidate_pairs(docs, restrict_to=delta)
+    out = (
+        cand.filter(F.col("jaccard") >= 0.6)
+        .orderBy("id_a", "id_b")
+    )
+    # Materialize before releasing the cached signature state: the
+    # registry contract returns a plan the driver collects later, so
+    # keep the handle alive on the returned frame instead.
+    out._cached_state = getattr(cand, "_cached_state", None)
+    return out

@@ -249,3 +249,65 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_exponent"),
         F.round((sy - slope * sx) / n, 4).alias("log_intercept"),
     )
+
+
+_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql('t', 3)})) AS shingle
+  FROM toks
+),
+firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (f.first_doc = s.doc_id) AS BIGINT) AS n_novel
+FROM sh s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything ingested before
+    it (doc_id plays arrival order): how many of a document's distinct
+    3-gram shingles has NO earlier document used? The curve of
+    novel-fraction over arrival order is the diminishing-returns
+    readout crawl pipelines watch — when marginal novelty collapses,
+    more of the same source stops buying training signal.
+
+    One shingle explode + a MIN-per-shingle aggregate + one re-join:
+    a document's novelty is the count of shingles whose global first
+    appearance is itself. No window over arrival order is needed —
+    MIN(doc_id) per shingle carries the whole 'seen before' relation.
+
+    Scale: two shuffles on the shingle key (the count and the
+    first-seen join are the same wordcount geometry as TF-IDF); at a
+    streaming ingest the firsts table is the persisted append-only
+    state, and novelty of a new batch is one broadcast-or-bucketed
+    join against it — the same incremental posture as
+    dedup_cross_corpus_anti.
+    """
+    d = load_wide(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.split("text", " "), 3))).alias(
+            "shingle"
+        ),
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .orderBy("doc_id")
+    )

@@ -255,3 +255,72 @@ def quality_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("tot").cast("double"))
         ).alias("gini"),
     )
+
+
+_ENTROPY_SQL = """
+WITH c AS (
+  SELECT o_orderpriority AS v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(ROUND(SUM(CAST(n * LOG2(CAST(n AS DOUBLE)) AS DECIMAL(28,8))), 6)
+              AS DOUBLE) AS sum_nlogn
+  FROM c
+)
+SELECT n_distinct, total,
+       ROUND(LOG2(CAST(total AS DOUBLE)) - sum_nlogn / CAST(total AS DOUBLE), 6)
+         AS entropy_bits,
+       ROUND(LOG2(CAST(n_distinct AS DOUBLE)), 6) AS max_entropy_bits
+FROM m
+"""
+
+
+@query("quality_column_entropy", oracle=_ENTROPY_SQL)
+def quality_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of a column's value distribution — the
+    information-content profile that ranks candidate partition /
+    bucketing keys (high entropy spreads; near-zero entropy means a
+    constant-ish column) and flags drifting categoricals when
+    tracked over time. Computed from exact integer counts via
+    H = log₂N − (Σ n·log₂n)/N — one aggregate over the value-count
+    frame; each n·log₂n term is cast to decimal per row (the Zipf-fit
+    libm discipline: ulp noise sits 8 decimal places below the cast),
+    so the sum is order-independent and the rounded output is stable
+    across engines.
+
+    Scale: one map-side-combined count aggregate (cardinality =
+    distinct values — for genuinely high-cardinality columns swap in
+    the HLL sketch and report log₂(est) as the entropy upper bound);
+    the entropy fold runs on the count frame.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_orderpriority").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.sum(
+                (F.col("n") * F.log2(F.col("n").cast("double"))).cast(
+                    "decimal(28,8)"
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("sum_nlogn"),
+    )
+    return m.select(
+        "n_distinct",
+        "total",
+        F.round(
+            F.log2(F.col("total").cast("double"))
+            - F.col("sum_nlogn") / F.col("total").cast("double"),
+            6,
+        ).alias("entropy_bits"),
+        F.round(F.log2(F.col("n_distinct").cast("double")), 6).alias(
+            "max_entropy_bits"
+        ),
+    )

@@ -126,3 +126,38 @@ def test_near_dup_prune_invariants(spark, sf_dir):
         d.select(D.content_digest("text").alias("h")).distinct().count()
     )
     assert sum(r["n_after_exact"] for r in out.values()) == n_exact_total
+
+
+def test_incremental_lsh_identity(spark, sf_dir):
+    """Insert-only incremental LSH: pairs over the full corpus must
+    equal base-only pairs ∪ delta-touching pairs — the IVM identity
+    for candidate generation. Any banding drift between the two modes
+    (a changed seed, a missed band) breaks this exactly."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        release_state,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gate = F.col("doc_id") % 5 == 0
+    base, delta = docs.filter(~gate), docs.filter(gate)
+
+    full = minhash_candidate_pairs(docs)
+    base_only = minhash_candidate_pairs(base)
+    incr = minhash_candidate_pairs(docs, restrict_to=delta.select("doc_id"))
+    try:
+        full_p = {(r["id_a"], r["id_b"]) for r in full.collect()}
+        base_p = {(r["id_a"], r["id_b"]) for r in base_only.collect()}
+        incr_p = {(r["id_a"], r["id_b"]) for r in incr.collect()}
+        assert base_p | incr_p == full_p
+        assert base_p.isdisjoint(incr_p)
+        # every incremental pair touches the delta
+        delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+        for a, b in incr_p:
+            assert a in delta_ids or b in delta_ids
+    finally:
+        for df in (full, base_only, incr):
+            release_state(df)
