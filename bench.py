@@ -248,6 +248,14 @@ HEADLINE_R05W3 = [
     "maintenance_compaction_plan",
     # two-table blocked perceptual pair search
     "multimodal_phash_near_dup",
+    # count-frame entropy fold (partition-key profiling)
+    "quality_column_entropy",
+    # shingle first-seen join (novelty curve)
+    "text_ngram_novelty",
+    # delta-restricted band join + verification
+    "dedup_incremental_lsh",
+    # one-scan Expand aggregate + exact percentiles (dataset card)
+    "train_dataset_card",
 ]
 
 HEADLINE = (

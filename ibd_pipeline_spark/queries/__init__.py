@@ -239,6 +239,7 @@ _ROUND5_WAVE3: list[str] = [
     "quality_column_entropy",
     "text_ngram_novelty",
     "dedup_incremental_lsh",
+    "train_dataset_card",
 ]
 
 # ---------------------------------------------------------------------------

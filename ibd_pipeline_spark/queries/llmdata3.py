@@ -311,3 +311,89 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CARD_SQL = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest
+  FROM documents
+), top_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY lang ORDER BY n DESC, lang LIMIT 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+       ROUND(percentile_cont(0.5)
+         WITHIN GROUP (ORDER BY CAST(n_chars AS DOUBLE)), 4) AS p50_chars,
+       ROUND(percentile_cont(0.9)
+         WITHIN GROUP (ORDER BY CAST(n_chars AS DOUBLE)), 4) AS p90_chars,
+       (SELECT lang FROM top_lang) AS top_lang,
+       CAST((1000 * (SELECT n FROM top_lang)) // COUNT(*) AS BIGINT)
+         AS top_lang_per_mille
+FROM base
+"""
+
+
+@query("train_dataset_card", oracle=_CARD_SQL)
+def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row — the summary block a curation
+    pipeline publishes with every corpus release: volume (docs,
+    chars), provenance breadth (sources, languages), exact-duplicate
+    mass (count − distinct normalized digests), the length
+    distribution's p50/p90 (exact interpolated — the sketch twin
+    covers the at-scale form), and the dominant language with its
+    per-mille share as an exact integer DIV.
+
+    Everything reduces to ONE aggregate over one scan (Catalyst plans
+    the multi-DISTINCT via Expand) plus a 1-row top-language
+    broadcast; no metric costs a second pass over the corpus.
+
+    Scale: the honest caveat is the multi-COUNT(DISTINCT) Expand
+    (3× row multiplication before the aggregate) — at 100 TB swap
+    the distinct counts for their HLL twins (agg_approx_distinct /
+    sketch_hll_daily_union are the attested forms) and the exact
+    percentiles for the t-digest; this query pins the values those
+    sketches approximate.
+    """
+    d = load_wide(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    base = d.select(
+        "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars"),
+        digest.alias("digest"),
+    )
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "lang")
+        .limit(1)
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("digest"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)), 4).alias(
+            "p50_chars"
+        ),
+        F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.9)), 4).alias(
+            "p90_chars"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "total_chars",
+        "n_sources",
+        "n_langs",
+        "n_exact_dups",
+        "p50_chars",
+        "p90_chars",
+        F.col("lang").alias("top_lang"),
+        F.expr("CAST(1000 * n DIV n_docs AS BIGINT)").alias("top_lang_per_mille"),
+    )
