@@ -240,3 +240,124 @@ def logreg_fit(
         ).alias("accuracy"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+def pca_top_k(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    k: int = 4,
+    iters: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Top-k principal components by power iteration WITH DEFLATION:
+    after each component converges, its projection is subtracted from
+    every (already centered) vector — xᶜ ← xᶜ − (xᶜ·w)w — and power
+    iteration repeats on the residual. Orthogonality is therefore
+    structural (each component lives in the previous ones' null
+    space), and eigenvalues come out in decreasing order; both are
+    property-tested.
+
+    Same scale posture as pca_top_component: the covariance matrix
+    never exists — every step is one corpus scan (zip_with folds) +
+    one d-row aggregate; model state (k d-vectors) is one-row frames
+    broadcast per round. The deflated corpus is checkpointed per
+    component (k materializations of an n×d relation — the honest
+    cost of deflation; randomized block SVD is the escape hatch at
+    k in the hundreds, noted for parity with the literature).
+
+    Returns (component, dim, loading, eigenvalue, n_vectors),
+    k·d rows.
+    """
+    if checkpoint_dir is not None:
+        corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    c = corpus.select(as_double_array(vec).alias("v"))
+    n_and_mu = (
+        c.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
+        .agg(_assemble("pos", "m").alias("mu"), F.first("n").alias("n"))
+    )
+    dim = c.select(F.size("v").alias("d")).limit(1)
+    centered = c.crossJoin(F.broadcast(n_and_mu)).select(
+        F.zip_with("v", "mu", lambda x, m: x - m).alias("xc"), "n"
+    )
+    centered = _chk(centered, checkpoint_dir)
+
+    out = None
+    for comp in range(1, k + 1):
+        w = dim.select(
+            F.transform(
+                F.sequence(F.lit(0), F.col("d") - 1),
+                lambda _: F.lit(1.0) / F.sqrt(F.col("d").cast("double")),
+            ).alias("w")
+        )
+        for _ in range(iters):
+            y = (
+                centered.crossJoin(F.broadcast(w))
+                .select(F.posexplode("xc").alias("pos", "x"),
+                        _dot(F.col("xc"), F.col("w")).alias("s"))
+                .groupBy("pos")
+                .agg(F.sum(F.col("s") * F.col("x")).alias("y"))
+                .agg(_assemble("pos", "y").alias("y"))
+            )
+            w = y.select(
+                F.zip_with(
+                    "y",
+                    "y",
+                    lambda a, _: a
+                    / F.sqrt(
+                        F.aggregate(
+                            F.col("y"), F.lit(0.0), lambda acc, t: acc + t * t
+                        )
+                    ),
+                ).alias("w")
+            )
+            w = _chk(w, checkpoint_dir)
+        final = centered.crossJoin(F.broadcast(w)).select(
+            _dot(F.col("xc"), F.col("w")).alias("s"), "n", "w"
+        )
+        lam = final.groupBy().agg(
+            F.first("w").alias("w"),
+            (F.sum(F.col("s") * F.col("s")) / F.first("n")).alias("eigenvalue"),
+            F.first("n").alias("n_vectors"),
+        )
+        signed = lam.select(
+            F.when(
+                F.element_at(
+                    F.array_sort(
+                        F.transform(
+                            F.col("w"),
+                            lambda x: F.struct(
+                                (-F.abs(x)).alias("negabs"), x.alias("x")
+                            ),
+                        )
+                    ),
+                    1,
+                )["x"]
+                < 0,
+                F.transform(F.col("w"), lambda x: -x),
+            )
+            .otherwise(F.col("w"))
+            .alias("w"),
+            "eigenvalue",
+            "n_vectors",
+        )
+        signed = _chk(signed, checkpoint_dir)
+        rows = signed.select(
+            F.lit(comp).alias("component"),
+            F.posexplode("w").alias("dim", "loading"),
+            "eigenvalue",
+            "n_vectors",
+        )
+        out = rows if out is None else out.unionByName(rows)
+        if comp < k:
+            # deflate: subtract this component's projection (sign of w
+            # cancels in (xᶜ·w)w, so the signed vector is fine)
+            deflated = centered.crossJoin(F.broadcast(signed.select("w")))
+            proj = _dot(F.col("xc"), F.col("w"))
+            centered = deflated.select(
+                F.zip_with("xc", "w", lambda x, wk: x - proj * wk).alias("xc"),
+                "n",
+            )
+            centered = _chk(centered, checkpoint_dir)
+    return out

@@ -240,6 +240,7 @@ _ROUND5_WAVE3: list[str] = [
     "text_ngram_novelty",
     "dedup_incremental_lsh",
     "train_dataset_card",
+    "similarity_pca_top_k",
 ]
 
 # ---------------------------------------------------------------------------

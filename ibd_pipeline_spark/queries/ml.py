@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
-from ibd_pipeline_spark.operators.ml import logreg_fit, pca_top_component
+from ibd_pipeline_spark.operators.ml import logreg_fit, pca_top_component, pca_top_k
 from ibd_pipeline_spark.queries import query
 
 
@@ -67,3 +67,25 @@ def train_logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("accuracy", 6).alias("accuracy"),
         "n_rows",
     ).orderBy("dim")
+
+
+@query("similarity_pca_top_k")
+def similarity_pca_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 principal components of the embeddings table by power
+    iteration with orthogonal deflation (operators/ml.py:pca_top_k) —
+    the dimensionality-reduction front end for visualization and
+    cheap pre-ANN projection. Components are structurally orthogonal;
+    eigenvalue ordering holds for separated spectra (property-tested
+    on planted two-direction data in tests/test_ml.py — the fixture
+    embeddings are near-isotropic, where finite power iterations
+    legitimately leave near-ties unordered). Rows-only; output one row per
+    (component, dim) with rounded loadings for a stable record."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = pca_top_k(emb, vec="embedding", k=3, iters=8)
+    return comp.select(
+        "component",
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        "n_vectors",
+    ).orderBy("component", "dim")

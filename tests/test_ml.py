@@ -104,3 +104,47 @@ def test_logreg_l2_shrinks_weights(spark):
     ]
     norm = lambda w: math.sqrt(sum(x * x for x in w))
     assert norm(w_reg) < norm(w_free)
+
+
+def test_pca_top_k_orthogonal_ordered(spark):
+    """Deflated components: mutually orthogonal (structural — each
+    lives in the previous ones' null space), unit-norm, eigenvalues
+    non-increasing, and on data planted with TWO dominant directions
+    the leading pair spans them."""
+    from ibd_pipeline_spark.operators.ml import pca_top_k
+
+    rng = random.Random(3)
+    d = 6
+    u1 = [1, 1, 1, 1, 1, 1]
+    u2 = [1, -1, 1, -1, 1, -1]
+    n1 = math.sqrt(sum(x * x for x in u1))
+    u1 = [x / n1 for x in u1]
+    u2 = [x / n1 for x in u2]
+    rows = []
+    for _ in range(300):
+        a, b = rng.gauss(0, 6.0), rng.gauss(0, 3.0)
+        rows.append(
+            ([a * u1[k] + b * u2[k] + rng.gauss(0, 0.2) for k in range(d)],)
+        )
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    comp = pca_top_k(df, k=3, iters=10).collect()
+    assert len(comp) == 3 * d
+    vecs = {}
+    lams = {}
+    for r in comp:
+        vecs.setdefault(r["component"], [0.0] * d)[r["dim"]] = r["loading"]
+        lams[r["component"]] = r["eigenvalue"]
+    # unit norm + pairwise orthogonality
+    for i in vecs:
+        assert abs(sum(x * x for x in vecs[i]) - 1.0) < 1e-6
+        for j in vecs:
+            if i < j:
+                dot = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+                assert abs(dot) < 1e-6, (i, j, dot)
+    # eigenvalues ordered, and the top two recover the planted plane
+    assert lams[1] >= lams[2] >= lams[3] > 0
+    c1 = abs(sum(a * b for a, b in zip(vecs[1], u1)))
+    c2 = abs(sum(a * b for a, b in zip(vecs[2], u2)))
+    assert c1 > 0.99 and c2 > 0.99, (c1, c2)
+    # third eigenvalue is noise-sized, far below the planted pair
+    assert lams[3] < 0.2 * lams[2]
