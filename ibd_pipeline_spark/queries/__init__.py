@@ -190,10 +190,12 @@ _ROUND5_NEW: list[str] = [
     "agg_weighted_stats",
 ]
 
-# Round-5 wave-3 additions (registered after the r05 driver snapshot
-# window filled; they queue immediately behind it and rotate into the
-# r06 prefix — except the tail of the current window, which they
-# backfill where attested entries were padding it).
+# Round-5 wave-3+ additions (waves 3-7 of the round-5 session,
+# registered after the r05 driver snapshot window filled; they queue
+# immediately behind it and rotate into the r06 prefix — except the
+# head of this list, which backfills the current window's tail where
+# already-attested entries were padding it). The r06 rotation should
+# move everything here without a green r05 row into the prefix.
 _ROUND5_WAVE3: list[str] = [
     # relational6 — Spark 4 SQL surface
     "recursive_cte_supplier_tree",
