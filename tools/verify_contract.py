@@ -51,7 +51,14 @@ def _norm(v):
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v + 0.0, 9)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DuckDB's fetch_df materializes DATE as midnight datetime64;
+        # collapse midnight instants to the date string so the two
+        # engines' date spellings compare equal (the driver's
+        # canonicalizer does the same through its dtype kinds)
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, list):
@@ -103,22 +110,17 @@ def main() -> int:
                 key=_key,
             )
             if name in oracles:
-                odf = con.execute(oracles[name]).fetch_df()
-                ocols = sorted(odf.columns)
+                # fetchall(), NOT fetch_df(): pandas coerces SQL NULL
+                # to NaN/NaT and widens ints to float64 — native
+                # Python objects compare cleanly
+                cur = con.execute(oracles[name])
+                raw_cols = [d[0] for d in cur.description]
+                order = sorted(range(len(raw_cols)), key=lambda i: raw_cols[i])
+                ocols = [raw_cols[i] for i in order]
                 orows = sorted(
-                    (
-                        tuple(
-                            _norm(None if v != v or v is None else v)
-                            if isinstance(v, float)
-                            else _norm(v)
-                            for v in r
-                        )
-                        for r in odf[ocols].itertuples(index=False, name=None)
-                    ),
+                    (tuple(_norm(r[i]) for i in order) for r in cur.fetchall()),
                     key=_key,
                 )
-                # pandas materializes SQL NULLs as NaN/NaT — collapse both
-                # sides' null spellings through the string key comparison
                 ok = scols == ocols and [_key(r) for r in srows] == [
                     _key(r) for r in orows
                 ]
