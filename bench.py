@@ -256,6 +256,8 @@ HEADLINE_R05W3 = [
     "dedup_incremental_lsh",
     # one-scan Expand aggregate + exact percentiles (dataset card)
     "train_dataset_card",
+    # per-day sketch agg + windowed HLL unions (rolling actives)
+    "events_rolling_active_users",
 ]
 
 HEADLINE = (

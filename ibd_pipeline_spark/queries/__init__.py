@@ -243,6 +243,7 @@ _ROUND5_WAVE3: list[str] = [
     "dedup_incremental_lsh",
     "train_dataset_card",
     "similarity_pca_top_k",
+    "events_rolling_active_users",
 ]
 
 # ---------------------------------------------------------------------------

@@ -201,3 +201,50 @@ def sketch_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py.
     """
     return hll_daily_weekly(load(spark, sf_dir, "events"))
+
+
+@query("events_rolling_active_users")
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users — DAU (exact) next to WAU (trailing 7-day)
+    and 14-day actives estimated by UNIONING per-day HLL sketches
+    inside window frames: the mergeable-sketch rolling pattern that
+    replaces the otherwise-ruinous COUNT(DISTINCT) OVER a 7-day frame
+    (which would buffer every user id per frame). Each day's sketch
+    is built ONCE; every rolling grain reads the same partials — the
+    same amortization as sketch_hll_daily_union, now as a sliding
+    window.
+
+    Rows-only (DataSketches binary); the estimate-vs-exact tolerance
+    and the DAU ≤ WAU ≤ 14d monotonicity are property-tested in
+    tests/test_sketches.py.
+
+    Scale: event-volume work is the one per-day sketch aggregate; the
+    rolling unions run over the DAY frame (sketch bytes × 7/14 per
+    row). The unpartitioned day window is day-count-sized — partition
+    by month and stitch, as events_linear_interpolate_gaps documents.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    day = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    per_day = day.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("dau_exact"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    return (
+        per_day.select(
+            "day",
+            "dau_exact",
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7))
+            .cast("bigint")
+            .alias("wau_est"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w14))
+            .cast("bigint")
+            .alias("active_14d_est"),
+        )
+        .orderBy("day")
+    )
