@@ -119,6 +119,61 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # is sized so every query without a green row sits inside the first
 # 50 (tools/attestation_status.py prints the accounting).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# ROUND-6 WINDOW PREFIX.
+# The 37 round-5 wave-3/4 additions that never received a driver
+# CORRECTNESS row (they registered after the r05 snapshot filled its
+# 50-slot window; all are locally oracle-green or rows-only by design
+# with property tests — see VERDICT.md round 5 "What's missing" §1).
+# They occupy the r06 prefix so the driver attests them this round.
+# _ROUND6_NEW (this round's additions, ≤13 so the prefix stays ≤50)
+# follows; everything with a green r01–r05 row moves behind the window.
+# ---------------------------------------------------------------------------
+_R06_UNATTESTED: list[str] = [
+    "window_running_distinct",
+    "stats_ks_two_sample",
+    "stats_chi_square_independence",
+    "stats_mann_whitney_u",
+    "events_ewma_daily",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_contamination_gate",
+    "sketch_hll_daily_union",
+    "train_contamination_containment",
+    "text_boilerplate_sentences",
+    "similarity_pca_top_component",
+    "train_logreg_quality_gate",
+    "train_weighted_sample_ares",
+    "train_nucleus_topp_per_source",
+    "join_bloom_prefiltered",
+    "quality_snapshot_diff",
+    "train_bpe_learn_apply",
+    "events_funnel_ordered_steps",
+    "dedup_label_propagation",
+    "events_linear_interpolate_gaps",
+    "quality_freshness_sla",
+    "text_zipf_fit",
+    "events_asof_nearest",
+    "events_new_vs_returning",
+    "analytics_market_basket_pairs",
+    "quality_activity_gini",
+    "events_markov_stationary",
+    "train_epoch_waterfill",
+    "multimodal_phash_near_dup",
+    "maintenance_incremental_join_view",
+    "maintenance_compaction_plan",
+    "quality_column_entropy",
+    "text_ngram_novelty",
+    "dedup_incremental_lsh",
+    "train_dataset_card",
+    "similarity_pca_top_k",
+    "events_rolling_active_users",
+]
+
+# Round-6 additions (new registrations this round). Capped at 13 so
+# that 37 + 13 = 50 — the whole prefix fits the driver window and every
+# entry here gets a green row in CORRECTNESS_r06.json.
+_ROUND6_NEW: list[str] = []
+
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------
     # ROUND-5 WINDOW PREFIX.
@@ -308,11 +363,18 @@ _ATTESTED: list[str] = [
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    head = _DRIVER_PRIORITY + [
+    # r06 prefix: never-attested wave-3/4 queries + this round's new
+    # registrations (≤50 total), then the r01–r05 attested history in
+    # its historical order (evidence in CORRECTNESS_r{01..05}.json).
+    head = _R06_UNATTESTED + [
+        n for n in _ROUND6_NEW if n not in _R06_UNATTESTED
+    ]
+    back = _DRIVER_PRIORITY + [
         n for n in _ROUND5_NEW if n not in _DRIVER_PRIORITY
     ]
-    head = head + [n for n in _ROUND5_WAVE3 if n not in head]
-    head = head + [n for n in _ATTESTED if n not in head]
+    back = back + [n for n in _ROUND5_WAVE3 if n not in back]
+    back = back + [n for n in _ATTESTED if n not in back]
+    head = head + [n for n in back if n not in head]
     prio = [n for n in head if n in names]
     rest = [n for n in names if n not in set(head)]
     return prio + rest
