@@ -64,7 +64,14 @@ def connected_components(
     checkpoint_dir: when set, per-round lineage truncation uses
     reliable checkpoint() into this directory (survives executor
     loss; required posture for 100 TB runs). Default localCheckpoint
-    is the single-node/test fast path.
+    is the single-node/test fast path. NOTE: unpersist() releases a
+    round's cached blocks but NOT a reliable checkpoint's on-disk
+    files — Spark only deletes those with
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    default), so a long reliable-mode run accumulates one rdd-*
+    directory per round under `checkpoint_dir`. Set that conf, or
+    point `checkpoint_dir` at a per-job path and remove it after the
+    run.
 
     If the label sum has not stabilized after max_iter rounds the
     result is NOT a fixpoint (components of diameter > max_iter would
@@ -233,23 +240,35 @@ def label_propagation(
     Same iterative contract as connected_components/pagerank: per
     round one join of the (vertex, label) state against the
     symmetrized edge list + one count aggregate + one argmax via
-    MIN(struct(-cnt, label)); state checkpointed eagerly per round
-    (reliable when `checkpoint_dir` is set, localCheckpoint in
-    tests). State is one row per vertex; the corpus-sized edge
-    relation is never mutated, so each round's shuffle is
-    O(|edges|) partials combining down to O(|vertices|).
+    MIN(struct(-cnt, label)); lineage truncated every 2nd round and
+    on the last (pagerank's measured optimum — reliable checkpoint
+    when `checkpoint_dir` is set, localCheckpoint in tests). At each
+    truncation a fixpoint witness — the exact integer sum of
+    xxhash64(vertex, label) over the state — is compared against the
+    previous truncation's; an unchanged sum means (up to a ~2^-64
+    hash-sum collision) no label changed in the last two rounds, and
+    the loop exits early. State is one row per vertex; the
+    corpus-sized edge relation is never mutated, so each round's
+    shuffle is O(|edges|) partials combining down to O(|vertices|).
 
     Returns (vertex, label, is_seed) for every vertex in the edge
     set (plus seed vertices even if isolated).
     """
     import pyspark.sql.functions as F
 
-    if checkpoint_dir is not None:
+    reliable = checkpoint_dir is not None
+    if reliable:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    sym = (
+    # Materialize the loop-invariant symmetrized edge list ONCE.
+    # Without this every round's job re-executes the caller's whole
+    # edge lineage (for the near-dup queries that is the full
+    # MinHash band join + jaccard verify) — the pagerank und/degrees
+    # lesson applied here.
+    sym = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        .distinct(),
+        reliable,
     )
     verts = sym.select(F.col("a").alias("v")).distinct()
     seed_state = seeds.select(
@@ -264,7 +283,8 @@ def label_propagation(
             )
         )
     )
-    for _ in range(max_iter):
+    prev_fp = None
+    for i in range(max_iter):
         votes = (
             sym.join(
                 state.filter(F.col("lbl").isNotNull()).select(
@@ -291,7 +311,21 @@ def label_propagation(
                 "is_seed",
             )
         )
-        state = _truncate(state, checkpoint_dir is not None)
+        # Truncate every 2nd round and on the last (pagerank's measured
+        # cadence — see pagerank() for the every-1/2/3 timings); at each
+        # truncation check the hash-sum fixpoint witness and exit early.
+        if (i + 1) % 2 == 0 or i == max_iter - 1:
+            state = _truncate(state, reliable)
+            fp = state.agg(
+                F.sum(
+                    F.xxhash64("v", F.coalesce("lbl", F.lit("\x00∅"))).cast(
+                        "decimal(38,0)"
+                    )
+                )
+            ).first()[0]
+            if fp == prev_fp:
+                break
+            prev_fp = fp
     return state.select(
         F.col("v").alias(vertex), F.col("lbl").alias(label), "is_seed"
     )
@@ -316,19 +350,36 @@ def markov_stationary(
     Start vector is uniform over the states appearing as sources.
     States P doesn't reach keep probability 0; for a reducible chain
     the result depends on reachability, as mathematically expected —
-    callers wanting ergodicity add damping (use pagerank).
+    callers wanting ergodicity add damping (use pagerank). Absorbing
+    states (appearing only as destinations, no outgoing row) hold
+    their mass — an implicit self-loop — so Σp is conserved even for
+    sub-stochastic inputs rather than silently decaying.
 
-    Returns (state, p) — p sums to 1 whenever P is row-stochastic
-    over the reachable set (conservation is property-tested).
+    Lineage is truncated every 2nd round and on the last (pagerank's
+    measured cadence); at each truncation the L∞ delta between the
+    current and previous truncated π is checked with one tiny
+    state-space-sized join, and the loop exits once it drops below
+    1e-12 (power iteration has converged to double precision).
+
+    Returns (state, p) — p sums to 1 whenever each SOURCE state's
+    outgoing weights sum to 1 (conservation is property-tested).
     """
     import pyspark.sql.functions as F
 
     if checkpoint_dir is not None:
         transitions.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    t = transitions.select(
-        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(prob).alias("w")
+    reliable = checkpoint_dir is not None
+    # Materialize the loop-invariant transition triples ONCE — every
+    # round joins against them, and without truncation each round's
+    # job re-executes the caller's upstream aggregation.
+    t = _truncate(
+        transitions.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"), F.col(prob).alias("w")
+        ),
+        reliable,
     )
-    states = t.select(F.col("s").alias("state")).distinct()
+    sources = _truncate(t.select("s").distinct(), reliable)
+    states = sources.select(F.col("s").alias("state"))
     # uniform start without a driver action: 1/n from a window count
     # over the (tiny, state-space-sized) state frame
     from pyspark.sql import Window
@@ -337,15 +388,44 @@ def markov_stationary(
         "state",
         (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy())).alias("p"),
     )
-    for _ in range(iters):
-        pi = (
+    prev = None
+    for i in range(iters):
+        flow = (
             t.join(pi.withColumnRenamed("state", "s"), "s")
             .groupBy(F.col("d").alias("state"))
             .agg(F.sum(F.col("p") * F.col("w")).alias("p"))
         )
+        # Absorbing states (no outgoing transitions) would vanish from
+        # the inner join above, silently leaking Σp: self-loop their
+        # mass back in instead.
+        held = pi.join(sources, pi.state == sources.s, "left_anti")
         pi = (
-            pi.checkpoint(eager=True)
-            if checkpoint_dir is not None
-            else pi.localCheckpoint(eager=True)
+            flow.unionByName(held.select("state", "p"))
+            .groupBy("state")
+            .agg(F.sum("p").alias("p"))
         )
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            pi = _truncate(pi, reliable)
+            if prev is not None:
+                delta = (
+                    pi.join(
+                        prev.select(
+                            F.col("state"), F.col("p").alias("p_prev")
+                        ),
+                        "state",
+                        "full",
+                    )
+                    .agg(
+                        F.max(
+                            F.abs(
+                                F.coalesce("p", F.lit(0.0))
+                                - F.coalesce("p_prev", F.lit(0.0))
+                            )
+                        )
+                    )
+                    .first()[0]
+                )
+                if delta is not None and delta < 1e-12:
+                    break
+            prev = pi
     return pi

@@ -179,3 +179,49 @@ def test_markov_stationary_conserves_and_fixes(spark):
     for d in pi:
         nxt = sum(pi[s] * P[s].get(d, 0.0) for s in pi)
         assert abs(nxt - pi[d]) < 1e-9, (d, nxt, pi[d])
+
+
+def test_markov_stationary_absorbing_state_holds_mass(spark):
+    """A state with no outgoing transitions self-loops its mass
+    instead of leaking it (the r05 ADVICE defect: the inner join on
+    source dropped absorbing states, so Σπ decayed). Chain a→b→sink:
+    all mass ends in the sink and Σπ stays exactly 1."""
+    from ibd_pipeline_spark.operators.graph import markov_stationary
+
+    t = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "sink", 1.0)],
+        "src string, dst string, p double",
+    )
+    pi = {r["state"]: r["p"] for r in markov_stationary(t, iters=30).collect()}
+    assert abs(sum(pi.values()) - 1.0) < 1e-12
+    assert abs(pi["sink"] - 1.0) < 1e-12
+
+
+def test_markov_stationary_early_exit_matches_long_run(spark):
+    """The L-infinity early-exit leaves the converged values identical
+    to a much longer fixed-iteration run (the exit only fires at
+    double-precision fixpoint)."""
+    from ibd_pipeline_spark.operators.graph import markov_stationary
+
+    t = spark.createDataFrame(
+        [("a", "a", 0.9), ("a", "b", 0.1), ("b", "a", 0.5), ("b", "b", 0.5)],
+        "src string, dst string, p double",
+    )
+    short = {r["state"]: r["p"] for r in markov_stationary(t, iters=400).collect()}
+    assert abs(short["a"] - 5 / 6) < 1e-12 and abs(short["b"] - 1 / 6) < 1e-12
+
+
+def test_label_propagation_early_exit_stable(spark):
+    """max_iter far beyond the diameter: the hash-sum witness exits
+    early and the labels still match the small-max_iter run."""
+    from ibd_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "alpha"), (10, "beta")], "vertex bigint, label string"
+    )
+    out = {r["vertex"]: r["label"]
+           for r in label_propagation(edges, seeds, max_iter=40).collect()}
+    assert out[3] == "alpha" and out[12] == "beta"
