@@ -165,6 +165,7 @@ def logreg_fit(
     lr: float = 1.0,
     l2: float = 0.0,
     checkpoint_dir: str | None = None,
+    tol: float = 1e-9,
 ) -> DataFrame:
     """Binary logistic regression by full-batch gradient descent, pure
     DataFrame ops. `features` is an array<double> column (include a
@@ -173,8 +174,24 @@ def logreg_fit(
     Per iteration: p = σ(x·w) per row (one zip_with fold), gradient
     gₖ = (1/n)·Σ (p − y)·xₖ via posexplode + hash agg on dim, then
     w ← w − lr·(g + l2·w), eagerly checkpointed. The weight vector is
-    a one-row frame broadcast into the scan — no driver collect, no
-    corpus shuffle (the shuffle moves d partial gradients per task).
+    a one-row frame broadcast into the scan — no driver collect of
+    the DATA, no corpus shuffle (the shuffle moves d partial
+    gradients per task). The feature frame is persisted
+    MEMORY_AND_DISK for the duration of training — it is scanned
+    once per round, and re-reading + re-projecting parquet every
+    round was both slow and the dominant run-to-run variance source
+    (r05 bench: [3.10, 3.08, 4.76 s] spreads) — and unpersisted
+    before return.
+
+    Lineage truncates every 2nd round and on the last (the pagerank
+    cadence — rounds chain with no cross-round reuse, so batching two
+    rounds per checkpoint job halves scheduler overhead at the same
+    scan count). Early exit: at each truncation the (d-element,
+    one-row) weight vector is fetched and compared against the
+    previous truncation's; training stops when max|Δwₖ| < `tol` — GD
+    has reached its fixpoint at the working precision and further
+    rounds are pure scheduler cost. Set tol=0.0 to force all `iters`
+    rounds.
 
     Returns a one-row DataFrame:
       (weights array<double>, log_loss, accuracy, n_rows)
@@ -183,11 +200,13 @@ def logreg_fit(
     decreasing for small lr, planted-separable recovery) are asserted
     in tests/test_ml.py.
     """
+    from pyspark import StorageLevel
+
     if checkpoint_dir is not None:
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     c = df.select(
         as_double_array(features).alias("x"), F.col(label).cast("double").alias("y")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dim = c.select(F.size("x").alias("d")).limit(1)
     w = dim.select(
         F.transform(F.sequence(F.lit(0), F.col("d") - 1), lambda _: F.lit(0.0)).alias(
@@ -198,7 +217,8 @@ def logreg_fit(
     def sigmoid(z: Column) -> Column:
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
-    for _ in range(iters):
+    prev_w: list[float] | None = None
+    for i in range(iters):
         scored = c.crossJoin(F.broadcast(w)).select(
             "x", "y", "w", sigmoid(_dot(F.col("x"), F.col("w"))).alias("p")
         )
@@ -221,13 +241,28 @@ def logreg_fit(
                 ).alias("w")
             )
         )
-        w = _chk(w, checkpoint_dir)
+        # Truncate every 2nd round and on the last (the pagerank
+        # cadence): rounds chain sequentially with no cross-round
+        # reuse, so one checkpoint job per two rounds runs the same
+        # two corpus scans with half the job-scheduling overhead.
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            w = _chk(w, checkpoint_dir)
+            if tol > 0.0:
+                # One-row, d-element fetch off the just-materialized
+                # checkpoint — model state, not data, so this is not
+                # a driver-collect antipattern.
+                cur_w = w.first()["w"]
+                if prev_w is not None and max(
+                    abs(a - b) for a, b in zip(cur_w, prev_w)
+                ) < tol:
+                    break
+                prev_w = cur_w
 
     eps = F.lit(1e-12)
     scored = c.crossJoin(F.broadcast(w)).select(
         "w", "y", sigmoid(_dot(F.col("x"), F.col("w"))).alias("p")
     )
-    return scored.groupBy().agg(
+    out = scored.groupBy().agg(
         F.first("w").alias("weights"),
         F.avg(
             -(
@@ -240,6 +275,11 @@ def logreg_fit(
         ).alias("accuracy"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+    # Materialize the one-row result before dropping the training
+    # cache, so the caller's action doesn't re-scan uncached data.
+    out = _chk(out, checkpoint_dir)
+    c.unpersist()
+    return out
 
 
 def pca_top_k(
