@@ -97,6 +97,18 @@ def bpe_learn(
             if checkpoint_dir is not None
             else best.localCheckpoint(eager=True)
         )
+        # An exhausted sample (no adjacent pair left, or empty input)
+        # yields an EMPTY best — continuing would crossJoin the corpus
+        # against zero rows and silently empty it (r05 ADVICE). Stop
+        # and return the merges learned so far; raise if the very
+        # first round finds nothing to learn from.
+        if best.isEmpty():
+            if merges is None:
+                raise ValueError(
+                    "bpe_learn: sample has no adjacent symbol pairs — "
+                    "empty sample or all rows single-symbol"
+                )
+            break
         merges = best if merges is None else merges.unionAll(best)
         corpus = corpus.crossJoin(F.broadcast(best.select("left", "right"))).select(
             merge_pair(F.col("syms"), F.col("left"), F.col("right")).alias("syms")

@@ -70,10 +70,16 @@ def cms_build(counts: DataFrame, key: str, weight: str) -> DataFrame:
 
 def cms_probe(cms: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     """Estimate each probe key's count: min over the DEPTH rows of the
-    counter its hash lands in. The probe frame is expected to be small
-    (top-k candidates, an allowlist) — it is broadcast; the sketch
-    side is at most DEPTH×WIDTH rows, so the join never shuffles
-    anything data-sized.
+    counter its hash lands in. A bucket the build never touched holds
+    an implicit 0, so the probe LEFT-joins the sketch and coalesces
+    missing counters to 0 — a key absent from the sketch estimates 0
+    (and still yields a row) instead of disappearing or taking the
+    min over fewer, inflated rows (the r05 ADVICE defect; keys that
+    WERE inserted are unaffected — all their buckets are non-empty).
+
+    The sketch side is at most DEPTH×WIDTH rows by construction, so
+    it is broadcast and the join never shuffles anything data-sized;
+    the probe frame may be any size.
     """
     seeds = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
     probe_buckets = probes.select(
@@ -84,9 +90,13 @@ def cms_probe(cms: DataFrame, probes: DataFrame, key: str) -> DataFrame:
         md5_bucket(F.col(key), F.col("seed"), CMS_WIDTH).alias("bucket"),
     )
     return (
-        cms.join(F.broadcast(probe_buckets), ["seed", "bucket"])
+        probe_buckets.join(F.broadcast(cms), ["seed", "bucket"], "left")
         .groupBy(key)
-        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
     )
 
 

@@ -233,8 +233,14 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").cast("bigint").alias("dau_exact"),
     )
-    w7 = Window.orderBy("day").rowsBetween(-6, 0)
-    w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    # RANGE frames keyed on the epoch-day index, not ROWS over
+    # per-day rows: with gap days in the data a rowsBetween(-6, 0)
+    # frame silently spans MORE than 7 calendar days ("trailing 7
+    # observed days"); the range frame is the advertised trailing
+    # 7/14 CALENDAR days regardless of missing days (r05 ADVICE).
+    day_idx = F.unix_date(F.col("day"))
+    w7 = Window.orderBy(day_idx).rangeBetween(-6, 0)
+    w14 = Window.orderBy(day_idx).rangeBetween(-13, 0)
     return (
         per_day.select(
             "day",

@@ -78,3 +78,28 @@ def test_apply_zero_merges_is_identity(spark):
     out = bpe_apply(docs, empty).collect()[0]
     assert out["bpe_syms"] == ["p", "q", "r"]
     assert out["n_syms_before"] == out["n_syms_after"] == 3
+
+
+def test_learn_stops_when_sample_exhausted(spark):
+    """Asking for more merges than the sample contains returns the
+    merges actually learnable — the corpus is never emptied by a
+    crossJoin against an empty best (r05 ADVICE)."""
+    from ibd_pipeline_spark.operators.bpe import bpe_learn
+
+    # one row, two symbols -> exactly 1 learnable merge
+    sample = spark.createDataFrame([("a b",)], "text string")
+    merges = bpe_learn(sample, n_merges=5).collect()
+    assert len(merges) == 1
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "b")
+
+
+def test_learn_raises_on_unlearnable_sample(spark):
+    """An empty sample (or all single-symbol rows) has no adjacent
+    pairs at all: loud error, not a silent None."""
+    import pytest
+
+    from ibd_pipeline_spark.operators.bpe import bpe_learn
+
+    sample = spark.createDataFrame([("solo",)], "text string")
+    with pytest.raises(ValueError, match="no adjacent symbol pairs"):
+        bpe_learn(sample, n_merges=3)

@@ -145,3 +145,58 @@ def test_rolling_active_users_monotone_and_accurate(spark, sf_dir):
         # agree because the fixture has no missing days; tolerance 5%
         want = exact7[r["day"]]
         assert abs(r["wau_est"] - want) <= max(2, 0.05 * want), (r, want)
+
+
+def test_cms_probe_missing_key_estimates_zero(spark):
+    """A probe key never inserted in the sketch must still yield a
+    row, with estimate 0 when any of its buckets was untouched —
+    the left-join semantics (r05 ADVICE: the old inner join dropped
+    the key or inflated the min over the surviving buckets)."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.operators.sketches import cms_build, cms_probe
+
+    counts = spark.createDataFrame(
+        [("alpha", 5), ("beta", 3)], "tok string, n bigint"
+    )
+    cms = cms_build(counts, "tok", "n")
+    probes = spark.createDataFrame(
+        [("alpha",), ("never_inserted_token_xyz",)], "tok string"
+    )
+    out = {r["tok"]: r["cms_estimate"] for r in cms_probe(cms, probes, "tok").collect()}
+    assert out["alpha"] >= 5  # one-sided: never underestimates
+    assert "never_inserted_token_xyz" in out
+    # with 2 inserted keys over 4x512 counters, at least one of the 4
+    # probe buckets is certainly empty -> estimate exactly 0
+    assert out["never_inserted_token_xyz"] == 0
+
+
+def test_rolling_active_users_range_frame_spans_calendar_days(spark, tmp_path):
+    """With a gap day in the data, the trailing-7-day frame must NOT
+    reach back past 7 calendar days (the old rowsBetween frame spanned
+    7 OBSERVED days). Construct days 1..3 and 20: day 20's WAU must
+    count only day 20's users."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.queries import all_queries
+
+    rows = []
+    for d, uid in [(1, 100), (2, 200), (3, 300), (20, 999)]:
+        rows.append((datetime.datetime(2024, 1, d, 12, 0, 0), uid))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "events.parquet"))
+    out = {
+        str(r["day"]): r
+        for r in all_queries()["events_rolling_active_users"](
+            spark, str(sf)
+        ).collect()
+    }
+    # day 3 sees days 1-3 (3 users within 7 calendar days)
+    assert out["2024-01-03"]["wau_est"] == 3
+    # day 20 is >7 calendar days after day 3: only its own user
+    assert out["2024-01-20"]["wau_est"] == 1
+    assert out["2024-01-20"]["active_14d_est"] == 1
