@@ -326,8 +326,8 @@ def simhash_near_dup_pairs(
     Hamming distance within blocks.
 
     Scale: prefix blocking bounds the join the same way LSH bands do.
-    For higher recall at scale, rotate the signature and block on
-    multiple prefixes (the standard multi-table SimHash scheme).
+    For higher recall at scale, use simhash_near_dup_pairs_multi —
+    the rotate-and-reblock multi-table scheme.
     """
     sig = simhash_signatures(docs, id_col, text_col).withColumn(
         "blk", F.shiftrightunsigned("sig", 64 - prefix_bits)
@@ -342,3 +342,87 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _rotl64(col: Column, r: int) -> Column:
+    """Rotate a 64-bit signature left by r bits (r in 1..63)."""
+    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+
+def simhash_near_dup_pairs_multi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    tables: int = 4,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Multi-table SimHash near-dup pairs: the standard
+    rotate-and-reblock scheme (Manku/Jain/Sarma, WWW'07 — the Google
+    simhash dedup paper). The 64-bit signature is rotated left by
+    64·t/tables for each table t and blocked on the top `prefix_bits`
+    of each rotation; a pair is a candidate if it collides in ANY
+    table, and candidates are Hamming-verified once.
+
+    Recall: with the defaults (4 tables × disjoint 16-bit chunks),
+    any pair with Hamming ≤ 3 agrees EXACTLY on at least one chunk
+    (pigeonhole: 3 flipped bits touch ≤ 3 of the 4 chunks) — a
+    guarantee the single-prefix form lacks, and strictly more recall
+    than it for any budget (table 0 with prefix 16 ⊃ the 12-bit
+    prefix blocks). At Hamming 4-8 collisions remain probabilistic
+    but four chances beat one; the recall ordering is
+    property-tested on planted flips.
+
+    Scale: signatures are computed by the same one-pass hash-agg plan
+    (simhash_signatures); the band-row explode multiplies the
+    (id, sig) table — 16 bytes/row — by `tables`, NOT the corpus, and
+    the per-table self-join is bounded by block occupancy exactly
+    like MinHash LSH bands. Candidate pairs dedup on (id_a, id_b)
+    before the single Hamming verify projection.
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    return simhash_pairs_multi_from_sigs(sig, max_hamming, tables, prefix_bits)
+
+
+def simhash_pairs_multi_from_sigs(
+    sig: DataFrame,
+    max_hamming: int = 8,
+    tables: int = 4,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """The rotate-and-reblock candidate join over a precomputed
+    (id, sig) signature frame — split out so the pigeonhole recall
+    guarantee is testable on planted exact bit flips (see
+    simhash_near_dup_pairs_multi for the scheme and scale notes)."""
+    step = 64 // tables
+    blocks = F.array(
+        *[
+            F.shiftrightunsigned(
+                _rotl64(F.col("sig"), t * step) if t else F.col("sig"),
+                64 - prefix_bits,
+            )
+            for t in range(tables)
+        ]
+    )
+    band = sig.select("id", "sig", F.posexplode(blocks).alias("t", "blk"))
+    l, r = band.alias("l"), band.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

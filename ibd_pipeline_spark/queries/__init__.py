@@ -172,7 +172,9 @@ _R06_UNATTESTED: list[str] = [
 # Round-6 additions (new registrations this round). Capped at 13 so
 # that 37 + 13 = 50 — the whole prefix fits the driver window and every
 # entry here gets a green row in CORRECTNESS_r06.json.
-_ROUND6_NEW: list[str] = []
+_ROUND6_NEW: list[str] = [
+    "dedup_simhash_multitable",
+]
 
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------

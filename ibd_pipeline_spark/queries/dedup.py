@@ -172,6 +172,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(d, "doc_id", "text")
 
 
+@query("dedup_simhash_multitable")  # no SQL oracle: bit-algebra blocking
+def dedup_simhash_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SimHash near-dup pairs: 4 rotations × 16-bit
+    prefix blocks (operators.dedup.simhash_near_dup_pairs_multi) — the
+    rotate-and-reblock scheme that guarantees recall of every pair
+    within Hamming 3 and probabilistically beats single-prefix
+    blocking up to the Hamming-8 verify cutoff. Output aggregated to
+    (hamming, n_pairs) so the rows-only record is compact and
+    partition-invariant; recall ≥ the single-table form is
+    property-tested on planted bit flips (tests/test_dedup.py).
+
+    Scale: same one-pass signature hash-agg as dedup_simhash; the
+    explode multiplies only the 16-byte (id, sig) table by 4, and
+    each table's self-join is block-bounded exactly like LSH bands —
+    never all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs_multi(d, "doc_id", "text")
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
 @query(
     "dedup_cluster_components",
     oracle="""

@@ -161,3 +161,62 @@ def test_incremental_lsh_identity(spark, sf_dir):
     finally:
         for df in (full, base_only, incr):
             release_state(df)
+
+
+def test_simhash_multitable_pigeonhole_guarantee(spark):
+    """4 rotations x 16-bit prefixes cover the 4 disjoint 16-bit
+    chunks of the signature: ANY pair within Hamming 3 agrees exactly
+    on >=1 chunk and MUST be found. Plant flips in the TOP prefix
+    bits — exactly where single-prefix blocking goes blind."""
+    base = 0x5A5A_C3C3_0F0F_9999
+    mask = (1 << 64) - 1
+
+    def signed(u):  # Spark bigint is signed 64-bit
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = [(0, signed(base))]
+    # flips at bits 63, 62, 50 (all inside single-table 12-bit prefix
+    # territory or first chunk), spread across ids 1..3 with hamming
+    # 1, 2, 3 from base
+    rows.append((1, signed(base ^ (1 << 63))))
+    rows.append((2, signed(base ^ (1 << 63) ^ (1 << 62))))
+    rows.append((3, signed(base ^ (1 << 63) ^ (1 << 30) ^ (1 << 5))))
+    sig = spark.createDataFrame(rows, "id bigint, sig bigint")
+    found = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs_multi_from_sigs(sig, max_hamming=8).collect()
+    }
+    # every base-vs-flipped pair has hamming <= 3 -> guaranteed found
+    assert found[(0, 1)] == 1
+    assert found[(0, 2)] == 2
+    assert found[(0, 3)] == 3
+    # and the single 12-bit-prefix form misses every base-vs-flipped
+    # pair (the flip at bit 63 lands inside the prefix, so the blocks
+    # differ), demonstrating the recall gap the multi-table scheme
+    # closes
+    blk = sig.selectExpr("id", "sig", "shiftrightunsigned(sig, 52) AS blk")
+    single = {
+        (r.id_a, r.id_b)
+        for r in blk.alias("l")
+        .join(
+            blk.alias("r"),
+            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .collect()
+    }
+    assert all(a != 0 for a, _ in single)
+
+
+def test_simhash_multitable_recall_at_least_single_table(spark, docs):
+    """On the text fixture the multi-table pass finds every pair the
+    single-prefix pass finds (same Hamming cutoff, four chances to
+    collide instead of one)."""
+    single = {
+        (r.id_a, r.id_b) for r in D.simhash_near_dup_pairs(docs).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_dup_pairs_multi(docs).collect()
+    }
+    assert single <= multi

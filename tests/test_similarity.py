@@ -78,9 +78,10 @@ def test_label_coherence_on_clustered(spark, clustered):
 
 
 def test_lsh_recall_vs_bruteforce(spark, clustered):
-    """Multi-table LSH (8×6 bits) recovers most true top-5 neighbors
-    on clustered data (analytic recall ≥90% at the intra-cluster
-    angles this fixture produces; assert ≥70% for robustness)."""
+    """Multi-table LSH (8×6 bits) recovers the true top-5 neighbors
+    on clustered data: analytic recall ≥90% at the intra-cluster
+    angles this fixture produces (measured 1.0 on the seeded
+    fixture), asserted at the claimed ≥0.9."""
     q = clustered.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
     )
@@ -93,7 +94,7 @@ def test_lsh_recall_vs_bruteforce(spark, clustered):
         for r in S.lsh_bucketed_topk(q, c, k=5, n_tables=8, bits_per_table=6, dim=64).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, f"ANN recall {recall:.2f}"
+    assert recall >= 0.9, f"ANN recall {recall:.2f}"
 
 
 def test_ivf_recall_vs_bruteforce(spark, clustered):
@@ -112,7 +113,7 @@ def test_ivf_recall_vs_bruteforce(spark, clustered):
         for r in S.ivf_topk(q, c, k=5, n_centroids=16, n_probe=4).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, f"IVF recall {recall:.2f}"
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
 
 
 def test_cosine_near_dup_finds_planted_pairs(spark):
