@@ -174,6 +174,9 @@ _R06_UNATTESTED: list[str] = [
 # entry here gets a green row in CORRECTNESS_r06.json.
 _ROUND6_NEW: list[str] = [
     "dedup_simhash_multitable",
+    "dedup_minhash_jaccard_estimate",
+    "text_bm25_ranking",
+    "profile_key_skew",
 ]
 
 _DRIVER_PRIORITY: list[str] = [
@@ -422,6 +425,7 @@ def _ensure_loaded() -> None:
         relational4,
         relational5,
         relational6,
+        round6,
         scalar_ext,
         sketches,
         stats,

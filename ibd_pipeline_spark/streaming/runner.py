@@ -39,6 +39,33 @@ class KafkaSourceConfig:
 
 
 def kafka_source(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
+    """Kafka readStream with the reference's reader semantics.
+
+    LIVE-PATH RUNBOOK (this sandbox has no broker, no connector jar,
+    and no network — the path below is config-parity code exercised
+    through the file-source twin and record-shaping unit tests; run
+    this checklist before first production use):
+
+    1. Ship the connector at spark-submit time (version must match
+       the installed Spark/Scala — for Spark 4.1.x / Scala 2.13):
+         --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2
+       (or place the jar + its kafka-clients/commons-pool2 deps on
+       the driver/executor classpath).
+    2. Point a broker at it. Local smoke: `docker run -p 9092:9092
+       apache/kafka` (KRaft single node), create `sensor_data`,
+       produce a few reference-shaped JSON records
+       (weather-producer.py:109-235 shape), then run
+       run_weather_pipeline(kafka_source(spark, cfg), ...) with a
+       memory sink and assert rows arrive.
+    3. For SASL_SSL parity with the reference (spark_processor.py:
+       54-66), set cfg.extra_options from the secret store:
+         kafka.security.protocol=SASL_SSL
+         kafka.sasl.mechanism=SCRAM-SHA-256
+         kafka.sasl.jaas.config=...ScramLoginModule required
+           username="$KAFKA_USER" password="$KAFKA_PASS";
+    4. Checkpoint location must be durable storage (not /tmp) —
+       offsets live there; see run_weather_pipeline.
+    """
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
