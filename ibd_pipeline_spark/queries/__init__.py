@@ -177,6 +177,10 @@ _ROUND6_NEW: list[str] = [
     "dedup_minhash_jaccard_estimate",
     "text_bm25_ranking",
     "profile_key_skew",
+    "events_funnel_latency",
+    "similarity_quantize_int8",
+    "dedup_quality_survivor",
+    "quality_order_reconciliation",
 ]
 
 _DRIVER_PRIORITY: list[str] = [

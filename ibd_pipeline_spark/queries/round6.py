@@ -313,3 +313,283 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LAT_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'signup')   AS first_signup,
+         MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT CAST(date_diff('second', first_signup, first_purchase) AS DOUBLE)
+           AS lat_s
+  FROM f
+  WHERE first_signup IS NOT NULL AND first_purchase > first_signup
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat_s), 4) AS p50_s,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat_s), 4) AS p90_s,
+       CAST(MAX(lat_s) AS BIGINT) AS max_s
+FROM lat
+"""
+
+
+@query("events_funnel_latency", oracle=_FUNNEL_LAT_SQL)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup→purchase funnel:
+    exact p50/p90 latency in seconds across users whose first
+    purchase follows their first signup. Same conditional-MIN
+    per-user shape as funnel_signup_purchase (one shuffle, never a
+    self-join); this query adds the LATENCY quantiles a funnel
+    readout needs next to the conversion count.
+
+    Latencies are integer second diffs cast to double, so the exact
+    interpolated percentile is a sum of halves — binary-exact in
+    both engines (the text_length_percentiles contract).
+
+    Scale: groupBy user_id is the one event-volume shuffle; the
+    quantile runs over the (users-sized) latency column — swap in
+    approx_percentile when conversions alone exceed a buffer."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    lat = f.filter(
+        F.col("fs").isNotNull() & (F.col("fp") > F.col("fs"))
+    ).select(
+        (F.unix_timestamp("fp") - F.unix_timestamp("fs"))
+        .cast("double")
+        .alias("lat_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("lat_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("lat_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.max("lat_s").cast("bigint").alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization audit
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+WITH v AS (
+  SELECT label,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS amax,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT label,
+         list_transform(emb, x -> FLOOR(x * 127.0 / amax + 0.5)) AS qs
+  FROM v WHERE amax > 0
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(list_aggregate(qs, 'sum')) AS BIGINT) AS sum_q,
+       CAST(SUM(len(list_filter(qs, x -> abs(x) = 127))) AS BIGINT)
+         AS n_saturated
+FROM q
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("similarity_quantize_int8", oracle=_QUANT_SQL)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (q = round(x·127/max|x|),
+    the faiss/sentence-transformers storage trick that cuts an
+    embedding store 4×), audited per label: vector count, the exact
+    sum of all quantized components, and how many components
+    saturate at ±127.
+
+    Rounding is FLOOR(x + 0.5), not round(): both engines floor the
+    identical IEEE double, where Spark's round() would go through
+    the shortest-string repr and diverge from DuckDB on half-points
+    (the r05 davg lesson). Outputs are BIGINTs — exact oracle.
+
+    Scale: pure per-row projection (higher-order transform, no
+    shuffle until the label aggregate); the real store would write
+    the int8 array + per-vector scale as columns — same plan minus
+    the audit aggregate."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    amax = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    q = emb.select(
+        "label",
+        F.transform(
+            "emb",
+            lambda x: F.floor(
+                x * F.lit(127.0) / F.array_max(F.transform("emb", lambda y: F.abs(y)))
+                + F.lit(0.5)
+            ),
+        ).alias("qs"),
+    ).filter(amax > 0)
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.aggregate("qs", F.lit(0).cast("long"), lambda a, x: a + x))
+            .cast("bigint")
+            .alias("sum_q"),
+            F.sum(F.size(F.filter("qs", lambda x: F.abs(x) == 127)))
+            .cast("bigint")
+            .alias("n_saturated"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware exact-dedup survivorship
+# ---------------------------------------------------------------------------
+
+_SURVIVOR_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest
+  FROM documents
+), r AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY digest
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (rk = 1) AS BIGINT) AS n_survivors,
+       CAST(COUNT(*) FILTER (rk > 1) AS BIGINT) AS n_dropped,
+       CAST(SUM(n_chars) FILTER (rk = 1) AS BIGINT) AS survivor_chars
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("dedup_quality_survivor", oracle=_SURVIVOR_SQL)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a SURVIVORSHIP RULE: group by normalized
+    content digest (dedup_exact's md5 normalization), keep the
+    longest copy, ties to the smallest doc_id — the 'best version
+    wins' policy curation pipelines apply instead of arbitrary
+    first-seen. Output per source: docs, survivors, dropped, and
+    surviving chars — all BIGINT, exact oracle.
+
+    Scale: ONE shuffle on the 128-bit digest (the window partition
+    key); rank-1 selection is a streaming window, no second pass.
+    The digest groupBy co-partitions with any later per-digest
+    join."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("digest").orderBy(F.col("n_chars").desc(), "doc_id")
+    r = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("rk") == 1, 1)).cast("bigint").alias("n_survivors"),
+            F.count(F.when(F.col("rk") > 1, 1)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_chars")))
+            .cast("bigint")
+            .alias("survivor_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order/lineitem reconciliation audit
+# ---------------------------------------------------------------------------
+
+_RECON_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l_discount AS DECIMAL(8,6)))
+                   * (1 + CAST(l_tax AS DECIMAL(8,6)))), 2) AS computed
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderstatus,
+         li.computed,
+         ROUND(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) AS stated
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(computed) AS BIGINT) AS n_with_lines,
+       CAST(COUNT(*) FILTER (computed = stated) AS BIGINT) AS n_equal,
+       CAST(COUNT(*) FILTER (computed > stated) AS BIGINT) AS n_over,
+       CAST(COUNT(*) FILTER (computed < stated) AS BIGINT) AS n_under
+FROM j
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("quality_order_reconciliation", oracle=_RECON_SQL)
+def quality_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: recompute each order's
+    total from its line items (extendedprice·(1−discount)·(1+tax),
+    the TPC-H revenue expression) and compare against the stated
+    o_totalprice — the referential data-quality audit that catches
+    drift between a rollup and its detail table. Comparison happens
+    entirely in the exact DECIMAL domain rounded to cents (the dsum
+    contract), so equal/over/under counts are engine-exact.
+
+    Scale: one lineitem aggregate sharing the orderkey shuffle with
+    the join; output is O(|statuses|). AQE handles the orders-side
+    join strategy."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                    * (F.lit(1) + F.col("l_tax").cast("decimal(8,6)"))
+                ),
+                2,
+            ).alias("computed")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2).alias("stated"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count("computed").cast("bigint").alias("n_with_lines"),
+            F.count(F.when(F.col("computed") == F.col("stated"), 1))
+            .cast("bigint")
+            .alias("n_equal"),
+            F.count(F.when(F.col("computed") > F.col("stated"), 1))
+            .cast("bigint")
+            .alias("n_over"),
+            F.count(F.when(F.col("computed") < F.col("stated"), 1))
+            .cast("bigint")
+            .alias("n_under"),
+        )
+        .orderBy("o_orderstatus")
+    )
