@@ -181,6 +181,11 @@ _ROUND6_NEW: list[str] = [
     "similarity_quantize_int8",
     "dedup_quality_survivor",
     "quality_order_reconciliation",
+    "events_inter_arrival_stats",
+    "similarity_knn_label_confusion",
+    "events_value_winsorize",
+    "quality_referential_orphans",
+    "events_stickiness_ratio",
 ]
 
 _DRIVER_PRIORITY: list[str] = [

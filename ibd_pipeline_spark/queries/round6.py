@@ -593,3 +593,351 @@ def quality_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_SQL = """
+WITH s AS (
+  SELECT event_type, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), g AS (
+  SELECT event_type,
+         CAST(date_diff('second', prev_ts, ts) AS DOUBLE) AS gap_s
+  FROM s WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 4) AS p50_s,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_s), 4) AS p90_s
+FROM g
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_inter_arrival_stats", oracle=_INTERARRIVAL_SQL)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics: exact p50/p90 of the
+    gap (seconds) between a user's consecutive events of the same
+    type — the cadence profile that sizes session-gap thresholds and
+    watermark horizons (events_sessionize_gaps picks its 30-min gap
+    from exactly this readout). LAG over (user, type) with event_id
+    tiebreak for determinism on equal timestamps.
+
+    Scale: one shuffle on (user_id, event_type) for the window; gaps
+    aggregate per type — tiny output. Integer-second diffs keep the
+    interpolated percentile binary-exact cross-engine."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        )
+        .cast("double")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label confusion (embedding-space label coherence)
+# ---------------------------------------------------------------------------
+
+_KNN_CONFUSION_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id < 200
+), n AS (
+  SELECT vec_id, label,
+         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm,
+         emb
+  FROM v
+), p AS (
+  SELECT a.vec_id AS qid, a.label AS label_q, b.label AS label_n,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_aggregate(
+                      list_transform(range(1, len(a.emb) + 1),
+                                     i -> a.emb[i] * b.emb[i]), 'sum')
+                    / (a.nrm * b.nrm) DESC,
+                    b.vec_id
+         ) AS rk
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT label_q, label_n, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE rk = 1
+GROUP BY label_q, label_n
+ORDER BY label_q, label_n
+"""
+
+
+@query("similarity_knn_label_confusion", oracle=_KNN_CONFUSION_SQL)
+def similarity_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label coherence: each vector's single nearest
+    neighbor by cosine (excluding itself), aggregated into a label
+    confusion matrix — the eval that tells you whether embedding
+    clusters track labels before trusting embedding-based dedup or
+    search. Deterministic: neighbor ties break on vec_id, and the
+    dot product is the SAME sequential index-order fold in both
+    engines (F.aggregate ↔ list_aggregate) so the doubles compare
+    identically.
+
+    Scale: the all-pairs form lives only inside the oracle-bounded
+    200-vector slice; the corpus-scale path is the ANN variants
+    (similarity_ann_lsh / similarity_ann_ivf) feeding the same
+    confusion aggregate."""
+    from pyspark.sql import Window
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("emb", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("nrm"),
+        )
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.emb", "b.emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("a.label").alias("label_q"),
+        F.col("b.label").alias("label_n"),
+        cos.alias("cos"),
+        F.col("b.vec_id").alias("nid"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    return (
+        pairs.select("label_q", "label_n", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .groupBy("label_q", "label_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("label_q", "label_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean
+# ---------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH b AS (
+  SELECT event_type,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT e.event_type,
+         LEAST(GREATEST(e.value, b.lo), b.hi) AS clipped
+  FROM events e JOIN b ON e.event_type = b.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(clipped AS DECIMAL(28,8))), 4) AS DOUBLE)
+         / COUNT(*) AS winsor_mean
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_value_winsorize", oracle=_WINSOR_SQL)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value per type: clip at the exact
+    p05/p95 group quantiles, then average — the outlier-robust KPI
+    that stops one whale purchase from moving the daily number. The
+    mean follows the davg contract (exact decimal sum rounded in the
+    decimal domain, THEN divided) so the oracle hash is stable; the
+    clip thresholds are interpolated percentiles computed identically
+    in both engines.
+
+    Scale: two passes over events sharing one event_type shuffle —
+    quantiles per group, then clip+aggregate with the threshold row
+    broadcast back. Swap approx_percentile in when a single group's
+    values can't buffer (the stats_approx_percentiles trade)."""
+    from ibd_pipeline_spark.queries import davg
+
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    c = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "clipped"
+        ),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            davg(F.col("clipped"), 4).alias("winsor_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity orphan audit
+# ---------------------------------------------------------------------------
+
+_ORPHANS_SQL = """
+SELECT 'lineitem->orders' AS relation,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+ORDER BY relation
+"""
+
+
+@query("quality_referential_orphans", oracle=_ORPHANS_SQL)
+def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    FK relation, the child row count and how many children have no
+    parent (left-anti join) — the orphan check every warehouse load
+    gate runs. Output: (relation, n_child, n_orphans).
+
+    Scale: each orphan count is one anti join on the FK — broadcast
+    when the parent is a dim (nation, customer at this ratio), AQE
+    picks SMJ for orders⋈lineitem; the three audits are independent
+    branches of one union plan and run concurrently."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def audit(rel: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        return child.agg(
+            F.lit(rel).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+        ).crossJoin(
+            child.join(parent, child[ck] == parent[pk], "left_anti").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+            )
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(audit("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+        .orderBy("relation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness
+# ---------------------------------------------------------------------------
+
+_STICKINESS_SQL = """
+WITH d AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         user_id
+  FROM events
+), daily AS (
+  SELECT week, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM d GROUP BY week, day
+), weekly AS (
+  SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM d GROUP BY week
+)
+SELECT w.week,
+       CAST(SUM(dl.dau) AS BIGINT) AS sum_dau,
+       w.wau,
+       CAST(SUM(dl.dau) * 10000 // (COUNT(dl.day) * w.wau) AS BIGINT)
+         AS stickiness_bp
+FROM weekly w JOIN daily dl ON dl.week = w.week
+GROUP BY w.week, w.wau
+ORDER BY w.week
+"""
+
+
+@query("events_stickiness_ratio", oracle=_STICKINESS_SQL)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness (avg DAU / WAU, the product-health ratio):
+    per calendar week, the sum of daily distinct actives, the weekly
+    distinct actives, and avgDAU/WAU in integer basis points
+    (floor-div — exact oracle, no float rounding). Two COUNT
+    DISTINCTs sharing one (week/day, user) pre-dedup shuffle.
+
+    Scale: at event volume this is the one dedup shuffle; for the
+    rolling/sketched form see events_rolling_active_users (HLL
+    unions) — this query pins the exact values the sketches
+    approximate."""
+    e = load(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+    )
+    daily = e.groupBy("week", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    weekly = e.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        weekly.join(daily, "week")
+        .groupBy("week", "wau")
+        .agg(
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+            F.count("day").alias("n_days"),
+        )
+        .select(
+            "week",
+            "sum_dau",
+            "wau",
+            F.expr("sum_dau * 10000L div (n_days * wau)")
+            .cast("bigint")
+            .alias("stickiness_bp"),
+        )
+        .orderBy("week")
+    )
