@@ -260,8 +260,41 @@ HEADLINE_R05W3 = [
     "events_rolling_active_users",
 ]
 
+# Round-6 additions (same volume rule; the oracle-bounded calibration
+# slices — dedup_minhash_jaccard_estimate at 400 docs,
+# similarity_knn_label_confusion at 200 vectors — stay out).
+HEADLINE_R06 = [
+    # 4-rotation banded self-join + Hamming verify
+    "dedup_simhash_multitable",
+    # corpus-stat broadcast + per-doc higher-order tf scoring + top-k
+    "text_bm25_ranking",
+    # two-level key-count aggregate (skew probe)
+    "profile_key_skew",
+    # conditional-MIN funnel + exact latency percentiles
+    "events_funnel_latency",
+    # per-row higher-order quantize + label agg
+    "similarity_quantize_int8",
+    # digest window rank-1 survivorship
+    "dedup_quality_survivor",
+    # decimal rollup join reconciliation
+    "quality_order_reconciliation",
+    # (user,type) lag window + grouped exact percentiles
+    "events_inter_arrival_stats",
+    # grouped percentile pass + broadcast clip + decimal mean
+    "events_value_winsorize",
+    # three concurrent anti-join audits in one union plan
+    "quality_referential_orphans",
+    # shared pre-dedup shuffle double COUNT DISTINCT
+    "events_stickiness_ratio",
+]
+
 HEADLINE = (
-    HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R04 + HEADLINE_R05 + HEADLINE_R05W3
+    HEADLINE_R01
+    + HEADLINE_R02
+    + HEADLINE_R04
+    + HEADLINE_R05
+    + HEADLINE_R05W3
+    + HEADLINE_R06
 )
 
 
