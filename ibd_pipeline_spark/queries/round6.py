@@ -424,16 +424,17 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
     amax = F.array_max(F.transform("emb", lambda x: F.abs(x)))
-    q = emb.select(
-        "label",
-        F.transform(
-            "emb",
-            lambda x: F.floor(
-                x * F.lit(127.0) / F.array_max(F.transform("emb", lambda y: F.abs(y)))
-                + F.lit(0.5)
-            ),
-        ).alias("qs"),
-    ).filter(amax > 0)
+    q = (
+        emb.select("label", "emb", amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .select(
+            "label",
+            F.transform(
+                "emb",
+                lambda x: F.floor(x * F.lit(127.0) / F.col("amax") + F.lit(0.5)),
+            ).alias("qs"),
+        )
+    )
     return (
         q.groupBy("label")
         .agg(
