@@ -103,3 +103,47 @@ def test_learn_raises_on_unlearnable_sample(spark):
     sample = spark.createDataFrame([("solo",)], "text string")
     with pytest.raises(ValueError, match="no adjacent symbol pairs"):
         bpe_learn(sample, n_merges=3)
+
+
+def test_apply_regex_path_equals_fold_path(spark):
+    """The string/regex apply (bpe_apply) must agree with the
+    array-fold reference (merge_pair) on every doc — including
+    symbols that are regex metacharacters, contain backslashes,
+    dollar signs, or the literal sequence \\E, and greedy repeat
+    runs."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            ("a b a b a",),
+            ("a a a a",),               # greedy repeats
+            ("x.y x.y [z] [z]",),       # regex metachars
+            ("$1 \\ $1 \\",),           # replacement metachars
+            ("q\\E q\\E end",),         # \E inside a symbol
+            ("solo",),
+            ("a b",),
+        ],
+        "text string",
+    )
+    merges = spark.createDataFrame(
+        [
+            (1, "a", "b"),
+            (2, "a", "a"),
+            (3, "x.y", "x.y"),
+            (4, "[z]", "[z]"),
+            (5, "$1", "\\"),
+            (6, "q\\E", "q\\E"),
+        ],
+        "rank int, left string, right string",
+    )
+    out = bpe_apply(docs, merges).select("text", "bpe_syms").collect()
+    # fold reference: apply merge_pair sequentially in rank order
+    ref_col = F.split("text", " ")
+    for r in merges.orderBy("rank").collect():
+        ref_col = merge_pair(ref_col, F.lit(r["left"]), F.lit(r["right"]))
+    ref = {
+        r["text"]: r["ref"]
+        for r in docs.select("text", ref_col.alias("ref")).collect()
+    }
+    for r in out:
+        assert r["bpe_syms"] == ref[r["text"]], r["text"]
