@@ -50,6 +50,36 @@ def _chk(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     )
 
 
+def _dim(df: DataFrame, arr: str) -> int:
+    """Fetch the (static) vector dimensionality — one scalar of model
+    state, read from a single row. Knowing d at PLAN time makes the
+    init vector a pure literal (no corpus scan inside each
+    component's w-init lineage)."""
+    return df.select(F.size(F.col(arr)).alias("d")).first()["d"]
+
+
+def _weighted_dim_sums(
+    df: DataFrame, arr: str, weight: str, mean: bool = False
+) -> DataFrame:
+    """One-row frame with y = Σ weightᵢ·xᵢ (or the mean) as a d-array.
+
+    Deliberately the posexplode + hash-agg form, NOT d aggregate
+    columns of element_at: the weight column is an expensive derived
+    expression (a d-term dot product / sigmoid), and CollapseProject
+    inlines its alias into EVERY aggregate expression that references
+    it — d dot products per row, an O(d²) blowup (measured: the
+    d-column form tripled logreg and pca wall time at d=64). The
+    generate operator evaluates the weight ONCE per row and
+    replicates the scalar across the d skinny rows."""
+    op = F.avg if mean else F.sum
+    return (
+        df.select(F.posexplode(arr).alias("pos", "_x"), F.col(weight))
+        .groupBy("pos")
+        .agg(op(F.col(weight) * F.col("_x")).alias("_y"))
+        .agg(_assemble("pos", "_y").alias("y"))
+    )
+
+
 def pca_top_component(
     corpus: DataFrame,
     vec: str = "embedding",
@@ -81,41 +111,35 @@ def pca_top_component(
     if checkpoint_dir is not None:
         corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     c = corpus.select(as_double_array(vec).alias("v"))
-    n_and_mu = (
-        c.select(F.posexplode("v").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
-        .agg(
-            _assemble("pos", "m").alias("mu"),
-            F.first("n").alias("n"),
-        )
-    )
-    dim = c.select(F.size("v").alias("d")).limit(1)
+    d = _dim(c, "v")
+    n_and_mu = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.element_at(F.col("v"), i + 1)).alias(f"_m{i}") for i in range(d)],
+    ).select(F.array(*[F.col(f"_m{i}") for i in range(d)]).alias("mu"), "n")
+    # Persist the centered corpus for the iterations: without this
+    # every round re-runs the parquet scan AND the d-dimension mean
+    # aggregate inside its crossJoin lineage (the logreg/label-
+    # propagation loop-invariant lesson). Dropped after the result
+    # row is materialized below.
+    from pyspark import StorageLevel
+
     centered = c.crossJoin(F.broadcast(n_and_mu)).select(
         F.zip_with("v", "mu", lambda x, m: x - m).alias("xc"), "n"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    w = dim.select(
-        F.transform(
-            F.sequence(F.lit(0), F.col("d") - 1),
-            lambda _: F.lit(1.0) / F.sqrt(F.col("d").cast("double")),
-        ).alias("w")
+    w = c.sparkSession.range(1).select(
+        F.array(*[F.lit(1.0 / d**0.5) for _ in range(d)]).alias("w")
     )
-    for _ in range(iters):
+    prev_w: list[float] | None = None
+    for i in range(iters):
         proj = centered.crossJoin(F.broadcast(w)).select(
             "xc", _dot(F.col("xc"), F.col("w")).alias("s")
         )
-        y = (
-            proj.select(F.posexplode("xc").alias("pos", "x"), "s")
-            .groupBy("pos")
-            .agg(F.sum(F.col("s") * F.col("x")).alias("y"))
-            .agg(_assemble("pos", "y").alias("y"))
-        )
+        y = _weighted_dim_sums(proj, "xc", "s")
         w = y.select(
-            F.zip_with(
+            F.transform(
                 "y",
-                "y",
-                lambda a, _: a
+                lambda a: a
                 / F.sqrt(
                     F.aggregate(
                         F.col("y"), F.lit(0.0), lambda acc, t: acc + t * t
@@ -123,7 +147,16 @@ def pca_top_component(
                 ),
             ).alias("w")
         )
-        w = _chk(w, checkpoint_dir)
+        # Every-2 truncation cadence + fixpoint early exit on the
+        # (d-element, one-row) iterate — the graph-operator contract.
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            w = _chk(w, checkpoint_dir)
+            cur_w = w.first()["w"]
+            if prev_w is not None and max(
+                abs(a - b) for a, b in zip(cur_w, prev_w)
+            ) < 1e-9:
+                break
+            prev_w = cur_w
 
     final = centered.crossJoin(F.broadcast(w)).select(
         _dot(F.col("xc"), F.col("w")).alias("s"), "n", "w"
@@ -152,9 +185,13 @@ def pca_top_component(
         "eigenvalue",
         "n_vectors",
     )
-    return signed.select(
+    out = signed.select(
         F.posexplode("w").alias("dim", "loading"), "eigenvalue", "n_vectors"
     )
+    # Materialize the d-row result before releasing the training cache.
+    out = _chk(out, checkpoint_dir)
+    centered.unpersist()
+    return out
 
 
 def logreg_fit(
@@ -217,20 +254,18 @@ def logreg_fit(
     def sigmoid(z: Column) -> Column:
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
+    d = _dim(c, "x")
     prev_w: list[float] | None = None
     for i in range(iters):
         scored = c.crossJoin(F.broadcast(w)).select(
             "x", "y", "w", sigmoid(_dot(F.col("x"), F.col("w"))).alias("p")
         )
-        grad = (
-            scored.select(
-                F.posexplode("x").alias("pos", "xk"),
-                (F.col("p") - F.col("y")).alias("err"),
-            )
-            .groupBy("pos")
-            .agg(F.avg(F.col("err") * F.col("xk")).alias("g"))
-            .agg(_assemble("pos", "g").alias("g"))
-        )
+        grad = _weighted_dim_sums(
+            scored.select("x", (F.col("p") - F.col("y")).alias("err")),
+            "x",
+            "err",
+            mean=True,
+        ).select(F.col("y").alias("g"))
         w = (
             w.crossJoin(F.broadcast(grad))
             .select(
@@ -311,13 +346,11 @@ def pca_top_k(
     if checkpoint_dir is not None:
         corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     c = corpus.select(as_double_array(vec).alias("v"))
-    n_and_mu = (
-        c.select(F.posexplode("v").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
-        .agg(_assemble("pos", "m").alias("mu"), F.first("n").alias("n"))
-    )
-    dim = c.select(F.size("v").alias("d")).limit(1)
+    d = _dim(c, "v")
+    n_and_mu = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.element_at(F.col("v"), i + 1)).alias(f"_m{i}") for i in range(d)],
+    ).select(F.array(*[F.col(f"_m{i}") for i in range(d)]).alias("mu"), "n")
     centered = c.crossJoin(F.broadcast(n_and_mu)).select(
         F.zip_with("v", "mu", lambda x, m: x - m).alias("xc"), "n"
     )
@@ -325,26 +358,19 @@ def pca_top_k(
 
     out = None
     for comp in range(1, k + 1):
-        w = dim.select(
-            F.transform(
-                F.sequence(F.lit(0), F.col("d") - 1),
-                lambda _: F.lit(1.0) / F.sqrt(F.col("d").cast("double")),
-            ).alias("w")
+        w = c.sparkSession.range(1).select(
+            F.array(*[F.lit(1.0 / d**0.5) for _ in range(d)]).alias("w")
         )
-        for _ in range(iters):
-            y = (
-                centered.crossJoin(F.broadcast(w))
-                .select(F.posexplode("xc").alias("pos", "x"),
-                        _dot(F.col("xc"), F.col("w")).alias("s"))
-                .groupBy("pos")
-                .agg(F.sum(F.col("s") * F.col("x")).alias("y"))
-                .agg(_assemble("pos", "y").alias("y"))
+        prev_w: list[float] | None = None
+        for i in range(iters):
+            proj = centered.crossJoin(F.broadcast(w)).select(
+                "xc", _dot(F.col("xc"), F.col("w")).alias("s")
             )
+            y = _weighted_dim_sums(proj, "xc", "s")
             w = y.select(
-                F.zip_with(
+                F.transform(
                     "y",
-                    "y",
-                    lambda a, _: a
+                    lambda a: a
                     / F.sqrt(
                         F.aggregate(
                             F.col("y"), F.lit(0.0), lambda acc, t: acc + t * t
@@ -352,7 +378,16 @@ def pca_top_k(
                     ),
                 ).alias("w")
             )
-            w = _chk(w, checkpoint_dir)
+            # Every-2 cadence + per-component fixpoint early exit
+            # (the graph-operator contract).
+            if (i + 1) % 2 == 0 or i == iters - 1:
+                w = _chk(w, checkpoint_dir)
+                cur_w = w.first()["w"]
+                if prev_w is not None and max(
+                    abs(a - b) for a, b in zip(cur_w, prev_w)
+                ) < 1e-9:
+                    break
+                prev_w = cur_w
         final = centered.crossJoin(F.broadcast(w)).select(
             _dot(F.col("xc"), F.col("w")).alias("s"), "n", "w"
         )
