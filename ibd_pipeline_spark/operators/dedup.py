@@ -328,12 +328,21 @@ def simhash_near_dup_pairs(
     Scale: prefix blocking bounds the join the same way LSH bands do.
     For higher recall at scale, use simhash_near_dup_pairs_multi —
     the rotate-and-reblock multi-table scheme.
+
+    The signature frame is persisted so the self-join's two sides
+    share ONE tokenize+hash pass (no ReusedExchange fires for this
+    shape — verified on the formatted plan); callers release with
+    release_state(result), the minhash_candidate_pairs contract.
     """
-    sig = simhash_signatures(docs, id_col, text_col).withColumn(
-        "blk", F.shiftrightunsigned("sig", 64 - prefix_bits)
+    from pyspark import StorageLevel
+
+    sig = (
+        simhash_signatures(docs, id_col, text_col)
+        .withColumn("blk", F.shiftrightunsigned("sig", 64 - prefix_bits))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l, r = sig.alias("l"), sig.alias("r")
-    return (
+    result = (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
         .select(
             F.col("l.id").alias("id_a"),
@@ -342,6 +351,8 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    result._cached_state = sig  # release handle; see release_state()
+    return result
 
 
 def _rotl64(col: Column, r: int) -> Column:
@@ -393,7 +404,13 @@ def simhash_pairs_multi_from_sigs(
     """The rotate-and-reblock candidate join over a precomputed
     (id, sig) signature frame — split out so the pigeonhole recall
     guarantee is testable on planted exact bit flips (see
-    simhash_near_dup_pairs_multi for the scheme and scale notes)."""
+    simhash_near_dup_pairs_multi for the scheme and scale notes).
+    The signature frame is persisted so the banded self-join's two
+    sides share one upstream signature pass; callers release with
+    release_state(result)."""
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     step = 64 // tables
     blocks = F.array(
         *[
@@ -421,8 +438,10 @@ def simhash_pairs_multi_from_sigs(
         )
         .distinct()
     )
-    return cand.select(
+    result = cand.select(
         "id_a",
         "id_b",
         hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+    result._cached_state = sig  # release handle; see release_state()
+    return result

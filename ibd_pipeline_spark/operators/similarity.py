@@ -509,10 +509,18 @@ def kmeans(
     """
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     sc = corpus.sparkSession
     if checkpoint_dir is not None:
         sc.sparkContext.setCheckpointDir(checkpoint_dir)
-    c = corpus.select(F.col(id_col).alias("cid"), as_double_array(vec).alias("cv"))
+    # Persist the projected (id, vector) frame across Lloyd rounds:
+    # each assign otherwise re-reads + re-projects parquet (iters + 1
+    # scans) — the loop-invariant rule from logreg/pca/graph. Released
+    # after the final assignment is materialized.
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double_array(vec).alias("cv")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cents = (
         c.orderBy("cid")
         .limit(k)
@@ -570,6 +578,15 @@ def kmeans(
             else cents.localCheckpoint(eager=True)
         )
 
-    return assign(cents).select("cid", "cluster_id", "dist").withColumnRenamed(
+    out = assign(cents).select("cid", "cluster_id", "dist").withColumnRenamed(
         "cid", id_col
     )
+    # Materialize the final assignment before dropping the training
+    # cache, so the caller's action doesn't re-run assign uncached.
+    out = (
+        out.checkpoint(eager=True)
+        if checkpoint_dir is not None
+        else out.localCheckpoint(eager=True)
+    )
+    c.unpersist()
+    return out

@@ -167,9 +167,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+hash-agg signature build) and simhash64 (the per-row
     expression twin). No global orderBy: range-sort sampling executes
     the whole signature+join pipeline a second time (~2× wall), and
-    the rows-only check is order-insensitive."""
+    the rows-only check is order-insensitive. Pairs are materialized
+    eagerly so the operator's cached signature state can be released
+    before returning (the minhash release_state contract)."""
     d = load(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(d, "doc_id", "text")
+    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text")
+    try:
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        D.release_state(pairs)
 
 
 @query("dedup_simhash_multitable")  # no SQL oracle: bit-algebra blocking
@@ -189,11 +195,15 @@ def dedup_simhash_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs."""
     d = load(spark, sf_dir, "documents")
     pairs = D.simhash_near_dup_pairs_multi(d, "doc_id", "text")
-    return (
-        pairs.groupBy("hamming")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-        .orderBy("hamming")
-    )
+    try:
+        return (
+            pairs.groupBy("hamming")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .orderBy("hamming")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        D.release_state(pairs)
 
 
 @query(
