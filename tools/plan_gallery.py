@@ -126,6 +126,31 @@ CURATED = {
     "train_weighted_sample_ares": "A-Res weighted sampling: md5-uniform "
     "score per row, one per-source rank window — a weighted draw without "
     "replacement in a single shuffle, no rejection loop.",
+    # --- round 6 ---
+    "text_bm25_ranking": "BM25: per-doc tf via higher-order list_filter "
+    "(no explode), corpus stats as ONE 1-row broadcast aggregate, global "
+    "top-10 as TakeOrderedAndProject — no full sort shuffle.",
+    "profile_key_skew": "skew probe: two-level aggregate — map-side-"
+    "combined (type, key) counts, then the per-type reduce; all integer "
+    "floor-div outputs, O(|types|) result.",
+    "quality_order_reconciliation": "rollup-vs-detail audit: the lineitem "
+    "cents-exact decimal aggregate shares its orderkey shuffle with the "
+    "left join; equal/over/under as FILTER-style conditional counts.",
+    "quality_referential_orphans": "three FK orphan audits as independent "
+    "anti-join branches of one union plan — dims broadcast, the "
+    "orders⋈lineitem anti under AQE.",
+    "events_stickiness_ratio": "avgDAU/WAU: daily and weekly COUNT "
+    "DISTINCT share the (week, day, user) pre-dedup aggregate; ratio as "
+    "integer basis points.",
+    "similarity_quantize_int8": "int8 quantization audit: pure per-row "
+    "higher-order transform (scale computed once per vector in an inner "
+    "projection), then one label aggregate — no shuffle before the agg.",
+    "dedup_quality_survivor": "survivorship dedup: ONE shuffle on the "
+    "128-bit digest feeds the rank-1 window and the per-source rollup.",
+    "dedup_minhash_jaccard_estimate": "estimator calibration on the "
+    "oracle-bounded slice: shingle arrays + 16 md5 minhash components "
+    "computed once per doc, all-pairs join exists only inside the "
+    "150-doc bound; integer cross-multiplied gate.",
 }
 
 
