@@ -125,6 +125,21 @@ def main() -> None:
             D.simhash_signatures(corpus)
         )
 
+    # 5d. BPE regex apply (r06 form: K compiled regexp passes over the
+    # joined symbol string) as the corpus replicates — the claim is
+    # LINEAR in corpus bytes; the old array-fold form was quadratic in
+    # per-doc symbols.
+    from ibd_pipeline_spark.operators.bpe import bpe_apply, bpe_learn
+
+    bpe_merges = bpe_learn(docs.filter(F.col("doc_id") % 20 == 0), n_merges=6)
+    for k in (1, 4, 16):
+        corpus = replicate(docs, k, {"doc_id": 10_000_000})
+        results.setdefault("bpe_apply_x", {})[str(k)] = timed(
+            bpe_apply(corpus, bpe_merges).groupBy().agg(
+                F.sum("n_syms_after").alias("n")
+            )
+        )
+
     # 5c. gap sessionization + stream-stream attribution join (batch
     # form) as the events stream replicates — both single-shuffle-per-
     # side shapes that must stay linear.
