@@ -133,3 +133,42 @@ def read_text_docs(spark: SparkSession, path: str, whole: bool = True) -> DataFr
     return df.select(
         F.input_file_name().alias("doc_path"), F.col("value").alias("text")
     )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema=None,
+) -> DataFrame:
+    """XML ingestion via Spark 4's NATIVE xml source (no spark-xml
+    package needed): one output row per `row_tag` element, nested
+    elements as structs/arrays, attributes as `_attr` columns — the
+    feed-dump format (sitemaps, RSS/Atom, Wikipedia exports, legacy
+    enterprise drops) that crawl pipelines still receive.
+
+    Schema: pass one for production (schema inference reads the data
+    TWICE and types drift between drops); inference is fine for
+    exploration. Malformed elements follow the same
+    mode/columnNameOfCorruptRecord contract as the JSON reader —
+    quarantine rather than crash (scalar_json_quarantine is the
+    pattern).
+
+    Scale: splittable per FILE (a row boundary can't be detected
+    mid-file safely), so parallelism = file count — shard dumps
+    upstream like wholetext, never one giant XML."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (native Spark 4 writer) — interchange with XML-ingesting
+    consumers; parquet remains the engine-internal format."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)

@@ -127,3 +127,30 @@ def test_text_docs_wholetext_and_lines(spark, tmp_path):
 
     lines = read_text_docs(spark, str(d), whole=False).collect()
     assert sorted(r.text for r in lines) == ["alpha beta", "delta", "gamma"]
+
+
+def test_xml_roundtrip_and_nested(spark, tmp_path):
+    """Spark 4 native XML source: write a frame out as XML, read it
+    back typed; nested elements land as structs. One row per rowTag."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.sources.io import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 2.5), (2, "beta", 3.5)], "id bigint, name string, score double"
+    )
+    out = str(tmp_path / "xmlout")
+    write_xml(df, out, row_tag="doc", root_tag="docs")
+    back = read_xml(spark, out, row_tag="doc")
+    rows = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    assert rows == {1: ("alpha", 2.5), 2: ("beta", 3.5)}
+
+    # nested elements -> struct column
+    p = tmp_path / "nested.xml"
+    p.write_text(
+        "<feed><entry><id>7</id><meta><lang>en</lang><n>3</n></meta></entry>"
+        "<entry><id>8</id><meta><lang>de</lang><n>4</n></meta></entry></feed>"
+    )
+    nested = read_xml(spark, str(p), row_tag="entry")
+    got = {r["id"]: (r["meta"]["lang"], r["meta"]["n"]) for r in nested.collect()}
+    assert got == {7: ("en", 3), 8: ("de", 4)}
