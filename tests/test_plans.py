@@ -140,3 +140,51 @@ def test_ann_auto_probe_reads_raw_relation(spark, sf_dir):
     probe_plan = _formatted_plan(q.limit(100))
     assert "ArrowEvalPython" not in probe_plan
     assert "CollectLimit" in probe_plan or "GlobalLimit" in probe_plan
+
+
+def test_bm25_no_shuffle_take_ordered(spark, sf_dir):
+    """BM25's only wide ops are the 1-row corpus-stat reduce (an
+    Exchange SinglePartition shipping ONE partial row per task — not
+    data-sized) and its broadcast back: the top-10 must be
+    TakeOrderedAndProject and the plan must contain zero hash/range
+    (data-sized) shuffle exchanges."""
+    plan = _plan(QUERIES["text_bm25_ranking"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange (hash|range)partitioning", ln)
+    ]
+    assert not shuffles, shuffles
+
+
+def test_key_skew_two_level_aggregate(spark, sf_dir):
+    """The skew probe is two aggregate levels (map-side-combined
+    (type,key) counts, per-type reduce) — 4 HashAggregates (partial +
+    final per level), no join anywhere."""
+    plan = _plan(QUERIES["profile_key_skew"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
+
+
+def test_referential_orphans_broadcast_anti(spark, sf_dir):
+    """Dim-side orphan audits plan as broadcast anti joins (nation and
+    customer fit any threshold); no cartesian anywhere."""
+    plan = _plan(QUERIES["quality_referential_orphans"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survivor_single_digest_exchange(spark, sf_dir):
+    """Survivorship dedup: the digest window and the source rollup
+    must not multiply exchanges — at most 2 shuffle exchanges total
+    (digest partition + the 20-group source agg)."""
+    plan = _plan(QUERIES["dedup_quality_survivor"](spark, sf_dir))
+    import re
+
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange (hash|range|SinglePartition)", ln)
+    ]
+    assert len(shuffles) <= 3, shuffles
