@@ -309,10 +309,14 @@ ORDER BY day
 )
 def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period reporting: daily volumes with day-over-day
-    percent change and a trailing 7-day moving average — the
+    percent change and a trailing 7-OBSERVED-DAY moving average — the
     aggregate-then-window composition every operational dashboard
     runs (the window operates on the AGGREGATED grain, so its input
-    is days, not events).
+    is days, not events). NB: gap days don't pad the MA frame (ROWS,
+    not RANGE — the oracle matches); densify with
+    join_date_spine_gapfill first when calendar-day semantics are
+    required, or see events_rolling_active_users for the range-frame
+    form.
 
     Scale: the event scan collapses to ~30 day rows in one map-side-
     combined aggregate before any window; the ordered window over the
