@@ -244,17 +244,14 @@ def logreg_fit(
     c = df.select(
         as_double_array(features).alias("x"), F.col(label).cast("double").alias("y")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    dim = c.select(F.size("x").alias("d")).limit(1)
-    w = dim.select(
-        F.transform(F.sequence(F.lit(0), F.col("d") - 1), lambda _: F.lit(0.0)).alias(
-            "w"
-        )
+    d = _dim(c, "x")
+    w = c.sparkSession.range(1).select(
+        F.array(*[F.lit(0.0) for _ in range(d)]).alias("w")
     )
 
     def sigmoid(z: Column) -> Column:
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
-    d = _dim(c, "x")
     prev_w: list[float] | None = None
     for i in range(iters):
         scored = c.crossJoin(F.broadcast(w)).select(
