@@ -125,6 +125,16 @@ def main() -> None:
             D.simhash_signatures(corpus)
         )
 
+    # 5e. multi-table SimHash pair generation (r06): 4 rotated band
+    # tables must keep candidate growth bounded by block occupancy —
+    # flat-to-linear in corpus, like the single-table and MinHash
+    # blockers, never quadratic.
+    for k in (1, 4):
+        corpus = replicate(docs, k, {"doc_id": 10_000_000})
+        pairs = D.simhash_near_dup_pairs_multi(corpus)
+        results.setdefault("simhash_multitable_x", {})[str(k)] = timed(pairs)
+        D.release_state(pairs)
+
     # 5d. BPE regex apply (r06 form: K compiled regexp passes over the
     # joined symbol string) as the corpus replicates — the claim is
     # LINEAR in corpus bytes; the old array-fold form was quadratic in
