@@ -165,3 +165,38 @@ def test_logreg_and_pca_reliable_checkpoint_mode(spark, tmp_path):
     )
     comp = pca_top_component(emb, iters=6, checkpoint_dir=str(tmp_path / "p")).collect()
     assert len(comp) == 3 and abs(sum(r["loading"] ** 2 for r in comp) - 1.0) < 1e-6
+
+
+def test_pca_gram_and_power_paths_agree(spark):
+    """The one-scan Gram eigensolve and the iterative covariance-action
+    power iteration recover the same top component (up to the shared
+    sign convention) on planted-direction data — both code paths stay
+    covered now that small d routes to gram."""
+    import math
+
+    from ibd_pipeline_spark.operators.ml import pca_top_component, pca_top_k
+
+    rows = [([float(i), 0.05 * i, -2.0 * i],) for i in range(1, 40)]
+    emb = spark.createDataFrame(rows, "embedding array<double>")
+    g = {r["dim"]: r["loading"] for r in pca_top_component(emb, method="gram").collect()}
+    p = {r["dim"]: r["loading"] for r in pca_top_component(emb, iters=30, method="power").collect()}
+    assert set(g) == set(p) == {0, 1, 2}
+    for dim in g:
+        assert abs(g[dim] - p[dim]) < 1e-6, (dim, g[dim], p[dim])
+
+    # top-k: gram vs deflated power on two planted directions
+    import random
+
+    rng = random.Random(3)
+    rows2 = []
+    for i in range(120):
+        a = rng.gauss(0, 3.0)
+        b = rng.gauss(0, 1.0)
+        rows2.append(([a, b, 0.01 * rng.gauss(0, 1), 0.01 * rng.gauss(0, 1)],))
+    emb2 = spark.createDataFrame(rows2, "embedding array<double>")
+    gk = pca_top_k(emb2, k=2, method="gram").collect()
+    pk = pca_top_k(emb2, k=2, iters=30, method="power").collect()
+    gm = {(r["component"], r["dim"]): r["loading"] for r in gk}
+    pm = {(r["component"], r["dim"]): r["loading"] for r in pk}
+    for key in gm:
+        assert abs(gm[key] - pm[key]) < 1e-3, (key, gm[key], pm[key])
