@@ -266,6 +266,84 @@ def pca_top_component(
     return out
 
 
+def _logreg_fit_arrow(
+    c: DataFrame, d: int, iters: int, lr: float, l2: float, tol: float
+) -> DataFrame:
+    """Arrow GD loop for logreg_fit (see its docstring): per round one
+    mapInPandas pass yields per-batch (count, Xᵀ(σ(Xw)−y)) partials;
+    the driver reduces them, updates w, and early-exits on max|Δw| <
+    tol. `c` arrives persisted (x array<double>, y double) and is
+    released here after the final one-row eval materializes."""
+    import numpy as np
+
+    w = np.zeros(d, dtype=np.float64)
+    for _ in range(iters):
+        wl = w.tolist()
+
+        def grad_part(batches, wl=wl):
+            import numpy as np
+            import pandas as pd
+
+            wv = np.asarray(wl, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["x"].tolist(), dtype=np.float64)
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+                yield pd.DataFrame(
+                    {"n": [int(len(y))], "g": [(X.T @ (p - y)).tolist()]}
+                )
+
+        parts = c.mapInPandas(grad_part, "n long, g array<double>").collect()
+        n_tot = sum(r["n"] for r in parts)
+        g = np.sum([np.asarray(r["g"]) for r in parts], axis=0) / n_tot
+        new_w = w - lr * (g + l2 * w)
+        done = tol > 0.0 and float(np.max(np.abs(new_w - w))) < tol
+        w = new_w
+        if done:
+            break
+
+    wl = w.tolist()
+
+    def eval_part(batches, wl=wl):
+        import numpy as np
+        import pandas as pd
+
+        wv = np.asarray(wl, dtype=np.float64)
+        eps = 1e-12
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["x"].tolist(), dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+            loss = -(y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps))
+            acc = ((p >= 0.5) == (y >= 0.5)).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(len(y))],
+                    "loss_sum": [float(loss.sum())],
+                    "acc_sum": [float(acc.sum())],
+                }
+            )
+
+    import pandas as pd  # noqa: F401  (worker-side import documented above)
+
+    parts = c.mapInPandas(
+        eval_part, "n long, loss_sum double, acc_sum double"
+    ).collect()
+    n_tot = sum(r["n"] for r in parts)
+    loss = sum(r["loss_sum"] for r in parts) / n_tot
+    acc = sum(r["acc_sum"] for r in parts) / n_tot
+    out = c.sparkSession.createDataFrame(
+        [(wl, float(loss), float(acc), int(n_tot))],
+        "weights array<double>, log_loss double, accuracy double, n_rows bigint",
+    )
+    c.unpersist()
+    return out
+
+
 def logreg_fit(
     df: DataFrame,
     features: str,
@@ -275,10 +353,22 @@ def logreg_fit(
     l2: float = 0.0,
     checkpoint_dir: str | None = None,
     tol: float = 1e-9,
+    method: str = "auto",
 ) -> DataFrame:
-    """Binary logistic regression by full-batch gradient descent, pure
-    DataFrame ops. `features` is an array<double> column (include a
-    leading 1.0 yourself for a bias term); `label` is 0/1.
+    """Binary logistic regression by full-batch gradient descent.
+    `features` is an array<double> column (include a leading 1.0
+    yourself for a bias term); `label` is 0/1.
+
+    method="arrow" (the "auto" route for d ≤ 4096) is the spark.ml
+    treeAggregate design: per GD round ONE Arrow mapInPandas pass
+    computes per-batch numpy gradient partials Xᵀ(σ(Xw)−y) — d
+    doubles per batch, model state — which reduce on the driver where
+    the weight update (and the tol early exit) runs for free; no
+    per-round checkpoint is needed because every round is a fresh
+    one-pass plan over the persisted feature frame. method="expr" is
+    the pure-DataFrame form below (the huge-d fallback where even
+    per-batch numpy partials would be unwieldy); a path-agreement
+    test pins the two to each other.
 
     Per iteration: p = σ(x·w) per row (one zip_with fold), gradient
     gₖ = (1/n)·Σ (p − y)·xₖ via posexplode + hash agg on dim, then
@@ -317,6 +407,8 @@ def logreg_fit(
         as_double_array(features).alias("x"), F.col(label).cast("double").alias("y")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     d = _dim(c, "x")
+    if method == "arrow" or (method == "auto" and d <= 4096):
+        return _logreg_fit_arrow(c, d, iters, lr, l2, tol)
     w = c.sparkSession.range(1).select(
         F.array(*[F.lit(0.0) for _ in range(d)]).alias("w")
     )

@@ -200,3 +200,20 @@ def test_pca_gram_and_power_paths_agree(spark):
     pm = {(r["component"], r["dim"]): r["loading"] for r in pk}
     for key in gm:
         assert abs(gm[key] - pm[key]) < 1e-3, (key, gm[key], pm[key])
+
+
+def test_logreg_arrow_and_expr_paths_agree(spark):
+    """The Arrow-partial GD loop and the pure-DataFrame expression
+    form compute the same weights (same math, same iteration count,
+    tol disabled so neither exits early)."""
+    from ibd_pipeline_spark.operators.ml import logreg_fit
+
+    rows = [([1.0, float(i % 7), 1.0 if i % 3 else -1.0], 1 if i % 2 else 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "x array<double>, y int")
+    a = logreg_fit(df, "x", "y", iters=5, lr=0.4, l2=0.1, tol=0.0, method="arrow").collect()[0]
+    e = logreg_fit(df, "x", "y", iters=5, lr=0.4, l2=0.1, tol=0.0, method="expr").collect()[0]
+    assert len(a["weights"]) == len(e["weights"])
+    for x, y in zip(a["weights"], e["weights"]):
+        assert abs(x - y) < 1e-9, (a["weights"], e["weights"])
+    assert abs(a["log_loss"] - e["log_loss"]) < 1e-9
+    assert a["n_rows"] == e["n_rows"]
