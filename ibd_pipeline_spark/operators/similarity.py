@@ -468,6 +468,90 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _kmeans_arrow(
+    c: DataFrame, k: int, iters: int, id_col: str
+) -> DataFrame:
+    """Arrow fast path for kmeans (see its docstring): per Lloyd round
+    ONE mapInPandas pass yields per-batch (centroid, count, vector-sum)
+    partials — k·d doubles of model state per Arrow batch, the
+    spark.ml treeAggregate shape — reduced on the driver where the
+    centroid update runs; the final assignment is one more distributed
+    pass emitting (id, cluster_id, dist). Ties break to the lowest
+    centroid id (numpy argmin first-occurrence — the same rule as the
+    expression form's MIN(dist, cent_id) struct). Empty centroids keep
+    their previous position (the k-clusters contract). `c` arrives
+    persisted as (cid, cv) and is released after the materialized
+    assignment."""
+    import numpy as np
+
+    init = c.orderBy("cid").limit(k).collect()
+    cents = np.asarray([r["cv"] for r in init], dtype=np.float64)
+    kk = cents.shape[0]
+    for _ in range(iters):
+        cl = cents.tolist()
+
+        def upd(batches, cl=cl):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(cl, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                sums = np.zeros_like(C)
+                cnts = np.zeros(C.shape[0], dtype=np.int64)
+                np.add.at(sums, a, X)
+                np.add.at(cnts, a, 1)
+                yield pd.DataFrame(
+                    {
+                        "cent": list(range(C.shape[0])),
+                        "cnt": cnts.tolist(),
+                        "s": [row.tolist() for row in sums],
+                    }
+                )
+
+        parts = c.mapInPandas(upd, "cent int, cnt long, s array<double>").collect()
+        cnts = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros_like(cents)
+        for r in parts:
+            cnts[r["cent"]] += r["cnt"]
+            sums[r["cent"]] += np.asarray(r["s"])
+        for j in range(kk):
+            if cnts[j] > 0:
+                cents[j] = sums[j] / cnts[j]
+
+    fl = cents.tolist()
+
+    def assign_rows(batches, fl=fl):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(fl, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "cid": pdf["cid"].to_numpy(),
+                    "cluster_id": a.astype("int32"),
+                    "dist": d2[np.arange(len(a)), a],
+                }
+            )
+
+    out = c.mapInPandas(
+        assign_rows, "cid bigint, cluster_id int, dist double"
+    ).withColumnRenamed("cid", id_col)
+    out = out.localCheckpoint(eager=True)
+    c.unpersist()
+    return out
+
+
 def kmeans(
     corpus: DataFrame,
     k: int = 8,
@@ -475,6 +559,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec: str = "embedding",
     checkpoint_dir: str | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, DataFrame ops only.
 
@@ -521,6 +606,11 @@ def kmeans(
     c = corpus.select(
         F.col(id_col).alias("cid"), as_double_array(vec).alias("cv")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if method == "arrow" or (method == "auto"):
+        # Arrow partial-aggregation fast path (kmeans state k·d is
+        # always model-sized — no large-d fallback needed; keep
+        # method="expr" for the pure-DataFrame form).
+        return _kmeans_arrow(c, k, iters, id_col)
     cents = (
         c.orderBy("cid")
         .limit(k)

@@ -303,3 +303,14 @@ def test_kmeans_empty_cluster_keeps_k_centroids(spark):
     out = kmeans(df, k=4, iters=3).collect()
     assert len(out) == 20
     assert all(0 <= r.cluster_id < 4 for r in out)
+
+
+def test_kmeans_arrow_and_expr_paths_agree(spark, clustered):
+    """The Arrow partial-aggregation Lloyd loop and the pure-DataFrame
+    expression form produce identical assignments on well-separated
+    clusters (same init, same tie rule)."""
+    a = {r["vec_id"]: r["cluster_id"]
+         for r in S.kmeans(clustered, k=5, iters=3, method="arrow").collect()}
+    e = {r["vec_id"]: r["cluster_id"]
+         for r in S.kmeans(clustered, k=5, iters=3, method="expr").collect()}
+    assert a == e
