@@ -19,12 +19,15 @@ from ibd_pipeline_spark.queries import query
 
 @query("similarity_pca_top_component")
 def similarity_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embeddings table (64 dims, power
-    iteration, covariance-action form — the corpus is scanned per
-    round, never shuffled; see operators/ml.py). Output: one row per
-    dimension (dim, loading, eigenvalue, n_vectors), loadings rounded
-    for a stable rows-only record — the unrounded operator is what the
-    property tests exercise."""
+    """Top principal component of the embeddings table (64 dims). At
+    this d the operator routes through the r06 Gram fast path: ONE
+    Arrow pass of numpy Gram/sum partials + a driver-side eigensolve
+    (MLlib RowMatrix design); the covariance-action power iteration
+    remains the large-d route (method='power', agreement-tested — see
+    operators/ml.py). Output: one row per dimension (dim, loading,
+    eigenvalue, n_vectors), loadings rounded for a stable rows-only
+    record — the unrounded operator is what the property tests
+    exercise."""
     emb = load(spark, sf_dir, "embeddings")
     comp = pca_top_component(emb, vec="embedding", iters=8)
     return comp.select(
@@ -71,15 +74,16 @@ def train_logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_pca_top_k")
 def similarity_pca_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 principal components of the embeddings table by power
-    iteration with orthogonal deflation (operators/ml.py:pca_top_k) —
-    the dimensionality-reduction front end for visualization and
-    cheap pre-ANN projection. Components are structurally orthogonal;
-    eigenvalue ordering holds for separated spectra (property-tested
-    on planted two-direction data in tests/test_ml.py — the fixture
-    embeddings are near-isotropic, where finite power iterations
-    legitimately leave near-ties unordered). Rows-only; output one row per
-    (component, dim) with rounded loadings for a stable record."""
+    """Top-3 principal components of the embeddings table
+    (operators/ml.py:pca_top_k) — the dimensionality-reduction front
+    end for visualization and cheap pre-ANN projection. At d=64 the
+    operator routes through the r06 Gram fast path (one Arrow pass +
+    driver eigensolve — exact factorization, so components are
+    orthogonal and eigenvalues exactly ordered even on this
+    near-isotropic fixture); power-iteration-with-deflation remains
+    the large-d route (method='power', agreement-tested). Rows-only;
+    output one row per (component, dim) with rounded loadings for a
+    stable record."""
     emb = load(spark, sf_dir, "embeddings")
     comp = pca_top_k(emb, vec="embedding", k=3, iters=8)
     return comp.select(

@@ -208,9 +208,11 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's invariants (full coverage, monotone inertia, exact
     argmin ties) are property-tested in tests/test_similarity.py.
 
-    Scale: per iteration one k·dim-sized shuffle (dimension partial
-    means) — the corpus is scanned, never shuffled; centroids stay a
-    k-row broadcast frame, never driver state."""
+    Scale: per iteration the corpus is scanned, never shuffled; the
+    r06 default is the Arrow partial-aggregation loop (per-batch
+    numpy centroid sums, k·dim model state — spark.ml's treeAggregate
+    shape) with the pure-DataFrame form as method='expr',
+    assignment-agreement-tested."""
     emb = load(spark, sf_dir, "embeddings")
     assigned = S.kmeans(emb, k=8, iters=4, id_col="vec_id", vec="embedding")
     return (
