@@ -71,9 +71,10 @@ CURATED = {
     "quality_expectations_audit": "four constraint rules fused into ONE "
     "aggregate over one scan + an anti-join referential check; stack() "
     "unpivot emits the rule rows shuffle-free.",
-    "similarity_kmeans_clusters": "Lloyd's iteration as plan: broadcast "
-    "centroid fan-out with MIN(struct) argmin, posexplode dimension means "
-    "(shuffle is k·dim rows), k-row localCheckpoint per round.",
+    "similarity_kmeans_clusters": "Lloyd's via Arrow partial aggregation "
+    "(r06): per round one mapInPandas pass of per-batch centroid sums "
+    "(k·dim model state), driver update; printed plan = the aggregate "
+    "over the materialized final assignment (iteration happens before).",
     "train_e2e_pipeline": "the FLAGSHIP: gate → decontaminate → dedup → "
     "chunk composed into one tree — filters fused into the scan, both "
     "anti-joins broadcast their small sides, zero intermediate "
