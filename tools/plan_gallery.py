@@ -121,9 +121,11 @@ CURATED = {
     "join_bloom_prefiltered": "hand-rolled runtime filter: one-row bloom "
     "bitset broadcast into the fact scan, one md5 + 3 O(1) word probes per row in "
     "codegen, then the exact broadcast join over survivors only.",
-    "similarity_pca_top_component": "power iteration on the covariance "
-    "ACTION: per round one corpus scan (zip_with projection fold) + one "
-    "d-row hash aggregate; the d×d matrix never exists.",
+    "similarity_pca_top_component": "PCA via the r06 Gram fast path: one "
+    "Arrow mapInPandas pass of numpy Gram/sum partials + driver eigensolve "
+    "(MLlib RowMatrix design); printed plan = the local scan of the "
+    "materialized d-row result (the covariance-ACTION power iteration "
+    "remains the large-d route).",
     "train_weighted_sample_ares": "A-Res weighted sampling: md5-uniform "
     "score per row, one per-source rank window — a weighted draw without "
     "replacement in a single shuffle, no rejection loop.",
