@@ -328,8 +328,6 @@ def _logreg_fit_arrow(
                 }
             )
 
-    import pandas as pd  # noqa: F401  (worker-side import documented above)
-
     parts = c.mapInPandas(
         eval_part, "n long, loss_sum double, acc_sum double"
     ).collect()
