@@ -1,24 +1,26 @@
-"""All-DataFrame iterative ML primitives (round 5, wave 3): top
-principal component by power iteration, and binary logistic
-regression by batch gradient descent.
+"""Distributed ML primitives: PCA (top-1 and top-k) and binary
+logistic regression. Each operator carries TWO agreement-tested
+implementations (r06):
 
-Both follow the engine's iterative-operator contract established by
-kmeans and pagerank (operators/similarity.py, operators/graph.py):
+- **Small-d fast path (the default route)** — numpy partials over
+  Arrow batches, reduced on the driver where the tiny model-state
+  update runs: one-scan Gram + `numpy.linalg.eigh` for PCA (the
+  MLlib RowMatrix.computePrincipalComponents design), per-round
+  gradient partials Xᵀ(σ(Xw)−y) for logreg (the spark.ml
+  treeAggregate shape). Partials are MODEL STATE (d or d² doubles
+  per Arrow batch, bounded by partition count) — not data collects.
+- **Large-d fallback (`method="power"`/`"expr"`)** — the pure
+  DataFrame forms: power iteration on the covariance ACTION
+  Cov·w = (1/n)·Σ xᶜ(xᶜ·w) (the d×d matrix never exists — O(n·d)
+  per round, survives d in the thousands) and expression-level GD;
+  model state is a one-row broadcast frame, lineage truncated on
+  the every-2 cadence (reliable checkpoint with `checkpoint_dir`,
+  localCheckpoint in tests), weight-delta early exit at truncation
+  points.
 
-- model state (a d-vector) lives in a ONE-ROW DataFrame, broadcast
-  into the corpus-side computation — never collected to the driver;
-- per-iteration corpus work is scan + per-row array expressions +
-  one hash aggregate on (dim) — the corpus is NEVER shuffled (the
-  shuffle payload is d partial sums per task);
-- state is eagerly checkpointed per round (reliable when
-  `checkpoint_dir` is given — production; localCheckpoint in tests)
-  so lineage stays O(1) across iterations.
-
-Crucially, neither operator materializes a d×d matrix: power
-iteration uses the covariance action Cov·w = (1/n)·Σ xᶜ(xᶜ·w)
-computed row-wise, so cost is O(n·d) per round — the form that
-survives d in the thousands where an explicit covariance build
-(O(n·d²) shuffle) would not.
+Corpus-side work never shuffles the corpus in either path: scans +
+per-row array expressions, with at most d partial sums per task on
+the wire.
 """
 
 from __future__ import annotations
