@@ -7,8 +7,10 @@ implementations (r06):
   update runs: one-scan Gram + `numpy.linalg.eigh` for PCA (the
   MLlib RowMatrix.computePrincipalComponents design), per-round
   gradient partials Xᵀ(σ(Xw)−y) for logreg (the spark.ml
-  treeAggregate shape). Partials are MODEL STATE (d or d² doubles
-  per Arrow batch, bounded by partition count) — not data collects.
+  treeAggregate shape). Partials are MODEL STATE — ONE row of d or
+  d² doubles per PARTITION (accumulated across each partition's
+  Arrow batch iterator, so the driver collect is bounded by
+  partition count, never rows) — not data collects.
 - **Large-d fallback (`method="power"`/`"expr"`)** — the pure
   DataFrame forms: power iteration on the covariance ACTION
   Cov·w = (1/n)·Σ xᶜ(xᶜ·w) (the d×d matrix never exists — O(n·d)
@@ -57,7 +59,10 @@ def _dim(df: DataFrame, arr: str) -> int:
     state, read from a single row. Knowing d at PLAN time makes the
     init vector a pure literal (no corpus scan inside each
     component's w-init lineage)."""
-    return df.select(F.size(F.col(arr)).alias("d")).first()["d"]
+    row = df.select(F.size(F.col(arr)).alias("d")).first()
+    if row is None:
+        raise ValueError(f"empty corpus: no rows to read {arr!r} from")
+    return row["d"]
 
 
 def _weighted_dim_sums(
@@ -86,8 +91,9 @@ def _pca_gram_topk(corpus: DataFrame, vec: str, k: int) -> "list[tuple]":
     """Small-d PCA fast path — the MLlib RowMatrix.computePrincipal-
     Components design: ONE Arrow (mapInPandas) pass computes per-batch
     Gram/sum/count partials with numpy, the partials (model-state
-    sized: d² doubles per Arrow batch, bounded by partition count, not
-    rows) come back to the driver, and the d×d symmetric eigenproblem
+    sized: ONE row of d² doubles per partition, accumulated across
+    the batch iterator — bounded by partition count, not rows) come
+    back to the driver, and the d×d symmetric eigenproblem
     is solved there with numpy.linalg.eigh — exact to machine
     precision, unlike a fixed-round power iteration, and the corpus
     pays exactly one scan instead of iters·k.
@@ -106,16 +112,23 @@ def _pca_gram_topk(corpus: DataFrame, vec: str, k: int) -> "list[tuple]":
     c = corpus.select(as_double_array(vec).alias("v"))
 
     def part(batches):
+        # Accumulate across the WHOLE partition's batch iterator and
+        # yield ONE partial row — the driver collect is then bounded
+        # by partition count, not corpus rows (a per-Arrow-batch yield
+        # would scale partials with n: d² doubles per ~10k rows).
+        n_p, s_p, g_p = 0, None, None
         for pdf in batches:
             if not len(pdf):
                 continue
             arr = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            n_p += int(arr.shape[0])
+            bs = arr.sum(axis=0)
+            bg = arr.T @ arr
+            s_p = bs if s_p is None else s_p + bs
+            g_p = bg if g_p is None else g_p + bg
+        if n_p:
             yield pd.DataFrame(
-                {
-                    "n": [int(arr.shape[0])],
-                    "s": [arr.sum(axis=0).tolist()],
-                    "g": [(arr.T @ arr).ravel().tolist()],
-                }
+                {"n": [n_p], "s": [s_p.tolist()], "g": [g_p.ravel().tolist()]}
             )
 
     partials = c.mapInPandas(
@@ -130,6 +143,8 @@ def _pca_gram_topk(corpus: DataFrame, vec: str, k: int) -> "list[tuple]":
     mu = s / n
     cov = g.reshape(d, d) / n - np.outer(mu, mu)
     evals, evecs = np.linalg.eigh(cov)  # ascending
+    if k > d:
+        raise ValueError(f"pca: k={k} exceeds vector dimensionality d={d}")
     out = []
     for comp in range(1, k + 1):
         lam = float(evals[-comp])
@@ -176,6 +191,10 @@ def pca_top_component(
 
     Returns a d-row DataFrame (dim, loading, eigenvalue, n_vectors).
     """
+    if method not in ("auto", "gram", "power"):
+        raise ValueError(
+            f"pca_top_component: unknown method {method!r} (auto|gram|power)"
+        )
     if checkpoint_dir is not None:
         corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     c = corpus.select(as_double_array(vec).alias("v"))
@@ -272,7 +291,8 @@ def _logreg_fit_arrow(
     c: DataFrame, d: int, iters: int, lr: float, l2: float, tol: float
 ) -> DataFrame:
     """Arrow GD loop for logreg_fit (see its docstring): per round one
-    mapInPandas pass yields per-batch (count, Xᵀ(σ(Xw)−y)) partials;
+    mapInPandas pass yields ONE per-partition (count, Xᵀ(σ(Xw)−y))
+    partial (accumulated over the partition's batch iterator);
     the driver reduces them, updates w, and early-exits on max|Δw| <
     tol. `c` arrives persisted (x array<double>, y double) and is
     released here after the final one-row eval materializes."""
@@ -286,16 +306,20 @@ def _logreg_fit_arrow(
             import numpy as np
             import pandas as pd
 
+            # One partial per PARTITION (accumulated over the batch
+            # iterator), so collected partials are partition-bounded.
             wv = np.asarray(wl, dtype=np.float64)
+            n_p, g_p = 0, np.zeros_like(wv)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 X = np.asarray(pdf["x"].tolist(), dtype=np.float64)
                 y = pdf["y"].to_numpy(dtype=np.float64)
                 p = 1.0 / (1.0 + np.exp(-(X @ wv)))
-                yield pd.DataFrame(
-                    {"n": [int(len(y))], "g": [(X.T @ (p - y)).tolist()]}
-                )
+                n_p += int(len(y))
+                g_p += X.T @ (p - y)
+            if n_p:
+                yield pd.DataFrame({"n": [n_p], "g": [g_p.tolist()]})
 
         parts = c.mapInPandas(grad_part, "n long, g array<double>").collect()
         n_tot = sum(r["n"] for r in parts)
@@ -314,6 +338,7 @@ def _logreg_fit_arrow(
 
         wv = np.asarray(wl, dtype=np.float64)
         eps = 1e-12
+        n_p, loss_p, acc_p = 0, 0.0, 0.0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -321,13 +346,12 @@ def _logreg_fit_arrow(
             y = pdf["y"].to_numpy(dtype=np.float64)
             p = 1.0 / (1.0 + np.exp(-(X @ wv)))
             loss = -(y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps))
-            acc = ((p >= 0.5) == (y >= 0.5)).astype(np.float64)
+            n_p += int(len(y))
+            loss_p += float(loss.sum())
+            acc_p += float(((p >= 0.5) == (y >= 0.5)).sum())
+        if n_p:
             yield pd.DataFrame(
-                {
-                    "n": [int(len(y))],
-                    "loss_sum": [float(loss.sum())],
-                    "acc_sum": [float(acc.sum())],
-                }
+                {"n": [n_p], "loss_sum": [loss_p], "acc_sum": [acc_p]}
             )
 
     parts = c.mapInPandas(
@@ -361,8 +385,8 @@ def logreg_fit(
 
     method="arrow" (the "auto" route for d ≤ 4096) is the spark.ml
     treeAggregate design: per GD round ONE Arrow mapInPandas pass
-    computes per-batch numpy gradient partials Xᵀ(σ(Xw)−y) — d
-    doubles per batch, model state — which reduce on the driver where
+    computes per-partition numpy gradient partials Xᵀ(σ(Xw)−y) — d
+    doubles per partition, model state — which reduce on the driver where
     the weight update (and the tol early exit) runs for free; no
     per-round checkpoint is needed because every round is a fresh
     one-pass plan over the persisted feature frame. method="expr" is
@@ -401,6 +425,8 @@ def logreg_fit(
     """
     from pyspark import StorageLevel
 
+    if method not in ("auto", "arrow", "expr"):
+        raise ValueError(f"logreg_fit: unknown method {method!r} (auto|arrow|expr)")
     if checkpoint_dir is not None:
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     c = df.select(
@@ -510,6 +536,8 @@ def pca_top_k(
     Returns (component, dim, loading, eigenvalue, n_vectors),
     k·d rows.
     """
+    if method not in ("auto", "gram", "power"):
+        raise ValueError(f"pca_top_k: unknown method {method!r} (auto|gram|power)")
     if checkpoint_dir is not None:
         corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     c = corpus.select(as_double_array(vec).alias("v"))

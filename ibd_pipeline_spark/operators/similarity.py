@@ -472,8 +472,8 @@ def _kmeans_arrow(
     c: DataFrame, k: int, iters: int, id_col: str
 ) -> DataFrame:
     """Arrow fast path for kmeans (see its docstring): per Lloyd round
-    ONE mapInPandas pass yields per-batch (centroid, count, vector-sum)
-    partials — k·d doubles of model state per Arrow batch, the
+    ONE mapInPandas pass yields per-PARTITION (centroid, count,
+    vector-sum) partials — k·d doubles of model state per partition, the
     spark.ml treeAggregate shape — reduced on the driver where the
     centroid update runs; the final assignment is one more distributed
     pass emitting (id, cluster_id, dist). Ties break to the lowest
@@ -494,17 +494,23 @@ def _kmeans_arrow(
             import numpy as np
             import pandas as pd
 
+            # Accumulate over the whole partition's batch iterator and
+            # yield k partial rows ONCE — partials are then bounded by
+            # partition count, not corpus rows.
             C = np.asarray(cl, dtype=np.float64)
+            sums = np.zeros_like(C)
+            cnts = np.zeros(C.shape[0], dtype=np.int64)
+            seen = False
             for pdf in batches:
                 if not len(pdf):
                     continue
+                seen = True
                 X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
                 d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
                 a = d2.argmin(1)
-                sums = np.zeros_like(C)
-                cnts = np.zeros(C.shape[0], dtype=np.int64)
                 np.add.at(sums, a, X)
                 np.add.at(cnts, a, 1)
+            if seen:
                 yield pd.DataFrame(
                     {
                         "cent": list(range(C.shape[0])),
@@ -606,7 +612,9 @@ def kmeans(
     c = corpus.select(
         F.col(id_col).alias("cid"), as_double_array(vec).alias("cv")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    if method == "arrow" or (method == "auto"):
+    if method not in ("auto", "arrow", "expr"):
+        raise ValueError(f"kmeans: unknown method {method!r} (auto|arrow|expr)")
+    if method in ("arrow", "auto"):
         # Arrow partial-aggregation fast path (kmeans state k·d is
         # always model-sized — no large-d fallback needed; keep
         # method="expr" for the pure-DataFrame form).

@@ -81,7 +81,7 @@ def test_logreg_separable_converges(spark):
     df = _sep_frame(spark)
     fit = logreg_fit(df, "x", "y", iters=15, lr=1.0).collect()[0]
     assert fit["n_rows"] == 300
-    assert fit["accuracy"] >= 0.87, fit["accuracy"]
+    assert fit["accuracy"] >= 0.97, fit["accuracy"]
     assert fit["log_loss"] < 0.3, fit["log_loss"]
 
 

@@ -153,7 +153,7 @@ CURATED = {
     "dedup_minhash_jaccard_estimate": "estimator calibration on the "
     "oracle-bounded slice: shingle arrays + 16 md5 minhash components "
     "computed once per doc, all-pairs join exists only inside the "
-    "150-doc bound; integer cross-multiplied gate.",
+    "400-doc bound; integer cross-multiplied gate.",
 }
 
 
