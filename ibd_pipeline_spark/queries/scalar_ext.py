@@ -226,15 +226,22 @@ def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parsing (scalar_json_funcs shows the classic form). At scale
     VARIANT decodes the JSON a single time per row into a
     shredded-access binary; N path extractions don't re-tokenize N
-    times. k is integral, so AVG is exact and partition-independent."""
+    times. k is integral, so AVG is exact and partition-independent.
+
+    The typed path value is PROJECTED before the groupBy: aggregate
+    expressions don't share subexpressions, so referencing
+    `variant_get(parse_json(props), ...)` inside both MAX and AVG
+    buffers runs the whole JSON parse twice per row (measured 8.5×
+    on the r06 driver bench). One projection materializes k once."""
     e = load(spark, sf_dir, "events")
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (
-        e.groupBy("event_type")
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.max(k).cast("int").alias("max_k"),
-            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
         )
         .orderBy("event_type")
     )
