@@ -137,24 +137,42 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Monetary ranks on the exact decimal sum (not a rounded double):
     ntile over a last-ulp-noisy double would be partition-dependent
-    near quartile boundaries. Every window carries a custkey tiebreak
-    for total order.
+    near quartile boundaries. Every ordering carries a custkey
+    tiebreak for total order.
 
-    Scale: the global ntile is the one single-partition sort — over
-    customers, not orders (aggregate first). At 100 TB you'd swap
-    ntile for approx-percentile boundaries + a broadcast bucket join;
-    the exact form is the oracle-checkable contract."""
+    Scale: each quartile score is a distributed global row number
+    (operators/ranking.py — range shuffle, never a single-partition
+    sort) + the NTILE formula, computed per axis and equi-joined back
+    on custkey. Three range shuffles + three custkey joins over the
+    per-customer aggregate — every stage key-parallel; the exact
+    NTILE semantics stay oracle-checkable."""
+    from ibd_pipeline_spark.operators.ranking import (
+        ntile_from_row_number,
+        with_global_row_number,
+    )
+
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+
+    def axis_score(order_col: str, out: str) -> DataFrame:
+        r = with_global_row_number(
+            rfm.select("o_custkey", order_col), [order_col, "o_custkey"]
+        )
+        return r.select(
+            "o_custkey",
+            ntile_from_row_number(F.col("_rn"), F.col("_n"), 4)
+            .cast("int")
+            .alias(out),
+        )
+
+    scored = (
+        axis_score("last_order", "r_score")
+        .join(axis_score("frequency", "f_score"), "o_custkey")
+        .join(axis_score("monetary", "m_score"), "o_custkey")
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

@@ -175,10 +175,18 @@ def zorder_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the z-code is O(bits×cols) codegen integer ops per row;
     the only real cost is the range sort — the same exchange a
     single-column sort pays. NTILE's global numbering is the audit's
-    convenience; a real write derives row groups from file layout."""
+    convenience; a real write derives row groups from file layout.
+    The row-group slicing is a distributed global row number
+    (operators/ranking.py) + the NTILE formula — an unpartitioned
+    ntile(64) window would single-task-sort the whole FACT table,
+    the worst possible plan at 100 TB; the range exchange here is
+    the same one the z-order write itself needs."""
     from ibd_pipeline_spark.operators.layout import rank_bucket, zvalue
+    from ibd_pipeline_spark.operators.ranking import (
+        ntile_from_row_number,
+        with_global_row_number,
+    )
     from ibd_pipeline_spark.queries import query as _q  # noqa: F401
-    from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
     z = zvalue(
@@ -189,9 +197,10 @@ def zorder_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
     )
     coded = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", z.alias("z"))
-    rg = F.ntile(64).over(Window.orderBy("z", "l_orderkey", "l_linenumber"))
+    numbered = with_global_row_number(coded, ["z", "l_orderkey", "l_linenumber"])
+    rg = ntile_from_row_number(F.col("_rn"), F.col("_n"), 64).cast("int")
     return (
-        coded.withColumn("rg", rg)
+        numbered.withColumn("rg", rg)
         .groupBy("rg")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -182,14 +182,30 @@ ORDER BY c_custkey
 """,
 )
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE / PERCENT_RANK / CUME_DIST distribution functions."""
+    """NTILE / PERCENT_RANK / CUME_DIST distribution functions — the
+    DISTRIBUTED form: an unpartitioned `Window.orderBy` serializes the
+    whole customer table onto one task, so the three functions are
+    instead computed as row-level formulas of a distributed global row
+    number (operators/ranking.py: range-shuffle + zipWithIndex idiom;
+    (c_acctbal, c_custkey) is a total order, making rank == rn and
+    all three functions exact)."""
+    from ibd_pipeline_spark.operators.ranking import (
+        cume_dist_from_row_number,
+        ntile_from_row_number,
+        percent_rank_from_row_number,
+        with_global_row_number,
+    )
+
     c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    r = with_global_row_number(
+        c.select("c_custkey", "c_acctbal"), ["c_acctbal", "c_custkey"]
+    )
+    rn, n = F.col("_rn"), F.col("_n")
+    return r.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_row_number(rn, n, 4).cast("int").alias("balance_quartile"),
+        F.round(percent_rank_from_row_number(rn, n), 6).alias("pct_rank"),
+        F.round(cume_dist_from_row_number(rn, n), 6).alias("cume"),
     ).orderBy("c_custkey")
 
 
