@@ -74,8 +74,9 @@ def bpe_learn(
     over the whole sample. Ties on pair frequency break
     lexicographically, so the merge table is deterministic.
     """
-    if checkpoint_dir is not None:
-        sample.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    from ibd_pipeline_spark.operators.ckpt import RoundCheckpointer
+
+    ckpt = RoundCheckpointer(sample.sparkSession, checkpoint_dir)
     corpus = sample.select(F.split(F.col(text), " ").alias("syms"))
     merges = None
     for rank in range(1, n_merges + 1):
@@ -92,11 +93,9 @@ def bpe_learn(
                 "pair_freq",
             )
         )
-        best = (
-            best.checkpoint(eager=True)
-            if checkpoint_dir is not None
-            else best.localCheckpoint(eager=True)
-        )
+        # Per-rank slot, never GC'd before return: the merge table
+        # unions every round's best row.
+        best = ckpt(best, f"best{rank}")
         # An exhausted sample (no adjacent pair left, or empty input)
         # yields an EMPTY best — continuing would crossJoin the corpus
         # against zero rows and silently empty it (r05 ADVICE). Stop
@@ -118,11 +117,8 @@ def bpe_learn(
         # extra in-memory fold in the next round's agg lineage — same
         # compute, half the checkpoint jobs/writes.
         if rank % 2 == 0 or rank == n_merges:
-            corpus = (
-                corpus.checkpoint(eager=True)
-                if checkpoint_dir is not None
-                else corpus.localCheckpoint(eager=True)
-            )
+            corpus = ckpt(corpus, "corpus")
+    ckpt.release("corpus")
     return merges
 
 

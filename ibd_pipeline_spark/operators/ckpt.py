@@ -1,0 +1,105 @@
+"""Per-round lineage truncation with deterministic checkpoint GC.
+
+Iterative operators (connected_components, pagerank, label
+propagation, k-means, GD training, BPE) truncate lineage every
+round or two so plans don't grow with iteration count. Two modes,
+same call site:
+
+  * local (default): `localCheckpoint()` — executor-block storage.
+    Superseded rounds are `unpersist()`ed so blocks don't
+    accumulate across a long run.
+  * reliable (`checkpoint_dir` set): `checkpoint()` into the
+    directory (survives executor loss — the 100 TB posture). Spark
+    does NOT delete those rdd-* directories unless
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    default, and even then only on driver GC), so a long run leaks
+    one directory per round. RoundCheckpointer deletes round N−1's
+    files as soon as round N's checkpoint has materialized.
+
+Slots: one checkpointer manages several independent state frames
+(e.g. pagerank's loop-invariant `und`/`degrees` next to the
+per-round `ranks`). Files are GC'd per SLOT — checkpointing `ranks`
+must never delete `und`'s files, which every later round still
+reads. A superseded frame is safe to delete because `checkpoint()`
+is eager: by the time round N's call returns, its result is fully
+materialized in its OWN files and never reads round N−1 again.
+
+The final frame of each slot is deliberately left checkpointed —
+it is (or feeds) the operator's result. Callers release loop-only
+slots (e.g. the symmetrized edge list) via `release(slot)` once the
+result no longer depends on recomputing them — which for
+checkpointed frames is immediately after the last round, since the
+files ARE the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class RoundCheckpointer:
+    """Eager lineage truncation + GC of superseded rounds.
+
+    ckpt = RoundCheckpointer(spark, checkpoint_dir)
+    state = ckpt(state0, slot="state")      # round 0
+    state = ckpt(new_state, slot="state")   # round 1 — round 0's
+                                            # files/blocks released
+    ckpt.release("edges")                   # drop a loop-only slot
+    """
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str | None = None):
+        self.spark = spark
+        self.reliable = checkpoint_dir is not None
+        self._dir = checkpoint_dir
+        if self.reliable:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        self._files: dict[str, set[str]] = {}
+        self._frames: dict[str, DataFrame] = {}
+
+    # -- hadoop fs plumbing (works for file://, hdfs://, s3a://...) --
+    def _fs(self):
+        jvm = self.spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._dir)
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        return path.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+    def _list_rdd_dirs(self) -> set[str]:
+        """All rdd-* checkpoint directories under checkpoint_dir
+        (setCheckpointDir nests a per-context UUID dir in between)."""
+        fs, Path = self._fs()
+        statuses = fs.globStatus(Path(self._dir + "/*/rdd-*"))
+        if statuses is None:
+            return set()
+        return {s.getPath().toString() for s in statuses}
+
+    def _delete(self, paths: set[str]) -> None:
+        if not paths:
+            return
+        fs, Path = self._fs()
+        for p in paths:
+            fs.delete(Path(p), True)
+
+    def __call__(self, df: DataFrame, slot: str = "state") -> DataFrame:
+        if not self.reliable:
+            out = df.localCheckpoint()  # eager
+            prev = self._frames.get(slot)
+            if prev is not None:
+                prev.unpersist()
+            self._frames[slot] = out
+            return out
+        before = self._list_rdd_dirs()
+        out = df.checkpoint()  # eager: fully materialized on return
+        created = self._list_rdd_dirs() - before
+        self._delete(self._files.get(slot, set()))
+        self._files[slot] = created
+        return out
+
+    def release(self, slot: str) -> None:
+        """Free a slot's blocks/files. Only call once nothing will
+        read the slot's LAST frame again."""
+        if self.reliable:
+            self._delete(self._files.pop(slot, set()))
+        else:
+            prev = self._frames.pop(slot, None)
+            if prev is not None:
+                prev.unpersist()

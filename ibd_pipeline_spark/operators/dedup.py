@@ -355,6 +355,103 @@ def simhash_near_dup_pairs(
     return result
 
 
+def simhash_signatures_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2
+) -> DataFrame:
+    """Engine-PORTABLE SimHash signatures: 32-bit, per-shingle hash =
+    first 8 hex digits of md5 (the md5_bucket idiom from
+    operators/sketches.py) instead of xxhash64 — every step is exact
+    integer algebra DuckDB can replay, which makes the whole
+    near-dup pipeline (signature → chunk blocking → Hamming verify)
+    hash-attestable against a SQL oracle.
+
+    Same distributed plan shape as simhash_signatures (explode the
+    shingle set once, ONE map-side-combined hash-aggregate with 32
+    ±1 sums, fold to the signature); the xxhash64 64-bit form stays
+    the library default for throughput (8-byte JVM hash, no hex
+    round-trip) — use THIS form when cross-engine reproducibility
+    matters more than the constant factor. Output: (id, sig), sig a
+    non-negative 32-bit value in a bigint."""
+    grams = shingles(text_col, ngram)
+    hv = F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint")
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, parallelism // 2):
+        docs = docs.repartition(parallelism)
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("_g")
+    ).select("id", hv.alias("hv"))
+    sums = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(32)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for b in range(32):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select("id", sig.alias("sig"))
+
+
+def simhash32_pairs(
+    sig: DataFrame,
+    max_hamming: int = 4,
+    tables: int = 4,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Chunk-banded near-dup join over 32-bit portable signatures:
+    block table t on chunk t = (sig >> chunk_bits·t) & (2^chunk_bits−1)
+    — the Manku rotate-and-reblock guarantee in its join form (a pair
+    within Hamming < tables agrees exactly on ≥ 1 chunk by
+    pigeonhole), verified once with bit_count(xor). Defaults scale
+    the 64-bit scheme down 2×: 4 tables × 8-bit chunks, Hamming ≤ 4
+    of 32 (the same 12.5% dissimilarity budget as 8 of 64).
+
+    Returns (id_a, id_b, hamming). The signature frame is persisted
+    so the banded self-join's two sides share one signature pass;
+    callers release with release_state(result)."""
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    mask = (1 << chunk_bits) - 1
+    blocks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sig"), t * chunk_bits).bitwiseAND(
+                F.lit(mask)
+            )
+            for t in range(tables)
+        ]
+    )
+    band = sig.select("id", "sig", F.posexplode(blocks).alias("t", "blk"))
+    l, r = band.alias("l"), band.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    result = cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("sig_a"), F.col("sig_b")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    result._cached_state = sig  # release handle; see release_state()
+    return result
+
+
 def _rotl64(col: Column, r: int) -> Column:
     """Rotate a 64-bit signature left by r bits (r in 1..63)."""
     return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))

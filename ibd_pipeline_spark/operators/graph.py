@@ -41,8 +41,14 @@ class ConvergenceWarning(UserWarning):
     max_iter without reaching its fixpoint."""
 
 
-def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
-    return df.checkpoint() if reliable else df.localCheckpoint()
+def _checkpointer(df: DataFrame, checkpoint_dir: "str | None"):
+    """One RoundCheckpointer per operator invocation: truncates
+    lineage per round AND deletes the superseded round's checkpoint
+    files/blocks (see operators/ckpt.py — Spark never deletes
+    reliable rdd-* directories on its own)."""
+    from ibd_pipeline_spark.operators.ckpt import RoundCheckpointer
+
+    return RoundCheckpointer(df.sparkSession, checkpoint_dir)
 
 
 def connected_components(
@@ -64,35 +70,29 @@ def connected_components(
     checkpoint_dir: when set, per-round lineage truncation uses
     reliable checkpoint() into this directory (survives executor
     loss; required posture for 100 TB runs). Default localCheckpoint
-    is the single-node/test fast path. NOTE: unpersist() releases a
-    round's cached blocks but NOT a reliable checkpoint's on-disk
-    files — Spark only deletes those with
-    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
-    default), so a long reliable-mode run accumulates one rdd-*
-    directory per round under `checkpoint_dir`. Set that conf, or
-    point `checkpoint_dir` at a per-job path and remove it after the
-    run.
+    is the single-node/test fast path. Superseded rounds are GC'd
+    either way (operators/ckpt.py): blocks unpersisted in local
+    mode, rdd-* directories deleted in reliable mode — at most the
+    live round's files remain on disk (asserted in
+    tests/test_graph.py).
 
     If the label sum has not stabilized after max_iter rounds the
     result is NOT a fixpoint (components of diameter > max_iter would
     be split): a ConvergenceWarning is emitted, or ValueError raised
     when strict=True.
     """
-    spark = edges.sparkSession
-    reliable = checkpoint_dir is not None
-    if reliable:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    sym = _truncate(
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    sym = ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct(),
-        reliable,
+        "sym",
     )
-    labels = _truncate(
+    labels = ckpt(
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .select("vertex", F.col("vertex").alias("component")),
-        reliable,
+        "labels",
     )
     prev_sum = None
     converged = False
@@ -103,7 +103,7 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("component").alias("nbr_component"))
             )
-            new_labels = _truncate(
+            new_labels = ckpt(
                 labels.join(nbr_min, labels.vertex == nbr_min.a, "left").select(
                     "vertex",
                     F.least(
@@ -111,7 +111,7 @@ def connected_components(
                         F.coalesce("nbr_component", F.col("component")),
                     ).alias("component"),
                 ),
-                reliable,
+                "labels",
             )
             # Convergence check without a join: labels are monotone
             # non-increasing, so the exact integer sum is a fixpoint
@@ -121,14 +121,13 @@ def connected_components(
             new_sum = new_labels.agg(
                 F.sum(F.col("component").cast("decimal(38,0)"))
             ).first()[0]
-            labels.unpersist()  # checkpoint blocks would otherwise accumulate
-            labels = new_labels
+            labels = new_labels  # previous round GC'd by ckpt above
             if new_sum == prev_sum:
                 converged = True
                 break
             prev_sum = new_sum
     finally:
-        sym.unpersist()
+        ckpt.release("sym")
     if not converged:
         msg = (
             f"connected_components hit max_iter={max_iter} before the "
@@ -170,23 +169,20 @@ def pagerank(
     Returns (vertex, rank) with Σ rank = |V| (the random-surfer mass
     conservation — asserted in tests).
     """
-    sess = edges.sparkSession
-    reliable = checkpoint_dir is not None
-    if reliable:
-        sess.sparkContext.setCheckpointDir(checkpoint_dir)
+    ckpt = _checkpointer(edges, checkpoint_dir)
     # Materialize the loop-invariant state ONCE: every checkpoint job
     # re-executes the rank frame's whole un-truncated lineage, so if
     # und/degrees stay lazy they are recomputed inside every round's
     # job. (Measured on local[8]: this + the cadence below takes a
     # 6-round run from 5.7 s to 3.6 s of pure scheduler cost.)
-    und = _truncate(
+    und = ckpt(
         edges.selectExpr(f"{src} AS u", f"{dst} AS v")
         .unionByName(edges.selectExpr(f"{dst} AS u", f"{src} AS v"))
         .distinct(),
-        reliable,
+        "und",
     )
-    degrees = _truncate(
-        und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")), reliable
+    degrees = ckpt(
+        und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")), "degrees"
     )
     vertices = degrees.select("u")
 
@@ -217,7 +213,9 @@ def pagerank(
         # (3.6 s) and at cluster scale halves the materialized-state
         # writes of every-1.
         if (i + 1) % 2 == 0 or i == iters - 1:
-            ranks = _truncate(ranks, reliable=reliable)
+            ranks = ckpt(ranks, "ranks")
+    ckpt.release("und")
+    ckpt.release("degrees")
     return ranks.select(F.col("u").alias("vertex"), "rank")
 
 
@@ -256,19 +254,17 @@ def label_propagation(
     """
     import pyspark.sql.functions as F
 
-    reliable = checkpoint_dir is not None
-    if reliable:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    ckpt = _checkpointer(edges, checkpoint_dir)
     # Materialize the loop-invariant symmetrized edge list ONCE.
     # Without this every round's job re-executes the caller's whole
     # edge lineage (for the near-dup queries that is the full
     # MinHash band join + jaccard verify) — the pagerank und/degrees
     # lesson applied here.
-    sym = _truncate(
+    sym = ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct(),
-        reliable,
+        "sym",
     )
     verts = sym.select(F.col("a").alias("v")).distinct()
     seed_state = seeds.select(
@@ -315,7 +311,7 @@ def label_propagation(
         # cadence — see pagerank() for the every-1/2/3 timings); at each
         # truncation check the hash-sum fixpoint witness and exit early.
         if (i + 1) % 2 == 0 or i == max_iter - 1:
-            state = _truncate(state, reliable)
+            state = ckpt(state, "state")
             fp = state.agg(
                 F.sum(
                     F.xxhash64("v", F.coalesce("lbl", F.lit("\x00∅"))).cast(
@@ -326,6 +322,7 @@ def label_propagation(
             if fp == prev_fp:
                 break
             prev_fp = fp
+    ckpt.release("sym")
     return state.select(
         F.col("v").alias(vertex), F.col("lbl").alias(label), "is_seed"
     )
@@ -366,19 +363,17 @@ def markov_stationary(
     """
     import pyspark.sql.functions as F
 
-    if checkpoint_dir is not None:
-        transitions.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    reliable = checkpoint_dir is not None
+    ckpt = _checkpointer(transitions, checkpoint_dir)
     # Materialize the loop-invariant transition triples ONCE — every
     # round joins against them, and without truncation each round's
     # job re-executes the caller's upstream aggregation.
-    t = _truncate(
+    t = ckpt(
         transitions.select(
             F.col(src).alias("s"), F.col(dst).alias("d"), F.col(prob).alias("w")
         ),
-        reliable,
+        "t",
     )
-    sources = _truncate(t.select("s").distinct(), reliable)
+    sources = ckpt(t.select("s").distinct(), "sources")
     states = sources.select(F.col("s").alias("state"))
     # uniform start without a driver action: 1/n from a window count
     # over the (tiny, state-space-sized) state frame
@@ -405,7 +400,11 @@ def markov_stationary(
             .agg(F.sum("p").alias("p"))
         )
         if (i + 1) % 2 == 0 or i == iters - 1:
-            pi = _truncate(pi, reliable)
+            # Alternating slots: the L∞ delta below still READS the
+            # previous truncated π, so its files must survive one
+            # extra truncation — each slot's GC only ever deletes the
+            # round before last.
+            pi = ckpt(pi, f"pi{(i // 2) % 2}")
             if prev is not None:
                 delta = (
                     pi.join(
@@ -428,4 +427,6 @@ def markov_stationary(
                 if delta is not None and delta < 1e-12:
                     break
             prev = pi
+    ckpt.release("t")
+    ckpt.release("sources")
     return pi

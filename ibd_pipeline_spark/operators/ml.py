@@ -46,12 +46,13 @@ def _assemble(pos: str, val: str) -> Column:
     )
 
 
-def _chk(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
-    return (
-        df.checkpoint(eager=True)
-        if checkpoint_dir is not None
-        else df.localCheckpoint(eager=True)
-    )
+def _checkpointer(df: DataFrame, checkpoint_dir: str | None):
+    """RoundCheckpointer (operators/ckpt.py): eager per-round lineage
+    truncation + GC of the superseded round's files/blocks, slotted
+    per state frame."""
+    from ibd_pipeline_spark.operators.ckpt import RoundCheckpointer
+
+    return RoundCheckpointer(df.sparkSession, checkpoint_dir)
 
 
 def _dim(df: DataFrame, arr: str) -> int:
@@ -195,8 +196,7 @@ def pca_top_component(
         raise ValueError(
             f"pca_top_component: unknown method {method!r} (auto|gram|power)"
         )
-    if checkpoint_dir is not None:
-        corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    ckpt = _checkpointer(corpus, checkpoint_dir)
     c = corpus.select(as_double_array(vec).alias("v"))
     d = _dim(c, "v")
     if method == "gram" or (method == "auto" and d <= 512):
@@ -243,7 +243,7 @@ def pca_top_component(
         # Every-2 truncation cadence + fixpoint early exit on the
         # (d-element, one-row) iterate — the graph-operator contract.
         if (i + 1) % 2 == 0 or i == iters - 1:
-            w = _chk(w, checkpoint_dir)
+            w = ckpt(w, "w")
             cur_w = w.first()["w"]
             if prev_w is not None and max(
                 abs(a - b) for a, b in zip(cur_w, prev_w)
@@ -282,7 +282,8 @@ def pca_top_component(
         F.posexplode("w").alias("dim", "loading"), "eigenvalue", "n_vectors"
     )
     # Materialize the d-row result before releasing the training cache.
-    out = _chk(out, checkpoint_dir)
+    out = ckpt(out, "out")
+    ckpt.release("w")
     centered.unpersist()
     return out
 
@@ -427,8 +428,7 @@ def logreg_fit(
 
     if method not in ("auto", "arrow", "expr"):
         raise ValueError(f"logreg_fit: unknown method {method!r} (auto|arrow|expr)")
-    if checkpoint_dir is not None:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    ckpt = _checkpointer(df, checkpoint_dir)
     c = df.select(
         as_double_array(features).alias("x"), F.col(label).cast("double").alias("y")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -468,7 +468,7 @@ def logreg_fit(
         # reuse, so one checkpoint job per two rounds runs the same
         # two corpus scans with half the job-scheduling overhead.
         if (i + 1) % 2 == 0 or i == iters - 1:
-            w = _chk(w, checkpoint_dir)
+            w = ckpt(w, "w")
             if tol > 0.0:
                 # One-row, d-element fetch off the just-materialized
                 # checkpoint — model state, not data, so this is not
@@ -499,7 +499,8 @@ def logreg_fit(
     )
     # Materialize the one-row result before dropping the training
     # cache, so the caller's action doesn't re-scan uncached data.
-    out = _chk(out, checkpoint_dir)
+    out = ckpt(out, "out")
+    ckpt.release("w")
     c.unpersist()
     return out
 
@@ -538,10 +539,15 @@ def pca_top_k(
     """
     if method not in ("auto", "gram", "power"):
         raise ValueError(f"pca_top_k: unknown method {method!r} (auto|gram|power)")
-    if checkpoint_dir is not None:
-        corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    ckpt = _checkpointer(corpus, checkpoint_dir)
     c = corpus.select(as_double_array(vec).alias("v"))
     d = _dim(c, "v")
+    # Validate k BEFORE any distributed pass — _dim already paid the
+    # one-row read, so an invalid k fails in milliseconds on both the
+    # gram and power routes (the gram path keeps its own check as a
+    # backstop).
+    if k > d:
+        raise ValueError(f"pca: k={k} exceeds vector dimensionality d={d}")
     if method == "gram" or (method == "auto" and d <= 512):
         rows = _pca_gram_topk(corpus, vec, k=k)
         return corpus.sparkSession.createDataFrame(
@@ -556,7 +562,7 @@ def pca_top_k(
     centered = c.crossJoin(F.broadcast(n_and_mu)).select(
         F.zip_with("v", "mu", lambda x, m: x - m).alias("xc"), "n"
     )
-    centered = _chk(centered, checkpoint_dir)
+    centered = ckpt(centered, "centered")
 
     out = None
     for comp in range(1, k + 1):
@@ -583,7 +589,7 @@ def pca_top_k(
             # Every-2 cadence + per-component fixpoint early exit
             # (the graph-operator contract).
             if (i + 1) % 2 == 0 or i == iters - 1:
-                w = _chk(w, checkpoint_dir)
+                w = ckpt(w, "w")
                 cur_w = w.first()["w"]
                 if prev_w is not None and max(
                     abs(a - b) for a, b in zip(cur_w, prev_w)
@@ -619,7 +625,9 @@ def pca_top_k(
             "eigenvalue",
             "n_vectors",
         )
-        signed = _chk(signed, checkpoint_dir)
+        # Per-component slot, NEVER GC'd before return: the result
+        # union reads every component's signed checkpoint.
+        signed = ckpt(signed, f"signed{comp}")
         rows = signed.select(
             F.lit(comp).alias("component"),
             F.posexplode("w").alias("dim", "loading"),
@@ -636,5 +644,7 @@ def pca_top_k(
                 F.zip_with("xc", "w", lambda x, wk: x - proj * wk).alias("xc"),
                 "n",
             )
-            centered = _chk(centered, checkpoint_dir)
+            centered = ckpt(centered, "centered")
+    ckpt.release("centered")
+    ckpt.release("w")
     return out

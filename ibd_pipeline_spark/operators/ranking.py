@@ -17,17 +17,29 @@ ops:
      the within-partition row index with NO window and NO second
      full-data shuffle. mid is nondeterministic-flagged, which pins
      the projection above the sort (Catalyst won't reorder it).
-  3. per-partition (count, min(mid)) — a P-row aggregate; prefix-sum
+  3. `localCheckpoint(eager=True)` — materialize the ranged frame
+     EXACTLY ONCE. The (counts → offsets) aggregate and the join
+     probe below are two consumers of this subtree; without the
+     checkpoint they are two physical evaluations, and
+     `repartitionByRange` re-samples its range boundaries per
+     evaluation (the sampler seeds from the RDD lineage id), so the
+     same row can land in different partitions in the two jobs and
+     `_off + (_mid - _mid0)` silently misaligns. Checkpointing pins
+     both consumers to the same physical rows — this also makes the
+     operator safe over nondeterministic upstreams (sample(),
+     rand-derived columns).
+  4. per-partition (count, min(mid)) — a P-row aggregate; prefix-sum
      offsets via a window over the P-ROW frame (bounded by partition
      count — the one empty-partition window here, over partition
-     metadata, never data; the plan audit recognizes it by the
-     spark_partition_id grouping in its subtree).
-  4. broadcast the P-row offset frame back: global rn = offset +
+     metadata, never data; tests/test_plan_audit.py's registry-wide
+     unpartitioned-window invariant exempts it by the `_pid` grouping
+     in its subtree).
+  5. broadcast the P-row offset frame back: global rn = offset +
      within-partition index + 1.
 
-Cost: one range shuffle of the data (what any global ordering costs),
-one P-row shuffle, one broadcast. Nothing ever lands on a single
-task. NTILE / PERCENT_RANK / CUME_DIST are then pure row-level
+Cost: one range shuffle of the data (what any global ordering costs)
+materialized once to executor-local storage, one P-row shuffle, one
+broadcast. Nothing ever lands on a single task. NTILE / PERCENT_RANK / CUME_DIST are then pure row-level
 formulas of (rn, n).
 
 REQUIRES the order columns to be a total order (append a unique
@@ -52,14 +64,24 @@ def with_global_row_number(
     """df + 1-based global row number (`rn_col`) and total row count
     (`total_col`) under the total order `order_cols`. See module
     docstring for the plan shape; exact for n < 2⁵³."""
-    spark = df.sparkSession
-    P = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # No explicit partition count unless the caller pins one: AQE then
+    # sizes the range exchange from the data (coalescing tiny frames
+    # to few tasks, fanning out big ones). AQE only ever MERGES
+    # ADJACENT range partitions, so partition-id order still equals
+    # global order.
+    parts = [num_partitions] if num_partitions else []
     ranged = (
-        df.repartitionByRange(P, *cols)
+        df.repartitionByRange(*parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
+        # Materialize ONCE before branching: the counts aggregate and
+        # the join probe must read the SAME physical rows —
+        # repartitionByRange re-samples boundaries per evaluation, so
+        # two evaluations of this subtree can disagree on which
+        # partition (hence which _mid/_pid) a row gets.
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_mid0")
@@ -79,6 +101,68 @@ def with_global_row_number(
     )
     return (
         ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rn_col, F.col("_off") + (F.col("_mid") - F.col("_mid0")) + F.lit(1)
+        )
+        .drop("_pid", "_mid", "_off", "_mid0")
+    )
+
+
+def with_grouped_row_number(
+    df: DataFrame,
+    group_cols: "list[str]",
+    order_cols: "list[str | Column]",
+    rn_col: str = "_rn",
+    total_col: str = "_n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + 1-based row number (`rn_col`) and row count (`total_col`)
+    PER GROUP under the total order `order_cols` — the scale-safe
+    form of `row_number().over(Window.partitionBy(groups).orderBy(
+    order))` when single groups are too large for one task.
+
+    Same design as with_global_row_number, with the group columns
+    prepended to the range-partitioning key: each group occupies a
+    contiguous run of partitions (large groups SPLIT across many
+    tasks — the whole point), rows are sorted (group, order) within
+    each partition so a group's slice is contiguous and
+    `mid − min(mid per (partition, group))` is its within-slice
+    index. The offsets frame has ≤ P × n_groups rows; its prefix-sum
+    windows are partitioned BY GROUP (never empty-spec over data).
+    Checkpointed once for the same single-evaluation guarantee.
+
+    REQUIRES group_cols + order_cols to be a total order (append a
+    unique tiebreaker)."""
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keys = [F.col(g) for g in group_cols] + ocols
+    parts = [num_partitions] if num_partitions else []  # AQE-sized otherwise
+    ranged = (
+        df.repartitionByRange(*parts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # single evaluation: see above
+    )
+    counts = ranged.groupBy("_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_mid0")
+    )
+    w_prefix = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        "_mid0",
+        F.coalesce(F.sum("_cnt").over(w_prefix), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_all).alias(total_col),
+    )
+    return (
+        ranged.join(F.broadcast(offsets), ["_pid", *group_cols])
         .withColumn(
             rn_col, F.col("_off") + (F.col("_mid") - F.col("_mid0")) + F.lit(1)
         )

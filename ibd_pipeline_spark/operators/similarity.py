@@ -602,9 +602,10 @@ def kmeans(
 
     from pyspark import StorageLevel
 
+    from ibd_pipeline_spark.operators.ckpt import RoundCheckpointer
+
     sc = corpus.sparkSession
-    if checkpoint_dir is not None:
-        sc.sparkContext.setCheckpointDir(checkpoint_dir)
+    ckpt = RoundCheckpointer(sc, checkpoint_dir)
     # Persist the projected (id, vector) frame across Lloyd rounds:
     # each assign otherwise re-reads + re-projects parquet (iters + 1
     # scans) — the loop-invariant rule from logreg/pca/graph. Released
@@ -670,21 +671,14 @@ def kmeans(
             cents.join(updated, "cent_id", "left")
             .select("cent_id", F.coalesce("new_v", "cent_v").alias("cent_v"))
         )
-        cents = (
-            cents.checkpoint(eager=True)
-            if checkpoint_dir is not None
-            else cents.localCheckpoint(eager=True)
-        )
+        cents = ckpt(cents, "cents")
 
     out = assign(cents).select("cid", "cluster_id", "dist").withColumnRenamed(
         "cid", id_col
     )
     # Materialize the final assignment before dropping the training
     # cache, so the caller's action doesn't re-run assign uncached.
-    out = (
-        out.checkpoint(eager=True)
-        if checkpoint_dir is not None
-        else out.localCheckpoint(eager=True)
-    )
+    out = ckpt(out, "out")
+    ckpt.release("cents")
     c.unpersist()
     return out

@@ -140,15 +140,20 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     near quartile boundaries. Every ordering carries a custkey
     tiebreak for total order.
 
-    Scale: each quartile score is a distributed global row number
-    (operators/ranking.py — range shuffle, never a single-partition
-    sort) + the NTILE formula, computed per axis and equi-joined back
-    on custkey. Three range shuffles + three custkey joins over the
-    per-customer aggregate — every stage key-parallel; the exact
-    NTILE semantics stay oracle-checkable."""
+    Scale: ONE distributed ranking pass for all three axes — the
+    per-customer aggregate melts to (custkey, axis, sortable-value)
+    long form, a grouped global row number (operators/ranking.py,
+    axis = group) ranks all three axes in a single range shuffle
+    (each axis split across many tasks, never one task per axis),
+    the NTILE formula scores row-locally, and one pivot groupBy
+    reassembles the per-customer score triple. Axis values ride a
+    fixed-width lexicographic encoding (ISO date / zero-padded
+    integer / zero-padded decimal) so one string column carries all
+    three orderings exactly — no double rounding near quartile
+    boundaries."""
     from ibd_pipeline_spark.operators.ranking import (
         ntile_from_row_number,
-        with_global_row_number,
+        with_grouped_row_number,
     )
 
     o = load(spark, sf_dir, "orders")
@@ -156,23 +161,43 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias("monetary"),
+    ).localCheckpoint(eager=True)
+    # ^ one orders pass: repartitionByRange below samples its input
+    #   for boundaries before shuffling — unchckpointed, that would
+    #   re-run the whole orders scan+aggregate per job.
+    # Fixed-width encodings: lexicographic order == axis order
+    # (dates ISO-format; counts/sums are non-negative, zero-padded
+    # so digits align; decimal(28,8) prints a fixed 8-digit scale).
+    axes = F.array(
+        F.struct(
+            F.lit("r").alias("axis"),
+            F.date_format("last_order", "yyyy-MM-dd").alias("v"),
+        ),
+        F.struct(
+            F.lit("f").alias("axis"),
+            F.lpad(F.col("frequency").cast("string"), 20, "0").alias("v"),
+        ),
+        F.struct(
+            F.lit("m").alias("axis"),
+            F.lpad(F.col("monetary").cast("string"), 32, "0").alias("v"),
+        ),
     )
-
-    def axis_score(order_col: str, out: str) -> DataFrame:
-        r = with_global_row_number(
-            rfm.select("o_custkey", order_col), [order_col, "o_custkey"]
-        )
-        return r.select(
+    melted = rfm.select("o_custkey", F.explode(axes).alias("a")).select(
+        "o_custkey", "a.axis", "a.v"
+    )
+    ranked = with_grouped_row_number(melted, ["axis"], ["v", "o_custkey"])
+    scored = (
+        ranked.select(
             "o_custkey",
+            "axis",
             ntile_from_row_number(F.col("_rn"), F.col("_n"), 4)
             .cast("int")
-            .alias(out),
+            .alias("score"),
         )
-
-    scored = (
-        axis_score("last_order", "r_score")
-        .join(axis_score("frequency", "f_score"), "o_custkey")
-        .join(axis_score("monetary", "m_score"), "o_custkey")
+        .groupBy("o_custkey")
+        .pivot("axis", ["r", "f", "m"])
+        .agg(F.first("score"))
+        .withColumnsRenamed({"r": "r_score", "f": "f_score", "m": "m_score"})
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

@@ -458,11 +458,11 @@ def train_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible on any engine).
 
     Scale: NTILE needs per-language ordering (one shuffle); the
-    global position is a total order — fine at corpus-metadata scale
-    (ids + scores, not text), and the 100 TB variant would assign
-    positions per shard with shard-offset arithmetic instead
-    (global_row_ids shows that pattern)."""
+    global position is a distributed global row number
+    (operators/ranking.py — range shuffle + per-partition offsets,
+    never a single-partition sort of the whole corpus)."""
     from ibd_pipeline_spark.operators import text as T
+    from ibd_pipeline_spark.operators.ranking import with_global_row_number
 
     d = load(spark, sf_dir, "documents")
     scored = d.select("doc_id", "lang", T.quality_score("text").alias("quality"))
@@ -471,16 +471,10 @@ def train_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4)
         .over(Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id"))
         .alias("band"),
-    )
+    ).withColumn("_shuf", F.md5(F.col("doc_id").cast("string")))
     return (
-        banded.select(
-            F.row_number()
-            .over(
-                Window.orderBy("band", F.md5(F.col("doc_id").cast("string")), "doc_id")
-            )
-            .alias("position"),
-            "doc_id", "lang", "band", "quality",
-        )
+        with_global_row_number(banded, ["band", "_shuf", "doc_id"], rn_col="position")
+        .select("position", "doc_id", "lang", "band", "quality")
         .orderBy("position")
     )
 

@@ -160,41 +160,107 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@query("dedup_simhash")  # no SQL oracle: bit-algebra blocking; property-tested
+_SH32_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(32)
+)
+_SH32_SIG = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+)
+# Portable 32-bit SimHash signatures in plain SQL — the exact twin of
+# operators.dedup.simhash_signatures_md5 (word 2-gram shingles, first
+# 8 md5 hex digits as the shingle hash, ±1 per-bit sums, sign rule).
+_SIMHASH_SIGS_CTE = f"""
+WITH toksets AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(0, len(w) - 1),
+                             i -> w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END)) AS g
+  FROM toksets
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h
+  FROM grams
+), sums AS (
+  SELECT doc_id, {_SH32_SUMS} FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id AS id, {_SH32_SIG} AS sig FROM sums
+)"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=_SIMHASH_SIGS_CTE
+    + """
+, band AS (SELECT id, sig, sig & 255 AS blk FROM sigs)
+SELECT l.id AS id_a, r.id AS id_b,
+       CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+FROM band l JOIN band r ON l.blk = r.blk AND l.id < r.id
+WHERE bit_count(xor(l.sig, r.sig)) <= 4
+ORDER BY id_a, id_b
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 8 on 64-bit signatures,
-    prefix-blocked). See operators.dedup.simhash_signatures (the
-    explode+hash-agg signature build) and simhash64 (the per-row
-    expression twin). No global orderBy: range-sort sampling executes
-    the whole signature+join pipeline a second time (~2× wall), and
-    the rows-only check is order-insensitive. Pairs are materialized
-    eagerly so the operator's cached signature state can be released
-    before returning (the minhash release_state contract)."""
+    """SimHash near-dup pairs — hash-attested end-to-end: 32-bit
+    md5-portable signatures (operators.dedup.simhash_signatures_md5,
+    the md5_bucket idiom from the MinHash estimator query), single
+    8-bit chunk blocking, Hamming ≤ 4 verify — every stage exact
+    integer algebra the DuckDB oracle replays bit-for-bit. The
+    xxhash64 64-bit forms (simhash64 / simhash_signatures /
+    simhash_near_dup_pairs) remain the library throughput path,
+    property-tested on planted flips in tests/test_dedup.py.
+
+    Scale: one explode+hash-agg signature pass, block-bounded
+    self-join (never all-pairs) — identical plan shape at either
+    signature width. Pairs are materialized eagerly so the cached
+    signature state releases before returning."""
     d = load(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text")
+    sig = D.simhash_signatures_md5(d, "doc_id", "text")
+    pairs = D.simhash32_pairs(sig, max_hamming=4, tables=1, chunk_bits=8)
     try:
-        return pairs.localCheckpoint(eager=True)
+        return pairs.orderBy("id_a", "id_b").localCheckpoint(eager=True)
     finally:
         D.release_state(pairs)
 
 
-@query("dedup_simhash_multitable")  # no SQL oracle: bit-algebra blocking
+@query(
+    "dedup_simhash_multitable",
+    oracle=_SIMHASH_SIGS_CTE
+    + """
+, band AS (
+  SELECT id, sig, t, (sig >> (8 * CAST(t AS INT))) & 255 AS blk
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS t) ts
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+  FROM band l JOIN band r ON l.t = r.t AND l.blk = r.blk AND l.id < r.id
+)
+SELECT CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 4
+GROUP BY hamming
+ORDER BY hamming
+""",
+)
 def dedup_simhash_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table SimHash near-dup pairs: 4 rotations × 16-bit
-    prefix blocks (operators.dedup.simhash_near_dup_pairs_multi) — the
-    rotate-and-reblock scheme that guarantees recall of every pair
-    within Hamming 3 and probabilistically beats single-prefix
-    blocking up to the Hamming-8 verify cutoff. Output aggregated to
-    (hamming, n_pairs) so the rows-only record is compact and
-    partition-invariant; recall ≥ the single-table form is
-    property-tested on planted bit flips (tests/test_dedup.py).
+    """Multi-table SimHash near-dup pairs, hash-attested: 4 disjoint
+    8-bit chunks of the 32-bit md5-portable signature as band keys
+    (operators.dedup.simhash32_pairs — the Manku rotate-and-reblock
+    guarantee in join form: any pair within Hamming 3 agrees exactly
+    on ≥ 1 chunk by pigeonhole), Hamming ≤ 4 verified once, output
+    aggregated to (hamming, n_pairs). The DuckDB oracle replays the
+    whole pipeline — signatures, banding, verify — exactly; the
+    pigeonhole recall ordering stays property-tested on planted bit
+    flips for the 64-bit production forms (tests/test_dedup.py).
 
-    Scale: same one-pass signature hash-agg as dedup_simhash; the
-    explode multiplies only the 16-byte (id, sig) table by 4, and
-    each table's self-join is block-bounded exactly like LSH bands —
-    never all-pairs."""
+    Scale: the band explode multiplies only the 16-byte (id, sig)
+    table by 4, and each table's self-join is block-bounded exactly
+    like LSH bands — never all-pairs."""
     d = load(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs_multi(d, "doc_id", "text")
+    sig = D.simhash_signatures_md5(d, "doc_id", "text")
+    pairs = D.simhash32_pairs(sig, max_hamming=4, tables=4, chunk_bits=8)
     try:
         return (
             pairs.groupBy("hamming")

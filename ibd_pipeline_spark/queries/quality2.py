@@ -223,28 +223,22 @@ def quality_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator is an exact integer, and the one division at the end
     is a single IEEE op on exact inputs — no rounding needed.
 
-    Scale: one per-user aggregate, then ONE global rank window over
-    the per-user frame (users, not events — same serial-step caveat
-    and pre-binning escape as the KS query).
+    Scale: one per-user aggregate, then the global rank as a
+    distributed row number (operators/ranking.py — range shuffle over
+    the per-user frame, never a single-partition sort of the user
+    dimension); n and Σx fold into the same final 1-row aggregate.
     """
-    from pyspark.sql import Window
+    from ibd_pipeline_spark.operators.ranking import with_global_row_number
 
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
-    w_rank = Window.orderBy("x", "user_id")
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "x",
-        F.row_number().over(w_rank).alias("i"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
-        F.sum("x").over(w_all).alias("tot"),
-    )
+    ranked = with_global_row_number(per_user, ["x", "user_id"])
     s = ranked.agg(
-        F.max("n").cast("bigint").alias("n"),
-        F.max("tot").cast("bigint").alias("tot"),
-        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("weighted"),
+        F.max("_n").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("tot"),
+        F.sum(F.col("_rn") * F.col("x")).cast("bigint").alias("weighted"),
     )
     return s.select(
         F.col("n").alias("n_users"),

@@ -1,14 +1,24 @@
 """Whole-registry plan audit: structural red-flag scan over every
-registered query's physical plan.
+registered query's plan.
 
-Two invariants across the entire inventory:
+Three invariants across the entire inventory:
   * no row-at-a-time Python (`BatchEvalPython`) — Python only enters
     through Arrow (`ArrowEvalPython`/`MapInPandas`/`FlatMapGroupsIn
     Pandas`), per the UDF policy;
   * no non-broadcast CartesianProduct — intentional small-side
     cross-products (brute-force scoring, bounded pair generation)
     must ride a broadcast (BroadcastNestedLoopJoin), never a
-    partitioned cartesian shuffle.
+    partitioned cartesian shuffle;
+  * no unpartitioned Window over data-sized input — an empty
+    partition spec serializes the whole frame onto ONE task (Spark's
+    own `WindowExec: No Partition Defined` warning). Exemptions:
+      - the partition-METADATA prefix-sum inside
+        operators/ranking.py (recognized by its `_pid` grouping —
+        the frame is ≤ one row per shuffle partition (× group),
+        never data);
+      - queries in ALLOWED_UNPARTITIONED_WINDOW, each with a stated
+        bound on the frame the window actually sees. Data-sized
+        global ordering belongs on operators/ranking.py instead.
 """
 
 from __future__ import annotations
@@ -18,6 +28,66 @@ import pytest
 from ibd_pipeline_spark.queries import all_queries
 
 QUERIES = all_queries()
+
+# Query → why its unpartitioned window input is provably bounded.
+# Adding a query here requires a bound argument, not a test edit
+# elsewhere: the frame must be metadata/dimension/aggregate-sized —
+# NEVER proportional to fact-table rows.
+ALLOWED_UNPARTITIONED_WINDOW = {
+    # per-calendar-day frames (≤ days in the dataset; partition by
+    # month + stitch is the documented 100-TB escape)
+    "events_anomaly_rolling_zscore": "one row per day",
+    "events_ewma_daily": "one row per day",
+    "events_linear_interpolate_gaps": "one row per day",
+    "events_rolling_active_users": "one row per day (sketch bytes/frame)",
+    "events_period_over_period": "one row per period",
+    # tiny enumerations
+    "quality_benford_digits": "9 rows (leading digits 1-9)",
+    "stats_chi_square_independence": "contingency cells (types × buckets)",
+    "train_source_temperature": "one row per source",
+    "train_epoch_waterfill": "one row per source",
+    "maintenance_compaction_plan": "one row per file/partition plan entry",
+    "train_bpe_pair_counts": "top-20 rows (after TakeOrderedAndProject)",
+    "train_interleave_roundrobin": (
+        "≤ 100 × n_sources rows — rn ≤ 100 pre-filter, provably lossless"
+    ),
+    "global_row_ids": "≤ 500 rows (o_orderkey < 500 filter)",
+    # distinct-value support frames — the documented serial step with
+    # the pre-binning escape (see each docstring)
+    "stats_ks_two_sample": "distinct `value` support, pre-bin at scale",
+    "stats_mann_whitney_u": "distinct `value` support, pre-bin at scale",
+    "text_zipf_fit": "vocab-sized (distinct tokens)",
+    # deliberate semantics exercise on the part dimension, flagged in
+    # its own docstring
+    "window_range_frame": "part dimension; kept as RANGE-frame exercise",
+}
+
+
+def _walk(jnode):
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def _unpartitioned_windows(df):
+    """Logical-plan Window nodes with an empty partitionSpec, minus
+    the ranking.py partition-metadata frame (grouping on `_pid` over
+    a checkpointed LogicalRDD)."""
+    lp = df._jdf.queryExecution().optimizedPlan()
+    out = []
+    for n in _walk(lp):
+        if n.getClass().getSimpleName() != "Window":
+            continue
+        if not n.partitionSpec().isEmpty():
+            continue
+        if "_pid#" in n.child().toString():
+            continue  # operators/ranking.py offsets frame: ≤ P rows
+        out.append(n.toString().splitlines()[0])
+    return out
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -30,3 +100,9 @@ def test_no_plan_red_flags(name, spark, sf_dir):
     assert "CartesianProduct" not in plan, (
         f"{name}: partitioned cartesian product — broadcast the small side"
     )
+    windows = _unpartitioned_windows(df)
+    if windows and name not in ALLOWED_UNPARTITIONED_WINDOW:
+        raise AssertionError(
+            f"{name}: unpartitioned Window over possibly data-sized input "
+            f"— use operators/ranking.py or allowlist with a bound: {windows}"
+        )
