@@ -88,6 +88,49 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def synthesize_image_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-PNG assets: each blob is a valid 8-bit PNG
+    (operators/png.py encoder) of a seeded gradient+hash-noise
+    pattern, cycling gray / RGB / RGBA color types so the decoder's
+    channel handling is exercised in-pipeline. Same ASSET_SCHEMA as
+    synthesize_assets; decode/resize run these with fake=False —
+    no imaging library anywhere."""
+    from ibd_pipeline_spark.operators import png as P
+
+    rows = []
+    for i in range(n):
+        w = 16 + (i % 4) * 8
+        h = 16 + ((i * 3) % 5) * 4
+        color_type = (0, 2, 6)[i % 3]
+        channels = {0: 1, 2: 3, 6: 4}[color_type]
+        noise = hashlib.sha512(f"{seed}:{i}".encode()).digest()
+        px = bytearray(w * h * channels)
+        for y in range(h):
+            for x in range(w):
+                base = (y * w + x) * channels
+                g = (x * 255) // max(w - 1, 1)
+                nz = noise[(x * 7 + y * 13) % len(noise)] >> 3
+                for c in range(channels):
+                    v = min(255, g + nz + c * 9)
+                    px[base + c] = v
+                if color_type == 6:
+                    px[base + 3] = 255  # opaque alpha
+        blob = P.encode_png(w, h, bytes(px), color_type)
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(blob),
+                len(blob),
+                w,
+                h,
+                None,
+                f"synthetic://assets/png/{i}",
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
 def _pil():
     """Optional-import hook for a real imaging library. Returns the
     PIL.Image module when pillow is installed, else None — the
@@ -101,34 +144,45 @@ def _pil():
         return None
 
 
+def _gray_stats(px: "bytes | list", w: int) -> dict:
+    """mean luma + mean |horizontal neighbor delta| over a grayscale
+    plane — the shared statistic of every decode route."""
+    mean = sum(px) / (255.0 * len(px)) if len(px) else 0.0
+    diffs = [abs(px[i] - px[i - 1]) for i in range(1, len(px)) if i % w]
+    edge = (sum(diffs) / (255.0 * len(diffs))) if diffs else 0.0
+    return {"mean_luma": mean, "edge_score": edge}
+
+
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Decode an encoded image to pixel statistics.
 
     fake=True computes deterministic pseudo-features from the bytes so
     the distributed plumbing is testable end-to-end with no codec.
-    fake=False decodes for real when pillow is installed (guarded
-    import); in this container (no imaging libs) it raises
-    NotImplementedError, per the build contract."""
+    fake=False decodes for REAL: PNG content goes through the
+    stdlib-zlib codec (operators/png.py — no imaging library needed,
+    the WAV/ISO-BMFF precedent); other formats use pillow when
+    installed (guarded import) and raise NotImplementedError
+    otherwise, per the build contract."""
     if fake:
         h = hashlib.sha256(content).digest()
         return {"mean_luma": h[0] / 255.0, "edge_score": h[1] / 255.0}
+    from ibd_pipeline_spark.operators import png as P
+
+    if P.is_png(content):
+        w, _h, gray = P.decode_png_gray(content)
+        return _gray_stats(gray, w)
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
-            "image decode requires pillow, not present in this environment; "
+            "non-PNG image decode requires pillow, not present in this "
+            "environment; PNG decodes for real (operators/png.py), or "
             "pass fake=True for the deterministic stand-in"
         )
     import io
 
     with Image.open(io.BytesIO(content)) as im:
         gray = im.convert("L")
-        px = list(gray.getdata())
-        mean = sum(px) / (255.0 * len(px)) if px else 0.0
-        # crude edge proxy: mean absolute horizontal neighbor delta
-        w = gray.width
-        diffs = [abs(px[i] - px[i - 1]) for i in range(1, len(px)) if i % w]
-        edge = (sum(diffs) / (255.0 * len(diffs))) if diffs else 0.0
-        return {"mean_luma": mean, "edge_score": edge}
+        return _gray_stats(list(gray.getdata()), gray.width)
 
 
 def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -176,12 +230,17 @@ def resize_images(
     """Image resize over mapInPandas — the standard pre-embedding
     normalization pass.
 
-    Decode/encode is fake by default (this container has no imaging
-    libs): the fake path emits a deterministic pseudo-resized payload
-    (sha512-seeded bytes of the right nominal size) so schema,
-    batching, and partition behavior are testable. fake=False resizes
-    for real when pillow is installed (guarded import) — the
-    Spark-side plumbing is identical either way."""
+    Decode/encode is fake by default: the fake path emits a
+    deterministic pseudo-resized payload (sha512-seeded bytes of the
+    right nominal size) so schema, batching, and partition behavior
+    are testable with arbitrary blobs. fake=False resizes for REAL —
+    PNG content through the stdlib-zlib codec (operators/png.py:
+    decode → nearest-neighbor resample → grayscale PNG re-encode, no
+    imaging library needed), other formats through pillow when
+    installed; a non-PNG blob with no pillow raises
+    NotImplementedError from the task (the per-blob guard — format
+    is a property of the data, not the driver). The Spark-side
+    plumbing is identical on every route."""
 
     def _fake_resize(content: bytes) -> bytes:
         h = hashlib.sha512(content).digest()
@@ -189,19 +248,27 @@ def resize_images(
         return (h * ((need // len(h)) + 1))[:need]
 
     def _real_resize(content: bytes) -> bytes:
+        from ibd_pipeline_spark.operators import png as P
+
+        if P.is_png(content):
+            w, h, gray = P.decode_png_gray(content)
+            return P.encode_png_gray(
+                target_w, target_h, P.resize_nearest(gray, w, h, target_w, target_h)
+            )
         import io
 
         Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "non-PNG resize requires pillow, not present in this "
+                "environment; PNG resizes for real (operators/png.py), "
+                "or pass fake=True for the deterministic stand-in"
+            )
         with Image.open(io.BytesIO(content)) as im:
             out = io.BytesIO()
             im.resize((target_w, target_h)).save(out, format=im.format or "PNG")
             return out.getvalue()
 
-    if not fake and _pil() is None:
-        raise NotImplementedError(
-            "real resize requires pillow, not present in this environment; "
-            "pass fake=True for the deterministic stand-in"
-        )
     resize_fn = _fake_resize if fake else _real_resize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -188,6 +188,28 @@ _ROUND6_NEW: list[str] = [
     "events_stickiness_ratio",
 ]
 
+# ----------------------------------------------------------------------
+# ROUND-8 WINDOW PREFIX: the queries whose attestation evidence must
+# POSTDATE the round-8 rewrites. The three with_global_row_number
+# consumers (racy-helper fix + RFM/curriculum/gini rewrites off
+# unpartitioned windows), the SimHash pair now carrying md5-portable
+# oracles, the new linear-counting estimator, and the multimodal pair
+# now running REAL PNG decode (rows-only by design, but the run itself
+# must be fresh).
+# ----------------------------------------------------------------------
+_ROUND8_PRIORITY: list[str] = [
+    "zorder_rowgroup_skipping",
+    "window_ntile_percent",
+    "customer_rfm_segments",
+    "train_curriculum_schedule",
+    "quality_activity_gini",
+    "dedup_simhash",
+    "dedup_simhash_multitable",
+    "sketch_lc_weekly_union",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+]
+
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------
     # ROUND-5 WINDOW PREFIX.
@@ -380,9 +402,10 @@ def _driver_order(names: list[str]) -> list[str]:
     # r06 prefix: never-attested wave-3/4 queries + this round's new
     # registrations (≤50 total), then the r01–r05 attested history in
     # its historical order (evidence in CORRECTNESS_r{01..05}.json).
-    head = _R06_UNATTESTED + [
-        n for n in _ROUND6_NEW if n not in _R06_UNATTESTED
+    head = _ROUND8_PRIORITY + [
+        n for n in _R06_UNATTESTED if n not in _ROUND8_PRIORITY
     ]
+    head = head + [n for n in _ROUND6_NEW if n not in head]
     back = _DRIVER_PRIORITY + [
         n for n in _ROUND5_NEW if n not in _DRIVER_PRIORITY
     ]

@@ -17,20 +17,25 @@ from ibd_pipeline_spark.queries import query
 @query("multimodal_feature_extract")  # rows-only: synthesized binary assets
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
-    content columns (decode stubbed deterministically — no media
-    codecs in this container)."""
-    assets = M.synthesize_assets(spark, n=64)
-    return M.extract_features(assets, fake_decode=True).orderBy("asset_id")
+    content columns — REAL decode: assets are valid PNGs
+    (synthesize_image_assets) and fake_decode=False routes every blob
+    through the stdlib-zlib PNG codec (operators/png.py — gray/RGB/
+    RGBA, all five scanline filters), no imaging library involved.
+    Planted-image correctness (known means, gradient edges, resize
+    invariants) is property-tested in tests/test_png.py."""
+    assets = M.synthesize_image_assets(spark, n=48)
+    return M.extract_features(assets, fake_decode=False).orderBy("asset_id")
 
 
 @query("multimodal_resize")  # rows-only: synthesized binary assets
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize pass (decode/encode stubbed deterministically):
-    mapInPandas with a typed output schema — the standard
-    pre-embedding normalization stage of a media pipeline."""
-    assets = M.synthesize_assets(spark, n=64)
+    """Image-resize pass, REAL: stdlib PNG decode → nearest-neighbor
+    resample → grayscale PNG re-encode per blob (operators/png.py)
+    over mapInPandas — the standard pre-embedding normalization
+    stage, running actual pixels in this container."""
+    assets = M.synthesize_image_assets(spark, n=48)
     return (
-        M.resize_images(assets, 224, 224)
+        M.resize_images(assets, 224, 224, fake=False)
         .select("asset_id", "width", "height", F.length("content").alias("n_bytes"))
         .orderBy("asset_id")
     )

@@ -203,6 +203,93 @@ def sketch_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_daily_weekly(load(spark, sf_dir, "events"))
 
 
+_LC_M = 65536
+_LC_SQL = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         user_id,
+         CAST(('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_LC_M} AS b
+  FROM events
+), weekly AS (
+  SELECT week,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS n_occupied,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY week
+)
+SELECT week, n_days, n_occupied,
+       ROUND({_LC_M}.0 * ln({_LC_M}.0 / ({_LC_M} - n_occupied)), 4)
+         AS lc_estimate,
+       exact_users,
+       ROUND(ABS({_LC_M}.0 * ln({_LC_M}.0 / ({_LC_M} - n_occupied))
+                 - exact_users) / exact_users, 4) AS rel_err
+FROM weekly
+ORDER BY week
+"""
+
+
+@query("sketch_lc_weekly_union", oracle=_LC_SQL)
+def sketch_lc_weekly_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimation, hash-attested — the
+    engine-portable twin of the rows-only DataSketches rollup
+    (sketch_hll_daily_union): per day, the OCCUPIED-BUCKET SET of
+    md5_bucket(user_id) mod m (m = 65536 registers); weekly actives
+    are estimated from the UNION of the daily sets via the linear
+    counting formula  n̂ = m·ln(m / empty)  (Whang et al. 1990 — the
+    low-cardinality regime HyperLogLog itself falls back to).
+    Everything is exact integer algebra + one logarithm, so the
+    DuckDB oracle replays the estimator bit-for-bit — the estimate
+    itself is attested, not just the shape.
+
+    The mergeable-partial structure is the point: daily occupied
+    sets union like HLL registers (set-union = max of 0/1
+    registers), so coarser grains never re-scan events. Exact weekly
+    distinct users ride along for the accuracy readout (rel_err —
+    at load factors ≪ 3 linear counting is within ~1%).
+
+    Scale: the per-day distinct-bucket aggregate is map-side
+    combined and bounded by m × days rows; the weekly union shuffles
+    at most m buckets per week. The exact countDistinct is the one
+    corpus-cardinality aggregate (it would be dropped at 100 TB —
+    the estimator is the product; it's here as the audit)."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+        md5_bucket(F.col("user_id"), 0, _LC_M).alias("b"),
+    )
+    # daily occupied-bucket partials (the mergeable unit)...
+    per_day = base.select("week", "day", "b").distinct()
+    # ...unioned per week: distinct buckets across the week's days
+    weekly_b = per_day.groupBy("week").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+        F.countDistinct("b").cast("bigint").alias("n_occupied"),
+    )
+    weekly_u = base.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    m = F.lit(float(_LC_M))
+    est = m * F.log(m / (F.lit(_LC_M) - F.col("n_occupied")))
+    return (
+        weekly_b.join(weekly_u, "week")
+        .select(
+            "week",
+            "n_days",
+            "n_occupied",
+            F.round(est, 4).alias("lc_estimate"),
+            "exact_users",
+            F.round(F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4)
+            .alias("rel_err"),
+        )
+        .orderBy("week")
+    )
+
+
 @query("events_rolling_active_users")
 def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling active users — DAU (exact) next to WAU (trailing 7-day)

@@ -61,8 +61,12 @@ def test_sample_video_frames_fanout(spark):
 
 def test_real_media_paths_honestly_stubbed(spark):
     assets = M.synthesize_assets(spark, 3)
-    with pytest.raises(NotImplementedError):
-        M.resize_images(assets, fake=False)
+    # non-PNG blobs with no pillow: the per-blob guard raises from
+    # the task (format is a property of the data, so the error is
+    # lazy — surfaced at action time wrapped by the Python runner)
+    if M._pil() is None:
+        with pytest.raises(Exception, match="NotImplementedError|pillow"):
+            M.resize_images(assets, fake=False).collect()
     with pytest.raises(NotImplementedError):
         M.sample_video_frames(assets, fake=False)
 
@@ -103,9 +107,7 @@ def test_real_codec_paths_when_pillow_present(spark):
 
     if M._pil() is None:
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"\x00", fake=False)
-        with pytest.raises(NotImplementedError):
-            M.resize_images(M.synthesize_assets(spark, 3), fake=False)
+            M.decode_image(b"\x00", fake=False)  # non-PNG, no pillow
         return
     # pillow installed: encode a tiny real PNG and round-trip it.
     import io
