@@ -100,6 +100,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     restrict_to: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH, with exact Jaccard
     verification on the (64-bit-hashed) shingle sets of each
@@ -132,7 +133,14 @@ def minhash_candidate_pairs(
     materialized by a previous run). The invariant
     pairs(all) = pairs(base) ∪ pairs(all, restrict_to=Δ) is
     property-tested in tests/test_dedup.py.
-    """
+
+    portable=True swaps every hash for the md5_bucket idiom (32-bit
+    values from the first 8 md5 hex digits; band buckets become the
+    plain comma-joined minima string) so a DuckDB oracle replays the
+    ENTIRE pipeline — shingle hashes, the 32 signature minima, band
+    collisions, and the exact-Jaccard verify — value-for-value.
+    xxhash64 stays the at-scale default (8-byte JVM hash vs a hex
+    round-trip per family)."""
     rows_per_band = num_hashes // num_bands
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -143,25 +151,49 @@ def minhash_candidate_pairs(
     grams = F.when(n >= k_shingle, F.transform(idx, gram)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+    def _md5_32(col: Column) -> Column:
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+    if portable:
+        base_h = _md5_32(F.col("g"))
+        fam = lambda i: F.min(  # noqa: E731
+            _md5_32(F.concat_ws(":", F.lit(str(i)), F.col("h").cast("string")))
+        ).alias(f"m{i}")
+    else:
+        base_h = F.xxhash64("g")
+        fam = lambda i: F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}")  # noqa: E731
+
     exploded = docs.select(
         F.col(id_col).alias("id"), F.explode(grams).alias("g")
-    ).select("id", F.xxhash64("g").alias("h"))
+    ).select("id", base_h.alias("h"))
 
     state = (
         exploded.groupBy("id")
         .agg(
             F.collect_set("h").alias("hs"),
-            *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)],
+            *[fam(i) for i in range(num_hashes)],
         )
         .cache()
     )
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(b),
-        ).alias(f"b{b}")
-        for b in range(num_bands)
-    ]
+    if portable:
+        band_cols = [
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias(f"b{b}")
+            for b in range(num_bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                F.lit(b),
+            ).alias(f"b{b}")
+            for b in range(num_bands)
+        ]
     banded = state.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
     if restrict_to is not None:
         # Incremental mode: only pairs TOUCHING the delta id set are

@@ -83,7 +83,7 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def winnowing_fingerprints(
-    text: Column | str, k: int = 4, window: int = 5
+    text: Column | str, k: int = 4, window: int = 5, portable: bool = False
 ) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     hash every word k-gram (the rolling-hash step — xxhash64 per
@@ -92,14 +92,35 @@ def winnowing_fingerprints(
     of ≥ k+window-1 words yields a shared fingerprint — the classic
     plagiarism/near-dup detection key set.
 
+    portable=True swaps the gram hash for the md5_bucket idiom
+    (first 8 md5 hex digits as a 32-bit value) so a SQL oracle can
+    replay the fingerprint set exactly; xxhash64 stays the
+    at-scale default (8-byte JVM hash, no hex round-trip; 64-bit
+    fingerprint space vs 32).
+
     Pure column algebra: sequence + transform for the grams, a second
     sequence + transform + array_min for the window minima,
     array_distinct for the final set. No explode, no Python."""
     toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
     n = F.size(toks)
-    gram = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
-    )
+    if portable:
+        gram = lambda i: F.conv(  # noqa: E731
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    else:
+        gram = lambda i: F.xxhash64(  # noqa: E731
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+        )
     n_grams = F.greatest(n - k + 1, F.lit(1))
     hashes = F.transform(F.sequence(F.lit(0), n_grams - 1), gram)
     n_windows = F.greatest(n_grams - window + 1, F.lit(1))

@@ -206,6 +206,8 @@ _ROUND8_PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_simhash_multitable",
     "sketch_lc_weekly_union",
+    "text_winnowing_fingerprints",
+    "dedup_minhash_lsh",
     "multimodal_feature_extract",
     "multimodal_resize",
 ]

@@ -211,22 +211,50 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_winnowing_fingerprints")  # rows-only: hash-valued output
+@query(
+    "text_winnowing_fingerprints",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(w) - 4 + 1, 1)),
+           i -> CAST(('0x' || substring(md5(
+                  concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4])), 1, 8))
+                AS BIGINT)) AS hs
+  FROM toks
+), fp AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(0, greatest(len(hs) - 5 + 1, 1)),
+             wi -> list_min(list_slice(hs, wi + 1, wi + 5))))) AS fp
+  FROM g
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY id_a, id_b
+HAVING COUNT(*) >= 3
+ORDER BY id_a, id_b
+""",
+)
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) fingerprint overlap: documents sharing
-    ≥ 3 selected fingerprints with a lower-id document — substring-
-    level near-dup detection (operators.text.winnowing_fingerprints).
-    Fingerprint sets explode → self-join on fingerprint → pair count;
-    candidate space bounded like every other block-verify op here.
+    """Winnowing (rolling-hash) fingerprint overlap, hash-attested:
+    documents sharing ≥ 3 selected fingerprints with a lower-id
+    document — substring-level near-dup detection (operators.text.
+    winnowing_fingerprints, portable=True: md5-derived 32-bit gram
+    hashes the DuckDB oracle replays exactly — grams, window minima,
+    the self-join, everything). The xxhash64 64-bit form stays the
+    at-scale default; the window-min selection property and
+    planted-overlap recovery stay tested in
+    tests/test_skew_and_text.py.
 
-    Rows-only by necessity: fingerprints are xxhash64 values (the
-    right hash at scale), which DuckDB cannot reproduce; the window-
-    min selection property and planted-overlap recovery are tested in
-    tests/test_skew_and_text.py instead."""
+    Fingerprint sets explode → self-join on fingerprint → pair count;
+    candidate space bounded like every other block-verify op here."""
     from ibd_pipeline_spark.operators.text import winnowing_fingerprints
 
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(winnowing_fingerprints("text")).alias("fp")
+        "doc_id",
+        F.explode(winnowing_fingerprints("text", portable=True)).alias("fp"),
     )
     a, b = d.alias("a"), d.alias("b")
     return (

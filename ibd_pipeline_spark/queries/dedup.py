@@ -130,20 +130,92 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # no SQL oracle: LSH banding; property-tested
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (J ≥ 0.5) via the staged 100 TB pipeline:
-    exact-dedup first (one representative per identical-text group,
-    so the quadratic stage never sees copies), then MinHash-LSH over
-    representatives — 32 hash-family signature over 3-gram shingles,
-    8 bands × 4 rows, bucket equi-join, exact-Jaccard verification of
-    bucket collisions only. See operators.dedup.minhash_candidate_pairs.
+def _mh_mins() -> str:
+    # the 32 md5-family minima of operators.dedup.minhash_candidate_
+    # pairs(portable=True): family i hashes the 32-bit shingle hash h
+    # as md5("i:h")
+    return ",\n         ".join(
+        f"MIN(CAST(('0x' || substring(md5('{i}:' || CAST(h AS VARCHAR)), 1, 8))"
+        f" AS BIGINT)) AS m{i}"
+        for i in range(32)
+    )
 
-    Rows-only by necessity: the banding scheme hashes shingles with
-    Spark's xxhash64, which DuckDB cannot reproduce — switching to an
-    oracle-friendly hash would slow the production path to make a
-    test easier. Precision/recall vs exact Jaccard is property-tested
-    in tests/test_dedup.py instead.
+
+def _mh_bands(num_bands: int = 8, rows: int = 4) -> str:
+    entries = []
+    for b in range(num_bands):
+        cols = ", ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        entries.append(f"{{'band': {b}, 'bucket': concat_ws(',', {cols})}}")
+    return ",\n           ".join(entries)
+
+
+_MINHASH_LSH_SQL = f"""
+WITH reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id, text) AS rn
+    FROM documents) t
+  WHERE rn = 1
+), toksets AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM reps
+), grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(0, len(w) - 2),
+                             i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))
+         ELSE [array_to_string(w, ' ')] END) AS g
+  FROM toksets
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h
+  FROM grams
+), state AS (
+  SELECT doc_id,
+         list_distinct(list(h)) AS hs,
+         {_mh_mins()}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id AS id,
+         unnest([{_mh_bands()}]) AS bb
+  FROM state
+), bflat AS (
+  SELECT id, bb.band AS band, bb.bucket AS bucket FROM banded
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bflat l JOIN bflat r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(len(list_intersect(a.hs, b.hs)) * 1.0
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
+               6) AS jaccard
+  FROM cand c
+  JOIN state a ON a.doc_id = c.id_a
+  JOIN state b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified
+WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_LSH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (J ≥ 0.5) via the staged 100 TB pipeline,
+    hash-attested END-TO-END: exact-dedup first (one representative
+    per identical-text group, so the quadratic stage never sees
+    copies), then MinHash-LSH over representatives — 32 md5-portable
+    hash-family signature over 3-gram shingles, 8 bands × 4 rows,
+    bucket equi-join, exact-Jaccard verification of bucket collisions
+    only. The DuckDB oracle replays the WHOLE pipeline — digest
+    staging, shingle hashes, all 32 family minima, band collisions,
+    verify — value-for-value (operators.dedup.minhash_candidate_pairs
+    portable=True; the xxhash64 form stays the at-scale default and
+    its precision/recall stays property-tested in
+    tests/test_dedup.py).
 
     Staging matters: the fixture (like real crawl corpora) is ~10×
     exact copies; LSH on raw docs wastes all its candidate budget on
@@ -154,7 +226,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("doc_id", "text")).alias("rep"))
         .select(F.col("rep.doc_id").alias("doc_id"), F.col("rep.text").alias("text"))
     )
-    pairs = D.minhash_candidate_pairs(reps, "doc_id", "text")
+    pairs = D.minhash_candidate_pairs(reps, "doc_id", "text", portable=True)
     result = pairs.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
     result._cached_state = pairs._cached_state  # keep release handle
     return result
