@@ -65,10 +65,11 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake assets: content = seeded pseudo-random bytes
-    tagged with plausible metadata. Stands in for a real
-    images/ parquet directory."""
+def asset_rows(n: int = 64, seed: int = 42) -> "list[tuple]":
+    """The deterministic fake-asset rows (pure Python, no Spark) —
+    shared by synthesize_assets and the VALUES-literal oracle
+    generators in queries/multimodal.py, which recompute the expected
+    query outputs from these same inputs in a plain driver loop."""
     rows = []
     for i in range(n):
         media = ("image", "audio", "video")[i % 3]
@@ -85,16 +86,19 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 f"synthetic://assets/{media}/{i}",
             )
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return rows
 
 
-def synthesize_image_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
-    """Deterministic REAL-PNG assets: each blob is a valid 8-bit PNG
-    (operators/png.py encoder) of a seeded gradient+hash-noise
-    pattern, cycling gray / RGB / RGBA color types so the decoder's
-    channel handling is exercised in-pipeline. Same ASSET_SCHEMA as
-    synthesize_assets; decode/resize run these with fake=False —
-    no imaging library anywhere."""
+def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake assets: content = seeded pseudo-random bytes
+    tagged with plausible metadata. Stands in for a real
+    images/ parquet directory."""
+    return spark.createDataFrame(asset_rows(n, seed), ASSET_SCHEMA)
+
+
+def image_asset_rows(n: int = 48, seed: int = 42) -> "list[tuple]":
+    """Pure-Python REAL-PNG asset rows — shared by
+    synthesize_image_assets and the VALUES oracle generators."""
     from ibd_pipeline_spark.operators import png as P
 
     rows = []
@@ -128,7 +132,17 @@ def synthesize_image_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
                 f"synthetic://assets/png/{i}",
             )
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return rows
+
+
+def synthesize_image_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-PNG assets: each blob is a valid 8-bit PNG
+    (operators/png.py encoder) of a seeded gradient+hash-noise
+    pattern, cycling gray / RGB / RGBA color types so the decoder's
+    channel handling is exercised in-pipeline. Same ASSET_SCHEMA as
+    synthesize_assets; decode/resize run these with fake=False —
+    no imaging library anywhere."""
+    return spark.createDataFrame(image_asset_rows(n, seed), ASSET_SCHEMA)
 
 
 def _pil():
@@ -488,8 +502,9 @@ def parse_mp4_meta(content: bytes) -> dict:
     }
 
 
-def synthesize_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Asset table (ASSET_SCHEMA) of structurally valid MP4 blobs."""
+def video_asset_rows(n: int = 24, seed: int = 42) -> "list[tuple]":
+    """Pure-Python MP4 asset rows — shared by synthesize_video_assets
+    and the VALUES oracle generators."""
     rows = []
     for i in range(n):
         blob, duration_ms = synthesize_mp4(i, seed)
@@ -505,7 +520,12 @@ def synthesize_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 f"synthetic://assets/video/{i}.mp4",
             )
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return rows
+
+
+def synthesize_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Asset table (ASSET_SCHEMA) of structurally valid MP4 blobs."""
+    return spark.createDataFrame(video_asset_rows(n, seed), ASSET_SCHEMA)
 
 
 def extract_video_metadata(assets: DataFrame) -> DataFrame:
@@ -575,8 +595,9 @@ def synthesize_wav(
     return buf.getvalue(), duration_ms
 
 
-def synthesize_audio_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
-    """Asset table (ASSET_SCHEMA) of real WAV blobs."""
+def audio_asset_rows(n: int = 48, seed: int = 42) -> "list[tuple]":
+    """Pure-Python WAV asset rows — shared by synthesize_audio_assets
+    and the VALUES oracle generators."""
     rows = []
     for i in range(n):
         blob, duration_ms = synthesize_wav(i, seed)
@@ -592,7 +613,12 @@ def synthesize_audio_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
                 f"synthetic://assets/audio/{i}.wav",
             )
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return rows
+
+
+def synthesize_audio_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Asset table (ASSET_SCHEMA) of real WAV blobs."""
+    return spark.createDataFrame(audio_asset_rows(n, seed), ASSET_SCHEMA)
 
 
 def decode_audio(content: bytes) -> dict:

@@ -88,8 +88,16 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
     return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(28,8))), {scale}) AS DOUBLE)"
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and optionally its DuckDB oracle SQL)."""
+def query(
+    name: str, oracle: "str | Callable[[], str] | None" = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle SQL).
+
+    `oracle` may be a zero-arg callable returning the SQL — resolved
+    lazily (and cached) on the first all_oracles() call. Used by the
+    VALUES-literal oracles whose expected rows take real compute to
+    generate (e.g. the pure-Python PNG decode twin): import stays
+    fast; only oracle consumers pay."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
@@ -208,8 +216,13 @@ _ROUND8_PRIORITY: list[str] = [
     "sketch_lc_weekly_union",
     "text_winnowing_fingerprints",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
     "multimodal_feature_extract",
     "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_video_metadata",
+    "multimodal_audio_features",
+    "multimodal_metadata_profile",
 ]
 
 _DRIVER_PRIORITY: list[str] = [
@@ -426,7 +439,16 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {n: _ORACLES[n] for n in _driver_order(list(_QUERIES)) if n in _ORACLES}
+    out: dict[str, str] = {}
+    for n in _driver_order(list(_QUERIES)):
+        if n not in _ORACLES:
+            continue
+        o = _ORACLES[n]
+        if callable(o):
+            o = o()
+            _ORACLES[n] = o  # resolve once, cache for the session
+        out[n] = o
+    return out
 
 
 _LOADED = False

@@ -1,10 +1,12 @@
 """Deduplication queries over `documents` (north-star set).
 
-Exact and unigram-Jaccard dedup are oracle-checked (DuckDB list
-functions express the same set algebra). MinHash-LSH and SimHash are
-registered without oracles — banding/blocking isn't ANSI-SQL — and
-carry property tests in tests/test_dedup.py instead (precision vs
-exact Jaccard, identical-doc invariants).
+Every family here is oracle-checked: exact and unigram-Jaccard via
+DuckDB's list set-algebra, and the MinHash-LSH / SimHash pipelines
+via md5-PORTABLE hashing (operators/dedup.py portable modes — the
+first-8-md5-hex-digits idiom) so DuckDB replays signatures, band
+collisions, and the verify stage value-for-value. The xxhash64
+forms stay the at-scale defaults, with precision-vs-exact-Jaccard
+and planted-flip recovery property-tested in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -151,17 +153,14 @@ def _mh_bands(num_bands: int = 8, rows: int = 4) -> str:
     return ",\n           ".join(entries)
 
 
-_MINHASH_LSH_SQL = f"""
-WITH reps AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           ROW_NUMBER() OVER (
-             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-             ORDER BY doc_id, text) AS rn
-    FROM documents) t
-  WHERE rn = 1
-), toksets AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM reps
+def _minhash_sql(source: str, pair_where: str, threshold: str) -> str:
+    """The md5-portable MinHash-LSH pipeline as SQL, parameterized by
+    the input CTE (`source` must define `src(doc_id, text)`), an
+    extra candidate-pair predicate, and the Jaccard threshold —
+    shared by the full and the incremental (Δ⋈all) query oracles."""
+    return f"""
+WITH {source}, toksets AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM src
 ), grams AS (
   SELECT doc_id, unnest(
     CASE WHEN len(w) >= 3
@@ -187,6 +186,7 @@ WITH reps AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM bflat l JOIN bflat r
     ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+  {pair_where}
 ), verified AS (
   SELECT c.id_a, c.id_b,
          ROUND(len(list_intersect(a.hs, b.hs)) * 1.0
@@ -197,12 +197,24 @@ WITH reps AS (
   JOIN state b ON b.doc_id = c.id_b
 )
 SELECT id_a, id_b, jaccard FROM verified
-WHERE jaccard >= 0.5
+WHERE jaccard >= {threshold}
 ORDER BY id_a, id_b
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_LSH_SQL)
+
+_REPS_SRC = """reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id, text) AS rn
+    FROM documents) t
+  WHERE rn = 1
+), src AS (SELECT doc_id, text FROM reps)"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_sql(_REPS_SRC, "", "0.5"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (J ≥ 0.5) via the staged 100 TB pipeline,
     hash-attested END-TO-END: exact-dedup first (one representative
@@ -527,17 +539,26 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_incremental_lsh")
+@query(
+    "dedup_incremental_lsh",
+    oracle=_minhash_sql(
+        "src AS (SELECT doc_id, text FROM documents)",
+        "WHERE l.id % 5 = 0 OR r.id % 5 = 0",
+        "0.6",
+    ),
+)
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup candidate generation: 20% of the corpus
-    (doc_id % 5 == 0) arrives as an insert delta, and the band join
-    runs in Δ⋈all mode — base×base pairs, already materialized by the
-    previous run, are never re-enumerated
+    """Incremental near-dup candidate generation, hash-attested: 20%
+    of the corpus (doc_id % 5 == 0) arrives as an insert delta, and
+    the band join runs in Δ⋈all mode — base×base pairs, already
+    materialized by the previous run, are never re-enumerated
     (operators/dedup.py:minhash_candidate_pairs restrict_to). This is
     the LSH face of insert-only incremental view maintenance: daily
-    dedup cost scales with the delta, not the corpus. Rows-only (LSH
-    banding); the exact identity pairs(all) = pairs(base) ∪
-    pairs(Δ-touching) is property-tested in tests/test_dedup.py.
+    dedup cost scales with the delta, not the corpus. With the
+    md5-portable signature mode the DuckDB oracle replays the full
+    Δ-touching pipeline (the Δ membership reduces to a pair
+    predicate in SQL); the exact identity pairs(all) = pairs(base) ∪
+    pairs(Δ-touching) stays property-tested in tests/test_dedup.py.
 
     Output: the Δ-touching verified pairs (id_a, id_b, jaccard ≥ 0.6)
     — what a production run would append to the pair store before
@@ -550,7 +571,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     delta = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
-    cand = minhash_candidate_pairs(docs, restrict_to=delta)
+    cand = minhash_candidate_pairs(docs, restrict_to=delta, portable=True)
     out = (
         cand.filter(F.col("jaccard") >= 0.6)
         .orderBy("id_a", "id_b")

@@ -1,11 +1,25 @@
 """Registry entries for multimodal binary-column processing.
 
 Assets are synthesized deterministically (no media tables in the
-fixtures); rows-only checks — the unit tests assert determinism and
-batch-shape properties.
+fixtures), so there is no shared parquet relation for a SQL oracle to
+scan — instead, most queries here carry a VALUES-LITERAL oracle (the
+weather_sim_golden precedent): the expected output is recomputed from
+the same deterministic asset rows by a plain single-process Python
+loop (no Spark, no Arrow, no partitioning) and rendered as a VALUES
+table for DuckDB. The attested property is exactly the one a
+distributed engine can get wrong — that the mapInPandas batching,
+partitioning, and schema plumbing reproduce the straight-line
+computation bit-for-bit. Codec correctness itself is property-tested
+separately (tests/test_png.py, test_multimodal.py).
+
+Oracles are registered as LAZY callables — generating the resize
+expectation re-encodes 48 images in pure Python, which should not tax
+plain registry imports.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -14,7 +28,195 @@ from ibd_pipeline_spark.operators import multimodal as M
 from ibd_pipeline_spark.queries import query
 
 
-@query("multimodal_feature_extract")  # rows-only: synthesized binary assets
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _values_oracle(rows, cols, order_by: str) -> str:
+    """Render expected rows as a typed VALUES table. `cols` is
+    [(name, duckdb_type)] matching the Spark schema (the driver
+    checks dtypes as well as values)."""
+    vals = ",\n  ".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
+    )
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    names = ", ".join(n for n, _ in cols)
+    return (
+        f"SELECT {sel} FROM (VALUES\n  {vals}\n) AS t({names}) "
+        f"ORDER BY {order_by}"
+    )
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's round() on a double: HALF_UP on the shortest decimal
+    repr (java.math.BigDecimal.valueOf semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _feature_extract_expected() -> str:
+    rows = []
+    for i, media, blob, _nb, *_ in M.image_asset_rows(48):
+        b = bytes(blob)
+        d = M.decode_image(b, fake=False)
+        rows.append(
+            (
+                i,
+                media,
+                hashlib.sha256(b).hexdigest(),
+                len(b),
+                f"{d['mean_luma']:.6f}",
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("media_type", "VARCHAR"),
+            ("content_sha256", "VARCHAR"),
+            ("content_bytes", "BIGINT"),
+            ("feat_mean", "VARCHAR"),
+        ],
+        "asset_id",
+    )
+
+
+def _resize_expected() -> str:
+    from ibd_pipeline_spark.operators import png as P
+
+    rows = []
+    for i, _media, blob, *_ in M.image_asset_rows(48):
+        w, h, gray = P.decode_png_gray(bytes(blob))
+        out = P.encode_png_gray(224, 224, P.resize_nearest(gray, w, h, 224, 224))
+        rows.append((i, 224, 224, len(out)))
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("width", "INT"),
+            ("height", "INT"),
+            ("n_bytes", "INT"),
+        ],
+        "asset_id",
+    )
+
+
+def _frame_sample_expected() -> str:
+    rows = []
+    for i, media, blob, _nb, _w, _h, duration_ms, _u in M.asset_rows(64):
+        if media != "video":
+            continue
+        for idx in range(max(1, duration_ms // 1000)):
+            frame = hashlib.sha256(
+                bytes(blob) + idx.to_bytes(4, "little")
+            ).digest()
+            rows.append((i, idx, idx * 1000, len(frame)))
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("frame_index", "INT"),
+            ("frame_ts_ms", "INT"),
+            ("n_bytes", "INT"),
+        ],
+        "asset_id, frame_index",
+    )
+
+
+def _video_metadata_expected() -> str:
+    rows = []
+    for i, _media, blob, *_ in M.video_asset_rows(24):
+        meta = M.parse_mp4_meta(bytes(blob))
+        rows.append(
+            (
+                i,
+                meta["major_brand"],
+                meta["timescale"],
+                meta["duration_ms"],
+                meta["n_boxes"],
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("major_brand", "VARCHAR"),
+            ("timescale", "INT"),
+            ("duration_ms", "INT"),
+            ("n_boxes", "INT"),
+        ],
+        "asset_id",
+    )
+
+
+def _audio_features_expected() -> str:
+    rows = []
+    for i, _media, blob, *_ in M.audio_asset_rows(48):
+        d = M.decode_audio(bytes(blob))
+        rows.append(
+            (
+                i,
+                d["sample_rate"],
+                d["n_channels"],
+                d["n_frames"],
+                d["duration_ms"],
+                d["rms"],
+                d["peak"],
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("sample_rate", "INT"),
+            ("n_channels", "INT"),
+            ("n_frames", "INT"),
+            ("duration_ms", "INT"),
+            ("rms", "VARCHAR"),
+            ("peak", "INT"),
+        ],
+        "asset_id",
+    )
+
+
+def _metadata_profile_expected() -> str:
+    groups: dict = {}
+    for _i, media, _b, nb, w, _h, dur, _u in M.asset_rows(64):
+        g = groups.setdefault(media, {"n": 0, "bytes": [], "w": [], "dur": []})
+        g["n"] += 1
+        g["bytes"].append(nb)
+        if w is not None:
+            g["w"].append(w)
+        if dur is not None:
+            g["dur"].append(dur)
+
+    def avg4(xs):
+        return _round_half_up(sum(xs) / len(xs), 4) if xs else None
+
+    rows = [
+        (m, g["n"], avg4(g["bytes"]), avg4(g["w"]), avg4(g["dur"]))
+        for m, g in sorted(groups.items())
+    ]
+    return _values_oracle(
+        rows,
+        [
+            ("media_type", "VARCHAR"),
+            ("n_assets", "BIGINT"),
+            ("avg_bytes", "DOUBLE"),
+            ("avg_width", "DOUBLE"),
+            ("avg_duration_ms", "DOUBLE"),
+        ],
+        "media_type",
+    )
+
+
+@query("multimodal_feature_extract", oracle=_feature_extract_expected)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
     content columns — REAL decode: assets are valid PNGs
@@ -27,7 +229,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(assets, fake_decode=False).orderBy("asset_id")
 
 
-@query("multimodal_resize")  # rows-only: synthesized binary assets
+@query("multimodal_resize", oracle=_resize_expected)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize pass, REAL: stdlib PNG decode → nearest-neighbor
     resample → grayscale PNG re-encode per blob (operators/png.py)
@@ -41,7 +243,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: synthesized binary assets
+@query("multimodal_frame_sample", oracle=_frame_sample_expected)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (1 video row → N frame rows, extraction
     stubbed): the row-explosion contract of media preprocessing with
@@ -54,7 +256,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_video_metadata")  # rows-only: synthesized binary assets
+@query("multimodal_video_metadata", oracle=_video_metadata_expected)
 def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ISO-BMFF container parsing over Arrow batches: walk the
     MP4 box framing, decode mvhd timescale/duration — no media
@@ -64,7 +266,7 @@ def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_video_metadata(assets).orderBy("asset_id")
 
 
-@query("multimodal_audio_features")  # rows-only: synthesized binary assets
+@query("multimodal_audio_features", oracle=_audio_features_expected)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode over Arrow batches: valid RIFF/WAV blobs
     (stdlib wave codec — nothing stubbed) → sample-rate / duration /
@@ -74,7 +276,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_audio_features(assets).orderBy("asset_id")
 
 
-@query("multimodal_metadata_profile")  # rows-only: synthesized binary assets
+@query("multimodal_metadata_profile", oracle=_metadata_profile_expected)
 def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only profile over the asset table — the
     column-pruned path that never reads blob bytes. Rows-only like
