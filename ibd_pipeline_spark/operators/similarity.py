@@ -328,6 +328,28 @@ def ivf_topk(
     )
 
 
+def axis_sign_bucket_tables(
+    vec_col: Column, n_tables: int = 8, bits_per_table: int = 6, stride: int = 8
+) -> Column:
+    """Engine-PORTABLE multi-table sign-LSH: table t's hyperplanes
+    are the coordinate axes at dims {t, t+stride, t+2·stride, …} —
+    bucket bit j is simply sign(v[t + j·stride]). Valid sign-LSH for
+    CENTERED embeddings (each axis splits ~50/50); less uniform than
+    random Gaussian hyperplanes (the pandas-UDF default) but exactly
+    replayable as plain SQL CASE expressions, which makes the whole
+    block→verify pipeline oracle-checkable. Pure codegen column
+    algebra — no Python, no hyperplane state at all."""
+    keys = []
+    for t in range(n_tables):
+        b: Column = F.lit(0)
+        for j in range(bits_per_table):
+            b = b + F.when(
+                F.element_at(vec_col, t + stride * j + 1) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        keys.append((F.lit(t) * F.lit(1 << 32) + b).cast("long"))
+    return F.array(*keys)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -336,11 +358,18 @@ def cosine_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via
     multi-table sign-LSH blocking + exact verification — the
     embedding-space sibling of MinHash text dedup (semantic dups that
     share no n-grams).
+
+    portable=True blocks on axis-aligned sign bits
+    (axis_sign_bucket_tables) instead of the numpy random-hyperplane
+    pandas UDF, making every stage SQL-replayable; the random
+    hyperplanes stay the default (better bucket uniformity on
+    adversarial data).
 
     Scale: identical shape to minhash_candidate_pairs — bucket
     equi-join candidates, exact cosine only within buckets. At high
@@ -354,9 +383,12 @@ def cosine_near_dup_pairs(
     if _estimated_scan_splits(vectors) < par:
         vectors = vectors.repartition(par)
     v = vectors.select(F.col(id_col).alias("id"), as_double_array(vec).alias("v"))
-    keyed = v.withColumn(
-        "bkey", F.explode(lsh_bucket_tables(F.col("v"), dim, n_tables, bits_per_table))
-    ).select("id", "bkey")
+    buckets = (
+        axis_sign_bucket_tables(F.col("v"), n_tables, bits_per_table)
+        if portable
+        else lsh_bucket_tables(F.col("v"), dim, n_tables, bits_per_table)
+    )
+    keyed = v.withColumn("bkey", F.explode(buckets)).select("id", "bkey")
     l, r = keyed.alias("l"), keyed.alias("r")
     pairs = (
         l.join(r, (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.id") < F.col("r.id")))

@@ -153,11 +153,10 @@ def _mh_bands(num_bands: int = 8, rows: int = 4) -> str:
     return ",\n           ".join(entries)
 
 
-def _minhash_sql(source: str, pair_where: str, threshold: str) -> str:
-    """The md5-portable MinHash-LSH pipeline as SQL, parameterized by
-    the input CTE (`source` must define `src(doc_id, text)`), an
-    extra candidate-pair predicate, and the Jaccard threshold —
-    shared by the full and the incremental (Δ⋈all) query oracles."""
+def _mh_cte(source: str, pair_where: str = "") -> str:
+    """The md5-portable MinHash-LSH pipeline as a WITH-chain ending
+    in `verified(id_a, id_b, jaccard)`; `source` must define
+    `src(doc_id, text)`. Shared by every MinHash-backed oracle."""
     return f"""
 WITH {source}, toksets AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM src
@@ -195,11 +194,20 @@ WITH {source}, toksets AS (
   FROM cand c
   JOIN state a ON a.doc_id = c.id_a
   JOIN state b ON b.doc_id = c.id_b
-)
+)"""
+
+
+def _minhash_sql(source: str, pair_where: str, threshold: str) -> str:
+    """Complete pair-listing statement over _mh_cte — the full and
+    incremental (Δ⋈all) query oracles."""
+    return (
+        _mh_cte(source, pair_where)
+        + f"""
 SELECT id_a, id_b, jaccard FROM verified
 WHERE jaccard >= {threshold}
 ORDER BY id_a, id_b
 """
+    )
 
 
 
@@ -489,7 +497,82 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("dedup_label_propagation")
+def _label_prop_oracle() -> str:
+    """operators/graph.py:label_propagation unrolled to SQL: 5 rounds
+    of neighbor-majority voting (argmax by ROW_NUMBER over cnt DESC,
+    label — the min(struct(-cnt, label)) tie rule), over the
+    md5-portable MinHash pair graph. The loop's early exit compares
+    the (v, lbl) state at truncation rounds 2 and 4 and returns the
+    ROUND-4 state when they match (a fixpoint — or, in principle, a
+    period-2 cycle) — reproduced exactly with an EXCEPT-based
+    equality gate selecting state4 vs state5. The state CTEs are
+    MATERIALIZED: each round references its predecessor twice (votes
+    join + carry-forward LEFT JOIN), so letting DuckDB inline them
+    doubles the plan per round — 2^5 copies of the whole MinHash
+    pipeline, minutes instead of seconds."""
+    rounds = []
+    for k in range(1, 6):
+        prev = f"s{k - 1}"
+        rounds.append(f"""votes{k} AS (
+  SELECT e.a AS v, s.lbl AS nl, COUNT(*) AS cnt
+  FROM sym e JOIN {prev} s ON s.v = e.b
+  WHERE s.lbl IS NOT NULL
+  GROUP BY e.a, s.lbl
+), best{k} AS (
+  SELECT v, nl AS new_lbl FROM (
+    SELECT v, nl,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, nl) AS rn
+    FROM votes{k}) x WHERE rn = 1
+), s{k} AS MATERIALIZED (
+  SELECT s.v,
+         CASE WHEN s.is_seed THEN s.lbl
+              ELSE COALESCE(b.new_lbl, s.lbl) END AS lbl,
+         s.is_seed
+  FROM {prev} s LEFT JOIN best{k} b ON b.v = s.v
+)""")
+    chain = ",\n".join(rounds)
+    return (
+        _mh_cte("src AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)")
+        + f""",
+jpairs AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6
+), sym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL SELECT id_b, id_a FROM jpairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM sym
+), seeds AS (
+  SELECT doc_id AS v, source AS lbl FROM documents
+  WHERE doc_id < 150 AND doc_id % 3 = 0
+), s0 AS MATERIALIZED (
+  SELECT vt.v, sd.lbl, sd.lbl IS NOT NULL AS is_seed
+  FROM verts vt LEFT JOIN seeds sd ON sd.v = vt.v
+  UNION ALL
+  SELECT sd.v, sd.lbl, TRUE AS is_seed
+  FROM seeds sd LEFT JOIN verts vt ON vt.v = sd.v WHERE vt.v IS NULL
+),
+{chain},
+diff24 AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT v, lbl FROM s4 EXCEPT SELECT v, lbl FROM s2) x
+), final AS (
+  SELECT * FROM s4 WHERE (SELECT n FROM diff24) = 0
+  UNION ALL
+  SELECT * FROM s5 WHERE (SELECT n FROM diff24) > 0
+), truth AS (
+  SELECT doc_id AS v, source FROM documents WHERE doc_id < 150
+)
+SELECT f.lbl AS label, f.is_seed,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN f.lbl = t.source THEN 1 END) AS BIGINT) AS n_agree
+FROM final f JOIN truth t ON t.v = f.v
+GROUP BY f.lbl, f.is_seed
+ORDER BY label NULLS FIRST, is_seed
+"""
+    )
+
+
+@query("dedup_label_propagation", oracle=_label_prop_oracle)
 def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised source attribution over the near-dup graph:
     seed every doc whose id is divisible by 3 with its `source` label,
@@ -499,9 +582,11 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNLABELED crawl shard inherits provenance/license labels from the
     near-duplicate copies that ARE labeled.
 
-    Rows-only (iterative fixpoint, kmeans/pagerank class); seed
-    stability, two-clique separation, and tie determinism are
-    property-tested in tests/test_graph.py. Output: per reached
+    Hash-attested: every step is exact integer/string algebra, so
+    the 5 voting rounds (and the loop's state4-vs-state2 early-exit
+    gate) unroll to a DuckDB oracle over the md5-portable pair graph
+    (_label_prop_oracle); seed stability, two-clique separation, and
+    tie determinism stay property-tested in tests/test_graph.py. Output: per reached
     vertex, the inferred label and whether it was a seed, plus the
     doc's true source for an agreement readout — aggregated to
     (label, is_seed, n_docs, n_agree) so the record is compact and
@@ -517,7 +602,7 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     pairs = (
-        minhash_candidate_pairs(d)
+        minhash_candidate_pairs(d, portable=True)
         .filter(F.col("jaccard") >= 0.6)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

@@ -444,7 +444,92 @@ def text_repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_dup_prune")  # rows-only: LSH banding is engine-specific
+def _near_dup_prune_oracle() -> str:
+    """The complete pruning pipeline in SQL: md5-portable MinHash
+    stages (shared builders from queries.dedup) + recursive-CTE
+    connected components (the dedup_cluster_components precedent) +
+    survivor accounting."""
+    from ibd_pipeline_spark.queries.dedup import _mh_bands, _mh_mins
+
+    return f"""
+WITH RECURSIVE reps0 AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id, text, source) AS rn
+    FROM documents) t
+  WHERE rn = 1
+), toksets AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM reps0
+), grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(0, len(w) - 2),
+                             i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))
+         ELSE [array_to_string(w, ' ')] END) AS g
+  FROM toksets
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h
+  FROM grams
+), state AS (
+  SELECT doc_id,
+         list_distinct(list(h)) AS hs,
+         {_mh_mins()}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id AS id, unnest([{_mh_bands()}]) AS bb FROM state
+), bflat AS (
+  SELECT id, bb.band AS band, bb.bucket AS bucket FROM banded
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bflat l JOIN bflat r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+), jpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN state a ON a.doc_id = c.id_a
+  JOIN state b ON b.doc_id = c.id_b
+  WHERE ROUND(len(list_intersect(a.hs, b.hs)) * 1.0
+              / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
+              6) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION SELECT id_b, id_a FROM jpairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT v.a AS vertex, LEAST(v.a, MIN(r.b)) AS component
+  FROM (SELECT DISTINCT a FROM edges) v
+  LEFT JOIN reach r ON r.a = v.a
+  GROUP BY v.a
+), keepers AS (
+  SELECT MIN(vertex) AS doc_id FROM comp GROUP BY component
+), survivors AS (
+  SELECT r.doc_id, r.source FROM reps0 r
+  LEFT JOIN comp c ON r.doc_id = c.vertex
+  WHERE c.vertex IS NULL
+  UNION ALL
+  SELECT r.doc_id, r.source FROM reps0 r JOIN keepers k ON r.doc_id = k.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(e.n_after_exact AS BIGINT) AS n_after_exact,
+       CAST(s.n_after_near AS BIGINT) AS n_after_near,
+       CAST(s.n_after_near AS DOUBLE) * 100.0 / COUNT(*) AS pct_kept
+FROM documents d
+JOIN (SELECT source, COUNT(*) AS n_after_exact FROM reps0 GROUP BY source) e
+  ON e.source = d.source
+JOIN (SELECT source, COUNT(*) AS n_after_near FROM survivors GROUP BY source) s
+  ON s.source = d.source
+GROUP BY d.source, e.n_after_exact, s.n_after_near
+ORDER BY d.source
+"""
+
+
+@query("dedup_near_dup_prune", oracle=_near_dup_prune_oracle)
 def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE near-dup removal pipeline as one plan: exact-dedup
     representatives → MinHash-LSH candidate pairs (J ≥ 0.5) →
@@ -457,10 +542,11 @@ def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every stage is the attested scale shape — digest agg,
     banded bucket join (never all-pairs), edge-set label propagation
     (rounds = cluster diameter, checkpointed), broadcast-joinable
-    survivor set. Rows-only because the banding hash (xxhash64) has
-    no DuckDB twin; the stage outputs are individually oracle- or
-    property-attested (dedup_exact r01, minhash recall tests,
-    dedup_cluster_components r01).
+    survivor set. Hash-attested END-TO-END: the md5-portable MinHash
+    mode + a recursive-CTE connected-components oracle replay the
+    whole pipeline in DuckDB (the xxhash64 banding stays the
+    operator default; stage-level evidence remains from dedup_exact
+    r01, minhash recall tests, dedup_cluster_components r01).
 
     Returns (source, n_docs, n_after_exact, n_after_near, pct_kept).
     """
@@ -480,7 +566,7 @@ def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = reps.localCheckpoint(eager=True)  # reused by pairs + survivors
     try:
-        cand = D.minhash_candidate_pairs(reps, "doc_id", "text")
+        cand = D.minhash_candidate_pairs(reps, "doc_id", "text", portable=True)
         pairs = cand.filter(F.col("jaccard") >= 0.5).select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
@@ -517,9 +603,11 @@ def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_docs",
                 "n_after_exact",
                 "n_after_near",
-                F.round(
-                    F.col("n_after_near") / F.col("n_docs") * 100, 2
-                ).alias("pct_kept"),
+                # exact-IEEE form (int→double cast, ×100, one division)
+                # — both engines produce the identical double, so no
+                # rounding (and no HALF_UP-vs-binary divergence) at all
+                (F.col("n_after_near").cast("double") * 100.0 / F.col("n_docs"))
+                .alias("pct_kept"),
             )
             .orderBy("source")
         )

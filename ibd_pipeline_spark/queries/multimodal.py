@@ -295,16 +295,51 @@ def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_phash_near_dup")
+def _phash_near_dup_expected() -> str:
+    """Pure-Python twin of the whole phash query: plant the same
+    3-byte-flip near-copies, compute fake aHash signatures, run the
+    two-table (hi/lo 16-bit slice) blocked Hamming search in a plain
+    nested loop, and render the surviving pairs as VALUES."""
+    mask64 = (1 << 64) - 1
+    sigs: dict[int, int] = {}
+    for i, _media, blob, *_ in M.asset_rows(48):
+        base_id = i * 2
+        b = bytes(blob)
+        sigs[base_id] = M.ahash64(b, fake=True) & mask64
+        pb = bytearray(b)
+        for k in range(3):
+            pos = (base_id * 131 + k * 977) % len(pb)
+            pb[pos] ^= 0xFF
+        sigs[base_id + 1] = M.ahash64(bytes(pb), fake=True) & mask64
+    ids = sorted(sigs)
+    rows = []
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            sa, sb = sigs[a], sigs[b]
+            if (sa >> 48) != (sb >> 48) and (sa & 0xFFFF) != (sb & 0xFFFF):
+                continue
+            h = bin(sa ^ sb).count("1")
+            if h <= 8:
+                rows.append((a, b, h))
+    return _values_oracle(
+        rows,
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INT")],
+        "id_a, id_b",
+    )
+
+
+@query("multimodal_phash_near_dup", oracle=_phash_near_dup_expected)
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual (aHash) near-duplicate detection over binary image
-    content: every synthesized asset gets a planted near-copy (three
-    deterministic byte flips — the re-encode/watermark stand-in), and
-    the prefix-blocked Hamming pair search must recover exactly the
-    planted pairs. Output: (id_a, id_b, hamming) per recovered pair —
-    rows-only (the signature comes from an Arrow mapInPandas decode
-    stage; locality + recovery are property-tested in
-    tests/test_multimodal.py).
+    content, hash-attested: every synthesized asset gets a planted
+    near-copy (three deterministic byte flips — the re-encode/
+    watermark stand-in), and the prefix-blocked Hamming pair search
+    must recover exactly the planted pairs. Output: (id_a, id_b,
+    hamming) per recovered pair, compared against a VALUES oracle
+    computed by a plain nested-loop Python twin of the same
+    signature/blocking/verify math (locality + recovery stay
+    property-tested in tests/test_multimodal.py).
 
     This is the IMAGE twin of the text near-dup family: content
     digests (dedup_exact) break on a single changed byte; aHash's

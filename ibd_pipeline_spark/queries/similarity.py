@@ -97,13 +97,54 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
 
 
-@query("dedup_embedding_cosine")  # approximate blocking: no oracle, tested
+def _axis_bucket_sql(t: int, bits: int = 6, stride: int = 8) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN v[{t + stride * j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"({t} * 4294967296 + {terms})"
+
+
+def _seq_dot(a: str, b: str, dim: int = 64) -> str:
+    """Element-order left-associated dot product — the same addition
+    order as Spark's F.aggregate fold, so the doubles are
+    bit-identical across engines."""
+    return " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(dim))
+
+
+_EMB_COSINE_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), keyed AS (
+  SELECT id, unnest([{", ".join(_axis_bucket_sql(t) for t in range(8))}]) AS bkey
+  FROM v
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM keyed l JOIN keyed r ON l.bkey = r.bkey AND l.id < r.id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(({_seq_dot("a.v", "b.v")})
+               / (sqrt({_seq_dot("a.v", "a.v")})
+                  * sqrt({_seq_dot("b.v", "b.v")})), 6) AS cosine_sim
+  FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b
+)
+SELECT id_a, id_b, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_COSINE_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate candidates via sign-LSH
-    blocking + exact verification — semantic dedup for documents that
-    share meaning but not n-grams (operators.similarity.
-    cosine_near_dup_pairs; planted-pair recovery tested in
-    tests/test_similarity.py).
+    blocking + exact verification, hash-attested: the portable mode
+    blocks on axis-aligned sign bits (8 tables × 6 dims — valid
+    sign-LSH for centered embeddings, and plain CASE algebra DuckDB
+    replays exactly; the oracle's dot products are written in the
+    same left-associated element order as the Spark fold, so the
+    doubles match bit-for-bit). Random-hyperplane blocking stays the
+    operator default, planted-pair recovery property-tested in
+    tests/test_similarity.py.
 
     The fixture corpus has no true semantic dups (max pairwise cosine
     ≈0.5), so rather than a high threshold that returns an empty
@@ -111,7 +152,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same block→verify→rank machinery with checkable output."""
     emb = load(spark, sf_dir, "embeddings")
     return (
-        S.cosine_near_dup_pairs(emb, threshold=-1.0)
+        S.cosine_near_dup_pairs(emb, threshold=-1.0, portable=True)
         .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
         .limit(20)
     )
