@@ -443,7 +443,62 @@ def analytics_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("events_markov_stationary")
+def _markov_stationary_oracle() -> str:
+    """operators/graph.py:markov_stationary unrolled to SQL: the
+    transition matrix is exact integer-count ratios (the attested
+    events_transition_matrix bigram construction), and 16 fixed
+    power-iteration rounds — flow = Σ π(s)·w(s,d) plus the
+    absorbing-state mass hold — are emitted as MATERIALIZED CTEs
+    (each round reads its predecessor twice; inlining would double
+    the plan per round, the label-prop lesson). The operator's
+    1e-12 early exit needs no mirroring: once it fires, further
+    rounds move π by < 1e-12, far inside the 6-dp output rounding,
+    so a full 16-round unroll lands on the same rounded values."""
+    rounds = []
+    for k in range(1, 17):
+        prev = f"p{k - 1}"
+        rounds.append(f"""p{k} AS MATERIALIZED (
+  SELECT state, SUM(p) AS p FROM (
+    SELECT t.d AS state, SUM(pp.p * t.w) AS p
+    FROM {prev} pp JOIN trans t ON t.s = pp.state
+    GROUP BY t.d
+    UNION ALL
+    SELECT pp.state, pp.p FROM {prev} pp
+    LEFT JOIN states st ON st.s = pp.state WHERE st.s IS NULL
+  ) u GROUP BY state
+)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), trans AS MATERIALIZED (
+  SELECT event_type AS s, next_type AS d,
+         COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS w
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), states AS MATERIALIZED (
+  SELECT DISTINCT s FROM trans
+), p0 AS MATERIALIZED (
+  SELECT s AS state, 1.0 / (SELECT COUNT(*) FROM states) AS p FROM states
+),
+{chain},
+visits AS (
+  SELECT event_type AS state, COUNT(*) AS n_visits FROM events
+  GROUP BY event_type
+), tot AS (
+  SELECT COUNT(*) * 1.0 AS tv FROM events
+)
+SELECT pi.state, ROUND(pi.p, 6) AS stationary_p,
+       ROUND(v.n_visits / t.tv, 6) AS raw_share
+FROM p16 pi JOIN visits v ON v.state = pi.state CROSS JOIN tot t
+ORDER BY pi.state
+"""
+
+
+@query("events_markov_stationary", oracle=_markov_stationary_oracle)
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-run behavioral mix: the stationary distribution of the
     per-user event-type transition chain — where user sessions spend
@@ -453,9 +508,12 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the power-iteration fixpoint (operators/graph.py:
     markov_stationary, 16 rounds).
 
-    Rows-only (iterative fixpoint); conservation (Σπ = 1), fixpoint
-    residual, and uniform-chain recovery are property-tested in
-    tests/test_graph.py. Output probabilities are rounded for a
+    Hash-attested: the transition matrix is exact integer-count
+    ratios and the 16 power-iteration rounds unroll to a DuckDB
+    oracle (_markov_stationary_oracle — the label-prop precedent);
+    conservation (Σπ = 1), fixpoint residual, and uniform-chain
+    recovery stay property-tested in tests/test_graph.py. Output
+    probabilities are rounded for a
     stable record; alongside each state's raw visit share for
     comparison — the stationary mix differs from raw frequency
     exactly when transition structure matters.

@@ -153,12 +153,14 @@ def _mh_bands(num_bands: int = 8, rows: int = 4) -> str:
     return ",\n           ".join(entries)
 
 
-def _mh_cte(source: str, pair_where: str = "") -> str:
+def _mh_cte(source: str, pair_where: str = "", recursive: bool = False) -> str:
     """The md5-portable MinHash-LSH pipeline as a WITH-chain ending
     in `verified(id_a, id_b, jaccard)`; `source` must define
-    `src(doc_id, text)`. Shared by every MinHash-backed oracle."""
+    `src(doc_id, text)`. Shared by every MinHash-backed oracle.
+    recursive=True emits WITH RECURSIVE so callers can append
+    recursive CTEs (connected components) to the chain."""
     return f"""
-WITH {source}, toksets AS (
+WITH {"RECURSIVE " if recursive else ""}{source}, toksets AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM src
 ), grams AS (
   SELECT doc_id, unnest(
@@ -435,16 +437,83 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_pagerank_canonical")  # iterative (power iteration): no SQL oracle
+def _pagerank_canonical_oracle() -> str:
+    """operators/graph.py:pagerank (6 rounds, d=0.85) + recursive-CTE
+    connected components over the md5-portable MinHash pair graph,
+    unrolled to SQL. Round CTEs are MATERIALIZED (each referenced
+    twice downstream — the label-prop lesson). The damping rebase
+    constant is written as the exact IEEE double Python's 1.0 - 0.85
+    produces, so both engines iterate the identical recurrence; sum
+    order still differs across engines (~1e-16 drift over 6 rounds),
+    far inside the 4-dp output rounding and the within-component
+    rank-gap scale."""
+    rebase = repr(1.0 - 0.85)
+    rounds = []
+    for k in range(1, 7):
+        prev = f"r{k - 1}"
+        rounds.append(f"""r{k} AS MATERIALIZED (
+  SELECT d0.u,
+         {rebase} + 0.85 * COALESCE(inf.inflow, 0.0) AS rank
+  FROM deg d0
+  LEFT JOIN (
+    SELECT e.v AS u, SUM(r.rank / d.deg) AS inflow
+    FROM und e JOIN {prev} r ON r.u = e.u JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+  ) inf ON inf.u = d0.u
+)""")
+    chain = ",\n".join(rounds)
+    return (
+        _mh_cte(
+            "src AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)",
+            recursive=True,
+        )
+        + f""",
+jp AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6
+), und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT id_a AS u, id_b AS v FROM jp
+    UNION ALL SELECT id_b, id_a FROM jp) x
+), deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM und GROUP BY u
+), r0 AS (
+  SELECT u, 1.0 AS rank FROM deg
+),
+{chain},
+reach AS (
+  SELECT u AS a, v AS b FROM und
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN und e ON r.b = e.u
+), comp AS (
+  SELECT v.u AS vertex, LEAST(v.u, MIN(r.b)) AS component
+  FROM (SELECT DISTINCT u FROM und) v
+  LEFT JOIN reach r ON r.a = v.u
+  GROUP BY v.u
+)
+SELECT component, doc_id AS canonical_doc, ROUND(rank, 4) AS rank
+FROM (
+  SELECT c.component, r.u AS doc_id, r.rank,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY r.rank DESC, r.u) AS rn
+  FROM r6 r JOIN comp c ON c.vertex = r.u) t
+WHERE rn = 1
+ORDER BY component
+"""
+    )
+
+
+@query("dedup_pagerank_canonical", oracle=_pagerank_canonical_oracle)
 def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection by centrality: PageRank over the
     bounded Jaccard near-dup pair graph (same ≥0.6 pairs as
     dedup_ngram_jaccard), then per connected component keep the
     highest-ranked doc — "the most representative copy", the
     curation rule that beats keep-lowest-id when clusters chain
-    through weak links. Rows-only by design (two fixpoint iterations:
-    power iteration + label propagation); mass conservation and
-    convergence are property-tested in tests/test_graph.py.
+    through weak links. Hash-attested: both fixpoints unroll to SQL
+    over the md5-portable pair graph (_pagerank_canonical_oracle —
+    6 PageRank rounds as MATERIALIZED CTEs + recursive-CTE
+    components); mass conservation and convergence stay
+    property-tested in tests/test_graph.py.
 
     Scale: both iterations are one join + one aggregate per round on
     vertex-partitioned state; the pair graph is seeded from the
@@ -459,7 +528,7 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibd_pipeline_spark.operators.graph import connected_components, pagerank
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    cand = minhash_candidate_pairs(d)
+    cand = minhash_candidate_pairs(d, portable=True)
     pairs = (
         cand.filter(F.col("jaccard") >= 0.6)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

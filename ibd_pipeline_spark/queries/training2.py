@@ -161,7 +161,94 @@ def train_nucleus_topp_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("train_bpe_learn_apply")
+def _bpe_round(inp: str, out: str, k: int, learn: bool) -> str:
+    """One greedy BPE merge round as SQL CTEs: position explode →
+    (learn only) argmax pair → run-parity match selection → rebuild.
+    The greedy left-to-right fold (operators/bpe.py:merge_pair) is
+    equivalent to choosing the 1st, 3rd, 5th… position of every
+    maximal run of consecutive matches — a gaps-and-islands window,
+    no recursion needed. All CTEs MATERIALIZED: each is referenced
+    twice downstream (the label-prop lesson)."""
+    sep = "▁"
+    p, ch = f"{out}_pos", f"{out}_ch"
+    blocks = [
+        f"""{p} AS MATERIALIZED (
+  SELECT doc_id, i, syms[i] AS s, syms[i+1] AS nxt
+  FROM {inp}, unnest(generate_series(1, len(syms))) AS t(i)
+)"""
+    ]
+    if learn:
+        blocks.append(f"""best{k} AS MATERIALIZED (
+  SELECT s AS l, nxt AS r, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {p} WHERE nxt IS NOT NULL
+  GROUP BY s, nxt
+  ORDER BY cnt DESC, s || '{sep}' || nxt
+  LIMIT 1
+)""")
+    blocks.append(f"""{ch} AS MATERIALIZED (
+  SELECT doc_id, i, (rk % 2 = 1) AS chosen FROM (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, isl ORDER BY i) AS rk
+    FROM (
+      SELECT m.doc_id, m.i,
+             m.i - ROW_NUMBER() OVER (PARTITION BY m.doc_id ORDER BY m.i)
+               AS isl
+      FROM {p} m CROSS JOIN best{k} b
+      WHERE m.s = b.l AND m.nxt = b.r) a) b
+)""")
+    blocks.append(f"""{out} AS MATERIALIZED (
+  SELECT doc_id, list(sym ORDER BY i) AS syms FROM (
+    SELECT p.doc_id, p.i,
+           CASE WHEN COALESCE(c.chosen, FALSE)
+                THEN p.s || '{sep}' || p.nxt ELSE p.s END AS sym
+    FROM {p} p
+    LEFT JOIN {ch} c  ON c.doc_id = p.doc_id AND c.i = p.i
+    LEFT JOIN {ch} cp ON cp.doc_id = p.doc_id AND cp.i = p.i - 1
+    WHERE NOT COALESCE(cp.chosen, FALSE)) x
+  GROUP BY doc_id
+)""")
+    return ",\n".join(blocks)
+
+
+def _bpe_oracle() -> str:
+    """train_bpe_learn_apply unrolled to SQL: 6 learn rounds on the
+    5% sample (argmax tie = concatenated-pair string, byte order in
+    both engines) + 6 apply rounds over the whole corpus reusing the
+    learned best{k}, then the before/after symbol totals. Assumes
+    the sample never exhausts (6 merges over a word-soup corpus) —
+    the operator's empty-best early exit is unreachable here."""
+    learn = ",\n".join(
+        _bpe_round(f"s{k - 1}", f"s{k}", k, learn=True) for k in range(1, 7)
+    )
+    apply_ = ",\n".join(
+        _bpe_round("docs" if k == 1 else f"a{k - 1}", f"a{k}", k, learn=False)
+        for k in range(1, 7)
+    )
+    merges = "\n  UNION ALL ".join(
+        f"SELECT {k} AS rank, l, r, cnt FROM best{k}" for k in range(1, 7)
+    )
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+), s0 AS MATERIALIZED (
+  SELECT doc_id, syms FROM docs WHERE doc_id % 20 = 0
+),
+{learn},
+{apply_},
+tot AS (
+  SELECT (SELECT CAST(SUM(len(syms)) AS BIGINT) FROM docs)
+           AS total_syms_before,
+         (SELECT CAST(SUM(len(syms)) AS BIGINT) FROM a6)
+           AS total_syms_after
+)
+SELECT m.rank, m.l AS "left", m.r AS "right", m.cnt AS pair_freq,
+       t.total_syms_before, t.total_syms_after
+FROM ({merges}) m CROSS JOIN tot t
+ORDER BY m.rank
+"""
+
+
+@query("train_bpe_learn_apply", oracle=_bpe_oracle)
 def train_bpe_learn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full tokenizer-training loop (operators/bpe.py): LEARN the
     top-6 greedy BPE merges on a 5% sample (doc_id % 20 == 0 — merge
