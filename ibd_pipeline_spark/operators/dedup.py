@@ -134,8 +134,10 @@ def minhash_candidate_pairs(
     pairs(all) = pairs(base) ∪ pairs(all, restrict_to=Δ) is
     property-tested in tests/test_dedup.py.
 
-    portable=True swaps every hash for the md5_bucket idiom (32-bit
-    values from the first 8 md5 hex digits; band buckets become the
+    portable=True swaps every hash for the md5_bucket idiom (shingle
+    hash = first 32 bits of md5; family i = 32-bit word (i mod 4) of
+    md5("<i//4>:h"), so one digest feeds four families and the path
+    pays 8 digests per shingle, not 32; band buckets become the
     plain comma-joined minima string) so a DuckDB oracle replays the
     ENTIRE pipeline — shingle hashes, the 32 signature minima, band
     collisions, and the exact-Jaccard verify — value-for-value.
@@ -151,13 +153,24 @@ def minhash_candidate_pairs(
     grams = F.when(n >= k_shingle, F.transform(idx, gram)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
-    def _md5_32(col: Column) -> Column:
-        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
-
     if portable:
-        base_h = _md5_32(F.col("g"))
+        # base shingle hash: first 8 md5 hex chars AS A STRING — the
+        # set algebra (collect_set + array_intersect) and the family
+        # digest input only need a stable token, so the hex→long
+        # parse is dead weight here too.
+        base_h = F.substring(F.md5(F.col("g")), 1, 8)
+        # Family i reads 32-bit word (i mod 4) of digest group (i//4):
+        # one md5 digest feeds FOUR families, so the portable path
+        # pays 8 digest computations per shingle instead of 32. The
+        # digests are materialized in an explicit projection below —
+        # guaranteed single evaluation, no reliance on codegen
+        # subexpression elimination inside the aggregate. The minima
+        # stay 8-char lowercase-hex STRINGS: fixed-width hex orders
+        # lexicographically == numerically in both engines, so the
+        # per-row hex→long parse (F.conv — the measured hot spot) is
+        # skipped entirely; band buckets are string joins anyway.
         fam = lambda i: F.min(  # noqa: E731
-            _md5_32(F.concat_ws(":", F.lit(str(i)), F.col("h").cast("string")))
+            F.substring(F.col(f"d{i // 4}"), 1 + 8 * (i % 4), 8)
         ).alias(f"m{i}")
     else:
         base_h = F.xxhash64("g")
@@ -166,6 +179,17 @@ def minhash_candidate_pairs(
     exploded = docs.select(
         F.col(id_col).alias("id"), F.explode(grams).alias("g")
     ).select("id", base_h.alias("h"))
+    if portable:
+        exploded = exploded.select(
+            "id",
+            "h",
+            *[
+                F.md5(
+                    F.concat_ws(":", F.lit(str(g)), F.col("h").cast("string"))
+                ).alias(f"d{g}")
+                for g in range(num_hashes // 4)
+            ],
+        )
 
     state = (
         exploded.groupBy("id")

@@ -134,11 +134,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mh_mins() -> str:
     # the 32 md5-family minima of operators.dedup.minhash_candidate_
-    # pairs(portable=True): family i hashes the 32-bit shingle hash h
-    # as md5("i:h")
+    # pairs(portable=True): family i is 32-bit word (i mod 4) of
+    # md5("<i//4>:h") — one digest feeds four families (the Spark
+    # side materializes the 8 digests once per shingle row). Minima
+    # are kept as 8-char hex strings: fixed-width lowercase hex
+    # orders lexicographically == numerically in both engines, and
+    # band buckets are string joins of them anyway.
     return ",\n         ".join(
-        f"MIN(CAST(('0x' || substring(md5('{i}:' || CAST(h AS VARCHAR)), 1, 8))"
-        f" AS BIGINT)) AS m{i}"
+        f"MIN(substring(md5('{i // 4}:' || CAST(h AS VARCHAR)),"
+        f" {1 + 8 * (i % 4)}, 8)) AS m{i}"
         for i in range(32)
     )
 
@@ -170,7 +174,7 @@ WITH {"RECURSIVE " if recursive else ""}{source}, toksets AS (
          ELSE [array_to_string(w, ' ')] END) AS g
   FROM toksets
 ), hashed AS (
-  SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h
+  SELECT doc_id, substring(md5(g), 1, 8) AS h
   FROM grams
 ), state AS (
   SELECT doc_id,

@@ -470,7 +470,7 @@ WITH RECURSIVE reps0 AS (
          ELSE [array_to_string(w, ' ')] END) AS g
   FROM toksets
 ), hashed AS (
-  SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h
+  SELECT doc_id, substring(md5(g), 1, 8) AS h
   FROM grams
 ), state AS (
   SELECT doc_id,
