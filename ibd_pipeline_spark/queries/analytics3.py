@@ -557,3 +557,90 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT day, n_events,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN AVG(n_events) OVER w END AS trend,
+         dayofweek(day) + 1 AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY (day - DATE '1970-01-01')
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas AS (
+  SELECT dow, AVG(n_events - trend) AS seasonal
+  FROM tr WHERE trend IS NOT NULL GROUP BY dow
+)
+SELECT t.day, CAST(t.n_events AS BIGINT) AS n_events,
+       ROUND(t.trend, 6) AS trend,
+       ROUND(s.seasonal, 6) AS seasonal,
+       ROUND(t.n_events - t.trend - s.seasonal, 6) AS residual
+FROM tr t LEFT JOIN seas s ON s.dow = t.dow AND t.trend IS NOT NULL
+ORDER BY t.day
+""",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    volume: trend = centered 7-day moving average (full windows only
+    — edge days get NULL, the textbook treatment), seasonal =
+    day-of-week mean of the detrended series, residual = value −
+    trend − seasonal. The monitoring primitive behind
+    events_anomaly_rolling_zscore: an alert should fire on the
+    RESIDUAL, not on raw volume, or every weekend looks like an
+    incident.
+
+    Exactness: the trend is an average of 7 BIGINT counts — exact in
+    both engines (integer sum ÷ 7) — so the only cross-engine float
+    drift is the day-of-week group mean's summation order (~1e-16),
+    absorbed by the 6-dp output rounding. Spark dayofweek is
+    Sunday=1; DuckDB's is Sunday=0 (+1 in the oracle).
+
+    Scale: one shuffle to the day grain; every window/join after that
+    runs on a day-count-sized frame (the
+    events_linear_interpolate_gaps posture: partition by month and
+    stitch at planetary scale). The seasonal means are a ≤7-row
+    broadcast."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.unix_date("day")).rangeBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "n_events",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("n_events").over(w)).alias(
+            "trend"
+        ),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg(F.col("n_events") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        tr.join(
+            F.broadcast(seas),
+            (tr["dow"] == seas["dow"]) & tr["trend"].isNotNull(),
+            "left",
+        )
+        .select(
+            "day",
+            "n_events",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("n_events") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )

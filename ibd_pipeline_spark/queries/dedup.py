@@ -739,3 +739,74 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep the handle alive on the returned frame instead.
     out._cached_state = getattr(cand, "_cached_state", None)
     return out
+
+
+def _source_overlap_oracle() -> str:
+    """The md5-portable pair graph (doc_id < 400, J ≥ 0.5) joined to
+    each side's `source`, collapsed to the unordered source pair."""
+    return (
+        _mh_cte("src AS (SELECT doc_id, text FROM documents WHERE doc_id < 400)")
+        + """
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(v.jaccard), 6) AS avg_jaccard
+FROM verified v
+JOIN documents da ON da.doc_id = v.id_a
+JOIN documents db ON db.doc_id = v.id_b
+WHERE v.jaccard >= 0.5
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+    )
+
+
+@query("dedup_source_overlap_matrix", oracle=_source_overlap_oracle)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination MATRIX: near-dup pairs (MinHash-LSH,
+    J ≥ 0.5) rolled up to the unordered (source, source) pair with
+    pair counts and mean Jaccard — the curation question "which of my
+    corpora duplicate each other, and how badly" in one relation.
+    Within-source rows (source_a == source_b) measure internal
+    redundancy; off-diagonal rows are the cross-corpus leakage that
+    train/eval splits must respect (dedup_cross_corpus_anti is the
+    targeted two-corpus variant; this is the all-pairs overview).
+    Hash-attested end-to-end via the md5-portable pair graph.
+
+    Scale: pair generation is the attested banded-LSH shape (never
+    all-pairs); the source lookup is two joins against the (doc_id,
+    source) projection — at 100 TB, broadcast if the doc dimension
+    fits, else it co-partitions with the pair list on doc id. The
+    matrix itself is |sources|² bounded. The doc_id < 400 slice
+    bounds BENCH cost, not the join shape."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pairs = D.minhash_candidate_pairs(d, portable=True).filter(
+        F.col("jaccard") >= 0.5
+    )
+    src = d.select("doc_id", "source")
+    out = (
+        pairs.join(
+            F.broadcast(src).withColumnsRenamed(
+                {"doc_id": "id_a", "source": "src_a"}
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src).withColumnsRenamed(
+                {"doc_id": "id_b", "source": "src_b"}
+            ),
+            "id_b",
+        )
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    D.release_state(pairs)
+    return out
