@@ -291,6 +291,15 @@ HEADLINE_R06 = [
     "similarity_pca_top_k",
 ]
 
+HEADLINE_R08 = [
+    # day-grain MA/seasonal windows over the daily aggregate
+    "events_seasonal_decompose",
+    # md5-portable LSH (bounded slice) + two-sided source rollup
+    "dedup_source_overlap_matrix",
+    # portable-mode full pipeline + recursive CC + survivor accounting
+    "dedup_near_dup_prune",
+]
+
 HEADLINE = (
     HEADLINE_R01
     + HEADLINE_R02
@@ -298,6 +307,7 @@ HEADLINE = (
     + HEADLINE_R05
     + HEADLINE_R05W3
     + HEADLINE_R06
+    + HEADLINE_R08
 )
 
 
