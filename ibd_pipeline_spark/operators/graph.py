@@ -81,16 +81,6 @@ def connected_components(
     be split): a ConvergenceWarning is emitted, or ValueError raised
     when strict=True.
     """
-    # Empty edge set → empty result, exactly what the fixpoint would
-    # produce after max_iter no-op rounds. The limit-1 probe is one
-    # cheap job against the (typically cached) edge frame; the rounds
-    # it skips are ~2 jobs each. Real case: a near-dup pair graph at
-    # a high threshold legitimately comes up empty.
-    if edges.isEmpty():
-        return edges.sparkSession.createDataFrame(
-            [], f"vertex {edges.schema[src].dataType.simpleString()}, "
-                f"component {edges.schema[src].dataType.simpleString()}"
-        )
     ckpt = _checkpointer(edges, checkpoint_dir)
     sym = ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -98,6 +88,18 @@ def connected_components(
         .distinct(),
         "sym",
     )
+    # Empty edge set → empty result, exactly what the fixpoint would
+    # produce after max_iter no-op rounds. Probed on the CHECKPOINTED
+    # frame (a limit-1 read of materialized blocks — free), never on
+    # the caller's lazy lineage, so the non-empty case pays nothing.
+    # Real case: a near-dup pair graph at a high threshold
+    # legitimately comes up empty.
+    if sym.isEmpty():
+        ckpt.release("sym")
+        return edges.sparkSession.createDataFrame(
+            [], f"vertex {edges.schema[src].dataType.simpleString()}, "
+                f"component {edges.schema[src].dataType.simpleString()}"
+        )
     labels = ckpt(
         sym.select(F.col("a").alias("vertex"))
         .distinct()
@@ -179,13 +181,6 @@ def pagerank(
     Returns (vertex, rank) with Σ rank = |V| (the random-surfer mass
     conservation — asserted in tests).
     """
-    # Empty edge set → empty rank vector (the vertex set is derived
-    # from the edges); skip the whole iteration — same contract note
-    # as connected_components.
-    if edges.isEmpty():
-        return edges.sparkSession.createDataFrame(
-            [], f"vertex {edges.schema[src].dataType.simpleString()}, rank double"
-        )
     ckpt = _checkpointer(edges, checkpoint_dir)
     # Materialize the loop-invariant state ONCE: every checkpoint job
     # re-executes the rank frame's whole un-truncated lineage, so if
@@ -198,6 +193,14 @@ def pagerank(
         .distinct(),
         "und",
     )
+    # Empty edge set → empty rank vector (the vertex set derives from
+    # the edges); probed on the checkpointed frame — free for the
+    # non-empty case — and skips the whole iteration when it fires.
+    if und.isEmpty():
+        ckpt.release("und")
+        return edges.sparkSession.createDataFrame(
+            [], f"vertex {edges.schema[src].dataType.simpleString()}, rank double"
+        )
     degrees = ckpt(
         und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")), "degrees"
     )
