@@ -296,8 +296,11 @@ HEADLINE_R08 = [
     "events_seasonal_decompose",
     # md5-portable LSH (bounded slice) + two-sided source rollup
     "dedup_source_overlap_matrix",
-    # portable-mode full pipeline + recursive CC + survivor accounting
-    "dedup_near_dup_prune",
+    # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
+    # pipeline runs the portable-hash attestation mode over the full
+    # corpus + an iterative CC — ~10 s of mostly fixed per-round
+    # scheduler cost at sf0.1. Its stages are benchmarked separately:
+    # dedup_minhash_lsh, dedup_cluster_components.)
 ]
 
 HEADLINE = (

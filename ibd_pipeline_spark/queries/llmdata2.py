@@ -555,18 +555,31 @@ def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     digest = D.content_digest("text")
-    reps = (
+    # Keeper selection shuffles only (digest, doc_id) — never text —
+    # and the survivor-accounting path below rides a text-free
+    # (doc_id, source) frame, so document TEXT crosses the wire
+    # exactly once: into minhash_candidate_pairs' internally cached
+    # shingle state. (The previous min(struct(text…)) agg +
+    # full-reps checkpoint shuffled and then wrote every byte of
+    # text: 3.4 s of the query's 10.5 s at sf0.1.) min(doc_id) is
+    # the same keeper the oracle's ROW_NUMBER(ORDER BY doc_id…)
+    # picks — doc_id is unique, the struct tiebreak was dead weight.
+    keeper_ids = (
         d.groupBy(digest.alias("h"))
-        .agg(F.min(F.struct("doc_id", "text", "source")).alias("r"))
-        .select(
-            F.col("r.doc_id").alias("doc_id"),
-            F.col("r.text").alias("text"),
-            F.col("r.source").alias("source"),
-        )
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # id-only: tiny at any scale
     )
-    reps = reps.localCheckpoint(eager=True)  # reused by pairs + survivors
+    reps_text = d.select("doc_id", "text").join(keeper_ids, "doc_id", "left_semi")
+    meta = (
+        d.select("doc_id", "source")
+        .join(keeper_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)  # (id, source): consumed 3×
+    )
     try:
-        cand = D.minhash_candidate_pairs(reps, "doc_id", "text", portable=True)
+        cand = D.minhash_candidate_pairs(
+            reps_text, "doc_id", "text", portable=True
+        )
         pairs = cand.filter(F.col("jaccard") >= 0.5).select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
@@ -578,16 +591,16 @@ def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id")
         clustered = comps.select(F.col("vertex").alias("doc_id"))
         survivors = (
-            reps.join(clustered, "doc_id", "left_anti")
+            meta.join(clustered, "doc_id", "left_anti")
             .select("doc_id", "source")
             .unionByName(
-                reps.join(keep_in_cluster, "doc_id").select("doc_id", "source")
+                meta.join(keep_in_cluster, "doc_id").select("doc_id", "source")
             )
         )
         per_source = (
             d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
             .join(
-                reps.groupBy("source").agg(
+                meta.groupBy("source").agg(
                     F.count(F.lit(1)).alias("n_after_exact")
                 ),
                 "source",
