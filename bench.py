@@ -296,6 +296,8 @@ HEADLINE_R08 = [
     "events_seasonal_decompose",
     # md5-portable LSH (bounded slice) + two-sided source rollup
     "dedup_source_overlap_matrix",
+    # max-|CUSUM| level-shift: day-grain rn/cumsum + 1-row broadcast
+    "events_cusum_changepoint",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

@@ -644,3 +644,97 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_daily,
+         COUNT(*) AS nd
+  FROM daily
+), s AS (
+  SELECT day,
+         ROW_NUMBER() OVER (ORDER BY day) AS t,
+         SUM(n_events) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily
+), cand AS (
+  SELECT day, t, cum,
+         ABS(CAST(cum AS DOUBLE) - t * g.mean_daily) AS stat,
+         g.mean_daily * g.nd AS total, g.nd AS nd
+  FROM s, g WHERE t < g.nd
+)
+SELECT day AS changepoint_day,
+       ROUND(stat, 4) AS cusum_stat,
+       ROUND(CAST(cum AS DOUBLE) / t, 4) AS mean_before,
+       ROUND((total - cum) / (nd - t), 4) AS mean_after
+FROM cand ORDER BY stat DESC, day LIMIT 1
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint on daily event volume by the max-|CUSUM|
+    statistic (binary segmentation, first split): for each candidate
+    day t, stat_t = |cumsum_t − t·grand_mean| — the distance of the
+    observed cumulative path from the no-change diagonal — and the
+    changepoint is the day maximizing it (earliest day on ties),
+    reported with the exact mean daily volume before/after the split.
+    The companion to events_seasonal_decompose: decompose tells you
+    the shape of normal, CUSUM tells you WHERE the level changed.
+
+    Exactness: daily counts and cumulative sums are BIGINT; the only
+    float ops (grand mean, t·mean, segment means) are identical IEEE
+    double expressions in identical order on both engines, and the
+    4-dp rounding applies only to the printed columns, not to the
+    argmax comparison — both engines rank the same exact doubles.
+
+    Scale: one shuffle to the day grain; the row_number/cumsum windows
+    run on the day-count-sized frame (the
+    events_linear_interpolate_gaps posture — partition by month and
+    prefix-stitch at planetary scale); the grand-mean is a 1-row
+    broadcast; the argmax is a LIMIT-1 TakeOrdered, never a driver
+    collect."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    g = daily.agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mean_daily"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    w = Window.orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.select(
+        "day",
+        F.row_number().over(w).alias("t"),
+        F.sum("n_events").over(wcum).alias("cum"),
+    )
+    cand = s.crossJoin(F.broadcast(g)).filter(F.col("t") < F.col("nd"))
+    stat = F.abs(F.col("cum").cast("double") - F.col("t") * F.col("mean_daily"))
+    total = F.col("mean_daily") * F.col("nd")
+    return (
+        cand.select(
+            "day",
+            "t",
+            "cum",
+            stat.alias("stat"),
+            total.alias("total"),
+            "nd",
+        )
+        .orderBy(F.desc("stat"), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.round("stat", 4).alias("cusum_stat"),
+            F.round(F.col("cum").cast("double") / F.col("t"), 4).alias("mean_before"),
+            F.round(
+                (F.col("total") - F.col("cum")) / (F.col("nd") - F.col("t")), 4
+            ).alias("mean_after"),
+        )
+    )

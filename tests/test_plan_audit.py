@@ -42,6 +42,7 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     "events_rolling_active_users": "one row per day (sketch bytes/frame)",
     "events_period_over_period": "one row per period",
     "events_seasonal_decompose": "one row per day (7-day centered MA)",
+    "events_cusum_changepoint": "one row per day (rn + cumsum on day grain)",
     # tiny enumerations
     "quality_benford_digits": "9 rows (leading digits 1-9)",
     "stats_chi_square_independence": "contingency cells (types × buckets)",
