@@ -298,6 +298,10 @@ HEADLINE_R08 = [
     "dedup_source_overlap_matrix",
     # max-|CUSUM| level-shift: day-grain rn/cumsum + 1-row broadcast
     "events_cusum_changepoint",
+    # per-key counts + md5-portable 10% key sample, all-integer outputs
+    "profile_join_size_estimate",
+    # day-grain calendar self-join + single-row error aggregate
+    "events_forecast_backtest",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

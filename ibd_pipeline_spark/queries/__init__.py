@@ -482,6 +482,7 @@ def _ensure_loaded() -> None:
         relational5,
         relational6,
         round6,
+        round8,
         scalar_ext,
         sketches,
         stats,
