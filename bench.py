@@ -302,6 +302,8 @@ HEADLINE_R08 = [
     "profile_join_size_estimate",
     # day-grain calendar self-join + single-row error aggregate
     "events_forecast_backtest",
+    # banded-LSH candidates vs exact shingle-join truth (bounded slice)
+    "dedup_blocking_quality",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

@@ -177,3 +177,157 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("forecast") - F.col("actual")).cast("double")), 6
         ).alias("mean_bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH blocking-quality evaluation (pair completeness / reduction ratio)
+# ---------------------------------------------------------------------------
+
+
+def _blocking_quality_oracle() -> str:
+    """The md5-portable LSH pipeline's candidates measured against
+    the EXACT truth set (all pairs with shingle-set Jaccard >= 0.5,
+    found via the inverted-index shingle join, J-test kept in integer
+    space: 2*inter >= union)."""
+    from ibd_pipeline_spark.queries.dedup import _mh_cte
+
+    return (
+        _mh_cte("src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)")
+        + """
+, dh AS (
+  SELECT DISTINCT doc_id, h FROM hashed
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM dh GROUP BY 1
+), inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS ni
+  FROM dh l JOIN dh r ON l.h = r.h AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes a ON a.doc_id = i.id_a
+  JOIN sizes b ON b.doc_id = i.id_b
+  WHERE 2 * i.ni >= a.n + b.n - i.ni
+), m AS (
+  SELECT (SELECT COUNT(*) FROM src) AS n_docs,
+         (SELECT COUNT(*) FROM cand) AS cand_pairs,
+         (SELECT COUNT(*) FROM truth) AS true_pairs,
+         (SELECT COUNT(*) FROM truth t
+            JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS found_true
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+       CAST(true_pairs AS BIGINT) AS true_pairs,
+       CAST(found_true AS BIGINT) AS found_true,
+       CAST((n_docs * (n_docs - 1) // 2 - cand_pairs) * 10000
+            // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS reduction_bp,
+       CAST(CASE WHEN true_pairs = 0 THEN 10000
+                 ELSE found_true * 10000 // true_pairs END AS BIGINT)
+         AS completeness_bp,
+       CAST(CASE WHEN cand_pairs = 0 THEN 0
+                 ELSE found_true * 10000 // cand_pairs END AS BIGINT)
+         AS precision_bp
+FROM m
+"""
+    )
+
+
+@query("dedup_blocking_quality", oracle=_blocking_quality_oracle)
+def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation of the MinHash-LSH candidate
+    generator — the record-linkage acceptance test (pair completeness
+    / reduction ratio, Christen's survey metrics): LSH candidates
+    measured against the EXACT truth set (every pair with shingle-set
+    Jaccard >= 0.5), reporting how many comparisons blocking saved
+    (reduction ratio, basis points of the full n*(n-1)/2), how many
+    true duplicate pairs the bands caught (pair completeness =
+    recall), and how many candidates were worth verifying
+    (precision). This is how you TUNE (bands x rows) before trusting
+    a dedup pipeline at 100 TB: completeness says whether duplicates
+    leak through, reduction says whether the quadratic stage stays
+    dead.
+
+    The truth set comes from the inverted-index shingle join (pairs
+    sharing >= 1 shingle hash, exact inter/union counts) with the
+    J >= 0.5 test kept in INTEGER space (2*inter >= union) — no float
+    anywhere, so with the md5-portable signature mode the whole
+    relation is hash-attested. On the bounded doc_id < 300 slice the
+    exact truth is affordable; at scale you run this audit on exactly
+    such a sampled slice — the metrics, not the truth join, are the
+    production artifact.
+
+    Scale: the LSH branch is the attested banded shape (never
+    all-pairs); the truth branch's shingle join is the audit's
+    deliberate quadratic-in-collisions cost, bounded by the slice;
+    everything reduces to four single-row counts cross-joined
+    broadcast."""
+    from ibd_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        release_state,
+        shingles,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    cand = minhash_candidate_pairs(d, portable=True)
+
+    dh = (
+        d.select("doc_id", F.explode(shingles("text")).alias("g"))
+        .select("doc_id", F.substring(F.md5("g"), 1, 8).alias("h"))
+        .distinct()
+    )
+    sizes = dh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    l, r = dh.alias("l"), dh.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    truth = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
+        .filter(2 * F.col("ni") >= F.col("na") + F.col("nb") - F.col("ni"))
+        .select("id_a", "id_b")
+    )
+
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    cc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
+    tc = truth.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
+    fc = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("found_true")
+    )
+    out = (
+        nd.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(fc))
+        .select(
+            "n_docs",
+            F.expr("n_docs * (n_docs - 1) div 2").cast("bigint").alias("total_pairs"),
+            "cand_pairs",
+            "true_pairs",
+            "found_true",
+            F.expr(
+                "(n_docs * (n_docs - 1) div 2 - cand_pairs) * 10000"
+                " div (n_docs * (n_docs - 1) div 2)"
+            )
+            .cast("bigint")
+            .alias("reduction_bp"),
+            F.when(F.col("true_pairs") == 0, F.lit(10000))
+            .otherwise(F.expr("found_true * 10000 div true_pairs"))
+            .cast("bigint")
+            .alias("completeness_bp"),
+            F.when(F.col("cand_pairs") == 0, F.lit(0))
+            .otherwise(F.expr("found_true * 10000 div cand_pairs"))
+            .cast("bigint")
+            .alias("precision_bp"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    release_state(cand)
+    return out
