@@ -304,6 +304,8 @@ HEADLINE_R08 = [
     "events_forecast_backtest",
     # banded-LSH candidates vs exact shingle-join truth (bounded slice)
     "dedup_blocking_quality",
+    # greedy farthest-point: k rounds of broadcast + top-1 TakeOrdered
+    "similarity_kcenter_diverse",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

@@ -331,3 +331,130 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     release_state(cand)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Farthest-point (k-center) diverse subset selection
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+_KC_SLICE = 200
+
+
+def _kcenter_oracle() -> str:
+    """Greedy farthest-point traversal unrolled to k CTE stages (the
+    fixpoint-unrolling idiom proven on label propagation / PageRank):
+    stage r picks the vector maximizing the min cosine distance to
+    the r−1 already-selected, ties to the smaller vec_id."""
+    dot = (
+        "list_aggregate(list_transform(range(1, len(v.emb) + 1), "
+        "i -> v.emb[i] * s.emb[i]), 'sum')"
+    )
+    sql = f"""
+WITH v0 AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id < {_KC_SLICE}
+), n AS (
+  SELECT vec_id, label, emb,
+         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+  FROM v0
+), c1 AS (
+  SELECT vec_id, label, 0.0 AS d FROM n ORDER BY vec_id LIMIT 1
+), sel1 AS (SELECT vec_id FROM c1)"""
+    for r in range(2, _KC_K + 1):
+        sql += f""", m{r} AS (
+  SELECT v.vec_id, v.label,
+         MIN(1 - {dot} / (v.nrm * s.nrm)) AS d
+  FROM n v, n s
+  WHERE s.vec_id IN (SELECT vec_id FROM sel{r - 1})
+    AND v.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+  GROUP BY v.vec_id, v.label
+), c{r} AS (
+  SELECT vec_id, label, d FROM m{r} ORDER BY d DESC, vec_id LIMIT 1
+), sel{r} AS (
+  SELECT vec_id FROM sel{r - 1} UNION ALL SELECT vec_id FROM c{r}
+)"""
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS sel_order, vec_id, label, "
+        f"ROUND(d, 6) AS dist FROM c{r}"
+        for r in range(1, _KC_K + 1)
+    )
+    return sql + "\n" + sel + "\nORDER BY sel_order"
+
+
+@query("similarity_kcenter_diverse", oracle=_kcenter_oracle)
+def similarity_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse subset selection by greedy farthest-point traversal
+    (the 2-approximate k-center heuristic, Gonzalez 1985): seed with
+    the smallest vec_id, then repeatedly take the vector with the
+    LARGEST min-cosine-distance to everything already selected. The
+    training-data use: pick maximally diverse exemplars (for eval
+    sets, annotation batches, curriculum anchors) instead of k-means
+    centroids, which over-sample dense regions. Output is the
+    selection order with each pick's coverage distance — the dist
+    column is the evolving k-center radius, monotonically
+    non-increasing from pick 2 on.
+
+    Hash-attested end-to-end: the greedy loop is DETERMINISTIC (seed
+    = min id, argmax ties to smaller vec_id, dot product the same
+    sequential fold in both engines — the knn-confusion idiom), so
+    the k rounds unroll to a DuckDB CTE chain exactly like the graph
+    fixpoints. Spark-side per-round state is ONE collected row (the
+    new center) — model-state-sized, the kmeans-init precedent.
+
+    Scale: each round is one broadcast of ≤k centers against the
+    corpus + a top-1 TakeOrdered — k passes total, never all-pairs.
+    The vec_id < 200 slice bounds the attestation, not the shape; at
+    100 TB the same loop runs with the candidate argmax computed per
+    partition then reduced (TakeOrdered already is that)."""
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _KC_SLICE)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("emb", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)  # k tiny rounds re-read this slice
+    )
+    first = v.orderBy("vec_id").limit(1).select("vec_id", "label").collect()[0]
+    ids = [first.vec_id]
+    rows = [(1, first.vec_id, first.label, 0.0)]
+    for r in range(2, _KC_K + 1):
+        s = v.filter(F.col("vec_id").isin(ids)).select(
+            F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+        )
+        rem = v.filter(~F.col("vec_id").isin(ids))
+        dot = F.aggregate(
+            F.zip_with("emb", "cemb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        mind = (
+            rem.crossJoin(F.broadcast(s))
+            .groupBy("vec_id", "label")
+            .agg(F.min(F.lit(1.0) - dot / (F.col("nrm") * F.col("cnrm"))).alias("d"))
+        )
+        top = mind.orderBy(F.desc("d"), "vec_id").limit(1).collect()[0]
+        ids.append(top.vec_id)
+        rows.append((r, top.vec_id, top.label, top.d))
+    return (
+        spark.createDataFrame(
+            rows, "sel_order int, vec_id bigint, label int, dist double"
+        )
+        .select("sel_order", "vec_id", "label", F.round("dist", 6).alias("dist"))
+        .orderBy("sel_order")
+    )
