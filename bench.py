@@ -306,6 +306,10 @@ HEADLINE_R08 = [
     "dedup_blocking_quality",
     # greedy farthest-point: k rounds of broadcast + top-1 TakeOrdered
     "similarity_kcenter_diverse",
+    # per-user window, rn<=3 prefilter, path groupBy + top-10
+    "events_top_paths",
+    # day-grain pairwise slopes (day-count bounded) + exact medians
+    "stats_theil_sen_trend",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

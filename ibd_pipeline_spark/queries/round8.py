@@ -458,3 +458,156 @@ def similarity_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sel_order", "vec_id", "label", F.round("dist", 6).alias("dist"))
         .orderBy("sel_order")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral path mining (top first-3-event journeys)
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3
+  GROUP BY user_id
+  HAVING COUNT(*) = 3
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 10
+"""
+
+
+@query("events_top_paths", oracle=_TOP_PATHS_SQL)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: each user's first three events (by
+    event time, event_id tiebreak — a total order) joined into a
+    'a > b > c' journey string, ranked by user count — the top-10
+    onboarding funnels actually taken, the relation behind every
+    Sankey/flow diagram. events_transition_matrix gives the
+    one-step Markov view; this gives the top full prefixes, which is
+    what product questions ('what do users DO first?') actually ask.
+
+    Users with fewer than three events are excluded (their journey
+    isn't comparable to a 3-step path). Deterministic: the (ts,
+    event_id) order is total, and the final top-10 breaks count ties
+    on the path string.
+
+    Scale: one shuffle to (user) for the per-user window (partitioned
+    — never a global window), the rn ≤ 3 filter cuts the frame to
+    ≤3 rows/user BEFORE the path aggregate, then a path-cardinality
+    groupBy and a top-10 TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    p = (
+        r.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x.event_type,
+                ),
+                " > ",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_steps"),
+        )
+        .filter(F.col("n_steps") == 3)
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS di,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT CAST(b.n - a.n AS DOUBLE) / (b.di - a.di) AS slope
+  FROM daily a JOIN daily b ON b.di > a.di
+), m AS (
+  SELECT median(slope) AS slope,
+         (SELECT COUNT(*) FROM slopes) AS n_pairs,
+         (SELECT COUNT(*) FROM daily) AS n_days
+  FROM slopes
+)
+SELECT CAST(m.n_days AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(m.slope, 6) AS slope_per_day,
+       ROUND((SELECT median(d.n - m.slope * d.di) FROM daily d), 6)
+         AS intercept
+FROM m
+"""
+
+
+@query("stats_theil_sen_trend", oracle=_THEIL_SEN_SQL)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume: the median of
+    all pairwise slopes (n_j − n_i)/(day_j − day_i), with the
+    matching median intercept — the robust-regression twin of
+    agg_corr_regression's OLS line. Up to ~29% of days can be
+    corrupted (outages, bot floods) before the estimator budges,
+    which is exactly the property a volume-trend alert needs; OLS
+    moves on the first bad day.
+
+    Exactness: slopes are identical IEEE double divisions on both
+    sides; both engines define median as the continuous 0.5-quantile
+    (average of the two middle values for even counts) over the
+    identical multiset — Spark `percentile(col, 0.5)` ↔ DuckDB
+    `median` — so even the medians agree bit-for-bit; rounding only
+    at the output.
+
+    Scale: the all-pairs slope set is DAY-COUNT-bounded (n days →
+    n²/2 pairs; ~500 k pairs for three years — trivially parallel
+    after the one day-grain shuffle). For multi-decade grains,
+    subsample pairs (the classic randomized Theil–Sen) — the
+    estimator is the same median over a pair sample."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_date(F.to_date(F.date_trunc("day", "ts")))).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.di") > F.col("a.di")).select(
+        (
+            (F.col("b.n") - F.col("a.n")).cast("double")
+            / (F.col("b.di") - F.col("a.di"))
+        ).alias("slope")
+    )
+    m = slopes.agg(
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    resid = (
+        daily.crossJoin(F.broadcast(m))
+        .select((F.col("n") - F.col("slope") * F.col("di")).alias("r"))
+        .agg(F.expr("percentile(r, 0.5)").alias("intercept"))
+    )
+    return (
+        nd.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("slope_per_day"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )
