@@ -310,6 +310,10 @@ HEADLINE_R08 = [
     "events_top_paths",
     # day-grain pairwise slopes (day-count bounded) + exact medians
     "stats_theil_sen_trend",
+    # distinct (type,user) projection + bucket-set algebra + lc formula
+    "sketch_audience_overlap",
+    # one conditional aggregate + broadcast dim join + 1-row total
+    "analytics_mix_shift_decompose",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

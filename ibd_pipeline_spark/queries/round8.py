@@ -611,3 +611,241 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("intercept", 6).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based audience overlap (inclusion–exclusion)
+# ---------------------------------------------------------------------------
+
+_AO_M = 65536
+_AUDIENCE_OVERLAP_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT event_type AS t, user_id AS u,
+         CAST(('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_AO_M} AS b
+  FROM events
+), types AS (
+  SELECT DISTINCT t FROM ev
+), spine AS (
+  SELECT a.t AS type_a, c.t AS type_b
+  FROM types a JOIN types c ON a.t < c.t
+), occ AS (
+  SELECT t, CAST(COUNT(DISTINCT b) AS BIGINT) AS occ FROM ev GROUP BY t
+), uin AS (
+  SELECT a.t AS type_a, c.t AS type_b,
+         CAST(COUNT(DISTINCT a.u) AS BIGINT) AS exact_overlap
+  FROM ev a JOIN ev c ON c.u = a.u AND a.t < c.t
+  GROUP BY 1, 2
+), tbkt AS (
+  SELECT DISTINCT t, b FROM ev
+), bin AS (
+  SELECT a.t AS type_a, c.t AS type_b, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM tbkt a JOIN tbkt c ON c.b = a.b AND a.t < c.t
+  GROUP BY 1, 2
+)
+SELECT s.type_a AS type_a, s.type_b AS type_b,
+       COALESCE(u.exact_overlap, 0) AS exact_overlap,
+       ROUND(
+         {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - oa.occ))
+         + {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - ob.occ))
+         - {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - (oa.occ + ob.occ - COALESCE(b.nb, 0)))),
+         4) AS est_overlap,
+       CASE WHEN COALESCE(u.exact_overlap, 0) = 0 THEN NULL
+            ELSE ROUND(ABS(
+              {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - oa.occ))
+              + {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - ob.occ))
+              - {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - (oa.occ + ob.occ - COALESCE(b.nb, 0))))
+              - u.exact_overlap) / u.exact_overlap, 4) END AS rel_err
+FROM spine s
+JOIN occ oa ON oa.t = s.type_a
+JOIN occ ob ON ob.t = s.type_b
+LEFT JOIN uin u ON u.type_a = s.type_a AND u.type_b = s.type_b
+LEFT JOIN bin b ON b.type_a = s.type_a AND b.type_b = s.type_b
+ORDER BY s.type_a, s.type_b
+"""
+
+
+@query("sketch_audience_overlap", oracle=_AUDIENCE_OVERLAP_SQL)
+def sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix by sketch inclusion–exclusion:
+    |A ∩ B| ≈ lc(A) + lc(B) − lc(A ∪ B), where lc is the
+    linear-counting estimate over each audience's occupied-bucket
+    set and the union's occupancy comes from bucket-set algebra
+    (occ_A + occ_B − shared buckets) — intersections are exactly
+    what mergeable union-only sketches (HLL/LC) cannot answer
+    directly, and inclusion–exclusion over THREE union estimates is
+    the standard production answer ('how much do the click and
+    purchase audiences overlap' without re-scanning raw events).
+    The exact overlap rides alongside for the error readout.
+
+    Hash-attested: the md5-portable bucket (the sketch_lc_weekly_union
+    idiom) makes occupancy integers identical in both engines, and
+    the lc formula is the same IEEE double expression — the whole
+    matrix is exact under the 4-dp output rounding.
+
+    Scale: one distinct-projection of (type, user) (map-side
+    combined), then every join runs on user-count or bucket-count
+    (≤ 65536/type) frames; the exact-overlap self-join exists for
+    the error column and is the piece you DROP at 100 TB — the
+    sketch branch never touches raw volume twice."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("t"),
+            F.col("user_id").alias("u"),
+        )
+        .distinct()
+        .select("t", "u", F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("0"), F.col("u").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("bigint"), F.lit(_AO_M),
+        ).alias("b"))
+    )
+    types = ev.select("t").distinct()
+    ta, tc = types.alias("a"), types.alias("c")
+    spine = ta.join(tc, F.col("a.t") < F.col("c.t")).select(
+        F.col("a.t").alias("type_a"), F.col("c.t").alias("type_b")
+    )
+    occ = ev.groupBy("t").agg(F.countDistinct("b").cast("bigint").alias("occ"))
+    ea, ec = ev.alias("a"), ev.alias("c")
+    uin = (
+        ea.join(ec, (F.col("c.u") == F.col("a.u")) & (F.col("a.t") < F.col("c.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("c.t").alias("type_b"))
+        .agg(F.countDistinct("a.u").cast("bigint").alias("exact_overlap"))
+    )
+    tbkt = ev.select("t", "b").distinct()
+    ba, bc = tbkt.alias("a"), tbkt.alias("c")
+    bin_ = (
+        ba.join(bc, (F.col("c.b") == F.col("a.b")) & (F.col("a.t") < F.col("c.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("c.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    m = float(_AO_M)
+    lc = lambda x: F.lit(m) * F.log(F.lit(m) / (F.lit(_AO_M) - x))  # noqa: E731
+    est = (
+        lc(F.col("occ_a"))
+        + lc(F.col("occ_b"))
+        - lc(F.col("occ_a") + F.col("occ_b") - F.coalesce(F.col("nb"), F.lit(0)))
+    )
+    exact = F.coalesce(F.col("exact_overlap"), F.lit(0))
+    return (
+        spine.join(
+            F.broadcast(occ.withColumnsRenamed({"t": "type_a", "occ": "occ_a"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(occ.withColumnsRenamed({"t": "type_b", "occ": "occ_b"})),
+            "type_b",
+        )
+        .join(F.broadcast(uin), ["type_a", "type_b"], "left")
+        .join(F.broadcast(bin_), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            exact.alias("exact_overlap"),
+            F.round(est, 4).alias("est_overlap"),
+            F.when(exact == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.abs(est - exact) / exact, 4))
+            .alias("rel_err"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mix-shift contribution decomposition (why did the metric move?)
+# ---------------------------------------------------------------------------
+
+_MIX_SHIFT_SQL = """
+WITH o AS (
+  SELECT c.c_mktsegment AS seg,
+         year(o.o_orderdate) AS y,
+         CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE year(o.o_orderdate) IN (1996, 1999)
+), s AS (
+  SELECT seg,
+         CAST(COUNT(*) FILTER (y = 1996) AS BIGINT) AS n0,
+         CAST(COUNT(*) FILTER (y = 1999) AS BIGINT) AS n1,
+         SUM(v) FILTER (y = 1996) AS s0,
+         SUM(v) FILTER (y = 1999) AS s1
+  FROM o GROUP BY seg
+), t AS (
+  SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM s
+)
+SELECT seg,
+       ROUND(CAST(s.n0 AS DOUBLE) / t.t0, 6) AS share_base,
+       ROUND(CAST(s.n1 AS DOUBLE) / t.t1, 6) AS share_cmp,
+       ROUND(s.s0 / s.n0, 4) AS rate_base,
+       ROUND(s.s1 / s.n1, 4) AS rate_cmp,
+       ROUND((CAST(s.n1 AS DOUBLE) / t.t1 - CAST(s.n0 AS DOUBLE) / t.t0)
+             * (s.s0 / s.n0), 4) AS mix_effect,
+       ROUND((CAST(s.n1 AS DOUBLE) / t.t1)
+             * (s.s1 / s.n1 - s.s0 / s.n0), 4) AS rate_effect
+FROM s, t
+ORDER BY seg
+"""
+
+
+@query("analytics_mix_shift_decompose", oracle=_MIX_SHIFT_SQL)
+def analytics_mix_shift_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift contribution decomposition — the 'why did average
+    order value move' answer: between a base and comparison period
+    (1996 vs 1999), the overall average decomposes EXACTLY as
+    Δavg = Σ_seg [mix_effect + rate_effect] with
+    mix_effect = Δshare·rate_base (the metric moved because segment
+    weights shifted) and rate_effect = share_cmp·Δrate (it moved
+    because segments themselves changed) — the identity
+    Σ share₁r₁ − share₀r₀ = Σ (share₁−share₀)r₀ + share₁(r₁−r₀).
+    events_period_over_period says THAT the metric moved; this says
+    WHO moved it and through which lever.
+
+    Exactness: per-segment counts and sums come from one conditional
+    aggregate (FILTER), every ratio is the same IEEE double division
+    in the same order on both engines, rounding only at the output.
+
+    Scale: one orders scan with the year predicate pushed down, a
+    broadcast customer-dimension join, a segment-grain conditional
+    aggregate, and a 1-row total broadcast — no shuffle beyond the
+    segment groupBy."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base, cmp_ = 1996, 1999
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("y"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        )
+        .filter(F.col("y").isin(base, cmp_))
+    )
+    s = j.groupBy("seg").agg(
+        F.count(F.when(F.col("y") == base, 1)).cast("bigint").alias("n0"),
+        F.count(F.when(F.col("y") == cmp_, 1)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("y") == base, F.col("v"))).alias("s0"),
+        F.sum(F.when(F.col("y") == cmp_, F.col("v"))).alias("s1"),
+    )
+    t = s.agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    sh0 = F.col("n0").cast("double") / F.col("t0")
+    sh1 = F.col("n1").cast("double") / F.col("t1")
+    r0 = F.col("s0") / F.col("n0")
+    r1 = F.col("s1") / F.col("n1")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "seg",
+            F.round(sh0, 6).alias("share_base"),
+            F.round(sh1, 6).alias("share_cmp"),
+            F.round(r0, 4).alias("rate_base"),
+            F.round(r1, 4).alias("rate_cmp"),
+            F.round((sh1 - sh0) * r0, 4).alias("mix_effect"),
+            F.round(sh1 * (r1 - r0), 4).alias("rate_effect"),
+        )
+        .orderBy("seg")
+    )
