@@ -314,6 +314,10 @@ HEADLINE_R08 = [
     "sketch_audience_overlap",
     # one conditional aggregate + broadcast dim join + 1-row total
     "analytics_mix_shift_decompose",
+    # partitioned LEAD window + day-grain weighted aggregate
+    "events_time_weighted_avg",
+    # 4 rules x two-level (det,dep) aggregates on a pruned projection
+    "profile_functional_dependencies",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

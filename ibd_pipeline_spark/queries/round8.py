@@ -1,16 +1,22 @@
-"""Round-8 capability queries: join-size estimation for shuffle
-planning and a seasonal-naive forecast backtest.
+"""Round-8 capability queries — planning probes, monitoring
+analytics, and dedup/sketch evaluation, ALL DuckDB-attestable by
+construction:
 
-Both are exact/DuckDB-attestable by construction:
-
-- The join-size estimator samples KEYS (not rows) through the
-  md5-portable bucket idiom (operators/sketches.py:md5_bucket), so
-  both engines pick the identical sample and every output is integer
-  arithmetic — no float anywhere.
-- The forecast backtest joins the day grain to itself on a calendar
-  offset (never LAG-over-rows, which silently shifts across gap
-  days), and its error metrics are identical IEEE double expressions
-  on both sides, rounded only at the output.
+- profile_join_size_estimate / profile_functional_dependencies:
+  shuffle-planning and schema-profiling probes, pure integer outputs
+  (key sampling through the md5-portable bucket idiom so both
+  engines pick identical samples).
+- events_forecast_backtest / events_time_weighted_avg /
+  stats_theil_sen_trend / events_top_paths: day-grain and
+  per-user-window analytics under total orders (calendar-offset
+  self-joins instead of row LAGs; (ts, event_id) tiebreaks).
+- dedup_blocking_quality: LSH candidates vs the exact shingle-join
+  truth with the J-threshold kept in integer space.
+- similarity_kcenter_diverse: a deterministic greedy loop unrolled
+  to a DuckDB CTE chain (the graph-fixpoint idiom).
+- sketch_audience_overlap / analytics_mix_shift_decompose:
+  inclusion–exclusion over portable linear-counting occupancy, and
+  an exact share/rate decomposition identity.
 """
 
 from __future__ import annotations
@@ -849,3 +855,160 @@ def analytics_mix_shift_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per day
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = """
+WITH e AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(ts AS TIMESTAMP) AS t, event_id, value
+  FROM events
+), d AS (
+  SELECT day, value,
+         CAST(date_diff('microsecond', t,
+              LEAD(t) OVER (PARTITION BY day ORDER BY t, event_id))
+           AS DOUBLE) AS w
+  FROM e
+), a AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_weighted,
+         SUM(value * w) / SUM(w) AS twap,
+         AVG(value) AS plain_avg
+  FROM d WHERE w IS NOT NULL
+  GROUP BY day
+  HAVING SUM(w) > 0
+)
+SELECT day, n_weighted, ROUND(twap, 4) AS twap,
+       ROUND(plain_avg, 4) AS plain_avg
+FROM a ORDER BY day
+"""
+
+
+@query("events_time_weighted_avg", oracle=_TWAP_SQL)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average of `value` (TWAP): each
+    observation is weighted by how long it REMAINED the latest one
+    (microseconds to the next event that day, total (ts, event_id)
+    order), against the plain average for contrast — the standard
+    correction when observations arrive irregularly and a burst of
+    readings shouldn't dominate the day (the finance/metrics TWAP,
+    and the right way to average gauge metrics sampled on change).
+    The last event of each day carries no duration and is excluded
+    from the weighted mean (it still counts in plain_avg's source
+    rows via the w IS NOT NULL filter — both means run over the
+    SAME weighted row set, so the two columns are comparable).
+
+    Exactness: weights are exact integer microsecond differences
+    cast to double; both aggregates are the same double sums in both
+    engines, rounded at the output.
+
+    Scale: one shuffle to (day) for the partitioned LEAD window —
+    never a global window — then a day-grain aggregate."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.col("ts").alias("t"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("day").orderBy("t", "event_id")
+    d = e.select(
+        "day",
+        "value",
+        (
+            F.unix_micros(F.lead("t").over(w)) - F.unix_micros("t")
+        ).cast("double").alias("w"),
+    ).filter(F.col("w").isNotNull())
+    return (
+        d.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weighted"),
+            (F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("twap"),
+            F.avg("value").alias("plain_avg"),
+            F.sum("w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            "day",
+            "n_weighted",
+            F.round("twap", 4).alias("twap"),
+            F.round("plain_avg", 4).alias("plain_avg"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling (det → dep violation audit)
+# ---------------------------------------------------------------------------
+
+_FD_PAIRS = [
+    ("o_orderkey", "o_orderstatus"),     # key → anything: must hold
+    ("o_orderkey", "o_orderpriority"),   # key → anything: must hold
+    ("o_custkey", "o_orderstatus"),      # expected violated (reorders)
+    ("o_orderpriority", "o_orderstatus"),  # expected violated
+]
+
+_FD_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_det_values,
+       CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_violating,
+       CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) * 10000 // COUNT(*) AS BIGINT)
+         AS violation_bp,
+       COUNT(CASE WHEN nd > 1 THEN 1 END) = 0 AS holds
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM orders GROUP BY {det}) t
+"""
+    for det, dep in _FD_PAIRS
+) + "\nORDER BY determinant, dependent"
+
+
+@query("profile_functional_dependencies", oracle=_FD_SQL)
+def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — for each candidate det → dep
+    rule, the number of determinant values, how many map to MORE
+    than one dependent value (violations), the violation rate in
+    basis points, and the verdict. The schema-inference profiling
+    pass (TANE-style single-column check) that tells you which
+    'obvious' relationships actually hold before you normalize,
+    build dimension tables, or trust a join key: here the o_orderkey
+    rules must hold (it's the key), while o_custkey → o_orderstatus
+    must not (customers reorder) and o_orderpriority →
+    o_orderstatus must not (priorities span statuses) — the profiler
+    SURFACES which hold on this data rather than hard-coding them.
+
+    Scale: each rule is one map-side-combined (det, dep) distinct
+    aggregate then a det-grain count — the same two-level shape as
+    profile_key_candidates; rules are independent scans of a
+    two-column projection (column pruning makes each cheap) and
+    could share one pass via grouping sets if the rule set grows."""
+    o = load(spark, sf_dir, "orders")
+    parts = []
+    for det, dep in _FD_PAIRS:
+        t = o.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_det_values"),
+                F.count(F.when(F.col("nd") > 1, 1))
+                .cast("bigint")
+                .alias("n_violating"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_det_values",
+                "n_violating",
+                F.expr("n_violating * 10000L div n_det_values")
+                .cast("bigint")
+                .alias("violation_bp"),
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("determinant", "dependent")
