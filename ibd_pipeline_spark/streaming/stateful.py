@@ -224,3 +224,131 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("s_pos", DoubleType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+CUSUM_STATE = StructType(
+    [
+        StructField("s_pos", DoubleType()),
+        StructField("n_seen", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+
+def _cusum_fold(
+    s: float, n: int, alarms: int, values, target: float, slack: float, threshold: float
+) -> tuple[float, int, int]:
+    """One-sided CUSUM recursion (Page 1954): s ← max(0, s + (x −
+    target − slack)); crossing `threshold` raises an alarm and resets
+    s. Shared verbatim by the streaming operator and the batch twin
+    so stream-equals-batch is a property of the fold, not two
+    implementations."""
+    for x in values:
+        s = max(0.0, s + (float(x) - target - slack))
+        n += 1
+        if s > threshold:
+            alarms += 1
+            s = 0.0
+    return s, n, alarms
+
+
+def cusum_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "event_time",
+    target: float = 0.0,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Streaming sequential changepoint detection — a per-key
+    one-sided CUSUM alarm (the classic sequential test: cumulate
+    positive drift above `target + slack`, alarm when the cumulant
+    crosses `threshold`, reset after each alarm). The continuous twin
+    of the batch `events_cusum_changepoint`: that query locates a
+    level shift after the fact; this operator RAISES it while the
+    stream runs, with O(1) state per key — exactly what Spark's
+    built-in windowed aggregates can't express (the recursion's reset
+    makes it non-associative, hence applyInPandasWithState).
+
+    Within each micro-batch, rows are folded in event-time order
+    (stable sort, so same-timestamp rows keep arrival order); across
+    batches the state store carries (s, n, alarms). Emits the running
+    state per key on every update — route to foreachBatch/Kafka for
+    alerting.
+
+    Scale: state is three scalars per key in the state store,
+    partitioned on the grouping key (one shuffle, same as the
+    groupBy); Arrow batches cross the Python boundary. Unbounded key
+    domains need a timeout-based eviction (running_user_stats shows
+    the pattern); monitoring keys (metric names, event types) are
+    naturally small."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        s, n, alarms = state.get if state.exists else (0.0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        s, n, alarms = _cusum_fold(
+            s, n, alarms, pdf[value_col], target, slack, threshold
+        )
+        state.update((s, n, alarms))
+        yield pd.DataFrame(
+            {
+                "key": [str(k)],
+                "n_seen": [n],
+                "s_pos": [s],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cusum_batch(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "event_time",
+    target: float = 0.0,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Batch twin of cusum_monitor: the SAME `_cusum_fold` over each
+    key's full history in event-time order, one output row per key —
+    what the stream's final per-key update must equal (the
+    stream-equals-batch contract proven in
+    tests/test_streaming_stateful.py)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        s, n, alarms = _cusum_fold(
+            0.0, 0, 0, pdf[value_col], target, slack, threshold
+        )
+        return pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "n_seen": [n],
+                "s_pos": [s],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandas(fold, schema=CUSUM_OUTPUT)

@@ -195,3 +195,122 @@ def test_transform_with_state_in_pandas(spark, event_stream):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+@pytest.fixture()
+def cusum_stream(spark, tmp_path):
+    """Three JSON files (processed one per trigger, so state crosses
+    micro-batches) with schema (ts, metric, value): metric 'stable'
+    stays at 0-mean noise, metric 'shifted' jumps to +2 in the last
+    file — the planted level shift the alarm must catch."""
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+
+    def val(metric, i, phase):
+        if metric == "shifted" and phase == 2:
+            return 2.0 + (i % 3) * 0.1
+        return (-1.0 if i % 2 else 1.0) * 0.3  # zero-drift noise
+
+    rows_by_phase = {0: [], 1: [], 2: []}
+    i = 0
+    for phase in range(3):
+        for j in range(20):
+            for metric in ("stable", "shifted"):
+                rows_by_phase[phase].append(
+                    {
+                        "ts": (t0 + timedelta(seconds=i)).isoformat(),
+                        "metric": metric,
+                        "value": val(metric, j, phase),
+                    }
+                )
+            i += 1
+    for phase, rows in rows_by_phase.items():
+        _write_events(tmp_path / "cin" / f"{chr(97 + phase)}.json", rows)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ts", StringType()),
+            StructField("metric", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    import pyspark.sql.functions as F
+
+    def make(streaming: bool):
+        if streaming:
+            raw = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(tmp_path / "cin"))
+            )
+        else:
+            raw = spark.read.schema(schema).json(str(tmp_path / "cin"))
+        return raw.withColumn("event_time", F.to_timestamp("ts"))
+
+    return make, tmp_path
+
+
+def test_cusum_monitor_stream_equals_batch(spark, cusum_stream):
+    """The streaming per-key CUSUM's FINAL update must equal the batch
+    twin's fold over the full history, and the planted +2 level shift
+    must alarm while the zero-drift key must not."""
+    make, tmp = cusum_stream
+    kwargs = dict(
+        key_col="metric",
+        value_col="value",
+        ts_col="event_time",
+        target=0.0,
+        slack=0.5,
+        threshold=5.0,
+    )
+    q = (
+        stateful.cusum_monitor(make(streaming=True), **kwargs)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp / "ck_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per micro-batch that touched
+    # it; the LAST emit per key is the final state.
+    stream_rows = {
+        r["key"]: r
+        for r in sorted(
+            spark.sql("SELECT * FROM cusum_stream").collect(),
+            key=lambda r: r["n_seen"],
+        )
+    }
+    batch_rows = {
+        r["key"]: r
+        for r in stateful.cusum_batch(make(streaming=False), **kwargs).collect()
+    }
+    assert set(stream_rows) == {"stable", "shifted"} == set(batch_rows)
+    for k in batch_rows:
+        s, b = stream_rows[k], batch_rows[k]
+        assert s["n_seen"] == b["n_seen"] == 60
+        assert s["n_alarms"] == b["n_alarms"]
+        assert s["s_pos"] == pytest.approx(b["s_pos"], abs=1e-12)
+    assert batch_rows["shifted"]["n_alarms"] >= 1
+    assert batch_rows["stable"]["n_alarms"] == 0
+
+
+def test_cusum_fold_reset_semantics():
+    """Unit check of the recursion: drift accumulates, alarms reset."""
+    s, n, alarms = stateful._cusum_fold(
+        0.0, 0, 0, [2.0] * 5, target=0.0, slack=0.5, threshold=5.0
+    )
+    # s walks 1.5, 3.0, 4.5, 6.0 -> alarm+reset, then 1.5
+    assert (n, alarms) == (5, 1)
+    assert s == pytest.approx(1.5)
+    s2, _, alarms2 = stateful._cusum_fold(
+        0.0, 0, 0, [-1.0] * 50, target=0.0, slack=0.5, threshold=5.0
+    )
+    assert alarms2 == 0 and s2 == 0.0
