@@ -54,8 +54,21 @@ CURATED = {
     "broadcastable term join → per-language top-k window.",
     "join_interval_overlap": "interval self-overlap as equi-join on the "
     "customer key + range filter; fan-out bounded by per-key order count.",
-    "train_curriculum_schedule": "per-language NTILE banding, then a global "
-    "total-order position — the one deliberate single-partition window.",
+    "train_curriculum_schedule": "per-language NTILE banding, then the global "
+    "position via distributed ranking (range exchange + P-row offset "
+    "broadcast) — no single-partition window survives (r8).",
+    "customer_rfm_segments": "three NTILE axes melted to long form and ranked "
+    "in ONE grouped range shuffle (operators/ranking.py); scores are "
+    "row-local formulas, reassembled by a pivot aggregate.",
+    "events_cusum_changepoint": "one shuffle to the day grain; rn/cumsum "
+    "windows over the day-count frame, grand mean a 1-row broadcast, argmax "
+    "a LIMIT-1 TakeOrdered.",
+    "profile_join_size_estimate": "per-key count once; exact and key-sampled "
+    "Σn² as two scalar aggregates cross-joined broadcast — the 10% branch "
+    "is the production probe.",
+    "similarity_kcenter_diverse": "k rounds of broadcast-centers + "
+    "per-partition argmax reduced by top-1 TakeOrdered; corpus never "
+    "self-joins.",
     "text_decontaminate_ngram_overlap": "zip_with-fold shingling in one "
     "projection, eval shingle set broadcast against the train explode — the "
     "train corpus never shuffles; contamination counts map-side-combine.",
@@ -89,9 +102,6 @@ CURATED = {
     "events_bounce_rate": "two window functions + the session-size "
     "aggregate share a single user_id exchange — same partition key and "
     "ordering collapse to one sort.",
-    "customer_rfm_segments": "aggregate-then-ntile: the three global "
-    "quartile windows run over one row per CUSTOMER (the aggregate), "
-    "never over raw orders.",
     "events_anomaly_rolling_zscore": "aggregate-then-window: the trailing "
     "7-day frame sees one row per day; bounded ROWS frame = 7 values of "
     "state regardless of corpus size.",
