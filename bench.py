@@ -318,6 +318,8 @@ HEADLINE_R08 = [
     "events_time_weighted_avg",
     # 4 rules x two-level (det,dep) aggregates on a pruned projection
     "profile_functional_dependencies",
+    # distributed prefix sum: range exchange + Arrow cumsum + offsets
+    "stats_weighted_median",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

@@ -202,3 +202,106 @@ def cume_dist_from_row_number(rn: Column, n: Column) -> Column:
     """CUME_DIST = rn/n under a TOTAL order (no ties ⇒ the ≤-count is
     the row number itself)."""
     return rn / n
+
+
+def with_grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: "list[str]",
+    order_cols: "list[str | Column]",
+    weight_col: str,
+    cum_col: str = "_cw",
+    total_col: str = "_tw",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + inclusive running total of `weight_col` (`cum_col`) and
+    group total (`total_col`) PER GROUP under the total order
+    `order_cols` — the distributed SCAN (prefix sum) sibling of
+    with_grouped_row_number, for when the running quantity is a
+    weight rather than a row count (weighted medians/quantiles,
+    capacity packing, budget exhaustion points).
+
+    Same skeleton: one range exchange on (group, order) so each
+    group occupies a contiguous partition run (oversized groups
+    SPLIT across tasks), sort within partitions, materialize once
+    (single-evaluation guarantee). The within-partition running sum
+    — which no monotonically_increasing_id trick can derive — runs
+    as a mapInPandas cumulative sum with a per-group carry across
+    Arrow batches: a narrow transformation, so no further exchange
+    and partition order is preserved. Per-(partition, group) weight
+    totals (≤ P × groups rows) prefix-sum into offsets exactly as
+    the row-number variant, broadcast back, and
+    cum = offset + within-partition running sum.
+
+    EXACTNESS: pass an integer (or exact-decimal-scaled-to-integer)
+    weight when cross-engine determinism matters — integer sums are
+    order-independent, so the result is bit-identical to any SQL
+    engine's windowed SUM under the same total order. Float weights
+    work but accumulate in partition order.
+
+    REQUIRES group_cols + order_cols to be a total order (append a
+    unique tiebreaker)."""
+    import pandas as pd
+
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keys = [F.col(g) for g in group_cols] + ocols
+    parts = [num_partitions] if num_partitions else []
+    ranged = (
+        df.repartitionByRange(*parts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # single evaluation: see module doc
+    )
+    wtype = ranged.schema[weight_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema.fields]
+        + [f"_cin {wtype}"]
+    )
+
+    def cumsum(batches):
+        carry: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["_cin"] = pdf[weight_col]
+                yield out
+                continue
+            cs = pdf.groupby(group_cols, sort=False)[weight_col].cumsum()
+            gkeys = list(
+                pdf[group_cols].itertuples(index=False, name=None)
+            )
+            base = pd.Series(
+                [carry.get(k, 0) for k in gkeys], index=pdf.index
+            )
+            cin = cs + base
+            last: dict = {}
+            for i, k in enumerate(gkeys):
+                last[k] = i
+            for k, i in last.items():
+                carry[k] = cin.iloc[i]
+            out = pdf.copy()
+            out["_cin"] = cin
+            yield out
+
+    scanned = ranged.mapInPandas(cumsum, schema=out_schema)
+    totals = ranged.groupBy("_pid", *group_cols).agg(
+        F.sum(weight_col).alias("_wsum")
+    )
+    w_prefix = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_wsum").over(w_prefix), F.lit(0)).alias("_off"),
+        F.sum("_wsum").over(w_all).alias(total_col),
+    )
+    return (
+        scanned.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(cum_col, F.col("_off") + F.col("_cin"))
+        .drop("_pid", "_cin", "_off")
+    )

@@ -1012,3 +1012,81 @@ def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFra
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("determinant", "dependent")
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median per group (distributed prefix-sum consumer)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_SQL = """
+WITH r AS (
+  SELECT l_returnflag,
+         l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(MAX(tw) AS BIGINT) AS total_qty,
+       ROUND(MIN(CASE WHEN 2 * cw >= tw THEN l_extendedprice END), 2)
+         AS weighted_median
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("stats_weighted_median", oracle=_WMEDIAN_SQL)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of extended price per return flag,
+    weighted by quantity — 'the price a median UNIT ships at', which
+    differs from the row median whenever quantity correlates with
+    price (percentile() can't weight; approx sketches can't be
+    exact). Definition: the smallest value whose inclusive cumulative
+    weight reaches half the group total (lower weighted median,
+    2·cw ≥ tw kept in INTEGER space — quantities are integral, so
+    both the running and total sums are order-independent BIGINTs
+    and the oracle is exact).
+
+    Scale: the cumulative weight comes from
+    operators/ranking.py:with_grouped_prefix_sum — the distributed
+    SCAN: one range exchange on (flag, price, tiebreak) with
+    oversized groups split across tasks, a mapInPandas running sum
+    with per-group carry (narrow, no second exchange), and a
+    P×groups offset broadcast — NEVER the single-task-per-group
+    `SUM OVER (PARTITION BY flag ORDER BY …)` the oracle uses, which
+    at 100 TB would put each flag's entire history on one task. The
+    argmin over qualifying rows is an ordinary aggregate."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    ps = with_grouped_prefix_sum(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        "w",
+    )
+    return (
+        ps.groupBy("l_returnflag")
+        .agg(
+            F.max("_tw").cast("bigint").alias("total_qty"),
+            F.round(
+                F.min(
+                    F.when(
+                        2 * F.col("_cw") >= F.col("_tw"),
+                        F.col("l_extendedprice"),
+                    )
+                ),
+                2,
+            ).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )

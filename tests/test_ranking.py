@@ -207,3 +207,100 @@ def test_grouped_single_group_matches_global(spark):
     a = {(x["id"], x["_rn"], x["_n"]) for x in grouped.select("id", "_rn", "_n").collect()}
     b = {(x["id"], x["_rn"], x["_n"]) for x in glob.select("id", "_rn", "_n").collect()}
     assert a == b
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    """with_grouped_prefix_sum == SUM(w) OVER (PARTITION BY g ORDER BY
+    o ROWS UNBOUNDED PRECEDING) on a multi-partition frame with
+    integer weights (order-independent, so exact)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    df = (
+        spark.range(0, 500)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            ((F.col("id") * 37) % 101).alias("o"),
+            F.col("id").alias("tie"),
+            ((F.col("id") * 13) % 9 + 1).cast("bigint").alias("w"),
+        )
+        .repartition(11)
+    )
+    got = with_grouped_prefix_sum(df, ["g"], ["o", "tie"], "w")
+    w_ref = (
+        Window.partitionBy("g")
+        .orderBy("o", "tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ref = df.select(
+        "g",
+        "o",
+        "tie",
+        F.sum("w").over(w_ref).alias("_cw"),
+        F.sum("w").over(w_tot).alias("_tw"),
+    )
+    got_rows = {
+        (r["g"], r["o"], r["tie"]): (r["_cw"], r["_tw"])
+        for r in got.collect()
+    }
+    ref_rows = {
+        (r["g"], r["o"], r["tie"]): (r["_cw"], r["_tw"])
+        for r in ref.collect()
+    }
+    assert got_rows == ref_rows
+
+
+def test_grouped_prefix_sum_repeated_evaluation(spark):
+    """The cumulative column is stable under repeated evaluation and
+    downstream groupBy consumption (the shape that exposed the
+    ranking race)."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    df = (
+        spark.range(0, 300)
+        .select(
+            (F.col("id") % 3).alias("g"),
+            F.col("id").alias("o"),
+            F.lit(1).cast("bigint").alias("w"),
+        )
+        .repartition(9)
+    )
+    ps = with_grouped_prefix_sum(df, ["g"], ["o"], "w")
+    # with unit weights the prefix sum IS the per-group row number:
+    # per group, the _cw multiset must be exactly 1..n on every
+    # evaluation, including under a groupBy.
+    for _ in range(3):
+        agg = (
+            ps.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_cw").alias("s"),
+                F.min("_cw").alias("mn"),
+                F.max("_cw").alias("mx"),
+            )
+            .collect()
+        )
+        for r in agg:
+            n = r["n"]
+            assert (r["mn"], r["mx"]) == (1, n)
+            assert r["s"] == n * (n + 1) // 2
+
+
+def test_grouped_prefix_sum_empty_frame(spark):
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    df = spark.range(0).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("o"),
+        F.lit(1).cast("bigint").alias("w"),
+    )
+    assert with_grouped_prefix_sum(df, ["g"], ["o"], "w").count() == 0
