@@ -1090,3 +1090,112 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking (window-over-sort-key family)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_neighborhood_oracle() -> str:
+    """Sort by normalized text, candidate = pairs within 5 positions
+    of the global sort order, verified by exact shingle-set Jaccard
+    (reuses the _mh_cte state relation for the hs sets)."""
+    from ibd_pipeline_spark.queries.dedup import _mh_cte
+
+    return (
+        _mh_cte("src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)")
+        + r"""
+, rn AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    doc_id) AS rn
+  FROM src
+), scand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b
+  FROM rn a JOIN rn b ON b.rn BETWEEN a.rn + 1 AND a.rn + 5
+), sver AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(len(list_intersect(x.hs, y.hs)) * 1.0
+               / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))),
+               6) AS jaccard
+  FROM scand c
+  JOIN state x ON x.doc_id = c.id_a
+  JOIN state y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM sver
+WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+    )
+
+
+@query("dedup_sorted_neighborhood", oracle=_sorted_neighborhood_oracle)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández–Stolfo): sort the
+    corpus by a normalized key (lowercased whitespace-collapsed
+    text), slide a w=5 window over the GLOBAL sort order, verify the
+    in-window pairs by exact shingle-set Jaccard (J ≥ 0.5) — the
+    third blocking family beside MinHash-LSH (set similarity) and
+    SimHash (bit similarity): it catches prefix-edited near-copies
+    that land adjacent under the sort even when band hashing splits
+    them, and dedup_blocking_quality's metrics apply to it
+    unchanged.
+
+    The global sort position comes from
+    operators/ranking.py:with_global_row_number — one range exchange
+    + offset broadcast, never a single-partition window — and the
+    window join is an equi-join on rn against an exploded offset
+    sequence (1..w), so the candidate count is exactly w·n and the
+    shuffle is on integer rn keys. Verification reuses the
+    md5-portable shingle sets, so DuckDB replays sort, window, and
+    verify end-to-end.
+
+    Scale: sort = the one range exchange; candidates w·n (linear,
+    vs LSH's collision-driven count); verify joins are
+    candidate-sized. The classic production posture is multi-pass
+    (several sort keys) — each pass is this same plan."""
+    from ibd_pipeline_spark.operators.dedup import normalized_text, shingles
+    from ibd_pipeline_spark.operators.ranking import with_global_row_number
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            normalized_text("text").alias("k"),
+            F.array_distinct(
+                F.transform(shingles("text"), lambda g: F.substring(F.md5(g), 1, 8))
+            ).alias("hs"),
+        )
+    )
+    rn = with_global_row_number(d, ["k", "doc_id"], rn_col="rn").select(
+        "doc_id", "rn", "hs"
+    )
+    offs = rn.select(
+        "rn",
+        F.col("doc_id").alias("id_x"),
+        F.col("hs").alias("hs_x"),
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("off"),
+    ).select((F.col("rn") + F.col("off")).alias("rn_y"), "id_x", "hs_x")
+    pairs = offs.join(
+        rn.select(
+            F.col("rn").alias("rn_y"),
+            F.col("doc_id").alias("id_y"),
+            F.col("hs").alias("hs_y"),
+        ),
+        "rn_y",
+    )
+    inter = F.size(F.array_intersect("hs_x", "hs_y"))
+    union = F.size("hs_x") + F.size("hs_y") - inter
+    return (
+        pairs.select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            F.round(inter * F.lit(1.0) / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
