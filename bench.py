@@ -322,6 +322,8 @@ HEADLINE_R08 = [
     "stats_weighted_median",
     # global-sort window blocking: rn equi-join on exploded offsets
     "dedup_sorted_neighborhood",
+    # two range exchanges (grouped + global rank) + integer rank join
+    "train_quantile_normalize",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

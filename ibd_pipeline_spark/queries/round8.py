@@ -1199,3 +1199,97 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (distribution matching)
+# ---------------------------------------------------------------------------
+
+_QNORM_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+), g AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rs,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM d
+), gl AS (
+  SELECT n_chars AS norm,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grn
+  FROM d
+), n AS (
+  SELECT COUNT(*) AS nn FROM d
+), t AS (
+  SELECT g.source, g.n_chars,
+         ((2 * g.rs - 1) * n.nn + 2 * g.ns - 1) // (2 * g.ns) AS gt
+  FROM g, n
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(t.n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+       ROUND(CAST(SUM(gl.norm) AS DOUBLE) / COUNT(*), 4) AS mean_norm
+FROM t JOIN gl ON gl.grn = t.gt
+GROUP BY t.source ORDER BY t.source
+"""
+
+
+@query("train_quantile_normalize", oracle=_QNORM_SQL)
+def train_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization — distribution matching
+    for batch-effect correction: each document's length is replaced
+    by the POOLED order statistic at its within-source midpoint
+    quantile (global rank = ceil((2·rs−1)·N / (2·ns)), all integer),
+    so every source ends up with the same length distribution while
+    preserving within-source ranking. The preprocessing step before
+    cross-source quality comparisons or mixing-weight decisions when
+    sources measure 'length/quality' on different scales (the
+    microarray quantile-normalization idea applied to corpus stats).
+    Output: per source, mean length before and after — after, the
+    means converge toward the pooled mean by construction.
+
+    Both ranks come from operators/ranking.py: the within-source
+    rank from with_grouped_row_number (one grouped range shuffle,
+    oversized sources split across tasks), the pooled order
+    statistics from with_global_row_number — never a
+    single-partition window. The rank→value lookup is an equi-join
+    on integer ranks. All rank math is BIGINT; the only doubles are
+    the two output means (exact integer sums divided once).
+
+    Scale: two range exchanges + one integer equi-join — the same
+    budget as two global sorts, nothing single-task."""
+    from ibd_pipeline_spark.operators.ranking import (
+        with_global_row_number,
+        with_grouped_row_number,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = with_grouped_row_number(
+        d, ["source"], ["n_chars", "doc_id"], rn_col="rs", total_col="ns"
+    )
+    gl = with_global_row_number(
+        d, ["n_chars", "doc_id"], rn_col="grn", total_col="nn"
+    ).select(F.col("grn"), F.col("n_chars").alias("norm"))
+    nrow = d.agg(F.count(F.lit(1)).alias("nn"))
+    t = (
+        g.crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "gt",
+            F.expr("((2*rs - 1) * nn + 2*ns - 1) div (2*ns)").cast("long"),
+        )
+        .select("source", "n_chars", "gt")
+    )
+    return (
+        t.join(gl, t["gt"] == gl["grn"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_raw"),
+            F.round(
+                F.sum("norm").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_norm"),
+        )
+        .orderBy("source")
+    )
