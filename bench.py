@@ -324,6 +324,10 @@ HEADLINE_R08 = [
     "dedup_sorted_neighborhood",
     # two range exchanges (grouped + global rank) + integer rank join
     "train_quantile_normalize",
+    # explode + vocab-sized hash aggregates + broadcast totals
+    "text_distinctive_terms",
+    # (type, day) aggregate -> per-type integer moments, no window
+    "events_trend_per_type",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

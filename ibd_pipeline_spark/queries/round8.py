@@ -1293,3 +1293,174 @@ def train_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per source (log-odds keyness)
+# ---------------------------------------------------------------------------
+
+_KEYNESS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+), filt AS (
+  SELECT source, w FROM tok WHERE len(w) >= 3
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM filt GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM filt GROUP BY 1
+), gw AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cg FROM filt GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM filt
+), scored AS (
+  SELECT sw.source, sw.w, sw.c,
+         ln((sw.c + 1.0) / (st.n - sw.c + 1.0))
+         - ln((gw.cg - sw.c + 1.0) / (tot.nn - st.n - (gw.cg - sw.c) + 1.0))
+           AS lo
+  FROM sw JOIN st ON st.source = sw.source
+  JOIN gw ON gw.w = sw.w
+  CROSS JOIN tot
+), ranked AS (
+  SELECT source, w, c, lo,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY lo DESC, w) AS rk
+  FROM scored
+)
+SELECT source, w AS term, c AS n_occurrences, ROUND(lo, 6) AS log_odds
+FROM ranked WHERE rk <= 3
+ORDER BY source, log_odds DESC, term
+"""
+
+
+@query("text_distinctive_terms", oracle=_KEYNESS_SQL)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source by smoothed log-odds keyness:
+    for each (source, token), ln of the add-one-smoothed odds of the
+    token INSIDE the source against its odds in the REST of the
+    corpus — the corpus-comparison statistic ('what vocabulary makes
+    this source itself') behind source fingerprinting, crawl-quality
+    triage, and mixture-audit dashboards; tf-idf ranks within a
+    document, keyness ranks a SOURCE against the rest. Top-3 terms
+    per source.
+
+    Exactness: every count is an exact BIGINT from two hash
+    aggregates; the log-odds is the same IEEE double expression on
+    both engines (identical parenthesization), ranked under a
+    (lo DESC, token) total order and rounded only at the output.
+
+    Scale: token work is one explode + (source, token) hash
+    aggregate (map-side combined, shuffle O(vocab×sources) — never
+    O(tokens)); the global-term and per-source totals re-join
+    broadcast; the rank window runs per source over its vocab-sized
+    slice."""
+    from pyspark.sql import Window
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .filter(F.length("w") >= 3)
+    )
+    sw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    gw = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+    tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    lo = F.log((F.col("c") + 1.0) / (F.col("n") - F.col("c") + 1.0)) - F.log(
+        (F.col("cg") - F.col("c") + 1.0)
+        / (F.col("nn") - F.col("n") - (F.col("cg") - F.col("c")) + 1.0)
+    )
+    scored = (
+        sw.join(F.broadcast(st), "source")
+        .join(gw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "w", "c", lo.alias("lo"))
+    )
+    rk = Window.partitionBy("source").orderBy(F.desc("lo"), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("c").alias("n_occurrences"),
+            F.round("lo", 6).alias("log_odds"),
+        )
+        .orderBy("source", F.desc("log_odds"), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-segment OLS trend (closed-form integer moments)
+# ---------------------------------------------------------------------------
+
+_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type,
+       n AS n_days,
+       ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+         AS slope_per_day,
+       ROUND((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept
+FROM m ORDER BY event_type
+"""
+
+
+@query("events_trend_per_type", oracle=_TREND_SQL)
+def events_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS volume trend: daily counts per event type, then
+    the closed-form least-squares slope/intercept from five exact
+    integer moments (n, Σx, Σy, Σxy, Σx²) — 'which event types are
+    growing and how fast', the grouped counterpart of
+    agg_corr_regression's single global line and the parametric twin
+    of stats_theil_sen_trend's robust median slope.
+
+    Exactness: the moments are exact BIGINTs (epoch-day x ≈ 10⁴,
+    day counts y — Σx·y over years of days stays far under 2⁶³);
+    slope and intercept are single double expressions of those
+    integers, identical on both engines, rounded at the output.
+
+    Scale: one shuffle to (type, day), a per-type moment aggregate
+    (map-side combined, output |types| rows) — the same two-level
+    shape as profile_key_skew; nothing is day-count-serial, no
+    window at all."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_date(F.to_date(F.date_trunc("day", "ts"))).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(
+        1.0
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    ).orderBy("event_type")
