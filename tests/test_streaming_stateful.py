@@ -314,3 +314,62 @@ def test_cusum_fold_reset_semantics():
         0.0, 0, 0, [-1.0] * 50, target=0.0, slack=0.5, threshold=5.0
     )
     assert alarms2 == 0 and s2 == 0.0
+
+
+def test_cusum_monitor_recovers_from_checkpoint(spark, cusum_stream, tmp_path):
+    """Stop the stream after the first two files, restart on the SAME
+    checkpoint with the third file present: the recovered state must
+    carry through and the final per-key result must still equal the
+    batch twin over the full history. (memory sink can't recover from
+    a checkpoint, so a foreachBatch upsert captures the updates.)"""
+    import shutil
+
+    make, tmp = cusum_stream
+    kwargs = dict(
+        key_col="metric",
+        value_col="value",
+        ts_col="event_time",
+        target=0.0,
+        slack=0.5,
+        threshold=5.0,
+    )
+    captured: dict = {}
+
+    def upsert(batch_df, _bid):
+        for r in batch_df.collect():
+            prev = captured.get(r["key"])
+            if prev is None or r["n_seen"] >= prev["n_seen"]:
+                captured[r["key"]] = r.asDict()
+
+    def run_once():
+        q = (
+            stateful.cusum_monitor(make(streaming=True), **kwargs)
+            .writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp / "ck_cusum_rec"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: hide the last file, process what's there
+    hidden = tmp_path / "hidden_c.json"
+    shutil.move(str(tmp / "cin" / "c.json"), str(hidden))
+    run_once()
+    assert {k: v["n_seen"] for k, v in captured.items()} == {
+        "stable": 40,
+        "shifted": 40,
+    }
+    # phase 2: reveal the third file, restart on the same checkpoint
+    shutil.move(str(hidden), str(tmp / "cin" / "c.json"))
+    run_once()
+    batch = {
+        r["key"]: r
+        for r in stateful.cusum_batch(make(streaming=False), **kwargs).collect()
+    }
+    for k in ("stable", "shifted"):
+        assert captured[k]["n_seen"] == batch[k]["n_seen"] == 60
+        assert captured[k]["n_alarms"] == batch[k]["n_alarms"]
+        assert captured[k]["s_pos"] == pytest.approx(
+            batch[k]["s_pos"], abs=1e-12
+        )
