@@ -328,6 +328,8 @@ HEADLINE_R08 = [
     "text_distinctive_terms",
     # (type, day) aggregate -> per-type integer moments, no window
     "events_trend_per_type",
+    # two year-pruned aggregates + one join + 128-bit moment aggregate
+    "ab_cuped_variance_reduction",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

@@ -1464,3 +1464,113 @@ def events_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (covariate-adjusted experiment metric)
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+WITH pre AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+), post AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE year(o_orderdate) = 1999 GROUP BY 1
+), j AS (
+  SELECT pre.x, post.y FROM pre JOIN post ON post.o_custkey = pre.o_custkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM j
+), d AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+  FROM m
+)
+SELECT n AS n_customers,
+       ROUND(covn / varxn, 6) AS theta,
+       ROUND(varyn / (1e4 * n * n), 4) AS var_raw,
+       ROUND((varyn - covn * covn / varxn) / (1e4 * n * n), 4)
+         AS var_adjusted,
+       ROUND(covn * covn / (varxn * varyn), 6) AS variance_reduction
+FROM d
+"""
+
+
+@query("ab_cuped_variance_reduction", oracle=_CUPED_SQL)
+def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) — the
+    experimentation-platform preprocessing that shrinks an A/B
+    metric's variance using pre-experiment behavior: with pre-period
+    spend X as the covariate and post-period spend Y as the metric,
+    the adjusted metric Y − θ(X − x̄) with θ = cov(X,Y)/var(X) keeps
+    the same mean but drops the variance by exactly corr²(X,Y) — the
+    readout is how much smaller your experiment can be. Companion to
+    ab_test_proportion_ztest: that tests a difference, this makes the
+    test cheaper.
+
+    Exactness: per-customer sums are integer CENTS (BIGINT); the
+    moment sums run in 128-bit integer space (Spark decimal(38,0) ↔
+    DuckDB HUGEINT — exact, order-independent), and θ/variances are
+    the same double expressions of those exact integers, rounded only
+    at the output (variances reported in squared currency units via
+    the 1e4 cents² rescale).
+
+    Scale: two year-pruned aggregates of the orders fact (predicate
+    pushed to the scan), one equi-join on customer, one single-row
+    moment aggregate — no window, no driver math."""
+    o = load(spark, sf_dir, "orders")
+
+    def yearly(yr: int, out: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    j = yearly(1996, "x").join(yearly(1999, "y"), "o_custkey").select("x", "y")
+    dec = "decimal(38,0)"
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).alias("sxy"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    covn = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    varxn = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    varyn = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(covn / varxn, 6).alias("theta"),
+        F.round(varyn / (F.lit(1e4) * F.col("n") * F.col("n")), 4).alias(
+            "var_raw"
+        ),
+        F.round(
+            (varyn - covn * covn / varxn) / (F.lit(1e4) * F.col("n") * F.col("n")),
+            4,
+        ).alias("var_adjusted"),
+        F.round(covn * covn / (varxn * varyn), 6).alias("variance_reduction"),
+    )
