@@ -330,6 +330,8 @@ HEADLINE_R08 = [
     "events_trend_per_type",
     # two year-pruned aggregates + one join + 128-bit moment aggregate
     "ab_cuped_variance_reduction",
+    # one prefix-sum scan -> all quartiles as integer thresholds
+    "stats_weighted_quartiles",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

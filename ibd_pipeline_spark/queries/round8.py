@@ -1574,3 +1574,80 @@ def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_adjusted"),
         F.round(covn * covn / (varxn * varyn), 6).alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted quartiles per group (prefix-sum consumer, 3 thresholds)
+# ---------------------------------------------------------------------------
+
+_WQUART_SQL = """
+WITH r AS (
+  SELECT l_returnflag,
+         l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(MIN(CASE WHEN 4 * cw >= tw THEN l_extendedprice END), 2) AS w_p25,
+       ROUND(MIN(CASE WHEN 2 * cw >= tw THEN l_extendedprice END), 2) AS w_p50,
+       ROUND(MIN(CASE WHEN 4 * cw >= 3 * tw THEN l_extendedprice END), 2)
+         AS w_p75,
+       ROUND(MIN(CASE WHEN 4 * cw >= 3 * tw THEN l_extendedprice END)
+             - MIN(CASE WHEN 4 * cw >= tw THEN l_extendedprice END), 2)
+         AS w_iqr
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("stats_weighted_quartiles", oracle=_WQUART_SQL)
+def stats_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quartiles (p25/p50/p75 + IQR) of extended price per
+    return flag, quantity-weighted — the five-number-summary
+    extension of stats_weighted_median, and the point of the
+    prefix-sum design: ONE distributed scan yields EVERY quantile as
+    a row-local integer threshold (4·cw ≥ tw, 2·cw ≥ tw,
+    4·cw ≥ 3·tw), where a percentile-function approach pays one pass
+    per quantile and can't weight at all.
+
+    Same exactness story as the median: integral quantities keep the
+    running and total weights order-independent BIGINTs, so every
+    threshold comparison is exact cross-engine.
+
+    Scale: identical plan to stats_weighted_median (range exchange +
+    Arrow running sum + offset broadcast from
+    operators/ranking.py:with_grouped_prefix_sum) — adding quantiles
+    adds conditional aggregates, not passes."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    ps = with_grouped_prefix_sum(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        "w",
+    )
+    price = F.col("l_extendedprice")
+    q25 = F.min(F.when(4 * F.col("_cw") >= F.col("_tw"), price))
+    q50 = F.min(F.when(2 * F.col("_cw") >= F.col("_tw"), price))
+    q75 = F.min(F.when(4 * F.col("_cw") >= 3 * F.col("_tw"), price))
+    return (
+        ps.groupBy("l_returnflag")
+        .agg(
+            F.round(q25, 2).alias("w_p25"),
+            F.round(q50, 2).alias("w_p50"),
+            F.round(q75, 2).alias("w_p75"),
+            F.round(q75 - q25, 2).alias("w_iqr"),
+        )
+        .orderBy("l_returnflag")
+    )
