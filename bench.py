@@ -332,6 +332,8 @@ HEADLINE_R08 = [
     "ab_cuped_variance_reduction",
     # one prefix-sum scan -> all quartiles as integer thresholds
     "stats_weighted_quartiles",
+    # one customer aggregate + one 128-bit moment row, no window
+    "ab_ratio_metric_delta",
     # (dedup_near_dup_prune is deliberately NOT here: the end-to-end
     # pipeline runs the portable-hash attestation mode over the full
     # corpus + an iterative CC — ~10 s of mostly fixed per-round

@@ -1651,3 +1651,112 @@ def stats_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (revenue per order)
+# ---------------------------------------------------------------------------
+
+_RATIO_DELTA_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders WHERE year(o_orderdate) = 1999 GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_cust
+), d AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) AS vx,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (n - 1) AS cxy,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (n - 1) AS vy
+  FROM m
+), r AS (
+  SELECT n, mx / my AS ratio,
+         sqrt((vx - 2 * (mx / my) * cxy + (mx / my) * (mx / my) * vy)
+              / (n * my * my)) AS se_delta,
+         sqrt(vx / n) / my AS se_naive
+  FROM d
+)
+SELECT n AS n_customers,
+       ROUND(ratio / 100, 6) AS revenue_per_order,
+       ROUND(se_delta / 100, 6) AS se_delta,
+       ROUND(se_naive / 100, 6) AS se_naive,
+       ROUND((ratio - 1.959963984540054 * se_delta) / 100, 4) AS ci_lo,
+       ROUND((ratio + 1.959963984540054 * se_delta) / 100, 4) AS ci_hi
+FROM r
+"""
+
+
+@query("ab_ratio_metric_delta", oracle=_RATIO_DELTA_SQL)
+def ab_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    order, randomization unit = customer): the A/B metric shape where
+    naive per-row variance is WRONG because each customer contributes
+    correlated numerator and denominator — Var(x̄/ȳ) ≈
+    (Sx² − 2R·Sxy + R²·Sy²)/(n·ȳ²), the Deng et al. (KDD'18)
+    cluster-randomized correction. Reported beside the naive SE
+    (which ignores the covariance and the denominator's variance) and
+    a 95% CI; with ab_test_proportion_ztest and
+    ab_cuped_variance_reduction this completes the experimentation
+    kit: test a proportion, shrink a mean, and get ratio-metric
+    uncertainty right.
+
+    Exactness: the CUPED idiom — integer-cent per-customer sums,
+    128-bit moment accumulation (decimal(38,0) ↔ HUGEINT), then one
+    fixed-order double expression per statistic; z₀.₉₇₅ is written as
+    the exact IEEE double both engines parse identically.
+
+    Scale: one year-pruned customer aggregate + one single-row moment
+    aggregate — no window, no driver math."""
+    o = load(spark, sf_dir, "orders")
+    pc = (
+        o.filter(F.year("o_orderdate") == 1999)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = pc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    mx, my = sx / n, sy / n
+    vx = (F.col("sxx").cast("double") - sx * sx / n) / (n - 1)
+    cxy = (F.col("sxy").cast("double") - sx * sy / n) / (n - 1)
+    vy = (F.col("syy").cast("double") - sy * sy / n) / (n - 1)
+    ratio = mx / my
+    se_delta = F.sqrt(
+        (vx - 2 * ratio * cxy + ratio * ratio * vy) / (n * my * my)
+    )
+    se_naive = F.sqrt(vx / n) / my
+    z = F.lit(1.959963984540054)
+    return m.select(
+        n.alias("n_customers"),
+        F.round(ratio / 100, 6).alias("revenue_per_order"),
+        F.round(se_delta / 100, 6).alias("se_delta"),
+        F.round(se_naive / 100, 6).alias("se_naive"),
+        F.round((ratio - z * se_delta) / 100, 4).alias("ci_lo"),
+        F.round((ratio + z * se_delta) / 100, 4).alias("ci_hi"),
+    )
