@@ -197,6 +197,48 @@ _ROUND6_NEW: list[str] = [
 ]
 
 # ----------------------------------------------------------------------
+# ROUND-9 WINDOW PREFIX: every oracle-backed query whose LATEST driver
+# row is missing (21 late-r8 registrations, snapshot raced their
+# registration) or stale `no_oracle` (3 dedup queries whose oracles
+# landed in r8 after their last driver attempt). Computed mechanically
+# by tools/attestation_status.py:needs_attestation() and pinned here;
+# tests/test_attestation.py fails if this list ever drifts from the
+# computed one or if any member falls outside the 50-slot window.
+# All 24 were verified hash-green at sf0.001 by the round-8 judge.
+# ----------------------------------------------------------------------
+_ROUND9_PRIORITY: list[str] = [
+    "events_seasonal_decompose",
+    "events_cusum_changepoint",
+    "dedup_source_overlap_matrix",
+    "profile_join_size_estimate",
+    "events_forecast_backtest",
+    "dedup_blocking_quality",
+    "similarity_kcenter_diverse",
+    "events_top_paths",
+    "stats_theil_sen_trend",
+    "sketch_audience_overlap",
+    "analytics_mix_shift_decompose",
+    "events_time_weighted_avg",
+    "profile_functional_dependencies",
+    "stats_weighted_median",
+    "dedup_sorted_neighborhood",
+    "train_quantile_normalize",
+    "text_distinctive_terms",
+    "events_trend_per_type",
+    "ab_cuped_variance_reduction",
+    "stats_weighted_quartiles",
+    "ab_ratio_metric_delta",
+    # stale `no_oracle` rows (r04/r05) predating their r8 oracles
+    "dedup_pagerank_canonical",
+    "dedup_near_dup_prune",
+    "dedup_embedding_cosine",
+]
+
+# Round-9 additions (new registrations this round). 24 + len ≤ 50 so
+# the whole prefix fits the driver window.
+_ROUND9_NEW: list[str] = []
+
+# ----------------------------------------------------------------------
 # ROUND-8 WINDOW PREFIX: the queries whose attestation evidence must
 # POSTDATE the round-8 rewrites. The three with_global_row_number
 # consumers (racy-helper fix + RFM/curriculum/gini rewrites off
@@ -417,9 +459,11 @@ def _driver_order(names: list[str]) -> list[str]:
     # r06 prefix: never-attested wave-3/4 queries + this round's new
     # registrations (≤50 total), then the r01–r05 attested history in
     # its historical order (evidence in CORRECTNESS_r{01..05}.json).
-    head = _ROUND8_PRIORITY + [
-        n for n in _R06_UNATTESTED if n not in _ROUND8_PRIORITY
+    head = _ROUND9_PRIORITY + [
+        n for n in _ROUND9_NEW if n not in _ROUND9_PRIORITY
     ]
+    head = head + [n for n in _ROUND8_PRIORITY if n not in head]
+    head = head + [n for n in _R06_UNATTESTED if n not in head]
     head = head + [n for n in _ROUND6_NEW if n not in head]
     back = _DRIVER_PRIORITY + [
         n for n in _ROUND5_NEW if n not in _DRIVER_PRIORITY
