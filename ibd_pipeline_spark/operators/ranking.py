@@ -238,6 +238,12 @@ def with_grouped_prefix_sum(
     engine's windowed SUM under the same total order. Float weights
     work but accumulate in partition order.
 
+    NULL weights count as 0 (documented divergence from SQL
+    SUM-over-window, which stays NULL until the first non-null value;
+    thereafter the two agree because SUM ignores NULLs). Without this,
+    a null row's pandas cumsum turns the per-group carry into NaN and
+    silently poisons every later row in the group.
+
     REQUIRES group_cols + order_cols to be a total order (append a
     unique tiebreaker)."""
     import pandas as pd
@@ -265,7 +271,12 @@ def with_grouped_prefix_sum(
                 out["_cin"] = pdf[weight_col]
                 yield out
                 continue
-            cs = pdf.groupby(group_cols, sort=False)[weight_col].cumsum()
+            cs = (
+                pdf[weight_col]
+                .fillna(0)  # null weight == 0: see docstring contract
+                .groupby([pdf[g] for g in group_cols], sort=False)
+                .cumsum()
+            )
             gkeys = list(
                 pdf[group_cols].itertuples(index=False, name=None)
             )
@@ -304,4 +315,94 @@ def with_grouped_prefix_sum(
         scanned.join(F.broadcast(offsets), ["_pid", *group_cols])
         .withColumn(cum_col, F.col("_off") + F.col("_cin"))
         .drop("_pid", "_cin", "_off")
+    )
+
+
+def with_global_prefix_sums(
+    df: DataFrame,
+    order_cols: "list[str | Column]",
+    weight_cols: "list[str]",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + inclusive running totals ``_cum_<w>`` and grand totals
+    ``_tot_<w>`` for EACH weight column, under the GLOBAL total order
+    `order_cols` — the multi-weight scan that de-serializes ECDF-style
+    statistics (two-sample KS needs cum1 AND cum2 under one order;
+    Mann–Whitney needs the pooled tie-count scan). One range exchange
+    covers every weight: N weights cost the same shuffle as one.
+
+    Same skeleton as with_grouped_prefix_sum with no group key: range
+    exchange on order_cols (partition-id order == global order), sort
+    within partitions, materialize once (single-evaluation guarantee
+    — see module doc), a narrow mapInPandas cumulative sum with one
+    scalar carry per weight, then P-row per-partition totals
+    prefix-summed into offsets (the one empty-spec window here runs
+    over partition METADATA, ≤ P rows — exempted by the plan audit's
+    `_pid` rule) and broadcast back.
+
+    NULL weights count as 0 (same contract as with_grouped_prefix_sum).
+    Integer weights make the running totals order-independent and
+    bit-identical to any SQL engine's windowed SUM under the same
+    total order.
+
+    REQUIRES order_cols to be a total order (append a unique
+    tiebreaker): ties straddling a range boundary would make the scan
+    order — and therefore every float cumulative — nondeterministic.
+    """
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = [num_partitions] if num_partitions else []
+    ranged = (
+        df.repartitionByRange(*parts, *ocols)
+        .sortWithinPartitions(*ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # single evaluation: see module doc
+    )
+    wtypes = {
+        w: ranged.schema[w].dataType.simpleString() for w in weight_cols
+    }
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema.fields]
+        + [f"_cin_{w} {wtypes[w]}" for w in weight_cols]
+    )
+
+    def cumsum(batches):
+        carry = {w: 0 for w in weight_cols}
+        for pdf in batches:
+            out = pdf.copy()
+            for w in weight_cols:
+                cs = pdf[w].fillna(0).cumsum() + carry[w]
+                if len(pdf):
+                    carry[w] = cs.iloc[-1]
+                out[f"_cin_{w}"] = cs
+            yield out
+
+    scanned = ranged.mapInPandas(cumsum, schema=out_schema)
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(w).alias(f"_wsum_{w}") for w in weight_cols]
+    )
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_wsum_{w}").over(w_prefix), F.lit(0)).alias(
+                f"_off_{w}"
+            )
+            for w in weight_cols
+        ],
+        *[
+            F.sum(f"_wsum_{w}").over(w_all).alias(f"_tot_{w}")
+            for w in weight_cols
+        ],
+    )
+    out = scanned.join(F.broadcast(offsets), "_pid")
+    for w in weight_cols:
+        out = out.withColumn(
+            f"_cum_{w}", F.col(f"_off_{w}") + F.col(f"_cin_{w}")
+        )
+    return out.drop(
+        "_pid", *[f"_cin_{w}" for w in weight_cols],
+        *[f"_off_{w}" for w in weight_cols],
     )

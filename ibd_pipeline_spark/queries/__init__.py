@@ -232,6 +232,10 @@ _ROUND9_PRIORITY: list[str] = [
     "dedup_pagerank_canonical",
     "dedup_near_dup_prune",
     "dedup_embedding_cosine",
+    # r09 rewrites (rank-from-prefix-sum replaced the serial support
+    # window): evidence must postdate the rewrite
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
 ]
 
 # Round-9 additions (new registrations this round). 24 + len ≤ 50 so

@@ -63,20 +63,26 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test: is the `value` distribution
     of purchase events the same as click events? D = max |F1(v) −
     F2(v)| over the pooled support, computed distributively: group by
-    value (one shuffle, cardinality = distinct values), running
-    cumulative counts per sample (one ordered window), then a max.
+    value (one shuffle, cardinality = distinct values), then BOTH
+    running cumulative counts in one multi-weight distributed scan
+    (operators/ranking.py:with_global_prefix_sums — a range exchange
+    plus a narrow Arrow cumsum; NO single-partition WindowExec, so the
+    support frame never lands on one task even when `value` is
+    continuous and the distinct support is O(n)), then a max.
 
     The statistic is carried as the exact integer
     max|cum1·n2 − cum2·n1| — no ECDF division until the final single
-    IEEE op — so the comparison is immune to float-summation order.
+    IEEE op — so the comparison is immune to float-summation order,
+    and the integer weights make the distributed scan bit-identical
+    to the oracle's serial windowed SUM.
 
-    Scale: the ordered cumulative window is a global sort on the
-    distinct-value frame, not the raw events — for a continuous-ish
-    `value` this is the one genuinely serial step; at 100 TB you run
-    it over a pre-binned (e.g. 1e4-bucket) support, which is exactly
-    what quality.py's PSI query does. This query keeps the exact
-    un-binned form as the reference implementation.
+    Scale: every step is now distributed — the r06–r08 form kept an
+    unpartitioned window over the distinct-value support ("pre-bin at
+    scale" escape hatch); r09 removed it and the query came off the
+    plan-audit allow-list.
     """
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -84,22 +90,22 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
     )
-    w_run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = per_value.select(
-        F.sum("c1").over(w_run).alias("cum1"),
-        F.sum("c2").over(w_run).alias("cum2"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
+    # `v` is unique after the groupBy, so it is a total order.
+    cum = with_global_prefix_sums(per_value, ["v"], ["c1", "c2"])
+    scaled = F.abs(
+        F.col("_cum_c1") * F.col("_tot_c2")
+        - F.col("_cum_c2") * F.col("_tot_c1")
     )
-    scaled = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     return cum.agg(
         F.max(scaled).cast("bigint").alias("ks_scaled"),
-        F.max("n1").cast("bigint").alias("n1"),
-        F.max("n2").cast("bigint").alias("n2"),
+        F.max("_tot_c1").cast("bigint").alias("n1"),
+        F.max("_tot_c2").cast("bigint").alias("n2"),
         (
             F.max(scaled).cast("double")
-            / (F.max("n1").cast("double") * F.max("n2").cast("double"))
+            / (
+                F.max("_tot_c1").cast("double")
+                * F.max("_tot_c2").cast("double")
+            )
         ).alias("ks_d"),
     )
 
@@ -207,10 +213,18 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (subtract, multiply, divide, sqrt) runs on exact inputs —
     bit-identical IEEE in both engines.
 
-    Scale: one global rank window over the pooled sample (the serial
-    step — same pre-binning escape hatch as the KS query); everything
-    after runs on aggregates.
+    Scale: fully distributed as of r09 — rank-from-prefix-sum replaces
+    the global RANK() window. Group by value (one shuffle; average
+    ranks are a pure function of the tie-group counts: for a distinct
+    value v with pooled tie count t(v) and inclusive pooled running
+    count cum(v), RANK = cum−t+1 and 2·avg_rank = 2·cum−t+1 — exact
+    integers, no halves ever materialized), run ONE multi-weight
+    distributed scan (operators/ranking.py:with_global_prefix_sums)
+    for the pooled running count, and fold. Everything after runs on
+    aggregates. No single-partition WindowExec anywhere.
     """
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
     )
@@ -218,28 +232,24 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
         (F.col("event_type") == "purchase").alias("is_a"),
     )
-    w_rank = Window.orderBy("v")
-    w_tie = Window.partitionBy("v")
-    r = s.select(
-        "is_a",
-        (
-            F.rank().over(w_rank)
-            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
-        ).alias("avg_rank"),
+    per_value = s.groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("c1"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("c2"),
     )
-    agg = r.agg(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("bigint").alias("n2"),
-        F.sum(F.when(F.col("is_a"), 2 * F.col("avg_rank")).otherwise(0.0)).alias(
-            "r1_x2"
-        ),
+    per_value = per_value.withColumn("t", F.col("c1") + F.col("c2"))
+    cum = with_global_prefix_sums(per_value, ["v"], ["t"])
+    # Σ over group-A rows of 2·avg_rank, as exact integers:
+    # 2·avg_rank(v) = 2·cum(v) − t(v) + 1 for every row tied at v.
+    two_avg_rank = 2 * F.col("_cum_t") - F.col("t") + F.lit(1)
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * two_avg_rank).cast("double").alias("r1_x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
     )
-    ties = (
-        s.groupBy("v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"))
-    )
-    j = agg.crossJoin(F.broadcast(ties))
+    j = agg
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     nd = (F.col("n1") + F.col("n2")).cast("double")

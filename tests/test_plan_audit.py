@@ -54,10 +54,8 @@ ALLOWED_UNPARTITIONED_WINDOW = {
         "≤ 100 × n_sources rows — rn ≤ 100 pre-filter, provably lossless"
     ),
     "global_row_ids": "≤ 500 rows (o_orderkey < 500 filter)",
-    # distinct-value support frames — the documented serial step with
-    # the pre-binning escape (see each docstring)
-    "stats_ks_two_sample": "distinct `value` support, pre-bin at scale",
-    "stats_mann_whitney_u": "distinct `value` support, pre-bin at scale",
+    # distinct-value support frames: KS / Mann–Whitney came OFF this
+    # list in r09 (rank-from-prefix-sum via with_global_prefix_sums)
     "text_zipf_fit": "vocab-sized (distinct tokens)",
     # deliberate semantics exercise on the part dimension, flagged in
     # its own docstring

@@ -304,3 +304,68 @@ def test_grouped_prefix_sum_empty_frame(spark):
         F.lit(1).cast("bigint").alias("w"),
     )
     assert with_grouped_prefix_sum(df, ["g"], ["o"], "w").count() == 0
+
+
+def test_global_prefix_sums_matches_window(spark):
+    """with_global_prefix_sums == SUM(w) OVER (ORDER BY o) per weight,
+    with grand totals, on a shuffled multi-partition frame — the KS/MWU
+    shape (two integer weights under one global order)."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    df = (
+        spark.range(0, 400)
+        .select(
+            ((F.col("id") * 37) % 400).alias("o"),
+            (F.col("id") % 7).cast("bigint").alias("a"),
+            (F.col("id") % 3).cast("bigint").alias("b"),
+        )
+        .repartition(11)
+    )
+    got = with_global_prefix_sums(df, ["o"], ["a", "b"]).select(
+        "o", "_cum_a", "_cum_b", "_tot_a", "_tot_b"
+    )
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.select(
+        "o",
+        F.sum("a").over(w).alias("_cum_a"),
+        F.sum("b").over(w).alias("_cum_b"),
+        F.sum("a").over(Window.partitionBy()).alias("_tot_a"),
+        F.sum("b").over(Window.partitionBy()).alias("_tot_b"),
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_global_prefix_sums_null_weight_counts_as_zero(spark):
+    """NULL weights must not poison the carry (ADVICE r8: pandas cumsum
+    NaN propagation): null == 0, later rows keep accumulating."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, None), (5, 7)], "o int, w bigint"
+    ).repartition(3)
+    got = {
+        r["o"]: r["_cum_w"]
+        for r in with_global_prefix_sums(df, ["o"], ["w"]).collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 15, 4: 15, 5: 22}
+
+
+def test_grouped_prefix_sum_null_weight_counts_as_zero(spark):
+    """Same null==0 contract for the grouped variant: a null row's
+    carry must not become NaN for the rest of its group."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    df = spark.createDataFrame(
+        [("g1", 1, 3.0), ("g1", 2, None), ("g1", 3, 4.0),
+         ("g2", 1, None), ("g2", 2, 2.0)],
+        "g string, o int, w double",
+    ).repartition(3)
+    got = {
+        (r["g"], r["o"]): r["_cw"]
+        for r in with_grouped_prefix_sum(df, ["g"], ["o"], "w").collect()
+    }
+    assert got == {
+        ("g1", 1): 3.0, ("g1", 2): 3.0, ("g1", 3): 7.0,
+        ("g2", 1): 0.0, ("g2", 2): 2.0,
+    }
