@@ -63,14 +63,21 @@ class RoundCheckpointer:
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         return path.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
 
-    def _list_rdd_dirs(self) -> set[str]:
-        """All rdd-* checkpoint directories under checkpoint_dir
-        (setCheckpointDir nests a per-context UUID dir in between)."""
-        fs, Path = self._fs()
-        statuses = fs.globStatus(Path(self._dir + "/*/rdd-*"))
-        if statuses is None:
-            return set()
-        return {s.getPath().toString() for s in statuses}
+    @staticmethod
+    def _checkpoint_path(df: DataFrame) -> str | None:
+        """The EXACT rdd-<id> directory holding df's checkpoint files,
+        read off the LogicalRDD that the eager checkpoint() returned
+        (its internal RDD's getCheckpointFile). Never inferred from a
+        before/after listing of the shared checkpoint_dir — any other
+        checkpoint activity in the same SparkContext during that
+        window (a second RoundCheckpointer, a concurrent query
+        thread, a plain df.checkpoint()) would be mis-attributed to
+        this slot and deleted while still live (ADVICE r8)."""
+        try:
+            opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+            return opt.get() if opt.isDefined() else None
+        except Exception:
+            return None
 
     def _delete(self, paths: set[str]) -> None:
         if not paths:
@@ -87,11 +94,16 @@ class RoundCheckpointer:
                 prev.unpersist()
             self._frames[slot] = out
             return out
-        before = self._list_rdd_dirs()
         out = df.checkpoint()  # eager: fully materialized on return
-        created = self._list_rdd_dirs() - before
+        path = self._checkpoint_path(out)
+        if path is None:
+            # Can't attribute files (internals changed / checkpoint
+            # skipped): keep the slot's prior files on disk rather
+            # than risk deleting something `out` still reads. Leaks
+            # one round, never corrupts.
+            return out
         self._delete(self._files.get(slot, set()))
-        self._files[slot] = created
+        self._files[slot] = {path}
         return out
 
     def release(self, slot: str) -> None:

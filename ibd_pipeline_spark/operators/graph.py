@@ -181,6 +181,12 @@ def pagerank(
     Returns (vertex, rank) with Σ rank = |V| (the random-surfer mass
     conservation — asserted in tests).
     """
+    if iters < 1:
+        # iters=0 would return a frame whose lineage still reads
+        # slots released below (files deleted / blocks unpersisted)
+        # and fail on first action — reject up front (ADVICE r8).
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
     ckpt = _checkpointer(edges, checkpoint_dir)
     # Materialize the loop-invariant state ONCE: every checkpoint job
     # re-executes the rank frame's whole un-truncated lineage, so if
@@ -272,6 +278,12 @@ def label_propagation(
     Returns (vertex, label, is_seed) for every vertex in the edge
     set (plus seed vertices even if isolated).
     """
+    if max_iter < 1:
+        # iters=0 would return a frame whose lineage still reads
+        # slots released below (files deleted / blocks unpersisted)
+        # and fail on first action — reject up front (ADVICE r8).
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+
     import pyspark.sql.functions as F
 
     ckpt = _checkpointer(edges, checkpoint_dir)
@@ -381,6 +393,12 @@ def markov_stationary(
     Returns (state, p) — p sums to 1 whenever each SOURCE state's
     outgoing weights sum to 1 (conservation is property-tested).
     """
+    if iters < 1:
+        # iters=0 would return a frame whose lineage still reads
+        # slots released below (files deleted / blocks unpersisted)
+        # and fail on first action — reject up front (ADVICE r8).
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
     import pyspark.sql.functions as F
 
     ckpt = _checkpointer(transitions, checkpoint_dir)

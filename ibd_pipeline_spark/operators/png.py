@@ -14,8 +14,9 @@ needs:
           pixel (integer ITU-R BT.601 luma for color inputs).
   encode: grayscale (color type 0), filter 0, one IDAT.
   resize: nearest-neighbor on the grayscale plane — the cheap
-          deterministic resampler (property-tested: constant images
-          stay constant, corners map to corners).
+          deterministic resampler, origin-anchored floor mapping
+          (property-tested: constant images stay constant, the
+          top-left corner is preserved).
 
 Interlaced (Adam7), 16-bit, and palette images raise ValueError —
 loudly unsupported rather than silently wrong.
@@ -168,8 +169,12 @@ def resize_nearest(
     gray: bytes, width: int, height: int, target_w: int, target_h: int
 ) -> bytes:
     """Nearest-neighbor resample of a grayscale plane: source index =
-    floor(dst · src/dst) per axis — corners map to corners, constant
-    images stay constant."""
+    floor(tx · src/dst) per axis — origin-anchored floor mapping
+    (the top-left corner maps to the top-left corner; the LAST
+    destination pixel maps to floor((dst−1)·src/dst), which is not
+    src−1 when downscaling — this is the standard OpenCV
+    INTER_NEAREST convention, not a corners-align resample).
+    Constant images stay constant."""
     out = bytearray(target_w * target_h)
     for ty in range(target_h):
         sy = ty * height // target_h

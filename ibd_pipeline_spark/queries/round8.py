@@ -652,15 +652,17 @@ WITH ev AS (
 SELECT s.type_a AS type_a, s.type_b AS type_b,
        COALESCE(u.exact_overlap, 0) AS exact_overlap,
        ROUND(
-         {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - oa.occ))
-         + {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - ob.occ))
-         - {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - (oa.occ + ob.occ - COALESCE(b.nb, 0)))),
+         (CASE WHEN oa.occ < {_AO_M} THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - oa.occ)) END)
+         + (CASE WHEN ob.occ < {_AO_M} THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - ob.occ)) END)
+         - (CASE WHEN oa.occ + ob.occ - COALESCE(b.nb, 0) < {_AO_M}
+            THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - (oa.occ + ob.occ - COALESCE(b.nb, 0)))) END),
          4) AS est_overlap,
        CASE WHEN COALESCE(u.exact_overlap, 0) = 0 THEN NULL
             ELSE ROUND(ABS(
-              {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - oa.occ))
-              + {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - ob.occ))
-              - {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - (oa.occ + ob.occ - COALESCE(b.nb, 0))))
+              (CASE WHEN oa.occ < {_AO_M} THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - oa.occ)) END)
+              + (CASE WHEN ob.occ < {_AO_M} THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - ob.occ)) END)
+              - (CASE WHEN oa.occ + ob.occ - COALESCE(b.nb, 0) < {_AO_M}
+                 THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - (oa.occ + ob.occ - COALESCE(b.nb, 0)))) END)
               - u.exact_overlap) / u.exact_overlap, 4) END AS rel_err
 FROM spine s
 JOIN occ oa ON oa.t = s.type_a
@@ -730,7 +732,12 @@ def sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     )
     m = float(_AO_M)
-    lc = lambda x: F.lit(m) * F.log(F.lit(m) / (F.lit(_AO_M) - x))  # noqa: E731
+    # Saturated occupancy (x == m) would be ln(m/0) = +inf — the
+    # estimator is undefined there; NULL propagates through the
+    # inclusion-exclusion sum exactly as in the SQL twin (ADVICE r8).
+    lc = lambda x: F.when(  # noqa: E731
+        x < _AO_M, F.lit(m) * F.log(F.lit(m) / (F.lit(_AO_M) - x))
+    )
     est = (
         lc(F.col("occ_a"))
         + lc(F.col("occ_b"))

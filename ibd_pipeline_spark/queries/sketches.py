@@ -220,11 +220,14 @@ WITH ev AS (
   FROM ev GROUP BY week
 )
 SELECT week, n_days, n_occupied,
-       ROUND({_LC_M}.0 * ln({_LC_M}.0 / ({_LC_M} - n_occupied)), 4)
-         AS lc_estimate,
+       CASE WHEN n_occupied < {_LC_M} THEN
+         ROUND({_LC_M}.0 * ln({_LC_M}.0 / ({_LC_M} - n_occupied)), 4)
+       END AS lc_estimate,
        exact_users,
-       ROUND(ABS({_LC_M}.0 * ln({_LC_M}.0 / ({_LC_M} - n_occupied))
-                 - exact_users) / exact_users, 4) AS rel_err
+       CASE WHEN n_occupied < {_LC_M} THEN
+         ROUND(ABS({_LC_M}.0 * ln({_LC_M}.0 / ({_LC_M} - n_occupied))
+                   - exact_users) / exact_users, 4)
+       END AS rel_err
 FROM weekly
 ORDER BY week
 """
@@ -274,7 +277,13 @@ def sketch_lc_weekly_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("exact_users")
     )
     m = F.lit(float(_LC_M))
-    est = m * F.log(m / (F.lit(_LC_M) - F.col("n_occupied")))
+    # Saturated sketch (every bucket occupied) → ln(m/0) = +inf: the
+    # estimator is undefined there, emit NULL (ADVICE r8). In practice
+    # load factors this high mean "use a bigger m / real HLL".
+    est = F.when(
+        F.col("n_occupied") < _LC_M,
+        m * F.log(m / (F.lit(_LC_M) - F.col("n_occupied"))),
+    )
     return (
         weekly_b.join(weekly_u, "week")
         .select(

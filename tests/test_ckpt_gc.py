@@ -135,3 +135,26 @@ def test_kmeans_expr_gc(spark, tmp_path, method):
     assert len(rows) == 30
     assert len(_rdd_dirs(d)) <= 1  # cents released; only `out` remains
     assert out.count() == 30
+
+
+def test_foreign_checkpoints_never_misattributed(spark, tmp_path):
+    """ADVICE r8 (ckpt.py GC attribution): a plain df.checkpoint() —
+    or a second RoundCheckpointer — running between a slot's rounds
+    must NOT have its rdd-* directory attributed to the slot and
+    deleted when the slot is superseded. Attribution now comes from
+    the checkpointed RDD's own getCheckpointFile, not a dir diff."""
+    d = str(tmp_path / "fx")
+    ck = RoundCheckpointer(spark, d)
+    state = ck(spark.range(5), "state")
+    # Foreign checkpoint activity in the same context + directory:
+    foreign = spark.range(100, 120).checkpoint()
+    other = RoundCheckpointer(spark, d)
+    other_state = other(spark.range(200, 207), "s2")
+    assert len(_rdd_dirs(d)) == 3
+    # Supersede "state" twice: only ITS old dir may be deleted.
+    for i in range(2):
+        state = ck(state.withColumn("x", F.lit(i)).drop("x"), "state")
+    assert len(_rdd_dirs(d)) == 3  # foreign + other + live state
+    assert foreign.count() == 20          # files intact, readable
+    assert other_state.count() == 7
+    assert state.count() == 5

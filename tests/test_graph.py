@@ -252,3 +252,27 @@ def test_markov_and_labelprop_reliable_checkpoint_mode(spark, tmp_path):
         ).collect()
     }
     assert out[3] == "x"
+
+
+def test_degenerate_iteration_counts_rejected(spark):
+    """ADVICE r8: iters=0 / max_iter=0 would release loop-invariant
+    checkpoint slots while the returned (never-checkpointed) state
+    still reads them — reject up front instead of failing on first
+    action."""
+    import pytest
+
+    from ibd_pipeline_spark.operators.graph import (
+        label_propagation,
+        markov_stationary,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(0, "a")], "vertex long, label string")
+    t = spark.createDataFrame([("a", "a", 1.0)], "src string, dst string, p double")
+    with pytest.raises(ValueError, match=">= 1"):
+        pagerank(edges, iters=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        label_propagation(edges, seeds, max_iter=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        markov_stationary(t, iters=0)
