@@ -236,6 +236,10 @@ _ROUND9_PRIORITY: list[str] = [
     # window): evidence must postdate the rewrite
     "stats_ks_two_sample",
     "stats_mann_whitney_u",
+    # r09 oracle upgrades (rows-only -> guarantee-attested): the
+    # estimator's accuracy contract is now part of the driver hash
+    "stats_approx_percentiles",
+    "agg_approx_distinct",
 ]
 
 # Round-9 additions (new registrations this round). 24 + len ≤ 50 so

@@ -387,19 +387,54 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL estimate is engine-specific
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS hll_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_approx_distinct", oracle=_APPROX_DISTINCT_SQL)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB-scale answer
     to distinct counting: constant-size sketch, single shuffle, no
-    Expand. No SQL oracle (estimates differ per engine); the unit test
-    asserts the estimate is within 5 % of the exact count.
-    """
+    Expand — attested through its GUARANTEE (r09; previously
+    rows-only): the raw estimate is engine-specific, but the rsd=0.02
+    accuracy contract against the exact count is checkable in exact
+    integers. The query runs BOTH aggregations in one pass and emits
+    the exact counts plus `hll_within_5pct` (2.5σ of the requested
+    rsd — deterministic: HLL++ is hash-based, no RNG); the oracle
+    replays the exact counts and asserts the bound as TRUE. An
+    estimator regression past ±5 % flips the driver hash.
+
+    Scale: the exact countDistinct is the audit column — at 100 TB
+    the estimator IS the product and the audit runs on a sampled
+    slice (this shape, unchanged)."""
     li = load(spark, sf_dir, "lineitem")
+    within = lambda a, e: (  # noqa: E731
+        F.abs(a.cast("double") - e.cast("double")) / e.cast("double")
+        <= F.lit(0.05)
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("exact_suppliers"),
+            F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("_as"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_suppliers",
+            "exact_parts",
+            (
+                within(F.col("_as"), F.col("exact_suppliers"))
+                & within(F.col("_ap"), F.col("exact_parts"))
+            ).alias("hll_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

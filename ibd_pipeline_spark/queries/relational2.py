@@ -318,17 +318,70 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stats_approx_percentiles")  # sketch-based: engine-specific, rows-only
+_APPROX_PCT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_exact,
+       TRUE AS approx_rank_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("stats_approx_percentiles", oracle=_APPROX_PCT_SQL)
 def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile — the mergeable-sketch percentile for
-    100 TB groups; unit test bounds its error vs the exact value."""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    """approx_percentile — the mergeable-sketch percentile for 100 TB
+    groups — attested through its GUARANTEE rather than its raw
+    estimate (r09; previously rows-only): the sketch value itself is
+    engine-specific (DuckDB cannot replay Spark's Greenwald–Khanna
+    internals), but its rank-error contract — the element returned
+    for quantile q with accuracy a sits within ±n/a ranks of q·n —
+    is exact integer arithmetic both engines CAN check. The query
+    computes the approx median, joins it back to count rows ≤/< it
+    (exact ranks), and emits the bound check `approx_rank_ok`
+    (2× slack on the documented ε = 1/accuracy) next to the exact
+    median and group count; the oracle replays n and the exact median
+    and asserts the guarantee as TRUE. A sketch regression that
+    breaks the rank bound flips the driver hash.
+
+    Scale: the audit join broadcasts the 3-row group frame back over
+    lineitem — one extra scan, no shuffle; the exact median is the
+    audit column you drop at 100 TB (the bound check itself only
+    needs the broadcast + count pass)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    acc = 10000
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("amed"),
+        F.count("l_extendedprice").cast("bigint").alias("n"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_exact"),
+    )
+    ranks = (
+        li.join(F.broadcast(ap.select("l_returnflag", "amed")), "l_returnflag")
+        .groupBy("l_returnflag")
         .agg(
-            F.round(
-                F.percentile_approx("l_extendedprice", 0.5, 10000), 4
-            ).alias("median_price_approx"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("amed"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("amed"), 1).otherwise(0)
+            ).alias("n_lt"),
+        )
+    )
+    slack = F.col("n") * 2 / F.lit(acc) + F.lit(1)
+    target = F.col("n") * 0.5
+    return (
+        ap.join(F.broadcast(ranks), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "median_exact",
+            (
+                (F.col("n_le") >= target - slack)
+                & (F.col("n_lt") <= target + slack)
+            ).alias("approx_rank_ok"),
         )
         .orderBy("l_returnflag")
     )
