@@ -66,15 +66,45 @@ def kafka_source(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
     4. Checkpoint location must be durable storage (not /tmp) —
        offsets live there; see run_weather_pipeline.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
-        .option("subscribe", cfg.topic)
-        .option("startingOffsets", cfg.starting_offsets)
-    )
-    for k, v in cfg.extra_options.items():
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(cfg).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def kafka_reader_options(cfg: KafkaSourceConfig) -> dict[str, str]:
+    """The exact option map kafka_source hands to the reader —
+    split out so the S1 auth plumbing is pinnable by unit test
+    without a broker or connector jar (the one reference surface a
+    sandbox can't execute live)."""
+    return {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "subscribe": cfg.topic,
+        "startingOffsets": cfg.starting_offsets,
+        **cfg.extra_options,
+    }
+
+
+def scram_auth_options(
+    username: str, password: str, truststore_pem: str
+) -> dict[str, str]:
+    """The reference's SASL_SSL / SCRAM-SHA-256 auth option set
+    (spark_processor.py:54-66), credential values parameterized (the
+    reference hardcodes them in source; here they come from the
+    caller's secret store). PEM truststore + https endpoint
+    identification exactly as the reference configures."""
+    jaas = (
+        "org.apache.kafka.common.security.scram.ScramLoginModule required "
+        f'username="{username}" password="{password}";'
+    )
+    return {
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "SCRAM-SHA-256",
+        "kafka.sasl.jaas.config": jaas,
+        "kafka.ssl.truststore.type": "PEM",
+        "kafka.ssl.truststore.location": truststore_pem,
+        "kafka.ssl.endpoint.identification.algorithm": "https",
+    }
 
 
 def file_json_source(

@@ -373,3 +373,18 @@ def test_cusum_monitor_recovers_from_checkpoint(spark, cusum_stream, tmp_path):
         assert captured[k]["s_pos"] == pytest.approx(
             batch[k]["s_pos"], abs=1e-12
         )
+
+
+def test_tws_gate_is_probe_not_marker():
+    """SKIPS.md §2 pin: the transformWithStateInPandas gate must be a
+    RUNTIME probe of google.protobuf (so it self-flips on when the
+    dependency appears), and its current answer must agree with an
+    independent import attempt of the exact blocking module chain
+    (pyspark.sql.streaming.proto.StateMessage_pb2 -> google.protobuf)."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        chain_imports = True
+    except ImportError:
+        chain_imports = False
+    assert _protobuf_usable() == chain_imports
