@@ -1,8 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline query set at
+"""Benchmark harness: runs EVERY registered query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two tiers (r09): the curated HEADLINE set (volume-doing queries,
+best-of-3, round-comparable "value"/subtotals) plus the full-registry
+tail (everything else, one timed run each) so no query is
+regression-blind; tail alarms use wider thresholds since both sides
+of a tail ratio are single runs.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect — the reference's collect() bottleneck,
@@ -410,16 +416,42 @@ def main() -> None:
         runs[name] = rs
         timings[name] = min(rs)
     total = round(sum(timings.values()), 3)
+
+    # Full-registry tail (r09, VERDICT r8 #4): every registered query
+    # not in the curated headline set gets ONE timed run, so no query
+    # is ever regression-blind. Most are input-bounded coverage
+    # queries (sub-second); single-run noise is handled by a wider
+    # alarm threshold below. A tail failure is recorded, not fatal —
+    # the bench line must always print.
+    tail = [n for n in registry if n not in set(HEADLINE)]
+    tail_errors: dict[str, str] = {}
+    for name in tail:
+        t0 = time.perf_counter()
+        try:
+            registry[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 — record and continue
+            tail_errors[name] = repr(e)[:200]
+            continue
+        t = round(time.perf_counter() - t0, 3)
+        runs[name] = [t]
+        timings[name] = t
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_time",
-        "value": total,
+        "value": total,  # headline subtotal: round-comparable
         "unit": "sec",
         "queries": timings,
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "n_queries": len(HEADLINE),
         "r01_subtotal": round(sum(timings[n] for n in HEADLINE_R01), 3),
+        "n_tail": len(tail),
+        "tail_total": round(
+            sum(timings[n] for n in tail if n in timings), 3
+        ),
+        "tail_errors": tail_errors,
     }
     regressions: set[str] = set()
     if R01_PATH.exists():
@@ -446,7 +478,7 @@ def main() -> None:
     if prev:
         vs_prev = {
             n: round(timings[n] / prev[n], 3)
-            for n in HEADLINE
+            for n in timings
             if n in prev and prev[n] > 0
         }
         out["vs_prev"] = vs_prev
@@ -454,10 +486,22 @@ def main() -> None:
         # best-of-3 is a real change or sustained contention, either
         # way worth a row in the alarm list — but only past the same
         # 0.5 s absolute floor as vs_r01 (sub-second jitter class).
+        # Tail queries are single-run (both sides), so their alarm
+        # needs 2× AND a 1 s delta before it means anything.
+        headline_set = set(HEADLINE)
         regressions |= {
             n
             for n, r in vs_prev.items()
-            if r > 1.5 and timings[n] - prev[n] > 0.5
+            if (
+                n in headline_set
+                and r > 1.5
+                and timings[n] - prev[n] > 0.5
+            )
+            or (
+                n not in headline_set
+                and r > 2.0
+                and timings[n] - prev[n] > 1.0
+            )
         }
     out["regressions"] = sorted(regressions)
 
@@ -473,8 +517,10 @@ def main() -> None:
         "queries": {n: timings[n] for n in HEADLINE_R01},
         "sf": out["sf"],
         "n_queries": len(HEADLINE),
+        "n_total": len(timings),
         "r01_subtotal": out["r01_subtotal"],
         "regressions": out["regressions"],
+        "tail_errors": sorted(tail_errors),
         "detail": "BENCH_FULL.json",
     }
     print(json.dumps(compact))
