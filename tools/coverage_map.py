@@ -80,6 +80,226 @@ def category(name: str) -> str:
     return "Other"
 
 
+# ---------------------------------------------------------------------------
+# SURVEY §2.2 row → registry queries (VERDICT r8 #8: mechanical
+# row→query verification). Most rows NAME their queries in the
+# "rebuild primitive" cell and are matched automatically; the family
+# rows below (written before the per-query naming convention) carry a
+# curated list. `streaming:` entries mark rows whose implementation is
+# a streaming-runtime module exercised by tests, not a batch registry
+# query. tests/test_coverage_map.py fails if any §2.2 row maps to
+# nothing or any curated name leaves the registry.
+# ---------------------------------------------------------------------------
+SURVEY_ROW_QUERIES: dict[str, list[str]] = {
+    "file scans (Parquet/CSV/JSON batch)": [
+        "filter_project", "global_row_ids", "scalar_json_quarantine",
+    ],
+    "filters / predicates": [
+        "correlated_exists_subquery", "scalar_subquery_above_avg",
+        "sample_deterministic", "stratified_hash_sample",
+        "filter_project", "q6_forecast_revenue", "q19_disjunctive_predicates",
+    ],
+    "joins — inner/left/right/full/semi/anti, equi & theta": [
+        "join_shuffle_orders_lineitem", "join_star_broadcast",
+        "join_left_outer", "join_right_outer", "join_full_outer",
+        "join_semi", "join_anti", "join_non_equi_range",
+        "join_interval_overlap", "events_asof_join",
+        "join_date_spine_gapfill", "merge_upsert_dimension",
+        # TPC-H suite: the join/agg/subquery shapes at reference scale
+        "q1_pricing_summary", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority_exists",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "q10_returned_items", "q11_important_parts",
+        "q12_shipmode_priority", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+        "q17_small_qty_revenue", "q18_large_orders",
+        "q19_disjunctive_predicates", "q20_part_promotion",
+        "q21_waiting_supplier", "q22_idle_customers",
+    ],
+    "nested-loop / hash / sort-merge choice": [
+        "join_star_broadcast", "join_shuffle_orders_lineitem",
+        "similarity_bruteforce_topk",
+    ],
+    "aggregation variants — distinct, grouping sets / cube / rollup": [
+        "stats_corr_covar", "stats_percentiles", "stats_approx_percentiles",
+        "events_rollup_cascade", "agg_weighted_stats", "agg_corr_regression",
+        "agg_distinct", "agg_grouping_sets", "agg_cube", "agg_rollup",
+        "agg_approx_distinct", "agg_count_if_bool", "agg_min_max_by",
+        "agg_histogram_bins", "groupby_having",
+    ],
+    "window (analytic) functions — rank/row_number/lag/lead/frames": [
+        "window_rank_topk_per_group", "window_running_agg",
+        "window_lag_lead", "window_first_last_value", "window_range_frame",
+        "window_sliding_rows_frame", "window_time_range_frame",
+        "window_ntile_percent", "window_running_distinct",
+        "window_activity_streaks",
+    ],
+    "sorts / limits / top-k": ["sort_limit_topk", "topk_events_per_user"],
+    "set ops": ["set_ops"],
+    "scalar function library (string/date/math/array/map/json)": [
+        "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+        "scalar_json_funcs", "regexp_string_funcs",
+        "datetime_construction_funcs", "null_handling_funcs",
+        "case_when_conditional", "try_safe_arithmetic",
+        "array_higher_order_funcs", "map_type_funcs", "variant_json_stats",
+        "explode_token_frequency", "collect_sorted_list",
+    ],
+    "streaming sliding / session windows": [
+        "events_tumbling_window", "events_weather_parity_agg",
+        "weather_parse_flatten", "weather_pipeline_5min",
+        "weather_sim_golden", "weather_synth_throughput",
+        "events_sliding_window", "events_session_window",
+        "streaming:streaming/weather.py (tests/test_streaming_weather.py)",
+    ],
+    "stateful ops / dedup / late data": [
+        "events_cdc_latest_snapshot", "events_scd2_history",
+        "events_sessionize_gaps",
+        "events_dedup_exact",
+        "streaming:streaming/stateful.py (tests/test_streaming_stateful.py)",
+    ],
+    "UDF / UDAF / UDTF": [
+        "pandas_udf_scalar", "grouped_agg_pandas_udf",
+        "apply_in_pandas_zscore", "python_udtf_ngrams",
+    ],
+    "north-star: exact & near dedup": [
+        "dedup_cluster_components", "dedup_fuzzy_edit_distance",
+        "dedup_pair_triangles",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_survivors", "events_dedup_exact",
+    ],
+    "north-star: similarity search (embeddings)": [
+        "similarity_bruteforce_topk", "similarity_ann_lsh",
+        "similarity_ann_ivf", "embedding_stats", "dedup_embedding_cosine",
+    ],
+    "north-star: text analysis": [
+        "text_tfidf_top_terms", "text_winnowing_fingerprints",
+        "text_token_stats", "text_lang_id", "text_quality_filter",
+        "text_bpeish_token_count", "text_fingerprint_clusters",
+        "text_pii_redaction",
+    ],
+    "north-star: multimodal columns": [
+        "multimodal_feature_extract", "multimodal_resize",
+        "multimodal_frame_sample", "multimodal_video_metadata",
+        "multimodal_audio_features", "multimodal_metadata_profile",
+        "multimodal_phash_near_dup",
+    ],
+    # chunking row also owns the r2/r3 assembly siblings (packing,
+    # domain mix, quality gating, int8 embedding quantization) that
+    # predate the per-query row-naming convention
+    "north-star (r4): sliding-window document chunking": [
+        "train_pack_sequences", "train_domain_mix",
+        "train_quality_quantile_gate", "train_embed_quantize_int8",
+    ],
+    "north-star (r4): k-means clustering (embeddings)": [
+        "similarity_kmeans_clusters", "similarity_centroid_dims",
+        "similarity_centroid_per_label",
+    ],
+    "streaming (r4): stream-static enrichment join": [
+        "streaming:streaming/enrich.py (tests/test_streaming_joins.py)",
+    ],
+    "relational (r5): deterministic mode / pivot / unpivot": [
+        "agg_mode_per_group", "agg_pivot_priority", "unpivot_part_measures",
+        "pivot_status_by_priority", "unpivot_measures",
+    ],
+    "relational (r5): bitwise aggregation, string reshape, calendar "
+    "arithmetic, ordered string_agg": [
+        "agg_bitwise_flags", "scalar_string_reshape",
+        "scalar_datetime_arith", "agg_string_concat_group",
+    ],
+    "analytics (r5): exact heavy hitters / RFM segmentation / bounce rate": [
+        "funnel_signup_purchase", "retention_cohorts",
+        "events_attribution_join",
+        "events_heavy_hitters", "customer_rfm_segments", "events_bounce_rate",
+    ],
+    "north-star (r5): vocabulary/hapax stats, exact length percentiles, "
+    "dup-cluster histogram, round-robin interleave": [
+        "text_vocab_hapax_stats", "text_length_percentiles",
+        "dedup_cluster_size_stats", "train_interleave_roundrobin",
+    ],
+    "sources (r5): ORC / opaque-binary / whole-text ingestion": [
+        "streaming:sources/io.py (tests/test_io.py)",
+    ],
+    "sources (r6): XML ingestion/interchange": [
+        "streaming:sources/io.py:read_xml (tests/test_io.py)",
+    ],
+    "operational (r5): Benford first-digit audit / median-MAD outliers "
+    "/ key-candidate profiling": [
+        "quality_benford_digits", "quality_mad_outliers",
+        "profile_key_candidates",
+    ],
+    "relational (r5w3): correlated LATERAL top-n / inline VALUES dim / "
+    "try-family arithmetic / running COUNT(DISTINCT)": [
+        "join_lateral_topn_per_nation", "join_values_inline_dim",
+        "scalar_try_safe_arithmetic", "window_running_distinct",
+    ],
+    "statistics (r5w3): two-sample KS / chi-square independence / "
+    "Mann–Whitney U / EWMA smoothing": [
+        "stats_ks_two_sample", "stats_chi_square_independence",
+        "stats_mann_whitney_u", "events_ewma_daily",
+    ],
+    "sketches (r5w3): Count-Min heavy hitters / Bloom contamination "
+    "gate / HLL mergeable rollup": [
+        "sketch_cms_heavy_hitters", "sketch_bloom_contamination_gate",
+        "sketch_hll_daily_union", "sketch_lc_weekly_union",
+    ],
+    "streaming (r5w3): Count-Min as bounded-state streaming aggregation": [
+        "streaming:streaming/sketch_stream.py (tests/test_streaming_sketch.py)",
+    ],
+    "north-star (r5w3): asymmetric containment contamination / "
+    "cross-document boilerplate detection": [
+        "train_contamination_containment", "text_boilerplate_sentences",
+    ],
+    "ML (r5w3, r6 fast paths): PCA / batch-GD logistic regression / k-means": [
+        "similarity_pca_top_component", "similarity_pca_top_k",
+        "train_logreg_quality_gate", "similarity_kmeans_clusters",
+    ],
+    "north-star (r5w3): A-Res weighted sampling / nucleus top-p source "
+    "filtering": [
+        "train_weighted_sample_ares", "train_nucleus_topp_per_source",
+    ],
+    "streaming (r5w4): live freshness-SLA monitor": [
+        "streaming:streaming/monitor.py (tests/test_streaming_monitor.py)",
+    ],
+    "streaming (r8): sequential CUSUM changepoint monitor": [
+        "streaming:streaming/stateful.py:cusum_monitor "
+        "(tests/test_streaming_monitor.py)",
+    ],
+}
+
+
+def survey_rows() -> "list[tuple[str, str]]":
+    """(category-cell, full-row) for every SURVEY.md §2.2 table row."""
+    rows = []
+    in22 = False
+    for ln in Path("SURVEY.md").read_text().split("\n"):
+        if ln.startswith("### 2.2"):
+            in22 = True
+            continue
+        if in22 and ln.startswith("### "):
+            break
+        if (
+            in22
+            and ln.startswith("|")
+            and not ln.startswith("|---")
+            and "reference status" not in ln
+        ):
+            rows.append((ln.split("|")[1].strip(), ln))
+    return rows
+
+
+def survey_row_map(query_names: "set[str]") -> "dict[str, list[str]]":
+    """§2.2 row cell → mapped queries (explicit name matches in the
+    row text, unioned with the curated SURVEY_ROW_QUERIES entry)."""
+    out: dict[str, list[str]] = {}
+    for cell, full in survey_rows():
+        explicit = sorted(n for n in query_names if n in full)
+        curated = SURVEY_ROW_QUERIES.get(cell, [])
+        merged = list(dict.fromkeys(curated + explicit))
+        out[cell] = merged
+    return out
+
+
 def main() -> None:
     from ibd_pipeline_spark.queries import all_oracles, all_queries
 
@@ -107,19 +327,52 @@ def main() -> None:
         "`tests/test_streaming_*.py` rather than the batch registry.",
         "",
     ]
+    rowmap = survey_row_map(set(queries))
+    unmapped_rows = [c for c, qs in rowmap.items() if not qs]
+    q_to_row: dict[str, str] = {}
+    for cell, qs in rowmap.items():
+        for q in qs:
+            q_to_row.setdefault(q, cell)
+
     for cat in sorted(by_cat):
         lines.append(f"## {cat}")
         lines.append("")
-        lines.append("| query | oracle | what it covers |")
-        lines.append("|---|---|---|")
+        lines.append("| query | oracle | survey row (§2.2) | what it covers |")
+        lines.append("|---|---|---|---|")
         for name in by_cat[cat]:
             doc = (queries[name].__doc__ or "").strip().split("\n")[0].strip()
             mark = "DuckDB" if name in oracles else "rows-only"
-            lines.append(f"| `{name}` | {mark} | {doc} |")
+            row = q_to_row.get(name, "—")
+            if len(row) > 60:
+                row = row[:57] + "…"
+            lines.append(f"| `{name}` | {mark} | {row} | {doc} |")
         lines.append("")
 
+    lines.append("## SURVEY §2.2 row → registry queries (mechanical map)")
+    lines.append("")
+    lines.append(
+        "Generated by `tools/coverage_map.py:survey_row_map` — explicit "
+        "query names in each row's text, unioned with the curated "
+        "`SURVEY_ROW_QUERIES` entries for family rows. `streaming:` "
+        "entries are streaming-runtime modules exercised by tests "
+        "rather than batch registry queries. "
+        f"**{len(rowmap)} rows, {len(unmapped_rows)} unmapped** "
+        "(tests/test_coverage_map.py gates this at zero)."
+    )
+    lines.append("")
+    lines.append("| §2.2 row | queries |")
+    lines.append("|---|---|")
+    for cell, qs in rowmap.items():
+        shown = ", ".join(f"`{q}`" for q in qs) or "**UNMAPPED**"
+        lines.append(f"| {cell} | {shown} |")
+    lines.append("")
+
     Path("COVERAGE.md").write_text("\n".join(lines))
-    print(f"wrote COVERAGE.md ({len(queries)} queries, {len(by_cat)} categories)")
+    print(
+        f"wrote COVERAGE.md ({len(queries)} queries, {len(by_cat)} "
+        f"categories, {len(rowmap)} survey rows, "
+        f"{len(unmapped_rows)} unmapped)"
+    )
 
 
 if __name__ == "__main__":
