@@ -242,9 +242,14 @@ _ROUND9_PRIORITY: list[str] = [
     "agg_approx_distinct",
 ]
 
-# Round-9 additions (new registrations this round). 24 + len ≤ 50 so
+# Round-9 additions (new registrations this round). 28 + len ≤ 50 so
 # the whole prefix fits the driver window.
-_ROUND9_NEW: list[str] = []
+_ROUND9_NEW: list[str] = [
+    "stats_wasserstein_drift",
+    "stats_mutual_information",
+    "quality_k_anonymity",
+    "maintenance_deletion_vectors",
+]
 
 # ----------------------------------------------------------------------
 # ROUND-8 WINDOW PREFIX: the queries whose attestation evidence must
@@ -535,6 +540,7 @@ def _ensure_loaded() -> None:
         relational6,
         round6,
         round8,
+        round9,
         scalar_ext,
         sketches,
         stats,
