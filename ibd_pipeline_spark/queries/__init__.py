@@ -249,6 +249,10 @@ _ROUND9_NEW: list[str] = [
     "stats_mutual_information",
     "quality_k_anonymity",
     "maintenance_deletion_vectors",
+    "text_pmi_collocations",
+    "text_jensen_shannon_sources",
+    "stats_kaplan_meier",
+    "train_neyman_allocation",
 ]
 
 # ----------------------------------------------------------------------

@@ -341,3 +341,462 @@ def maintenance_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (pointwise mutual information over adjacent pairs)
+# ---------------------------------------------------------------------------
+
+_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT w[i] AS left_tok, w[i + 1] AS right_tok
+  FROM toks, UNNEST(range(1, len(w))) t(i)
+), c AS (
+  SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM pairs GROUP BY 1, 2
+), m AS (
+  SELECT left_tok, right_tok, n_pair,
+         SUM(n_pair) OVER (PARTITION BY left_tok) AS n_left,
+         SUM(n_pair) OVER (PARTITION BY right_tok) AS n_right,
+         SUM(n_pair) OVER () AS n_total
+  FROM c
+)
+SELECT left_tok, right_tok, n_pair,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       ROUND(ln(CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)
+                / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))), 6)
+         AS pmi
+FROM m
+WHERE n_pair >= 20 AND n_pair * n_total > n_left * n_right
+ORDER BY left_tok, right_tok
+"""
+
+
+@query("text_pmi_collocations", oracle=_PMI_SQL)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token pairs: PMI(a,b) = ln(c(a,b)·N / (c(a,·)·c(·,b))) — the
+    classic 'which word pairs co-occur more than chance' readout a
+    corpus-curation pipeline runs to find multiword expressions worth
+    protecting from tokenization.
+
+    The selection gate is EXACT INTEGER algebra — support c(a,b) ≥ 20
+    and positive PMI as the cross-multiplied c·N > c_l·c_r — so the
+    result-set boundary never depends on a float comparison; the PMI
+    value itself is one ln on identical doubles, rounded at output.
+    Output ordered by the pair, not by the float.
+
+    Scale: pairs explode into a map-side-combined hash aggregate
+    (shuffle = distinct pair space, Zipf-small); margins are two
+    pair-frame windows PARTITIONED by token (vocab-sized groups) plus
+    a broadcast total."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    c = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    nl = c.groupBy("left_tok").agg(F.sum("n_pair").alias("n_left"))
+    nr = c.groupBy("right_tok").agg(F.sum("n_pair").alias("n_right"))
+    nt = c.agg(F.sum("n_pair").alias("n_total"))
+    m = (
+        c.join(F.broadcast(nl), "left_tok")
+        .join(F.broadcast(nr), "right_tok")
+        .crossJoin(F.broadcast(nt))
+    )
+    pmi = F.log(
+        F.col("n_pair").cast("double")
+        * F.col("n_total").cast("double")
+        / (F.col("n_left").cast("double") * F.col("n_right").cast("double"))
+    )
+    return (
+        m.filter(
+            (F.col("n_pair") >= 20)
+            & (
+                F.col("n_pair") * F.col("n_total")
+                > F.col("n_left") * F.col("n_right")
+            )
+        )
+        .select(
+            "left_tok",
+            "right_tok",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy("left_tok", "right_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence between source vocabularies
+# ---------------------------------------------------------------------------
+
+_JS_SQL = """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents WHERE source IN ('src0', 'src1')
+), c AS (
+  SELECT tok,
+         CAST(COUNT(*) FILTER (source = 'src0') AS BIGINT) AS c1,
+         CAST(COUNT(*) FILTER (source = 'src1') AS BIGINT) AS c2
+  FROM toks GROUP BY tok
+), n AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+         COUNT(*) AS vocab,
+         COUNT(*) FILTER (c1 > 0 AND c2 > 0) AS vocab_shared
+  FROM c
+), terms AS (
+  SELECT
+    CASE WHEN c.c1 > 0 THEN
+      CAST(c.c1 AS DOUBLE) / CAST(n.n1 AS DOUBLE)
+      * ln((2.0 * CAST(c.c1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
+           / (CAST(c.c1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+              + CAST(c.c2 AS DOUBLE) * CAST(n.n1 AS DOUBLE)))
+    ELSE 0.0 END AS pterm,
+    CASE WHEN c.c2 > 0 THEN
+      CAST(c.c2 AS DOUBLE) / CAST(n.n2 AS DOUBLE)
+      * ln((2.0 * CAST(c.c2 AS DOUBLE) * CAST(n.n1 AS DOUBLE))
+           / (CAST(c.c1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+              + CAST(c.c2 AS DOUBLE) * CAST(n.n1 AS DOUBLE)))
+    ELSE 0.0 END AS qterm
+  FROM c CROSS JOIN n
+)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(n.vocab AS BIGINT) AS vocab,
+       CAST(n.vocab_shared AS BIGINT) AS vocab_shared,
+       (SELECT CAST(ROUND(SUM(CAST(0.5 * pterm + 0.5 * qterm
+                AS DECIMAL(28,8))), 6) AS DOUBLE) FROM terms) AS js_nats
+FROM n
+"""
+
+
+@query("text_jensen_shannon_sources", oracle=_JS_SQL)
+def text_jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram vocabularies of
+    two corpus sources (src0 vs src1) — the symmetric, bounded [0, ln2]
+    distribution distance a mixture-curation pipeline uses to measure
+    how different two ingest feeds actually are (KL is undefined the
+    moment one source lacks a word; JS never is).
+
+    Per-token terms use the cross-multiplied form
+    p·ln(2·c1·n2 / (c1·n2 + c2·n1)) so every ln argument is a ratio of
+    exact integers — one ln per (token, side), identical double chains
+    in both engines, decimal-cast before the order-independent sum.
+
+    Scale: one token-explode into a vocab-sized hash aggregate; the
+    term fold runs on the vocab frame with a broadcast 1-row total."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c1"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.count(F.when((F.col("c1") > 0) & (F.col("c2") > 0), 1)).alias(
+            "vocab_shared"
+        ),
+    )
+    t = c.crossJoin(F.broadcast(n))
+    c1d, c2d = F.col("c1").cast("double"), F.col("c2").cast("double")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    denom = c1d * n2d + c2d * n1d
+    pterm = F.when(
+        F.col("c1") > 0,
+        c1d / n1d * F.log(F.lit(2.0) * c1d * n2d / denom),
+    ).otherwise(F.lit(0.0))
+    qterm = F.when(
+        F.col("c2") > 0,
+        c2d / n2d * F.log(F.lit(2.0) * c2d * n1d / denom),
+    ).otherwise(F.lit(0.0))
+    return t.groupBy("n1", "n2", "vocab", "vocab_shared").agg(
+        F.round(
+            F.sum((F.lit(0.5) * pterm + F.lit(0.5) * qterm).cast("decimal(28,8)")),
+            6,
+        )
+        .cast("double")
+        .alias("js_nats"),
+    ).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("vocab_shared").cast("bigint").alias("vocab_shared"),
+        "js_nats",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival estimator (user lifetime with right-censoring)
+# ---------------------------------------------------------------------------
+
+_KM_SQL = """
+WITH span AS (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
+), u AS (
+  SELECT user_id,
+         MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+  FROM events GROUP BY user_id
+), lif AS (
+  SELECT CAST(datediff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+              AS BIGINT) AS dur,
+         (last_ts > (SELECT max_ts FROM span) - INTERVAL 7 DAY) AS censored
+  FROM u
+), d AS (
+  SELECT dur,
+         CAST(COUNT(*) FILTER (NOT censored) AS BIGINT) AS d_events,
+         CAST(COUNT(*) FILTER (censored) AS BIGINT) AS c_censored
+  FROM lif GROUP BY dur
+), k AS (
+  SELECT dur, d_events, c_censored,
+         (SELECT SUM(d_events + c_censored) FROM d)
+           - COALESCE(SUM(d_events + c_censored) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM d
+), s AS (
+  SELECT dur, d_events, c_censored, CAST(n_risk AS BIGINT) AS n_risk,
+         SUM(CASE WHEN d_events < n_risk THEN
+               CAST(ROUND(ln(1.0 - CAST(d_events AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)), 8)
+                    AS DECIMAL(28,8))
+             ELSE NULL END) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ln_cum,
+         MAX(CASE WHEN d_events >= n_risk THEN dur END) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dead_at
+  FROM k
+)
+SELECT dur, d_events, c_censored, n_risk,
+       CASE WHEN dead_at IS NOT NULL THEN 0.0
+            ELSE ROUND(EXP(CAST(COALESCE(ln_cum, 0) AS DOUBLE)), 6)
+       END AS survival
+FROM s
+ORDER BY dur
+"""
+
+
+@query("stats_kaplan_meier", oracle=_KM_SQL)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (days between a
+    user's first and last event), right-censoring users still active in
+    the final 7 days of the dataset — the product-limit estimator churn
+    analysis runs: S(t) = Π_{s≤t} (1 − d_s/n_s) over event times, with
+    censored users leaving the risk set without contributing a death.
+
+    Cross-engine determinism: deaths/censorings/at-risk are exact
+    integers; each factor enters as ln(1 − d/n) ROUNDED TO 8 DP AND
+    CAST TO DECIMAL, so the running product is an exact decimal sum
+    (order-independent) with one exp at the output. The d = n
+    extinction row (and everything after) is pinned to exactly 0.0
+    rather than exp(−inf).
+
+    Scale: user-lifetime aggregation is one user_id shuffle; the
+    duration frame is DAY-SPAN-bounded (≤ dataset days — the
+    plan-audit allow-list bound), so its cumulative windows run over
+    ≤ ~10³ rows of aggregate, never data."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts").alias("max_ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    lif = u.crossJoin(F.broadcast(span)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        .cast("bigint")
+        .alias("dur"),
+        (
+            F.col("last_ts")
+            > F.col("max_ts") - F.expr("INTERVAL 7 DAY")
+        ).alias("censored"),
+    )
+    d = lif.groupBy("dur").agg(
+        F.count(F.when(~F.col("censored"), 1)).alias("d_events"),
+        F.count(F.when(F.col("censored"), 1)).alias("c_censored"),
+    )
+    tot = d.agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).alias("n_total")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    k = d.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+            F.lit(0),
+        ),
+    )
+    ln_factor = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_events").cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            8,
+        ).cast("decimal(28,8)"),
+    )
+    s = k.select(
+        "dur",
+        F.col("d_events").cast("bigint").alias("d_events"),
+        F.col("c_censored").cast("bigint").alias("c_censored"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.sum(ln_factor).over(w_run).alias("ln_cum"),
+        F.max(
+            F.when(F.col("d_events") >= F.col("n_risk"), F.col("dur"))
+        )
+        .over(w_run)
+        .alias("dead_at"),
+    )
+    return s.select(
+        "dur",
+        "d_events",
+        "c_censored",
+        "n_risk",
+        F.when(F.col("dead_at").isNotNull(), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.coalesce(F.col("ln_cum"), F.lit(0)).cast("double")), 6
+            )
+        )
+        .alias("survival"),
+    ).orderBy("dur")
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_SQL = """
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_h,
+         SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n_h AS DOUBLE)) / CAST(n_h - 1 AS DOUBLE)) AS sigma
+  FROM s
+), t AS (
+  SELECT source, n_h, sigma, CAST(n_h AS DOUBLE) * sigma AS wt,
+         CAST((SELECT CAST(SUM(CAST(CAST(n_h AS DOUBLE) * sigma
+                 AS DECIMAL(28,8))) AS DOUBLE) FROM w) AS DOUBLE) AS wt_total
+  FROM w
+), a AS (
+  SELECT source, n_h, sigma, 1000.0 * wt / wt_total AS n_real,
+         CAST(FLOOR(1000.0 * wt / wt_total) AS BIGINT) AS n_floor,
+         1000.0 * wt / wt_total - FLOOR(1000.0 * wt / wt_total) AS rem
+  FROM t
+), r AS (
+  SELECT source, n_h, sigma, n_floor, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+         CAST(1000 - (SELECT SUM(n_floor) FROM a) AS BIGINT) AS leftover
+  FROM a
+)
+SELECT source, n_h, ROUND(sigma, 6) AS sigma_chars,
+       n_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS n_alloc
+FROM r
+ORDER BY source
+"""
+
+
+@query("train_neyman_allocation", oracle=_NEYMAN_SQL)
+def train_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation over document
+    sources for a 1000-document budget: n_h ∝ N_h·σ_h (strata that are
+    bigger OR more variable in length get more samples — the
+    minimum-variance allocation for estimating corpus means), floored
+    and topped up by largest remainder so the allocation sums to
+    exactly 1000.
+
+    Determinism: per-stratum moments (Σx, Σx²) are exact BIGINTs;
+    σ_h is one IEEE sqrt on identical doubles; the weight total sums
+    decimal-cast terms (order-independent); every later quotient/floor
+    runs on bit-identical doubles, so n_alloc is the same exact
+    integer in both engines; the largest-remainder rank breaks float
+    ties by source name.
+
+    Scale: one map-side-combined moment aggregate (stratum-count
+    keys); the allocation math runs on the stratum frame — the one
+    unpartitioned rank window is one row per source (plan-audit
+    allow-list bound)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("n_h").cast("double")
+        )
+        / (F.col("n_h") - 1).cast("double")
+    )
+    w = s.select(
+        "source", "n_h", sigma.alias("sigma"),
+        (F.col("n_h").cast("double") * sigma).alias("wt"),
+    )
+    wt_total = w.agg(
+        F.sum(F.col("wt").cast("decimal(28,8)")).cast("double").alias(
+            "wt_total"
+        )
+    )
+    a = w.crossJoin(F.broadcast(wt_total)).select(
+        "source",
+        "n_h",
+        "sigma",
+        (F.lit(1000.0) * F.col("wt") / F.col("wt_total")).alias("n_real"),
+    )
+    a = a.select(
+        "source",
+        "n_h",
+        "sigma",
+        F.floor("n_real").cast("bigint").alias("n_floor"),
+        (F.col("n_real") - F.floor("n_real")).alias("rem"),
+    )
+    left = a.agg((F.lit(1000) - F.sum("n_floor")).alias("leftover"))
+    w_rk = Window.orderBy(F.col("rem").desc(), "source")
+    r = a.crossJoin(F.broadcast(left)).select(
+        "source",
+        F.col("n_h").cast("bigint").alias("n_h"),
+        F.round("sigma", 6).alias("sigma_chars"),
+        (
+            F.col("n_floor")
+            + F.when(
+                F.row_number().over(w_rk) <= F.col("leftover"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    return r.orderBy("source")

@@ -43,6 +43,8 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     "events_period_over_period": "one row per period",
     "events_seasonal_decompose": "one row per day (7-day centered MA)",
     "events_cusum_changepoint": "one row per day (rn + cumsum on day grain)",
+    "stats_kaplan_meier": "one row per lifetime-duration day (≤ dataset span)",
+    "train_neyman_allocation": "one row per source (largest-remainder rank)",
     # tiny enumerations
     "quality_benford_digits": "9 rows (leading digits 1-9)",
     "stats_chi_square_independence": "contingency cells (types × buckets)",
