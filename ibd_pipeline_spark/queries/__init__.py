@@ -253,6 +253,9 @@ _ROUND9_NEW: list[str] = [
     "text_jensen_shannon_sources",
     "stats_kaplan_meier",
     "train_neyman_allocation",
+    "similarity_inverted_index_cosine",
+    "dedup_fellegi_sunter_linkage",
+    "similarity_silhouette_labels",
 ]
 
 # ----------------------------------------------------------------------

@@ -800,3 +800,376 @@ def train_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_alloc"),
     )
     return r.orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index sparse cosine (document-term postings join)
+# ---------------------------------------------------------------------------
+
+_INVIDX_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 300
+), post AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm FROM post GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM post a JOIN post b ON b.term = a.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, d.dot, na.nrm AS norm_a, nb.nrm AS norm_b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / SQRT(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+         AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE 100 * d.dot * d.dot > 81 * na.nrm * nb.nrm
+ORDER BY d.id_a, d.id_b
+"""
+
+
+@query("similarity_inverted_index_cosine", oracle=_INVIDX_SQL)
+def similarity_inverted_index_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity through an INVERTED-INDEX join — the
+    scalable alternative to dense all-pairs for bag-of-words vectors:
+    explode documents into (doc, term, tf) postings, join postings ON
+    TERM (only documents sharing a term ever meet), hash-aggregate the
+    products into dot products, attach norms, gate at cosine ≥ 0.9.
+
+    Everything before the output rounding is exact integer algebra —
+    dot products and squared norms are BIGINT tf sums, and the 0.9
+    gate is the cross-multiplied 100·dot² > 81·‖a‖²·‖b‖², so the
+    result-set boundary never touches a float; the cosine value is a
+    final single-division-plus-sqrt on identical doubles.
+
+    Scale: the postings join shuffles on TERM; per-term work is
+    df(term)² — production prunes the head of the df distribution
+    (stopword-like terms contribute no discrimination at quadratic
+    cost). This synthetic corpus draws from a ~30-word vocabulary, so
+    every term is a head term and df-pruning would empty the index;
+    the oracle-bounded doc_id < 300 slice stands in for that prune
+    (same role as dedup_minhash_jaccard_estimate's slice) while the
+    plan — postings, term join, integer dots — is the production
+    shape."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    post = d.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("nrm")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("b.term") == F.col("a.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("id_a"), F.col("nrm").alias("norm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("id_b"), F.col("nrm").alias("norm_b")
+    )
+    out = (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(
+            F.lit(100) * F.col("dot") * F.col("dot")
+            > F.lit(81) * F.col("norm_a") * F.col("norm_b")
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("dot").cast("bigint").alias("dot"),
+        F.col("norm_a").cast("bigint").alias("norm_a"),
+        F.col("norm_b").cast("bigint").alias("norm_b"),
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(
+                F.col("norm_a").cast("double") * F.col("norm_b").cast("double")
+            ),
+            6,
+        ).alias("cosine"),
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage scoring
+# ---------------------------------------------------------------------------
+
+_FS_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars // 10 AS blk,
+         string_split(text, ' ')[1] AS first_tok,
+         string_split(text, ' ')[-1] AS last_tok
+  FROM documents WHERE doc_id < 500
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+), u AS (
+  SELECT
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+       SELECT COUNT(*) AS c FROM d GROUP BY lang)) AS u2_lang,
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+       SELECT COUNT(*) AS c FROM d GROUP BY source)) AS u2_source,
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+       SELECT COUNT(*) AS c FROM d GROUP BY first_tok)) AS u2_first,
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+       SELECT COUNT(*) AS c FROM d GROUP BY last_tok)) AS u2_last,
+    (SELECT n_docs FROM n) AS nd
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(a.lang = b.lang AS INT) AS ag_lang,
+         CAST(a.source = b.source AS INT) AS ag_source,
+         CAST(a.first_tok = b.first_tok AS INT) AS ag_first,
+         CAST(a.last_tok = b.last_tok AS INT) AS ag_last
+  FROM d a JOIN d b ON b.blk = a.blk AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         ag_lang + ag_source + ag_first + ag_last AS n_agree,
+         (CASE WHEN ag_lang = 1
+               THEN ln(0.95 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                       / CAST(u2_lang AS DOUBLE))
+               ELSE ln(0.05 / (1.0 - CAST(u2_lang AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))) END)
+       + (CASE WHEN ag_source = 1
+               THEN ln(0.95 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                       / CAST(u2_source AS DOUBLE))
+               ELSE ln(0.05 / (1.0 - CAST(u2_source AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))) END)
+       + (CASE WHEN ag_first = 1
+               THEN ln(0.95 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                       / CAST(u2_first AS DOUBLE))
+               ELSE ln(0.05 / (1.0 - CAST(u2_first AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))) END)
+       + (CASE WHEN ag_last = 1
+               THEN ln(0.95 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                       / CAST(u2_last AS DOUBLE))
+               ELSE ln(0.05 / (1.0 - CAST(u2_last AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))) END)
+         AS score
+  FROM pairs CROSS JOIN u
+)
+SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+       ROUND(score, 6) AS fs_score
+FROM scored
+WHERE n_agree >= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_fellegi_sunter_linkage", oracle=_FS_SQL)
+def dedup_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage: blocked candidate
+    pairs scored by Σ_field ln(m/u) on agreement, ln((1−m)/(1−u)) on
+    disagreement — the classical entity-resolution weight model on top
+    of the dedup family's blocking machinery. m is the standard 0.95
+    prior; each field's u-probability (chance agreement) is ESTIMATED
+    FROM THE DATA as Σ_v c_v²/N² — kept as exact integers (Σc², N²)
+    all the way into a single ln per field, so both engines compute
+    bit-identical weights.
+
+    Candidates come from n_chars÷10 length blocking (pairs only
+    within a block — the sorted-neighborhood/LSH contract, never
+    all-pairs); the emission gate is the exact integer n_agree ≥ 3,
+    not a float score threshold.
+
+    Scale: blocking bounds pair enumeration; the u-statistics are
+    map-side-combined value-frequency aggregates broadcast into the
+    pair scorer. The doc_id < 500 slice is the oracle-bounded
+    calibration subset (jaccard-estimate precedent); production runs
+    the same plan per block partition."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 10).alias("blk"),
+            F.element_at(F.split("text", " "), 1).alias("first_tok"),
+            F.element_at(F.split("text", " "), -1).alias("last_tok"),
+        )
+    )
+    fields = ["lang", "source", "first_tok", "last_tok"]
+    u2 = [
+        d.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias(f"u2_{f}"))
+        for f in fields
+    ]
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    stats = nd
+    for frame in u2:
+        stats = stats.crossJoin(F.broadcast(frame))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.blk") == F.col("a.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        *[
+            (F.col(f"a.{f}") == F.col(f"b.{f}")).cast("int").alias(f"ag_{f}")
+            for f in fields
+        ],
+    )
+    scored = pairs.crossJoin(F.broadcast(stats))
+    ndd = F.col("nd").cast("double")
+    score = None
+    for f in fields:
+        u2d = F.col(f"u2_{f}").cast("double")
+        w = F.when(
+            F.col(f"ag_{f}") == 1,
+            F.log(F.lit(0.95) * ndd * ndd / u2d),
+        ).otherwise(F.log(F.lit(0.05) / (F.lit(1.0) - u2d / (ndd * ndd))))
+        score = w if score is None else score + w
+    n_agree = sum(F.col(f"ag_{f}") for f in fields)
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            n_agree.cast("bigint").alias("n_agree"),
+            F.round(score, 6).alias("fs_score"),
+        )
+        .filter(F.col("n_agree") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Silhouette score of the given label clustering (bounded audit slice)
+# ---------------------------------------------------------------------------
+
+_SIL_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 200
+), p AS (
+  SELECT a.vec_id AS i, a.label AS la, b.label AS lb,
+         SQRT(CAST((
+           SELECT SUM(CAST(FLOOR((a.v[k] - b.v[k]) * (a.v[k] - b.v[k]) * 1e12)
+                            AS BIGINT))
+           FROM UNNEST(range(1, len(a.v) + 1)) t(k)
+         ) AS DOUBLE) / 1e12) AS dist
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+), m AS (
+  SELECT i, la, lb,
+         CAST(ROUND(SUM(CAST(dist AS DECIMAL(28,8))), 8) AS DOUBLE)
+           / COUNT(*) AS mean_d
+  FROM p GROUP BY 1, 2, 3
+), ab AS (
+  SELECT i, la,
+         MAX(CASE WHEN lb = la THEN mean_d END) AS a_i,
+         MIN(CASE WHEN lb <> la THEN mean_d END) AS b_i
+  FROM m GROUP BY 1, 2
+), s AS (
+  SELECT i, la,
+         CASE WHEN a_i IS NULL THEN 0.0
+              ELSE (b_i - a_i) / (CASE WHEN a_i > b_i THEN a_i ELSE b_i END)
+         END AS sil
+  FROM ab
+)
+SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(ROUND(SUM(CAST(sil AS DECIMAL(28,8))), 6) AS DOUBLE) / COUNT(*)
+         AS avg_silhouette
+FROM s GROUP BY la ORDER BY la
+"""
+
+
+@query("similarity_silhouette_labels", oracle=_SIL_SQL)
+def similarity_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette quality of the embedding table's GIVEN label
+    clustering on the vec_id < 200 audit slice: per point,
+    s = (b−a)/max(a,b) with a = mean distance to own cluster and
+    b = the nearest other cluster's mean distance — the
+    cluster-separation readout you run after any clustering
+    (k-means included; labels here play the assignment so the whole
+    chain is SQL-attestable rather than rows-only).
+
+    Cross-engine float discipline: elements cast float→double before
+    any arithmetic (float ops round differently per engine's
+    promotion rules); each squared difference lands as an exact
+    integer via FLOOR(t·10¹²) so the 64-term distance sum is
+    order-independent; per-pair distance is one sqrt on identical
+    doubles; every mean uses the decimal-sum-then-divide (davg)
+    idiom. Singleton clusters take silhouette 0 by convention.
+
+    Scale: silhouette is inherently quadratic — the audit runs on a
+    bounded sample (the universal practice; sklearn does the same via
+    `sample_size`). The slice join broadcasts 200 rows; per-label
+    means then reduce |slice|² pair rows in one hash aggregate."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    d2_scaled = F.aggregate(
+        F.zip_with(
+            F.col("a.v"),
+            F.col("b.v"),
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(1e12)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    p = a.join(
+        F.broadcast(b), F.col("b.vec_id") != F.col("a.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("i"),
+        F.col("a.label").alias("la"),
+        F.col("b.label").alias("lb"),
+        F.sqrt(d2_scaled.cast("double") / F.lit(1e12)).alias("dist"),
+    )
+    m = p.groupBy("i", "la", "lb").agg(
+        (
+            F.round(F.sum(F.col("dist").cast("decimal(28,8)")), 8).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_d")
+    )
+    ab = m.groupBy("i", "la").agg(
+        F.max(F.when(F.col("lb") == F.col("la"), F.col("mean_d"))).alias(
+            "a_i"
+        ),
+        F.min(F.when(F.col("lb") != F.col("la"), F.col("mean_d"))).alias(
+            "b_i"
+        ),
+    )
+    sil = F.when(F.col("a_i").isNull(), F.lit(0.0)).otherwise(
+        (F.col("b_i") - F.col("a_i")) / F.greatest("a_i", "b_i")
+    )
+    return (
+        ab.select(F.col("la").alias("label"), sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            (
+                F.round(F.sum(F.col("sil").cast("decimal(28,8)")), 6).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )
