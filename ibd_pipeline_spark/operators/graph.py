@@ -468,3 +468,81 @@ def markov_stationary(
     ckpt.release("t")
     ckpt.release("sources")
     return pi
+
+
+def absorption_probability(
+    transitions: DataFrame,
+    targets: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    prob: str = "p",
+    iters: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Absorption probability of a Markov chain: for every TRANSIENT
+    state s (one with outgoing transitions), the probability that a
+    walk from s eventually reaches one of the `targets` (absorbing
+    states, single column ``state``), computed by value iteration
+    a ← P·a with a(target) ≡ 1 and a(non-target sink) ≡ 0 — the
+    fundamental-matrix quantity (I−Q)⁻¹·R·1 without materializing a
+    matrix inverse. The engine behind Markov attribution (removal
+    effects), funnel completion odds, and absorbing-chain reach.
+
+    Per round: one join of the transient a-vector against the
+    transition triples + one sum aggregate — state-space-sized frames
+    only (the corpus-scale work is the caller's transition-count
+    aggregation). Same RoundCheckpointer lineage contract as
+    markov_stationary; value iteration contracts geometrically at the
+    per-step absorption rate, so fixed `iters` rounds land within
+    double noise of the fixpoint for any chain that absorbs at all.
+
+    Returns (state, a) over transient states PLUS the targets with
+    a = 1.0."""
+    if iters < 1:
+        # iters=0 would return a frame whose lineage still reads
+        # slots released below — reject up front (ADVICE r8).
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
+    import pyspark.sql.functions as F
+
+    ckpt = _checkpointer(transitions, checkpoint_dir)
+    t = ckpt(
+        transitions.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"), F.col(prob).alias("w")
+        ),
+        "t",
+    )
+    tgt = ckpt(targets.select(F.col("state").alias("tgt")), "tgt")
+    a = t.select(F.col("s").alias("state")).distinct().withColumn(
+        "a", F.lit(0.0)
+    )
+    for i in range(iters):
+        looked = (
+            t.join(tgt, t.d == tgt.tgt, "left")
+            .join(
+                a.select(F.col("state").alias("d2"), F.col("a").alias("ad")),
+                F.col("d") == F.col("d2"),
+                "left",
+            )
+            .select(
+                "s",
+                "w",
+                F.when(F.col("tgt").isNotNull(), F.lit(1.0))
+                .otherwise(F.coalesce("ad", F.lit(0.0)))
+                .alias("aval"),
+            )
+        )
+        a = looked.groupBy(F.col("s").alias("state")).agg(
+            F.sum(F.col("w") * F.col("aval")).alias("a")
+        )
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            a = ckpt(a, f"a{(i // 2) % 2}")
+    out = a.unionByName(
+        tgt.select(F.col("tgt").alias("state"), F.lit(1.0).alias("a"))
+    )
+    final = out.localCheckpoint(eager=True)
+    ckpt.release("t")
+    ckpt.release("tgt")
+    ckpt.release("a0")
+    ckpt.release("a1")
+    return final

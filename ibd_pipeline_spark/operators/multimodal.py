@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -866,3 +867,69 @@ def phash_near_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+ENTROPY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_pixels", LongType()),
+        StructField("n_levels", LongType()),
+        StructField("entropy_nats", DoubleType()),
+    ]
+)
+
+
+def image_entropy(content: bytes) -> "tuple[int, int, float]":
+    """Grayscale histogram entropy of a REAL-decoded PNG: 256-bin
+    luma histogram → H = −Σ p·ln p (nats), plus pixel count and the
+    number of occupied gray levels. Pure single-process Python — the
+    same function backs the distributed mapInPandas pass AND the
+    VALUES oracle, so cross-engine agreement is bit-for-bit by
+    construction (fixed bin iteration order; HALF_UP 8-dp rounding in
+    the decimal domain, matching Spark round() semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import log
+
+    from ibd_pipeline_spark.operators import png as P
+
+    _w, _h, gray = P.decode_png_gray(content)
+    hist = [0] * 256
+    for b in gray:
+        hist[b] += 1
+    n = len(gray)
+    ent = 0.0
+    levels = 0
+    for c in hist:
+        if c:
+            levels += 1
+            p = c / n
+            ent -= p * log(p)
+    ent = float(
+        Decimal(repr(ent)).quantize(Decimal("1e-8"), rounding=ROUND_HALF_UP)
+    )
+    return n, levels, ent
+
+
+def image_entropy_profile(assets: DataFrame) -> DataFrame:
+    """Per-asset histogram-entropy profile via Arrow-batched
+    mapInPandas (REAL stdlib-zlib PNG decode, no imaging library) —
+    the information-density gate of an image curation pipeline:
+    near-zero entropy marks blank/synthetic frames, max entropy
+    (ln 256 ≈ 5.545) marks noise. Blob bytes never cross the driver;
+    per-batch work is decode + a 256-bin fold."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for content in pdf["content"]:
+                n, levels, ent = image_entropy(bytes(content))
+                rows.append((n, levels, ent))
+            out = pd.DataFrame(
+                rows, columns=["n_pixels", "n_levels", "entropy_nats"]
+            )
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return assets.mapInPandas(batches, ENTROPY_SCHEMA)

@@ -256,6 +256,8 @@ _ROUND9_NEW: list[str] = [
     "similarity_inverted_index_cosine",
     "dedup_fellegi_sunter_linkage",
     "similarity_silhouette_labels",
+    "multimodal_image_entropy",
+    "analytics_markov_attribution",
 ]
 
 # ----------------------------------------------------------------------

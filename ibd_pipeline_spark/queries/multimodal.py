@@ -400,3 +400,35 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.phash_near_dup_pairs(assets, max_hamming=8)
         .orderBy("id_a", "id_b")
     )
+
+
+def _image_entropy_expected() -> str:
+    """VALUES oracle: the same pure-Python decode + entropy fold
+    (operators/multimodal.py:image_entropy) over the same
+    deterministic asset rows — attesting that the Arrow batching and
+    schema plumbing reproduce the straight-line computation."""
+    rows = []
+    for r in M.image_asset_rows(48):
+        n, levels, ent = M.image_entropy(r[2])
+        rows.append((r[0], r[1], n, levels, ent))
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("media_type", "VARCHAR"),
+            ("n_pixels", "BIGINT"),
+            ("n_levels", "BIGINT"),
+            ("entropy_nats", "DOUBLE"),
+        ],
+        "asset_id",
+    )
+
+
+@query("multimodal_image_entropy", oracle=_image_entropy_expected)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-entropy information-density gate over REAL-decoded
+    PNGs (stdlib-zlib codec, Arrow-batched mapInPandas) — blank-frame
+    and noise detection for image curation: per asset, pixel count,
+    occupied gray levels, and H = −Σ p·ln p in nats."""
+    assets = M.synthesize_image_assets(spark, n=48)
+    return M.image_entropy_profile(assets).orderBy("asset_id")

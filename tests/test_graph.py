@@ -276,3 +276,30 @@ def test_degenerate_iteration_counts_rejected(spark):
         label_propagation(edges, seeds, max_iter=0)
     with pytest.raises(ValueError, match=">= 1"):
         markov_stationary(t, iters=0)
+
+
+def test_absorption_probability_simple_chain(spark):
+    """a(s) = P(reach target): A -> B (.5) / DEAD (.5); B -> C (1.0);
+    target C => a(B) = 1, a(A) = 0.5; target row carries a = 1."""
+    from ibd_pipeline_spark.operators.graph import absorption_probability
+
+    t = spark.createDataFrame(
+        [("A", "B", 0.5), ("A", "DEAD", 0.5), ("B", "C", 1.0)],
+        "src string, dst string, p double",
+    )
+    tgt = spark.createDataFrame([("C",)], "state string")
+    got = {r["state"]: r["a"] for r in absorption_probability(t, tgt).collect()}
+    assert got["C"] == 1.0
+    assert abs(got["B"] - 1.0) < 1e-12
+    assert abs(got["A"] - 0.5) < 1e-12
+
+
+def test_absorption_probability_rejects_zero_iters(spark):
+    import pytest
+
+    from ibd_pipeline_spark.operators.graph import absorption_probability
+
+    t = spark.createDataFrame([("A", "B", 1.0)], "src string, dst string, p double")
+    tgt = spark.createDataFrame([("B",)], "state string")
+    with pytest.raises(ValueError, match=">= 1"):
+        absorption_probability(t, tgt, iters=0)
