@@ -258,6 +258,8 @@ _ROUND9_NEW: list[str] = [
     "similarity_silhouette_labels",
     "multimodal_image_entropy",
     "analytics_markov_attribution",
+    "join_banded_range",
+    "quality_l_diversity",
 ]
 
 # ----------------------------------------------------------------------

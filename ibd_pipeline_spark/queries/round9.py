@@ -1389,3 +1389,157 @@ def analytics_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded range join (equi-key-less interval containment at scale)
+# ---------------------------------------------------------------------------
+
+_BANDED_SQL = """
+WITH inc AS (
+  SELECT event_id AS incident_id,
+         CAST(ts AS TIMESTAMP) AS w_start,
+         CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'error' AND event_id % 97 = 0
+)
+SELECT i.incident_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (e.event_type = 'error') AS BIGINT)
+         AS n_errors
+FROM inc i JOIN events e
+  ON CAST(e.ts AS TIMESTAMP) >= i.w_start
+ AND CAST(e.ts AS TIMESTAMP) < i.w_end
+GROUP BY i.incident_id
+ORDER BY i.incident_id
+"""
+
+
+@query("join_banded_range", oracle=_BANDED_SQL)
+def join_banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join WITHOUT an equi key — events falling inside
+    incident windows ([error ts, +1 hour)) — made shuffle-joinable by
+    BANDING: both sides tag hour-floor band numbers (a window of
+    length ≤ band covers at most 2 bands, so the interval side
+    explodes into ≤ 2 rows), the join runs as a plain EQUI join on
+    the band, and the exact containment predicate filters after. The
+    hand-rolled form of the range-join bin optimization — without it
+    this shape is a BroadcastNestedLoopJoin (fine for a small
+    interval side) or, worse, a cartesian.
+
+    The oracle runs the plain theta join; banding is provably
+    lossless because an event inside [start, start+1h) has its hour
+    floor in {floor(start), floor(start)+1}, exactly the two exploded
+    bands.
+
+    Scale: shuffle on the band key distributes both sides; per-band
+    work is (events in the hour) × (windows touching it) — bounded by
+    incident density, never |events|²; skewed hot hours fall to AQE
+    skew-split since the join is a plain exchange."""
+    ev = load(spark, sf_dir, "events")
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 97 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    # interval side: ≤ 2 bands per 1-hour window (band == window size)
+    inc_b = inc.select(
+        "incident_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.unix_timestamp("w_start") / 3600),
+                    F.floor(F.unix_timestamp("w_end") / 3600),
+                )
+            )
+        ).alias("band"),
+    )
+    ev_b = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("band"),
+    )
+    joined = inc_b.join(ev_b, "band").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.when(F.col("event_type") == "error", 1))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity within QI groups)
+# ---------------------------------------------------------------------------
+
+_LDIV_SQL = """
+WITH g AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS grp_n,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+       CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+       CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l2,
+       CAST(SUM(CASE WHEN l_div < 2 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS rows_below_l2,
+       ROUND(CAST(SUM(CASE WHEN l_div < 2 THEN grp_n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(grp_n) AS DOUBLE), 6) AS exposed_frac
+FROM g
+"""
+
+
+@query("quality_l_diversity", oracle=_LDIV_SQL)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: within
+    each quasi-identifier group (nation, balance bucket), how many
+    DISTINCT values of the sensitive attribute (market segment)
+    appear? A group can be k-anonymous yet fully exposed if every
+    member shares the sensitive value (the homogeneity attack);
+    l_diversity = the dataset's minimum, with the row mass sitting in
+    l < 2 groups as the exposure readout.
+
+    Exact integers off one aggregate carrying COUNT + COUNT DISTINCT
+    per QI group; the only division is the final exposed_frac.
+
+    Scale: one shuffle at QI cardinality; the distinct-count is
+    per-group (segment values ≤ 5), never global."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias(
+            "bal_bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct("c_mktsegment").alias("l_div"),
+    )
+    exposed = F.when(F.col("l_div") < 2, F.col("grp_n")).otherwise(F.lit(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+        F.sum((F.col("l_div") < 2).cast("int")).cast("bigint").alias(
+            "groups_below_l2"
+        ),
+        F.sum(exposed).cast("bigint").alias("rows_below_l2"),
+        F.round(
+            F.sum(exposed).cast("double") / F.sum("grp_n").cast("double"), 6
+        ).alias("exposed_frac"),
+    )
