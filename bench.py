@@ -347,6 +347,29 @@ HEADLINE_R08 = [
     # dedup_minhash_lsh, dedup_cluster_components.)
 ]
 
+# Round-9 additions that do real volume work (bounded audit slices —
+# inverted-index cosine at 300 docs, Fellegi–Sunter at 500,
+# silhouette at 200 vectors, image entropy at 48 fixed assets — ride
+# the full-registry tail instead, per the round-2 rule).
+HEADLINE_R09 = [
+    # one 3-weight prefix-sum scan + rn self-join (earth mover drift)
+    "stats_wasserstein_drift",
+    # contingency agg + broadcast margins (MI + Cramér's V)
+    "stats_mutual_information",
+    # user-lifetime agg + day-bounded product-limit windows
+    "stats_kaplan_meier",
+    # journey windows + variant-tagged absorption fixpoint (16 rounds)
+    "analytics_markov_attribution",
+    # band-exploded equi join + containment filter (range join)
+    "join_banded_range",
+    # pair explode → vocab-keyed aggregates + integer PMI gate
+    "text_pmi_collocations",
+    # per-file tombstone aggregate (merge-on-read planner)
+    "maintenance_deletion_vectors",
+    # QI group-size aggregates (privacy audits share one scan shape)
+    "quality_k_anonymity",
+]
+
 HEADLINE = (
     HEADLINE_R01
     + HEADLINE_R02
@@ -355,6 +378,7 @@ HEADLINE = (
     + HEADLINE_R05W3
     + HEADLINE_R06
     + HEADLINE_R08
+    + HEADLINE_R09
 )
 
 
