@@ -240,6 +240,9 @@ _ROUND9_PRIORITY: list[str] = [
     # estimator's accuracy contract is now part of the driver hash
     "stats_approx_percentiles",
     "agg_approx_distinct",
+    # r09 rewrite: explode-based winnowing (the 745 s nested-lambda
+    # fix) — evidence must postdate the rewrite
+    "text_winnowing_fingerprints",
 ]
 
 # Round-9 additions (new registrations this round). 28 + len ≤ 50 so
@@ -260,6 +263,7 @@ _ROUND9_NEW: list[str] = [
     "analytics_markov_attribution",
     "join_banded_range",
     "quality_l_diversity",
+    "quality_t_closeness",
 ]
 
 # ----------------------------------------------------------------------

@@ -249,12 +249,20 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_skew_and_text.py.
 
     Fingerprint sets explode → self-join on fingerprint → pair count;
-    candidate space bounded like every other block-verify op here."""
-    from ibd_pipeline_spark.operators.text import winnowing_fingerprints
+    candidate space bounded like every other block-verify op here.
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(winnowing_fingerprints("text", portable=True)).alias("fp"),
+    r9: switched to the explode-based winnowing_fingerprint_rows —
+    the nested-lambda column form re-evaluated the gram array (and
+    the token split) once per window element (Catalyst inlines the
+    singly-referenced inner transform), turning 5,000 documents at
+    sf0.1 into 745 s of interpreted re-hashing; the row form hashes
+    each gram exactly once (2 s). Identity of the two forms is
+    property-tested in tests/test_skew_and_text.py."""
+    from ibd_pipeline_spark.operators.text import winnowing_fingerprint_rows
+
+    d = winnowing_fingerprint_rows(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        portable=True,
     )
     a, b = d.alias("a"), d.alias("b")
     return (

@@ -1543,3 +1543,126 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(exposed).cast("double") / F.sum("grp_n").cast("double"), 6
         ).alias("exposed_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (distributional privacy, completes the trio)
+# ---------------------------------------------------------------------------
+
+_TCLOSE_SQL = """
+WITH qi AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         c_mktsegment AS seg
+  FROM customer
+), gseg AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS cv FROM qi GROUP BY seg
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM qi
+), grp AS (
+  SELECT nation, bal_bucket, CAST(COUNT(*) AS BIGINT) AS n_g FROM qi
+  GROUP BY 1, 2
+), gc AS (
+  SELECT nation, bal_bucket, seg, CAST(COUNT(*) AS BIGINT) AS c_gv FROM qi
+  GROUP BY 1, 2, 3
+), spine AS (
+  SELECT g.nation, g.bal_bucket, g.n_g, gl.seg, gl.cv,
+         COALESCE(c.c_gv, 0) AS c_gv
+  FROM grp g CROSS JOIN gseg gl
+  LEFT JOIN gc c ON c.nation = g.nation AND c.bal_bucket = g.bal_bucket
+                AND c.seg = gl.seg
+), t AS (
+  SELECT nation, bal_bucket, n_g,
+         CAST(SUM(ABS(c_gv * (SELECT nn FROM n) - cv * n_g)) AS BIGINT)
+           AS num
+  FROM spine GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(MAX(CAST(num AS DOUBLE)
+                 / (2.0 * CAST(n_g AS DOUBLE)
+                    * CAST((SELECT nn FROM n) AS DOUBLE))), 6) AS max_t,
+       CAST(SUM(CASE WHEN 10 * num > 6 * n_g * (SELECT nn FROM n)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS groups_above_t03,
+       CAST(SUM(CASE WHEN 10 * num > 6 * n_g * (SELECT nn FROM n)
+                     THEN n_g ELSE 0 END) AS BIGINT) AS rows_above_t03,
+       ROUND(CAST(SUM(CASE WHEN 10 * num > 6 * n_g * (SELECT nn FROM n)
+                           THEN n_g ELSE 0 END) AS DOUBLE)
+             / CAST((SELECT nn FROM n) AS DOUBLE), 6) AS exposed_frac
+FROM t
+"""
+
+
+@query("quality_t_closeness", oracle=_TCLOSE_SQL)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the distributional member of the privacy
+    trio (k-anonymity: group size; l-diversity: distinct sensitive
+    values; t-closeness: the DISTRIBUTION of the sensitive attribute
+    within a QI group must stay close to the global one, or the group
+    leaks by skew even when l is high). Distance is the categorical
+    EMD (total variation): t_g = ½·Σ_v |c_gv/n_g − C_v/N|.
+
+    All-integer core: per (group, segment) term |c_gv·N − C_v·n_g| is
+    an exact BIGINT (groups missing a segment contribute C_v·n_g via
+    the group × segment spine), t_g's numerator sums exactly, and the
+    t > 0.3 release gate is the cross-multiplied 10·num > 6·n_g·N —
+    only the reported max_t touches a float, once, at output.
+
+    Scale: two QI-cardinality aggregates + a broadcast segment spine
+    (≤ 5 values); no windows, no data-sized joins."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias(
+            "bal_bucket"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    glob = c.groupBy("seg").agg(F.count(F.lit(1)).alias("cv"))
+    n = c.agg(F.count(F.lit(1)).alias("nn"))
+    grp = c.groupBy("nation", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    gc = c.groupBy("nation", "bal_bucket", "seg").agg(
+        F.count(F.lit(1)).alias("c_gv")
+    )
+    spine = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(gc, ["nation", "bal_bucket", "seg"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "nation",
+            "bal_bucket",
+            "n_g",
+            "nn",
+            F.abs(
+                F.coalesce("c_gv", F.lit(0)) * F.col("nn")
+                - F.col("cv") * F.col("n_g")
+            ).alias("term"),
+        )
+    )
+    t = spine.groupBy("nation", "bal_bucket", "n_g", "nn").agg(
+        F.sum("term").alias("num")
+    )
+    above = F.lit(10) * F.col("num") > F.lit(6) * F.col("n_g") * F.col("nn")
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.round(
+            F.max(
+                F.col("num").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_g").cast("double")
+                    * F.col("nn").cast("double")
+                )
+            ),
+            6,
+        ).alias("max_t"),
+        F.sum(above.cast("int")).cast("bigint").alias("groups_above_t03"),
+        F.sum(F.when(above, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_above_t03"),
+        F.round(
+            F.sum(F.when(above, F.col("n_g")).otherwise(0)).cast("double")
+            / F.max("nn").cast("double"),
+            6,
+        ).alias("exposed_frac"),
+    )

@@ -58,3 +58,36 @@ def test_winnowing_deterministic(spark):
     a = df.select(winnowing_fingerprints("text").alias("fp")).collect()[0].fp
     b = df.select(winnowing_fingerprints("text").alias("fp")).collect()[0].fp
     assert a == b and len(a) >= 1
+
+
+def test_winnowing_rows_equals_column_form(spark):
+    """The explode-based scale path must select the IDENTICAL
+    fingerprint set as the column-expression form (both hash
+    variants), including the short-document (< k tokens, < window
+    grams) edge cases."""
+    from ibd_pipeline_spark.operators.text import winnowing_fingerprint_rows
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n"),
+        (2, "a b c d e f g h i j k l m n"),
+        (3, "one two three"),          # fewer than k tokens
+        (4, "x y z w v u t"),          # exactly k..k+window-1 grams
+        (5, " ".join(f"t{i % 7}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (False, True):
+        col_form = {
+            (r["doc_id"], fp)
+            for r in df.select(
+                "doc_id",
+                winnowing_fingerprints("text", portable=portable).alias("fps"),
+            ).collect()
+            for fp in r["fps"]
+        }
+        row_form = {
+            (r["doc_id"], r["fp"])
+            for r in winnowing_fingerprint_rows(
+                df, portable=portable
+            ).collect()
+        }
+        assert row_form == col_form, f"portable={portable}"

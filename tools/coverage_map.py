@@ -258,6 +258,9 @@ SURVEY_ROW_QUERIES: dict[str, list[str]] = {
     "filtering": [
         "train_weighted_sample_ares", "train_nucleus_topp_per_source",
     ],
+    "streaming (r9): live distribution-drift monitor": [
+        "streaming:streaming/drift.py (tests/test_streaming_drift.py)",
+    ],
     "streaming (r5w4): live freshness-SLA monitor": [
         "streaming:streaming/monitor.py (tests/test_streaming_monitor.py)",
     ],
