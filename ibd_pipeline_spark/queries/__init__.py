@@ -264,6 +264,7 @@ _ROUND9_NEW: list[str] = [
     "join_banded_range",
     "quality_l_diversity",
     "quality_t_closeness",
+    "events_value_psi_binned",
 ]
 
 # ----------------------------------------------------------------------

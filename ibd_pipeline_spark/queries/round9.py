@@ -1666,3 +1666,86 @@ def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exposed_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned-PSI value drift (batch twin of streaming/drift.py)
+# ---------------------------------------------------------------------------
+
+_PSI_BINNED_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0, MAX(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events
+), binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 100.0 * 32) AS BIGINT),
+                        0), 31) AS bin,
+         CAST(ts AS TIMESTAMP) AS tts
+  FROM events
+), base AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned
+  WHERE tts < (SELECT t0 + INTERVAL 7 DAY FROM bounds) GROUP BY bin
+), cur AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned
+  WHERE tts >= (SELECT t1 - INTERVAL 7 DAY FROM bounds) GROUP BY bin
+), spine AS (
+  SELECT CAST(UNNEST(range(0, 32)) AS BIGINT) AS bin
+), j AS (
+  SELECT s.bin,
+         CAST(COALESCE(c.n, 0) AS DOUBLE) AS c,
+         CAST(COALESCE(b.n, 0) AS DOUBLE) AS b
+  FROM spine s LEFT JOIN cur c ON c.bin = s.bin
+  LEFT JOIN base b ON b.bin = s.bin
+), tot AS (
+  SELECT SUM(c) AS ct, SUM(b) AS bt FROM j
+)
+SELECT CAST(t.ct AS BIGINT) AS n_current,
+       CAST(t.bt AS BIGINT) AS n_baseline,
+       CAST(ROUND(SUM(CAST(
+         ((CASE WHEN j.c > 0.5 THEN j.c ELSE 0.5 END) / t.ct
+          - (CASE WHEN j.b > 0.5 THEN j.b ELSE 0.5 END) / t.bt)
+         * ln(((CASE WHEN j.c > 0.5 THEN j.c ELSE 0.5 END) / t.ct)
+              / ((CASE WHEN j.b > 0.5 THEN j.b ELSE 0.5 END) / t.bt))
+         AS DECIMAL(28,8))), 6) AS DOUBLE) AS psi,
+       CAST(ROUND(SUM(CAST(
+         ((CASE WHEN j.c > 0.5 THEN j.c ELSE 0.5 END) / t.ct
+          - (CASE WHEN j.b > 0.5 THEN j.b ELSE 0.5 END) / t.bt)
+         * ln(((CASE WHEN j.c > 0.5 THEN j.c ELSE 0.5 END) / t.ct)
+              / ((CASE WHEN j.b > 0.5 THEN j.b ELSE 0.5 END) / t.bt))
+         AS DECIMAL(28,8))), 6) AS DOUBLE) > 0.2 AS drift_alarm
+FROM j CROSS JOIN tot t
+GROUP BY t.ct, t.bt
+"""
+
+
+@query("events_value_psi_binned", oracle=_PSI_BINNED_SQL)
+def events_value_psi_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-PSI value drift, batch twin of the live monitor
+    (streaming/drift.py — same value_bin / binned_histogram /
+    psi_report code): the last calendar week's `value` distribution
+    scored against the first week's over a fixed 32-bin histogram
+    with 0.5-count smoothing and the industry 0.2 alarm. This query
+    is the hash-attested face of the streaming operator — the stream
+    path is proven stream-equals-batch against the SAME expressions
+    in tests/test_streaming_drift.py, and this attests those
+    expressions against DuckDB.
+
+    Determinism: bin counts are exact integers; p/q are exact-integer
+    ratios; one ln per bin on identical doubles; decimal-cast terms
+    sum order-independently (dsum contract).
+
+    Scale: two filtered count aggregates over 32 keys (map-side
+    combined) + a 32-row spine join — the monitoring readout shape."""
+    from ibd_pipeline_spark.streaming.drift import binned_histogram, psi_report
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    evb = ev.crossJoin(F.broadcast(bounds))
+    base = binned_histogram(
+        evb.filter(F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAY")),
+        "value",
+    )
+    cur = binned_histogram(
+        evb.filter(F.col("ts") >= F.col("t1") - F.expr("INTERVAL 7 DAY")),
+        "value",
+    )
+    return psi_report(cur, base)
