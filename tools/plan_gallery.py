@@ -122,9 +122,28 @@ CURATED = {
     "join_lateral_topn_per_nation": "correlated LATERAL with ORDER BY + "
     "LIMIT: decorrelated into a per-nation rank window — no per-outer-row "
     "re-execution survives into the physical plan.",
-    "stats_ks_two_sample": "distributed ECDF: per-value count aggregate, "
-    "then ONE ordered window over the distinct-value frame (not raw "
-    "events); statistic carried as exact integers to the final division.",
+    "stats_ks_two_sample": "distributed ECDF (r9): per-value count "
+    "aggregate, then BOTH cumulative counts in one multi-weight "
+    "distributed prefix-sum scan (range exchange + narrow Arrow cumsum, "
+    "offsets over partition metadata) — no single-task WindowExec; "
+    "statistic carried as exact integers to the final division.",
+    "stats_wasserstein_drift": "earth-mover drift (r9): the same "
+    "prefix-sum scan carrying THREE weights (c1, c2, unit rn), adjacent "
+    "support gap via an rn equi-self-join of the once-checkpointed scan, "
+    "decimal-domain segment sum.",
+    "text_winnowing_fingerprints": "explode-based winnowing (r9 rewrite): "
+    "grams to rows, bounded fan-out to their sliding windows, one "
+    "(doc, window) min aggregate — each gram hashed exactly once (the "
+    "nested-lambda column form re-hashed the whole gram array per window "
+    "element: 745 s -> ~6 s at sf0.1).",
+    "analytics_markov_attribution": "variant-tagged absorbing chain: "
+    "corpus-scale journey windows + counts once, then a 16-round value "
+    "iteration over a (channels+2)x(variants) frame — fixed cost "
+    "regardless of event volume.",
+    "join_banded_range": "equi-key-less range join via banding: hour "
+    "bands on both sides (interval side explodes to <= 2 rows), plain "
+    "shuffle equi-join on the band, exact containment filter after — "
+    "never BNLJ, never cartesian.",
     "sketch_cms_heavy_hitters": "wordcount aggregate → 4-seed explode on "
     "the DISTINCT-token frame → ≤2048-row sketch; probe side broadcast — "
     "output size is fixed regardless of corpus.",
