@@ -166,3 +166,22 @@ def test_spark_real_decode_and_resize(spark):
     for r in resized:
         dw, dh, gray = P.decode_png_gray(bytes(r["content"]))
         assert (dw, dh) == (32, 24) and len(gray) == 32 * 24
+
+
+def test_image_entropy_known_values():
+    """Pure-function entropy contract (no Spark): a constant image has
+    H = 0 with one occupied level; a 256-level uniform ramp has
+    H = ln 256; counts match the pixel geometry."""
+    from math import log
+
+    from ibd_pipeline_spark.operators.multimodal import image_entropy
+    from ibd_pipeline_spark.operators.png import encode_png_gray
+
+    flat = encode_png_gray(16, 8, bytes([77] * 128))
+    n, levels, ent = image_entropy(flat)
+    assert (n, levels, ent) == (128, 1, 0.0)
+
+    ramp = encode_png_gray(256, 1, bytes(range(256)))
+    n, levels, ent = image_entropy(ramp)
+    assert (n, levels) == (256, 256)
+    assert abs(ent - log(256)) < 1e-8
