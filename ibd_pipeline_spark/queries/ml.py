@@ -48,7 +48,16 @@ def train_logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering. Output: per-dimension weight rows (dim, weight) with
     the final log_loss / accuracy / n_rows alongside (repeated per
     row — scalars, kept out of array columns for the driver's
-    canonicalizer)."""
+    canonicalizer).
+
+    Rows-only by design: iterative gradient descent has no
+    SQL-expressible oracle — the fixpoint of 12 float GD rounds can't
+    be unrolled exactly the way the integer-ratio Markov chains are
+    (every round renormalizes through exp/sigmoid, so a CTE chain
+    would just re-implement the operator in SQL floats and attest
+    nothing). The checkable claims — planted-separation recovery,
+    loss decrease per round, gradient-partial sizes — are
+    property-tested (tests/test_ml.py)."""
     emb = load(spark, sf_dir, "embeddings")
     feats = emb.select(
         F.concat(

@@ -65,7 +65,14 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table sign-LSH (8 tables × 6 bits,
     deterministic hyperplanes): candidates from any shared bucket,
     exact cosine re-rank. The scale path for large query sets;
-    recall vs brute force asserted in tests on clustered data."""
+    recall vs brute force asserted in tests on clustered data.
+
+    Rows-only by design: an approximate top-k has no SQL oracle —
+    the result depends on which buckets collide, i.e. on the LSH
+    internals themselves; re-deriving them in SQL would test nothing
+    (the oracle would BE the implementation). The checkable claims —
+    recall ≥ bound vs exact brute force, bucket-count scaling — are
+    property-tested instead (tests/test_similarity.py)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     out = S.lsh_bucketed_topk(
@@ -84,7 +91,13 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via IVF coarse quantization (16 deterministic
     centroids, 4 probes): queries score only their probed Voronoi
     cells. The bucketed-layout scale path; recall vs brute force
-    asserted in tests."""
+    asserted in tests.
+
+    Rows-only by design: approximate top-k under coarse quantization
+    has no SQL oracle (results depend on the centroid assignment the
+    query is supposed to implement); the checkable claims — recall vs
+    exact brute force, probed-cell bounds — are property-tested
+    (tests/test_similarity.py)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     out = S.ivf_topk(
