@@ -265,6 +265,7 @@ _ROUND9_NEW: list[str] = [
     "quality_l_diversity",
     "quality_t_closeness",
     "events_value_psi_binned",
+    "stats_bootstrap_ci",
 ]
 
 # ----------------------------------------------------------------------

@@ -1749,3 +1749,160 @@ def events_value_psi_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return psi_report(cur, base)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic resampling)
+# ---------------------------------------------------------------------------
+
+# Inverse-CDF thresholds of Poisson(1) scaled to u ∈ [0, 1e6): a row
+# enters resample b with multiplicity k when u lands in bin k. Exact
+# integers, so both engines draw IDENTICAL resamples.
+_POIS = (367879, 735758, 919698, 981011, 996340)
+
+_BOOT_B = 100
+
+_BOOT_SQL = f"""
+WITH draws AS (
+  SELECT o.o_totalprice AS x, t.b,
+         CAST(('0x' || substring(md5(CAST(t.b AS VARCHAR) || ':'
+                || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS u
+  FROM orders o, UNNEST(range(0, {_BOOT_B})) t(b)
+), mult AS (
+  SELECT b, x,
+         CASE WHEN u < {_POIS[0]} THEN 0
+              WHEN u < {_POIS[1]} THEN 1
+              WHEN u < {_POIS[2]} THEN 2
+              WHEN u < {_POIS[3]} THEN 3
+              WHEN u < {_POIS[4]} THEN 4
+              ELSE 5 END AS m
+  FROM draws
+), means AS (
+  SELECT b,
+         CAST(ROUND(SUM(CAST(m * x AS DECIMAL(28,8))), 4) AS DOUBLE)
+           / SUM(m) AS mb
+  FROM mult GROUP BY b HAVING SUM(m) > 0
+), pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 4) AS DOUBLE)
+           / COUNT(o_totalprice) AS point_mean
+  FROM orders
+)
+SELECT pt.n_rows,
+       CAST((SELECT COUNT(*) FROM means) AS BIGINT) AS b_resamples,
+       pt.point_mean AS point_mean,
+       ROUND((SELECT quantile_cont(mb, 0.025) FROM means), 4) AS ci_lo,
+       ROUND((SELECT quantile_cont(mb, 0.975) FROM means), 4) AS ci_hi,
+       ROUND((SELECT SQRT((CAST(SUM(CAST(mb * mb AS DECIMAL(28,8))) AS DOUBLE)
+                  - CAST(SUM(CAST(mb AS DECIMAL(28,8))) AS DOUBLE)
+                    * CAST(SUM(CAST(mb AS DECIMAL(28,8))) AS DOUBLE)
+                    / COUNT(*))
+                 / (COUNT(*) - 1)) FROM means), 6) AS boot_se
+FROM pt
+"""
+
+
+@query("stats_bootstrap_ci", oracle=_BOOT_SQL)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value
+    — the resampling CI that actually distributes: classical
+    bootstrap resamples n-with-replacement (impossible to coordinate
+    across partitions); the Poisson(1) approximation gives every row
+    an INDEPENDENT multiplicity per resample, so the whole B-resample
+    ensemble is one explode + one hash aggregate (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams', Google 2012).
+
+    Fully deterministic & oracle-replayable: multiplicities come from
+    md5(b:orderkey) mod 10⁶ against exact integer Poisson inverse-CDF
+    thresholds (both engines draw identical resamples), per-resample
+    means use the davg decimal contract, the CI is an exact
+    interpolated percentile over the B-row mean frame, and the
+    bootstrap SE runs on decimal-cast moments.
+
+    Scale: B× row multiplication feeds straight into a map-side
+    combined aggregate keyed by resample id — shuffle is B rows of
+    partials per partition, never B× data; B caps the memory of
+    nothing (no per-resample state beyond one sum/count)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    B = _BOOT_B
+    draws = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    ).select(
+        "x",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("u"),
+    )
+    m = (
+        F.when(F.col("u") < _POIS[0], 0)
+        .when(F.col("u") < _POIS[1], 1)
+        .when(F.col("u") < _POIS[2], 2)
+        .when(F.col("u") < _POIS[3], 3)
+        .when(F.col("u") < _POIS[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        draws.select("b", m.alias("m"), "x")
+        .groupBy("b")
+        .agg(
+            F.sum((F.col("m") * F.col("x")).cast("decimal(28,8)")).alias(
+                "sx"
+            ),
+            F.sum("m").alias("sm"),
+        )
+        .filter(F.col("sm") > 0)
+        .select(
+            (
+                F.round(F.col("sx"), 4).cast("double") / F.col("sm")
+            ).alias("mb")
+        )
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 4
+            ).cast("double")
+            / F.count("o_totalprice")
+        ).alias("point_mean"),
+    )
+    stats = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_resamples"),
+        F.round(F.expr("percentile(mb, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(mb, 0.975)"), 4).alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum((F.col("mb") * F.col("mb")).cast("decimal(28,8)"))
+                    .cast("double")
+                    - F.sum(F.col("mb").cast("decimal(28,8)")).cast("double")
+                    * F.sum(F.col("mb").cast("decimal(28,8)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            ),
+            6,
+        ).alias("boot_se"),
+    )
+    return pt.crossJoin(F.broadcast(stats)).select(
+        "n_rows", "b_resamples", "point_mean", "ci_lo", "ci_hi", "boot_se"
+    )
