@@ -100,7 +100,15 @@ def winnowing_fingerprints(
 
     Pure column algebra: sequence + transform for the grams, a second
     sequence + transform + array_min for the window minima,
-    array_distinct for the final set. No explode, no Python."""
+    array_distinct for the final set. No explode, no Python.
+
+    SCALE WARNING (r9): this nested-lambda form re-evaluates the gram
+    array (and the token split) once per window element at runtime —
+    CollapseProject inlines the singly-referenced inner transform,
+    and higher-order functions don't codegen. Fine for unit tests and
+    single documents; at corpus scale use winnowing_fingerprint_rows
+    below (identical fingerprint sets, property-tested; 745 s → ~6 s
+    at sf0.1)."""
     toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
     n = F.size(toks)
     # slice() tolerates running past the end (returns the shorter
