@@ -266,6 +266,7 @@ _ROUND9_NEW: list[str] = [
     "quality_t_closeness",
     "events_value_psi_binned",
     "stats_bootstrap_ci",
+    "stats_autocorrelation_daily",
 ]
 
 # ----------------------------------------------------------------------
