@@ -1823,8 +1823,16 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: B× row multiplication feeds straight into a map-side
     combined aggregate keyed by resample id — shuffle is B rows of
     partials per partition, never B× data; B caps the memory of
-    nothing (no per-resample state beyond one sum/count)."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    nothing (no per-resample state beyond one sum/count). The input
+    is repartitioned BEFORE the explode: a compact parquet of orders
+    arrives in a handful of splits, and without the fan-out the
+    B×n md5 draws serialize onto those few cores (SCALE.md r4
+    lesson #5; measured 30 s → ~3 s at sf0.1 on local[32])."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     B = _BOOT_B
     draws = o.select(
         F.col("o_totalprice").alias("x"),
