@@ -300,19 +300,59 @@ ORDER BY l_returnflag
 """,
 )
 def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (median/p90/p99).
+    """Exact interpolated percentiles (median/p90/p99) — computed via
+    the distributed prefix-sum scan, NOT `F.percentile` (r10; the
+    r01–r09 form buffered every group's values on one task, the exact
+    anti-pattern the ranking module exists to kill).
 
-    Scale note: exact percentile buffers values per group — at
-    100 TB use approx_percentile (t-digest sketch, bounded memory,
-    mergeable) unless the group count is small; stats_approx_
-    percentiles below is that variant."""
-    li = load(spark, sf_dir, "lineitem")
+    How: with_grouped_prefix_sum with weight=1 turns the running
+    count into the exact 1-based rank `cw` under the total order
+    (price, orderkey, linenumber); `quantile_cont(q)` is then a pair
+    of row-local rank thresholds per quantile — position
+    p = 1 + q·(n−1), lower value = MIN(price WHERE cw ≥ ⌊p⌋), upper
+    value = MIN(price WHERE cw ≥ ⌊p⌋+1), result = lo + frac·(hi−lo),
+    the same IEEE double formula DuckDB's quantile_cont evaluates —
+    so ONE range-exchange scan yields ALL THREE quantiles exactly,
+    with bounded memory per task even when a group spans tasks.
+
+    Scale: identical plan to stats_weighted_quartiles (range exchange
+    + Arrow running sum + P-row offset broadcast,
+    operators/ranking.py:with_grouped_prefix_sum); adding quantiles
+    adds conditional aggregates, not passes."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    ps = with_grouped_prefix_sum(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        "_one",
+    )
+    price = F.col("l_extendedprice").cast("double")
+    cw, n = F.col("_cw"), F.col("_tw")
+
+    def qcont(q: float):
+        p = F.lit(1.0) + F.lit(q) * (n - F.lit(1)).cast("double")
+        lo_rank = F.floor(p)
+        frac = p - lo_rank.cast("double")
+        vlo = F.min(F.when(cw >= lo_rank, price))
+        vhi = F.min(F.when(cw >= lo_rank + 1, price))
+        return F.round(
+            vlo + F.max(frac) * (F.coalesce(vhi, vlo) - vlo), 4
+        )
+
     return (
-        li.groupBy("l_returnflag")
+        ps.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
-            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-            F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+            qcont(0.5).alias("median_price"),
+            qcont(0.9).alias("p90_price"),
+            qcont(0.99).alias("p99_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -321,7 +361,6 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_PCT_SQL = """
 SELECT l_returnflag,
        CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
-       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_exact,
        TRUE AS approx_rank_ok
 FROM lineitem
 GROUP BY l_returnflag
@@ -340,15 +379,22 @@ def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer arithmetic both engines CAN check. The query
     computes the approx median, joins it back to count rows ≤/< it
     (exact ranks), and emits the bound check `approx_rank_ok`
-    (2× slack on the documented ε = 1/accuracy) next to the exact
-    median and group count; the oracle replays n and the exact median
-    and asserts the guarantee as TRUE. A sketch regression that
-    breaks the rank bound flips the driver hash.
+    (2× slack on the documented ε = 1/accuracy) next to the group
+    count; the oracle replays n and asserts the guarantee as TRUE.
+    A sketch regression that breaks the rank bound flips the driver
+    hash.
+
+    r10: the `median_exact` audit column is GONE from the production
+    plan — it cost a per-group exact-percentile value buffer (the
+    precise anti-pattern this approx query exists to avoid; the
+    registry's only ≥1.5× vs_r01 bench entry in r09). The exact
+    median lives in stats_percentiles, which now computes it via the
+    bounded-memory prefix-sum scan; the rank-bound attestation here
+    needs only the sketch agg + one broadcast-join count pass.
 
     Scale: the audit join broadcasts the 3-row group frame back over
-    lineitem — one extra scan, no shuffle; the exact median is the
-    audit column you drop at 100 TB (the bound check itself only
-    needs the broadcast + count pass)."""
+    lineitem — one extra scan, no shuffle, no value buffer
+    anywhere."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
@@ -356,7 +402,6 @@ def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, acc).alias("amed"),
         F.count("l_extendedprice").cast("bigint").alias("n"),
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_exact"),
     )
     ranks = (
         li.join(F.broadcast(ap.select("l_returnflag", "amed")), "l_returnflag")
@@ -377,7 +422,6 @@ def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "n",
-            "median_exact",
             (
                 (F.col("n_le") >= target - slack)
                 & (F.col("n_lt") <= target + slack)
