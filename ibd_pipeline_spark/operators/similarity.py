@@ -286,7 +286,11 @@ def ivf_topk(
         .select("cid", "cv", "cent_id", cosine(F.col("cv"), F.col("cent_v")).alias("sim"))
         .groupBy("cid")
         .agg(
-            F.max_by("cent_id", "sim").alias("cell_id"),
+            # deterministic tiebreak: max sim, then LOWEST cent_id
+            # (bare max_by leaves equal-sim ties engine-ordered)
+            F.max_by("cent_id", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
+                "cell_id"
+            ),
             F.first("cv").alias("cv"),
         )
     )
@@ -421,6 +425,7 @@ def lsh_bucketed_topk(
     vec: str = "vec",
     broadcast_queries: bool | str = "auto",
     max_broadcast_rows: int = 500_000,
+    portable: bool = False,
 ) -> DataFrame:
     """ANN top-k via multi-table sign-LSH: L independent hash tables
     of b hyperplane bits each; a corpus vector is a candidate for a
@@ -434,12 +439,23 @@ def lsh_bucketed_topk(
     only buys what the geometry gives; recall is asserted on
     clustered data in tests/test_similarity.py.
 
+    portable=True buckets on axis-aligned sign bits
+    (axis_sign_bucket_tables — pure codegen column algebra, no
+    Python) instead of random Gaussian hyperplanes, making the
+    ENTIRE top-k pipeline SQL-replayable; random hyperplanes stay
+    the default (better bucket uniformity on adversarial data).
+
     Scale: explode(bucket_keys) → equi-join on the key replaces the
     cross product; per-table buckets are balanced by construction
     (sign bits of random projections), and the dedup before scoring
     keeps each (query, candidate) pair scored once.
     """
     from pyspark.sql import Window
+
+    def _buckets(col: Column) -> Column:
+        if portable:
+            return axis_sign_bucket_tables(col, n_tables, bits_per_table)
+        return lsh_bucket_tables(col, dim, n_tables, bits_per_table)
 
     # NOTE deliberately NOT widened (contrast brute_force_topk/ivf_topk):
     # the per-row work here is an Arrow pandas UDF, and a corpus small
@@ -450,16 +466,10 @@ def lsh_bucketed_topk(
     # expression stages (cosine fan-outs), not UDF-bound ones.
     q = queries.select(
         F.col(query_id).alias("qid"), as_double_array(vec).alias("qv")
-    ).withColumn(
-        "bkey",
-        F.explode(lsh_bucket_tables(F.col("qv"), dim, n_tables, bits_per_table)),
-    )
+    ).withColumn("bkey", F.explode(_buckets(F.col("qv"))))
     c = corpus.select(
         F.col(corpus_id).alias("cid"), as_double_array(vec).alias("cv")
-    ).withColumn(
-        "bkey",
-        F.explode(lsh_bucket_tables(F.col("cv"), dim, n_tables, bits_per_table)),
-    )
+    ).withColumn("bkey", F.explode(_buckets(F.col("cv"))))
     candidates = (
         c.join(
             _maybe_broadcast(

@@ -197,6 +197,29 @@ _ROUND6_NEW: list[str] = [
 ]
 
 # ----------------------------------------------------------------------
+# ROUND-10 WINDOW PREFIX: queries whose attestation evidence must
+# POSTDATE the round-10 rewrites. Three rows-only → full-oracle
+# conversions (rolling actives now linear-counting hash-attested;
+# both ANN queries now run deterministic SQL-replayable mechanics),
+# the approx-percentile pair (oracle slimmed in lockstep with the
+# exact-buffer removal / prefix-sum convergence), plus this round's
+# new registrations via _ROUND10_NEW. Computed mechanically by
+# tools/attestation_status.py; tests/test_attestation.py gates drift.
+# ----------------------------------------------------------------------
+_ROUND10_PRIORITY: list[str] = [
+    # rows-only -> hash-attested conversions (oracle upgrades)
+    "events_rolling_active_users",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    # r10 rewrites: evidence must postdate the plan change
+    "stats_approx_percentiles",  # median_exact dropped from plan+oracle
+    "stats_percentiles",  # converged onto the prefix-sum scan
+]
+
+# Round-10 additions (new registrations this round).
+_ROUND10_NEW: list[str] = []
+
+# ----------------------------------------------------------------------
 # ROUND-9 WINDOW PREFIX: every oracle-backed query whose LATEST driver
 # row is missing (21 late-r8 registrations, snapshot raced their
 # registration) or stale `no_oracle` (3 dedup queries whose oracles
@@ -490,9 +513,11 @@ def _driver_order(names: list[str]) -> list[str]:
     # r06 prefix: never-attested wave-3/4 queries + this round's new
     # registrations (≤50 total), then the r01–r05 attested history in
     # its historical order (evidence in CORRECTNESS_r{01..05}.json).
-    head = _ROUND9_PRIORITY + [
-        n for n in _ROUND9_NEW if n not in _ROUND9_PRIORITY
+    head = _ROUND10_PRIORITY + [
+        n for n in _ROUND10_NEW if n not in _ROUND10_PRIORITY
     ]
+    head = head + [n for n in _ROUND9_PRIORITY if n not in head]
+    head = head + [n for n in _ROUND9_NEW if n not in head]
     head = head + [n for n in _ROUND8_PRIORITY if n not in head]
     head = head + [n for n in _R06_UNATTESTED if n not in head]
     head = head + [n for n in _ROUND6_NEW if n not in head]

@@ -60,56 +60,6 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
 
 
-@query("similarity_ann_lsh")  # approximate: no oracle, recall-tested
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via multi-table sign-LSH (8 tables × 6 bits,
-    deterministic hyperplanes): candidates from any shared bucket,
-    exact cosine re-rank. The scale path for large query sets;
-    recall vs brute force asserted in tests on clustered data.
-
-    Rows-only by design: an approximate top-k has no SQL oracle —
-    the result depends on which buckets collide, i.e. on the LSH
-    internals themselves; re-deriving them in SQL would test nothing
-    (the oracle would BE the implementation). The checkable claims —
-    recall ≥ bound vs exact brute force, bucket-count scaling — are
-    property-tested instead (tests/test_similarity.py)."""
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
-    out = S.lsh_bucketed_topk(
-        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")),
-        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")),
-        k=5,
-        n_tables=8,
-        bits_per_table=6,
-        dim=64,
-    )
-    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
-
-
-@query("similarity_ann_ivf")  # approximate: no oracle, recall-tested
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via IVF coarse quantization (16 deterministic
-    centroids, 4 probes): queries score only their probed Voronoi
-    cells. The bucketed-layout scale path; recall vs brute force
-    asserted in tests.
-
-    Rows-only by design: approximate top-k under coarse quantization
-    has no SQL oracle (results depend on the centroid assignment the
-    query is supposed to implement); the checkable claims — recall vs
-    exact brute force, probed-cell bounds — are property-tested
-    (tests/test_similarity.py)."""
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
-    out = S.ivf_topk(
-        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")),
-        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")),
-        k=5,
-        n_centroids=16,
-        n_probe=4,
-    )
-    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
-
-
 def _axis_bucket_sql(t: int, bits: int = 6, stride: int = 8) -> str:
     terms = " + ".join(
         f"(CASE WHEN v[{t + stride * j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
@@ -123,6 +73,135 @@ def _seq_dot(a: str, b: str, dim: int = 64) -> str:
     order as Spark's F.aggregate fold, so the doubles are
     bit-identical across engines."""
     return " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(dim))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(({_seq_dot(a, b)}) / (sqrt({_seq_dot(a, a)})"
+        f" * sqrt({_seq_dot(b, b)})))"
+    )
+
+
+_ANN_LSH_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), keyed AS (
+  SELECT id, v,
+         unnest([{", ".join(_axis_bucket_sql(t) for t in range(8))}]) AS bkey
+  FROM v
+), cand AS (
+  SELECT DISTINCT q.id AS qid, c.id AS cid
+  FROM keyed q JOIN keyed c ON q.bkey = c.bkey AND q.id <> c.id
+  WHERE q.id < 10
+), scored AS (
+  SELECT cand.qid, cand.cid,
+         ROUND({_cos_sql("a.v", "b.v")}, 6) AS cosine_sim
+  FROM cand JOIN v a ON a.id = cand.qid JOIN v b ON b.id = cand.cid
+), ranked AS (
+  SELECT qid AS query_id, cid AS corpus_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine_sim DESC, cid) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("similarity_ann_lsh", oracle=_ANN_LSH_SQL)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via multi-table sign-LSH: candidates from any shared
+    bucket, exact cosine re-rank. The scale path for large query
+    sets; recall vs brute force asserted in tests on clustered data.
+
+    HASH-ATTESTED (r10; previously rows-only): the query runs the
+    operator in PORTABLE mode — axis-aligned sign buckets (8 tables ×
+    6 dims, pure CASE algebra) instead of the random-hyperplane
+    pandas UDF — so the whole pipeline (bucket keys → candidate
+    equi-join → exact cosine in the Spark fold's addition order →
+    window top-5) is replayed by DuckDB bit-for-bit, the same
+    portability trade dedup_embedding_cosine made in r8. Random
+    hyperplanes remain the operator default for adversarial data;
+    that path's recall is property-tested (tests/test_similarity.py).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.lsh_bucketed_topk(
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")),
+        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")),
+        k=5,
+        n_tables=8,
+        bits_per_table=6,
+        dim=64,
+        portable=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+_ANN_IVF_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT id AS cent_id, v AS cent_v FROM v ORDER BY id LIMIT 16
+), sims AS (
+  SELECT v.id, v.v, c.cent_id,
+         {_cos_sql("v.v", "c.cent_v")} AS sim
+  FROM v CROSS JOIN cents c
+), asgn AS (
+  SELECT id AS cid, v AS cv, cent_id AS cell_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM sims)
+  WHERE rn = 1
+), probe AS (
+  SELECT id AS qid, v AS qv, cent_id AS cell_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM sims WHERE id < 10)
+  WHERE rn <= 4
+), scored AS (
+  SELECT p.qid, a.cid,
+         ROUND({_cos_sql("p.qv", "a.cv")}, 6) AS cosine_sim
+  FROM probe p JOIN asgn a ON p.cell_id = a.cell_id AND p.qid <> a.cid
+), ranked AS (
+  SELECT qid AS query_id, cid AS corpus_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine_sim DESC, cid) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("similarity_ann_ivf", oracle=_ANN_IVF_SQL)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF coarse quantization (16 deterministic
+    centroids = lowest vec_ids, 4 probes): queries score only their
+    probed Voronoi cells. The bucketed-layout scale path; recall vs
+    brute force asserted in tests.
+
+    HASH-ATTESTED (r10; previously rows-only): every IVF mechanism is
+    deterministic — centroid choice (ORDER BY id LIMIT 16), cell
+    assignment (max cosine, ties to the LOWEST cent_id — the r10
+    struct-max fix in operators/similarity.py:ivf_topk; bare max_by
+    left ties engine-ordered), probe ranking, and the final top-5 —
+    and every cosine is the same left-associated double fold both
+    engines evaluate identically, so DuckDB replays the full
+    pipeline: assignment cross join × 16 centroids, probe top-4,
+    cell-equi-join scoring, window top-5."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")),
+        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")),
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
 
 
 _EMB_COSINE_SQL = f"""

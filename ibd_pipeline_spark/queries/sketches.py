@@ -299,54 +299,108 @@ def sketch_lc_weekly_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_rolling_active_users")
+_ROLL_LC_SQL = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         user_id,
+         CAST(('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_LC_M} AS b
+  FROM events
+), days AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau_exact
+  FROM ev GROUP BY day
+), db AS (
+  SELECT DISTINCT day, b FROM ev
+), roll AS (
+  SELECT d.day,
+         CAST(COUNT(DISTINCT CASE WHEN db.day >= d.day - 6 THEN db.b END)
+              AS BIGINT) AS n_occ_7d,
+         CAST(COUNT(DISTINCT db.b) AS BIGINT) AS n_occ_14d
+  FROM days d JOIN db ON db.day BETWEEN d.day - 13 AND d.day
+  GROUP BY d.day
+)
+SELECT days.day, dau_exact, n_occ_7d, n_occ_14d,
+       CASE WHEN n_occ_7d < {_LC_M} THEN
+         ROUND({_LC_M}.0 * ln({_LC_M}.0 / ({_LC_M} - n_occ_7d)), 4)
+       END AS wau_est,
+       CASE WHEN n_occ_14d < {_LC_M} THEN
+         ROUND({_LC_M}.0 * ln({_LC_M}.0 / ({_LC_M} - n_occ_14d)), 4)
+       END AS active_14d_est
+FROM days JOIN roll USING (day)
+ORDER BY day
+"""
+
+
+@query("events_rolling_active_users", oracle=_ROLL_LC_SQL)
 def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling active users — DAU (exact) next to WAU (trailing 7-day)
-    and 14-day actives estimated by UNIONING per-day HLL sketches
-    inside window frames: the mergeable-sketch rolling pattern that
-    replaces the otherwise-ruinous COUNT(DISTINCT) OVER a 7-day frame
-    (which would buffer every user id per frame). Each day's sketch
-    is built ONCE; every rolling grain reads the same partials — the
-    same amortization as sketch_hll_daily_union, now as a sliding
-    window.
+    """Rolling active users — DAU (exact) next to WAU (trailing
+    7 calendar days) and 14-day actives estimated from rolling UNIONS
+    of per-day occupied-bucket sets (linear counting, m = 65536):
+    the mergeable-sketch rolling pattern that replaces the
+    otherwise-ruinous COUNT(DISTINCT) OVER a 7-day frame, now
+    HASH-ATTESTED (r10; previously rows-only DataSketches HLL —
+    sketch_hll_daily_union keeps that engine-native form): the
+    md5-portable bucket + the estimator n̂ = m·ln(m/empty) are exact
+    integer algebra + one logarithm, so DuckDB replays the rolling
+    estimates bit-for-bit, same as sketch_lc_weekly_union.
 
-    Rows-only (DataSketches binary); the estimate-vs-exact tolerance
-    and the DAU ≤ WAU ≤ 14d monotonicity are property-tested in
-    tests/test_sketches.py.
+    The rolling union runs as a COVERAGE EXPLODE, not a window: each
+    (day, bucket) partial covers days [day, day+13], so explode 14
+    cover offsets and count distinct buckets per cover day (the 7-day
+    grain is the same rows filtered to offset ≤ 6 — one pass, two
+    grains). Calendar-day (not observed-day) semantics preserved from
+    the r05 ADVICE fix: the cover arithmetic is in date space, so gap
+    days never stretch the window.
 
-    Scale: event-volume work is the one per-day sketch aggregate; the
-    rolling unions run over the DAY frame (sketch bytes × 7/14 per
-    row). The unpartitioned day window is day-count-sized — partition
-    by month and stitch, as events_linear_interpolate_gaps documents.
-    """
-    from pyspark.sql import Window
+    Scale: the per-day distinct-bucket partials are map-side combined
+    and bounded by m × days rows; the explode is 14× THAT (never 14×
+    events); no unpartitioned window anywhere — strictly better than
+    the r09 day-frame window form. The exact DAU countDistinct is
+    per-day-bounded and rides along as the accuracy anchor."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
 
     ev = load(spark, sf_dir, "events")
-    day = ev.select(
-        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    base = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+        md5_bucket(F.col("user_id"), 0, _LC_M).alias("b"),
     )
-    per_day = day.groupBy("day").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").cast("bigint").alias("dau_exact"),
+    days = base.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau_exact")
     )
-    # RANGE frames keyed on the epoch-day index, not ROWS over
-    # per-day rows: with gap days in the data a rowsBetween(-6, 0)
-    # frame silently spans MORE than 7 calendar days ("trailing 7
-    # observed days"); the range frame is the advertised trailing
-    # 7/14 CALENDAR days regardless of missing days (r05 ADVICE).
-    day_idx = F.unix_date(F.col("day"))
-    w7 = Window.orderBy(day_idx).rangeBetween(-6, 0)
-    w14 = Window.orderBy(day_idx).rangeBetween(-13, 0)
+    db = base.select("day", "b").distinct()
+    covered = db.select(
+        "b",
+        F.col("day").alias("src_day"),
+        F.explode(F.sequence(F.lit(0), F.lit(13))).alias("off"),
+    ).select(
+        "b", "off", F.date_add(F.col("src_day"), F.col("off")).alias("day")
+    )
+    roll = covered.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("off") <= 6, F.col("b")))
+        .cast("bigint")
+        .alias("n_occ_7d"),
+        F.countDistinct("b").cast("bigint").alias("n_occ_14d"),
+    )
+    m = F.lit(float(_LC_M))
+
+    def lc(occ: str):
+        return F.when(
+            F.col(occ) < _LC_M,
+            F.round(m * F.log(m / (F.lit(_LC_M) - F.col(occ))), 4),
+        )
+
+    # Inner join to observed days: the explode manufactures cover days
+    # past the last event day; only days with events are emitted.
     return (
-        per_day.select(
+        days.join(roll, "day")
+        .select(
             "day",
             "dau_exact",
-            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7))
-            .cast("bigint")
-            .alias("wau_est"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w14))
-            .cast("bigint")
-            .alias("active_14d_est"),
+            "n_occ_7d",
+            "n_occ_14d",
+            lc("n_occ_7d").alias("wau_est"),
+            lc("n_occ_14d").alias("active_14d_est"),
         )
         .orderBy("day")
     )
