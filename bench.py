@@ -415,6 +415,28 @@ def main() -> None:
     # minimum is the steady-state number a long-lived cluster job
     # sees.
     prev = _load_prev_timings()
+
+    # Contention canary (r10, VERDICT r9 #4): time one fixed scan-agg
+    # query FIRST and compare to its committed timing. On a loaded box
+    # every query inflates together (driver r9 rerun: 11/11 "regression"
+    # flags were 2-4× contention noise on unchanged code); scaling the
+    # alarm thresholds by canary_now/canary_committed makes the
+    # regression list survive a loaded box while a genuinely changed
+    # query still trips it (its inflation exceeds the canary's).
+    CANARY = "q6_forecast_revenue"  # pure scan-agg, no shuffle, stable
+    canary_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        registry[CANARY](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        canary_runs.append(round(time.perf_counter() - t0, 3))
+    canary_now = min(canary_runs)
+    canary_prev = prev.get(CANARY, 0.0)
+    load_factor = (
+        max(1.0, round(canary_now / canary_prev, 3)) if canary_prev > 0 else 1.0
+    )
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     r01_set = set(HEADLINE_R01)
@@ -484,7 +506,18 @@ def main() -> None:
             sum(timings[n] for n in tail if n in timings), 3
         ),
         "tail_errors": tail_errors,
+        "canary": {
+            "query": CANARY,
+            "runs": canary_runs,
+            "now": canary_now,
+            "committed": canary_prev,
+            "load_factor": load_factor,
+        },
     }
+    # Alarm thresholds scale with the measured box load: ratio
+    # tripwires multiply by load_factor, absolute floors likewise —
+    # a quiet box keeps the committed thresholds exactly.
+    lf = load_factor
     regressions: set[str] = set()
     if R01_PATH.exists():
         r01 = (
@@ -505,7 +538,7 @@ def main() -> None:
         regressions |= {
             n
             for n, r in vs.items()
-            if r > 1.5 and timings[n] - r01[n] > 0.5
+            if r > 1.5 * lf and timings[n] - r01[n] > 0.5 * lf
         }
     if prev:
         vs_prev = {
@@ -526,13 +559,13 @@ def main() -> None:
             for n, r in vs_prev.items()
             if (
                 n in headline_set
-                and r > 1.5
-                and timings[n] - prev[n] > 0.5
+                and r > 1.5 * lf
+                and timings[n] - prev[n] > 0.5 * lf
             )
             or (
                 n not in headline_set
-                and r > 2.0
-                and timings[n] - prev[n] > 1.0
+                and r > 2.0 * lf
+                and timings[n] - prev[n] > 1.0 * lf
             )
         }
     out["regressions"] = sorted(regressions)
@@ -551,6 +584,7 @@ def main() -> None:
         "n_queries": len(HEADLINE),
         "n_total": len(timings),
         "r01_subtotal": out["r01_subtotal"],
+        "load_factor": load_factor,
         "regressions": out["regressions"],
         "tail_errors": sorted(tail_errors),
         "detail": "BENCH_FULL.json",
@@ -559,22 +593,31 @@ def main() -> None:
     spark.stop()
 
 
+# Every bench run (driver reruns included) writes BENCH_FULL.json —
+# gitignored since r10 so a driver rerun never dirties the working
+# tree. The COMMITTED quiet-run reference lives in BENCH_COMMITTED.json
+# (copied from a quiet BENCH_FULL at commit time) and is what the
+# canary + vs_prev ratios compare against.
 FULL_PATH = Path(__file__).resolve().parent / "BENCH_FULL.json"
+COMMITTED_PATH = Path(__file__).resolve().parent / "BENCH_COMMITTED.json"
 
 
 def _load_prev_timings() -> dict[str, float]:
-    """Previous-round per-query timings: the committed BENCH_FULL.json
-    (written by the previous round's bench run) when present, else the
-    newest BENCH_r{N}.json — whose 2000-byte tail fragment may hold a
-    truncated JSON line, recovered per-query by regex."""
+    """Previous-round per-query timings: the committed quiet-run
+    reference (BENCH_COMMITTED.json) when present, else a leftover
+    BENCH_FULL.json, else the newest BENCH_r{N}.json — whose
+    2000-byte tail fragment may hold a truncated JSON line, recovered
+    per-query by regex."""
     import re
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    if FULL_PATH.exists():
+    for path in (COMMITTED_PATH, FULL_PATH):
+        if not path.exists():
+            continue
         try:
-            full = json.loads(FULL_PATH.read_text())
+            full = json.loads(path.read_text())
             q = full.get("queries", {})
-            # Only comparable at the same scale factor: a BENCH_FULL
+            # Only comparable at the same scale factor: a record
             # left behind by an sf0.01 smoke run must not become the
             # baseline for an sf0.1 run (every ratio would inflate).
             if q and str(full.get("sf")) == sf:

@@ -497,7 +497,10 @@ def absorption_probability(
     double noise of the fixpoint for any chain that absorbs at all.
 
     Returns (state, a) over transient states PLUS the targets with
-    a = 1.0."""
+    a = 1.0. A target that ALSO appears as a transition source is
+    absorbing by definition — it is anti-joined out of the transient
+    vector so it emits exactly ONE row (a = 1.0), not a second
+    'transient' row computed from its outgoing edges (ADVICE r9)."""
     if iters < 1:
         # iters=0 would return a frame whose lineage still reads
         # slots released below — reject up front (ADVICE r8).
@@ -537,7 +540,7 @@ def absorption_probability(
         )
         if (i + 1) % 2 == 0 or i == iters - 1:
             a = ckpt(a, f"a{(i // 2) % 2}")
-    out = a.unionByName(
+    out = a.join(tgt, a.state == tgt.tgt, "left_anti").unionByName(
         tgt.select(F.col("tgt").alias("state"), F.lit(1.0).alias("a"))
     )
     final = out.localCheckpoint(eager=True)

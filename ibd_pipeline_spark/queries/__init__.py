@@ -214,6 +214,7 @@ _ROUND10_PRIORITY: list[str] = [
     # r10 rewrites: evidence must postdate the plan change
     "stats_approx_percentiles",  # median_exact dropped from plan+oracle
     "stats_percentiles",  # converged onto the prefix-sum scan
+    "dedup_minhash_jaccard_estimate",  # one-md5-per-shingle CW mixing
 ]
 
 # Round-10 additions (new registrations this round).

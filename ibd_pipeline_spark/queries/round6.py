@@ -26,8 +26,21 @@ from ibd_pipeline_spark.queries import query
 # ---------------------------------------------------------------------------
 
 _MINHASH_FAMILIES = 16
+# Carter–Wegman universal-hash mixing: each family f maps the ONE
+# md5 digest of a shingle to (a_f·h + b_f) mod p — md5 runs once per
+# shingle instead of once per (shingle × family) (r10; the per-family
+# md5 made this the registry's slowest query at 11 s). p = 2³¹−1 keeps
+# a_f·h < 2⁶² (BIGINT-safe in both engines, DuckDB raises on overflow).
+_MINHASH_P = 2147483647
+_MINHASH_AB = [
+    ((2654435761 * (f + 1)) % _MINHASH_P, (40503 * (f + 7)) % _MINHASH_P)
+    for f in range(_MINHASH_FAMILIES)
+]
+_MINHASH_FAM_VALUES = ", ".join(
+    f"({f}, {a}, {b})" for f, (a, b) in enumerate(_MINHASH_AB)
+)
 
-_MINHASH_EST_SQL = """
+_MINHASH_EST_SQL = f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks
   FROM documents WHERE doc_id < 400
@@ -39,12 +52,15 @@ WITH d AS (
                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                 ELSE [array_to_string(toks, ' ')] END) AS sh
   FROM d
+), sb AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(u.sh_e), 1, 15)) AS BIGINT)
+           % {_MINHASH_P} AS hb
+  FROM s, unnest(s.sh) AS u(sh_e)
 ), m AS (
   SELECT doc_id, f.f,
-         MIN(CAST(('0x' || substring(md5(CAST(f.f AS VARCHAR) || ':' || u.sh_e), 1, 15))
-                  AS BIGINT)) AS mh
-  FROM s, unnest(s.sh) AS u(sh_e)
-  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15)) f(f)
+         MIN((f.a * hb + f.b) % {_MINHASH_P}) AS mh
+  FROM sb CROSS JOIN (VALUES {_MINHASH_FAM_VALUES}) f(f, a, b)
   GROUP BY doc_id, f.f
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -64,19 +80,30 @@ ORDER BY p.id_a, p.id_b
 """
 
 
-def _md5_minhash(sh: F.Column, fam: int) -> F.Column:
-    """Engine-portable MinHash family: min over the shingle set of the
-    first 15 hex digits (60 bits, signed-BIGINT-safe) of
-    md5('<fam>:<shingle>'). DuckDB twin inline in the oracle."""
-    return F.array_min(
-        F.transform(
-            sh,
-            lambda s: F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.lit(str(fam)), s)), 1, 15),
-                16,
-                10,
-            ).cast("bigint"),
-        )
+def _md5_shingle_base(sh: F.Column) -> F.Column:
+    """ONE engine-portable hash per shingle: first 15 hex digits
+    (60 bits, signed-BIGINT-safe) of md5(shingle), reduced mod p so
+    every family mix below stays overflow-free. DuckDB twin inline in
+    the oracle (`sb` CTE)."""
+    return F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % _MINHASH_P,
+    )
+
+
+def _minhash_sig(hb: F.Column) -> F.Column:
+    """16-component MinHash signature from the per-shingle base
+    hashes: family f is min over shingles of (a_f·h + b_f) mod p —
+    integer algebra both engines replay exactly; md5 itself ran once
+    per shingle in _md5_shingle_base."""
+    def fam(a: int, b: int):
+        # closure factory, NOT default args: PySpark HOF lambdas are
+        # arity-inspected, so extra defaulted params break binding
+        return lambda x: (F.lit(a) * x + F.lit(b)) % _MINHASH_P
+
+    return F.array(
+        *[F.array_min(F.transform(hb, fam(a, b))) for a, b in _MINHASH_AB]
     )
 
 
@@ -85,10 +112,11 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     """MinHash Jaccard ESTIMATION accuracy, hash-attested end-to-end:
     for every candidate pair (exact J ≥ 0.1 on the bounded doc_id <
     400 subset), the exact intersection/union sizes next to the
-    number of agreeing MinHash components (16 md5-portable families —
-    E[n_match/16] = J, the estimator the production xxhash64 LSH
-    pipeline relies on; operators/dedup.py:46 documents why the fast
-    path re-hashes longs instead).
+    number of agreeing MinHash components (16 families — ONE md5 per
+    shingle, Carter–Wegman-mixed per family, r10; E[n_match/16] = J,
+    the estimator the production xxhash64 LSH pipeline relies on;
+    operators/dedup.py:46 documents why the fast path re-hashes longs
+    instead).
 
     Everything integer: the J ≥ 0.1 gate is the cross-multiplied
     10·|∩| ≥ |∪|, outputs are (n_inter, n_union, n_match) BIGINTs —
@@ -116,15 +144,20 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
             F.transform(F.sequence(F.lit(0), n - k), gram),
         ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
     )
-    s = d.select(
-        "doc_id",
-        sh.alias("sh"),
-    ).select(
-        "doc_id",
-        "sh",
-        F.array(
-            *[_md5_minhash(F.col("sh"), f) for f in range(_MINHASH_FAMILIES)]
-        ).alias("sig"),
+    par = spark.sparkContext.defaultParallelism
+    s = (
+        # the 400-doc audit slice is ONE parquet split — widen first
+        # or the signature build and the pair join serialize on one
+        # core (r10: measured 9.9 s -> ~2 s)
+        d.repartition(par)
+        .select("doc_id", sh.alias("sh"))
+        # materialize the per-shingle base hashes as a COLUMN so the
+        # md5 runs once, not once per family transform below
+        .withColumn("hb", _md5_shingle_base(F.col("sh")))
+        .select("doc_id", "sh", _minhash_sig(F.col("hb")).alias("sig"))
+        # materialize ONCE: the self-join would otherwise evaluate the
+        # whole shingle+md5 subtree twice (once per side)
+        .localCheckpoint(eager=True)
     )
     a, b = s.alias("a"), s.alias("b")
     n_inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("bigint")

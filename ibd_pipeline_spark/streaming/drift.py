@@ -65,7 +65,13 @@ def psi_report(
     standard 0.5-count smoothing on empty bins so the score stays
     finite. Returns ONE row: total counts, psi, and the alarm at the
     industry 0.2 threshold. Join cost is ≤ `bins` rows — the
-    monitoring readout, not a data-sized job."""
+    monitoring readout, not a data-sized job.
+
+    An EMPTY side (n_current = 0 or n_baseline = 0) leaves psi NULL
+    (the divergence is undefined without a distribution) but forces
+    drift_alarm TRUE: a total outage of the monitored stream is the
+    biggest drift of all, and a NULL alarm would silently read as
+    not-alarmed in downstream boolean checks (ADVICE r9)."""
     spine = current.sparkSession.range(bins).select(
         F.col("id").cast("int").alias("bin")
     )
@@ -83,16 +89,15 @@ def psi_report(
     tot = j.agg(
         F.sum("c").alias("ct"), F.sum("b").alias("bt")
     )
+    # try_divide: an empty side (total 0) yields NULL ratios — psi
+    # stays NULL and the alarm coalesces TRUE below — instead of an
+    # ANSI DIVIDE_BY_ZERO abort of the whole monitor (ADVICE r9).
+    p_cur = F.try_divide(F.greatest("c", F.lit(0.5)), F.col("ct"))
+    p_base = F.try_divide(F.greatest("b", F.lit(0.5)), F.col("bt"))
     w = j.crossJoin(F.broadcast(tot)).select(
         # 0.5-count smoothing keeps ln finite on empty bins
-        (
-            (F.greatest("c", F.lit(0.5)) / F.col("ct"))
-            - (F.greatest("b", F.lit(0.5)) / F.col("bt"))
-        ).alias("dp"),
-        F.log(
-            (F.greatest("c", F.lit(0.5)) / F.col("ct"))
-            / (F.greatest("b", F.lit(0.5)) / F.col("bt"))
-        ).alias("lr"),
+        (p_cur - p_base).alias("dp"),
+        F.log(p_cur / p_base).alias("lr"),
         F.col("ct"),
         F.col("bt"),
     )
@@ -104,9 +109,11 @@ def psi_report(
         )
         .cast("double")
         .alias("psi"),
-        (
+        F.coalesce(
             F.sum((F.col("dp") * F.col("lr")).cast("decimal(28,8)"))
             .cast("double")
-            > F.lit(alarm_at)
+            > F.lit(alarm_at),
+            # empty current or baseline → psi NULL → alarm, not silence
+            F.lit(True),
         ).alias("drift_alarm"),
     )

@@ -92,10 +92,19 @@ def scram_auth_options(
     (spark_processor.py:54-66), credential values parameterized (the
     reference hardcodes them in source; here they come from the
     caller's secret store). PEM truststore + https endpoint
-    identification exactly as the reference configures."""
+    identification exactly as the reference configures.
+
+    Credentials are escaped into the JAAS string (backslash, then
+    double quote — JAAS values are Java-string-literal-quoted): an
+    unescaped quote in a password would truncate the config, and a
+    crafted value could inject extra JAAS options (ADVICE r9)."""
+
+    def jaas_quote(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"')
+
     jaas = (
         "org.apache.kafka.common.security.scram.ScramLoginModule required "
-        f'username="{username}" password="{password}";'
+        f'username="{jaas_quote(username)}" password="{jaas_quote(password)}";'
     )
     return {
         "kafka.security.protocol": "SASL_SSL",

@@ -294,6 +294,25 @@ def test_absorption_probability_simple_chain(spark):
     assert abs(got["A"] - 0.5) < 1e-12
 
 
+def test_absorption_probability_target_with_outgoing_edges(spark):
+    """A target that ALSO appears as a transition source is absorbing
+    by definition: exactly ONE row, a = 1.0 — not a second 'transient'
+    row computed from its outgoing edges (ADVICE r9)."""
+    from ibd_pipeline_spark.operators.graph import absorption_probability
+
+    t = spark.createDataFrame(
+        # C is a target but has an outgoing edge C -> DEAD
+        [("A", "C", 0.5), ("A", "DEAD", 0.5), ("C", "DEAD", 1.0)],
+        "src string, dst string, p double",
+    )
+    tgt = spark.createDataFrame([("C",)], "state string")
+    rows = absorption_probability(t, tgt).collect()
+    c_rows = [r for r in rows if r["state"] == "C"]
+    assert len(c_rows) == 1 and c_rows[0]["a"] == 1.0
+    got = {r["state"]: r["a"] for r in rows}
+    assert abs(got["A"] - 0.5) < 1e-12
+
+
 def test_absorption_probability_rejects_zero_iters(spark):
     import pytest
 

@@ -90,9 +90,15 @@ def test_bpe_regex_apply_matches_python_greedy(spark, toks, merge):
 def test_md5_minhash_component_match_exact(spark, words_a, words_b):
     """The engine's per-pair n_match equals a direct Python md5
     recomputation of the 16 MinHash components — the estimator's hash
-    algebra is engine-portable bit for bit. Single-token docs exercise
-    the whole-text shingle fallback."""
-    from ibd_pipeline_spark.queries.round6 import _MINHASH_FAMILIES, _md5_minhash
+    algebra (one md5 per shingle + Carter–Wegman family mixing) is
+    engine-portable bit for bit. Single-token docs exercise the
+    whole-text shingle fallback."""
+    from ibd_pipeline_spark.queries.round6 import (
+        _MINHASH_AB,
+        _MINHASH_P,
+        _md5_shingle_base,
+        _minhash_sig,
+    )
 
     text_a = " ".join(sorted(words_a))
     text_b = " ".join(sorted(words_b))
@@ -103,13 +109,11 @@ def test_md5_minhash_component_match_exact(spark, words_a, words_b):
             sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
         else:
             sh = {text}
-        return [
-            min(
-                int(hashlib.md5(f"{f}:{s}".encode()).hexdigest()[:15], 16)
-                for s in sh
-            )
-            for f in range(_MINHASH_FAMILIES)
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MINHASH_P
+            for s in sh
         ]
+        return [min((a * h + b) % _MINHASH_P for h in bases) for a, b in _MINHASH_AB]
 
     expected = sum(
         1 for x, y in zip(py_minhash(text_a), py_minhash(text_b)) if x == y
@@ -130,11 +134,8 @@ def test_md5_minhash_component_match_exact(spark, words_a, words_b):
     sigs = [
         r["sig"]
         for r in df.select(sh.alias("sh"))
-        .select(
-            F.array(
-                *[_md5_minhash(F.col("sh"), f) for f in range(_MINHASH_FAMILIES)]
-            ).alias("sig")
-        )
+        .withColumn("hb", _md5_shingle_base(F.col("sh")))
+        .select(_minhash_sig(F.col("hb")).alias("sig"))
         .collect()
     ]
     got = sum(1 for x, y in zip(sigs[0], sigs[1]) if x == y)

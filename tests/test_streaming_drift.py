@@ -68,6 +68,24 @@ def test_psi_planted_drift_alarms(spark):
     assert quiet["n_current"] == 2000 and quiet["n_baseline"] == 2000
 
 
+def test_psi_empty_stream_alarms(spark):
+    """A total outage of the monitored stream (n_current = 0) leaves
+    psi undefined (NULL) but must FORCE the alarm — a NULL alarm would
+    silently read as not-alarmed downstream (ADVICE r9)."""
+    base = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    )
+    empty = base.filter(F.lit(False))
+    hb = binned_histogram(base, "value")
+    out = psi_report(binned_histogram(empty, "value"), hb).collect()[0]
+    assert out["n_current"] == 0
+    assert out["psi"] is None
+    assert out["drift_alarm"] is True
+    # empty BASELINE (misconfigured monitor) alarms too
+    out2 = psi_report(hb, binned_histogram(empty, "value")).collect()[0]
+    assert out2["n_baseline"] == 0 and out2["drift_alarm"] is True
+
+
 def test_value_bin_clamps_outliers(spark):
     df = spark.createDataFrame(
         [(-5.0,), (0.0,), (50.0,), (99.9,), (250.0,)], "value double"
