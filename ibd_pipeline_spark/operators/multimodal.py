@@ -90,11 +90,42 @@ def asset_rows(n: int = 64, seed: int = 42) -> "list[tuple]":
     return rows
 
 
+# Session-keyed cache of the synthesized asset frames (VERDICT r9 #6):
+# a fresh createDataFrame local relation pays ~0.7-1.7 s on its FIRST
+# action in this Spark version, and the multimodal queries each
+# re-synthesized the same fixture — so the decoded/encoded asset
+# relation is built ONCE per (session, kind, n, seed), eagerly
+# localCheckpointed (asset-count-sized rows pinned to executor-local
+# blocks), and every consumer reads the materialized frame. Holding
+# the DataFrame reference keeps the checkpoint blocks alive; a new
+# session (new applicationId) rebuilds.
+_ASSET_FRAME_CACHE: "dict[tuple, DataFrame]" = {}
+
+
+def _cached_asset_frame(spark, kind: str, n: int, seed: int, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, kind, n, seed)
+    df = _ASSET_FRAME_CACHE.get(key)
+    if df is None:
+        # coalesce before the checkpoint: n≲100 rows across 32
+        # createDataFrame slices would otherwise spin a python worker
+        # per near-empty partition in every downstream Arrow stage
+        df = build().coalesce(4).localCheckpoint(eager=True)
+        _ASSET_FRAME_CACHE[key] = df
+    return df
+
+
 def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake assets: content = seeded pseudo-random bytes
     tagged with plausible metadata. Stands in for a real
-    images/ parquet directory."""
-    return spark.createDataFrame(asset_rows(n, seed), ASSET_SCHEMA)
+    images/ parquet directory. Cached per session (see
+    _cached_asset_frame)."""
+    return _cached_asset_frame(
+        spark,
+        "fake",
+        n,
+        seed,
+        lambda: spark.createDataFrame(asset_rows(n, seed), ASSET_SCHEMA),
+    )
 
 
 def image_asset_rows(n: int = 48, seed: int = 42) -> "list[tuple]":
@@ -142,8 +173,14 @@ def synthesize_image_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
     pattern, cycling gray / RGB / RGBA color types so the decoder's
     channel handling is exercised in-pipeline. Same ASSET_SCHEMA as
     synthesize_assets; decode/resize run these with fake=False —
-    no imaging library anywhere."""
-    return spark.createDataFrame(image_asset_rows(n, seed), ASSET_SCHEMA)
+    no imaging library anywhere. Cached per session."""
+    return _cached_asset_frame(
+        spark,
+        "png",
+        n,
+        seed,
+        lambda: spark.createDataFrame(image_asset_rows(n, seed), ASSET_SCHEMA),
+    )
 
 
 def _pil():
@@ -525,8 +562,15 @@ def video_asset_rows(n: int = 24, seed: int = 42) -> "list[tuple]":
 
 
 def synthesize_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Asset table (ASSET_SCHEMA) of structurally valid MP4 blobs."""
-    return spark.createDataFrame(video_asset_rows(n, seed), ASSET_SCHEMA)
+    """Asset table (ASSET_SCHEMA) of structurally valid MP4 blobs.
+    Cached per session."""
+    return _cached_asset_frame(
+        spark,
+        "mp4",
+        n,
+        seed,
+        lambda: spark.createDataFrame(video_asset_rows(n, seed), ASSET_SCHEMA),
+    )
 
 
 def extract_video_metadata(assets: DataFrame) -> DataFrame:
@@ -618,8 +662,15 @@ def audio_asset_rows(n: int = 48, seed: int = 42) -> "list[tuple]":
 
 
 def synthesize_audio_assets(spark, n: int = 48, seed: int = 42) -> DataFrame:
-    """Asset table (ASSET_SCHEMA) of real WAV blobs."""
-    return spark.createDataFrame(audio_asset_rows(n, seed), ASSET_SCHEMA)
+    """Asset table (ASSET_SCHEMA) of real WAV blobs. Cached per
+    session."""
+    return _cached_asset_frame(
+        spark,
+        "wav",
+        n,
+        seed,
+        lambda: spark.createDataFrame(audio_asset_rows(n, seed), ASSET_SCHEMA),
+    )
 
 
 def decode_audio(content: bytes) -> dict:
@@ -842,11 +893,20 @@ def phash_near_dup_pairs(
 
     from ibd_pipeline_spark.operators.dedup import hamming64
 
-    sig = phash_signatures(assets, fake=fake).select(
-        "asset_id",
-        "ahash",
-        F.shiftrightunsigned("ahash", 48).alias("block_hi"),
-        (F.col("ahash").bitwiseAND(F.lit(0xFFFF))).alias("block_lo"),
+    # Materialize the signature frame ONCE: it is referenced four
+    # times below (two blocks × two join sides), and without the
+    # checkpoint each reference re-executes the whole Python decode/
+    # signature stage (r10: measured 11 s -> ~1 s on the 96-asset
+    # fixture). Asset-count-sized rows — cheap to pin.
+    sig = (
+        phash_signatures(assets, fake=fake)
+        .select(
+            "asset_id",
+            "ahash",
+            F.shiftrightunsigned("ahash", 48).alias("block_hi"),
+            (F.col("ahash").bitwiseAND(F.lit(0xFFFF))).alias("block_lo"),
+        )
+        .localCheckpoint(eager=True)
     )
     pairs = None
     for block in ("block_hi", "block_lo"):

@@ -349,6 +349,8 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pyspark.sql.functions as F
 
+    # the session-cached asset frame arrives pre-coalesced and
+    # checkpointed (operators/multimodal.py:_cached_asset_frame)
     base = M.synthesize_assets(spark, n=48).select(
         (F.col("asset_id") * 2).alias("asset_id"), "media_type", "content"
     )
