@@ -144,6 +144,28 @@ CURATED = {
     "bands on both sides (interval side explodes to <= 2 rows), plain "
     "shuffle equi-join on the band, exact containment filter after — "
     "never BNLJ, never cartesian.",
+    "stats_bootstrap_ci": "Poisson bootstrap (r9): repartition BEFORE the "
+    "B-draw explode (the compact-parquet fan-out lesson), per-resample "
+    "partials map-side-combine — shuffle is B partials per partition, "
+    "never B× the data.",
+    "similarity_inverted_index_cosine": "sparse cosine via postings "
+    "join on term (the scalable sparse form): per-term partial dot "
+    "products hash-aggregate; norms broadcast back; candidate volume "
+    "bounded by postings co-occurrence, never all-pairs.",
+    # --- round 10 ---
+    "stats_percentiles": "exact interpolated percentiles WITHOUT a "
+    "per-group value buffer (r10): weight-1 grouped prefix-sum turns the "
+    "running count into the exact rank; quantile_cont's interpolation is "
+    "two rank-threshold conditional aggregates per quantile over ONE "
+    "range-exchange scan.",
+    "events_rolling_active_users": "rolling distinct actives as a "
+    "14-offset coverage explode over per-day occupied-bucket partials "
+    "(bounded by m×days, never 14× events) + linear-counting estimate — "
+    "no COUNT(DISTINCT) OVER frame, no unpartitioned window (r10).",
+    "similarity_ann_ivf": "IVF ANN: 16-centroid broadcast assignment "
+    "scan, deterministic struct-max cell pick, probe fan-out ≤ 4 cells "
+    "per query, cell equi-join scoring — scored pairs drop by "
+    "n_centroids/n_probe vs brute force (r10: fully SQL-replayable).",
     "sketch_cms_heavy_hitters": "wordcount aggregate → 4-seed explode on "
     "the DISTINCT-token frame → ≤2048-row sketch; probe side broadcast — "
     "output size is fixed regardless of corpus.",
