@@ -218,7 +218,17 @@ _ROUND10_PRIORITY: list[str] = [
 ]
 
 # Round-10 additions (new registrations this round).
-_ROUND10_NEW: list[str] = []
+_ROUND10_NEW: list[str] = [
+    "stats_spearman_corr",
+    "stats_trimmed_mean",
+    "stats_anova_oneway",
+    "ab_srm_check",
+    "maintenance_file_overlap_depth",
+    "dedup_prefix_filter_jaccard",
+    "similarity_pq_codes",
+    "analytics_shapley_attribution",
+    "text_heaps_law",
+]
 
 # ----------------------------------------------------------------------
 # ROUND-9 WINDOW PREFIX: every oracle-backed query whose LATEST driver
@@ -585,6 +595,7 @@ def _ensure_loaded() -> None:
         round6,
         round8,
         round9,
+        round10,
         scalar_ext,
         sketches,
         stats,

@@ -1,0 +1,1081 @@
+"""Round-10 registry additions.
+
+Nine oracle-attested capability rows widening four families:
+
+- EXACT similarity join (prefix-filter / PPJoin-style Jaccard join —
+  the database-literature EXACT counterpart of the approximate LSH
+  family: candidates bounded by rare-token prefixes, never all-pairs).
+- Vector infrastructure (product-quantization codes — the
+  memory-bounded ANN layout; deterministic mechanics, SQL-replayable
+  like r10's IVF oracle).
+- Attribution (exact Shapley values over journey channel sets — the
+  game-theoretic sibling of the r9 Markov removal effects; integer
+  24ths keep the driver hash float-free).
+- Classical statistics on the distributed-rank spine (tie-corrected
+  Spearman ρ, trimmed/winsorized means, one-way ANOVA, sample-ratio-
+  mismatch audit, Heaps-law vocabulary growth, file-overlap
+  clustering depth).
+
+Shared design rules (same as round6+): exactness first — integer /
+decimal-domain sums wherever a float quotient would round, divisions
+only at the last projection; every global order runs through
+operators/ranking.py, never a single-task window; doc/file/bucket
+-count-sized frames may use triangular self-joins instead of
+unpartitioned windows so the registry-wide plan audit stays clean.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected), per group
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH r AS (
+  SELECT l_linestatus AS g, l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+), xr AS (
+  SELECT g, x,
+         2 * SUM(cnt) OVER (PARTITION BY g ORDER BY x) - cnt + 1 AS rx2
+  FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY g, x)
+), yr AS (
+  SELECT g, y,
+         2 * SUM(cnt) OVER (PARTITION BY g ORDER BY y) - cnt + 1 AS ry2
+  FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY g, y)
+), j AS (
+  SELECT r.g, xr.rx2, yr.ry2
+  FROM r JOIN xr ON xr.g = r.g AND xr.x = r.x
+         JOIN yr ON yr.g = r.g AND yr.y = r.y
+), m AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy
+  FROM j GROUP BY g
+)
+SELECT g AS l_linestatus, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS spearman_rho
+FROM m ORDER BY l_linestatus
+"""
+
+
+@query("stats_spearman_corr", oracle=_SPEARMAN_SQL)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between quantity and
+    price per line status — Pearson over AVERAGE ranks, where the
+    average rank of a tied block is pure integer algebra:
+    2·r̄(v) = 2·c_le(v) − cnt(v) + 1 (c_le = inclusive cumulative
+    count under the value order). Doubling keeps every rank an exact
+    BIGINT, and the ×2 scale cancels in the correlation, so the
+    moments are exact integers and both engines agree bit-for-bit
+    until the single final division.
+
+    Scale: ranks are computed on the DISTINCT-VALUE frame (counts per
+    (group, value)) via the distributed grouped prefix-sum — never a
+    row-level sort — then broadcast/shuffle-joined back; moment sums
+    are one map-side-combined aggregate. No value buffer, no
+    single-task window (the in-operator offset window runs over
+    partition metadata only)."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        vc = li.groupBy("g", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        ps = with_grouped_prefix_sum(vc, ["g"], [col], "cnt")
+        return ps.select(
+            "g",
+            col,
+            (2 * F.col("_cw") - F.col("cnt") + 1).alias(f"r{col}2"),
+        )
+
+    j = li.join(rank2("x"), ["g", "x"]).join(rank2("y"), ["g", "y"])
+    dec = "decimal(38,0)"
+    m = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum((F.col("rx2").cast(dec) * F.col("rx2"))).alias("sxx"),
+        F.sum((F.col("ry2").cast(dec) * F.col("ry2"))).alias("syy"),
+        F.sum((F.col("rx2").cast(dec) * F.col("ry2"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return m.select(
+        F.col("g").alias("l_linestatus"),
+        "n",
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_rho"),
+    ).orderBy("l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Trimmed + winsorized mean per group (prefix-sum rank thresholds)
+# ---------------------------------------------------------------------------
+
+_TRIM_SQL = """
+WITH r AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), b AS (
+  SELECT g, CAST(v AS DECIMAL(38,4)) AS v, rn, n,
+         CAST(FLOOR(0.1 * n) AS BIGINT) AS lo
+  FROM r
+)
+SELECT g AS l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN v END)
+                  AS DOUBLE) / (MAX(n) - 2 * MAX(lo)), 4) AS trimmed_mean,
+       ROUND(CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN v END)
+                  + MAX(lo) * MIN(CASE WHEN rn >= lo + 1 THEN v END)
+                  + MAX(lo) * MIN(CASE WHEN rn >= n - lo THEN v END)
+                  AS DOUBLE) / MAX(n), 4) AS winsorized_mean
+FROM b GROUP BY g ORDER BY l_returnflag
+"""
+
+
+@query("stats_trimmed_mean", oracle=_TRIM_SQL)
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed and winsorized means per return flag — the robust
+    location estimators, as PURE RANK-THRESHOLD conditional
+    aggregates over one weight-1 grouped prefix-sum scan (the same
+    spine as stats_percentiles): trim drops ranks outside
+    (⌊0.1n⌋, n−⌊0.1n⌋]; winsorize clamps them to the boundary values
+    v(lo+1) / v(n−lo), both MIN-over-rank-condition lookups. Price
+    sums stay in exact decimals; the two divisions happen once, at
+    the end — bit-identical to the oracle's windowed ROW_NUMBER
+    replay under the same (price, orderkey, linenumber) total order.
+
+    Scale: one range exchange + Arrow running count (bounded memory
+    even when a group spans tasks), conditional aggregates map-side
+    combine; no per-group value buffer anywhere."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    ps = with_grouped_prefix_sum(
+        li, ["g"], ["v", "l_orderkey", "l_linenumber"], "_one"
+    )
+    rn, n = F.col("_cw"), F.col("_tw")
+    lo = F.floor(0.1 * n).cast("bigint")
+    # decimal-domain sums: price has 2 decimals, so the cast is exact
+    # and the running total is order-independent cross-engine
+    vdec = F.col("v").cast("decimal(38,4)")
+    core = F.sum(F.when((rn > lo) & (rn <= n - lo), vdec))
+    v_lo = F.min(F.when(rn >= lo + 1, vdec))
+    v_hi = F.min(F.when(rn >= n - lo, vdec))
+    n_, lo_ = F.max(n), F.max(lo)
+    return (
+        ps.groupBy("g")
+        .agg(
+            n_.cast("bigint").alias("n"),
+            F.round(core.cast("double") / (n_ - 2 * lo_), 4).alias(
+                "trimmed_mean"
+            ),
+            F.round(
+                (core + lo_ * v_lo + lo_ * v_hi).cast("double") / n_, 4
+            ).alias("winsorized_mean"),
+        )
+        .select(F.col("g").alias("l_returnflag"), "n", "trimmed_mean",
+                "winsorized_mean")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across groups
+# ---------------------------------------------------------------------------
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+           AS sg,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)) * l_extendedprice)
+              AS DECIMAL(38,4)) AS qg
+  FROM lineitem GROUP BY l_returnflag
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS ss_groups,
+         CAST(SUM(sg) AS DOUBLE) AS s_all,
+         CAST(SUM(qg) AS DOUBLE) AS q_all
+  FROM g
+), d AS (
+  SELECT k, n,
+         ss_groups - s_all * s_all / n AS ssb,
+         q_all - ss_groups AS ssw
+  FROM t
+)
+SELECT CAST(k AS INT) AS k_groups, n,
+       ROUND(ssb / (k - 1), 4) AS ms_between,
+       ROUND(ssw / (n - k), 4) AS ms_within,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+       ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+FROM d
+"""
+
+
+@query("stats_anova_oneway", oracle=_ANOVA_SQL)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of extended price across return flags: F-statistic
+    and effect size (η²) from per-group moment sums — count, Σx, Σx²
+    in exact DECIMALs (price has 2 decimals, squares 4; nothing
+    rounds) — so both engines carry identical numbers into the final
+    double-domain sum-of-squares algebra. The per-group Σs²/n step
+    runs over the K-ROW group frame in a fixed double expression.
+
+    Scale: ONE map-side-combined aggregate over the fact table; the
+    group frame is k rows; everything after is scalar algebra. This
+    is the variance decomposition every A/B/C/n-way experiment
+    readout needs, at one-scan cost."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,4)"
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("l_extendedprice").cast(dec)).alias("sg"),
+        F.sum(F.col("l_extendedprice").cast(dec) * F.col("l_extendedprice"))
+        .alias("qg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        # each group's Σ²/n is a deterministic double; ROUND→DECIMAL
+        # before summing so the k-row sum is order-independent
+        # cross-engine (a raw double sum at ~1e13 magnitude wobbles
+        # past the output rounding under catastrophic cancellation)
+        F.sum(
+            F.round(
+                F.col("sg").cast("double") * F.col("sg").cast("double")
+                / F.col("ng"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("ss_groups"),
+        F.sum("sg").cast("double").alias("s_all"),
+        F.sum("qg").cast("double").alias("q_all"),
+    )
+    ssb = F.col("ss_groups") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("q_all") - F.col("ss_groups")
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("n") - F.col("k"))
+    return t.select(
+        F.col("k").cast("int").alias("k_groups"),
+        "n",
+        F.round(msb, 4).alias("ms_between"),
+        F.round(msw, 4).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch audit
+# ---------------------------------------------------------------------------
+
+_SRM_SQL = """
+WITH cust AS (
+  SELECT DISTINCT o_custkey FROM orders
+), arms AS (
+  SELECT CAST(('0x' || substring(md5('srm:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS arm
+  FROM cust
+), c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       ROUND(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6)
+         AS chi2,
+       (CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b)) > 3.841
+         AS srm_alarm
+FROM c
+"""
+
+
+@query("ab_srm_check", oracle=_SRM_SQL)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit — the experimentation guardrail
+    that catches broken randomization before any metric is read:
+    units (customers) hash-split 50/50 by the engine-portable md5
+    bucket, arm counts compared by the 1-df chi-square
+    (n_a−n_b)²/(n_a+n_b) against the 0.05 critical value 3.841.
+    Counts are exact integers; the statistic is one double division —
+    both engines replay the split AND the verdict bit-for-bit.
+
+    Scale: distinct-unit aggregate + 2-cell count — one shuffle on
+    the unit key, constant output. The hash split is the same
+    assignment mechanism ab_test_proportion_ztest uses, so this is
+    the audit you run NEXT TO every experiment readout."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    cust = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    arms = cust.select(
+        md5_bucket(F.col("o_custkey"), F.lit("srm"), 2).alias("arm")
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# File-overlap clustering depth (layout health metric)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SQL = """
+WITH f AS (
+  SELECT o_orderkey % 64 AS file_id,
+         MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+  FROM orders GROUP BY 1
+), ev AS (
+  SELECT file_id, lo AS d, 1 AS delta FROM f
+  UNION ALL
+  SELECT file_id, hi AS d, -1 AS delta FROM f
+), dep AS (
+  SELECT file_id, delta,
+         SUM(delta) OVER (ORDER BY d, delta DESC, file_id
+                          ROWS UNBOUNDED PRECEDING) AS depth
+  FROM ev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       ROUND(AVG(CAST(depth AS DOUBLE)), 4) AS avg_open_depth
+FROM dep WHERE delta = 1
+"""
+
+
+@query("maintenance_file_overlap_depth", oracle=_OVERLAP_SQL)
+def maintenance_file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering depth of a file layout — the OPTIMIZE/Z-ORDER health
+    metric: how many files' [min, max] key ranges overlap at once
+    (depth 1 = perfectly clustered; high depth = every scan touches
+    many files). Files simulated as orderkey%64 buckets with their
+    orderdate ranges; depth is the classic +1/−1 boundary sweep —
+    running sum over the 2·n_files boundary events, here as a
+    TRIANGULAR SELF-JOIN on the file-count-sized boundary frame
+    (n ≤ 128 rows → 16k join pairs) so no unpartitioned window
+    appears anywhere in the plan. Boundary tie order (+1 before −1 at
+    the same date: inclusive intervals overlap at a shared endpoint)
+    is pinned by the (date, delta DESC, file_id) total order.
+
+    Scale: the corpus-scale work is the per-file min/max aggregate
+    (one map-side-combined pass); the sweep runs over file METADATA —
+    at 100 TB that is the transaction log, not the data."""
+    orders = load(spark, sf_dir, "orders")
+    f = orders.groupBy((F.col("o_orderkey") % 64).alias("file_id")).agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    ev = f.select(
+        "file_id", F.col("lo").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        f.select("file_id", F.col("hi").alias("d"), F.lit(-1).alias("delta"))
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    # inclusive running sum under (d, delta DESC, file_id): b precedes
+    # or equals a in the sweep order
+    before = (
+        (F.col("b.d") < F.col("a.d"))
+        | ((F.col("b.d") == F.col("a.d")) & (F.col("b.delta") > F.col("a.delta")))
+        | (
+            (F.col("b.d") == F.col("a.d"))
+            & (F.col("b.delta") == F.col("a.delta"))
+            & (F.col("b.file_id") <= F.col("a.file_id"))
+        )
+    )
+    dep = (
+        a.join(b, before)
+        .groupBy("a.file_id", "a.d", "a.delta")
+        .agg(F.sum("b.delta").alias("depth"))
+    )
+    return (
+        dep.filter(F.col("delta") == 1)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.max("depth").cast("bigint").alias("max_depth"),
+            F.round(F.avg(F.col("depth").cast("double")), 4).alias(
+                "avg_open_depth"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXACT Jaccard similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+_PFJ_TAU_NUM, _PFJ_TAU_DEN = 3, 5  # tau = 0.6 as an exact fraction
+
+_PREFIX_JACCARD_SQL = """
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), d AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                ELSE [array_to_string(w, ' ')] END) AS toks
+  FROM raw
+), tf AS (
+  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM d, unnest(d.toks) AS u(tok) GROUP BY u.tok
+), st AS (
+  SELECT doc_id, array_agg(tok ORDER BY freq, tok) AS stoks,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT d.doc_id, u.tok, tf.freq
+        FROM d, unnest(d.toks) AS u(tok) JOIN tf USING (tok))
+  GROUP BY doc_id
+), pref AS (
+  SELECT doc_id, u.tok
+  FROM st, unnest(list_slice(stoks, 1,
+         CAST(n - CEIL(0.6 * n) + 1 AS BIGINT))) AS u(tok)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(x.toks, y.toks))) AS BIGINT)
+         AS n_union
+FROM cand c JOIN d x ON x.doc_id = c.id_a JOIN d y ON y.doc_id = c.id_b
+WHERE 5 * len(list_intersect(x.toks, y.toks))
+      >= 3 * len(list_distinct(list_concat(x.toks, y.toks)))
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_prefix_filter_jaccard", oracle=_PREFIX_JACCARD_SQL)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join (J ≥ 0.6 on 3-gram shingle sets)
+    via prefix filtering — the database-literature counterpart of the
+    MinHash-LSH family (PPJoin lineage: Xiao et al., WWW'08): order
+    every document's shingle set by ASCENDING GLOBAL FREQUENCY
+    (rarest first, ties by shingle) and keep only the first
+    n − ⌈τ·n⌉ + 1 shingles as its PREFIX; two sets with J ≥ τ MUST
+    share a prefix element (pigeonhole on the τ-overlap), so the
+    candidate join runs on prefix shingles only — rare by
+    construction — and the exact |∩|/|∪| verification touches
+    candidates, never all pairs. Unlike LSH this is EXACT: zero
+    false negatives, no banding probability. The τ gate is the
+    cross-multiplied integer comparison 5·|∩| ≥ 3·|∪|, outputs are
+    BIGINTs — no float anywhere.
+
+    Shingles, not word sets: over a small vocabulary nearly every
+    pair of word SETS is Jaccard-similar (measured: 71k of 125k
+    pairs at sf0.01), which guts the filter; 3-gram shingles are the
+    same distinctive unit the MinHash family blocks on.
+
+    Scale: shingle frequencies are one vocab-sized aggregate; the
+    prefix join's fan-out is bounded by rare-shingle postings (the
+    frequency ordering is exactly what keeps stop-shingles OUT of
+    prefixes); verification is per-candidate set algebra. At 100 TB
+    this is the exact-dedup sibling you run where LSH recall
+    arguments don't fly (dedup_minhash_lsh stays the approximate
+    scale path)."""
+    par = spark.sparkContext.defaultParallelism
+    # words MUST be PHYSICALLY materialized before the gram transform:
+    # CollapseProject inlines a projected split(text) straight back
+    # into the lambda (measured 30 split() copies in the executed
+    # plan), so each gram re-splits the whole text — O(len²) per doc.
+    # A projection barrier is not enough; the checkpoint is.
+    w = F.col("w")
+    nw = F.size(w)
+    k = 3
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j + 1) for j in range(k)]
+    )
+    sh = F.array_distinct(
+        F.when(nw >= k, F.transform(F.sequence(F.lit(0), nw - k), gram))
+        .otherwise(F.array(F.concat_ws(" ", w)))
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(par)  # single-split corpus would serialize
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)  # split exactly once (see above)
+        .select("doc_id", sh.alias("toks"))
+        .localCheckpoint(eager=True)  # verify join reads it twice
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    st = (
+        tok.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
+                lambda s: s["tok"],
+            ).alias("stoks"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    plen = (F.col("n") - F.ceil(0.6 * F.col("n")) + 1).cast("int")
+    pref = (
+        st.select(
+            "doc_id",
+            F.explode(F.slice("stoks", F.lit(1), plen)).alias("tok"),
+        )
+        .localCheckpoint(eager=True)  # self-join: evaluate ONCE
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        # the candidate frame is BYTE-small but each row costs a full
+        # shingle-set intersection below — repartition so AQE's
+        # size-based coalesce doesn't serialize the verify onto 2
+        # tasks (measured 8 s -> ~2 s at sf0.1)
+        .repartition(par)
+    )
+    x = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    y = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    ni = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    nu = F.size(F.array_union("ta", "tb")).cast("bigint")
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select("id_a", "id_b", ni.alias("n_inter"), nu.alias("n_union"))
+        .filter(
+            F.lit(_PFJ_TAU_DEN) * F.col("n_inter")
+            >= F.lit(_PFJ_TAU_NUM) * F.col("n_union")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization codes (memory-bounded vector layout)
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS, _PQ_SUBDIM, _PQ_CENTS = 8, 8, 16
+
+
+def _pq_l2_sql(s: int) -> str:
+    """Left-associated squared-L2 over subspace s — the same addition
+    order as the Spark zip_with/aggregate fold."""
+    return " + ".join(
+        f"(a.v[{s * _PQ_SUBDIM + j}] - c.cv[{s * _PQ_SUBDIM + j}])"
+        f" * (a.v[{s * _PQ_SUBDIM + j}] - c.cv[{s * _PQ_SUBDIM + j}])"
+        for j in range(1, _PQ_SUBDIM + 1)
+    )
+
+
+def _pq_oracle() -> str:
+    dists = "\nUNION ALL\n".join(
+        f"SELECT a.id, {s} AS s, c.cent_id, {_pq_l2_sql(s)} AS d "
+        f"FROM v a CROSS JOIN cents c"
+        for s in range(_PQ_SUBS)
+    )
+    codes = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN s = {s} THEN code END) AS INT) AS c{s}"
+        for s in range(_PQ_SUBS)
+    )
+    err = " + ".join(
+        f"MAX(CASE WHEN s = {s} THEN d END)" for s in range(_PQ_SUBS)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT id AS cent_id, v AS cv FROM v ORDER BY id LIMIT {_PQ_CENTS}
+), dists AS (
+{dists}
+), best AS (
+  SELECT id, s, cent_id AS code, d
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+                                     ORDER BY d, cent_id) AS rn
+        FROM dists)
+  WHERE rn = 1
+)
+SELECT id AS vec_id,
+       {codes},
+       ROUND({err}, 6) AS quant_err
+FROM best GROUP BY id ORDER BY vec_id
+"""
+
+
+@query("similarity_pq_codes", oracle=_pq_oracle)
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the memory-bounded vector layout behind
+    billion-scale ANN (Jégou et al., PAMI'11): split the 64-dim
+    embedding into 8 subspaces of 8 dims; quantize each subvector to
+    its nearest of 16 per-subspace centroids; a vector compresses to
+    8 one-byte codes (64× smaller than float32) and distances become
+    table lookups. Every mechanism is deterministic — centroids are
+    the 16 lowest vec_ids' subvectors (the similarity_ann_ivf
+    precedent), assignment is min squared-L2 with ties to the LOWEST
+    centroid id, and every distance is the same left-associated
+    double fold both engines evaluate identically — so DuckDB
+    replays codes AND total quantization error bit-for-bit. The
+    error column sums the 8 per-subspace minima as a FIXED-ORDER
+    expression over the pivoted aggregates (an agg-sum of doubles
+    would be partial-order-dependent cross-engine).
+
+    Scale: centroid table is 16 rows broadcast; assignment is one
+    corpus scan × (8 subspaces × 16 centroids) of codegen column
+    algebra — no shuffle until the 8-row-per-vector min aggregate,
+    which map-side combines. The PQ-coded table is what you persist;
+    IVF cells + PQ codes compose into the standard IVF-PQ layout."""
+    from ibd_pipeline_spark.operators.similarity import as_double_array
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
+    )
+    cents = (
+        emb.orderBy("id")
+        .limit(_PQ_CENTS)
+        .select(F.col("id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    subs = spark.range(_PQ_SUBS).select(F.col("id").cast("int").alias("s"))
+    cent_sub = cents.crossJoin(subs).select(
+        "cent_id",
+        "s",
+        F.slice("cv", (F.col("s") * _PQ_SUBDIM + 1).cast("int"),
+                F.lit(_PQ_SUBDIM)).alias("cslice"),
+    )
+    corp_sub = emb.crossJoin(subs).select(
+        "id",
+        "s",
+        F.slice("v", (F.col("s") * _PQ_SUBDIM + 1).cast("int"),
+                F.lit(_PQ_SUBDIM)).alias("vslice"),
+    )
+    dist = F.aggregate(
+        F.zip_with("vslice", "cslice", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        corp_sub.join(F.broadcast(cent_sub), "s")
+        .select("id", "s", "cent_id", dist.alias("d"))
+        .groupBy("id", "s")
+        .agg(F.min(F.struct(F.col("d"), F.col("cent_id"))).alias("m"))
+        .select("id", "s", F.col("m.cent_id").alias("code"),
+                F.col("m.d").alias("d"))
+    )
+    code_cols = [
+        F.max(F.when(F.col("s") == s, F.col("code")))
+        .cast("int")
+        .alias(f"c{s}")
+        for s in range(_PQ_SUBS)
+    ]
+    dmax = [
+        F.max(F.when(F.col("s") == s, F.col("d"))) for s in range(_PQ_SUBS)
+    ]
+    err = dmax[0]
+    for t in dmax[1:]:
+        err = err + t
+    return (
+        best.groupBy("id")
+        .agg(*code_cols, F.round(err, 6).alias("quant_err"))
+        .select(F.col("id").alias("vec_id"),
+                *[f"c{s}" for s in range(_PQ_SUBS)], "quant_err")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley attribution over journey channel sets
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_SQL = """
+WITH ord AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), fp AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+  FROM ord GROUP BY user_id
+), um AS (
+  SELECT f.user_id,
+         COALESCE(BIT_OR(CASE o.event_type
+                           WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                           WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                         END), 0) AS mask
+  FROM fp f LEFT JOIN ord o
+    ON o.user_id = f.user_id AND o.rn < f.prn
+  WHERE f.prn IS NOT NULL
+  GROUP BY f.user_id
+), mc AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM um GROUP BY mask
+), sp AS (
+  SELECT CAST(t.range AS INT) AS S FROM range(16) t
+), v AS (
+  SELECT sp.S,
+         COALESCE(SUM(CASE WHEN (mc.mask | sp.S) = sp.S THEN mc.cnt END),
+                  0) AS v
+  FROM sp LEFT JOIN mc ON TRUE GROUP BY sp.S
+), ch AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                        ('signup', 4), ('view', 8)) c(channel, bit)
+), marg AS (
+  SELECT ch.channel,
+         (CASE bit_count(sp.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                               WHEN 2 THEN 2 ELSE 6 END)
+           * (v1.v - v0.v) AS term
+  FROM ch JOIN sp ON (sp.S & ch.bit) = 0
+  JOIN v v0 ON v0.S = sp.S
+  JOIN v v1 ON v1.S = (sp.S | ch.bit)
+), phi AS (
+  SELECT channel, CAST(SUM(term) AS BIGINT) AS shapley_x24
+  FROM marg GROUP BY channel
+), tot AS (SELECT SUM(shapley_x24) AS t FROM phi)
+SELECT channel, shapley_x24,
+       ROUND(CAST(shapley_x24 AS DOUBLE) / tot.t, 6) AS share
+FROM phi, tot ORDER BY channel
+"""
+
+
+@query("analytics_shapley_attribution", oracle=_SHAPLEY_SQL)
+def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over journey CHANNEL SETS —
+    the game-theoretic multi-touch model next to the r9 Markov
+    removal effects: channels are players, the characteristic
+    v(S) = conversions whose pre-purchase touch set ⊆ S, and each
+    channel's credit is its average marginal contribution over all
+    orderings. With 4 channels the 2⁴ coalition values make the sum
+    EXACT: φᵢ·4! = Σ_{S∌i} |S|!·(3−|S|)!·(v(S∪i) − v(S)) is pure
+    integer algebra (weights 6/2/2/6), so `shapley_x24` is a BIGINT
+    the driver hashes float-free; the share divides once at the end.
+    v is monotone by construction (mask-subset counting), so every
+    marginal ≥ 0 and shares sum to 1 over v(N) − v(∅).
+
+    Scale: journey construction is the corpus-scale work (one
+    user_id window + first-purchase truncation — the exact shape
+    analytics_markov_attribution already pays); everything after
+    runs on the 16-row mask-count frame. Exponential-in-channels is
+    real but irrelevant at k=4 — past ~10 channels you sample
+    permutations instead (and lose the exactness this query's
+    oracle buys)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ord_ = ev.select(
+        "user_id", "event_type", F.row_number().over(w_u).alias("rn")
+    )
+    fp = ord_.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("prn")
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    touches = ord_.select("user_id", bit.alias("bit"), "rn")
+    um = (
+        fp.filter(F.col("prn").isNotNull())
+        .alias("f")
+        .join(
+            touches.alias("o"),
+            (F.col("o.user_id") == F.col("f.user_id"))
+            & (F.col("o.rn") < F.col("f.prn")),
+            "left",
+        )
+        .groupBy("f.user_id")
+        .agg(F.coalesce(F.bit_or("o.bit"), F.lit(0)).alias("mask"))
+    )
+    mc = um.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    sp = spark.range(16).select(F.col("id").cast("int").alias("S"))
+    v = (
+        sp.join(
+            F.broadcast(mc),
+            (F.col("mask").bitwiseOR(F.col("S")) == F.col("S")),
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    w24 = (
+        F.when(F.bit_count(F.col("S")) == 0, 6)
+        .when(F.bit_count(F.col("S")) == 1, 2)
+        .when(F.bit_count(F.col("S")) == 2, 2)
+        .otherwise(6)
+    )
+    marg = (
+        ch.crossJoin(F.broadcast(sp))
+        .filter(F.col("S").bitwiseAND(F.col("bit")) == 0)
+        .join(
+            F.broadcast(v.select(F.col("S").alias("S0"), F.col("v").alias("v0"))),
+            F.col("S") == F.col("S0"),
+        )
+        .join(
+            F.broadcast(v.select(F.col("S").alias("S1"), F.col("v").alias("v1"))),
+            F.col("S").bitwiseOR(F.col("bit")) == F.col("S1"),
+        )
+        .select("channel", (w24 * (F.col("v1") - F.col("v0"))).alias("term"))
+    )
+    phi = marg.groupBy("channel").agg(
+        F.sum("term").cast("bigint").alias("shapley_x24")
+    )
+    tot = phi.agg(F.sum("shapley_x24").alias("t"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "shapley_x24",
+            F.round(F.col("shapley_x24").cast("double") / F.col("t"), 6)
+            .alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+_HEAPS_BUCKETS = 20
+
+_HEAPS_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), docs AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                     i -> array_to_string(list_slice(w, i, i + 2), ' '))
+              ELSE [array_to_string(w, ' ')] END AS toks
+  FROM raw
+), nd AS (
+  SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS doc_cnt
+  FROM docs
+), tok AS (
+  SELECT d.doc_id, u.tok FROM docs d, unnest(d.toks) AS u(tok)
+), firsts AS (
+  SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok
+), vb AS (
+  SELECT CAST(FLOOR(fd * {_HEAPS_BUCKETS} / nd.n_docs) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM firsts, nd GROUP BY 1
+), tb AS (
+  SELECT CAST(FLOOR(doc_id * {_HEAPS_BUCKETS} / nd.n_docs) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM tok, nd GROUP BY 1
+), pts AS (
+  SELECT tb.b,
+         SUM(tb.t) OVER (ORDER BY tb.b) AS n_cum,
+         SUM(COALESCE(vb.v, 0)) OVER (ORDER BY tb.b) AS v_cum
+  FROM tb LEFT JOIN vb ON vb.b = tb.b
+), lp AS (
+  SELECT CAST(ROUND(ln(CAST(n_cum AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+         CAST(ROUND(ln(CAST(v_cum AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y
+  FROM pts
+), mm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM lp
+), fit AS (
+  SELECT k,
+         (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (k * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+         (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           * (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / ((k * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (k * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2,
+         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+  FROM mm
+), tots AS (
+  SELECT CAST(MAX(n_cum) AS BIGINT) AS n_tokens,
+         CAST(MAX(v_cum) AS BIGINT) AS vocab
+  FROM pts
+)
+SELECT nd.doc_cnt AS n_docs, tots.n_tokens, tots.vocab,
+       ROUND(fit.b, 4) AS heaps_b,
+       ROUND((fit.syd - fit.b * fit.sxd) / fit.k, 4) AS heaps_logk,
+       ROUND(fit.r2, 4) AS r_squared
+FROM nd, tots, fit
+"""
+
+
+@query("text_heaps_law", oracle=_HEAPS_SQL)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: V(N) ≈ k·N^b — the sublinear
+    vocabulary scaling every tokenizer-budget and dedup-capacity
+    plan leans on. Vocabulary unit = 3-GRAM SHINGLES (the corpus's
+    word vocabulary is a closed 31-term set — flat V(N), r² undefined;
+    shingle vocabulary genuinely grows). The curve is sampled at 20
+    corpus prefixes WITHOUT any sequential scan: a shingle's
+    FIRST-OCCURRENCE doc (one min aggregate) assigns it to the bucket
+    where it enters the vocabulary, so cumulative (tokens, vocab) per
+    bucket is a
+    20-row prefix sum — computed here as conditional sums over the
+    bucket frame, window-free. The log-log least-squares fit rounds
+    ln-values to 9 decimals into DECIMALs BEFORE summing (a raw
+    double sum over buckets would be partial-order-dependent
+    cross-engine), then solves slope/intercept/R² in fixed double
+    algebra.
+
+    Scale: two corpus-scale aggregates (first-occurrence min per
+    token — vocab-sized shuffle — and per-bucket token counts);
+    everything else is 20-row algebra. doc_id density assumption:
+    buckets are doc_id-ranged (FLOOR(id·B/max+1)); sparse ids skew
+    bucket widths, not correctness."""
+    # words PHYSICALLY materialized (localCheckpoint below): a merely
+    # projected split(text) gets CollapseProject-inlined back into the
+    # gram lambda and re-splits per gram — the Catalyst
+    # nested-expression blowup (measured ~6 s -> ~1 s on 5000 docs)
+    w = F.col("w")
+    nw = F.size(w)
+    gram3 = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j + 1) for j in range(3)]
+    )
+    shingles = F.when(
+        nw >= 3, F.transform(F.sequence(F.lit(0), nw - 3), gram3)
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    docs = (
+        load(spark, sf_dir, "documents")
+        # single-split corpus: widen before the shingle explode or
+        # the whole vocab build runs on one task
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)  # split exactly once (see above)
+        .select("doc_id", shingles.alias("toks"))
+        # two consumers below (vocab firsts + bucket token counts):
+        # materialize the shingle arrays once
+        .localCheckpoint(eager=True)
+    )
+    nd = docs.agg(
+        (F.max("doc_id") + 1).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_cnt"),
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    bkt = lambda c: F.floor(  # noqa: E731
+        F.col(c) * _HEAPS_BUCKETS / F.col("n_docs")
+    ).cast("bigint")
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    vb = (
+        firsts.crossJoin(F.broadcast(nd))
+        .groupBy(bkt("fd").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    tb = (
+        tok.crossJoin(F.broadcast(nd))
+        .groupBy(bkt("doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    # 20-row cumulative sums via triangular self-join (window-free)
+    base = tb.join(vb, "b", "left").select(
+        "b", "t", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pts = (
+        l.join(r, F.col("r.b") <= F.col("l.b"))
+        .groupBy(F.col("l.b").alias("b"))
+        .agg(
+            F.sum("r.t").alias("n_cum"),
+            F.sum("r.v").alias("v_cum"),
+        )
+    )
+    dec = "decimal(28,9)"
+    lp = pts.select(
+        F.round(F.log(F.col("n_cum").cast("double")), 9).cast(dec).alias("x"),
+        F.round(F.log(F.col("v_cum").cast("double")), 9).cast(dec).alias("y"),
+    )
+    mm = lp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = kd * F.col("sxy").cast("double") - sxd * syd
+    dxx = kd * F.col("sxx").cast("double") - sxd * sxd
+    dyy = kd * F.col("syy").cast("double") - syd * syd
+    b = num / dxx
+    tots = pts.agg(
+        F.max("n_cum").cast("bigint").alias("n_tokens"),
+        F.max("v_cum").cast("bigint").alias("vocab"),
+    )
+    fit = mm.select(
+        F.round(b, 4).alias("heaps_b"),
+        F.round((syd - b * sxd) / kd, 4).alias("heaps_logk"),
+        F.round(num * num / (dxx * dyy), 4).alias("r_squared"),
+    )
+    return (
+        nd.select("doc_cnt")
+        .crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.col("doc_cnt").alias("n_docs"),
+            "n_tokens",
+            "vocab",
+            "heaps_b",
+            "heaps_logk",
+            "r_squared",
+        )
+    )

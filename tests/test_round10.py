@@ -1,0 +1,208 @@
+"""Round-10 query invariants beyond the DuckDB oracle parity:
+independent Python recomputations and planted-fixture checks."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import all_queries
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark, tmp_path):
+    """Prefix filtering is EXACT: on a planted corpus the query's pair
+    set equals a brute-force all-pairs shingle-Jaccard at the same
+    threshold — zero false negatives (the pigeonhole guarantee) and
+    zero false positives (the verify step)."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (0, base, "s"),
+        (1, base + " tonight", "s"),  # near-dup of 0
+        (2, "completely different words compose this other document text", "s"),
+        (3, base.replace("fox", "cat"), "s"),  # near-dup of 0
+        (4, "one two three four five six seven eight nine ten", "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in all_queries()["dedup_prefix_filter_jaccard"](spark, sf).collect()
+    }
+
+    def sh(text):
+        w = text.split(" ")
+        if len(w) < 3:
+            return {text}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = sh(rows[i][1]), sh(rows[j][1])
+            if 5 * len(a & b) >= 3 * len(a | b):
+                want.add((rows[i][0], rows[j][0]))
+    assert got == want and want  # the fixture must plant at least one
+
+
+def test_pq_codes_centroids_self_quantize(spark, sf_dir):
+    """A vector that IS a centroid (one of the 16 lowest vec_ids)
+    quantizes to itself in every subspace with zero error."""
+    out = {
+        r["vec_id"]: r
+        for r in all_queries()["similarity_pq_codes"](spark, sf_dir).collect()
+    }
+    cents = sorted(out)[:16]
+    for cid in cents:
+        r = out[cid]
+        assert r["quant_err"] == 0.0, r
+        for s in range(8):
+            assert r[f"c{s}"] == cid, (cid, s, r)
+    # non-centroid errors are non-negative and codes live in the
+    # centroid id set
+    cset = set(cents)
+    for r in out.values():
+        assert r["quant_err"] >= 0.0
+        assert all(r[f"c{s}"] in cset for s in range(8))
+
+
+def test_shapley_efficiency_and_python_twin(spark, sf_dir):
+    """Shapley axioms on the real fixture: Σφᵢ = v(N) − v(∅)
+    (efficiency, in exact 24ths) and every φᵢ matches an independent
+    Python lattice computation from the same mask counts."""
+    rows = all_queries()["analytics_shapley_attribution"](spark, sf_dir).collect()
+    got = {r["channel"]: r["shapley_x24"] for r in rows}
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    masks: dict[int, int] = {}
+    for uid, grp in pdf.groupby("user_id"):
+        mask = 0
+        for et in grp["event_type"]:
+            if et == "purchase":
+                masks[mask] = masks.get(mask, 0) + 1
+                break
+            mask |= bits.get(et, 0)
+
+    def v(S):
+        return sum(c for m, c in masks.items() if (m | S) == S)
+
+    w24 = {0: 6, 1: 2, 2: 2, 3: 6}
+    want = {}
+    for ch, bit in bits.items():
+        tot = 0
+        for S in range(16):
+            if S & bit:
+                continue
+            tot += w24[bin(S).count("1")] * (v(S | bit) - v(S))
+        want[ch] = tot
+    assert got == want
+    assert sum(got.values()) == 24 * (v(15) - v(0))
+
+
+def test_spearman_matches_python(spark, sf_dir):
+    """Engine Spearman equals a direct Python tie-averaged-rank
+    computation over the same rows."""
+    rows = all_queries()["stats_spearman_corr"](spark, sf_dir).collect()
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_linestatus", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for r in rows:
+        g = li[li["l_linestatus"] == r["l_linestatus"]]
+        rx = g["l_quantity"].rank(method="average")
+        ry = g["l_extendedprice"].rank(method="average")
+        rho = rx.corr(ry)  # pearson over average ranks == spearman
+        assert abs(r["spearman_rho"] - rho) < 1e-4, (r, rho)
+
+
+def test_trimmed_mean_matches_python(spark, sf_dir):
+    rows = all_queries()["stats_trimmed_mean"](spark, sf_dir).collect()
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    for r in rows:
+        v = sorted(li[li["l_returnflag"] == r["l_returnflag"]]["l_extendedprice"])
+        n = len(v)
+        lo = int(math.floor(0.1 * n))
+        core = v[lo : n - lo]
+        tm = sum(core) / (n - 2 * lo)
+        wm = (sum(core) + lo * v[lo] + lo * v[n - lo - 1]) / n
+        assert abs(r["trimmed_mean"] - tm) < 1e-2, (r, tm)
+        assert abs(r["winsorized_mean"] - wm) < 1e-2, (r, wm)
+
+
+def test_anova_matches_python(spark, sf_dir):
+    r = all_queries()["stats_anova_oneway"](spark, sf_dir).collect()[0]
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    groups = [g["l_extendedprice"].values for _, g in li.groupby("l_returnflag")]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(g.sum() for g in groups) / n
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k_groups"] == k and r["n"] == n
+    assert abs(r["f_stat"] - f) / max(f, 1e-9) < 1e-3, (r["f_stat"], f)
+    assert abs(r["eta_squared"] - ssb / (ssb + ssw)) < 1e-4
+
+
+def test_srm_balanced_split(spark, sf_dir):
+    """The md5 split must not itself trip SRM on clean data, and the
+    counts must cover every distinct unit exactly once."""
+    r = all_queries()["ab_srm_check"](spark, sf_dir).collect()[0]
+    n_units = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert r["n_a"] + r["n_b"] == n_units
+    assert r["chi2"] >= 0.0
+    assert r["srm_alarm"] is False  # a fair hash split must pass its own audit
+
+
+def test_overlap_depth_planted_fixture(spark, tmp_path):
+    """Known layout: orderkeys 0..63 → 64 one-order files at 64
+    distinct dates (depth 1 everywhere) PLUS keys 64..127 re-hitting
+    the same files widens every file to the full range (max depth =
+    n_files)."""
+    import datetime
+
+    rows = []
+    d0 = datetime.datetime(2024, 1, 1)
+    # one order per file, one distinct date per file -> zero overlap
+    for kk in range(64):
+        rows.append((kk, kk, d0 + datetime.timedelta(days=kk), 1.0))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, o_totalprice double"
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "orders.parquet"))
+    r = all_queries()["maintenance_file_overlap_depth"](spark, str(sf)).collect()[0]
+    assert r["n_files"] == 64
+    assert r["max_depth"] == 1 and r["avg_open_depth"] == 1.0
+
+
+def test_heaps_fit_is_sublinear_and_sound(spark, sf_dir):
+    r = all_queries()["text_heaps_law"](spark, sf_dir).collect()[0]
+    assert 0.0 < r["heaps_b"] <= 1.0  # vocabulary grows sublinearly
+    assert 0.0 <= r["r_squared"] <= 1.0
+    assert r["vocab"] <= r["n_tokens"]
+    # the fitted curve roughly reproduces the endpoint
+    pred = math.exp(r["heaps_logk"]) * r["n_tokens"] ** r["heaps_b"]
+    assert 0.5 * r["vocab"] <= pred <= 2.0 * r["vocab"]
