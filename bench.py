@@ -370,6 +370,17 @@ HEADLINE_R09 = [
     "quality_k_anonymity",
 ]
 
+HEADLINE_R10 = [
+    # frequency-ordered prefix join + exact set verify (PPJoin)
+    "dedup_prefix_filter_jaccard",
+    # broadcast 128-row centroid fan-out + struct-min codes (PQ)
+    "similarity_pq_codes",
+    # two distinct-value prefix-sum scans + rank re-joins (Spearman)
+    "stats_spearman_corr",
+    # first-occurrence vocab buckets + window-free cumsum (Heaps)
+    "text_heaps_law",
+]
+
 HEADLINE = (
     HEADLINE_R01
     + HEADLINE_R02
@@ -379,6 +390,7 @@ HEADLINE = (
     + HEADLINE_R06
     + HEADLINE_R08
     + HEADLINE_R09
+    + HEADLINE_R10
 )
 
 

@@ -237,6 +237,63 @@ def _maybe_broadcast(
     return F.broadcast(df) if n <= cap else df
 
 
+def ivf_cells(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "corpus_id",
+    vec: str = "vec",
+) -> "tuple[DataFrame, DataFrame]":
+    """(centroids, corpus-cell assignment) — the reusable IVF layout
+    step split out of ivf_topk (r10, for IVF-PQ composition):
+    centroids are the n_centroids lowest-id corpus vectors; every
+    corpus vector is assigned to its max-cosine centroid with ties to
+    the LOWEST cent_id (deterministic struct-max). Returns
+    (cents(cent_id, cent_v), cells(cid, cv, cell_id))."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if _estimated_scan_splits(corpus) < par:
+        corpus = corpus.repartition(par)
+    c = corpus.select(F.col(corpus_id).alias("cid"), as_double_array(vec).alias("cv"))
+    cents = c.orderBy("cid").limit(n_centroids).select(
+        F.col("cid").alias("cent_id"), F.col("cv").alias("cent_v")
+    )
+    cells = (
+        c.join(F.broadcast(cents))
+        .select("cid", "cv", "cent_id", cosine(F.col("cv"), F.col("cent_v")).alias("sim"))
+        .groupBy("cid")
+        .agg(
+            # deterministic tiebreak: max sim, then LOWEST cent_id
+            # (bare max_by leaves equal-sim ties engine-ordered)
+            F.max_by("cent_id", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
+                "cell_id"
+            ),
+            F.first("cv").alias("cv"),
+        )
+    )
+    return cents, cells
+
+
+def ivf_probe(
+    queries: DataFrame,
+    cents: DataFrame,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Each query's n_probe nearest cells (qid, qv, cell_id) — the
+    probe half of the IVF layout (shared by ivf_topk / IVF-PQ)."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id).alias("qid"), as_double_array(vec).alias("qv"))
+    probe_w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    return (
+        q.join(F.broadcast(cents))
+        .select("qid", "qv", "cent_id", cosine(F.col("qv"), F.col("cent_v")).alias("sim"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qv", F.col("cent_id").alias("cell_id"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -266,43 +323,12 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    # Widen a genuinely-narrow corpus scan before the centroid
-    # fan-out (16× per-row cosine work) — same single-split guard as
-    # brute_force_topk; a no-op branch on real multi-split corpora.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if _estimated_scan_splits(corpus) < par:
-        corpus = corpus.repartition(par)
-    c = corpus.select(F.col(corpus_id).alias("cid"), as_double_array(vec).alias("cv"))
-    q = queries.select(F.col(query_id).alias("qid"), as_double_array(vec).alias("qv"))
-    cents = c.orderBy("cid").limit(n_centroids).select(
-        F.col("cid").alias("cent_id"), F.col("cv").alias("cent_v")
+    # Widening + assignment + probe live in ivf_cells/ivf_probe (the
+    # reusable IVF layout halves; IVF-PQ composes the same pieces).
+    cents, corpus_cells = ivf_cells(
+        corpus, n_centroids, corpus_id=corpus_id, vec=vec
     )
-
-    # Assign every corpus vector to its nearest centroid (1 scan ×
-    # broadcast centroids, argmin via min_by over the small fan-out).
-    assign_w = F.broadcast(cents)
-    corpus_cells = (
-        c.join(assign_w)
-        .select("cid", "cv", "cent_id", cosine(F.col("cv"), F.col("cent_v")).alias("sim"))
-        .groupBy("cid")
-        .agg(
-            # deterministic tiebreak: max sim, then LOWEST cent_id
-            # (bare max_by leaves equal-sim ties engine-ordered)
-            F.max_by("cent_id", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
-                "cell_id"
-            ),
-            F.first("cv").alias("cv"),
-        )
-    )
-    # Each query probes its n_probe nearest cells.
-    probe_w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cent_id"))
-    query_cells = (
-        q.join(assign_w)
-        .select("qid", "qv", "cent_id", cosine(F.col("qv"), F.col("cent_v")).alias("sim"))
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= n_probe)
-        .select("qid", "qv", F.col("cent_id").alias("cell_id"))
-    )
+    query_cells = ivf_probe(queries, cents, n_probe, query_id=query_id, vec=vec)
     scored = (
         corpus_cells.join(
             _maybe_broadcast(

@@ -228,6 +228,8 @@ _ROUND10_NEW: list[str] = [
     "similarity_pq_codes",
     "analytics_shapley_attribution",
     "text_heaps_law",
+    "stats_levene_test",
+    "similarity_ivfpq_topk",
 ]
 
 # ----------------------------------------------------------------------

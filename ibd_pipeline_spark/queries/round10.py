@@ -608,12 +608,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_SUBS, _PQ_SUBDIM, _PQ_CENTS = 8, 8, 16
 
 
-def _pq_l2_sql(s: int) -> str:
+def _pq_l2_sql(s: int, lhs: str = "a.v", rhs: str = "c.cv") -> str:
     """Left-associated squared-L2 over subspace s — the same addition
     order as the Spark zip_with/aggregate fold."""
     return " + ".join(
-        f"(a.v[{s * _PQ_SUBDIM + j}] - c.cv[{s * _PQ_SUBDIM + j}])"
-        f" * (a.v[{s * _PQ_SUBDIM + j}] - c.cv[{s * _PQ_SUBDIM + j}])"
+        f"({lhs}[{s * _PQ_SUBDIM + j}] - {rhs}[{s * _PQ_SUBDIM + j}])"
+        f" * ({lhs}[{s * _PQ_SUBDIM + j}] - {rhs}[{s * _PQ_SUBDIM + j}])"
         for j in range(1, _PQ_SUBDIM + 1)
     )
 
@@ -1078,4 +1078,344 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_logk",
             "r_squared",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe (robust Levene) variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+_LEVENE_SQL = """
+WITH med AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4)
+              AS DECIMAL(38,4)) AS med
+  FROM lineitem GROUP BY l_returnflag
+), z AS (
+  SELECT li.l_returnflag AS g,
+         ABS(CAST(li.l_extendedprice AS DECIMAL(38,4)) - med.med) AS z
+  FROM lineitem li JOIN med ON med.g = li.l_returnflag
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(z) AS DECIMAL(38,4)) AS sz,
+         CAST(SUM(CAST(z AS DECIMAL(38,8)) * z) AS DECIMAL(38,8)) AS qz
+  FROM z GROUP BY g
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / ng, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS ss_groups,
+         CAST(SUM(sz) AS DOUBLE) AS s_all,
+         CAST(SUM(qz) AS DOUBLE) AS q_all
+  FROM grp
+), d AS (
+  SELECT k, n,
+         ss_groups - s_all * s_all / n AS ssb,
+         q_all - ss_groups AS ssw
+  FROM t
+)
+SELECT CAST(k AS INT) AS k_groups, n,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS levene_w,
+       (ssb / (k - 1)) / (ssw / (n - k)) > 3.0 AS variance_heterogeneous
+FROM d
+"""
+
+
+@query("stats_levene_test", oracle=_LEVENE_SQL)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (the robust Levene variant) for variance
+    homogeneity across return flags — THE assumption check behind
+    stats_anova_oneway: W = one-way-ANOVA F computed on the absolute
+    deviations z = |x − median_g|. Composition showcase: the group
+    medians come from the SAME bounded-memory prefix-sum
+    quantile_cont replay stats_percentiles uses (rounded to 4
+    decimals so z is an exact ≤4-decimal quantity), then the SAME
+    decimal-moment ANOVA algebra runs on z — both stages already
+    hash-attested on their own, now composed and attested end-to-end.
+
+    Scale: one prefix-sum scan for the k medians (broadcast back as a
+    k-row join), one map-side-combined moment aggregate over z; the
+    k-row Σ²/n step ROUND→DECIMAL before summing (the ANOVA
+    cancellation guard)."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    ps = with_grouped_prefix_sum(
+        li, ["g"], ["v", "l_orderkey", "l_linenumber"], "_one"
+    )
+    cw, n = F.col("_cw"), F.col("_tw")
+    p = F.lit(1.0) + F.lit(0.5) * (n - F.lit(1)).cast("double")
+    lo_rank = F.floor(p)
+    frac = p - lo_rank.cast("double")
+    vlo = F.min(F.when(cw >= lo_rank, F.col("v").cast("double")))
+    vhi = F.min(F.when(cw >= lo_rank + 1, F.col("v").cast("double")))
+    med = ps.groupBy("g").agg(
+        F.round(vlo + F.max(frac) * (F.coalesce(vhi, vlo) - vlo), 4)
+        .cast("decimal(38,4)")
+        .alias("med")
+    )
+    z = (
+        li.join(F.broadcast(med), "g")
+        .select("g", F.abs(F.col("v").cast("decimal(38,4)") - F.col("med"))
+                .alias("z"))
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("z").cast("decimal(38,4)").alias("sz"),
+        F.sum(F.col("z").cast("decimal(38,8)") * F.col("z"))
+        .cast("decimal(38,8)")
+        .alias("qz"),
+    )
+    t = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(
+            F.round(
+                F.col("sz").cast("double") * F.col("sz").cast("double")
+                / F.col("ng"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("ss_groups"),
+        F.sum("sz").cast("double").alias("s_all"),
+        F.sum("qz").cast("double").alias("q_all"),
+    )
+    ssb = F.col("ss_groups") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("q_all") - F.col("ss_groups")
+    w = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return t.select(
+        F.col("k").cast("int").alias("k_groups"),
+        "n",
+        F.round(w, 6).alias("levene_w"),
+        (w > 3.0).alias("variance_heterogeneous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed ANN top-k (coarse cells + quantized-distance rerank)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    from ibd_pipeline_spark.queries.similarity import _cos_sql
+
+    pq_dists = "\nUNION ALL\n".join(
+        f"SELECT a.id, {s} AS s, c.cent_id, {_pq_l2_sql(s)} AS d "
+        f"FROM v a CROSS JOIN cents c"
+        for s in range(_PQ_SUBS)
+    )
+    lut = "\nUNION ALL\n".join(
+        f"SELECT q.id AS qid, {s} AS s, c.cent_id, "
+        f"CAST(ROUND({_pq_l2_sql(s, 'q.v')}, 9) AS DECIMAL(28,9)) AS d "
+        f"FROM v q CROSS JOIN cents c WHERE q.id < 10"
+        for s in range(_PQ_SUBS)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT id AS cent_id, v AS cv FROM v ORDER BY id LIMIT {_PQ_CENTS}
+), sims AS (
+  SELECT v.id, v.v, c.cent_id,
+         {_cos_sql("v.v", "c.cv")} AS sim
+  FROM v CROSS JOIN cents c
+), asgn AS (
+  SELECT id AS cid, v AS cv, cent_id AS cell_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM sims)
+  WHERE rn = 1
+), probe AS (
+  SELECT id AS qid, v AS qv, cent_id AS cell_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM sims WHERE id < 10)
+  WHERE rn <= 4
+), pqd AS (
+{pq_dists}
+), codes AS (
+  SELECT id, s, cent_id AS code
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+                                     ORDER BY d, cent_id) AS rn
+        FROM pqd)
+  WHERE rn = 1
+), lut AS (
+{lut}
+), cand AS (
+  SELECT DISTINCT p.qid, a.cid
+  FROM probe p JOIN asgn a ON p.cell_id = a.cell_id AND p.qid <> a.cid
+), adc AS (
+  SELECT c.qid, c.cid, SUM(l.d) AS adc
+  FROM cand c
+  JOIN codes k ON k.id = c.cid
+  JOIN lut l ON l.qid = c.qid AND l.s = k.s AND l.cent_id = k.code
+  GROUP BY c.qid, c.cid
+), short AS (
+  SELECT qid, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adc, cid) AS rn FROM adc)
+  WHERE rn <= 20
+), rer AS (
+  SELECT s.qid AS query_id, s.cid AS corpus_id,
+         ROUND({_cos_sql("q.v", "b.v")}, 6) AS cosine_sim
+  FROM short s JOIN v q ON q.id = s.qid JOIN v b ON b.id = s.cid
+), ranked AS (
+  SELECT query_id, corpus_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, corpus_id) AS rank
+  FROM rer
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("similarity_ivfpq_topk", oracle=_ivfpq_oracle)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN top-5 — the standard billion-scale vector
+    index layout, assembled from this repo's two attested halves:
+    IVF coarse cells (operators/similarity.py:ivf_cells/ivf_probe —
+    each query scores only its 4 probed Voronoi cells) and PQ codes
+    (8 subspaces × 16 centroids), with the in-cell scan ranked by the
+    ASYMMETRIC quantized distance: adc(q, x) = Σ_s ‖q_s −
+    centroid(code_s(x))‖² looked up from a per-query 8×16 LUT — the
+    PQ table-lookup trick that never touches the full corpus vector.
+    The ADC shortlist (top-20 per query, ties to lowest id) is then
+    EXACT-reranked by cosine to the final top-5 — the
+    recall-restoring rerank every production IVF-PQ deploy runs.
+    Every stage is deterministic and the per-subspace LUT distances
+    ROUND→DECIMAL before the 8-term sum (agg order independence), so
+    DuckDB replays shortlist AND rerank bit-for-bit.
+
+    Scale: corpus-side work is the IVF assignment + PQ encoding (one
+    scan each, both broadcast joins — this is the INDEX BUILD you
+    persist); per query the scan cost is |cell|·n_probe LUT lookups
+    of 8 decimal adds, plus 20 exact vectors — independent of corpus
+    size. The LUT frame is queries × 128 rows, broadcast."""
+    from ibd_pipeline_spark.operators.similarity import (
+        as_double_array,
+        cosine,
+        ivf_cells,
+        ivf_probe,
+    )
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_raw = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    c_raw = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    cents, cells = ivf_cells(c_raw, _PQ_CENTS)
+    probe = ivf_probe(q_raw, cents, 4)
+
+    subs = spark.range(_PQ_SUBS).select(F.col("id").cast("int").alias("s"))
+    cent_sub = cents.crossJoin(subs).select(
+        "cent_id",
+        "s",
+        F.slice("cent_v", (F.col("s") * _PQ_SUBDIM + 1).cast("int"),
+                F.lit(_PQ_SUBDIM)).alias("cslice"),
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # PQ-encode the corpus (the persisted index): min-L2 code per
+    # (vector, subspace), ties to the lowest centroid id
+    codes = (
+        cells.crossJoin(F.broadcast(subs))
+        .select(
+            "cid",
+            "s",
+            F.slice("cv", (F.col("s") * _PQ_SUBDIM + 1).cast("int"),
+                    F.lit(_PQ_SUBDIM)).alias("vslice"),
+        )
+        .join(F.broadcast(cent_sub), "s")
+        .select("cid", "s", "cent_id", l2(F.col("vslice"), F.col("cslice")).alias("d"))
+        .groupBy("cid", "s")
+        .agg(F.min(F.struct(F.col("d"), F.col("cent_id"))).alias("m"))
+        .select("cid", "s", F.col("m.cent_id").alias("code"))
+    )
+    # per-query distance LUT: 8 subspaces × 16 centroids, decimal
+    lut = (
+        probe.select("qid", "qv")
+        .distinct()
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "qid",
+            "s",
+            F.slice("qv", (F.col("s") * _PQ_SUBDIM + 1).cast("int"),
+                    F.lit(_PQ_SUBDIM)).alias("qslice"),
+        )
+        .join(F.broadcast(cent_sub), "s")
+        .select(
+            "qid",
+            "s",
+            "cent_id",
+            F.round(l2(F.col("qslice"), F.col("cslice")), 9)
+            .cast("decimal(28,9)")
+            .alias("d"),
+        )
+    )
+    cand = (
+        probe.select("qid", "cell_id")
+        .join(cells.select("cid", "cell_id"), "cell_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    k = codes.select(
+        F.col("cid").alias("kcid"), F.col("s").alias("ks"), "code"
+    )
+    lu = lut.select(
+        F.col("qid").alias("lqid"),
+        F.col("s").alias("ls"),
+        F.col("cent_id").alias("lcent"),
+        "d",
+    )
+    adc = (
+        cand.join(k, F.col("cid") == F.col("kcid"))
+        .join(
+            F.broadcast(lu),
+            (F.col("qid") == F.col("lqid"))
+            & (F.col("ks") == F.col("ls"))
+            & (F.col("code") == F.col("lcent")),
+        )
+        .groupBy("qid", "cid")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w20 = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("cid"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(w20))
+        .filter(F.col("rn") <= 20)
+        .select("qid", "cid")
+    )
+    qv = emb.select(F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv"))
+    bv = emb.select(F.col("vec_id").alias("cid"), as_double_array("embedding").alias("bv"))
+    rer = (
+        short.join(F.broadcast(qv.filter(F.col("qid") < 10)), "qid")
+        .join(bv, "cid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("corpus_id"),
+            F.round(cosine(F.col("qv"), F.col("bv")), 6).alias("cosine_sim"),
+        )
+    )
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w5).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
     )

@@ -206,3 +206,46 @@ def test_heaps_fit_is_sublinear_and_sound(spark, sf_dir):
     # the fitted curve roughly reproduces the endpoint
     pred = math.exp(r["heaps_logk"]) * r["n_tokens"] ** r["heaps_b"]
     assert 0.5 * r["vocab"] <= pred <= 2.0 * r["vocab"]
+
+
+def test_levene_matches_python(spark, sf_dir):
+    """Engine Brown-Forsythe W equals a direct Python computation
+    (ANOVA F over |x - group median|, medians rounded to 4 decimals
+    exactly as the query does)."""
+    r = all_queries()["stats_levene_test"](spark, sf_dir).collect()[0]
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    zs = []
+    for _, g in li.groupby("l_returnflag"):
+        med = round(g["l_extendedprice"].quantile(0.5, interpolation="linear"), 4)
+        zs.append((g["l_extendedprice"] - med).abs().values)
+    n = sum(len(z) for z in zs)
+    k = len(zs)
+    grand = sum(z.sum() for z in zs) / n
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k_groups"] == k and r["n"] == n
+    assert abs(r["levene_w"] - w) / max(w, 1e-9) < 1e-3, (r["levene_w"], w)
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-PQ with exact rerank recovers most of the exact top-5: the
+    composed index's recall against similarity_bruteforce_topk stays
+    above the IVF-alone floor (shared probe mechanics), and every
+    returned neighbor's cosine matches the exact query's value for
+    that pair (the rerank IS exact)."""
+    qs = all_queries()
+    exact = {}
+    for r in qs["similarity_bruteforce_topk"](spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], {})[r["corpus_id"]] = r["cosine_sim"]
+    got = qs["similarity_ivfpq_topk"](spark, sf_dir).collect()
+    hits = sum(1 for r in got if r["corpus_id"] in exact[r["query_id"]])
+    assert hits >= 0.5 * len(got), (hits, len(got))
+    for r in got:
+        want = exact[r["query_id"]].get(r["corpus_id"])
+        if want is not None:
+            assert r["cosine_sim"] == want, r
