@@ -230,6 +230,8 @@ _ROUND10_NEW: list[str] = [
     "text_heaps_law",
     "stats_levene_test",
     "similarity_ivfpq_topk",
+    "stats_mann_kendall",
+    "stats_benjamini_hochberg",
 ]
 
 # ----------------------------------------------------------------------

@@ -1419,3 +1419,271 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (daily order volume)
+# ---------------------------------------------------------------------------
+
+_MK_SQL = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+           AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+         CAST(COUNT(DISTINCT a.day) + 1 AS BIGINT) AS n
+  FROM d a JOIN d b ON b.day > a.day
+), ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY x)
+  WHERE t > 1
+), v AS (
+  SELECT s.n, s.s_stat, ties.tt,
+         (CAST(s.n AS DOUBLE) * (s.n - 1) * (2 * s.n + 5) - ties.tt) / 18.0
+           AS var_s
+  FROM s, ties
+)
+SELECT n AS n_days, s_stat,
+       ROUND(var_s, 4) AS var_s,
+       ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z_stat,
+       CASE WHEN s_stat > 0 THEN 'increasing'
+            WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+FROM v
+"""
+
+
+@query("stats_mann_kendall", oracle=_MK_SQL)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test on daily order volume —
+    the monitoring family's distribution-free 'is this metric
+    drifting' answer (no linearity or normality assumed, robust to
+    spikes): S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 and the
+    continuity-corrected z. S and the tie sums are exact BIGINTs; the
+    two divisions happen at output.
+
+    Scale: the corpus-scale work is the day-grain count aggregate;
+    the pair sum runs as a triangular self-join over the CALENDAR-
+    bounded day frame (365² pairs/year — metadata, and window-free so
+    the plan audit stays clean). The parametric twin is
+    stats_theil_sen_trend (same frame, slope instead of sign-sum)."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a, b = d.alias("a"), d.alias("b")
+    # calendar-bounded frame: broadcast one side (BNLJ, never a
+    # partitioned cartesian)
+    s = a.join(F.broadcast(b), F.col("b.day") > F.col("a.day")).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat"),
+        (F.countDistinct("a.day") + 1).cast("bigint").alias("n"),
+    )
+    ties = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    v = s.crossJoin(F.broadcast(ties)).withColumn(
+        "var_s",
+        (
+            F.col("n").cast("double")
+            * (F.col("n") - 1)
+            * (2 * F.col("n") + 5)
+            - F.col("tt")
+        )
+        / 18.0,
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round("var_s", 4).alias("var_s"),
+        F.round(z, 6).alias("z_stat"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR control over per-brand return-rate tests
+# ---------------------------------------------------------------------------
+
+_BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
+
+# Zelen & Severo 26.2.17 polynomial for the standard normal CDF —
+# plain double algebra (exp + one polynomial) both engines evaluate
+# bit-identically; |error| < 7.5e-8, far inside the ROUND(…, 8).
+_PHI_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+
+
+def _phi_tail_sql(z: str) -> str:
+    """SQL for P(Z > z), z ≥ 0 (upper tail)."""
+    k = f"(1.0 / (1.0 + 0.2316419 * {z}))"
+    poly = (
+        f"((((({_PHI_B[4]} * {k} + {_PHI_B[3]}) * {k} + {_PHI_B[2]}) * {k}"
+        f" + {_PHI_B[1]}) * {k} + {_PHI_B[0]}) * {k})"
+    )
+    return (
+        f"(0.3989422804014327 * exp(-0.5 * {z} * {z}) * {poly})"
+    )
+
+
+_BH_SQL = f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
+), zt AS (
+  SELECT brand, n, r,
+         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+             / sqrt((CAST(rt AS DOUBLE) / nt) * (1.0 - CAST(rt AS DOUBLE) / nt)
+                    / n)) AS az
+  FROM b, tot
+), pv AS (
+  SELECT brand, n, az,
+         ROUND(2.0 * {_phi_tail_sql("az")}, 8) AS p_value
+  FROM zt
+), rk AS (
+  SELECT a.brand, a.n, a.az, a.p_value,
+         CAST(COUNT(*) AS BIGINT) AS rank,
+         CAST(MAX(cnt.m) AS BIGINT) AS m
+  FROM pv a
+  JOIN pv c ON (c.p_value < a.p_value)
+            OR (c.p_value = a.p_value AND c.brand <= a.brand)
+  CROSS JOIN (SELECT COUNT(*) AS m FROM pv) cnt
+  GROUP BY a.brand, a.n, a.az, a.p_value
+), kmax AS (
+  SELECT COALESCE(MAX(rank), 0) AS kmax
+  FROM rk WHERE p_value * m * {_BH_Q_DEN} <= rank * {_BH_Q_NUM}
+)
+SELECT brand, n, ROUND(az, 6) AS z_stat, p_value,
+       CAST(rank AS INT) AS p_rank,
+       rank <= kmax.kmax AS rejected
+FROM rk, kmax
+ORDER BY brand
+"""
+
+
+@query("stats_benjamini_hochberg", oracle=_BH_SQL)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (q = 0.10) over one z-test per
+    part brand (brand return rate vs the corpus rate) — the multiple-
+    testing guardrail every metrics platform needs once it runs one
+    test per segment: order the m p-values, find the largest k with
+    p(k) ≤ k·q/m, reject ranks ≤ k. The BH inequality is evaluated in
+    CROSS-MULTIPLIED integer-scaled form (p·m·10 ≤ rank·1), p-values
+    come from the Zelen–Severo normal-CDF polynomial (plain exp +
+    double algebra both engines evaluate identically, error < 7.5e-8,
+    rounded to 8), and ranks come from a triangular self-join over
+    the BRAND-bounded frame (catalog metadata, window-free).
+
+    Scale: one fact-dimension join + per-brand counts (map-side
+    combined); everything after runs on m = |brands| rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    p0 = F.col("rt").cast("double") / F.col("nt")
+    az = F.abs(
+        (F.col("r").cast("double") / F.col("n") - p0)
+        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
+    )
+    zt = b.crossJoin(F.broadcast(tot)).select("brand", "n", az.alias("az"))
+    k = 1.0 / (1.0 + 0.2316419 * F.col("az"))
+    poly = (
+        (
+            (
+                (F.lit(_PHI_B[4]) * k + F.lit(_PHI_B[3])) * k
+                + F.lit(_PHI_B[2])
+            )
+            * k
+            + F.lit(_PHI_B[1])
+        )
+        * k
+        + F.lit(_PHI_B[0])
+    ) * k
+    tail = F.lit(0.3989422804014327) * F.exp(-0.5 * F.col("az") * F.col("az")) * poly
+    pv = zt.select(
+        "brand", "n", "az", F.round(2.0 * tail, 8).alias("p_value")
+    )
+    a, c = pv.alias("a"), pv.alias("c")
+    rk = (
+        # brand-bounded frame: broadcast one side so the non-equi
+        # rank join plans as BNLJ, never a partitioned cartesian
+        a.join(
+            F.broadcast(c),
+            (F.col("c.p_value") < F.col("a.p_value"))
+            | (
+                (F.col("c.p_value") == F.col("a.p_value"))
+                & (F.col("c.brand") <= F.col("a.brand"))
+            ),
+        )
+        .groupBy("a.brand", "a.n", "a.az", "a.p_value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
+    )
+    m = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    rk = rk.crossJoin(F.broadcast(m))
+    kmax = rk.filter(
+        F.col("p_value") * F.col("m") * _BH_Q_DEN
+        <= F.col("rank") * _BH_Q_NUM
+    ).agg(F.coalesce(F.max("rank"), F.lit(0)).alias("kmax"))
+    return (
+        rk.crossJoin(F.broadcast(kmax))
+        .select(
+            F.col("brand"),
+            F.col("n"),
+            F.round("az", 6).alias("z_stat"),
+            "p_value",
+            F.col("rank").cast("int").alias("p_rank"),
+            (F.col("rank") <= F.col("kmax")).alias("rejected"),
+        )
+        .orderBy("brand")
+    )

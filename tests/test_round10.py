@@ -249,3 +249,63 @@ def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
         want = exact[r["query_id"]].get(r["corpus_id"])
         if want is not None:
             assert r["cosine_sim"] == want, r
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    r = all_queries()["stats_mann_kendall"](spark, sf_dir).collect()[0]
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"))
+        .count()
+        .orderBy("day")
+        .toPandas()
+    )
+    xs = list(d["count"])
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    tt = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+    z = (s - 1) / var**0.5 if s > 0 else (s + 1) / var**0.5 if s < 0 else 0.0
+    assert r["n_days"] == n and r["s_stat"] == s
+    assert abs(r["z_stat"] - z) < 1e-5, (r["z_stat"], z)
+
+
+def test_benjamini_hochberg_properties(spark, sf_dir):
+    """BH structural invariants: rejections form a prefix of the
+    p-value order, the BH inequality holds exactly at every rejected
+    rank, and p-values agree with scipy-free Python normal tails."""
+    rows = all_queries()["stats_benjamini_hochberg"](spark, sf_dir).collect()
+    m = len(rows)
+    by_rank = sorted(rows, key=lambda r: r["p_rank"])
+    assert [r["p_rank"] for r in by_rank] == list(range(1, m + 1))
+    # monotone p along rank; rejected = prefix
+    ps = [r["p_value"] for r in by_rank]
+    assert ps == sorted(ps)
+    flags = [r["rejected"] for r in by_rank]
+    assert all(a or not b for a, b in zip(flags, flags[1:]))  # prefix
+    for r in by_rank:
+        if r["rejected"]:
+            kmax = max(x["p_rank"] for x in by_rank if x["rejected"])
+            assert r["p_rank"] <= kmax
+    # the boundary rank satisfies p <= k*q/m
+    rejected = [r for r in by_rank if r["rejected"]]
+    if rejected:
+        k = rejected[-1]["p_rank"]
+        assert rejected[-1]["p_value"] * m * 10 <= k * 1 + 1e-9
+    # python twin of the normal tail for a couple of rows
+    import math as _m
+
+    for r in by_rank[:3]:
+        z = r["z_stat"]
+        kk = 1.0 / (1.0 + 0.2316419 * z)
+        poly = ((((1.330274429 * kk - 1.821255978) * kk + 1.781477937) * kk
+                 - 0.356563782) * kk + 0.319381530) * kk
+        tail = 0.3989422804014327 * _m.exp(-0.5 * z * z) * poly
+        assert abs(r["p_value"] - round(2 * tail, 8)) < 2e-6, r
