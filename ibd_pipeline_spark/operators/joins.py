@@ -70,3 +70,85 @@ def as_of_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
     )
     return filled.filter(F.col("__side") == 1).select(*probe_cols, *carried)
+
+
+def asof_nearest_join(
+    probes: DataFrame,
+    events: DataFrame,
+    key: str,
+    probe_time: str,
+    event_time: str,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each probe row, attach the NEAREST event timestamp in
+    EITHER direction with the same key — the sensor/trade-quote
+    alignment variant of as_of_join (which is backward-only). Exact
+    ties (an event equidistant before and after) resolve BACKWARD,
+    matching the at-or-before convention of the backward pass.
+
+    `tolerance_seconds` nulls out matches farther than the bound in
+    both directions (the pandas merge_asof `tolerance` contract).
+
+    Returns probes' columns + `nearest_<event_time>` (timestamp,
+    null when nothing within tolerance), `gap_seconds` (BIGINT,
+    null when unmatched) and `direction` ('backward' / 'forward' /
+    null).
+
+    Scale: two union-and-window passes over ONE shuffle key — the
+    same no-range-explosion shape as as_of_join; the backward and
+    forward fills reuse the same (key, time)-sorted union, so the
+    plan pays one exchange + two windows over it."""
+    e = events.select(
+        F.col(key).alias("__k"),
+        F.col(event_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(event_time).alias("__ev"),
+    )
+    probe_cols = probes.columns
+    p = probes.select(
+        *probe_cols,
+        F.col(key).alias("__k"),
+        F.col(probe_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(events.schema[event_time].dataType).alias("__ev"),
+    )
+    unioned = p.unionByName(e, allowMissingColumns=True)
+    # backward: events at the same instant count (event __side=0
+    # sorts before probe __side=1)
+    w_back = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: same-instant events must fall INSIDE the forward frame,
+    # so probes sort FIRST at equal __t (side DESC)
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c != "__ev"],
+        F.last("__ev", ignorenulls=True).over(w_back).alias("__bwd"),
+        F.first("__ev", ignorenulls=True).over(w_fwd).alias("__fwd"),
+    ).filter(F.col("__side") == 1)
+    t = F.col("__t").cast("timestamp")
+    bgap = t.cast("long") - F.col("__bwd").cast("long")
+    fgap = F.col("__fwd").cast("long") - t.cast("long")
+    if tolerance_seconds is not None:
+        bwd = F.when(bgap <= tolerance_seconds, F.col("__bwd"))
+        fwd = F.when(fgap <= tolerance_seconds, F.col("__fwd"))
+    else:
+        bwd, fwd = F.col("__bwd"), F.col("__fwd")
+    take_back = bwd.isNotNull() & (fwd.isNull() | (bgap <= fgap))
+    nearest = F.when(take_back, bwd).otherwise(fwd)
+    direction = F.when(take_back, F.lit("backward")).otherwise(
+        F.when(fwd.isNotNull(), F.lit("forward"))
+    )
+    gap = F.when(take_back, bgap).otherwise(F.when(fwd.isNotNull(), fgap))
+    return filled.select(
+        *probe_cols,
+        nearest.alias(f"nearest_{event_time}"),
+        gap.cast("bigint").alias("gap_seconds"),
+        direction.alias("direction"),
+    )

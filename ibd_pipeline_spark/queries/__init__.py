@@ -232,6 +232,8 @@ _ROUND10_NEW: list[str] = [
     "similarity_ivfpq_topk",
     "stats_mann_kendall",
     "stats_benjamini_hochberg",
+    "join_asof_nearest_tolerance",
+    "events_fano_burstiness",
 ]
 
 # ----------------------------------------------------------------------

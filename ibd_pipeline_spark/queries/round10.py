@@ -418,15 +418,19 @@ def maintenance_file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFram
     (one map-side-combined pass); the sweep runs over file METADATA —
     at 100 TB that is the transaction log, not the data."""
     orders = load(spark, sf_dir, "orders")
-    f = orders.groupBy((F.col("o_orderkey") % 64).alias("file_id")).agg(
-        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    f = (
+        orders.groupBy((F.col("o_orderkey") % 64).alias("file_id"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        # file-count-sized; pin it so the boundary union + triangular
+        # join don't re-scan orders per reference
+        .localCheckpoint(eager=True)
     )
     ev = f.select(
         "file_id", F.col("lo").alias("d"), F.lit(1).alias("delta")
     ).unionByName(
         f.select("file_id", F.col("hi").alias("d"), F.lit(-1).alias("delta"))
     )
-    a, b = ev.alias("a"), ev.alias("b")
+    a, b = ev.alias("a"), F.broadcast(ev.alias("b"))
     # inclusive running sum under (d, delta DESC, file_id): b precedes
     # or equals a in the sweep order
     before = (
@@ -1316,6 +1320,10 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
     )
     cents, cells = ivf_cells(c_raw, _PQ_CENTS)
+    # the cell assignment is the PERSISTED INDEX: two consumers below
+    # (PQ encoder + candidate join) must not re-run the 16-centroid
+    # assignment scan each
+    cells = cells.localCheckpoint(eager=True)
     probe = ivf_probe(q_raw, cents, 4)
 
     subs = spark.range(_PQ_SUBS).select(F.col("id").cast("int").alias("s"))
@@ -1687,3 +1695,172 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-as-of join (bidirectional, tolerance-bounded)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_TOL = 7 * 24 * 3600  # 7 days
+
+_ASOF_NEAREST_SQL = f"""
+WITH p AS (
+  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+         o_custkey % 50 AS k
+  FROM orders WHERE o_orderkey < 100
+), m AS (
+  SELECT p.o_orderkey, p.order_ts, b.bwd, f.fwd,
+         date_diff('second', b.bwd, p.order_ts) AS gb,
+         date_diff('second', p.order_ts, f.fwd) AS gf
+  FROM p
+  LEFT JOIN LATERAL (
+    SELECT MAX(CAST(ts AS TIMESTAMP)) AS bwd FROM events
+    WHERE user_id = p.k AND CAST(ts AS TIMESTAMP) <= p.order_ts
+  ) b ON TRUE
+  LEFT JOIN LATERAL (
+    SELECT MIN(CAST(ts AS TIMESTAMP)) AS fwd FROM events
+    WHERE user_id = p.k AND CAST(ts AS TIMESTAMP) >= p.order_ts
+  ) f ON TRUE
+), g AS (
+  SELECT o_orderkey, order_ts,
+         CASE WHEN gb IS NOT NULL AND gb <= {_ASOF_NEAREST_TOL}
+              THEN bwd END AS bwd,
+         CASE WHEN gf IS NOT NULL AND gf <= {_ASOF_NEAREST_TOL}
+              THEN fwd END AS fwd,
+         gb, gf
+  FROM m
+)
+SELECT o_orderkey, order_ts,
+       CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
+            THEN bwd ELSE fwd END AS nearest_ts,
+       CAST(CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
+                 THEN gb
+                 WHEN fwd IS NOT NULL THEN gf END AS BIGINT) AS gap_seconds,
+       CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
+            THEN 'backward'
+            WHEN fwd IS NOT NULL THEN 'forward' END AS direction
+FROM g ORDER BY o_orderkey
+"""
+
+
+@query("join_asof_nearest_tolerance", oracle=_ASOF_NEAREST_SQL)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-as-of join with a 7-day tolerance — the bidirectional
+    sibling of events_asof_join (backward-only): each order matches
+    its closest event in EITHER direction on the same key, exact
+    ties resolving backward, matches past the tolerance nulled (the
+    pandas merge_asof `tolerance` contract) — the sensor/trade-quote
+    alignment operator Spark lacks natively.
+
+    Composition (operators/joins.py:asof_nearest_join): ONE
+    union-and-sort shuffle on the key carries BOTH direction fills —
+    a backward last() frame and a forward first() frame over the same
+    sorted union — then the nearer side wins by integer second-gap
+    comparison. No range explosion, no second exchange. Gaps compare
+    in whole seconds (timestamp→long truncation on both engines), so
+    the tie/tolerance verdicts are integer-exact."""
+    from ibd_pipeline_spark.operators.joins import asof_nearest_join
+
+    probes = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+            (F.col("o_custkey") % 50).alias("k"),
+        )
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("event_ts")
+    )
+    return (
+        asof_nearest_join(
+            probes,
+            events,
+            key="k",
+            probe_time="order_ts",
+            event_time="event_ts",
+            tolerance_seconds=_ASOF_NEAREST_TOL,
+        )
+        .select(
+            "o_orderkey",
+            "order_ts",
+            F.col("nearest_event_ts").alias("nearest_ts"),
+            "gap_seconds",
+            "direction",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fano factor / burstiness of event arrivals
+# ---------------------------------------------------------------------------
+
+_FANO_SQL = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM h GROUP BY event_type
+), d AS (
+  SELECT event_type, n_hours, s,
+         CAST(s AS DOUBLE) / n_hours AS mu,
+         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours)
+           / (n_hours - 1) AS vr
+  FROM m
+)
+SELECT event_type, n_hours, s AS n_events,
+       ROUND(mu, 6) AS mean_per_hour,
+       ROUND(vr / mu, 6) AS fano_factor,
+       ROUND(vr / (mu * mu), 6) AS cv_squared,
+       ROUND((sqrt(vr) - mu) / (sqrt(vr) + mu), 6) AS burstiness
+FROM d ORDER BY event_type
+"""
+
+
+@query("events_fano_burstiness", oracle=_FANO_SQL)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type from hourly bucket counts —
+    the monitoring trio nothing else in the registry covers: Fano
+    factor (var/mean; 1 = Poisson, >1 = overdispersed/bursty), CV²
+    (var/mean² — the squared coefficient of variation queueing theory
+    keys on), and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ)
+    ∈ (−1, 1). Bucket counts are exact BIGINTs, so the (n, Σc, Σc²)
+    moments are integers and every statistic is fixed double algebra
+    at output.
+
+    Scale: one map-side-combined (type, hour) count — the grain is
+    calendar-bounded — then a type-level moment aggregate; no window,
+    no join."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n_hours")
+    vr = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    sd = F.sqrt(vr)
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("n_events"),
+        F.round(mu, 6).alias("mean_per_hour"),
+        F.round(vr / mu, 6).alias("fano_factor"),
+        F.round(vr / (mu * mu), 6).alias("cv_squared"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")

@@ -309,3 +309,86 @@ def test_benjamini_hochberg_properties(spark, sf_dir):
                  - 0.356563782) * kk + 0.319381530) * kk
         tail = 0.3989422804014327 * _m.exp(-0.5 * z * z) * poly
         assert abs(r["p_value"] - round(2 * tail, 8)) < 2e-6, r
+
+
+def test_asof_nearest_tolerance_and_ties(spark, tmp_path):
+    """Planted fixture: backward/forward picks, the exact-tie rule
+    (backward wins), and the tolerance null-out."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(**kw):
+        return t0 + datetime.timedelta(**kw)
+
+    from ibd_pipeline_spark.operators.joins import asof_nearest_join
+
+    probes = spark.createDataFrame(
+        [
+            (1, t0, 1),          # events 1h before and 2h after -> backward
+            (2, t0, 2),          # events 3h before and 3h after -> tie: backward
+            (3, t0, 3),          # only forward within tolerance
+            (4, t0, 4),          # nearest event 10 days away -> null
+            (5, t0, 5),          # no events at all -> null
+        ],
+        "pid int, pt timestamp, k int",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, ts(hours=-1)), (1, ts(hours=2)),
+            (2, ts(hours=-3)), (2, ts(hours=3)),
+            (3, ts(minutes=30)),
+            (4, ts(days=10)),
+        ],
+        "k int, et timestamp",
+    )
+    out = {
+        r["pid"]: r
+        for r in asof_nearest_join(
+            probes, events, key="k", probe_time="pt", event_time="et",
+            tolerance_seconds=7 * 24 * 3600,
+        ).collect()
+    }
+    assert out[1]["direction"] == "backward" and out[1]["gap_seconds"] == 3600
+    assert out[2]["direction"] == "backward" and out[2]["gap_seconds"] == 3 * 3600
+    assert out[3]["direction"] == "forward" and out[3]["gap_seconds"] == 1800
+    assert out[4]["nearest_et"] is None and out[4]["direction"] is None
+    assert out[5]["nearest_et"] is None and out[5]["gap_seconds"] is None
+
+
+def test_fano_poisson_and_constant(spark, tmp_path):
+    """Synthetic arrivals: a constant-rate type has Fano = 0 and
+    burstiness (0-sigma) = -1; all stats finite on real data."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 3, 1)
+    eid = 0
+    # 'steady': exactly 4 events every hour for 48 hours -> var 0
+    for h in range(48):
+        for j in range(4):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=h, minutes=j), 7, "steady", 1.0, "{}")
+            )
+            eid += 1
+    # 'bursty': 40 events in one hour, then 1 event in each of 39 hours
+    for j in range(40):
+        rows.append((eid, t0 + datetime.timedelta(minutes=j), 8, "bursty", 1.0, "{}"))
+        eid += 1
+    for h in range(1, 40):
+        rows.append((eid, t0 + datetime.timedelta(hours=h), 8, "bursty", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["events_fano_burstiness"](spark, str(sf)).collect()
+    }
+    assert out["steady"]["fano_factor"] == 0.0
+    assert out["steady"]["burstiness"] == -1.0
+    assert out["bursty"]["fano_factor"] > 10
+    assert out["bursty"]["burstiness"] > 0
