@@ -166,6 +166,23 @@ CURATED = {
     "scan, deterministic struct-max cell pick, probe fan-out ≤ 4 cells "
     "per query, cell equi-join scoring — scored pairs drop by "
     "n_centroids/n_probe vs brute force (r10: fully SQL-replayable).",
+    "dedup_prefix_filter_jaccard": "EXACT Jaccard join via prefix "
+    "filtering (PPJoin): vocab-sized frequency aggregate, "
+    "rarest-prefix explode → candidate equi-join (postings-bounded, "
+    "never all-pairs), exact set verify widened past AQE's size-based "
+    "coalesce; words checkpointed so split() runs once, not per gram.",
+    "similarity_ivfpq_topk": "IVF-PQ composed: checkpointed cell "
+    "assignment (the persisted index) + PQ codes + per-query 8×16 "
+    "decimal LUT; ADC shortlist top-20 then exact cosine rerank — "
+    "per-query cost independent of corpus size.",
+    "analytics_shapley_attribution": "corpus-scale journey windows "
+    "collapse to a 16-row mask-count frame; coalition values and the "
+    "integer-24ths Shapley sum are broadcast joins over literal "
+    "spines — exponential in channels, constant in data.",
+    "join_asof_nearest_tolerance": "nearest-as-of: ONE union-and-sort "
+    "shuffle carries both direction fills (backward last + forward "
+    "first over the same sorted union); integer second-gap pick, no "
+    "range explosion, no second exchange.",
     "sketch_cms_heavy_hitters": "wordcount aggregate → 4-seed explode on "
     "the DISTINCT-token frame → ≤2048-row sketch; probe side broadcast — "
     "output size is fixed regardless of corpus.",
