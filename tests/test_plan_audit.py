@@ -39,7 +39,9 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     "events_anomaly_rolling_zscore": "one row per day",
     "events_ewma_daily": "one row per day",
     "events_linear_interpolate_gaps": "one row per day",
-    "events_rolling_active_users": "one row per day (sketch bytes/frame)",
+    # events_rolling_active_users came OFF this list in r10: the
+    # linear-counting rewrite replaced the day-frame window with a
+    # 14-offset coverage explode (no window at all)
     "events_period_over_period": "one row per period",
     "events_seasonal_decompose": "one row per day (7-day centered MA)",
     "events_cusum_changepoint": "one row per day (rn + cumsum on day grain)",

@@ -225,5 +225,95 @@ def main() -> None:
     spark.stop()
 
 
+def main_r10() -> None:
+    """Round-10 probes only (`python tools/scale_probe.py r10`):
+    candidate growth of the EXACT prefix-filter Jaccard join and
+    per-query flatness of IVF-PQ as the corpus replicates."""
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.queries.round10 import (
+        _PQ_CENTS,
+        dedup_prefix_filter_jaccard,  # noqa: F401 (registry import)
+    )
+    from ibd_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    results: dict[str, dict[str, float]] = {}
+
+    # 7. EXACT prefix-filter Jaccard join: candidates must grow with
+    # rare-shingle postings (≈ true-duplicate density), never corpus².
+    # Naive replication makes every text an EXACT 4-way duplicate
+    # (quadratic candidate growth BY CONSTRUCTION — measured 2.1 s →
+    # 15.3 s), and interleaving a marker token COLLAPSES the shingle
+    # universe onto the 31-word vocab (~1.9 k distinct shingles for
+    # 20 k docs → giant postings → measured 87 s). The honest axis is
+    # a PER-REPLICA TOKEN-RENAMING BIJECTION (prefix every word with
+    # the replica tag): shingle diversity and dup density are
+    # preserved exactly, replica vocabularies are disjoint.
+    import pyspark.sql.functions as FF
+
+    docs = load(spark, SF, "documents")
+    import tempfile
+
+    for k in (1, 4):
+        copies = []
+        for i in range(k):
+            c = docs.withColumn("doc_id", FF.col("doc_id") + FF.lit(i * 10_000_000))
+            if i:
+                c = c.withColumn(
+                    "text", FF.regexp_replace("text", r"(\S+)", f"c{i}$1")
+                )
+            copies.append(c)
+        corpus = copies[0]
+        for c in copies[1:]:
+            corpus = corpus.unionByName(c)
+        with tempfile.TemporaryDirectory() as td:
+            corpus.write.parquet(f"{td}/documents.parquet")
+            from ibd_pipeline_spark.queries import all_queries
+
+            q = all_queries()["dedup_prefix_filter_jaccard"]
+            results.setdefault("prefix_jaccard_x", {})[str(k)] = timed(
+                q(spark, td)
+            )
+
+    # 8. IVF-PQ: index build is linear in corpus (one assignment scan
+    # + one encode scan); the per-query ADC cost is |cell|·n_probe —
+    # so END-TO-END wall should grow ~linearly with corpus (index
+    # build dominates) while the brute-force twin grows the SCORED
+    # PAIRS linearly per query. Probe both.
+    from ibd_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_cells,
+        ivf_probe,
+    )
+    import pyspark.sql.functions as FF
+
+    emb = load(spark, SF, "embeddings")
+    q10 = emb.filter(FF.col("vec_id") < 10).select(
+        FF.col("vec_id").alias("query_id"), FF.col("embedding").alias("vec")
+    )
+    for k in (1, 4):
+        corpus = replicate(emb, k, {"vec_id": 10_000_000}).select(
+            FF.col("vec_id").alias("corpus_id"), FF.col("embedding").alias("vec")
+        )
+        cents, cells = ivf_cells(corpus, _PQ_CENTS)
+        probe = ivf_probe(q10, cents, 4)
+        scored = (
+            probe.join(cells.withColumnRenamed("cid", "corpus_id"), "cell_id")
+            .filter(FF.col("qid") != FF.col("corpus_id"))
+            .groupBy("qid")
+            .agg(FF.count(FF.lit(1)).alias("n_scored"))
+        )
+        results.setdefault("ivf_probe_scored_x", {})[str(k)] = timed(scored)
+        results.setdefault("ann_bruteforce_x", {})[str(k)] = timed(
+            brute_force_topk(q10, corpus, k=5)
+        )
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "r10":
+        main_r10()
+    else:
+        main()
