@@ -261,6 +261,10 @@ SURVEY_ROW_QUERIES: dict[str, list[str]] = {
     "streaming (r9): live distribution-drift monitor": [
         "streaming:streaming/drift.py (tests/test_streaming_drift.py)",
     ],
+    "streaming (r10): live arrival-burstiness monitor": [
+        "streaming:streaming/burstiness.py (tests/test_streaming_burstiness.py)",
+        "events_fano_burstiness",
+    ],
     "streaming (r5w4): live freshness-SLA monitor": [
         "streaming:streaming/monitor.py (tests/test_streaming_monitor.py)",
     ],
