@@ -234,6 +234,7 @@ _ROUND10_NEW: list[str] = [
     "stats_benjamini_hochberg",
     "join_asof_nearest_tolerance",
     "events_fano_burstiness",
+    "ab_power_mde",
 ]
 
 # ----------------------------------------------------------------------

@@ -1864,3 +1864,92 @@ def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vr / (mu * mu), 6).alias("cv_squared"),
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect at the current size
+# ---------------------------------------------------------------------------
+
+_MDE_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS converted
+  FROM orders GROUP BY o_custkey
+), arms AS (
+  SELECT converted,
+         CAST(('0x' || substring(md5('srm:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS arm
+  FROM cust
+), c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(converted) AS BIGINT) AS conv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM arms
+), d AS (
+  SELECT n_a, n_b, conv, n,
+         CAST(conv AS DOUBLE) / n AS p0,
+         CASE WHEN n_a < n_b THEN n_a ELSE n_b END AS n_arm
+  FROM c
+)
+SELECT n_a, n_b, conv,
+       ROUND(p0, 6) AS p0,
+       ROUND((1.959963985 + 0.841621234)
+             * sqrt(2.0 * p0 * (1.0 - p0) / n_arm), 6) AS mde_abs,
+       ROUND((1.959963985 + 0.841621234)
+             * sqrt(2.0 * p0 * (1.0 - p0) / n_arm) / p0, 6) AS mde_rel
+FROM d
+"""
+
+
+@query("ab_power_mde", oracle=_MDE_SQL)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT experiment size —
+    the 'is this test even worth running' readout that completes the
+    experimentation kit (z-test → CUPED → delta-method → SRM → BH →
+    power): with α = 0.05 two-sided and 80% power,
+    MDE_abs = (z_{0.975} + z_{0.80})·√(2·p̂(1−p̂)/n_arm) on the
+    baseline conversion p̂ (customer has an urgent order) under the
+    same md5 hash split ab_srm_check audits. Counts are exact
+    integers; the z constants are literals; one double formula at
+    output — both engines replay the verdict bit-for-bit.
+
+    Scale: one per-customer conversion aggregate + a 2-cell count —
+    the same single-shuffle shape as the SRM audit it pairs with."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    arms = cust.select(
+        "converted", md5_bucket(F.col("o_custkey"), F.lit("srm"), 2).alias("arm")
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum("converted").cast("bigint").alias("conv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    p0 = F.col("conv").cast("double") / F.col("n")
+    n_arm = F.least(F.col("n_a"), F.col("n_b"))
+    z = F.lit(1.959963985 + 0.841621234)
+    mde = z * F.sqrt(2.0 * p0 * (1.0 - p0) / n_arm)
+    return c.select(
+        "n_a",
+        "n_b",
+        "conv",
+        F.round(p0, 6).alias("p0"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p0, 6).alias("mde_rel"),
+    )

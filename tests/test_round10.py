@@ -392,3 +392,19 @@ def test_fano_poisson_and_constant(spark, tmp_path):
     assert out["steady"]["burstiness"] == -1.0
     assert out["bursty"]["fano_factor"] > 10
     assert out["bursty"]["burstiness"] > 0
+
+
+def test_mde_matches_python(spark, sf_dir):
+    """MDE equals a direct Python recomputation and shrinks with n
+    (the defining property of a power analysis)."""
+    r = all_queries()["ab_power_mde"](spark, sf_dir).collect()[0]
+    assert r["n_a"] + r["n_b"] > 0 and 0 < r["p0"] < 1
+    n_arm = min(r["n_a"], r["n_b"])
+    p0 = r["conv"] / (r["n_a"] + r["n_b"])
+    z = 1.959963985 + 0.841621234
+    mde = z * (2 * p0 * (1 - p0) / n_arm) ** 0.5
+    assert abs(r["mde_abs"] - mde) < 1e-6
+    assert abs(r["mde_rel"] - mde / p0) < 1e-6
+    # halving the arm inflates MDE by ~sqrt(2)
+    mde_half = z * (2 * p0 * (1 - p0) / (n_arm // 2)) ** 0.5
+    assert mde_half > r["mde_abs"] * 1.4
