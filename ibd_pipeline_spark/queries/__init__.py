@@ -235,6 +235,7 @@ _ROUND10_NEW: list[str] = [
     "join_asof_nearest_tolerance",
     "events_fano_burstiness",
     "ab_power_mde",
+    "sample_priority_subset_sums",
 ]
 
 # ----------------------------------------------------------------------

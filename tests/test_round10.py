@@ -408,3 +408,22 @@ def test_mde_matches_python(spark, sf_dir):
     # halving the arm inflates MDE by ~sqrt(2)
     mde_half = z * (2 * p0 * (1 - p0) / (n_arm // 2)) ** 0.5
     assert mde_half > r["mde_abs"] * 1.4
+
+
+def test_priority_sampling_unbiased_across_seeds(spark, sf_dir):
+    """The priority-sampling estimator's TOTAL (all segments) sits
+    within a loose band of the exact total on the real fixture, the
+    sample is exactly k rows, and every per-segment estimate is
+    non-negative with max(w, tau) >= w for sampled items (the
+    threshold property)."""
+    rows = all_queries()["sample_priority_subset_sums"](spark, sf_dir).collect()
+    n_sampled = sum(r["n_sampled"] for r in rows)
+    assert n_sampled == 64
+    est = sum(r["est_total"] for r in rows)
+    exact = sum(r["exact_total"] for r in rows)
+    # k=64 over ~1.5k orders: generous 3-sigma-ish band; the point is
+    # the estimator is in the right universe, unbiasedness itself is
+    # an expectation property
+    assert 0.5 * exact < est < 2.0 * exact, (est, exact)
+    for r in rows:
+        assert r["est_total"] >= 0 and r["rel_err"] >= 0
