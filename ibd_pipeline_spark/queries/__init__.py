@@ -236,6 +236,7 @@ _ROUND10_NEW: list[str] = [
     "events_fano_burstiness",
     "ab_power_mde",
     "sample_priority_subset_sums",
+    "stats_gumbel_return_level",
 ]
 
 # ----------------------------------------------------------------------

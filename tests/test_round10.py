@@ -427,3 +427,24 @@ def test_priority_sampling_unbiased_across_seeds(spark, sf_dir):
     assert 0.5 * exact < est < 2.0 * exact, (est, exact)
     for r in rows:
         assert r["est_total"] >= 0 and r["rel_err"] >= 0
+
+
+def test_gumbel_return_levels_ordered_and_python_twin(spark, sf_dir):
+    """Return levels are ordered (365d > 30d > mean of maxima) and
+    match a direct Python method-of-moments recomputation."""
+    import math as _m
+
+    r = all_queries()["stats_gumbel_return_level"](spark, sf_dir).collect()[0]
+    assert r["return_level_365d"] > r["return_level_30d"] > r["mean_daily_max"]
+    bm = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.round(F.max("value"), 6).alias("mx"))
+        .toPandas()["mx"]
+    )
+    mean, sd = bm.mean(), bm.std(ddof=1)
+    beta = sd * _m.sqrt(6) / _m.pi
+    mu = mean - 0.5772156649015329 * beta
+    z30 = mu - beta * _m.log(-_m.log(1 - 1 / 30))
+    assert abs(r["gumbel_mu"] - mu) < 1e-3
+    assert abs(r["return_level_30d"] - z30) < 1e-3
