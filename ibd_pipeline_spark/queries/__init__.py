@@ -237,6 +237,7 @@ _ROUND10_NEW: list[str] = [
     "ab_power_mde",
     "sample_priority_subset_sums",
     "stats_gumbel_return_level",
+    "graph_kcore_peel",
 ]
 
 # ----------------------------------------------------------------------

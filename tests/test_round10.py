@@ -448,3 +448,32 @@ def test_gumbel_return_levels_ordered_and_python_twin(spark, sf_dir):
     z30 = mu - beta * _m.log(-_m.log(1 - 1 / 30))
     assert abs(r["gumbel_mu"] - mu) < 1e-3
     assert abs(r["return_level_30d"] - z30) < 1e-3
+
+
+def test_kcore_planted_structure(spark, tmp_path):
+    """Planted graph: a 5-clique (all in the 3-core) plus a pendant
+    chain (peeled). Co-activity edges come from one shared bucket."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 4, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    # 5 users active in ONE (type, hour) bucket -> 5-clique
+    for u in range(5):
+        rows.append((eid, t0, u, "click", 1.0, "{}")); eid += 1
+    # chain: (10,11) then (11,12) in separate buckets -> degrees 1-2
+    for h, (ua, ub) in enumerate([(10, 11), (11, 12)], start=2):
+        tb = t0 + datetime.timedelta(hours=h)
+        rows.append((eid, tb, ua, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, tb, ub, "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "events.parquet"))
+    got = {
+        r["user_id"]: r["core_degree"]
+        for r in all_queries()["graph_kcore_peel"](spark, str(sf)).collect()
+    }
+    assert got == {u: 4 for u in range(5)}  # the clique, nothing else
