@@ -529,8 +529,8 @@ def main() -> None:
     # Alarm thresholds scale with the measured box load: ratio
     # tripwires multiply by load_factor, absolute floors likewise —
     # a quiet box keeps the committed thresholds exactly.
-    lf = load_factor
-    regressions: set[str] = set()
+    r01: dict = {}
+    vs: dict = {}
     if R01_PATH.exists():
         r01 = (
             json.loads(R01_PATH.read_text()).get("parsed") or {}
@@ -541,17 +541,7 @@ def main() -> None:
             if n in r01 and r01[n] > 0
         }
         out["vs_r01"] = vs
-        # Ratio tripwire plus an ABSOLUTE floor: sub-second queries
-        # swing ±0.25 s on pure scheduling jitter, so a 0.4 → 0.64 s
-        # "1.6×" is noise, not a regression — require the delta to
-        # also exceed 0.5 s before alarming (r06: two phantom flags
-        # were exactly this class; their 5-run evidence stays in
-        # `runs`).
-        regressions |= {
-            n
-            for n, r in vs.items()
-            if r > 1.5 * lf and timings[n] - r01[n] > 0.5 * lf
-        }
+    vs_prev: dict = {}
     if prev:
         vs_prev = {
             n: round(timings[n] / prev[n], 3)
@@ -559,6 +549,20 @@ def main() -> None:
             if n in prev and prev[n] > 0
         }
         out["vs_prev"] = vs_prev
+
+    def _regressions(lf: float) -> list[str]:
+        flagged: set[str] = set()
+        # Ratio tripwire plus an ABSOLUTE floor: sub-second queries
+        # swing ±0.25 s on pure scheduling jitter, so a 0.4 → 0.64 s
+        # "1.6×" is noise, not a regression — require the delta to
+        # also exceed 0.5 s before alarming (r06: two phantom flags
+        # were exactly this class; their 5-run evidence stays in
+        # `runs`).
+        flagged |= {
+            n
+            for n, r in vs.items()
+            if r > 1.5 * lf and timings[n] - r01[n] > 0.5 * lf
+        }
         # Previous-round minimum-of-3 under ±8% box noise: a >1.5×
         # best-of-3 is a real change or sustained contention, either
         # way worth a row in the alarm list — but only past the same
@@ -566,7 +570,7 @@ def main() -> None:
         # Tail queries are single-run (both sides), so their alarm
         # needs 2× AND a 1 s delta before it means anything.
         headline_set = set(HEADLINE)
-        regressions |= {
+        flagged |= {
             n
             for n, r in vs_prev.items()
             if (
@@ -580,7 +584,15 @@ def main() -> None:
                 and timings[n] - prev[n] > 1.0 * lf
             )
         }
-    out["regressions"] = sorted(regressions)
+        return sorted(flagged)
+
+    out["regressions"] = _regressions(load_factor)
+    # The UNSCALED list too (ADVICE r10): load-factor scaling can mask
+    # a genuine regression whose inflation sits at or below ambient
+    # contention; a loaded-box run still surfaces those candidates
+    # here for manual re-check on a quiet box. On an idle box the two
+    # lists are identical.
+    out["regressions_unscaled"] = _regressions(1.0)
 
     FULL_PATH.write_text(json.dumps(out, indent=1))
 

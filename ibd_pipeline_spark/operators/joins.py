@@ -94,6 +94,15 @@ def asof_nearest_join(
     null when unmatched) and `direction` ('backward' / 'forward' /
     null).
 
+    Gap arithmetic runs at MICROSECOND precision (unix_micros on
+    both sides) and only the reported `gap_seconds` floors the true
+    gap — so a probe at 10.9s with events at 10.1s (gap 0.8s) and
+    11.0s (gap 0.1s) correctly picks forward. The earlier per-side
+    truncate-to-seconds form (cast timestamp→long before
+    subtracting) called that tie 0 vs 1 and chose the farther
+    backward match (ADVICE r10); tolerance comparisons are likewise
+    exact now (gap_us ≤ tolerance_seconds·1e6).
+
     Scale: two union-and-window passes over ONE shuffle key — the
     same no-range-explosion shape as as_of_join; the backward and
     forward fills reuse the same (key, time)-sorted union, so the
@@ -132,23 +141,27 @@ def asof_nearest_join(
         F.last("__ev", ignorenulls=True).over(w_back).alias("__bwd"),
         F.first("__ev", ignorenulls=True).over(w_fwd).alias("__fwd"),
     ).filter(F.col("__side") == 1)
-    t = F.col("__t").cast("timestamp")
-    bgap = t.cast("long") - F.col("__bwd").cast("long")
-    fgap = F.col("__fwd").cast("long") - t.cast("long")
+    t_us = F.unix_micros(F.col("__t").cast("timestamp"))
+    bgap_us = t_us - F.unix_micros(F.col("__bwd"))
+    fgap_us = F.unix_micros(F.col("__fwd")) - t_us
     if tolerance_seconds is not None:
-        bwd = F.when(bgap <= tolerance_seconds, F.col("__bwd"))
-        fwd = F.when(fgap <= tolerance_seconds, F.col("__fwd"))
+        tol_us = F.lit(int(tolerance_seconds) * 1_000_000)
+        bwd = F.when(bgap_us <= tol_us, F.col("__bwd"))
+        fwd = F.when(fgap_us <= tol_us, F.col("__fwd"))
     else:
         bwd, fwd = F.col("__bwd"), F.col("__fwd")
-    take_back = bwd.isNotNull() & (fwd.isNull() | (bgap <= fgap))
+    take_back = bwd.isNotNull() & (fwd.isNull() | (bgap_us <= fgap_us))
     nearest = F.when(take_back, bwd).otherwise(fwd)
     direction = F.when(take_back, F.lit("backward")).otherwise(
         F.when(fwd.isNotNull(), F.lit("forward"))
     )
-    gap = F.when(take_back, bgap).otherwise(F.when(fwd.isNotNull(), fgap))
+    # gaps are non-negative, so integer division == floor
+    gap = F.when(take_back, bgap_us).otherwise(
+        F.when(fwd.isNotNull(), fgap_us)
+    ) / F.lit(1_000_000)
     return filled.select(
         *probe_cols,
         nearest.alias(f"nearest_{event_time}"),
-        gap.cast("bigint").alias("gap_seconds"),
+        F.floor(gap).cast("bigint").alias("gap_seconds"),
         direction.alias("direction"),
     )

@@ -106,6 +106,12 @@ def _cached_asset_frame(spark, kind: str, n: int, seed: int, build) -> DataFrame
     key = (spark.sparkContext.applicationId, kind, n, seed)
     df = _ASSET_FRAME_CACHE.get(key)
     if df is None:
+        # drop entries from other (stopped) sessions so a long-lived
+        # process creating many sessions never accumulates dead
+        # DataFrame references and their lineage (ADVICE r10)
+        app = key[0]
+        for k in [k for k in _ASSET_FRAME_CACHE if k[0] != app]:
+            del _ASSET_FRAME_CACHE[k]
         # coalesce before the checkpoint: n≲100 rows across 32
         # createDataFrame slices would otherwise spin a python worker
         # per near-empty partition in every downstream Arrow stage

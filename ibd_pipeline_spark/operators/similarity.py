@@ -358,6 +358,32 @@ def ivf_topk(
     )
 
 
+def required_portable_dim(
+    n_tables: int = 8, bits_per_table: int = 6, stride: int = 8
+) -> int:
+    """Highest vector dim axis_sign_bucket_tables reads (1-based
+    count): table n_tables−1, bit bits_per_table−1 touches index
+    (n_tables−1) + stride·(bits_per_table−1), i.e. needs dim ≥
+    n_tables + stride·(bits_per_table−1)."""
+    return n_tables + stride * (bits_per_table - 1)
+
+
+def check_portable_dim(
+    dim: int, n_tables: int = 8, bits_per_table: int = 6, stride: int = 8
+) -> None:
+    """Fail LOUDLY when a portable sign-LSH caller's vectors are too
+    short: element_at past the end returns NULL, which silently
+    degrades bucket bits to 0 and hashes everything into degenerate
+    buckets (ADVICE r10)."""
+    need = required_portable_dim(n_tables, bits_per_table, stride)
+    if dim < need:
+        raise ValueError(
+            f"portable sign-LSH needs dim >= {need} "
+            f"(n_tables={n_tables}, bits_per_table={bits_per_table}, "
+            f"stride={stride}); got dim={dim}"
+        )
+
+
 def axis_sign_bucket_tables(
     vec_col: Column, n_tables: int = 8, bits_per_table: int = 6, stride: int = 8
 ) -> Column:
@@ -412,6 +438,8 @@ def cosine_near_dup_pairs(
     par = vectors.sparkSession.sparkContext.defaultParallelism
     if _estimated_scan_splits(vectors) < par:
         vectors = vectors.repartition(par)
+    if portable:
+        check_portable_dim(dim, n_tables, bits_per_table)
     v = vectors.select(F.col(id_col).alias("id"), as_double_array(vec).alias("v"))
     buckets = (
         axis_sign_bucket_tables(F.col("v"), n_tables, bits_per_table)
@@ -477,6 +505,9 @@ def lsh_bucketed_topk(
     keeps each (query, candidate) pair scored once.
     """
     from pyspark.sql import Window
+
+    if portable:
+        check_portable_dim(dim, n_tables, bits_per_table)
 
     def _buckets(col: Column) -> Column:
         if portable:

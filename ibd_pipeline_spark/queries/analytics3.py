@@ -223,17 +223,17 @@ WITH s AS (
   FROM events
 ), p AS (
   SELECT event_id, user_id,
-         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
-         CAST(FLOOR(EPOCH(prev_view)) AS BIGINT) AS tp,
-         CAST(FLOOR(EPOCH(next_view)) AS BIGINT) AS tn
+         epoch_us(ts) AS t,
+         epoch_us(prev_view) AS tp,
+         epoch_us(next_view) AS tn
   FROM s WHERE event_type = 'purchase'
 )
 SELECT event_id, user_id,
-       CASE WHEN tp IS NULL AND tn IS NULL THEN NULL
-            WHEN tn IS NULL THEN t - tp
-            WHEN tp IS NULL THEN tn - t
-            WHEN (t - tp) <= (tn - t) THEN t - tp
-            ELSE tn - t END AS nearest_view_gap_s,
+       CAST(CASE WHEN tp IS NULL AND tn IS NULL THEN NULL
+            WHEN tn IS NULL THEN (t - tp) // 1000000
+            WHEN tp IS NULL THEN (tn - t) // 1000000
+            WHEN (t - tp) <= (tn - t) THEN (t - tp) // 1000000
+            ELSE (tn - t) // 1000000 END AS BIGINT) AS nearest_view_gap_s,
        CASE WHEN tp IS NULL AND tn IS NULL THEN NULL
             WHEN tn IS NULL THEN 'backward'
             WHEN tp IS NULL THEN 'forward'
@@ -258,7 +258,8 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams share a user_id sort, and two IGNORE NULLS edge windows
     (1 PRECEDING / 1 FOLLOWING frames, so a row never matches itself)
     pick each purchase's neighbors; the gap arithmetic is exact
-    integer seconds. The user_id < 30 predicate bounds the emitted
+    integer MICROSECONDS (the reported gap floors to seconds).
+    The user_id < 30 predicate bounds the emitted
     rows; it pushes to the scan.
 
     Scale: one shuffle on user_id shared by both windows — compare
@@ -279,18 +280,24 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(view_ts, ignorenulls=True).over(w_prev).alias("prev_view"),
         F.first(view_ts, ignorenulls=True).over(w_next).alias("next_view"),
     ).filter(F.col("event_type") == "purchase")
-    t = F.unix_timestamp("ts").cast("bigint")
-    tp = F.unix_timestamp("prev_view").cast("bigint")
-    tn = F.unix_timestamp("next_view").cast("bigint")
+    # microsecond-exact gaps (ADVICE r10 on the operator twin): tie
+    # and direction resolve at full precision; only the REPORTED gap
+    # floors to whole seconds (gaps are non-negative, so int-div ==
+    # floor, matching DuckDB's `//` on epoch_us)
+    t = F.unix_micros("ts")
+    tp = F.unix_micros("prev_view")
+    tn = F.unix_micros("next_view")
     back_gap, fwd_gap = t - tp, tn - t
     prefer_back = tp.isNotNull() & (tn.isNull() | (back_gap <= fwd_gap))
+    us = F.lit(1_000_000)
     return (
         s.select(
             "event_id",
             "user_id",
             F.when(tp.isNull() & tn.isNull(), F.lit(None).cast("bigint"))
-            .when(prefer_back, back_gap)
-            .otherwise(fwd_gap)
+            .when(prefer_back, F.floor(back_gap / us))
+            .otherwise(F.floor(fwd_gap / us))
+            .cast("bigint")
             .alias("nearest_view_gap_s"),
             F.when(tp.isNull() & tn.isNull(), F.lit(None).cast("string"))
             .when(prefer_back, F.lit("backward"))

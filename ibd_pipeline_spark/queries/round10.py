@@ -1710,8 +1710,8 @@ WITH p AS (
   FROM orders WHERE o_orderkey < 100
 ), m AS (
   SELECT p.o_orderkey, p.order_ts, b.bwd, f.fwd,
-         date_diff('second', b.bwd, p.order_ts) AS gb,
-         date_diff('second', p.order_ts, f.fwd) AS gf
+         epoch_us(p.order_ts) - epoch_us(b.bwd) AS gb,
+         epoch_us(f.fwd) - epoch_us(p.order_ts) AS gf
   FROM p
   LEFT JOIN LATERAL (
     SELECT MAX(CAST(ts AS TIMESTAMP)) AS bwd FROM events
@@ -1723,9 +1723,9 @@ WITH p AS (
   ) f ON TRUE
 ), g AS (
   SELECT o_orderkey, order_ts,
-         CASE WHEN gb IS NOT NULL AND gb <= {_ASOF_NEAREST_TOL}
+         CASE WHEN gb IS NOT NULL AND gb <= CAST({_ASOF_NEAREST_TOL} AS BIGINT) * 1000000
               THEN bwd END AS bwd,
-         CASE WHEN gf IS NOT NULL AND gf <= {_ASOF_NEAREST_TOL}
+         CASE WHEN gf IS NOT NULL AND gf <= CAST({_ASOF_NEAREST_TOL} AS BIGINT) * 1000000
               THEN fwd END AS fwd,
          gb, gf
   FROM m
@@ -1734,8 +1734,9 @@ SELECT o_orderkey, order_ts,
        CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
             THEN bwd ELSE fwd END AS nearest_ts,
        CAST(CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
-                 THEN gb
-                 WHEN fwd IS NOT NULL THEN gf END AS BIGINT) AS gap_seconds,
+                 THEN gb // 1000000
+                 WHEN fwd IS NOT NULL THEN gf // 1000000
+            END AS BIGINT) AS gap_seconds,
        CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
             THEN 'backward'
             WHEN fwd IS NOT NULL THEN 'forward' END AS direction
@@ -1755,10 +1756,11 @@ def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition (operators/joins.py:asof_nearest_join): ONE
     union-and-sort shuffle on the key carries BOTH direction fills —
     a backward last() frame and a forward first() frame over the same
-    sorted union — then the nearer side wins by integer second-gap
-    comparison. No range explosion, no second exchange. Gaps compare
-    in whole seconds (timestamp→long truncation on both engines), so
-    the tie/tolerance verdicts are integer-exact."""
+    sorted union — then the nearer side wins by MICROSECOND-exact
+    gap comparison (unix_micros / epoch_us on the two engines); only
+    the reported gap_seconds floors the true gap (ADVICE r10: the
+    earlier per-side second-truncation mis-resolved sub-second
+    ties). No range explosion, no second exchange."""
     from ibd_pipeline_spark.operators.joins import asof_nearest_join
 
     probes = (
@@ -1812,8 +1814,9 @@ WITH h AS (
 ), d AS (
   SELECT event_type, n_hours, s,
          CAST(s AS DOUBLE) / n_hours AS mu,
-         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours)
-           / (n_hours - 1) AS vr
+         CASE WHEN n_hours > 1 THEN
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours)
+             / (n_hours - 1) END AS vr
   FROM m
 )
 SELECT event_type, n_hours, s AS n_events,
@@ -1850,10 +1853,16 @@ def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
     )
     mu = F.col("s").cast("double") / F.col("n_hours")
-    vr = (
-        F.col("q").cast("double")
-        - F.col("s").cast("double") * F.col("s") / F.col("n_hours")
-    ) / (F.col("n_hours") - 1)
+    # n_hours == 1 → no sample variance; emit NULL, never NaN
+    # (ADVICE r10; streaming twin streaming/burstiness.py matches)
+    vr = F.when(
+        F.col("n_hours") > 1,
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_hours")
+        )
+        / (F.col("n_hours") - 1),
+    )
     sd = F.sqrt(vr)
     return m.select(
         "event_type",

@@ -63,10 +63,16 @@ def fano_report(hourly: DataFrame) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
     )
     mu = F.col("s").cast("double") / F.col("n_hours")
-    vr = (
-        F.col("q").cast("double")
-        - F.col("s").cast("double") * F.col("s") / F.col("n_hours")
-    ) / (F.col("n_hours") - 1)
+    # single-hour types have no sample variance: 0/0 would be NaN,
+    # not NULL — guard so downstream stats are NULL (ADVICE r10)
+    vr = F.when(
+        F.col("n_hours") > 1,
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_hours")
+        )
+        / (F.col("n_hours") - 1),
+    )
     sd = F.sqrt(vr)
     return m.select(
         "event_type",
