@@ -576,46 +576,26 @@ _LOADED = False
 
 
 def _ensure_loaded() -> None:
-    """Import every query module exactly once (registration side effects)."""
+    """Import every query module exactly once (registration side
+    effects). DISCOVERY-DRIVEN since r11: every non-underscore module
+    in this package is imported in sorted-name order, so a new themed
+    module registers itself just by existing — no god-file import
+    list to grow. Registration ORDER doesn't matter for the driver
+    contract (the per-round priority lists above define the
+    attestation window); duplicate names still fail loudly in
+    query()."""
     global _LOADED
     if _LOADED:
         return
-    # Imports deferred to avoid import cycles with the decorator.
-    from ibd_pipeline_spark.queries import (  # noqa: F401
-        analytics,
-        analytics2,
-        analytics3,
-        composite,
-        dedup,
-        events,
-        llmdata,
-        llmdata2,
-        llmdata3,
-        maintenance,
-        ml,
-        quality,
-        quality2,
-        multimodal,
-        relational,
-        relational2,
-        relational3,
-        relational4,
-        relational5,
-        relational6,
-        round6,
-        round8,
-        round9,
-        round10,
-        scalar_ext,
-        sketches,
-        stats,
-        similarity,
-        text,
-        training,
-        training2,
-        udf,
-        weather,
-        windows,
-    )
+    import importlib
+    import pkgutil
+
+    pkg = __name__  # ibd_pipeline_spark.queries
+    for m in sorted(
+        info.name
+        for info in pkgutil.iter_modules(__path__)
+        if not info.name.startswith("_")
+    ):
+        importlib.import_module(f"{pkg}.{m}")
 
     _LOADED = True

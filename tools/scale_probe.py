@@ -230,7 +230,7 @@ def main_r10() -> None:
     candidate growth of the EXACT prefix-filter Jaccard join and
     per-query flatness of IVF-PQ as the corpus replicates."""
     from ibd_pipeline_spark.catalog import load
-    from ibd_pipeline_spark.queries.round10 import (
+    from ibd_pipeline_spark.queries.round10_similarity import (
         _PQ_CENTS,
         dedup_prefix_filter_jaccard,  # noqa: F401 (registry import)
     )
