@@ -41,6 +41,41 @@ def md5_bucket(col: Column, seed: Column | int, mod: int) -> Column:
     )
 
 
+def hll_registers(
+    col: Column, m: int = 32, seed: str = "hll", rho_max: int = 56
+) -> "list[Column]":
+    """Engine-portable HyperLogLog register coordinates for one key:
+    ``[b, r]`` where h is the 60-bit md5 prefix (15 hex chars — both
+    engines parse it the same), b = h mod m is the register index and
+    r = (trailing zeros of h div m) + 1 is the rank (geometric:
+    P(r = k) = 2^-k via lowest-set-bit), capped at rho_max when the
+    remainder is all zeros. Registers merge by MAX — mergeable
+    partials, same algebra as DataSketches sketches.
+
+    DuckDB twin (m = 32): ``h % 32`` and
+    ``CASE WHEN h//32 = 0 THEN 56 ELSE
+      CAST(ROUND(log2((h//32) & (-(h//32))), 0) AS INT) + 1 END``
+    — log2 of an exact power of two is exact in both engines, so the
+    rank is integer-deterministic. m must be a power of two (the div
+    is a shift, exact on 60-bit values where a double division is
+    not)."""
+    bits = m.bit_length() - 1
+    if m != 1 << bits:
+        raise ValueError(f"m must be a power of two, got {m}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.shiftright(h, bits)
+    r = (
+        F.when(w == 0, F.lit(rho_max))
+        .otherwise(F.round(F.log2(w.bitwiseAND(-w)), 0).cast("int") + 1)
+        .alias("r")
+    )
+    return [(h % m).alias("b"), r]
+
+
 def cms_build(counts: DataFrame, key: str, weight: str) -> DataFrame:
     """Count-Min sketch as a (seed, bucket, cnt) DataFrame, built from
     an already-aggregated (key, weight) frame. depth=4 rows of

@@ -1,9 +1,10 @@
 """Sketch-structure registry queries (round 5, wave 3): Count-Min
 heavy-hitter estimation and a Bloom contamination pre-gate — both
 built on engine-portable md5 hashing so DuckDB can verify them
-EXACTLY (the estimates, not just the shapes) — plus the
-DataSketches-HLL mergeable rollup (rows-only: the estimator is
-Spark-internal).
+EXACTLY (the estimates, not just the shapes) — plus the HyperLogLog
+mergeable rollup (md5-portable and hash-attested since r11; the
+DataSketches-native variant lives on as the operator
+hll_daily_weekly).
 
 These are the approximate/streaming-adjacent counterparts of exact
 operators already in the registry: CMS ↔ events_heavy_hitters
@@ -189,18 +190,177 @@ def sketch_bloom_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("sketch_hll_daily_union")
+# Portable HyperLogLog (Flajolet et al. 2007), md5-derived and fully
+# SQL-replayable (r11 conversion — this row was the last rows-only
+# sketch; the DataSketches-native twin stays as the operator
+# hll_daily_weekly, property-tested in tests/test_sketches.py):
+#   h   = 60-bit md5 prefix               (15 hex chars, both engines)
+#   b   = h mod m                         (register index, m = 32)
+#   w   = h div m                         (55-bit remainder)
+#   rho = trailing zeros of w + 1         (geometric, P(rho=k)=2^-k),
+#         56 when w = 0
+# Registers merge by MAX, so daily partials union EXACTLY like
+# DataSketches sketches. The estimator is exact integer algebra:
+# Z = Σ 2^(-M_j) is computed as the BIGINT/DECIMAL sum Σ 2^(56-M_j)
+# (every term a power of two ≤ 2^56 — exactly representable, order-
+# independent), and the one double division C/Σ happens last, so
+# DuckDB replays the ESTIMATE bit-for-bit, small-range linear-
+# counting branch included. alpha_32 = 0.697 (the original paper's
+# constant for m = 32). m is 32 here (not a production 2^14) so the
+# sf ladder exercises BOTH branches: sf0.001's 15 weekly users take
+# the LC branch, sf0.01's 150 take the raw-HLL branch.
+_HLL_M = 32
+_HLL_RHO_MAX = 56  # 55 remainder bits all zero -> rho = 56
+_HLL_C = 0.697 * _HLL_M * _HLL_M * (2 ** _HLL_RHO_MAX)  # alpha*m^2*2^56
+
+_HLL_SQL = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         user_id,
+         CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM events
+), rho AS (
+  SELECT week, day, user_id,
+         h % {_HLL_M} AS b,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_RHO_MAX}
+              ELSE CAST(ROUND(log2((h // {_HLL_M}) & (-(h // {_HLL_M}))), 0)
+                        AS INT) + 1 END AS r
+  FROM ev
+), daily AS (
+  SELECT week, day, b, MAX(r) AS reg FROM rho GROUP BY week, day, b
+), unioned AS (
+  SELECT week, b, MAX(reg) AS reg FROM daily GROUP BY week, b
+), direct AS (
+  SELECT week, b, MAX(r) AS reg FROM rho GROUP BY week, b
+), est_u AS (
+  SELECT week, CAST(COUNT(*) AS INT) AS n_nonempty,
+         SUM(CAST(POWER(2.0, {_HLL_RHO_MAX} - reg) AS DECIMAL(38,0)))
+           + CAST(({_HLL_M} - COUNT(*)) * {2 ** _HLL_RHO_MAX} AS DECIMAL(38,0))
+           AS z
+  FROM unioned GROUP BY week
+), est_d AS (
+  SELECT week,
+         SUM(CAST(POWER(2.0, {_HLL_RHO_MAX} - reg) AS DECIMAL(38,0)))
+           + CAST(({_HLL_M} - COUNT(*)) * {2 ** _HLL_RHO_MAX} AS DECIMAL(38,0))
+           AS z,
+         CAST(COUNT(*) AS INT) AS n_nonempty
+  FROM direct GROUP BY week
+), meta AS (
+  SELECT week, CAST(COUNT(DISTINCT day) AS INT) AS n_days,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY week
+), fin AS (
+  SELECT m.week, m.n_days, u.n_nonempty,
+         CASE WHEN {_HLL_C!r} / CAST(u.z AS DOUBLE) <= {2.5 * _HLL_M}
+                   AND u.n_nonempty < {_HLL_M}
+              THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - u.n_nonempty))
+              ELSE {_HLL_C!r} / CAST(u.z AS DOUBLE) END AS eu,
+         CASE WHEN {_HLL_C!r} / CAST(d.z AS DOUBLE) <= {2.5 * _HLL_M}
+                   AND d.n_nonempty < {_HLL_M}
+              THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - d.n_nonempty))
+              ELSE {_HLL_C!r} / CAST(d.z AS DOUBLE) END AS ed,
+         m.exact_users
+  FROM meta m JOIN est_u u USING (week) JOIN est_d d USING (week)
+)
+SELECT week, n_days, n_nonempty AS n_registers,
+       ROUND(eu, 4) AS hll_union_est,
+       ROUND(ed, 4) AS hll_direct_est,
+       exact_users,
+       ROUND(ABS(eu - exact_users) / exact_users, 4) AS rel_err
+FROM fin ORDER BY week
+"""
+
+
+@query("sketch_hll_daily_union", oracle=_HLL_SQL)
 def sketch_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly distinct users from a UNION of per-day DataSketches HLL
-    partials, next to the direct weekly sketch and the exact count —
-    the mergeable-rollup pattern that replaces re-scans at coarser
-    grains. Rows-only (the HLL binary and its estimator are
-    Spark-internal — DuckDB's approx_count_distinct is a different
-    sketch); the invariants (union estimate == direct estimate,
-    relative error < 5% vs exact) are property-tested in
-    tests/test_sketches.py.
-    """
-    return hll_daily_weekly(load(spark, sf_dir, "events"))
+    """Weekly distinct users from a UNION of per-day HyperLogLog
+    register partials, next to the direct weekly registers and the
+    exact count — the mergeable-rollup pattern that replaces re-scans
+    at coarser grains. HASH-ATTESTED since r11 (previously rows-only
+    DataSketches): the md5-portable HLL above keeps every register an
+    integer and defers the single double division to the last
+    projection, so DuckDB replays union AND direct estimates
+    bit-for-bit — including the small-range linear-counting branch
+    (Flajolet's E ≤ 2.5m correction). hll_union_est == hll_direct_est
+    on every row is the attested union-algebra invariant (register
+    MAX is associative); the engine-native DataSketches twin lives on
+    as operators/sketches.py:hll_daily_weekly.
+
+    Scale: daily register partials are map-side combined and bounded
+    by m × days rows; any coarser grain (week here, month/rolling-28d
+    the same way) is a MAX-merge of partials, never a re-scan. The
+    exact countDistinct rides along as the accuracy audit and would
+    be dropped at 100 TB."""
+    from ibd_pipeline_spark.operators.sketches import hll_registers
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+    )
+    rho = ev.select(
+        "week", "day", "user_id", *hll_registers(F.col("user_id"), _HLL_M)
+    )
+    daily = rho.groupBy("week", "day", "b").agg(F.max("r").alias("reg"))
+    unioned = daily.groupBy("week", "b").agg(F.max("reg").alias("reg"))
+    direct = rho.groupBy("week", "b").agg(F.max("r").alias("reg"))
+
+    two56 = F.lit(2 ** _HLL_RHO_MAX)
+
+    def _z(regs: DataFrame) -> DataFrame:
+        return regs.groupBy("week").agg(
+            F.count(F.lit(1)).cast("int").alias("n_nonempty"),
+            (
+                F.sum(
+                    F.pow(F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("reg")).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                + ((F.lit(_HLL_M) - F.count(F.lit(1))) * two56).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("z"),
+        )
+
+    def _est(z, n_nonempty):
+        raw = F.lit(_HLL_C) / z.cast("double")
+        small = F.lit(float(_HLL_M)) * F.log(
+            F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - n_nonempty)
+        )
+        return F.when(
+            (raw <= F.lit(2.5 * _HLL_M)) & (n_nonempty < _HLL_M), small
+        ).otherwise(raw)
+
+    eu = _z(unioned).select(
+        "week", "n_nonempty", _est(F.col("z"), F.col("n_nonempty")).alias("eu")
+    )
+    ed = _z(direct).select(
+        "week", _est(F.col("z"), F.col("n_nonempty")).alias("ed")
+    )
+    meta = ev.groupBy("week").agg(
+        F.countDistinct("day").cast("int").alias("n_days"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return (
+        meta.join(eu, "week")
+        .join(ed, "week")
+        .select(
+            "week",
+            "n_days",
+            F.col("n_nonempty").alias("n_registers"),
+            F.round("eu", 4).alias("hll_union_est"),
+            F.round("ed", 4).alias("hll_direct_est"),
+            "exact_users",
+            F.round(
+                F.abs(F.col("eu") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("week")
+    )
 
 
 _LC_M = 65536

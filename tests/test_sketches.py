@@ -106,6 +106,53 @@ def test_hll_union_equals_direct_and_close_to_exact(spark, sf_dir):
         ), r
 
 
+def test_portable_hll_both_branches(spark):
+    """The r11 md5-portable HLL: LC branch on a tiny week (E ≤ 2.5m),
+    raw-HLL branch on a large one; union estimate == direct estimate
+    on every row (register MAX is associative); both estimates within
+    35% of exact at m=32 (1.04/√32 ≈ 18% one-sigma)."""
+    import datetime
+
+    from ibd_pipeline_spark.queries.sketches import (
+        _HLL_M,
+        sketch_hll_daily_union,
+    )
+
+    t0 = datetime.datetime(2024, 6, 3)  # a Monday
+    rows = []
+    eid = 0
+    # week 1: 10 users (small-range / LC branch: E well under 2.5m=80)
+    for u in range(10):
+        rows.append((eid, t0 + datetime.timedelta(hours=u), u, "view", 1.0, "{}"))
+        eid += 1
+    # week 2: 500 users spread over 3 days (raw HLL branch)
+    for u in range(500):
+        rows.append(
+            (eid, t0 + datetime.timedelta(days=7 + u % 3, minutes=u), 1000 + u,
+             "view", 1.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = sketch_hll_daily_union(spark, d).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["hll_union_est"] == r["hll_direct_est"], r
+        assert abs(r["hll_union_est"] - r["exact_users"]) <= max(
+            3, 0.35 * r["exact_users"]
+        ), r
+    small, big = out[0], out[1]
+    assert small["exact_users"] == 10 and big["exact_users"] == 500
+    # big week must have left the LC regime: most registers occupied
+    assert big["n_registers"] == _HLL_M
+
+
 def test_rolling_active_users_monotone_and_accurate(spark, sf_dir):
     """DAU ≤ WAU ≤ 14-day actives per day, and the windowed-union
     estimates sit within 5% of the exact rolling distinct count."""
