@@ -567,6 +567,116 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def kmeans_attested(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means whose EVERY float operation is cross-engine
+    deterministic, so a DuckDB CTE unroll replays the fixpoint
+    bit-for-bit (the r11 guarantee-attestation conversion — same
+    pattern as graph_kcore_peel's unrolled peel):
+
+    - init: the k lowest-id vectors (no RNG);
+    - distance: per-dim (x−c)² doubles quantized by
+      FLOOR(term·10¹²) to BIGINT and summed exactly — integer sums
+      are order-independent, FLOOR of a double is bit-identical on
+      both engines (no round-half / shortest-repr hazard — the r05
+      davg lesson), and BIGINT never overflows here (≤ n·dim·4·10¹²);
+    - argmin: least-struct over (d, cent_id) — integer compare, ties
+      to the lowest centroid id;
+    - update: per-(cluster, dim) means as
+      SUM(FLOOR(x·10⁸)) / (10⁸ · count) — one exact integer sum, one
+      IEEE division (the denominator is an exact double for any
+      realistic count);
+    - per-round state: k·dim means collected to the driver
+      (model-sized, the operators/ml.py convention) and re-embedded
+      as a literal (pos, c_0..c_{k-1}) lookup frame.
+
+    Fixed-point BIGINT (not DECIMAL) is deliberate: SUM over
+    DECIMAL(38,12) leaves the long-backed Decimal fast path and was
+    measured 4.3× slower per round; integer sums stay inside
+    whole-stage codegen.
+
+    Returns (id_col, cluster_id INT, dist_fp BIGINT — squared L2 in
+    10⁻¹² units) under the final centroids. The production-speed
+    twin (numpy Arrow partials, float math, scan-only rounds) stays
+    `kmeans`; this form trades a per-round n-row shuffle for
+    replayability.
+
+    Scale: per round ONE n·dim explode broadcast-joined to a dim-row
+    inline-VALUES centroid lookup, aggregated to n rows carrying k
+    integer distance sums, plus a (k·dim)-row mean shuffle; centroid
+    state is k·dim doubles on the driver. Each round is composed as
+    ONE SQL string — building the ~600 centroid literals as Column
+    objects costs ~1 s of py4j round-trips PER ROUND in this Spark
+    version (measured: the Column form ran the whole loop 13 s, the
+    SQL form ~2 s); a SQL string is one call and parses JVM-side in
+    milliseconds.
+    """
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double_array(vec).alias("v")
+    )
+    init = c.orderBy("cid").limit(k).collect()
+    cents: "list[list[float]]" = [list(r["v"]) for r in init]
+    kk, dim = len(cents), len(cents[0])
+
+    view = "__kmeans_attested_expl"
+    c.select("cid", F.posexplode("v").alias("pos", "x")).createOrReplaceTempView(
+        view
+    )
+
+    def assign_sql(cs: "list[list[float]]") -> str:
+        vals = ", ".join(
+            f"({p}, {', '.join(repr(float(cs[j][p])) + 'D' for j in range(kk))})"
+            for p in range(dim)
+        )
+        cols = ", ".join(f"c{j}" for j in range(kk))
+        sums = ", ".join(
+            f"SUM(CAST(FLOOR((x - c{j}) * (x - c{j}) * 1e12) AS BIGINT))"
+            f" AS d{j}"
+            for j in range(kk)
+        )
+        structs = ", ".join(
+            f"named_struct('d', d{j}, 'c', {j})" for j in range(kk)
+        )
+        return f"""
+SELECT cid, least({structs}).c AS cl, least({structs}).d AS dist_fp
+FROM (
+  SELECT /*+ BROADCAST(t) */ cid, {sums}
+  FROM {view} JOIN (VALUES {vals}) AS t(pos, {cols}) USING (pos)
+  GROUP BY cid
+)"""
+
+    for _ in range(iters):
+        means = spark.sql(
+            f"""
+SELECT a.cl, e.pos,
+       CAST(SUM(CAST(FLOOR(e.x * 1e8) AS BIGINT)) AS DOUBLE)
+         / (1e8 * COUNT(*)) AS m
+FROM {view} e JOIN ({assign_sql(cents)}) a USING (cid)
+GROUP BY a.cl, e.pos"""
+        ).collect()  # ≤ k·dim rows — model state, not data
+        by_cl: "dict[int, dict[int, float]]" = {}
+        for r in means:
+            by_cl.setdefault(r["cl"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cl[j][p] for p in range(dim)]
+            if j in by_cl
+            else cents[j]  # empty cluster keeps its previous centroid
+            for j in range(kk)
+        ]
+
+    return spark.sql(assign_sql(cents)).select(
+        F.col("cid").alias(id_col),
+        F.col("cl").cast("int").alias("cluster_id"),
+        F.col("dist_fp"),
+    )
+
+
 def _kmeans_arrow(
     c: DataFrame, k: int, iters: int, id_col: str
 ) -> DataFrame:

@@ -332,27 +332,99 @@ def similarity_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("similarity_kmeans_clusters")  # iterative (Lloyd's): no SQL oracle
+_KM_K, _KM_ITERS, _KM_DIM = 8, 4, 64
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB CTE unroll of the attested Lloyd fixpoint: every round
+    is assignment (fixed-point FLOOR(term·1e12) BIGINT distances,
+    row_number tie-break) + fixed-point centroid update, exactly the
+    arithmetic operators/similarity.py:kmeans_attested runs — so
+    sizes AND the distance means replay bit-for-bit."""
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"(SELECT SUM(CAST(FLOOR(({e}.v[i]-{c}.cv[i])*({e}.v[i]-{c}.cv[i])"
+            f" * 1000000000000.0) AS BIGINT))"
+            f" FROM UNNEST(generate_series(1,{_KM_DIM})) t(i))"
+        )
+
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
+         v AS cv
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+)"""]
+    for r in range(1, _KM_ITERS + 1):
+        parts.append(f""",
+a{r} AS (
+  SELECT e.vec_id, e.v, c.cent_id, {dist('e', 'c')} AS d
+  FROM e CROSS JOIN c{r - 1} c
+), b{r} AS (
+  SELECT vec_id, v, cent_id, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+  FROM a{r}
+), m{r} AS (
+  SELECT cent_id, i AS pos,
+         CAST(SUM(CAST(FLOOR(v[i] * 100000000.0) AS BIGINT)) AS DOUBLE)
+           / (100000000.0 * COUNT(*)) AS m
+  FROM b{r}, UNNEST(generate_series(1,{_KM_DIM})) t(i)
+  WHERE rn = 1 GROUP BY cent_id, i
+), c{r} AS (
+  SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
+  FROM c{r - 1} p LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS cv FROM m{r} GROUP BY cent_id
+  ) n USING (cent_id)
+)""")
+    parts.append(f""",
+fa AS (
+  SELECT e.vec_id, c.cent_id, {dist('e', 'c')} AS d
+  FROM e CROSS JOIN c{_KM_ITERS} c
+), fb AS (
+  SELECT vec_id, cent_id, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+  FROM fa
+)
+SELECT cent_id AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(d) AS DOUBLE) / (1000000000000.0 * COUNT(*)), 4)
+         AS mean_sq_dist
+FROM fb WHERE rn = 1 GROUP BY cent_id ORDER BY cent_id""")
+    return "".join(parts)
+
+
+@query("similarity_kmeans_clusters", oracle=_kmeans_oracle)
 def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering of the embedding corpus (k=8, 4 Lloyd
     iterations, deterministic lowest-id init): cluster sizes and mean
-    squared distance to the final centroid. Rows-only by design: the
-    fixpoint iteration isn't expressible as one SQL statement; the
-    operator's invariants (full coverage, monotone inertia, exact
-    argmin ties) are property-tested in tests/test_similarity.py.
+    squared distance to the final centroid. HASH-ATTESTED since r11
+    (previously rows-only): the attested Lloyd variant
+    (operators/similarity.py:kmeans_attested) quantizes every
+    distance term by FLOOR(term·1e12) into exact BIGINT sums and runs
+    fixed-point centroid updates, making all four rounds
+    bit-deterministic — the oracle unrolls the identical fixpoint as
+    CTEs (the graph_kcore_peel pattern). The float-math production
+    twin stays operators/similarity.py:kmeans (Arrow numpy
+    partials), property-tested in tests/test_similarity.py.
 
-    Scale: per iteration the corpus is scanned, never shuffled; the
-    r06 default is the Arrow partial-aggregation loop (per-batch
-    numpy centroid sums, k·dim model state — spark.ml's treeAggregate
-    shape) with the pure-DataFrame form as method='expr',
-    assignment-agreement-tested."""
+    Scale: per round ONE corpus scan (centroids re-embedded as
+    literals — zero joins) + a (k·dim)-row mean shuffle; centroid
+    state is k·dim doubles on the driver, the model-state
+    exception."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned = S.kmeans(emb, k=8, iters=4, id_col="vec_id", vec="embedding")
+    assigned = S.kmeans_attested(
+        emb, k=_KM_K, iters=_KM_ITERS, id_col="vec_id", vec="embedding"
+    )
     return (
         assigned.groupBy("cluster_id")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg("dist"), 4).alias("mean_sq_dist"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum("dist_fp").cast("double")
+                / (F.lit(1e12) * F.count(F.lit(1))),
+                4,
+            ).alias("mean_sq_dist"),
         )
         .orderBy("cluster_id")
     )
