@@ -648,3 +648,111 @@ def pca_top_k(
     ckpt.release("centered")
     ckpt.release("w")
     return out
+
+
+def logreg_fit_attested(
+    df: DataFrame,
+    features: str,
+    label: str,
+    iters: int = 12,
+    lr: float = 1.0,
+    id_col: str = "rid",
+) -> DataFrame:
+    """Binary logistic regression by full-batch GD whose EVERY float
+    operation is cross-engine deterministic, so a DuckDB CTE unroll
+    replays all `iters` rounds bit-for-bit (the r11 guarantee-
+    attestation conversion — the kmeans_attested design applied to
+    gradient descent):
+
+    - dot products and gradients run in fixed point:
+      SUM(FLOOR(term·10¹²)) over exact BIGINTs — order-independent,
+      FLOOR of a double is bit-identical on both engines;
+    - the sigmoid output is QUANTIZED: p = FLOOR(p_raw·10⁷)/10⁷
+      clamped to ≥ 10⁻⁷ — so a last-ulp disagreement between the two
+      engines' exp() implementations flips a floor with probability
+      ~10⁻⁹ per evaluation instead of contaminating every downstream
+      term (quantization, not hope, carries the determinism);
+    - weight updates happen in PYTHON doubles (w ← w − lr·g with g =
+      g_fp/(10¹²·n), every quantity < 2⁵³ so int→float is exact) —
+      CPython doubles are IEEE, so the oracle's identical SQL algebra
+      lands on identical bits;
+    - each round is ONE SQL string (weights inlined as a VALUES list;
+      building ~65 literal Columns per round through py4j costs ~1 s,
+      the kmeans_attested measurement).
+
+    `features` is an array<double> column (include the leading-1.0
+    bias yourself); `label` 0/1; `id_col` names a unique row id used
+    to group per-row dot products.
+
+    Returns (dim, weight, log_loss, accuracy, n_rows) — one row per
+    weight with the final-model metrics repeated (scalars, kept out
+    of array columns for the driver's canonicalizer). The float-math
+    production twin stays logreg_fit (Arrow treeAggregate partials).
+
+    Scale: per round one (n·d)-row fixed-point shuffle grouped by
+    row id plus one d-row gradient aggregate; model state is d
+    doubles on the driver."""
+    spark = df.sparkSession
+    view = "__logreg_attested_xk"
+    x = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(label).cast("double").alias("y"),
+        F.posexplode(as_double_array(features)).alias("k", "xk"),
+    )
+    x.createOrReplaceTempView(view)
+    d = spark.sql(f"SELECT MAX(k) + 1 AS d FROM {view}").collect()[0]["d"]
+    n = spark.sql(
+        f"SELECT COUNT(DISTINCT rid) AS n FROM {view}"
+    ).collect()[0]["n"]
+    w = [0.0] * d
+
+    def wvals(ws: "list[float]") -> str:
+        return ", ".join(f"({k}, {ws[k]!r}D)" for k in range(len(ws)))
+
+    def p_expr() -> str:
+        return (
+            "GREATEST(CAST(FLOOR((1.0D / (1.0D + EXP(-(CAST(z_fp AS DOUBLE)"
+            " / 1e12)))) * 1e7) AS DOUBLE) / 1e7, 1e-7)"
+        )
+
+    def z_sql(ws: "list[float]") -> str:
+        return f"""
+  SELECT rid, y, SUM(CAST(FLOOR(xk * wk * 1e12) AS BIGINT)) AS z_fp
+  FROM {view} JOIN (VALUES {wvals(ws)}) AS w(k, wk) USING (k)
+  GROUP BY rid, y"""
+
+    for _ in range(iters):
+        grads = spark.sql(
+            f"""
+SELECT v.k, SUM(CAST(FLOOR((pe.p - pe.y) * v.xk * 1e12) AS BIGINT)) AS g_fp
+FROM (
+  SELECT rid, y, {p_expr()} AS p
+  FROM ({z_sql(w)})
+) pe JOIN {view} v USING (rid)
+GROUP BY v.k"""
+        ).collect()  # d rows — model state, not data
+        g = {r["k"]: r["g_fp"] for r in grads}
+        w = [
+            w[k] - lr * (g.get(k, 0) / (1e12 * n)) for k in range(d)
+        ]
+
+    return spark.sql(
+        f"""
+WITH pe AS (
+  SELECT rid, y, {p_expr()} AS p
+  FROM ({z_sql(w)})
+), m AS (
+  SELECT
+    -(CAST(SUM(CAST(FLOOR((y * LN(p) + (1.0D - y) * LN(1.0D - p)) * 1e7)
+               AS BIGINT)) AS DOUBLE) / (1e7 * {n})) AS log_loss,
+    CAST(SUM(CASE WHEN (p >= 0.5D) = (y = 1.0D) THEN 1 ELSE 0 END)
+         AS DOUBLE) / {n} AS accuracy
+  FROM pe
+)
+SELECT w.k AS dim, ROUND(w.wk, 6) AS weight,
+       ROUND(m.log_loss, 6) AS log_loss,
+       ROUND(m.accuracy, 6) AS accuracy,
+       CAST({n} AS BIGINT) AS n_rows
+FROM (VALUES {wvals(w)}) AS w(k, wk) CROSS JOIN m
+ORDER BY dim"""
+    )
