@@ -92,6 +92,69 @@ def band_keys(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Session-level signature cache (r11, VERDICT #3 — the multimodal
+# _cached_asset_frame pattern applied to dedup state): the per-doc
+# MinHash state (shingle set + 32 signature minima) is the single
+# most expensive artifact in the dedup family, and SIX registry
+# queries derive it from the same upstream frames
+# (dedup_minhash_lsh, dedup_near_dup_prune,
+# dedup_source_overlap_matrix, dedup_minhash_jaccard_estimate,
+# dedup_label_propagation, dedup_pagerank_canonical,
+# dedup_incremental_lsh). Keyed by (applicationId, semanticHash of
+# the input plan, params): semanticHash equates structurally
+# identical upstream plans, so two queries that both start from
+# documents.filter(doc_id < 150) share ONE eagerly-localCheckpointed
+# state frame. Entries from stopped sessions are purged on miss; a
+# small LRU cap bounds test-suite churn. At 100 TB this cache is the
+# stand-in for a PERSISTED signature table (signatures written once
+# at ingest, every dedup job reading them) — session scope is the
+# local-mode equivalent.
+# ---------------------------------------------------------------------------
+_SESSION_STATE_CACHE: "dict[tuple, DataFrame]" = {}
+_SESSION_STATE_CAP = 32
+
+
+def _session_cached_state(docs: DataFrame, params: tuple, build) -> DataFrame:
+    spark = docs.sparkSession
+    app = spark.sparkContext.applicationId
+    try:
+        sem = docs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return build().cache()  # non-classic backend: per-call cache
+    key = (app, sem, *params)
+    hit = _SESSION_STATE_CACHE.get(key)
+    if hit is None:
+        for k in [k for k in _SESSION_STATE_CACHE if k[0] != app]:
+            del _SESSION_STATE_CACHE[k]
+        while len(_SESSION_STATE_CACHE) >= _SESSION_STATE_CAP:
+            del _SESSION_STATE_CACHE[next(iter(_SESSION_STATE_CACHE))]
+        hit = build().localCheckpoint(eager=True)
+        _SESSION_STATE_CACHE[key] = hit
+    return hit
+
+
+def exact_keeper_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Session-cached exact-dedup keeper set: min(id) per content
+    digest, id column only (tiny at any scale — one row per distinct
+    text). Two registry queries that both stage exact-dedup before
+    LSH (dedup_minhash_lsh, dedup_near_dup_prune) build their
+    representative frames through THIS shared object, so their
+    downstream minhash states hash to the same _SESSION_STATE_CACHE
+    key and the shingle aggregation runs once per session. min(id)
+    is the same keeper as min(struct(id, text)) because ids are
+    unique. Eagerly checkpointed by the session cache."""
+    return _session_cached_state(
+        docs,
+        ("keepers", id_col, text_col),
+        lambda: docs.groupBy(content_digest(text_col).alias("h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col),
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -119,13 +182,14 @@ def minhash_candidate_pairs(
       5. Jaccard on long-hash sets (collision odds ~2⁻⁶⁴ — immaterial)
          via array_intersect sizes, only for bucket-colliding pairs.
 
-    The per-doc state relation is cached: it feeds banding and both
-    join sides of the verification. The cached blocks live until the
-    session ends or the caller releases them — after consuming the
-    result, call ``release_state(result)`` (bench.py and the test
-    suite do) so repeated invocations don't accumulate executor
-    memory. Mega-buckets (boilerplate docs) remain the skew risk: cap
-    or salt upstream if a bucket exceeds ~10⁴ docs.
+    The per-doc state relation is SESSION-cached (r11 — see
+    _SESSION_STATE_CACHE above): it feeds banding and both join sides
+    of the verification here, and structurally identical invocations
+    from other registry queries reuse the same eagerly-checkpointed
+    frame instead of re-aggregating shingles. ``release_state`` on
+    the result is a no-op for this operator. Mega-buckets
+    (boilerplate docs) remain the skew risk: cap or salt upstream if
+    a bucket exceeds ~10⁴ docs.
 
     restrict_to: optional one-column DataFrame of delta doc ids —
     incremental mode: emit only candidate pairs touching those ids
@@ -191,13 +255,13 @@ def minhash_candidate_pairs(
             ],
         )
 
-    state = (
-        exploded.groupBy("id")
-        .agg(
+    state = _session_cached_state(
+        docs,
+        ("minhash", id_col, text_col, k_shingle, num_hashes, portable),
+        lambda: exploded.groupBy("id").agg(
             F.collect_set("h").alias("hs"),
             *[fam(i) for i in range(num_hashes)],
-        )
-        .cache()
+        ),
     )
     if portable:
         band_cols = [
@@ -266,14 +330,20 @@ def minhash_candidate_pairs(
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
     )
-    result._cached_state = state  # release handle; see release_state()
+    # No release handle: the state frame is SESSION-cached (shared
+    # across the six minhash-consuming registry queries) and owned by
+    # _SESSION_STATE_CACHE, not this result — release_state() on the
+    # result is a harmless no-op.
     return result
 
 
 def release_state(df: DataFrame) -> bool:
     """Unpersist the cached per-doc state backing a DataFrame returned
-    by minhash_candidate_pairs (no-op on other frames). Call after the
-    result has been consumed; returns True if blocks were released."""
+    by the SimHash pair operators (no-op on other frames, including
+    minhash_candidate_pairs results since r11 — their state is
+    session-cached in _SESSION_STATE_CACHE and shared across queries,
+    so it deliberately outlives any one result). Returns True if
+    blocks were released."""
     state = getattr(df, "_cached_state", None)
     if state is None:
         return False

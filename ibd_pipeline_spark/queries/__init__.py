@@ -197,6 +197,41 @@ _ROUND6_NEW: list[str] = [
 ]
 
 # ----------------------------------------------------------------------
+# ROUND-11 WINDOW PREFIX. Three rows-only → full-oracle conversions
+# (portable-HLL rollup; fixed-point Lloyd k-means; fixed-point GD
+# logreg — the r10 conversion pattern), the microsecond-exact
+# nearest-as-of pair (ADVICE r10: gap semantics changed on BOTH
+# engines), the Fano single-hour NULL guard, and the three dedup
+# queries rewired onto the shared session-cached signature state
+# (plans changed; values didn't — evidence must postdate anyway).
+# Computed mechanically by tools/attestation_status.py;
+# tests/test_attestation.py gates drift.
+# ----------------------------------------------------------------------
+_ROUND11_PRIORITY: list[str] = [
+    # rows-only -> hash-attested conversions (oracle upgrades)
+    "sketch_hll_daily_union",
+    "similarity_kmeans_clusters",
+    "train_logreg_quality_gate",
+    # r11 rewrites: evidence must postdate the semantics/plan change
+    "join_asof_nearest_tolerance",  # micros-exact gaps (ADVICE r10)
+    "events_asof_nearest",  # same family, same upgrade
+    "events_fano_burstiness",  # single-hour NULL, not NaN
+    "dedup_minhash_lsh",  # shared keeper reps + session state
+    "dedup_near_dup_prune",  # same
+    "dedup_incremental_lsh",  # session state
+    # r11 window migrations: month-partitioned stitch/padding replaced
+    # the unpartitioned day-frame windows (operators/calendar.py)
+    "events_ewma_daily",
+    "events_cusum_changepoint",
+    "events_seasonal_decompose",
+    "events_anomaly_rolling_zscore",
+    "events_period_over_period",
+]
+
+# Round-11 additions (new registrations this round).
+_ROUND11_NEW: list[str] = []
+
+# ----------------------------------------------------------------------
 # ROUND-10 WINDOW PREFIX: queries whose attestation evidence must
 # POSTDATE the round-10 rewrites. Three rows-only → full-oracle
 # conversions (rolling actives now linear-counting hash-attested;
@@ -534,9 +569,11 @@ def _driver_order(names: list[str]) -> list[str]:
     # r06 prefix: never-attested wave-3/4 queries + this round's new
     # registrations (≤50 total), then the r01–r05 attested history in
     # its historical order (evidence in CORRECTNESS_r{01..05}.json).
-    head = _ROUND10_PRIORITY + [
-        n for n in _ROUND10_NEW if n not in _ROUND10_PRIORITY
+    head = _ROUND11_PRIORITY + [
+        n for n in _ROUND11_NEW if n not in _ROUND11_PRIORITY
     ]
+    head = head + [n for n in _ROUND10_PRIORITY if n not in head]
+    head = head + [n for n in _ROUND10_NEW if n not in head]
     head = head + [n for n in _ROUND9_PRIORITY if n not in head]
     head = head + [n for n in _ROUND9_NEW if n not in head]
     head = head + [n for n in _ROUND8_PRIORITY if n not in head]

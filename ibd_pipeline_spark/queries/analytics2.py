@@ -368,20 +368,31 @@ def events_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame
     are not scored (no partial-window false alarms).
 
     Scale: aggregate-then-window — the window's input is one row per
-    DAY, not per event; the bounded ROWS frame holds 7 values of
-    state. Same one-shuffle shape at any corpus size."""
+    DAY, not per event, and the bounded ROWS frame runs
+    MONTH-PARTITIONED over a 7-day-padded day frame
+    (operators/calendar.py:with_month_padding — r11; exact on a
+    dense day grain, which daily event counts are; densify first for
+    sparse grains). Same one-shuffle shape at any corpus size."""
+    from ibd_pipeline_spark.operators.calendar import with_month_padding
+
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = Window.orderBy("d").rowsBetween(-7, -1)
-    stats = daily.select(
-        "d",
-        "n",
-        F.avg("n").over(w).alias("mu"),
-        F.stddev("n").over(w).alias("sigma"),
-        F.count(F.lit(1)).over(w).alias("n_window"),
-    ).filter(F.col("n_window") == 7)
+    padded = with_month_padding(daily, "d", pad_before=7)
+    w = Window.partitionBy("_m").orderBy("d").rowsBetween(-7, -1)
+    stats = (
+        padded.select(
+            "d",
+            "n",
+            F.avg("n").over(w).alias("mu"),
+            F.stddev("n").over(w).alias("sigma"),
+            F.count(F.lit(1)).over(w).alias("n_window"),
+            "_own",
+        )
+        .filter(F.col("_own") & (F.col("n_window") == 7))
+        .drop("_own")
+    )
     z = (F.col("n") - F.col("mu")) / F.col("sigma")
     return stats.select(
         "d",

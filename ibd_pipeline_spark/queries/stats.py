@@ -315,8 +315,13 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_avg input itself rides the davg decimal contract.
 
     Scale: one day-grain aggregate (map-side combined), then lag
-    windows over the day frame (rows = days, not events).
+    windows over the day frame (rows = days, not events) running
+    MONTH-PARTITIONED over a 7-day-padded day frame
+    (operators/calendar.py:with_month_padding — r11; exact on a
+    dense day grain; densify first for sparse grains).
     """
+    from ibd_pipeline_spark.operators.calendar import with_month_padding
+
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -325,21 +330,23 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("value")
         ).alias("day_avg"),
     )
-    w = Window.orderBy("day")
+    padded = with_month_padding(d, "day", pad_before=7)
+    w = Window.partitionBy("_m").orderBy("day")
     lags = [F.lag("day_avg", k).over(w) for k in range(1, 8)]
     weights = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125]
     ewma_num = F.col("day_avg")
     for wgt, lg in zip(weights, lags):
         ewma_num = ewma_num + F.lit(wgt) * lg
     return (
-        d.select(
+        padded.select(
             "day",
             "n_events",
             "day_avg",
             (ewma_num / F.lit(1.9921875)).alias("ewma"),
             lags[6].alias("_v7"),
+            "_own",
         )
-        .filter(F.col("_v7").isNotNull())
-        .drop("_v7")
+        .filter(F.col("_own") & F.col("_v7").isNotNull())
+        .drop("_v7", "_own")
         .orderBy("day")
     )

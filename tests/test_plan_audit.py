@@ -34,17 +34,19 @@ QUERIES = all_queries()
 # elsewhere: the frame must be metadata/dimension/aggregate-sized —
 # NEVER proportional to fact-table rows.
 ALLOWED_UNPARTITIONED_WINDOW = {
-    # per-calendar-day frames (≤ days in the dataset; partition by
-    # month + stitch is the documented 100-TB escape)
-    "events_anomaly_rolling_zscore": "one row per day",
-    "events_ewma_daily": "one row per day",
-    "events_linear_interpolate_gaps": "one row per day",
-    # events_rolling_active_users came OFF this list in r10: the
-    # linear-counting rewrite replaced the day-frame window with a
-    # 14-offset coverage explode (no window at all)
-    "events_period_over_period": "one row per period",
-    "events_seasonal_decompose": "one row per day (7-day centered MA)",
-    "events_cusum_changepoint": "one row per day (rn + cumsum on day grain)",
+    # per-calendar-day frames (≤ days in the dataset). FIVE of this
+    # family came OFF the list in r11 via the shared month-stitch
+    # helpers (operators/calendar.py: month_stitched_cumsum for
+    # prefix quantities, with_month_padding for bounded lag/MA
+    # frames): events_ewma_daily, events_seasonal_decompose,
+    # events_cusum_changepoint, events_anomaly_rolling_zscore,
+    # events_period_over_period. events_rolling_active_users came
+    # off in r10 (linear-counting coverage explode, no window).
+    "events_linear_interpolate_gaps": (
+        "one row per day (unbounded last/first IGNORE NULLS — the "
+        "month stitch needs a carry of latest non-null state; next "
+        "candidate for the calendar helper)"
+    ),
     "stats_kaplan_meier": "one row per lifetime-duration day (≤ dataset span)",
     "train_neyman_allocation": "one row per source (largest-remainder rank)",
     # tiny enumerations
