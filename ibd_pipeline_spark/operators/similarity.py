@@ -440,7 +440,20 @@ def cosine_near_dup_pairs(
         vectors = vectors.repartition(par)
     if portable:
         check_portable_dim(dim, n_tables, bits_per_table)
-    v = vectors.select(F.col(id_col).alias("id"), as_double_array(vec).alias("v"))
+    # Per-vector state (double array + L2 norm) is materialized ONCE
+    # behind a checkpoint barrier (r11): norms are per-VECTOR
+    # quantities — computing them inside the per-PAIR cosine paid two
+    # HOF folds × |pairs| instead of × |vectors|, and the barrier
+    # stops CollapseProject re-substituting the transform into every
+    # element access (the prefix-jaccard trap). The arithmetic is
+    # unchanged: the same sqrt(0.0 + Σx²) doubles, just computed in
+    # the cheap place — so hash-attested consumers are unaffected.
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_array(vec).alias("v")
+    )
+    v = v.select("id", "v", l2_norm(F.col("v")).alias("nrm")).localCheckpoint(
+        eager=True
+    )
     buckets = (
         axis_sign_bucket_tables(F.col("v"), n_tables, bits_per_table)
         if portable
@@ -452,16 +465,36 @@ def cosine_near_dup_pairs(
         l.join(r, (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # id-only candidate list, materialized: consumers that rank or
+        # re-filter the scored pairs (top-k after verify) would
+        # otherwise re-run the bucket join per action — candidates are
+        # the standard persisted artifact of an LSH pipeline anyway
+        .localCheckpoint(eager=True)
     )
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    # Verify = fold dot ÷ precomputed norms over BROADCAST vector
+    # sides. Measured at sf0.1 (236k pairs): per-pair norm folds cost
+    # 2× the dot alone; letting AQE pick sort-merge for the vector
+    # joins shuffled 240 MB of arrays (10 s vs 1.5 s broadcast); and
+    # a 64-term element_at chain — tried as a nested-lambda-hazard
+    # workaround — was 2× SLOWER than the zip_with fold (the hazard
+    # doesn't bite aggregate-over-zip_with; per-access element_at
+    # overhead does). The arithmetic is unchanged: same fold order,
+    # same sqrt(0.0 + Σx²) norms, identical doubles.
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

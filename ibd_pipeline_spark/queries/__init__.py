@@ -219,6 +219,7 @@ _ROUND11_PRIORITY: list[str] = [
     "dedup_minhash_lsh",  # shared keeper reps + session state
     "dedup_near_dup_prune",  # same
     "dedup_incremental_lsh",  # session state
+    "dedup_embedding_cosine",  # broadcast verify + precomputed norms
     # r11 window migrations: month-partitioned stitch/padding replaced
     # the unpartitioned day-frame windows (operators/calendar.py)
     "events_ewma_daily",
