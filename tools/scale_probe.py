@@ -312,8 +312,139 @@ def main_r10() -> None:
     spark.stop()
 
 
+
+
+def main_r11() -> None:
+    """Round-11 probes only (`python tools/scale_probe.py r11`):
+    bucket-density sensitivity of the k-core co-activity edge build,
+    distinct-value-frame growth of the Spearman rank spine, and
+    journey fan-in of the Markov attribution transition build."""
+    from pyspark.sql import Window
+
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+    from ibd_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    results: dict[str, dict[str, object]] = {}
+    ev = load(spark, SF, "events")
+
+    # 10. k-core edge build: the (type x hour) bucket self-join.
+    # Two replication modes separate the scaling variable:
+    #   volume mode — copies shift BOTH users and hours, so bucket
+    #   occupancy is constant and buckets multiply -> edges (and
+    #   wall) should grow ~linearly;
+    #   density mode — copies shift users only, so each bucket gets
+    #   k x occupancy -> per-bucket pair fan-out is quadratic BY
+    #   CONSTRUCTION (the named degradation mode: co-activity spikes,
+    #   e.g. a bot burst in one hour, are what to salt/cap upstream).
+    def kcore_edges(events):
+        b = events.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+        ).distinct()
+        a, c = b.alias("a"), b.alias("c")
+        return (
+            a.join(
+                c,
+                (F.col("a.event_type") == F.col("c.event_type"))
+                & (F.col("a.h") == F.col("c.h"))
+                & (F.col("a.user_id") < F.col("c.user_id")),
+            )
+            .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+            .distinct()
+        )
+
+    for k in (1, 4):
+        vol = None
+        for i in range(k):
+            c = ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+            c = c.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 2400} HOURS")
+            )
+            vol = c if vol is None else vol.unionByName(c)
+        dens = replicate(ev, k, {"user_id": 1_000_000})
+        ev_, ed_ = kcore_edges(vol), kcore_edges(dens)
+        results.setdefault("kcore_edges_volume_x", {})[str(k)] = {
+            "wall_s": timed(ev_), "n_edges": ev_.count()
+        }
+        results.setdefault("kcore_edges_density_x", {})[str(k)] = {
+            "wall_s": timed(ed_), "n_edges": ed_.count()
+        }
+
+    # 11. Spearman rank spine: cost must track the DISTINCT-VALUE
+    # frame, not raw rows. same-values mode: replicas reuse the value
+    # domain (distinct frame constant -> flat-to-sublinear wall);
+    # jittered mode: each replica shifts values (distinct frame x k
+    # -> linear in distinct values, the worst case for rank algebra).
+    li = load(spark, SF, "lineitem").select(
+        F.col("l_linestatus").alias("g"),
+        F.col("l_quantity").alias("x"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    )
+
+    def rank_spine(rows):
+        vc = rows.groupBy("g", "x").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        ps = with_grouped_prefix_sum(vc, ["g"], ["x"], "cnt")
+        return ps.select("g", "x", (2 * F.col("_cw") - F.col("cnt") + 1).alias("r2"))
+
+    for k in (1, 4, 16):
+        same = replicate(li, k, {"rid": 100_000_000})
+        jit = None
+        for i in range(k):
+            c = li.withColumn("x", F.col("x") + F.lit(i) * 0.001)
+            jit = c if jit is None else jit.unionByName(c)
+        results.setdefault("spearman_spine_samevals_x", {})[str(k)] = timed(
+            rank_spine(same)
+        )
+        results.setdefault("spearman_spine_jittered_x", {})[str(k)] = timed(
+            rank_spine(jit)
+        )
+
+    # 12. Markov attribution journey fan-in: same users, k x longer
+    # journeys (copies appended in time). Journey construction (one
+    # user window + the transition count aggregate) should be linear
+    # in events; the chain state stays (channels+2)-sized regardless.
+    def transition_counts(events):
+        w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ord_ = events.select(
+            "user_id", "event_type", F.row_number().over(w_u).alias("rn")
+        )
+        fp = ord_.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).alias("prn")
+        )
+        kept = ord_.join(fp, "user_id").filter(
+            F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+        )
+        w_k = Window.partitionBy("user_id").orderBy("rn")
+        leads = kept.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w_k).alias("nxt"),
+        )
+        return (
+            leads.filter(~(F.col("nxt").isNull() & (F.col("src") == "purchase")))
+            .groupBy("src", F.coalesce("nxt", F.lit("END")).alias("dst"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    for k in (1, 4):
+        fan = None
+        for i in range(k):
+            c = ev.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 2400} HOURS")
+            ).withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+            fan = c if fan is None else fan.unionByName(c)
+        results.setdefault("markov_journey_fanin_x", {})[str(k)] = timed(
+            transition_counts(fan)
+        )
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r10":
         main_r10()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r11":
+        main_r11()
     else:
         main()
