@@ -38,18 +38,25 @@ def month_stitched_cumsum(
     weight_cols: "list[str]",
     group_cols: "tuple[str, ...] | list[str]" = (),
     prefix: str = "cum_",
+    block=None,
 ) -> DataFrame:
     """df + inclusive running totals ``<prefix><w>`` of each weight
     column under the (group, day) order, with NO unpartitioned
-    window: within-month cumsum + broadcast month offsets.
+    window: within-block cumsum + broadcast block offsets. The
+    default block is the calendar month of `day_col`; pass `block`
+    (a Column) for non-date order keys — any coarsening whose blocks
+    sort the same way as the order column works (e.g.
+    ``F.floor(F.col("t") / 32)`` for integer spines).
 
-    The offset join is triangular over the months-sized aggregate
-    (≤ months × groups rows — metadata-sized), so the whole plan is
+    The offset join is triangular over the blocks-sized aggregate
+    (≤ blocks × groups rows — metadata-sized), so the whole plan is
     window-partitioned + one broadcast hash join. Exact for any
-    input: addition is associative, and integer weights make the
-    result bit-identical to a global windowed SUM."""
+    input: addition is associative, and integer/decimal weights make
+    the result bit-identical to a global windowed SUM."""
     group_cols = list(group_cols)
-    base = df.withColumn("_m", F.date_trunc("month", F.col(day_col)))
+    if block is None:
+        block = F.date_trunc("month", F.col(day_col))
+    base = df.withColumn("_m", block)
     win = (
         Window.partitionBy(*group_cols, "_m")
         .orderBy(day_col)
@@ -133,3 +140,55 @@ def with_month_padding(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def month_stitched_running_extreme(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    out_col: str,
+    kind: str = "min",
+    group_cols: "tuple[str, ...] | list[str]" = (),
+    block=None,
+) -> DataFrame:
+    """df + inclusive running MIN/MAX of `value_col` under the
+    (group, day) order — the other monoid the stitch supports (CUSUM
+    / Page–Hinkley track a running min of a cumulative statistic;
+    mSPRT tracks a running max of a likelihood ratio). Same shape as
+    month_stitched_cumsum: within-block running extreme (window
+    PARTITIONED by block) + prior-block extremes from a blocks-sized
+    triangular self-join, combined with least/greatest (which skip
+    the NULL produced by the first block's empty prior set). Exact
+    for any input: min/max are associative and idempotent."""
+    if kind not in ("min", "max"):
+        raise ValueError(f"kind must be min|max, got {kind!r}")
+    group_cols = list(group_cols)
+    if block is None:
+        block = F.date_trunc("month", F.col(day_col))
+    agg_fn = F.min if kind == "min" else F.max
+    comb = F.least if kind == "min" else F.greatest
+    base = df.withColumn("_m", block)
+    win = (
+        Window.partitionBy(*group_cols, "_m")
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("_wx", agg_fn(value_col).over(win))
+    mt = base.groupBy(*group_cols, "_m").agg(agg_fn(value_col).alias("_bx"))
+    a, b = mt.alias("a"), mt.alias("b")
+    cond = F.col("b._m") < F.col("a._m")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    prior = (
+        a.join(b, cond, "left")
+        .groupBy(
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+            F.col("a._m").alias("_m"),
+        )
+        .agg(agg_fn(F.col("b._bx")).alias("_px"))
+    )
+    return (
+        within.join(F.broadcast(prior), [*group_cols, "_m"])
+        .withColumn(out_col, comb(F.col("_wx"), F.col("_px")))
+        .drop("_m", "_wx", "_px")
+    )

@@ -230,7 +230,19 @@ _ROUND11_PRIORITY: list[str] = [
 ]
 
 # Round-11 additions (new registrations this round).
-_ROUND11_NEW: list[str] = []
+_ROUND11_NEW: list[str] = [
+    "similarity_mips_topk",
+    "similarity_jl_projection",
+    "graph_adamic_adar",
+    "events_interval_union_time",
+    "sample_consistent_hash_join",
+    "stats_nelson_aalen",
+    "stats_cochran_armitage",
+    "stats_page_hinkley",
+    "ab_msprt_always_valid",
+    "events_double_smoothing_forecast",
+    "events_hurst_exponent",
+]
 
 # ----------------------------------------------------------------------
 # ROUND-10 WINDOW PREFIX: queries whose attestation evidence must
