@@ -227,6 +227,8 @@ _ROUND11_PRIORITY: list[str] = [
     "events_seasonal_decompose",
     "events_anomaly_rolling_zscore",
     "events_period_over_period",
+    "stats_kaplan_meier",
+    "events_linear_interpolate_gaps",
 ]
 
 # Round-11 additions (new registrations this round).

@@ -153,9 +153,9 @@ def events_linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFram
     output needs no rounding.
 
     Scale: the aggregate is the only event-volume work; spine and
-    windows run on the day frame. The unpartitioned window is
-    day-count-sized — at years-of-days scale, partition by month and
-    stitch boundaries (the rollup-cascade pattern).
+    windows run on the day frame, MONTH-PARTITIONED since r11 with a
+    months-sized triangular struct-extreme carry for the cross-month
+    neighbor lookup — no unpartitioned window at any day-span.
     """
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
@@ -175,19 +175,61 @@ def events_linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from pyspark.sql import Window
 
-    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    # r11: both IGNORE NULLS edge fills run MONTH-PARTITIONED and the
+    # cross-month carry is a months-sized triangular struct-extreme
+    # join — the last day-grain fill off the unpartitioned-window
+    # allow-list. A (day, v) struct carries value and day together:
+    # struct max/min orders by day first (days are unique), so the
+    # latest non-null of the prior months / earliest of the later
+    # months is one aggregate each.
+    base = spine.join(kept, "day", "left").withColumn(
+        "_m", F.date_trunc("month", F.col("day"))
+    )
+    nn = F.when(
+        F.col("v").isNotNull(), F.struct(F.col("day").alias("d"), F.col("v").alias("x"))
+    )
+    w_prev = (
+        Window.partitionBy("_m")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("_m")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    within = base.select(
+        "day",
+        "v",
+        "_m",
+        F.last(nn, ignorenulls=True).over(w_prev).alias("sp"),
+        F.first(nn, ignorenulls=True).over(w_next).alias("sn"),
+    )
+    mext = base.groupBy("_m").agg(
+        F.max(nn).alias("mlast"), F.min(nn).alias("mfirst")
+    )
+    a, b = mext.alias("a"), mext.alias("b")
+    carry = (
+        a.join(b, F.lit(True), "left")
+        .groupBy(F.col("a._m").alias("_m"))
+        .agg(
+            F.max(F.when(F.col("b._m") < F.col("a._m"), F.col("b.mlast"))).alias(
+                "cprev"
+            ),
+            F.min(F.when(F.col("b._m") > F.col("a._m"), F.col("b.mfirst"))).alias(
+                "cnext"
+            ),
+        )
+    )
     s = (
-        spine.join(kept, "day", "left")
+        within.join(F.broadcast(carry), "_m")
         .select(
             "day",
             "v",
-            F.last(
-                F.when(F.col("v").isNotNull(), F.col("v")), ignorenulls=True
-            ).over(w_prev).alias("vp"),
-            F.last(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_prev).alias("dp"),
-            F.first(F.when(F.col("v").isNotNull(), F.col("v")), ignorenulls=True).over(w_next).alias("vn"),
-            F.first(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_next).alias("dn"),
+            F.coalesce(F.col("sp.x"), F.col("cprev.x")).alias("vp"),
+            F.coalesce(F.col("sp.d"), F.col("cprev.d")).alias("dp"),
+            F.coalesce(F.col("sn.x"), F.col("cnext.x")).alias("vn"),
+            F.coalesce(F.col("sn.d"), F.col("cnext.d")).alias("dn"),
         )
     )
     frac = F.datediff("day", "dp").cast("double") / F.datediff("dn", "dp").cast(

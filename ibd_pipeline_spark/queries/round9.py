@@ -638,15 +638,25 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = d.agg(
         F.sum(F.col("d_events") + F.col("c_censored")).alias("n_total")
     )
-    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
-    k = d.crossJoin(F.broadcast(tot)).withColumn(
-        "n_risk",
-        F.col("n_total")
-        - F.coalesce(
-            F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
-            F.lit(0),
-        ),
+    # r11: all three prefix quantities (exclusive risk-set cumsum, the
+    # ln-factor running sum, the extinction-day running max) ride the
+    # block-stitched helpers over the integer duration spine — no
+    # unpartitioned window (previously the last allow-list day-grain
+    # entry beside interpolate).
+    from ibd_pipeline_spark.operators.calendar import (
+        month_stitched_cumsum,
+        month_stitched_running_extreme,
+    )
+
+    blk = F.floor(F.col("dur") / 32)
+    cum = month_stitched_cumsum(
+        d.withColumn("dc", F.col("d_events") + F.col("c_censored")),
+        "dur",
+        ["dc"],
+        block=blk,
+    )
+    k = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", F.col("n_total") - F.col("cum_dc") + F.col("dc")
     )
     ln_factor = F.when(
         F.col("d_events") < F.col("n_risk"),
@@ -659,17 +669,22 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).cast("decimal(28,8)"),
     )
-    s = k.select(
+    base = k.select(
         "dur",
         F.col("d_events").cast("bigint").alias("d_events"),
         F.col("c_censored").cast("bigint").alias("c_censored"),
         F.col("n_risk").cast("bigint").alias("n_risk"),
-        F.sum(ln_factor).over(w_run).alias("ln_cum"),
-        F.max(
-            F.when(F.col("d_events") >= F.col("n_risk"), F.col("dur"))
-        )
-        .over(w_run)
-        .alias("dead_at"),
+        ln_factor.alias("lnf"),
+        F.when(F.col("d_events") >= F.col("n_risk"), F.col("dur")).alias(
+            "dead_dur"
+        ),
+    )
+    # sum-over-window is NULL until the first non-null; the stitch adds
+    # a 0 offset instead — immaterial here because the output already
+    # coalesces ln_cum to 0 (exp(0) = 1 before any event).
+    s = month_stitched_cumsum(base, "dur", ["lnf"], block=blk)
+    s = month_stitched_running_extreme(
+        s, "dur", "dead_dur", "dead_at", kind="max", block=blk
     )
     return s.select(
         "dur",
@@ -679,7 +694,7 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("dead_at").isNotNull(), F.lit(0.0))
         .otherwise(
             F.round(
-                F.exp(F.coalesce(F.col("ln_cum"), F.lit(0)).cast("double")), 6
+                F.exp(F.coalesce(F.col("cum_lnf"), F.lit(0)).cast("double")), 6
             )
         )
         .alias("survival"),

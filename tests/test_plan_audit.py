@@ -42,12 +42,11 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     # events_cusum_changepoint, events_anomaly_rolling_zscore,
     # events_period_over_period. events_rolling_active_users came
     # off in r10 (linear-counting coverage explode, no window).
-    "events_linear_interpolate_gaps": (
-        "one row per day (unbounded last/first IGNORE NULLS — the "
-        "month stitch needs a carry of latest non-null state; next "
-        "candidate for the calendar helper)"
-    ),
-    "stats_kaplan_meier": "one row per lifetime-duration day (≤ dataset span)",
+    # events_linear_interpolate_gaps and stats_kaplan_meier came OFF
+    # in r11 too: the interpolate edge fills run month-partitioned
+    # with a triangular struct-extreme carry, and KM's three prefix
+    # quantities ride the block-stitched cumsum/running-extreme
+    # helpers over the integer duration spine.
     "train_neyman_allocation": "one row per source (largest-remainder rank)",
     # tiny enumerations
     "quality_benford_digits": "9 rows (leading digits 1-9)",
