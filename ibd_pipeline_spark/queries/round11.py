@@ -1300,3 +1300,462 @@ def similarity_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN = 0.02
+
+
+def _phi_upper(t: str) -> str:
+    """SQL for P(Z > t) for ARBITRARY-sign t via the positive-arg
+    Zelen–Severo tail: tail(t) when t ≥ 0, else 1 − tail(−t)."""
+    return (
+        f"(CASE WHEN {t} >= 0 THEN {_phi_tail_sql(f'({t})')}"
+        f" ELSE 1.0 - {_phi_tail_sql(f'(-({t}))')} END)"
+    )
+
+
+_TOST_SQL = f"""
+WITH assigned AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5('11:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 80
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM assigned
+), d AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b AS diff,
+         sqrt(CAST(conv_a AS DOUBLE) / n_a * (1.0 - CAST(conv_a AS DOUBLE) / n_a)
+                / n_a
+              + CAST(conv_b AS DOUBLE) / n_b
+                * (1.0 - CAST(conv_b AS DOUBLE) / n_b) / n_b) AS se
+  FROM c
+), t AS (
+  SELECT n_a, n_b, conv_a, conv_b, diff, se,
+         (diff + {_TOST_MARGIN}) / se AS t1,
+         (diff - {_TOST_MARGIN}) / se AS t2
+  FROM d
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(diff, 6) AS diff,
+       ROUND(GREATEST({_phi_upper('t1')},
+                      1.0 - {_phi_upper('t2')}), 8) AS p_tost,
+       GREATEST({_phi_upper('t1')}, 1.0 - {_phi_upper('t2')}) < 0.05
+         AS equivalent
+FROM t
+"""
+
+
+@query("ab_tost_equivalence", oracle=_TOST_SQL)
+def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann): can
+    we POSITIVELY conclude the two arms' conversion rates differ by
+    less than ±2 points? The question a non-significant z-test
+    cannot answer (absence of evidence ≠ evidence of absence) — the
+    ship-the-cheaper-variant / no-regression gate. p_tost =
+    max(P(d ≤ −δ), P(d ≥ δ)) under the normal approximation; same
+    md5 hash split and conversion rule as ab_test_proportion_ztest
+    so the two read side by side.
+
+    Exactness: counts are exact integers; diff/se/both tails are
+    fixed double algebra (the signed normal tail reduces to the
+    positive-arg Zelen–Severo polynomial both engines share).
+
+    Scale: one user-grain aggregate, then 1-row algebra."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.groupBy(
+        "user_id", md5_bucket(F.col("user_id"), 11, 2).alias("arm")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 80), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    c = assigned.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    diff = pa - pb
+    se = F.sqrt(
+        pa * (F.lit(1.0) - pa) / F.col("n_a")
+        + pb * (F.lit(1.0) - pb) / F.col("n_b")
+    )
+    t1 = (diff + F.lit(_TOST_MARGIN)) / se
+    t2 = (diff - F.lit(_TOST_MARGIN)) / se
+
+    def phi_upper(t):
+        at = F.abs(t)
+        kk = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * at)
+        poly = (
+            (
+                (
+                    (F.lit(_PHI_B[4]) * kk + F.lit(_PHI_B[3])) * kk
+                    + F.lit(_PHI_B[2])
+                )
+                * kk
+                + F.lit(_PHI_B[1])
+            )
+            * kk
+            + F.lit(_PHI_B[0])
+        ) * kk
+        tail = F.lit(0.3989422804014327) * F.exp(-0.5 * at * at) * poly
+        return F.when(t >= 0, tail).otherwise(F.lit(1.0) - tail)
+
+    p_tost = F.greatest(phi_upper(t1), F.lit(1.0) - phi_upper(t2))
+    return c.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(diff, 6).alias("diff"),
+        F.round(p_tost, 8).alias("p_tost"),
+        (p_tost < 0.05).alias("equivalent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score confidence intervals
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959963985
+
+_WILSON_SQL = f"""
+WITH assigned AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5('11:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 80
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assigned GROUP BY arm
+), w AS (
+  SELECT arm, n, conv,
+         CAST(conv AS DOUBLE) / n AS p,
+         {_WILSON_Z} * {_WILSON_Z} / n AS z2n
+  FROM c
+)
+SELECT CAST(arm AS INT) AS arm, n, conv,
+       ROUND(p, 6) AS p_hat,
+       ROUND((p + z2n / 2.0
+              - {_WILSON_Z} * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)))
+             / (1.0 + z2n), 6) AS wilson_lo,
+       ROUND((p + z2n / 2.0
+              + {_WILSON_Z} * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)))
+             / (1.0 + z2n), 6) AS wilson_hi
+FROM w ORDER BY arm
+"""
+
+
+@query("stats_wilson_ci", oracle=_WILSON_SQL)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence intervals for each arm's
+    conversion rate — the binomial interval that behaves at the
+    extremes where the Wald interval collapses (never escapes [0,1],
+    correct coverage at small n or p near 0/1); the per-arm readout
+    next to the difference tests. Same md5 split and conversion
+    rule as the z-test family.
+
+    Exactness: exact integer counts; the interval is one fixed
+    double formula per arm. Scale: one user-grain aggregate."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.groupBy(
+        "user_id", md5_bucket(F.col("user_id"), 11, 2).alias("arm")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 80), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    c = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    p = F.col("conv").cast("double") / F.col("n")
+    z2n = F.lit(_WILSON_Z) * F.lit(_WILSON_Z) / F.col("n")
+    rad = F.lit(_WILSON_Z) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n") + z2n / (F.lit(4.0) * F.col("n"))
+    )
+    return c.select(
+        F.col("arm").cast("int").alias("arm"),
+        "n",
+        "conv",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + z2n / 2.0 - rad) / (F.lit(1.0) + z2n), 6).alias("wilson_lo"),
+        F.round((p + z2n / 2.0 + rad) / (F.lit(1.0) + z2n), 6).alias("wilson_hi"),
+    ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, w[i] AS word,
+         w[i] IN ({", ".join(f"'{s}'" for s in _RAKE_STOP)}) AS is_stop
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w))) t(i)
+), seg AS (
+  SELECT doc_id, pos, word, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM toks
+), nonstop AS (
+  SELECT doc_id, pos, word, seg_id FROM seg WHERE NOT is_stop
+), phr AS (
+  SELECT doc_id, seg_id,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM nonstop GROUP BY doc_id, seg_id
+), pw AS (
+  SELECT p.doc_id, p.seg_id, p.phrase, p.plen, s.word
+  FROM phr p JOIN nonstop s
+    ON s.doc_id = p.doc_id AND s.seg_id = p.seg_id
+), ws AS (
+  SELECT word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM pw GROUP BY word
+), scored AS (
+  SELECT pw.doc_id, pw.seg_id, pw.phrase,
+         SUM(CAST(ROUND(CAST(ws.deg AS DOUBLE) / ws.freq, 8)
+                  AS DECIMAL(28,8))) AS pscore
+  FROM pw JOIN ws USING (word)
+  GROUP BY pw.doc_id, pw.seg_id, pw.phrase
+), uniq AS (
+  SELECT phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MAX(pscore) AS score
+  FROM scored GROUP BY phrase
+)
+SELECT phrase,
+       CAST(len(string_split(phrase, ' ')) AS INT) AS n_words,
+       n_occurrences,
+       CAST(ROUND(score, 6) AS DOUBLE) AS score
+FROM uniq
+ORDER BY score DESC, phrase
+LIMIT 20
+"""
+
+@query("text_rake_keyphrases", oracle=_RAKE_SQL)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free word runs; each word
+    scores deg/freq (deg = summed length of phrases containing it —
+    co-occurrence degree; freq = raw count inside phrases), a phrase
+    scores the sum of its words' scores, and the top 20 distinct
+    phrases emit with occurrence counts — the zero-supervision
+    keyword extractor next to tf-idf (corpus-relative) and PMI
+    (pair-level) for corpus summarization and topic tagging.
+
+    Exactness: per-word deg/freq ratios round to DECIMAL(28,8)
+    before the phrase sum (order-independent); the phrase score is
+    identical across occurrences by construction, so distinct-phrase
+    aggregation is stable.
+
+    Scale: tokenization explodes once; segment ids ride a
+    doc-PARTITIONED running count; word scores are one vocab-sized
+    aggregate joined back broadcast; top-20 is a TakeOrdered."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).withColumn("is_stop", F.col("word").isin(*_RAKE_STOP))
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = toks.withColumn(
+        "seg_id", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wseg)
+    ).filter(~F.col("is_stop"))
+    phr = seg.groupBy("doc_id", "seg_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    pw = phr.join(
+        seg.select("doc_id", "seg_id", "word"), ["doc_id", "seg_id"]
+    )
+    ws = pw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = (
+        pw.join(F.broadcast(ws), "word")
+        .groupBy("doc_id", "seg_id", "phrase")
+        .agg(
+            F.sum(
+                F.round(F.col("deg").cast("double") / F.col("freq"), 8).cast(
+                    "decimal(28,8)"
+                )
+            ).alias("pscore")
+        )
+    )
+    uniq = scored.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("pscore").alias("score"),  # identical across occurrences
+    )
+    return (
+        uniq.select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("int").alias("n_words"),
+            "n_occurrences",
+            F.round(F.col("score"), 6).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient + global transitivity
+# ---------------------------------------------------------------------------
+
+_CC_SQL = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 100
+), e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), tri AS (
+  -- ordered triangles u < v < w: wedge (u<v, u<w with v<w) closed by (v,w)
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), pertri AS (
+  SELECT u AS n FROM tri
+  UNION ALL SELECT v AS n FROM tri
+  UNION ALL SELECT w AS n FROM tri
+), tcount AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM pertri GROUP BY n
+)
+SELECT d.n AS user_id, d.deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2 THEN
+         ROUND(2.0 * COALESCE(t.n_triangles, 0) / (d.deg * (d.deg - 1)), 6)
+       END AS clustering_coeff
+FROM deg d LEFT JOIN tcount t ON t.n = d.n
+ORDER BY user_id
+"""
+
+
+@query("graph_clustering_coefficient", oracle=_CC_SQL)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the user co-activity
+    graph: cc(n) = 2·triangles(n) / (deg(n)·(deg(n)−1)) — how close a
+    user's neighborhood is to a clique. Triangles enumerate ONCE in
+    canonical u < v < w order (wedge at the minimum vertex closed by
+    the (v, w) edge — each triangle counted exactly once, then
+    credited to all three corners), the standard oriented-wedge
+    algorithm. With graph_kcore_peel (dense cores) and
+    graph_adamic_adar (missing links) this completes the cohort-
+    structure toolkit: cc says WHICH nodes sit in locally dense
+    tissue.
+
+    Exactness: pure integer counting until one final division.
+
+    Scale: the wedge join's fan-out is Σ deg(u over its ordered
+    neighbors)² and the closing probe is an equi-join against the
+    edge list — the count-triangles-in-MapReduce bound; never
+    node-quadratic. user_id < 100 bounds the bench, not the shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by degrees, wedges, closure
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("u"),
+            F.col("e1.v").alias("v"),
+            F.col("e2.v").alias("w"),
+        )
+    )
+    pertri = (
+        tri.select(F.col("u").alias("n"))
+        .unionAll(tri.select(F.col("v").alias("n")))
+        .unionAll(tri.select(F.col("w").alias("n")))
+    )
+    tcount = pertri.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    out = deg.join(tcount, "n", "left").select(
+        F.col("n").alias("user_id"),
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        ).alias("clustering_coeff"),
+    )
+    return out.orderBy("user_id")
