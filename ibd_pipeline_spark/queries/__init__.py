@@ -244,6 +244,10 @@ _ROUND11_NEW: list[str] = [
     "ab_msprt_always_valid",
     "events_double_smoothing_forecast",
     "events_hurst_exponent",
+    "ab_tost_equivalence",
+    "stats_wilson_ci",
+    "text_rake_keyphrases",
+    "graph_clustering_coefficient",
 ]
 
 # ----------------------------------------------------------------------
