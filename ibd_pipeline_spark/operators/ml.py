@@ -756,3 +756,130 @@ SELECT w.k AS dim, ROUND(w.wk, 6) AS weight,
 FROM (VALUES {wvals(w)}) AS w(k, wk) CROSS JOIN m
 ORDER BY dim"""
     )
+
+
+def pca_power_attested(
+    df: DataFrame,
+    vec: str = "embedding",
+    iters: int = 8,
+    k: int = 1,
+) -> DataFrame:
+    """Principal components by power iteration with deflation whose
+    EVERY float operation is cross-engine deterministic, so a DuckDB
+    CTE unroll replays all rounds bit-for-bit — the r11 guarantee-
+    attestation conversion (logreg_fit_attested's design applied to
+    the eigenproblem; the float-math production twins stay
+    pca_top_component / pca_top_k, property-tested in tests/test_ml.py):
+
+    - dimension means and the covariance matrix accumulate in FIXED
+      POINT: SUM(FLOOR(term·10⁹ or 10¹²)) over exact BIGINTs —
+      order-independent, and FLOOR of identical doubles is
+      bit-identical on both engines;
+    - each matvec term floors at 10¹²; the per-dimension sums are
+      exact integers, so the iteration never depends on float
+      summation order;
+    - the norm accumulates SQUARED fixed-point integers exactly
+      (Python bigint here, HUGEINT in the oracle) before ONE cast to
+      double — both engines round-to-nearest from the same integer;
+    - the vector re-quantizes to 10⁻⁹ after every normalization, so
+      a last-ulp disagreement flips a floor with probability ~1e-9
+      per entry instead of compounding across rounds;
+    - v₀ = FLOOR(10⁹/√d)/10⁹ per entry (deterministic, all-positive
+      — which also fixes the eigenvector's sign);
+    - deflation C ← C − FLOOR(λ·vⱼ·vₖ·10¹²)/10¹² keeps later
+      components on the same quantized grid.
+
+    The covariance build is the distributed pass: a double
+    posexplode of the centered vectors (n·d² flat rows through
+    whole-stage codegen, map-side-combined into d² groups — never a
+    row-pair join). The d²-row matrix and the d-row mean vector are
+    collected as MODEL STATE (the same contract as logreg's per-round
+    d-row gradient and BPE's merge table); iterations are driver
+    math on exact integers. Fixed-point headroom: per-row terms
+    floor at 1e12, so the BIGINT sums stay exact past 10⁶ rows per
+    partition-free group; at larger corpora drop the scale to 1e9
+    (three guard digits still beat the 1e-6 output rounding).
+
+    Returns (component, dim, loading, eigenvalue, n_vectors) —
+    loadings are the quantized unit vector, eigenvalue the final
+    ‖Cv‖ (the Rayleigh estimate under unit v). Not a convergence
+    claim: 8 rounds on near-isotropic data may mix close eigpairs —
+    the property suite covers recovery quality; THIS path pins the
+    arithmetic so two engines agree bit-for-bit.
+    """
+    import math
+
+    spark = df.sparkSession
+    view = "__pca_attested_x"
+    df.select(as_double_array(vec).alias("x")).createOrReplaceTempView(view)
+    d = int(
+        spark.sql(f"SELECT size(x) AS d FROM {view} LIMIT 1").collect()[0]["d"]
+    )
+    n = int(spark.sql(f"SELECT COUNT(*) AS n FROM {view}").collect()[0]["n"])
+
+    mu_rows = spark.sql(
+        f"""
+SELECT pos AS k, SUM(CAST(FLOOR(xv * 1e9) AS BIGINT)) AS s
+FROM {view} LATERAL VIEW posexplode(x) t AS pos, xv
+GROUP BY pos"""
+    ).collect()  # d rows — model state
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r["k"]] = r["s"] / (1e9 * n)
+    muvals = ", ".join(f"({j}, {mu[j]!r}D)" for j in range(d))
+
+    cov_rows = spark.sql(
+        f"""
+SELECT jpos AS j, kpos AS k2,
+       SUM(CAST(FLOOR((xj - ma.mu) * (xk - mb.mu) * 1e12) AS BIGINT)) AS c_fp
+FROM (
+  SELECT jpos, xj, kpos, xk FROM {view}
+  LATERAL VIEW posexplode(x) a AS jpos, xj
+  LATERAL VIEW posexplode(x) b AS kpos, xk
+) t
+JOIN (VALUES {muvals}) ma(k, mu) ON ma.k = t.jpos
+JOIN (VALUES {muvals}) mb(k, mu) ON mb.k = t.kpos
+GROUP BY jpos, kpos"""
+    ).collect()  # d² rows — model state (the covariance matrix)
+    C = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        C[r["j"]][r["k2"]] = r["c_fp"] / (1e12 * n)
+
+    out: "list[tuple]" = []
+    for comp in range(1, k + 1):
+        v = [math.floor(1e9 / math.sqrt(d)) / 1e9] * d
+        nrm = 0.0
+        for _ in range(iters):
+            wfp = [
+                sum(math.floor(C[j][kk] * v[kk] * 1e12) for kk in range(d))
+                for j in range(d)
+            ]
+            ssq = sum(w * w for w in wfp)  # exact bigint
+            nrm = math.sqrt(float(ssq)) / 1e12
+            v = [
+                math.floor((wfp[j] / 1e12 / nrm) * 1e9) / 1e9
+                for j in range(d)
+            ]
+        for j in range(d):
+            out.append((comp, j, v[j], nrm))
+        if comp < k:
+            C = [
+                [
+                    C[j][kk]
+                    - math.floor(nrm * v[j] * v[kk] * 1e12) / 1e12
+                    for kk in range(d)
+                ]
+                for j in range(d)
+            ]
+
+    vals = ", ".join(
+        f"({c}, {j}, {lv!r}D, {ev!r}D)" for (c, j, lv, ev) in out
+    )
+    return spark.sql(
+        f"""
+SELECT CAST(component AS INT) AS component, CAST(dim AS INT) AS dim,
+       ROUND(loading, 6) AS loading, ROUND(eigenvalue, 6) AS eigenvalue,
+       CAST({n} AS BIGINT) AS n_vectors
+FROM (VALUES {vals}) AS t(component, dim, loading, eigenvalue)
+ORDER BY component, dim"""
+    )

@@ -212,6 +212,8 @@ _ROUND11_PRIORITY: list[str] = [
     "sketch_hll_daily_union",
     "similarity_kmeans_clusters",
     "train_logreg_quality_gate",
+    "similarity_pca_top_component",
+    "similarity_pca_top_k",
     # r11 rewrites: evidence must postdate the semantics/plan change
     "join_asof_nearest_tolerance",  # micros-exact gaps (ADVICE r10)
     "events_asof_nearest",  # same family, same upgrade
@@ -248,6 +250,13 @@ _ROUND11_NEW: list[str] = [
     "stats_wilson_ci",
     "text_rake_keyphrases",
     "graph_clustering_coefficient",
+    "stats_welch_ttest",
+    "stats_kendall_tau",
+    "analytics_cohort_retention",
+    "dedup_ngram_coverage",
+    "stats_poisson_rate_ztest",
+    "search_hybrid_rrf",
+    "similarity_ndcg_eval",
 ]
 
 # ----------------------------------------------------------------------

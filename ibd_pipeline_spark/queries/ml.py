@@ -1,12 +1,13 @@
 """Registry entries for the all-DataFrame ML primitives
-(operators/ml.py). The logreg gate is HASH-ATTESTED since r11 via
-the fixed-point GD unroll (see train_logreg_quality_gate); the two
-PCA queries remain rows-only — the Gram eigensolve's output is an
-eigenvector (defined only up to sign and, under near-degenerate
-eigenvalues, rotation), so no SQL replay pins its bits; their
-correctness evidence is the property suite in tests/test_ml.py
-(planted-direction recovery, orthogonality, eigenvalue ordering,
-path agreement) plus the driver's recorded row counts.
+(operators/ml.py). HASH-ATTESTED since r11, completing the r10→r11
+conversion programme: the logreg gate via the fixed-point GD unroll
+(r11 wave 1) and BOTH PCA queries via the fixed-point power-iteration
+unroll (r11 wave 3) — every float step quantized so a DuckDB CTE
+unroll replays the identical arithmetic bit-for-bit. The float-math
+production twins (Gram eigensolve fast path, covariance-action power
+iteration, Arrow-partial GD) remain in operators/ml.py and are what
+the property suite in tests/test_ml.py exercises (planted-direction
+recovery, orthogonality, eigenvalue ordering, path agreement).
 """
 
 from __future__ import annotations
@@ -17,31 +18,123 @@ from pyspark.sql import DataFrame, SparkSession
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.operators.ml import (
     logreg_fit_attested,
-    pca_top_component,
-    pca_top_k,
+    pca_power_attested,
 )
 from ibd_pipeline_spark.queries import query
 
+_PCA_ITERS, _PCA_D = 8, 64
 
-@query("similarity_pca_top_component")
+
+def _pca_oracle(k: int) -> str:
+    """DuckDB CTE unroll of the attested power-iteration fixpoint:
+    fixed-point mean/covariance accumulation, per-round 1e12-floored
+    matvec terms with exact-integer norms (HUGEINT here, Python
+    bigint on the Spark side) and 1e-9 vector re-quantization —
+    the identical arithmetic operators/ml.py:pca_power_attested
+    runs, so loadings AND eigenvalues replay bit-for-bit."""
+    d, R = _PCA_D, _PCA_ITERS
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+dims AS MATERIALIZED (
+  SELECT i - 1 AS k FROM UNNEST(generate_series(1, {d})) t(i)
+), mu AS MATERIALIZED (
+  SELECT d.k,
+         SUM(CAST(FLOOR(e.x[d.k + 1] * 1e9) AS BIGINT)) / (1e9 * cnt.n) AS mu
+  FROM ev e, dims d, cnt GROUP BY d.k, cnt.n
+), cq1 AS MATERIALIZED (
+  SELECT mj.k AS j, mk.k AS k2,
+         CAST(SUM(CAST(FLOOR((e.x[mj.k + 1] - mj.mu)
+                             * (e.x[mk.k + 1] - mk.mu) * 1e12) AS BIGINT))
+              AS DOUBLE) / (1e12 * cnt.n) AS c
+  FROM ev e, mu mj, mu mk, cnt
+  GROUP BY mj.k, mk.k, cnt.n
+)"""]
+    for comp in range(1, k + 1):
+        parts.append(f""",
+v{comp}_0 AS (SELECT k, FLOOR(1e9 / sqrt({d})) / 1e9 AS vk FROM dims)""")
+        for r in range(1, R + 1):
+            parts.append(f""",
+w{comp}_{r} AS MATERIALIZED (
+  SELECT cc.j AS k, SUM(CAST(FLOOR(cc.c * v.vk * 1e12) AS BIGINT)) AS wfp
+  FROM cq{comp} cc JOIN v{comp}_{r - 1} v ON v.k = cc.k2 GROUP BY cc.j
+), n{comp}_{r} AS (
+  SELECT sqrt(CAST(SUM(CAST(wfp AS HUGEINT) * wfp) AS DOUBLE)) / 1e12 AS nrm
+  FROM w{comp}_{r}
+), v{comp}_{r} AS MATERIALIZED (
+  SELECT w.k, FLOOR((CAST(w.wfp AS DOUBLE) / 1e12 / nrm) * 1e9) / 1e9 AS vk
+  FROM w{comp}_{r} w, n{comp}_{r}
+)""")
+        if comp < k:
+            parts.append(f""",
+cq{comp + 1} AS MATERIALIZED (
+  SELECT cc.j, cc.k2,
+         cc.c - FLOOR(nn.nrm * vj.vk * vk2.vk * 1e12) / 1e12 AS c
+  FROM cq{comp} cc
+  JOIN v{comp}_{R} vj ON vj.k = cc.j
+  JOIN v{comp}_{R} vk2 ON vk2.k = cc.k2, n{comp}_{R} nn
+)""")
+    selects = [
+        f"""
+SELECT CAST({comp} AS INT) AS component, CAST(v.k AS INT) AS dim,
+       ROUND(v.vk, 6) AS loading, ROUND(nn.nrm, 6) AS eigenvalue,
+       cnt.n AS n_vectors
+FROM v{comp}_{R} v, n{comp}_{R} nn, cnt"""
+        for comp in range(1, k + 1)
+    ]
+    parts.append("\nUNION ALL".join(selects))
+    parts.append("\nORDER BY component, dim")
+    return "".join(parts)
+
+
+def _pca_top1_oracle() -> str:
+    sql = _pca_oracle(1)
+    # top-1 keeps the historical schema (no component column)
+    return sql.replace(
+        "SELECT CAST(1 AS INT) AS component, CAST(v.k AS INT) AS dim",
+        "SELECT CAST(v.k AS INT) AS dim",
+    ).replace("ORDER BY component, dim", "ORDER BY dim")
+
+
+@query("similarity_pca_top_component", oracle=_pca_top1_oracle)
 def similarity_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embeddings table (64 dims). At
-    this d the operator routes through the r06 Gram fast path: ONE
-    Arrow pass of numpy Gram/sum partials + a driver-side eigensolve
-    (MLlib RowMatrix design); the covariance-action power iteration
-    remains the large-d route (method='power', agreement-tested — see
-    operators/ml.py). Output: one row per dimension (dim, loading,
-    eigenvalue, n_vectors), loadings rounded for a stable rows-only
-    record — the unrounded operator is what the property tests
-    exercise."""
+    """Top principal component of the embeddings table (64 dims).
+
+    HASH-ATTESTED since r11 (previously rows-only): routed through
+    operators/ml.py:pca_power_attested — fixed-point covariance
+    accumulation, 8 power-iteration rounds with 1e12-floored matvec
+    terms, exact-integer norms and 1e-9 vector re-quantization, so
+    the DuckDB oracle's CTE unroll replays loadings and the
+    eigenvalue bit-for-bit (the r10 conversion pattern that closed
+    kmeans/logreg). The float-math production twins stay
+    operators/ml.py:pca_top_component (Gram fast path at small d,
+    covariance-action power iteration at large d), property-tested
+    in tests/test_ml.py. Output: one row per dimension
+    (dim, loading, eigenvalue, n_vectors)."""
     emb = load(spark, sf_dir, "embeddings")
-    comp = pca_top_component(emb, vec="embedding", iters=8)
-    return comp.select(
-        "dim",
-        F.round("loading", 6).alias("loading"),
-        F.round("eigenvalue", 6).alias("eigenvalue"),
-        "n_vectors",
-    ).orderBy("dim")
+    comp = pca_power_attested(emb, vec="embedding", iters=_PCA_ITERS, k=1)
+    return comp.select("dim", "loading", "eigenvalue", "n_vectors").orderBy(
+        "dim"
+    )
+
+
+@query("similarity_pca_top_k", oracle=lambda: _pca_oracle(3))
+def similarity_pca_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 principal components of the embeddings table — the
+    dimensionality-reduction front end for visualization and cheap
+    pre-ANN projection.
+
+    HASH-ATTESTED since r11 (previously rows-only): the attested
+    power-iteration fixpoint with DEFLATION — after each component,
+    C ← C − FLOOR(λ·vⱼ·vₖ·10¹²)/10¹² keeps later components on the
+    same quantized grid, and the oracle unrolls all 3×8 rounds as
+    CTEs (see _pca_oracle). Not a convergence claim: 8 rounds on
+    near-isotropic data may mix close eigenpairs — the float-path
+    property suite covers recovery quality; this path pins the
+    arithmetic. Output one row per (component, dim)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_power_attested(emb, vec="embedding", iters=_PCA_ITERS, k=3)
 
 
 _LR_ITERS, _LR_DIM = 12, 65  # bias + 64 embedding dims
@@ -147,26 +240,3 @@ def train_logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "accuracy",
         "n_rows",
     )
-
-
-@query("similarity_pca_top_k")
-def similarity_pca_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 principal components of the embeddings table
-    (operators/ml.py:pca_top_k) — the dimensionality-reduction front
-    end for visualization and cheap pre-ANN projection. At d=64 the
-    operator routes through the r06 Gram fast path (one Arrow pass +
-    driver eigensolve — exact factorization, so components are
-    orthogonal and eigenvalues exactly ordered even on this
-    near-isotropic fixture); power-iteration-with-deflation remains
-    the large-d route (method='power', agreement-tested). Rows-only;
-    output one row per (component, dim) with rounded loadings for a
-    stable record."""
-    emb = load(spark, sf_dir, "embeddings")
-    comp = pca_top_k(emb, vec="embedding", k=3, iters=8)
-    return comp.select(
-        "component",
-        "dim",
-        F.round("loading", 6).alias("loading"),
-        F.round("eigenvalue", 6).alias("eigenvalue"),
-        "n_vectors",
-    ).orderBy("component", "dim")
