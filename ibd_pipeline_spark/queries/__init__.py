@@ -257,6 +257,16 @@ _ROUND11_NEW: list[str] = [
     "stats_poisson_rate_ztest",
     "search_hybrid_rrf",
     "similarity_ndcg_eval",
+    # wave 5 (round11c.py) — window lands at exactly 50
+    "train_dsir_importance",
+    "stats_logrank_test",
+    "stats_kruskal_wallis",
+    "stats_ljung_box",
+    "stats_holm_bonferroni",
+    "graph_degree_assortativity",
+    "text_good_turing_vocab",
+    "ab_post_stratification",
+    "dedup_semantic_clusters",
 ]
 
 # ----------------------------------------------------------------------
