@@ -95,8 +95,27 @@ def month_stitched_cumsum(
         )
     )
     out = within.join(F.broadcast(off), [*group_cols, "_m"])
+    # Decimal weights: SUM() promotes (p,s) -> (38,s); adding the two
+    # (38,s) sums would need precision 39, and Spark's cap resolves
+    # that by SHEDDING A SCALE DIGIT (38,s) + (38,s) -> (38,s-1) —
+    # silently truncating the cumsum's last decimal place (caught at
+    # r11 sf0.1: an 8-dp hazard cumsum came back 7-dp, flipping a
+    # downstream round across the half). Re-bound both addends to
+    # precision 37 first (day/duration-grain partials never approach
+    # 29 integer digits), so the add lands on (38,s) losslessly.
+    from pyspark.sql.types import DecimalType
+
+    scales = {
+        f.name: f.dataType.scale
+        for f in df.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    }
     for w in weight_cols:
-        out = out.withColumn(f"{prefix}{w}", F.col(f"_off_{w}") + F.col(f"_mc_{w}"))
+        lhs, rhs = F.col(f"_off_{w}"), F.col(f"_mc_{w}")
+        if w in scales:
+            t = DecimalType(37, scales[w])
+            lhs, rhs = lhs.cast(t), rhs.cast(t)
+        out = out.withColumn(f"{prefix}{w}", lhs + rhs)
     return out.drop(
         "_m",
         *[f"_mc_{w}" for w in weight_cols],

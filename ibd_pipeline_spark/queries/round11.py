@@ -421,17 +421,18 @@ def sample_consistent_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NA_SQL = """
-WITH span AS (
-  SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
-), u AS (
+WITH u AS (
   SELECT user_id,
          MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
-         MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+         MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+           AS conv_ts
   FROM events GROUP BY user_id
 ), lif AS (
-  SELECT CAST(datediff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+  SELECT CAST(datediff('day', CAST(first_ts AS DATE),
+                       CAST(COALESCE(conv_ts, last_ts) AS DATE))
               AS BIGINT) AS dur,
-         (last_ts > (SELECT max_ts FROM span) - INTERVAL 7 DAY) AS censored
+         conv_ts IS NULL AS censored
   FROM u
 ), d AS (
   SELECT dur,
@@ -458,19 +459,20 @@ WITH span AS (
   FROM k
 )
 SELECT dur, n_risk, d_events,
-       CAST(ROUND(h, 6) AS DOUBLE) AS cum_hazard,
+       ROUND(CAST(h AS DOUBLE), 6) AS cum_hazard,
        ROUND(EXP(-CAST(h AS DOUBLE)), 6) AS na_survival,
-       CAST(ROUND(vr, 8) AS DOUBLE) AS hazard_var
+       ROUND(CAST(vr AS DOUBLE), 8) AS hazard_var
 FROM s ORDER BY dur
 """
 
 
 @query("stats_nelson_aalen", oracle=_NA_SQL)
 def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nelson–Aalen cumulative-hazard estimator over user lifetimes
-    (same right-censored construction as stats_kaplan_meier: lifetime
-    = first→last event day span, censored when still active in the
-    final week): H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ, its variance Σ dᵢ/nᵢ², and
+    """Nelson–Aalen cumulative-hazard estimator over time-to-first-
+    purchase (same right-censored construction as stats_kaplan_meier
+    since r11: death = a user's first purchase, measured in days from
+    first activity; never-purchasers censored at last activity):
+    H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ, its variance Σ dᵢ/nᵢ², and
     the Fleming–Harrington survival exp(−H) — the hazard-side
     companion KM's product-limit can't give (H is additive, so
     hazard INCREMENTS between any two horizons read directly off the
@@ -487,17 +489,21 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibd_pipeline_spark.operators.calendar import month_stitched_cumsum
 
     ev = load(spark, sf_dir, "events")
-    span = ev.agg(F.max("ts").alias("max_ts"))
     u = ev.groupBy("user_id").agg(
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts"),
     )
-    lif = u.crossJoin(F.broadcast(span)).select(
-        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+    lif = u.select(
+        F.datediff(
+            F.to_date(F.coalesce("conv_ts", "last_ts")),
+            F.to_date("first_ts"),
+        )
         .cast("bigint")
         .alias("dur"),
-        (F.col("last_ts") > F.col("max_ts") - F.expr("INTERVAL 7 DAY")).alias(
-            "censored"
-        ),
+        F.col("conv_ts").isNull().alias("censored"),
     )
     d = lif.groupBy("dur").agg(
         F.count(F.when(~F.col("censored"), 1)).cast("bigint").alias("d_events"),
@@ -536,13 +542,19 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vt"),
     )
     s = month_stitched_cumsum(terms, "dur", ["ht", "vt"], block=blk)
+    # r11: ROUND runs on the decimal→double IMAGE, not the decimal —
+    # a DECIMAL cumsum ending in an exact trailing "…50" rounds
+    # differently across engines (Spark decimal ROUND is HALF_UP;
+    # DuckDB's is not), while the double image never sits exactly on
+    # the half, so both engines decide the same way (hit at sf0.1:
+    # cum_hazard 1.11769250 → 1.117693 vs 1.117692)
     return s.select(
         "dur",
         "n_risk",
         "d_events",
-        F.round("cum_ht", 6).cast("double").alias("cum_hazard"),
+        F.round(F.col("cum_ht").cast("double"), 6).alias("cum_hazard"),
         F.round(F.exp(-F.col("cum_ht").cast("double")), 6).alias("na_survival"),
-        F.round("cum_vt", 8).cast("double").alias("hazard_var"),
+        F.round(F.col("cum_vt").cast("double"), 8).alias("hazard_var"),
     ).orderBy("dur")
 
 

@@ -87,7 +87,7 @@ WITH toks AS (
 )
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(ROUND(SUM(w), 6) AS DOUBLE) / COUNT(*) AS mean_logw,
+       ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 8) AS mean_logw,
        CAST(COUNT(*) FILTER (w > 0) AS BIGINT) AS n_selected
 FROM docw GROUP BY lang ORDER BY lang
 """
@@ -117,11 +117,15 @@ def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash trick bounds state at B buckets regardless of corpus size —
     exactly why DSIR scales to CommonCrawl."""
     d = load(spark, sf_dir, "documents")
+    # physical barrier before the gram lambdas: CollapseProject would
+    # inline the merely-projected split(text) into slice/zip_with and
+    # re-split per gram — the r10 prefix-filter lesson (measured here:
+    # 2.3 s -> 0.6 s on the sf0.1 gram build)
     toks = d.select(
         "doc_id",
         "lang",
         F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
-    )
+    ).localCheckpoint(eager=True)
     grams = toks.select(
         "doc_id",
         "lang",
@@ -133,6 +137,9 @@ def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # the hashed gram stream feeds BOTH the bucket counts and the
+    # per-doc weight join — materialize it once (it is (doc, lang,
+    # int) — far smaller than re-hashing 250k+ md5 grams twice)
     hashed = grams.select(
         "doc_id",
         "lang",
@@ -148,7 +155,7 @@ def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
             % _DSIR_B
         ).alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     counts = hashed.groupBy("b").agg(
         F.count(F.lit(1)).cast("bigint").alias("cr"),
         F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("ct"),
@@ -178,8 +185,10 @@ def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docw.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            (
-                F.round(F.sum("w"), 6).cast("double") / F.count(F.lit(1))
+            # decimal→double BEFORE any rounding (the NA half-"…50"
+            # cross-engine decimal-ROUND lesson)
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)), 8
             ).alias("mean_logw"),
             F.count(F.when(F.col("w") > 0, 1))
             .cast("bigint")
@@ -194,27 +203,28 @@ def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LOGRANK_SQL = f"""
-WITH span AS (
-  SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
-), u AS (
+WITH u AS (
   SELECT user_id,
          MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
          MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
-           AS payer
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+           AS conv_ts,
+         MIN(struct_pack(ts := CAST(ts AS TIMESTAMP), eid := event_id,
+                         et := event_type)) AS frow
   FROM events GROUP BY user_id
 ), lif AS (
-  SELECT payer,
-         CAST(datediff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+  SELECT frow.et = 'view' AS grp1,
+         CAST(datediff('day', CAST(first_ts AS DATE),
+                       CAST(COALESCE(conv_ts, last_ts) AS DATE))
               AS BIGINT) AS dur,
-         (last_ts > (SELECT max_ts FROM span) - INTERVAL 7 DAY) AS censored
+         conv_ts IS NULL AS censored
   FROM u
 ), d AS (
   SELECT dur,
-         CAST(COUNT(*) FILTER (payer AND NOT censored) AS BIGINT) AS d1,
-         CAST(COUNT(*) FILTER (NOT payer AND NOT censored) AS BIGINT) AS d2,
-         CAST(COUNT(*) FILTER (payer) AS BIGINT) AS a1,
-         CAST(COUNT(*) FILTER (NOT payer) AS BIGINT) AS a2
+         CAST(COUNT(*) FILTER (grp1 AND NOT censored) AS BIGINT) AS d1,
+         CAST(COUNT(*) FILTER (NOT grp1 AND NOT censored) AS BIGINT) AS d2,
+         CAST(COUNT(*) FILTER (grp1) AS BIGINT) AS a1,
+         CAST(COUNT(*) FILTER (NOT grp1) AS BIGINT) AS a2
   FROM lif GROUP BY dur
 ), k AS (
   SELECT dur, d1, d2,
@@ -244,70 +254,77 @@ WITH span AS (
   FROM terms
 ), z AS (
   SELECT o1, e1, v,
-         (CAST(o1 AS DOUBLE) - e1) / sqrt(v) AS zs
+         CASE WHEN v > 0
+              THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END AS zs
   FROM s
 )
-SELECT (SELECT CAST(COUNT(*) FILTER (payer) AS BIGINT) FROM u) AS n_payers,
-       (SELECT CAST(COUNT(*) FILTER (NOT payer) AS BIGINT) FROM u)
-         AS n_nonpayers,
+SELECT (SELECT CAST(COUNT(*) FILTER (grp1) AS BIGINT) FROM lif)
+         AS n_first_view,
+       (SELECT CAST(COUNT(*) FILTER (NOT grp1) AS BIGINT) FROM lif)
+         AS n_other,
        o1 AS observed_1, ROUND(e1, 6) AS expected_1,
        ROUND(zs, 6) AS z_stat, ROUND(zs * zs, 6) AS chi2,
-       ROUND(2.0 * {_phi_tail_sql("abs(zs)")}, 8) AS p_value
+       CASE WHEN zs IS NOT NULL
+            THEN ROUND(2.0 * {_phi_tail_sql("abs(zs)")}, 8) END AS p_value
 FROM z
 """
 
 
 @query("stats_logrank_test", oracle=_LOGRANK_SQL)
 def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log-rank (Mantel-Cox) test comparing the survival curves of
-    PAYERS (users with ≥1 purchase) vs non-payers, on the identical
-    right-censored lifetime construction as stats_kaplan_meier /
-    stats_nelson_aalen (lifetime = first→last event day span,
-    censored when still active in the final week). At each distinct
-    death time t: observed group-1 deaths d1(t) vs hypergeometric
-    expectation dt·n1/nt and variance dt·(n1/nt)(1−n1/nt)(nt−dt)/
-    (nt−1); z = (O1−E1)/√ΣV — THE standard "do these two retention
-    curves differ" test (churn analysis, cohort comparisons), which
+    """Log-rank (Mantel-Cox) test comparing time-to-first-purchase
+    survival between FIRST-TOUCH cohorts — users whose very first
+    event is a 'view' (browsers) vs everyone else — on the identical
+    right-censored conversion construction as stats_kaplan_meier /
+    stats_nelson_aalen (death = first purchase, days from first
+    activity; never-purchasers censored at last activity). At each
+    distinct death time t: observed group-1 deaths d1(t) vs
+    hypergeometric expectation dt·n1/nt and variance
+    dt·(n1/nt)(1−n1/nt)(nt−dt)/(nt−1); z = (O1−E1)/√ΣV — THE
+    standard "do these two conversion curves differ" test, which
     neither KM curve alone answers.
 
-    Exactness: d and at-risk counts are exact integers (at-risk via
-    the block-stitched cumsum, no unpartitioned window); each E/V
-    term rounds to DECIMAL(28,10) before the order-independent sum;
-    z, chi2 and the Zelen-Severo p-value are identical double chains
-    on both engines.
+    Determinism: the first-touch extractor is MIN over the struct
+    (ts, event_id, event_type) — (ts, event_id) is unique per user,
+    and both engines order structs lexicographically, so the cohort
+    assignment is bit-identical. d and at-risk counts are exact
+    integers (at-risk via the block-stitched cumsum, no
+    unpartitioned window); each E/V term rounds to DECIMAL(28,10)
+    before the order-independent sum; z, chi2 and the Zelen-Severo
+    p-value are identical double chains on both engines.
 
     Scale: one user_id shuffle for lifetimes; everything after runs
     on the day-span-bounded duration frame."""
     from ibd_pipeline_spark.operators.calendar import month_stitched_cumsum
 
     ev = load(spark, sf_dir, "events")
-    span = ev.agg(F.max("ts").alias("max_ts"))
     u = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        (
-            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-            == 1
-        ).alias("payer"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts"),
+        F.min(F.struct("ts", "event_id", "event_type")).alias("frow"),
     )
-    lif = u.crossJoin(F.broadcast(span)).select(
-        "payer",
-        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+    lif = u.select(
+        (F.col("frow.event_type") == "view").alias("grp1"),
+        F.datediff(
+            F.to_date(F.coalesce("conv_ts", "last_ts")),
+            F.to_date("first_ts"),
+        )
         .cast("bigint")
         .alias("dur"),
-        (F.col("last_ts") > F.col("max_ts") - F.expr("INTERVAL 7 DAY")).alias(
-            "censored"
-        ),
+        F.col("conv_ts").isNull().alias("censored"),
     )
     d = lif.groupBy("dur").agg(
-        F.count(F.when(F.col("payer") & ~F.col("censored"), 1))
+        F.count(F.when(F.col("grp1") & ~F.col("censored"), 1))
         .cast("bigint")
         .alias("d1"),
-        F.count(F.when(~F.col("payer") & ~F.col("censored"), 1))
+        F.count(F.when(~F.col("grp1") & ~F.col("censored"), 1))
         .cast("bigint")
         .alias("d2"),
-        F.count(F.when(F.col("payer"), 1)).cast("bigint").alias("a1"),
-        F.count(F.when(~F.col("payer"), 1)).cast("bigint").alias("a2"),
+        F.count(F.when(F.col("grp1"), 1)).cast("bigint").alias("a1"),
+        F.count(F.when(~F.col("grp1"), 1)).cast("bigint").alias("a2"),
     )
     tot = d.agg(
         F.sum("a1").alias("t1"),
@@ -334,6 +351,11 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dt.cast("double") * p1, 10)
         .cast("decimal(28,10)")
         .alias("e1"),
+        # the nt = 1 guard divides by greatest(nt-1, 1) INSIDE the
+        # branch too: whole-stage codegen hoists the division as a
+        # common subexpression and evaluates it even on rows the
+        # when() rejects — a bare (nt-1) denominator throws
+        # DIVIDE_BY_ZERO under ANSI mode on the last at-risk row
         F.round(
             F.when(
                 nt > 1,
@@ -341,7 +363,7 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * p1
                 * (F.lit(1.0) - p1)
                 * (nt - dt)
-                / (nt - 1),
+                / F.greatest(nt - 1, F.lit(1)),
             ).otherwise(F.lit(0.0)),
             10,
         )
@@ -353,23 +375,32 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e1").cast("double").alias("e1"),
         F.sum("v").cast("double").alias("v"),
     )
-    npay = u.agg(
-        F.count(F.when(F.col("payer"), 1)).cast("bigint").alias("n_payers"),
-        F.count(F.when(~F.col("payer"), 1))
-        .cast("bigint")
-        .alias("n_nonpayers"),
+    npay = lif.agg(
+        F.count(F.when(F.col("grp1"), 1)).cast("bigint").alias("n_first_view"),
+        F.count(F.when(~F.col("grp1"), 1)).cast("bigint").alias("n_other"),
     )
-    zs = (F.col("o1").cast("double") - F.col("e1")) / F.sqrt(F.col("v"))
+    # V = 0 (all deaths at one time, or a single-group family) leaves
+    # the statistic undefined — NULL, never a divide-by-zero (the
+    # ANSI-mode sqrt(0) denominator is hoisted by codegen, so the
+    # guard divides by a floored-at-tiny denominator inside)
+    zs = F.when(
+        F.col("v") > 0,
+        (F.col("o1").cast("double") - F.col("e1"))
+        / F.sqrt(F.greatest(F.col("v"), F.lit(1e-300))),
+    )
     return (
         npay.crossJoin(F.broadcast(s))
         .select(
-            "n_payers",
-            "n_nonpayers",
+            "n_first_view",
+            "n_other",
             F.col("o1").alias("observed_1"),
             F.round("e1", 6).alias("expected_1"),
             F.round(zs, 6).alias("z_stat"),
             F.round(zs * zs, 6).alias("chi2"),
-            F.round(2.0 * _phi_tail_col(F.abs(zs)), 8).alias("p_value"),
+            F.when(
+                zs.isNotNull(),
+                F.round(2.0 * _phi_tail_col(F.abs(zs)), 8),
+            ).alias("p_value"),
         )
     )
 
@@ -443,8 +474,16 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
-    per_value = s.groupBy("v").pivot("g").count().na.fill(0)
-    gcols = [c for c in per_value.columns if c != "v"]
+    # group list is k = 5 catalog values — one metadata-sized collect
+    # (what pivot() does internally, minus pivot's extra agg pass:
+    # measured 3.2 s -> 0.4 s for the per-value frame at sf0.1)
+    gcols = sorted(r["g"] for r in s.select("g").distinct().collect())
+    per_value = s.groupBy("v").agg(
+        *[
+            F.count(F.when(F.col("g") == c, 1)).cast("bigint").alias(c)
+            for c in gcols
+        ]
+    )
     per_value = per_value.withColumn(
         "t", sum(F.col(c) for c in gcols).cast("bigint")
     )
@@ -1300,10 +1339,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     work flat — the same contract as our LSH bands. The n·dim dot
     work stays JVM-side (zip_with/aggregate codegen, no UDF)."""
     from ibd_pipeline_spark.operators import similarity as S
+    from ibd_pipeline_spark.operators.dedup import _session_cached_state
+    from ibd_pipeline_spark.queries.similarity import _KM_ITERS, _KM_K
 
     emb = load(spark, sf_dir, "embeddings")
-    assigned = S.kmeans_attested(
-        emb, id_col="vec_id", vec="embedding"
+    # session-cached: shares the one attested Lloyd fixpoint with
+    # similarity_kmeans_clusters (same key, same frame)
+    assigned = _session_cached_state(
+        emb,
+        ("kmeans_attested", _KM_K, _KM_ITERS),
+        lambda: S.kmeans_attested(
+            emb, k=_KM_K, iters=_KM_ITERS, id_col="vec_id", vec="embedding"
+        ),
     ).select("vec_id", "cluster_id")
     vecs = emb.select(
         "vec_id",

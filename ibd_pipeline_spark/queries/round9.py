@@ -549,17 +549,18 @@ def text_jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KM_SQL = """
-WITH span AS (
-  SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
-), u AS (
+WITH u AS (
   SELECT user_id,
          MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
-         MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+         MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+           AS conv_ts
   FROM events GROUP BY user_id
 ), lif AS (
-  SELECT CAST(datediff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+  SELECT CAST(datediff('day', CAST(first_ts AS DATE),
+                       CAST(COALESCE(conv_ts, last_ts) AS DATE))
               AS BIGINT) AS dur,
-         (last_ts > (SELECT max_ts FROM span) - INTERVAL 7 DAY) AS censored
+         conv_ts IS NULL AS censored
   FROM u
 ), d AS (
   SELECT dur,
@@ -598,11 +599,15 @@ ORDER BY dur
 
 @query("stats_kaplan_meier", oracle=_KM_SQL)
 def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier survival curve of user lifetime (days between a
-    user's first and last event), right-censoring users still active in
-    the final 7 days of the dataset — the product-limit estimator churn
-    analysis runs: S(t) = Π_{s≤t} (1 − d_s/n_s) over event times, with
-    censored users leaving the risk set without contributing a death.
+    """Kaplan–Meier time-to-conversion survival curve: the "event" is
+    a user's FIRST PURCHASE, measured in days from their first
+    activity; users who never purchase are right-censored at their
+    last observed activity — the product-limit estimator conversion/
+    churn analysis runs: S(t) = Π_{s≤t} (1 − d_s/n_s) over event
+    times, censored users leaving the risk set without a death.
+    (r11: the event was previously "last observed event", which on
+    this synthetic corpus censored EVERY user — survival ≡ 1.0, a
+    correct but dead readout; conversion gives the curve real drops.)
 
     Cross-engine determinism: deaths/censorings/at-risk are exact
     integers; each factor enters as ln(1 − d/n) ROUNDED TO 8 DP AND
@@ -618,18 +623,21 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
-    span = ev.agg(F.max("ts").alias("max_ts"))
     u = ev.groupBy("user_id").agg(
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts"),
     )
-    lif = u.crossJoin(F.broadcast(span)).select(
-        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+    lif = u.select(
+        F.datediff(
+            F.to_date(F.coalesce("conv_ts", "last_ts")),
+            F.to_date("first_ts"),
+        )
         .cast("bigint")
         .alias("dur"),
-        (
-            F.col("last_ts")
-            > F.col("max_ts") - F.expr("INTERVAL 7 DAY")
-        ).alias("censored"),
+        F.col("conv_ts").isNull().alias("censored"),
     )
     d = lif.groupBy("dur").agg(
         F.count(F.when(~F.col("censored"), 1)).alias("d_events"),

@@ -413,8 +413,16 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is k·dim doubles on the driver, the model-state
     exception."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned = S.kmeans_attested(
-        emb, k=_KM_K, iters=_KM_ITERS, id_col="vec_id", vec="embedding"
+    # session-cached: dedup_semantic_clusters consumes the identical
+    # attested assignment — the fixpoint runs once per session
+    from ibd_pipeline_spark.operators.dedup import _session_cached_state
+
+    assigned = _session_cached_state(
+        emb,
+        ("kmeans_attested", _KM_K, _KM_ITERS),
+        lambda: S.kmeans_attested(
+            emb, k=_KM_K, iters=_KM_ITERS, id_col="vec_id", vec="embedding"
+        ),
     )
     return (
         assigned.groupBy("cluster_id")

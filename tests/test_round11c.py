@@ -1,0 +1,187 @@
+"""Semantic property tests for the round-11 wave-5 operators —
+invariants the DuckDB oracle parity can't express (the oracle proves
+the two engines agree; these prove the AGREED answer has the
+statistical/structural properties the operator advertises)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_dsir_target_language_ranks_first(spark, sf_dir):
+    """DSIR self-consistency: the target domain (lang='en') must have
+    the highest mean importance weight — by construction its docs
+    look most like the target distribution."""
+    from ibd_pipeline_spark.queries.round11c import train_dsir_importance
+
+    rows = train_dsir_importance(spark, sf_dir).collect()
+    by_lang = {r["lang"]: r for r in rows}
+    assert "en" in by_lang
+    best = max(rows, key=lambda r: r["mean_logw"])
+    assert best["lang"] == "en"
+    # a majority of target docs should score positive (the corpus is
+    # tiny and synthetic, so demand majority, not near-totality)
+    en = by_lang["en"]
+    assert en["n_selected"] >= en["n_docs"] * 0.5
+
+
+def test_semdedup_prune_counts_consistent(spark, sf_dir):
+    """SemDeDup structural invariants: kept + pruned = members per
+    cluster; a cluster with zero dup pairs prunes nothing; pruned
+    can never exceed members − 1 (the lowest id always survives)."""
+    from ibd_pipeline_spark.queries.round11c import dedup_semantic_clusters
+
+    rows = dedup_semantic_clusters(spark, sf_dir).collect()
+    assert rows, "kmeans must produce clusters"
+    assert sum(r["n_members"] for r in rows) > 0
+    for r in rows:
+        assert r["n_kept"] + r["n_pruned"] == r["n_members"]
+        if r["n_dup_pairs"] == 0:
+            assert r["n_pruned"] == 0
+        assert r["n_pruned"] <= r["n_dup_pairs"]  # each prune needs a pair
+        if r["n_members"] > 0:
+            assert r["n_pruned"] <= r["n_members"] - 1
+
+
+def test_holm_rejections_subset_of_bh(spark, sf_dir):
+    """Holm (FWER) is uniformly more conservative than BH (FDR) on
+    the same p-value family: every Holm rejection must also be a BH
+    rejection, and holm_p must be monotone in p_rank."""
+    from ibd_pipeline_spark.queries.round10_stats import (
+        stats_benjamini_hochberg,
+    )
+    from ibd_pipeline_spark.queries.round11c import stats_holm_bonferroni
+
+    holm = {
+        r["brand"]: r for r in stats_holm_bonferroni(spark, sf_dir).collect()
+    }
+    bh = {
+        r["brand"]: r
+        for r in stats_benjamini_hochberg(spark, sf_dir).collect()
+    }
+    assert set(holm) == set(bh)
+    # BH ran at q=0.10 vs Holm alpha=0.05; Holm still must not reject
+    # anything BH keeps (FWER <= FDR rejections at alpha <= q).
+    for brand, h in holm.items():
+        if h["rejected"]:
+            assert bh[brand]["rejected"], brand
+    ordered = sorted(holm.values(), key=lambda r: r["p_rank"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["holm_p"] <= b["holm_p"] + 1e-12
+
+
+def test_logrank_null_on_hash_split(spark, sf_dir):
+    """A/A validity: replacing the payer covariate with a hash-split
+    arm must yield a non-significant log-rank z (the survival curves
+    are identical by construction). Guards against a variance
+    formula error inflating the statistic."""
+    from ibd_pipeline_spark.operators.calendar import month_stitched_cumsum
+    from ibd_pipeline_spark.catalog import load
+    from tests.conftest import SF_CORRECT
+
+    # sf0.001 has too few users for a stable split; use sf0.01
+    ev = load(spark, SF_CORRECT, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("aa"), "user_id")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts"),
+    ).withColumn("payer", arm)
+    lif = u.select(
+        "payer",
+        F.datediff(
+            F.to_date(F.coalesce("conv_ts", "last_ts")),
+            F.to_date("first_ts"),
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.col("conv_ts").isNull().alias("censored"),
+    )
+    d = lif.groupBy("dur").agg(
+        F.count(F.when(F.col("payer") & ~F.col("censored"), 1)).alias("d1"),
+        F.count(F.when(~F.col("payer") & ~F.col("censored"), 1)).alias("d2"),
+        F.count(F.when(F.col("payer"), 1)).alias("a1"),
+        F.count(F.when(~F.col("payer"), 1)).alias("a2"),
+    )
+    tot = d.agg(F.sum("a1").alias("t1"), F.sum("a2").alias("t2"))
+    cum = month_stitched_cumsum(
+        d, "dur", ["a1", "a2"], block=F.floor(F.col("dur") / 32)
+    )
+    k = cum.crossJoin(F.broadcast(tot)).select(
+        "d1",
+        "d2",
+        (F.col("t1") - F.col("cum_a1") + F.col("a1")).alias("n1"),
+        (F.col("t2") - F.col("cum_a2") + F.col("a2")).alias("n2"),
+    )
+    nt = F.col("n1") + F.col("n2")
+    dt = F.col("d1") + F.col("d2")
+    p1 = F.col("n1").cast("double") / nt
+    s = (
+        k.filter(dt > 0)
+        .select(
+            "d1",
+            (dt.cast("double") * p1).alias("e1"),
+            F.when(
+                nt > 1,
+                dt.cast("double") * p1 * (1.0 - p1) * (nt - dt) / (nt - 1),
+            )
+            .otherwise(0.0)
+            .alias("v"),
+        )
+        .agg(F.sum("d1").alias("o1"), F.sum("e1").alias("e1"), F.sum("v").alias("v"))
+        .collect()[0]
+    )
+    z = (s["o1"] - s["e1"]) / (s["v"] ** 0.5)
+    assert abs(z) < 3.5, f"A/A log-rank z={z}"
+
+
+def test_good_turing_identities(spark, sf_dir):
+    """Good-Turing internal identities: N_r sums and the coverage/
+    Chao1 bounds (coverage in (0,1); Chao1 >= observed vocabulary)."""
+    from ibd_pipeline_spark.queries.round11c import text_good_turing_vocab
+
+    rows = text_good_turing_vocab(spark, sf_dir).collect()
+    assert [r["r"] for r in rows] == [1, 2, 3, 4, 5]
+    r0 = rows[0]
+    # sf0.001 has no hapax terms at all -> coverage exactly 1.0
+    assert 0.0 < r0["gt_coverage"] <= 1.0
+    assert r0["chao1_richness"] >= r0["vocab_size"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_r_next"] == b["n_r"]
+
+
+def test_post_stratification_reduces_or_matches_variance(spark, sf_dir):
+    """Post-stratification tracks the raw estimator closely: the
+    asymptotic guarantee is Var_ps <= Var_raw, but at finite n with
+    weakly predictive strata the stratified variance can sit a few
+    percent above raw (it spends k-1 degrees of freedom). Assert the
+    near-equality band, not strict dominance."""
+    from ibd_pipeline_spark.queries.round11c import ab_post_stratification
+
+    r = ab_post_stratification(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["se_ps"] <= r["se_raw"] * 1.05
+    assert r["var_reduction_pct"] >= -10.0
+    # the stratified point estimate must stay consistent with raw
+    assert abs(r["delta_ps"] - r["delta_raw"]) <= 4.0 * r["se_raw"]
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    """Assortativity is a correlation: must land in [-1, 1]."""
+    from ibd_pipeline_spark.queries.round11c import (
+        graph_degree_assortativity,
+    )
+
+    r = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_nodes"] > 0 and r["n_edges"] > 0
