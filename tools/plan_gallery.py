@@ -197,6 +197,23 @@ CURATED = {
     "train_weighted_sample_ares": "A-Res weighted sampling: md5-uniform "
     "score per row, one per-source rank window — a weighted draw without "
     "replacement in a single shuffle, no rejection loop.",
+    # --- round 11 ---
+    "train_dsir_importance": "DSIR hash-trick importance weights: "
+    "checkpointed token arrays (split once, not per gram), gram explode "
+    "→ 256-bucket count aggregate (map-side combined), 256-row decimal "
+    "log-ratio table broadcast back onto the checkpointed gram stream, "
+    "one doc-key sum — feature state bounded at B buckets at any corpus "
+    "size.",
+    "dedup_semantic_clusters": "SemDeDup: session-shared attested "
+    "k-means assignment (one fixpoint per session, shared with "
+    "similarity_kmeans_clusters) + within-cluster pair join — candidates "
+    "bounded Σ|c|²/2, fixed-point BIGINT dots via zip_with/aggregate "
+    "inside codegen, no UDF, never corpus-quadratic.",
+    "stats_logrank_test": "log-rank: one user-key shuffle builds "
+    "time-to-first-purchase lifetimes (struct-MIN first-touch cohort in "
+    "the same pass); at-risk via block-stitched cumsum; E/V decimal "
+    "terms fold on the day-span-bounded duration frame — no "
+    "unpartitioned window, corpus touched once.",
     # --- round 6 ---
     "text_bm25_ranking": "BM25: per-doc tf via higher-order list_filter "
     "(no explode), corpus stats as ONE 1-row broadcast aggregate, global "

@@ -441,10 +441,91 @@ def main_r11() -> None:
     spark.stop()
 
 
+def main_r11b() -> None:
+    """Round-11 wave-5 probes (`python tools/scale_probe.py r11b`):
+    DSIR gram/count pass growth under corpus replication (expect
+    ~linear — bucket state is fixed at B), and SemDeDup within-cluster
+    pair growth with k FIXED (expect ~quadratic pairs — the named
+    degradation mode) vs k SCALED with n (the published contract:
+    k ∝ n keeps per-cluster occupancy, and so wall, ~flat-per-item)."""
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators.similarity import kmeans_attested
+    from ibd_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    results: dict[str, dict[str, object]] = {}
+
+    docs = load(spark, SF, "documents")
+    results["dsir_gram_pass"] = {}
+    for mult in (1, 4):
+        d = replicate(docs, mult, {"doc_id": 1_000_000})
+        toks = d.select(
+            "doc_id",
+            "lang",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+        ).localCheckpoint(eager=True)
+        grams = toks.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                    F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("gram"),
+        )
+        hashed = grams.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+                .cast("bigint")
+                % 256
+            ).alias("b"),
+        )
+        counts = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+        docw = hashed.join(F.broadcast(counts), "b").groupBy("doc_id").agg(
+            F.sum("cr").alias("w")
+        )
+        results["dsir_gram_pass"][f"{mult}x"] = timed(docw)
+
+    emb = load(spark, SF, "embeddings")
+    results["semdedup_pairs"] = {}
+    for mult, k in ((1, 8), (4, 8), (4, 32)):
+        e = replicate(emb, mult, {"vec_id": 1_000_000})
+        assigned = kmeans_attested(
+            e, k=k, iters=1, id_col="vec_id", vec="embedding"
+        ).select("vec_id", "cluster_id").localCheckpoint(eager=True)
+        a = assigned.select(
+            F.col("cluster_id"), F.col("vec_id").alias("ia")
+        )
+        b = assigned.select(
+            F.col("cluster_id").alias("cb"), F.col("vec_id").alias("ib")
+        )
+        pairs = a.join(
+            b,
+            (F.col("cluster_id") == F.col("cb")) & (F.col("ia") < F.col("ib")),
+        )
+        n_pairs = pairs.count()
+        t0 = time.perf_counter()
+        pairs.groupBy("cluster_id").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results["semdedup_pairs"][f"{mult}x_k{k}"] = {
+            "pairs": n_pairs,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r10":
         main_r10()
     elif len(sys.argv) > 1 and sys.argv[1] == "r11":
         main_r11()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r11b":
+        main_r11b()
     else:
         main()
