@@ -272,6 +272,9 @@ SURVEY_ROW_QUERIES: dict[str, list[str]] = {
         "streaming:streaming/stateful.py:cusum_monitor "
         "(tests/test_streaming_monitor.py)",
     ],
+    "streaming (r11): live sample-ratio-mismatch monitor": [
+        "streaming:streaming/srm.py (tests/test_streaming_srm.py)",
+    ],
 }
 
 
