@@ -141,3 +141,87 @@ def srm_report(
             & (F.when(F.col("chi2") > 0, 2.0 * _phi_tail(z)).otherwise(1.0) < alarm_p)
         ).alias("srm_alarm"),
     )
+
+
+def conversion_traffic(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conv_value: str = "purchase",
+    arms: int = 2,
+    seed: str = "11",
+) -> DataFrame:
+    """Streaming (or batch — same expression) per-arm conversion
+    counters: (arm, n, conv) with at most `arms` state rows. The
+    TRAFFIC-level estimand again (conversion events per event),
+    bounded-state by construction; the unit-level (per-user)
+    version is the batch ab_msprt_always_valid query."""
+    return events.groupBy(
+        arm_index(user_col, arms, seed).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col(type_col) == conv_value, 1))
+        .cast("bigint")
+        .alias("conv"),
+    )
+
+
+def msprt_report(
+    counts: DataFrame,
+    tau2: float = 1e-4,
+    alarm_alpha: float = 0.05,
+) -> DataFrame:
+    """Read-side mixture-SPRT effect monitor over a (arm, n, conv)
+    counter table: the two-proportion mixture likelihood ratio
+    Λ = √(V/(V+τ²))·exp(d²τ²/(2V(V+τ²))) on the CUMULATIVE counts,
+    p = min(1, 1/Λ), and the alarm at Λ ≥ 1/α.
+
+    Validity: Λ_t is a nonnegative martingale under H₀, so by
+    Ville's inequality P(∃t: Λ_t ≥ 1/α) ≤ α — the alarm may be
+    READ EVERY TRIGGER and still holds its false-alarm budget, no
+    running max required (the batch twin ab_msprt_always_valid keeps
+    the running max because it reports the historically smallest
+    always-valid p; an operational alarm only needs the crossing).
+
+    Degenerate readouts (an arm with zero traffic, all-or-nothing
+    conversion) leave Λ undefined → p = 1, alarm false — the SRM
+    monitor is the one that owns missing-arm alarms."""
+    a0 = counts.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("conv").alias("ca")
+    )
+    a1 = counts.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("conv").alias("cb")
+    )
+    j = a0.crossJoin(a1)
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    v = pp * (1.0 - pp) * (
+        F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")
+    )
+    d = pa - pb
+    lam = F.when(
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & ((F.col("ca") + F.col("cb")) > 0)
+        & ((F.col("ca") + F.col("cb")) < (F.col("na") + F.col("nb"))),
+        F.sqrt(v / (v + F.lit(tau2)))
+        * F.exp(d * d * F.lit(tau2) / (2.0 * v * (v + F.lit(tau2)))),
+    )
+    return j.select(
+        (F.col("na") + F.col("nb")).alias("n_total"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(lam, 6).alias("mixture_lr"),
+        F.round(
+            F.when(
+                lam.isNotNull() & (lam > 1.0), 1.0 / lam
+            ).otherwise(F.lit(1.0)),
+            8,
+        ).alias("p_always_valid"),
+        F.coalesce(lam >= F.lit(1.0 / alarm_alpha), F.lit(False)).alias(
+            "effect_alarm"
+        ),
+    )

@@ -89,3 +89,79 @@ def test_srm_rejects_kway(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select("user_id")
     with pytest.raises(ValueError):
         srm_report(arm_traffic(ev), ratios=[0.5, 0.25, 0.25])
+
+
+def test_streaming_conversion_counts_equal_batch(spark, sf_dir, tmp_path):
+    from ibd_pipeline_spark.streaming.srm import conversion_traffic
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    src = str(tmp_path / "csrc")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id bigint, event_type string").parquet(src)
+    q = (
+        conversion_traffic(stream)
+        .writeStream.format("memory")
+        .queryName("conv_arms")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        r["arm"]: (r["n"], r["conv"])
+        for r in spark.sql("SELECT * FROM conv_arms").collect()
+    }
+    batch = {
+        r["arm"]: (r["n"], r["conv"]) for r in conversion_traffic(ev).collect()
+    }
+    assert streamed == batch and len(streamed) <= 2
+
+
+def test_msprt_quiet_on_aa(spark, sf_dir):
+    from ibd_pipeline_spark.streaming.srm import conversion_traffic, msprt_report
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    rep = msprt_report(conversion_traffic(ev)).collect()[0]
+    assert not rep["effect_alarm"], rep
+    assert rep["p_always_valid"] > 0.05
+
+
+def test_msprt_alarms_on_planted_effect(spark, sf_dir):
+    from ibd_pipeline_spark.streaming.srm import (
+        arm_index,
+        conversion_traffic,
+        msprt_report,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    # kill 80% of arm-1 purchases (a broken checkout in the variant)
+    sub = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("fx"), "user_id")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    damaged = ev.filter(
+        ~(
+            (arm_index() == 1)
+            & (F.col("event_type") == "purchase")
+            & (sub != 0)
+        )
+    )
+    rep = msprt_report(conversion_traffic(damaged)).collect()[0]
+    assert rep["effect_alarm"], rep
+    assert rep["p_always_valid"] < 0.05
+    assert rep["rate_b"] < rep["rate_a"]
+
+
+def test_msprt_degenerate_is_quiet(spark, sf_dir):
+    from ibd_pipeline_spark.streaming.srm import conversion_traffic, msprt_report
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    no_conv = ev.filter(F.col("event_type") != "purchase")
+    rep = msprt_report(conversion_traffic(no_conv)).collect()[0]
+    assert not rep["effect_alarm"]
+    assert rep["p_always_valid"] == 1.0

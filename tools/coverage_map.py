@@ -275,6 +275,10 @@ SURVEY_ROW_QUERIES: dict[str, list[str]] = {
     "streaming (r11): live sample-ratio-mismatch monitor": [
         "streaming:streaming/srm.py (tests/test_streaming_srm.py)",
     ],
+    "streaming (r11): live always-valid effect monitor": [
+        "streaming:streaming/srm.py:msprt_report "
+        "(tests/test_streaming_srm.py)",
+    ],
 }
 
 
