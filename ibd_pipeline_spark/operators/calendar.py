@@ -52,7 +52,13 @@ def month_stitched_cumsum(
     (≤ blocks × groups rows — metadata-sized), so the whole plan is
     window-partitioned + one broadcast hash join. Exact for any
     input: addition is associative, and integer/decimal weights make
-    the result bit-identical to a global windowed SUM."""
+    the result bit-identical to a global windowed SUM.
+
+    Decimal-domain contract: for a decimal(p,s) weight the running
+    total must stay below 10^(37-s) in absolute value (the addends
+    are re-bounded to decimal(37,s) so the stitch add cannot shed a
+    scale digit). Exceeding the bound raises a per-row error rather
+    than silently NULLing the cumsum."""
     group_cols = list(group_cols)
     if block is None:
         block = F.date_trunc("month", F.col(day_col))
@@ -110,11 +116,31 @@ def month_stitched_cumsum(
         for f in df.schema.fields
         if isinstance(f.dataType, DecimalType)
     }
+    # Contract: running totals must stay under 10^(37-s) in absolute
+    # value. Out-of-domain callers get a LOUD per-row error (ANSI mode
+    # raises on the cast itself; non-ANSI returns NULL, which the
+    # raise_error guard below converts into the same failure) instead
+    # of a silent NULL mid-series (ADVICE r11).
     for w in weight_cols:
         lhs, rhs = F.col(f"_off_{w}"), F.col(f"_mc_{w}")
         if w in scales:
             t = DecimalType(37, scales[w])
-            lhs, rhs = lhs.cast(t), rhs.cast(t)
+
+            def _checked(c, t=t, w=w):
+                cc = c.cast(t)
+                return F.when(
+                    c.isNotNull() & cc.isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"with_stitched_cumsum: partial sum of '{w}' "
+                            f"overflows decimal({t.precision},{t.scale}); "
+                            "running totals must stay below "
+                            f"10^{t.precision - t.scale}"
+                        )
+                    ).cast(t),
+                ).otherwise(cc)
+
+            lhs, rhs = _checked(lhs), _checked(rhs)
         out = out.withColumn(f"{prefix}{w}", lhs + rhs)
     return out.drop(
         "_m",

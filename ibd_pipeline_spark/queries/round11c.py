@@ -477,11 +477,18 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group list is k = 5 catalog values — one metadata-sized collect
     # (what pivot() does internally, minus pivot's extra agg pass:
     # measured 3.2 s -> 0.4 s for the per-value frame at sf0.1)
-    gcols = sorted(r["g"] for r in s.select("g").distinct().collect())
+    gvals = sorted(r["g"] for r in s.select("g").distinct().collect())
+    # Sanitized positional aliases (g__0..g__{k-1}) so a group value
+    # colliding with internal column names ('v', 't', 'n', 'k') or
+    # containing a quote can't corrupt the plan (ADVICE r11); the
+    # value itself travels only inside F.lit, never an f-string expr.
+    gcols = [f"g__{i}" for i in range(len(gvals))]
     per_value = s.groupBy("v").agg(
         *[
-            F.count(F.when(F.col("g") == c, 1)).cast("bigint").alias(c)
-            for c in gcols
+            F.count(F.when(F.col("g") == F.lit(v), 1))
+            .cast("bigint")
+            .alias(c)
+            for c, v in zip(gcols, gvals)
         ]
     )
     per_value = per_value.withColumn(
@@ -501,13 +508,22 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tie_term"),
     )
-    # unpivot the k per-group (n, 2R) pairs back to rows: k = 5 groups
-    grp = agg.selectExpr(
-        "stack({}, {}) as (g, n_g, r2_g)".format(
-            len(gcols),
-            ", ".join(f"'{c}', n__{c}, r2__{c}" for c in gcols),
-        ),
-    )
+    # unpivot the k per-group (n, 2R) pairs back to rows via an
+    # explode of struct literals — group names enter as F.lit only
+    grp = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("g"),
+                        F.col(f"n__{c}").alias("n_g"),
+                        F.col(f"r2__{c}").alias("r2_g"),
+                    )
+                    for c, v in zip(gcols, gvals)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.g", "_s.n_g", "_s.r2_g")
     nn = grp.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -531,15 +547,31 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.lit(12.0) * F.col("ss").cast("double") / (nd * (F.col("n") + 1))
     c = F.lit(1.0) - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
     hc = h / c
+    # chi-square survival at df = k-1, built FROM the driver-side k so
+    # p_value always matches the emitted df (ADVICE r11: the old form
+    # hardcoded the df=4 polynomial while df floated with the data).
+    # Even df has the exact closed form exp(-x/2)·Σ_{j<df/2}(x/2)^j/j!;
+    # odd df would need the erf branch, which this corpus never takes —
+    # fail loudly instead of silently mis-stating p.
+    df = len(gvals) - 1
+    if df < 2 or df % 2 != 0:
+        raise ValueError(
+            "stats_kruskal_wallis closed-form p-value requires even "
+            f"df >= 2; got k={len(gvals)} groups (df={df}). Use the "
+            "regularized-gamma survival for odd df."
+        )
+    fact = 1.0
+    series = F.lit(1.0)
+    for j in range(1, df // 2):
+        fact *= j
+        series = series + F.pow(hc / 2.0, F.lit(float(j))) / F.lit(fact)
     return ss.select(
         F.col("n").alias("n_total"),
         F.col("k").cast("int").alias("n_groups"),
         (F.col("k") - 1).cast("int").alias("df"),
         F.round(h, 6).alias("h_stat"),
         F.round(hc, 6).alias("h_corrected"),
-        F.round(
-            F.exp(-hc / 2.0) * (F.lit(1.0) + hc / 2.0), 8
-        ).alias("p_value"),
+        F.round(F.exp(-hc / 2.0) * series, 8).alias("p_value"),
     )
 
 

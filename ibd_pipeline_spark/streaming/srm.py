@@ -110,6 +110,13 @@ def srm_report(
     j = spine.join(counts, "arm", "left").select(
         "arm", "ratio", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
     )
+    # Traffic hashed OUTSIDE the 2-arm spine (a counter built with
+    # arms=3, or a corrupted bucketing function) must not silently
+    # vanish from the readout: count it separately and OR it into the
+    # alarm — off-spine allocation IS an allocation bug (ADVICE r11).
+    off = counts.filter(
+        (F.col("arm") < 0) | (F.col("arm") >= n_arms)
+    ).agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_off"))
     tot = j.agg(F.sum("n").cast("bigint").alias("nt"))
     terms = j.crossJoin(F.broadcast(tot)).select(
         "arm",
@@ -128,7 +135,7 @@ def srm_report(
                 / F.col("expected"),
             ).otherwise(F.lit(0.0))
         ).alias("chi2"),
-    )
+    ).crossJoin(F.broadcast(off))
     z = F.sqrt(F.col("chi2"))
     p = F.when(F.col("chi2") > 0, 2.0 * _phi_tail(z)).otherwise(F.lit(1.0))
     return chi.select(
@@ -136,9 +143,18 @@ def srm_report(
         "n_arms",
         F.round("chi2", 6).alias("chi2"),
         F.round(p, 8).alias("p_value"),
+        F.col("n_off").alias("off_spine_traffic"),
         (
-            (F.col("n_total") > 0)
-            & (F.when(F.col("chi2") > 0, 2.0 * _phi_tail(z)).otherwise(1.0) < alarm_p)
+            (
+                (F.col("n_total") > 0)
+                & (
+                    F.when(F.col("chi2") > 0, 2.0 * _phi_tail(z)).otherwise(
+                        1.0
+                    )
+                    < alarm_p
+                )
+            )
+            | (F.col("n_off") > 0)
         ).alias("srm_alarm"),
     )
 
@@ -185,21 +201,39 @@ def msprt_report(
 
     Degenerate readouts (an arm with zero traffic, all-or-nothing
     conversion) leave Λ undefined → p = 1, alarm false — the SRM
-    monitor is the one that owns missing-arm alarms."""
-    a0 = counts.filter(F.col("arm") == 0).select(
-        F.col("n").alias("na"), F.col("conv").alias("ca")
+    monitor is the one that owns missing-arm alarms. A missing-arm
+    COUNTER ROW (dead variant server, or a readout before arm-1's
+    first event) collapses to the same quiet row via a conditional
+    aggregate over the full counter table, which always yields
+    exactly one row even when `counts` is empty (ADVICE r11: the old
+    per-arm filter + crossJoin form returned an EMPTY frame there,
+    IndexError-ing every .collect()[0] consumer)."""
+    j = counts.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("na"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("conv"))), F.lit(0)
+        ).cast("bigint").alias("ca"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("nb"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("conv"))), F.lit(0)
+        ).cast("bigint").alias("cb"),
     )
-    a1 = counts.filter(F.col("arm") == 1).select(
-        F.col("n").alias("nb"), F.col("conv").alias("cb")
-    )
-    j = a0.crossJoin(a1)
-    pa = F.col("ca").cast("double") / F.col("na")
-    pb = F.col("cb").cast("double") / F.col("nb")
-    pp = (F.col("ca") + F.col("cb")).cast("double") / (
-        F.col("na") + F.col("nb")
+    # try_divide: a zero-traffic arm yields NULL rates (not an ANSI
+    # divide-by-zero error), which the lam guard turns into the quiet
+    # row the docstring promises.
+    pa = F.try_divide(F.col("ca").cast("double"), F.col("na"))
+    pb = F.try_divide(F.col("cb").cast("double"), F.col("nb"))
+    pp = F.try_divide(
+        (F.col("ca") + F.col("cb")).cast("double"),
+        F.col("na") + F.col("nb"),
     )
     v = pp * (1.0 - pp) * (
-        F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")
+        F.try_divide(F.lit(1.0), F.col("na"))
+        + F.try_divide(F.lit(1.0), F.col("nb"))
     )
     d = pa - pb
     lam = F.when(

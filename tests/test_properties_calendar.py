@@ -84,6 +84,28 @@ def test_stitched_cumsum_decimal_keeps_scale_and_value(spark, rows):
         assert got[d] == acc, (d, got[d], acc)
 
 
+def test_stitched_cumsum_decimal_overflow_is_loud(spark):
+    """ADVICE r11: a running total exceeding the documented
+    10^(37-s) bound must raise, not silently NULL the cumsum."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from ibd_pipeline_spark.operators.calendar import month_stitched_cumsum
+
+    # 10^35 fits the (38,2) source type but not the (37,2) re-bound
+    big = Decimal(10) ** 35
+    df = spark.createDataFrame(
+        [(1, big), (2, big), (3, big)], "d long, w decimal(38,2)"
+    )
+    out = month_stitched_cumsum(
+        df, "d", ["w"], block=F.floor(F.col("d") / 2)
+    )
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    msg = str(ei.value)
+    assert ("overflow" in msg.lower()) or ("cannot be represented" in msg), msg
+
+
 @st.composite
 def extreme_rows(draw):
     ds = sorted(set(draw(st.lists(days, min_size=1, max_size=20))))

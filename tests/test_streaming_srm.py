@@ -165,3 +165,45 @@ def test_msprt_degenerate_is_quiet(spark, sf_dir):
     rep = msprt_report(conversion_traffic(no_conv)).collect()[0]
     assert not rep["effect_alarm"]
     assert rep["p_always_valid"] == 1.0
+
+
+def test_msprt_zero_traffic_arm_is_quiet_row(spark, sf_dir):
+    """ADVICE r11 (medium): a dead variant server means NO counter row
+    for arm 1 — the report must still be exactly one quiet row (p=1,
+    alarm false), not an empty frame that IndexErrors consumers."""
+    from ibd_pipeline_spark.streaming.srm import (
+        arm_index,
+        conversion_traffic,
+        msprt_report,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    one_arm = ev.filter(arm_index() == 0)
+    rows = msprt_report(conversion_traffic(one_arm)).collect()
+    assert len(rows) == 1
+    rep = rows[0]
+    assert not rep["effect_alarm"]
+    assert rep["p_always_valid"] == 1.0
+
+    # the fully-empty counter (readout before ANY traffic) is the same
+    # contract: one quiet row.
+    empty = conversion_traffic(ev.filter(F.lit(False)))
+    rows = msprt_report(empty).collect()
+    assert len(rows) == 1
+    assert not rows[0]["effect_alarm"]
+    assert rows[0]["p_always_valid"] == 1.0
+    assert rows[0]["n_total"] == 0
+
+
+def test_srm_alarms_on_off_spine_arm(spark, sf_dir):
+    """ADVICE r11 (low): a counter built with arms=3 must not read
+    healthy under the default 2-arm spine — off-spine traffic is
+    surfaced and alarms."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    rep = srm_report(arm_traffic(ev, arms=3)).collect()[0]
+    assert rep["off_spine_traffic"] > 0
+    assert rep["srm_alarm"], rep
+
+    # the honest 2-arm split reports zero off-spine traffic
+    rep2 = srm_report(arm_traffic(ev)).collect()[0]
+    assert rep2["off_spine_traffic"] == 0
