@@ -501,8 +501,23 @@ def main() -> None:
             tail_errors[name] = repr(e)[:200]
             continue
         t = round(time.perf_counter() - t0, 3)
-        runs[name] = [t]
-        timings[name] = t
+        rs = [t]
+        # Min-of-2 for the slow tail (r11 VERDICT #2): single-run
+        # timings on >1.5 s queries produced regression flags that
+        # were pure first-run plan-compile/contention noise
+        # (analytics_shapley_attribution 2.75× vs_prev with zero code
+        # change). A second run costs seconds across the whole tail
+        # and makes the regression list mean something. Trigger on
+        # EITHER this run or the committed time being slow, so a
+        # contention-inflated run gets its re-measure too.
+        if t > 1.5 or prev.get(name, 0.0) > 1.5:
+            t0 = time.perf_counter()
+            registry[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            rs.append(round(time.perf_counter() - t0, 3))
+        runs[name] = rs
+        timings[name] = min(rs)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_time",

@@ -115,3 +115,36 @@ class RoundCheckpointer:
             prev = self._frames.pop(slot, None)
             if prev is not None:
                 prev.unpersist()
+
+
+def literal_barrier(df: DataFrame) -> DataFrame:
+    """Eager materialization barrier for frames whose projection embeds
+    LARGE LITERAL EXPRESSION TREES (public-randomness JL projections,
+    hashed-gram lambda chains, wide CASE banks).
+
+    Why a named helper (r11 VERDICT #4): two independent r11 fixes were
+    the same move —
+
+      * similarity_ndcg_eval checkpointed the JL-projected corpus so
+        Catalyst stops re-analyzing (and codegen stops re-compiling)
+        the 1024-node projection tree on BOTH sides of the q×c join
+        (9.6 s → 7.8 s cold, 4.9 s → 3.2 s warm at sf0.1);
+      * train_dsir_importance checkpointed the tokenized and hashed
+        gram frames so CollapseProject can't inline split(text) into
+        the slice/zip_with lambdas and re-split per gram
+        (2.3 s → 0.6 s on the sf0.1 gram build).
+
+    The mechanism is Spark's CollapseProject + per-consumer
+    re-analysis: a merely-projected frame is INLINED into every
+    consumer, so an expensive literal tree is analyzed, optimized and
+    whole-stage-codegen-compiled once PER CONSUMER (and doubled again
+    by self-joins). An eager localCheckpoint truncates the lineage at
+    the computed columns, making downstream plans reference plain
+    attributes.
+
+    Use ONLY when the frame is small enough to pin to executor-local
+    storage (probe sets, per-doc int columns, projected corpora at
+    eval scale) — this is a plan-compilation fix, not a caching
+    strategy. For iterative state, use RoundCheckpointer (GC); for
+    100-TB-reliable persistence, use checkpoint_dir."""
+    return df.localCheckpoint(eager=True)

@@ -1273,10 +1273,14 @@ def similarity_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
     )
+    from ibd_pipeline_spark.operators.ckpt import literal_barrier
+
     projs = _jl_proj_sql("v", False)
-    p = v.select(
-        "id", "v", *[F.expr(pp).alias(f"p{j}") for j, pp in enumerate(projs)]
-    ).localCheckpoint(eager=True)  # probe-set-sized; barrier stops re-projection
+    p = literal_barrier(  # probe-set-sized; barrier stops re-projection
+        v.select(
+            "id", "v", *[F.expr(pp).alias(f"p{j}") for j, pp in enumerate(projs)]
+        )
+    )
     a = p.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),

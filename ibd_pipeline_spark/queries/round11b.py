@@ -935,11 +935,15 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1024-node literal sums, and without a barrier Catalyst re-analyzes
     # (and codegen re-compiles) that tree on BOTH sides of the q×c join
     # — measured, the wall here was plan compilation, not arithmetic
-    p = emb.select(
-        F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
-    ).select(
-        "id", "v", *[F.expr(pp).alias(f"p{j}") for j, pp in enumerate(projs)]
-    ).localCheckpoint(eager=True)
+    from ibd_pipeline_spark.operators.ckpt import literal_barrier
+
+    p = literal_barrier(
+        emb.select(
+            F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
+        ).select(
+            "id", "v", *[F.expr(pp).alias(f"p{j}") for j, pp in enumerate(projs)]
+        )
+    )
     q = p.filter(F.col("id") < _NDCG_Q).select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),

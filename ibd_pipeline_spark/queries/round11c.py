@@ -121,11 +121,15 @@ def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inline the merely-projected split(text) into slice/zip_with and
     # re-split per gram — the r10 prefix-filter lesson (measured here:
     # 2.3 s -> 0.6 s on the sf0.1 gram build)
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
-    ).localCheckpoint(eager=True)
+    from ibd_pipeline_spark.operators.ckpt import literal_barrier
+
+    toks = literal_barrier(
+        d.select(
+            "doc_id",
+            "lang",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+        )
+    )
     grams = toks.select(
         "doc_id",
         "lang",
@@ -140,22 +144,28 @@ def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hashed gram stream feeds BOTH the bucket counts and the
     # per-doc weight join — materialize it once (it is (doc, lang,
     # int) — far smaller than re-hashing 250k+ md5 grams twice)
-    hashed = grams.select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit(str(_DSIR_SEED)), F.col("gram"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _DSIR_B
-        ).alias("b"),
-    ).localCheckpoint(eager=True)
+    hashed = literal_barrier(
+        grams.select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(str(_DSIR_SEED)), F.col("gram")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
     counts = hashed.groupBy("b").agg(
         F.count(F.lit(1)).cast("bigint").alias("cr"),
         F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("ct"),

@@ -135,6 +135,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits_per_table=6,
         dim=64,
         portable=True,
+        # |Q| = 10 by construction — skip auto's sizing count job
+        broadcast_queries=True,
     )
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
 
@@ -200,6 +202,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_centroids=16,
         n_probe=4,
+        # |Q| = 10 by construction — skip auto's sizing count job
+        broadcast_queries=True,
     )
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
 

@@ -282,6 +282,22 @@ def main() -> None:
         "relevant changes. Each entry: why this plan shape is the one that",
         "survives a 100 TB scale-up (see SCALE.md for the full argument).",
         "",
+        "## literal-barrier pattern (operators/ckpt.py:literal_barrier, r12)",
+        "",
+        "Frames whose projection embeds large literal expression trees",
+        "(JL projections = 1024-node sums, hashed-gram lambda chains, wide",
+        "CASE banks) are eagerly localCheckpointed behind ONE named helper:",
+        "CollapseProject otherwise inlines the tree into every consumer, so",
+        "Catalyst re-analyzes and codegen re-compiles it once per consumer",
+        "(doubled by self-joins). Measured: similarity_ndcg_eval 9.6->7.8 s",
+        "cold / 4.9->3.2 s warm (sf0.1) from checkpointing the projected",
+        "corpus; train_dsir_importance gram build 2.3->0.6 s; the sibling",
+        "fix for plan-CONSTRUCTION cost (r12) builds wide CASE banks as one",
+        "F.expr parse instead of hundreds of py4j Column calls, taking",
+        "similarity_ann_lsh ~2.0 s -> ~0.93 s warm (axis_sign_bucket_tables).",
+        "Call sites: similarity_ndcg_eval, similarity_jl_projection,",
+        "train_dsir_importance (x2).",
+        "",
     ]
     for name, why in CURATED.items():
         df = qs[name](spark, sf_dir)
