@@ -668,3 +668,100 @@ def simhash_pairs_multi_from_sigs(
     ).filter(F.col("hamming") <= max_hamming)
     result._cached_state = sig  # release handle; see release_state()
     return result
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    epsilon: float = 0.30,
+    k: "int | None" = None,
+    iters: int = 4,
+    target_cluster_size: int = 1000,
+    k_min: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    cache_key: "tuple | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate machinery: k-means
+    cluster blocking + within-cluster fixed-point cosine pair scan.
+    Returns (cluster_id, ia, ib, cs) for every within-cluster pair
+    ia < ib with its ROUND(cos, 9); callers filter cs >= epsilon for
+    prune sets or aggregate per cluster (dedup_semantic_clusters).
+    The returned frame also exposes the assignment via
+    `result._assigned` (vec_id, cluster_id) so consumers don't rerun
+    the fixpoint.
+
+    SCALE-SAFE DEFAULT (r11 VERDICT #3): with k=None the cluster
+    count is derived as k = max(k_min, ceil(n / target_cluster_size))
+    — the published k ∝ n contract that holds per-cluster size (and
+    hence candidate pairs, Σ_c |c|²/2) LINEAR in corpus size. The r11
+    probe measured fixed k=8 under a 4× corpus going quadratic
+    (pairs ×16) while k scaled 8→32 stayed linear (pairs ×4); an
+    operator whose default silently goes quadratic at scale is the
+    named degradation mode, so the derived k is the default and a
+    fixed k is the explicit opt-in (the attested registry query pins
+    k=8 because its DuckDB oracle unrolls that exact fixpoint).
+    Determinism: kmeans_attested inits from the k lowest ids — no
+    RNG — so a derived k is just as replayable given n.
+
+    Exactness contract (shared with the oracle): per-dim products
+    quantized FLOOR(·10¹²) into BIGINT sums (order-independent),
+    one double division + ROUND(·,9) per pair."""
+    import math
+
+    from ibd_pipeline_spark.operators import similarity as S
+
+    if k is None:
+        n = vectors.count()
+        k = max(k_min, math.ceil(n / target_cluster_size))
+    build = lambda: S.kmeans_attested(  # noqa: E731
+        vectors, k=k, iters=iters, id_col=id_col, vec=vec
+    )
+    if cache_key is not None:
+        assigned = _session_cached_state(vectors, cache_key, build)
+    else:
+        assigned = build()
+    assigned = assigned.select(F.col(id_col).alias("vec_id"), "cluster_id")
+    vecs = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        S.as_double_array(vec).alias("v"),
+    ).withColumn(
+        "nfp",
+        F.expr(
+            "aggregate(transform(v, x -> CAST(FLOOR(x * x * 1e12) AS"
+            " BIGINT)), 0L, (acc, t) -> acc + t)"
+        ),
+    )
+    j = assigned.join(vecs, "vec_id")
+    a = j.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nfp").alias("nfa"),
+    )
+    b = j.select(
+        F.col("cluster_id").alias("cb"),
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("nfp").alias("nfb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(FLOOR(x * y * 1e12) AS"
+        " BIGINT)), 0L, (acc, t) -> acc + t)"
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster_id") == F.col("cb")) & (F.col("ia") < F.col("ib")),
+    ).select(
+        "cluster_id",
+        "ia",
+        "ib",
+        F.round(
+            dot.cast("double")
+            / F.sqrt(
+                F.col("nfa").cast("double") * F.col("nfb").cast("double")
+            ),
+            9,
+        ).alias("cs"),
+    )
+    pairs._assigned = assigned  # share the fixpoint with consumers
+    return pairs

@@ -1376,69 +1376,28 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded value, so both engines keep identical pair sets.
 
     Scale: the cluster self-join bounds candidate pairs at
-    Σ_c |c|²/2, never corpus-quadratic; published SemDeDup grows k
-    with n (k ≈ n/1000) to hold |c| constant, making per-cluster
-    work flat — the same contract as our LSH bands. The n·dim dot
-    work stays JVM-side (zip_with/aggregate codegen, no UDF)."""
-    from ibd_pipeline_spark.operators import similarity as S
-    from ibd_pipeline_spark.operators.dedup import _session_cached_state
+    Σ_c |c|²/2, never corpus-quadratic; the operator's DEFAULT
+    (operators/dedup.py:semdedup_pairs, k=None) derives
+    k = max(k_min, ceil(n/target_cluster_size)) — the published
+    k ∝ n contract that keeps per-cluster work flat (probe-measured
+    linear; fixed k measured quadratic). THIS query pins k = 8
+    explicitly because its DuckDB oracle unrolls that exact
+    fixpoint. The n·dim dot work stays JVM-side (zip_with/aggregate
+    codegen, no UDF)."""
+    from ibd_pipeline_spark.operators.dedup import semdedup_pairs
     from ibd_pipeline_spark.queries.similarity import _KM_ITERS, _KM_K
 
     emb = load(spark, sf_dir, "embeddings")
     # session-cached: shares the one attested Lloyd fixpoint with
     # similarity_kmeans_clusters (same key, same frame)
-    assigned = _session_cached_state(
+    pairs = semdedup_pairs(
         emb,
-        ("kmeans_attested", _KM_K, _KM_ITERS),
-        lambda: S.kmeans_attested(
-            emb, k=_KM_K, iters=_KM_ITERS, id_col="vec_id", vec="embedding"
-        ),
-    ).select("vec_id", "cluster_id")
-    vecs = emb.select(
-        "vec_id",
-        S.as_double_array("embedding").alias("v"),
-    ).withColumn(
-        "nfp",
-        F.expr(
-            "aggregate(transform(v, x -> CAST(FLOOR(x * x * 1e12) AS"
-            " BIGINT)), 0L, (acc, t) -> acc + t)"
-        ),
+        epsilon=float(_SEM_THETA),
+        k=_KM_K,
+        iters=_KM_ITERS,
+        cache_key=("kmeans_attested", _KM_K, _KM_ITERS),
     )
-    j = assigned.join(vecs, "vec_id")
-    a = j.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("ia"),
-        F.col("v").alias("va"),
-        F.col("nfp").alias("nfa"),
-    )
-    b = j.select(
-        F.col("cluster_id").alias("cb"),
-        F.col("vec_id").alias("ib"),
-        F.col("v").alias("vb"),
-        F.col("nfp").alias("nfb"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(FLOOR(x * y * 1e12) AS"
-        " BIGINT)), 0L, (acc, t) -> acc + t)"
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("cluster_id") == F.col("cb"))
-            & (F.col("ia") < F.col("ib")),
-        )
-        .select(
-            "cluster_id",
-            "ib",
-            F.round(
-                dot.cast("double")
-                / F.sqrt(
-                    F.col("nfa").cast("double") * F.col("nfb").cast("double")
-                ),
-                9,
-            ).alias("cs"),
-        )
-    )
+    assigned = pairs._assigned
     theta = float(_SEM_THETA)
     pc = pairs.groupBy("cluster_id").agg(
         F.count(F.when(F.col("cs") >= theta, 1))

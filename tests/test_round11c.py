@@ -185,3 +185,30 @@ def test_assortativity_in_range(spark, sf_dir):
     r = graph_degree_assortativity(spark, sf_dir).collect()[0]
     assert -1.0 <= r["assortativity"] <= 1.0
     assert r["n_nodes"] > 0 and r["n_edges"] > 0
+
+
+def test_semdedup_derived_k_default(spark, sf_dir):
+    """r11 VERDICT #3: semdedup_pairs' DEFAULT must be the k ∝ n
+    contract — k=None derives max(k_min, ceil(n/target_cluster_size))
+    and produces the identical pair set as passing that k explicitly
+    (kmeans_attested is RNG-free, so the derivation is replayable)."""
+    import math
+
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators.dedup import semdedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    tcs, kmin = 100, 2
+    k_expected = max(kmin, math.ceil(n / tcs))
+    assert k_expected > kmin  # the derivation, not the floor, decides
+
+    auto = semdedup_pairs(
+        emb, k=None, iters=1, target_cluster_size=tcs, k_min=kmin
+    )
+    explicit = semdedup_pairs(emb, k=k_expected, iters=1)
+    got_k = auto._assigned.select("cluster_id").distinct().count()
+    assert got_k <= k_expected
+    a = {tuple(r) for r in auto.collect()}
+    b = {tuple(r) for r in explicit.collect()}
+    assert a == b and len(a) > 0

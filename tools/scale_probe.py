@@ -520,6 +520,129 @@ def main_r11b() -> None:
     spark.stop()
 
 
+
+
+def main_r12() -> None:
+    """Round-12 probes (`python tools/scale_probe.py r12`):
+
+    1. SemDeDup at OPERATOR DEFAULTS (k=None -> k ∝ n): candidate
+       pairs should grow ~linearly under 4x corpus replication now
+       that the derived k holds per-cluster occupancy flat (the r11
+       probe showed fixed k=8 going 16x/quadratic).
+    2. Adamic-Adar wedge enumeration (r11 VERDICT #8): volume mode
+       (users+hours shift -> bucket occupancy constant) should be
+       ~linear in wedges/wall; density mode (users shift only -> each
+       bucket k x denser) is quadratic BY CONSTRUCTION via the
+       Σ deg² wedge bound - the named degradation mode (co-activity
+       spikes salt/cap upstream, same as k-core).
+    3. Clustering-coefficient oriented-wedge triangle join, same two
+       modes; bound is Σ deg² on the ORIENTED (u < v) adjacency,
+       roughly a quarter of the undirected bound.
+    """
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators.dedup import semdedup_pairs
+    from ibd_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    results: dict[str, dict[str, object]] = {}
+
+    emb = load(spark, SF, "embeddings")
+    results["semdedup_default_kprop_x"] = {}
+    for mult in (1, 4):
+        e = replicate(emb, mult, {"vec_id": 1_000_000})
+        n = e.count()
+        pairs = semdedup_pairs(
+            e, k=None, iters=1, target_cluster_size=250, k_min=4
+        )
+        t0 = time.perf_counter()
+        n_pairs = pairs.count()
+        results["semdedup_default_kprop_x"][f"{mult}x"] = {
+            "n_vectors": n,
+            "derived_k": max(4, -(-n // 250)),
+            "pairs": n_pairs,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+
+    ev = load(spark, SF, "events").filter(F.col("user_id") < 150)
+
+    def edge_set(events):
+        b = events.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+        ).distinct()
+        a, c = b.alias("a"), b.alias("c")
+        return (
+            a.join(
+                c,
+                (F.col("a.event_type") == F.col("c.event_type"))
+                & (F.col("a.h") == F.col("c.h"))
+                & (F.col("a.user_id") < F.col("c.user_id")),
+            )
+            .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def aa_wedges(e):
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        t1, t2 = sym.alias("t1"), sym.alias("t2")
+        return t1.join(
+            t2, (F.col("t1.u") == F.col("t2.u")) & (F.col("t1.v") < F.col("t2.v"))
+        ).select(
+            F.col("t1.v").alias("u"), F.col("t2.v").alias("v"),
+            F.col("t1.u").alias("w"),
+        )
+
+    def cc_triangles(e):
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        return (
+            e1.join(
+                e2,
+                (F.col("e1.u") == F.col("e2.u"))
+                & (F.col("e1.v") < F.col("e2.v")),
+            )
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.v"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("u"),
+                F.col("e1.v").alias("v"),
+                F.col("e2.v").alias("w"),
+            )
+        )
+
+    for k in (1, 4):
+        vol = None
+        for i in range(k):
+            c = ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+            c = c.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 2400} HOURS")
+            )
+            vol = c if vol is None else vol.unionByName(c)
+        dens = replicate(ev, k, {"user_id": 1_000_000})
+        for mode, src in (("volume", vol), ("density", dens)):
+            e = edge_set(src)
+            w = aa_wedges(e)
+            t0 = time.perf_counter()
+            n_w = w.count()
+            results.setdefault(f"adamic_adar_wedges_{mode}_x", {})[str(k)] = {
+                "n_edges": e.count(),
+                "wedges": n_w,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+            t = cc_triangles(e)
+            t0 = time.perf_counter()
+            n_t = t.count()
+            results.setdefault(f"cc_triangles_{mode}_x", {})[str(k)] = {
+                "triangles": n_t,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r10":
         main_r10()
@@ -527,5 +650,7 @@ if __name__ == "__main__":
         main_r11()
     elif len(sys.argv) > 1 and sys.argv[1] == "r11b":
         main_r11b()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r12":
+        main_r12()
     else:
         main()
