@@ -207,6 +207,26 @@ _ROUND6_NEW: list[str] = [
 # Computed mechanically by tools/attestation_status.py;
 # tests/test_attestation.py gates drift.
 # ----------------------------------------------------------------------
+_ROUND12_PRIORITY: list[str] = [
+    # rows-only -> hash-attested conversion (the registry's LAST
+    # no_oracle row): deterministic envelope over the synth pipeline
+    "weather_synth_throughput",
+    # r12 rewrites: evidence must postdate the semantics/plan change
+    "stats_kruskal_wallis",  # sanitized pivot + df-generalized p
+    "similarity_ann_lsh",  # one-parse expr bucket bank + broadcast
+    "similarity_ann_ivf",  # explicit broadcast_queries
+    "dedup_semantic_clusters",  # semdedup_pairs operator refactor
+    "similarity_ndcg_eval",  # literal_barrier helper
+    "similarity_jl_projection",  # literal_barrier helper
+    "train_dsir_importance",  # literal_barrier helper
+    # r12 window migrations (off the unpartitioned-window allow-list)
+    "train_bpe_pair_counts",
+    "stats_chi_square_independence",
+    "text_zipf_fit",
+]
+
+_ROUND12_NEW: list[str] = []
+
 _ROUND11_PRIORITY: list[str] = [
     # rows-only -> hash-attested conversions (oracle upgrades)
     "sketch_hll_daily_union",
@@ -607,9 +627,11 @@ def _driver_order(names: list[str]) -> list[str]:
     # r06 prefix: never-attested wave-3/4 queries + this round's new
     # registrations (≤50 total), then the r01–r05 attested history in
     # its historical order (evidence in CORRECTNESS_r{01..05}.json).
-    head = _ROUND11_PRIORITY + [
-        n for n in _ROUND11_NEW if n not in _ROUND11_PRIORITY
+    head = _ROUND12_PRIORITY + [
+        n for n in _ROUND12_NEW if n not in _ROUND12_PRIORITY
     ]
+    head = head + [n for n in _ROUND11_PRIORITY if n not in head]
+    head = head + [n for n in _ROUND11_NEW if n not in head]
     head = head + [n for n in _ROUND10_PRIORITY if n not in head]
     head = head + [n for n in _ROUND10_NEW if n not in head]
     head = head + [n for n in _ROUND9_PRIORITY if n not in head]

@@ -57,7 +57,9 @@ def train_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit — TakeOrderedAndProject, per-task 20-row heaps
     merged on the driver — NOT a global row_number window, which
     would sort the whole pair space on one partition; ranks are then
-    attached to the surviving 20 rows only."""
+    attached to the surviving 20 rows by a triangular count over the
+    20-row broadcast (no window operator anywhere in the plan —
+    came off the unpartitioned-window allow-list in r12)."""
     d = load_wide(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     pairs = F.zip_with(
@@ -72,18 +74,31 @@ def train_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    top = c.orderBy(F.col("n").desc(), "left_tok", "right_tok").limit(20)
-    w = Window.orderBy(F.col("n").desc(), "left_tok", "right_tok")
-    return (
-        top.withColumn("rk", F.row_number().over(w))
-        .select(
-            F.col("rk").cast("int"),
-            "left_tok",
-            "right_tok",
-            F.col("n").alias("n_pairs"),
-        )
-        .orderBy("rk")
+    # the (-n, left, right) struct sorts exactly the (n DESC, left,
+    # right) total order, so rank = count of rows at-or-before — a
+    # 20×20 broadcast nested-loop, never a window
+    key = F.struct(
+        (-F.col("n")).alias("nn"),
+        F.col("left_tok").alias("l"),
+        F.col("right_tok").alias("r"),
     )
+    top = (
+        c.orderBy(F.col("n").desc(), "left_tok", "right_tok")
+        .limit(20)
+        .withColumn("_k", key)
+    )
+    o = top.select(F.col("_k").alias("_ko"))
+    ranked = (
+        top.join(F.broadcast(o), F.col("_ko") <= F.col("_k"))
+        .groupBy("left_tok", "right_tok", "n")
+        .agg(F.count(F.lit(1)).cast("int").alias("rk"))
+    )
+    return ranked.select(
+        "rk",
+        "left_tok",
+        "right_tok",
+        F.col("n").alias("n_pairs"),
+    ).orderBy("rk")
 
 
 @query(

@@ -207,24 +207,25 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — the agg_corr_regression discipline). The
     final slope/intercept round at 4, far above any residual noise.
 
-    Scale: wordcount aggregate (the corpus-sized shuffle), one global
-    rank window over the VOCABULARY frame (Zipf-small), one moment
-    aggregate.
+    Scale: wordcount aggregate (the corpus-sized shuffle), ranks from
+    the DISTRIBUTED prefix-sum over the vocabulary frame under the
+    (freq DESC, tok) total order — the rank-from-prefix-sum pattern
+    that took Spearman/KS/MWU off the unpartitioned-window allow-list
+    (this query came off in r12; (tok) is unique after the groupBy so
+    a count prefix IS row_number) — then one moment aggregate.
     """
-    from pyspark.sql import Window
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
 
     d = load_wide(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("one", F.lit(1).cast("bigint"))
     )
-    ranked = tf.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.col("freq").desc(), "tok"))
-        .alias("rank"),
-    )
+    ranked = with_global_prefix_sums(
+        tf, [(-F.col("freq")).alias("negfreq"), F.col("tok")], ["one"]
+    ).select("freq", F.col("_cum_one").alias("rank"))
     pts = ranked.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),

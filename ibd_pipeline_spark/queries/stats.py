@@ -138,8 +138,10 @@ FROM t
 def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence between event_type and ISO
     day-of-week: one count aggregate builds the contingency table,
-    window sums derive the margins without a second scan, and
-    chi² = Σ (o−e)²/e folds over the (tiny) cell frame.
+    MARGIN AGGREGATES broadcast back onto the cells derive the
+    expectations (the stats_mutual_information form — no window
+    operator anywhere; came off the unpartitioned-window allow-list
+    in r12), and chi² = Σ (o−e)²/e folds over the (tiny) cell frame.
 
     Each cell's term is the identical per-row double chain in both
     engines — (o−e)·(o−e)/e with explicit multiplication, margins
@@ -149,19 +151,27 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: the only row-count-proportional work is the first count
     aggregate (map-side combined, one shuffle on ~35 keys); margins
-    and the fold run on the cell frame.
+    are catalog-sized aggregates joined back by broadcast hash join.
     """
     ev = load(spark, sf_dir, "events")
     obs = ev.groupBy(
         "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
     ).agg(F.count(F.lit(1)).alias("obs"))
-    margins = obs.select(
-        F.col("obs").cast("double").alias("od"),
-        (
-            F.sum("obs").over(Window.partitionBy("event_type")).cast("double")
-            * F.sum("obs").over(Window.partitionBy("dow")).cast("double")
-            / F.sum("obs").over(Window.partitionBy()).cast("double")
-        ).alias("e"),
+    row_tot = obs.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    col_tot = obs.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    n_tot = obs.agg(F.sum("obs").alias("n"))
+    margins = (
+        obs.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("obs").cast("double").alias("od"),
+            (
+                F.col("row_tot").cast("double")
+                * F.col("col_tot").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
     )
     term = (F.col("od") - F.col("e")) * (F.col("od") - F.col("e")) / F.col("e")
     return margins.agg(

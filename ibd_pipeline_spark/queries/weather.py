@@ -221,7 +221,27 @@ def weather_pipeline_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("weather_synth_throughput")  # rows-only: distributed synthesis
+_SYNTH_N = 1_000_000
+
+_SYNTH_THROUGHPUT_SQL = f"""
+WITH r AS (
+  SELECT i FROM range(0, {_SYNTH_N}) t(i)
+), w AS (
+  SELECT TIMESTAMP '2024-06-01 12:00:00'
+           + (i // 300) * 300 * INTERVAL 1 SECOND AS window_start,
+         CAST(0.1 AS DOUBLE) * (i % 3) AS prec
+  FROM r
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS sample_count,
+       CAST(ROUND(SUM(CAST(prec AS DECIMAL(28,8))), 4) AS DOUBLE)
+         AS total_precipitation_mm_sum,
+       TRUE AS all_aggs_finite
+FROM w GROUP BY window_start ORDER BY window_start
+"""
+
+
+@query("weather_synth_throughput", oracle=_SYNTH_THROUGHPUT_SQL)
 def weather_synth_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume variant of the reference pipeline: 1,000,000 messages
     synthesized JVM-side (sources.weather_synth — spark.range +
@@ -230,22 +250,35 @@ def weather_synth_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 msg/s producer of the reference (weather-producer.py:17) maps
     to ~11.5 days of simulated stream.
 
-    Rows-only by design: the payload values come from JVM
-    Math.sin/xxhash noise (weather_synth.py), which DuckDB cannot
-    reproduce bit-identically; the parse/window/aggregate semantics
-    this exercises are oracle-checked by weather_pipeline_5min."""
+    ATTESTATION ENVELOPE (r11 VERDICT #7 — formerly the registry's
+    one rows-only query): the generator is seeded, so its
+    DETERMINISTIC projections are replayed exactly by DuckDB —
+    per-window timestamps (start + i·1 s, 5-min aligned), sample
+    counts (300/window, 100 in the 3334th), and the precipitation
+    sum (0.1·(i mod 3) is rand-free double algebra; dsum quantizes
+    per row so the window sums are bit-identical). The rand(seed)
+    noise aggregates CANNOT cross engines, but they are forced
+    through the plan by `all_aggs_finite` — a conjunction of
+    null/NaN checks over every noisy aggregate — so Catalyst can't
+    prune the full aggregate workload this query exists to time,
+    while every emitted value stays oracle-checkable."""
     from ibd_pipeline_spark.sources.weather_synth import synth_weather_json
 
-    raw = synth_weather_json(spark, 1_000_000)
+    raw = synth_weather_json(spark, _SYNTH_N)
     agg = weather_pipeline(raw)
+    noisy = [
+        c
+        for c in agg.columns
+        if c.startswith(("avg_", "max_", "temperature_"))
+    ]
+    finite = F.lit(True)
+    for c in noisy:
+        finite = finite & F.col(c).isNotNull() & ~F.isnan(F.col(c))
     return agg.select(
         F.col("window.start").alias("window_start"),
-        "sample_count",
-        *[
-            F.round(c, 4).alias(c)
-            for c in agg.columns
-            if c.startswith(("avg_", "max_", "total_", "temperature_"))
-        ],
+        F.col("sample_count").cast("bigint").alias("sample_count"),
+        "total_precipitation_mm_sum",
+        finite.alias("all_aggs_finite"),
     ).orderBy("window_start")
 
 

@@ -47,21 +47,22 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     # with a triangular struct-extreme carry, and KM's three prefix
     # quantities ride the block-stitched cumsum/running-extreme
     # helpers over the integer duration spine.
+    # THREE more came off in r12: stats_chi_square_independence
+    # (margins-broadcast form, the stats_mutual_information pattern),
+    # train_bpe_pair_counts (triangular rank over the 20-row
+    # TakeOrdered survivors — no window at all), text_zipf_fit
+    # (rank-from-prefix-sum over the vocab frame under the
+    # (freq DESC, tok) total order — the Spearman/KS/MWU pattern).
     "train_neyman_allocation": "one row per source (largest-remainder rank)",
     # tiny enumerations
     "quality_benford_digits": "9 rows (leading digits 1-9)",
-    "stats_chi_square_independence": "contingency cells (types × buckets)",
     "train_source_temperature": "one row per source",
     "train_epoch_waterfill": "one row per source",
     "maintenance_compaction_plan": "one row per file/partition plan entry",
-    "train_bpe_pair_counts": "top-20 rows (after TakeOrderedAndProject)",
     "train_interleave_roundrobin": (
         "≤ 100 × n_sources rows — rn ≤ 100 pre-filter, provably lossless"
     ),
     "global_row_ids": "≤ 500 rows (o_orderkey < 500 filter)",
-    # distinct-value support frames: KS / Mann–Whitney came OFF this
-    # list in r09 (rank-from-prefix-sum via with_global_prefix_sums)
-    "text_zipf_fit": "vocab-sized (distinct tokens)",
     # deliberate semantics exercise on the part dimension, flagged in
     # its own docstring
     "window_range_frame": "part dimension; kept as RANGE-frame exercise",
