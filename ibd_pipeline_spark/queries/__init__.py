@@ -225,7 +225,13 @@ _ROUND12_PRIORITY: list[str] = [
     "text_zipf_fit",
 ]
 
-_ROUND12_NEW: list[str] = []
+_ROUND12_NEW: list[str] = [
+    "stats_jarque_bera",
+    "stats_cohens_d",
+    "stats_grubbs_outlier",
+    "stats_g_test_independence",
+    "ab_odds_ratio_woolf",
+]
 
 _ROUND11_PRIORITY: list[str] = [
     # rows-only -> hash-attested conversions (oracle upgrades)
