@@ -231,6 +231,11 @@ _ROUND12_NEW: list[str] = [
     "stats_grubbs_outlier",
     "stats_g_test_independence",
     "ab_odds_ratio_woolf",
+    "ab_mcnemar_paired",
+    "stats_mood_median",
+    "stats_cramer_von_mises",
+    "ab_mantel_haenszel",
+    "stats_friedman_test",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

@@ -533,3 +533,598 @@ def ab_odds_ratio_woolf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(lor + z975 * se), 6).alias("ci_high"),
         F.round(2.0 * _phi_tail_col(F.abs(lor / se)), 8).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test (conversion flip between window halves)
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_SQL = f"""
+WITH bnd AS (
+  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), u AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' AND value > 200
+             AND epoch_us(CAST(ts AS TIMESTAMP)) < mid
+             THEN 1 ELSE 0 END) AS c1,
+    MAX(CASE WHEN event_type = 'purchase' AND value > 200
+             AND epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+             THEN 1 ELSE 0 END) AS c2
+  FROM events CROSS JOIN bnd GROUP BY user_id
+), cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM u
+), s AS (
+  SELECT n_pairs, b, c,
+         (ABS(CAST(b AS DOUBLE) - c) - 1.0)
+           * (ABS(CAST(b AS DOUBLE) - c) - 1.0) / (b + c) AS chi2_cc
+  FROM cells
+)
+SELECT n_pairs, b, c, ROUND(chi2_cc, 6) AS chi2_cc,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('sqrt(chi2_cc)')}), 8)
+         AS p_value
+FROM s
+"""
+
+
+@query("ab_mcnemar_paired", oracle=_MCNEMAR_SQL)
+def ab_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes: per user, did the
+    high-value-purchase flag flip between the first and second half
+    of the observation window? Only the discordant cells matter
+    (b = early-only, c = late-only); χ² = (|b−c|−1)²/(b+c) with
+    continuity correction, p from the exact χ²(1) ↔ normal identity
+    P(χ²₁ > x) = 2·Φ̄(√x). The within-subject before/after test a
+    two-sample z-test gets WRONG (it ignores the pairing).
+
+    Exactness: the midpoint is integer-µs floor-division arithmetic
+    on min/max event times (bigint — both engines identical); cells
+    are exact integer counts; one double chain after.
+
+    Scale: one user-key shuffle (the per-user flag reduce) after a
+    1-row broadcast of the midpoint; the test runs on 3 integers."""
+    ev = load(spark, sf_dir, "events")
+    bnd = ev.agg(
+        F.expr(
+            "(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2"
+        ).alias("mid")
+    )
+    hv = (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    u = (
+        ev.crossJoin(F.broadcast(bnd))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(hv & (F.expr("unix_micros(ts)") < F.col("mid")), 1)
+                .otherwise(0)
+            ).alias("c1"),
+            F.max(
+                F.when(hv & (F.expr("unix_micros(ts)") >= F.col("mid")), 1)
+                .otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    cells = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when((F.col("c1") == 1) & (F.col("c2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("c1") == 0) & (F.col("c2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    ad = F.abs(F.col("b").cast("double") - F.col("c"))
+    chi2 = (ad - 1.0) * (ad - 1.0) / (F.col("b") + F.col("c"))
+    return cells.select(
+        "n_pairs",
+        "b",
+        "c",
+        F.round(chi2, 6).alias("chi2_cc"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.sqrt(chi2))), 8
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (k-group, exact global median)
+# ---------------------------------------------------------------------------
+
+_MOOD_SQL = """
+WITH s AS (
+  SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL
+), pv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v
+), cum AS (
+  SELECT v, SUM(t) OVER (ORDER BY v) AS cw,
+         (SELECT SUM(t) FROM pv) AS n
+  FROM pv
+), med AS (
+  SELECT MIN(v) AS m FROM cum WHERE cw >= (n + 1) // 2
+), cells AS (
+  SELECT g,
+         CAST(COUNT(CASE WHEN v >  (SELECT m FROM med) THEN 1 END)
+              AS BIGINT) AS o_above,
+         CAST(COUNT(CASE WHEN v <= (SELECT m FROM med) THEN 1 END)
+              AS BIGINT) AS o_le
+  FROM s GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(o_above) AS BIGINT) AS ta,
+         CAST(SUM(o_le) AS BIGINT) AS tl,
+         CAST(SUM(o_above + o_le) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+), terms AS (
+  SELECT
+    CAST((CAST(o_above AS DOUBLE)
+          - CAST(ta AS DOUBLE) * (o_above + o_le) / n)
+         * (CAST(o_above AS DOUBLE)
+            - CAST(ta AS DOUBLE) * (o_above + o_le) / n)
+         / (CAST(ta AS DOUBLE) * (o_above + o_le) / n)
+         AS DECIMAL(28,8)) AS t1,
+    CAST((CAST(o_le AS DOUBLE)
+          - CAST(tl AS DOUBLE) * (o_above + o_le) / n)
+         * (CAST(o_le AS DOUBLE)
+            - CAST(tl AS DOUBLE) * (o_above + o_le) / n)
+         / (CAST(tl AS DOUBLE) * (o_above + o_le) / n)
+         AS DECIMAL(28,8)) AS t2,
+    n, k
+  FROM cells CROSS JOIN tot
+), agg AS (
+  SELECT n, CAST(k AS INT) AS n_groups, CAST(k - 1 AS INT) AS df,
+         CAST(ROUND(SUM(t1 + t2), 6) AS DOUBLE) AS chi2
+  FROM terms GROUP BY n, k
+), med2 AS (SELECT m FROM med)
+SELECT n AS n_total, n_groups, df,
+       ROUND((SELECT m FROM med2), 6) AS grand_median,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 8) AS p_value
+FROM agg
+"""
+
+
+@query("stats_mood_median", oracle=_MOOD_SQL)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: does each event type put the same share of
+    its values above the EXACT grand median? The blunt-but-robust
+    k-group location test (only counts above/≤ the pooled median —
+    immune to any monotone transform and to outliers that wreck
+    ANOVA; Kruskal-Wallis is its sharper rank sibling next door).
+
+    The grand median is EXACT and distributed: per-value counts +
+    the global prefix-sum spine (no unpartitioned window), lower
+    median = least v with cum ≥ ⌈N/2⌉. Cells are integer counts
+    against the broadcast median; the 2×k chi-square folds
+    decimal-quantized per-cell terms; p at df = k−1 = 4 via the
+    even-df closed-form survival (asserted like Kruskal-Wallis).
+
+    Scale: one value-key shuffle + one range exchange for the
+    median, one 5-group scan aggregate for the cells."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
+    pv = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    cum = with_global_prefix_sums(pv, ["v"], ["t"])
+    med = cum.filter(
+        F.col("_cum_t") >= F.expr("(_tot_t + 1) DIV 2")
+    ).agg(F.min("v").alias("m"))
+    cells = (
+        s.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.count(F.when(F.col("v") > F.col("m"), 1))
+            .cast("bigint")
+            .alias("o_above"),
+            F.count(F.when(F.col("v") <= F.col("m"), 1))
+            .cast("bigint")
+            .alias("o_le"),
+            F.max("m").alias("m"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("o_above").cast("bigint").alias("ta"),
+        F.sum("o_le").cast("bigint").alias("tl"),
+        F.sum(F.col("o_above") + F.col("o_le")).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    col_n = F.col("o_above") + F.col("o_le")
+    e_a = F.col("ta").cast("double") * col_n / F.col("n")
+    e_l = F.col("tl").cast("double") * col_n / F.col("n")
+    t1 = (
+        (F.col("o_above").cast("double") - e_a)
+        * (F.col("o_above").cast("double") - e_a)
+        / e_a
+    ).cast("decimal(28,8)")
+    t2 = (
+        (F.col("o_le").cast("double") - e_l)
+        * (F.col("o_le").cast("double") - e_l)
+        / e_l
+    ).cast("decimal(28,8)")
+    agg = j.groupBy("n", "k", "m").agg(
+        F.round(F.sum(t1 + t2), 6).cast("double").alias("chi2")
+    )
+    # df = k-1 must be even for the closed-form survival (the
+    # Kruskal-Wallis contract); the corpus has k = 5 event types.
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("k").cast("int").alias("n_groups"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round("m", 6).alias("grand_median"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.exp(-F.col("chi2") / 2.0) * (1.0 + F.col("chi2") / 2.0), 8
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér–von Mises (purchase vs view values)
+# ---------------------------------------------------------------------------
+
+_CVM_SQL = """
+WITH s AS (
+  SELECT value AS v, event_type = 'purchase' AS is_a
+  FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL
+), pv AS (
+  SELECT v,
+         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS c1,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS c2
+  FROM s GROUP BY v
+), cum AS (
+  SELECT v, c1, c2,
+         SUM(c1) OVER (ORDER BY v) AS f1,
+         SUM(c2) OVER (ORDER BY v) AS f2,
+         (SELECT SUM(c1) FROM pv) AS n,
+         (SELECT SUM(c2) FROM pv) AS m
+  FROM pv
+), terms AS (
+  SELECT n, m,
+         CAST((c1 + c2)
+              * (CAST(f1 AS DOUBLE) / n - CAST(f2 AS DOUBLE) / m)
+              * (CAST(f1 AS DOUBLE) / n - CAST(f2 AS DOUBLE) / m)
+              AS DECIMAL(28,10)) AS term
+  FROM cum
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n1, CAST(MAX(m) AS BIGINT) AS n2,
+         CAST(ROUND(SUM(term), 6) AS DOUBLE) AS ssum
+  FROM terms
+)
+SELECT n1, n2,
+       ROUND(CAST(n1 AS DOUBLE) * n2
+             / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2))
+             * ssum, 6) AS cvm_t
+FROM agg
+"""
+
+
+@query("stats_cramer_von_mises", oracle=_CVM_SQL)
+def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between purchase and
+    view values: T = nm/N² · Σ over all pooled observations of
+    (F_n(x) − G_m(x))². Where KS reads only the single worst ECDF
+    gap, CvM integrates EVERY gap — far more sensitive to
+    distributed (scale/shape) differences that never produce one
+    large vertical gap. Statistic-only readout (its limiting law is
+    nonstandard; thresholds come from published tables — T ≳ 0.46
+    ≈ 5%), which is how the monitoring belt consumes it.
+
+    Exactness: rides the SAME distinct-value prefix-sum spine as the
+    KS query (exact integer cumulative counts under the value
+    order); per-value terms t_v·(F−G)² decimal-quantized so the sum
+    is order-independent; one closed-form double at output.
+
+    Scale: one value-key shuffle + one range exchange — identical
+    plan shape to stats_ks_two_sample; everything after runs on the
+    distinct-value frame."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").alias("is_a"),
+    )
+    pv = s.groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("c1"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("c2"),
+    )
+    cum = with_global_prefix_sums(pv, ["v"], ["c1", "c2"])
+    gap = (
+        F.col("_cum_c1").cast("double") / F.col("_tot_c1")
+        - F.col("_cum_c2").cast("double") / F.col("_tot_c2")
+    )
+    term = ((F.col("c1") + F.col("c2")) * gap * gap).cast("decimal(28,10)")
+    agg = cum.agg(
+        F.max("_tot_c1").cast("bigint").alias("n1"),
+        F.max("_tot_c2").cast("bigint").alias("n2"),
+        F.round(F.sum(term), 6).cast("double").alias("ssum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(
+            n1d * F.col("n2") / ((n1d + F.col("n2")) * (n1d + F.col("n2")))
+            * F.col("ssum"),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mantel–Haenszel stratified odds ratio + CMH test (strata = ISO dow)
+# ---------------------------------------------------------------------------
+
+_MH_SQL = f"""
+WITH e AS (
+  SELECT ISODOW(CAST(ts AS TIMESTAMP)) AS stratum,
+         CAST(('0x' || substring(md5('mh12:' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS arm,
+         CASE WHEN event_type = 'purchase' AND value > 200
+              THEN 1 ELSE 0 END AS succ
+  FROM events
+), cells AS (
+  SELECT stratum,
+    CAST(SUM(CASE WHEN arm = 0 AND succ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN arm = 0 AND succ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN arm = 1 AND succ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN arm = 1 AND succ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM e GROUP BY stratum
+), t AS (
+  SELECT CAST(a + b + c + d AS BIGINT) AS n, a, b, c, d,
+    CAST(CAST(a AS DOUBLE) * d / (a + b + c + d) AS DECIMAL(28,10)) AS rr,
+    CAST(CAST(b AS DOUBLE) * c / (a + b + c + d) AS DECIMAL(28,10)) AS ss,
+    CAST(CAST(a AS DOUBLE) AS DECIMAL(28,10)) AS ai,
+    CAST(CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)
+         AS DECIMAL(28,10)) AS ei,
+    CAST(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+         / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)
+            * (a + b + c + d - 1)) AS DECIMAL(28,10)) AS vi
+  FROM cells
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(ROUND(SUM(rr), 6) AS DOUBLE) AS num,
+         CAST(ROUND(SUM(ss), 6) AS DOUBLE) AS den,
+         CAST(ROUND(SUM(ai), 6) AS DOUBLE) AS sa,
+         CAST(ROUND(SUM(ei), 6) AS DOUBLE) AS se,
+         CAST(ROUND(SUM(vi), 6) AS DOUBLE) AS sv
+  FROM t
+), s AS (
+  SELECT n_strata, n_total, num / den AS or_mh,
+         (ABS(sa - se) - 0.5) * (ABS(sa - se) - 0.5) / sv AS cmh_chi2
+  FROM agg
+)
+SELECT n_strata, n_total,
+       ROUND(or_mh, 6) AS or_mh,
+       ROUND(cmh_chi2, 6) AS cmh_chi2,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('sqrt(cmh_chi2)')}), 8)
+         AS p_value
+FROM s
+"""
+
+
+@query("ab_mantel_haenszel", oracle=_MH_SQL)
+def ab_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 analysis across ISO-dow strata:
+    the pooled odds ratio OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) and the
+    continuity-corrected Cochran–Mantel–Haenszel χ²(1). THE fix for
+    Simpson's paradox in experiment readouts — a day-of-week mix
+    shift can reverse a crude 2×2 (ab_odds_ratio_woolf); MH pools
+    the per-stratum evidence instead. On an A/A md5 split the
+    expected readout is OR_MH ≈ 1, quiet p.
+
+    Exactness: per-stratum cells are exact integers; each stratum's
+    MH numerator/denominator and CMH E/V terms are decimal-quantized
+    doubles so the 7-term sums are order-independent; χ²(1) p via
+    the exact identity 2·Φ̄(√x).
+
+    Scale: one (stratum × arm × succ) count shuffle (28 keys), then
+    7-row algebra."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        (F.weekday("ts") + F.lit(1)).alias("stratum"),
+        md5_bucket(F.col("user_id"), F.lit("mh12"), 2).alias("arm"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+        )
+        .otherwise(0)
+        .alias("succ"),
+    )
+    cells = e.groupBy("stratum").agg(
+        *[
+            F.sum(
+                F.when((F.col("arm") == arm) & (F.col("succ") == sc), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(nm)
+            for nm, arm, sc in (
+                ("a", 0, 1),
+                ("b", 0, 0),
+                ("c", 1, 1),
+                ("d", 1, 0),
+            )
+        ]
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("bigint")
+    nd = n.cast("double")
+    t = cells.select(
+        n.alias("n"),
+        (F.col("a").cast("double") * F.col("d") / n).cast(
+            "decimal(28,10)"
+        ).alias("rr"),
+        (F.col("b").cast("double") * F.col("c") / n).cast(
+            "decimal(28,10)"
+        ).alias("ss"),
+        F.col("a").cast("double").cast("decimal(28,10)").alias("ai"),
+        (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("c"))
+            / n
+        ).cast("decimal(28,10)").alias("ei"),
+        (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nd * n * (n - 1))
+        ).cast("decimal(28,10)").alias("vi"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.round(F.sum("rr"), 6).cast("double").alias("num"),
+        F.round(F.sum("ss"), 6).cast("double").alias("den"),
+        F.round(F.sum("ai"), 6).cast("double").alias("sa"),
+        F.round(F.sum("ei"), 6).cast("double").alias("se"),
+        F.round(F.sum("vi"), 6).cast("double").alias("sv"),
+    )
+    chi2 = (
+        (F.abs(F.col("sa") - F.col("se")) - 0.5)
+        * (F.abs(F.col("sa") - F.col("se")) - 0.5)
+        / F.col("sv")
+    )
+    return agg.select(
+        "n_strata",
+        "n_total",
+        F.round(F.col("num") / F.col("den"), 6).alias("or_mh"),
+        F.round(chi2, 6).alias("cmh_chi2"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.sqrt(chi2))), 8
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (blocks = ISO dow, treatments = event types)
+# ---------------------------------------------------------------------------
+
+_FRIEDMAN_SQL = """
+WITH cell AS (
+  SELECT ISODOW(CAST(ts AS TIMESTAMP)) AS blk, event_type AS trt,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 6) AS DOUBLE)
+           / COUNT(value) AS m
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), rk AS (
+  SELECT a.blk, a.trt,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM cell a JOIN cell b
+    ON a.blk = b.blk
+   AND (b.m < a.m OR (b.m = a.m AND b.trt <= a.trt))
+  GROUP BY a.blk, a.trt
+), rs AS (
+  SELECT trt, CAST(SUM(r) AS BIGINT) AS rj FROM rk GROUP BY trt
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+         CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+  FROM cell
+), q AS (
+  SELECT b, k,
+         12.0 / (CAST(b AS DOUBLE) * k * (k + 1))
+           * (SELECT SUM(CAST(rj AS DOUBLE) * rj) FROM rs)
+           - 3.0 * b * (k + 1) AS qstat
+  FROM dims
+)
+SELECT CAST(b AS INT) AS n_blocks, CAST(k AS INT) AS n_treatments,
+       CAST(k - 1 AS INT) AS df,
+       ROUND(qstat, 6) AS q_stat,
+       ROUND(exp(-qstat / 2.0) * (1.0 + qstat / 2.0), 8) AS p_value
+FROM q
+"""
+
+
+@query("stats_friedman_test", oracle=_FRIEDMAN_SQL)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman two-way rank test: ranking the five event types'
+    mean values WITHIN each ISO-dow block, do the treatments differ
+    once the block (day-of-week) effect is removed? The repeated-
+    measures ANOVA-on-ranks — Kruskal-Wallis would confound the dow
+    effect; Friedman blocks it out. Q = 12/(bk(k+1))·ΣRⱼ² − 3b(k+1),
+    p at df = k−1 = 4 via the even-df closed-form survival.
+
+    Exactness: per-cell means use the davg rule (decimal sum rounded
+    at 6, one double division — bit-identical both engines); ranks
+    within a block come from a TRIANGULAR COUNT over the 5-row block
+    under the (m, treatment-name) total order — deterministic
+    tie-break, no window operator anywhere; rank sums are exact
+    integers. Complete blocks verified by construction (every type
+    occurs every dow at all fixture scales).
+
+    Scale: one 35-key count shuffle, then a 35×35 broadcast
+    triangular join on the cell frame — everything past the first
+    aggregate is metadata-sized."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 6).cast(
+                "double"
+            )
+            / F.count("value")
+        ).alias("m")
+    )
+    a = cell.select(
+        F.col("blk"), F.col("trt"), F.col("m")
+    )
+    b = cell.select(
+        F.col("blk").alias("blk2"),
+        F.col("trt").alias("trt2"),
+        F.col("m").alias("m2"),
+    )
+    rk = (
+        a.join(
+            F.broadcast(b),
+            (F.col("blk") == F.col("blk2"))
+            & (
+                (F.col("m2") < F.col("m"))
+                | ((F.col("m2") == F.col("m")) & (F.col("trt2") <= F.col("trt")))
+            ),
+        )
+        .groupBy("blk", "trt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    rs = rk.groupBy("trt").agg(F.sum("r").cast("bigint").alias("rj"))
+    dims = cell.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.countDistinct("trt").cast("bigint").alias("k"),
+    )
+    ssq = rs.agg(
+        F.sum(F.col("rj").cast("double") * F.col("rj")).alias("s2")
+    )
+    q = dims.crossJoin(F.broadcast(ssq)).select(
+        "b",
+        "k",
+        (
+            12.0
+            / (F.col("b").cast("double") * F.col("k") * (F.col("k") + 1))
+            * F.col("s2")
+            - 3.0 * F.col("b") * (F.col("k") + 1)
+        ).alias("qstat"),
+    )
+    return q.select(
+        F.col("b").cast("int").alias("n_blocks"),
+        F.col("k").cast("int").alias("n_treatments"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round("qstat", 6).alias("q_stat"),
+        F.round(
+            F.exp(-F.col("qstat") / 2.0) * (1.0 + F.col("qstat") / 2.0), 8
+        ).alias("p_value"),
+    )
