@@ -236,6 +236,10 @@ _ROUND12_NEW: list[str] = [
     "stats_cramer_von_mises",
     "ab_mantel_haenszel",
     "stats_friedman_test",
+    "sketch_kmv_distinct_intersect",
+    "graph_transitivity_global",
+    "analytics_hhi_concentration",
+    "stats_durbin_watson",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

@@ -1128,3 +1128,499 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(-F.col("qstat") / 2.0) * (1.0 + F.col("qstat") / 2.0), 8
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + intersection estimate
+# ---------------------------------------------------------------------------
+
+_KMV_K = 200
+
+_KMV_SQL = f"""
+WITH ua AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+), ub AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), ha AS (
+  SELECT CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM ua
+), hb AS (
+  SELECT CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM ub
+), ka AS (
+  SELECT (SELECT list(h ORDER BY h) FROM ha)[1:{_KMV_K}] AS ks,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ha) AS n_exact
+), kb AS (
+  SELECT (SELECT list(h ORDER BY h) FROM hb)[1:{_KMV_K}] AS ks,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hb) AS n_exact
+), un AS (
+  SELECT list_sort(list_distinct(ka.ks || kb.ks))[1:{_KMV_K}] AS ks
+  FROM ka, kb
+), est AS (
+  SELECT ka.n_exact AS n_exact_a, kb.n_exact AS n_exact_b,
+         CAST(len(ka.ks) AS BIGINT) AS k_a,
+         CAST(len(kb.ks) AS BIGINT) AS k_b,
+         CAST(len(un.ks) AS BIGINT) AS k_u,
+         ka.ks[len(ka.ks)] AS hk_a,
+         kb.ks[len(kb.ks)] AS hk_b,
+         un.ks[len(un.ks)] AS hk_u,
+         CAST(len(list_filter(un.ks,
+              x -> list_contains(ka.ks, x) AND list_contains(kb.ks, x)))
+              AS BIGINT) AS n_both
+  FROM ka, kb, un
+)
+SELECT n_exact_a, n_exact_b,
+       ROUND((k_a - 1) / (CAST(hk_a AS DOUBLE)
+                          / 1152921504606846976.0), 4) AS est_a,
+       ROUND((k_b - 1) / (CAST(hk_b AS DOUBLE)
+                          / 1152921504606846976.0), 4) AS est_b,
+       ROUND(CAST(n_both AS DOUBLE) / k_u
+             * ((k_u - 1) / (CAST(hk_u AS DOUBLE)
+                             / 1152921504606846976.0)), 4)
+         AS est_intersection,
+       ROUND(CAST(n_both AS DOUBLE) / k_u, 6) AS est_jaccard
+FROM est
+"""
+
+
+@query("sketch_kmv_distinct_intersect", oracle=_KMV_SQL)
+def sketch_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketches for the viewer
+    and purchaser user sets, with the SET-INTERSECTION estimate HLL
+    cannot give directly: est(|A|) = (k−1)/h₍ₖ₎ from the k-th
+    smallest normalized hash, and est(|A∩B|) = ρ·est(|A∪B|) where ρ
+    is the share of the union sketch present in both per-set
+    sketches (Beyer et al. 2007). Deterministic end-to-end (md5
+    order statistics — no RNG), so the sketch itself is
+    hash-attested, and the exact distinct counts ride along as the
+    accuracy readout.
+
+    Scale: the sketch is MERGEABLE — each partition contributes its
+    own ≤k smallest (groupBy over (set, partition-id) partials,
+    state ≤ k·P rows), then one k-sized merge; the full hash set is
+    never collected anywhere. Union/intersection run on three
+    k-sized arrays.
+
+    Exactness: hashes are exact 60-bit integers; order statistics
+    and membership are integer operations; the only doubles are the
+    three closed-form estimates, rounded."""
+    ev = load(spark, sf_dir, "events")
+
+    def kset(tp: str) -> DataFrame:
+        h = (
+            ev.filter(F.col("event_type") == tp)
+            .select("user_id")
+            .distinct()
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit("kmv"), "user_id")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("h")
+            )
+        )
+        # mergeable min-k: per-partition partials (<= k each), then one
+        # k-sized merge — exact k smallest, no data-sized state
+        part = h.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks")
+        )
+        return part.select(F.explode("ks").alias("h")).agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks"),
+        ).crossJoin(
+            F.broadcast(h.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact")))
+        )
+
+    ka = kset("view").select(
+        F.col("ks").alias("ks_a"), F.col("n_exact").alias("n_exact_a")
+    )
+    kb = kset("purchase").select(
+        F.col("ks").alias("ks_b"), F.col("n_exact").alias("n_exact_b")
+    )
+    j = ka.crossJoin(F.broadcast(kb)).withColumn(
+        "ks_u",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("ks_a", "ks_b"))),
+            1,
+            _KMV_K,
+        ),
+    )
+    two60 = 1152921504606846976.0  # 2^60 — hash normalization
+    est = j.select(
+        "n_exact_a",
+        "n_exact_b",
+        F.size("ks_a").cast("bigint").alias("k_a"),
+        F.size("ks_b").cast("bigint").alias("k_b"),
+        F.size("ks_u").cast("bigint").alias("k_u"),
+        F.element_at("ks_a", -1).alias("hk_a"),
+        F.element_at("ks_b", -1).alias("hk_b"),
+        F.element_at("ks_u", -1).alias("hk_u"),
+        F.size(
+            F.filter(
+                F.col("ks_u"),
+                lambda x: F.array_contains(F.col("ks_a"), x)
+                & F.array_contains(F.col("ks_b"), x),
+            )
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    return est.select(
+        "n_exact_a",
+        "n_exact_b",
+        F.round(
+            (F.col("k_a") - 1) / (F.col("hk_a").cast("double") / two60), 4
+        ).alias("est_a"),
+        F.round(
+            (F.col("k_b") - 1) / (F.col("hk_b").cast("double") / two60), 4
+        ).alias("est_b"),
+        F.round(
+            F.col("n_both").cast("double")
+            / F.col("k_u")
+            * ((F.col("k_u") - 1) / (F.col("hk_u").cast("double") / two60)),
+            4,
+        ).alias("est_intersection"),
+        F.round(F.col("n_both").cast("double") / F.col("k_u"), 6).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global transitivity (triangles vs wedges) of the co-activity graph
+# ---------------------------------------------------------------------------
+
+_TRANS_SQL = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 100
+), e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), wed AS (
+  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg
+)
+SELECT n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       n_tri AS n_triangles, n_wedges,
+       ROUND(3.0 * n_tri / n_wedges, 6) AS transitivity
+FROM wed CROSS JOIN tri
+"""
+
+
+@query("graph_transitivity_global", oracle=_TRANS_SQL)
+def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (a.k.a. the global clustering coefficient)
+    of the user co-activity graph: C = 3·triangles / wedges, where
+    wedges = Σ_n C(deg n, 2). The one-number "how clique-like is
+    this graph" summary — the graph-level companion of the per-node
+    clustering coefficient (graph_clustering_coefficient reports
+    WHERE the dense tissue is; this reports HOW MUCH there is, the
+    number random-graph nulls are compared against).
+
+    Exactness: pure integer counting (edge dedup, oriented-wedge
+    triangle closure, exact degree binomials); one double division
+    at output.
+
+    Scale: identical bounds to the CC query — the oriented wedge
+    join is Σ deg², probed linear under volume replication and
+    quadratic-by-construction under density replication
+    (SCALE.md round-12, the named degradation mode); the triangle
+    closure is an edge-list equi-join. user_id < 100 bounds the
+    bench, not the shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by degrees + triangles
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("(deg * (deg - 1)) DIV 2"))
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    ecount = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        wed.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ecount))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").alias("n_triangles"),
+            "n_wedges",
+            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
+                "transitivity"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman revenue concentration per market segment
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = """
+WITH cr AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,8))), 2)
+              AS DOUBLE) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), seg AS (
+  SELECT segment, CAST(ROUND(SUM(CAST(rev AS DECIMAL(28,8))), 2) AS DOUBLE)
+           AS total_rev,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM cr GROUP BY segment
+), sh AS (
+  SELECT cr.segment,
+         CAST(10000.0 * (cr.rev / seg.total_rev) * (cr.rev / seg.total_rev)
+              AS DECIMAL(28,10)) AS s2
+  FROM cr JOIN seg USING (segment)
+)
+SELECT seg.segment, seg.n_customers,
+       ROUND(seg.total_rev, 2) AS total_rev,
+       CAST(ROUND(SUM(sh.s2), 4) AS DOUBLE) AS hhi
+FROM sh JOIN seg USING (segment)
+GROUP BY seg.segment, seg.n_customers, seg.total_rev
+ORDER BY seg.segment
+"""
+
+
+@query("analytics_hhi_concentration", oracle=_HHI_SQL)
+def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue concentration per market segment:
+    HHI = 10000·Σᵢ sᵢ² over customer revenue shares — the antitrust
+    yardstick repurposed as "is this segment's revenue one whale or
+    a long tail" (10000 = monopoly; <1500 ≈ unconcentrated). The
+    concentration complement of quality_activity_gini: Gini reads
+    inequality of the distribution, HHI reads dominance mass.
+
+    Exactness: per-customer and per-segment revenue use exact
+    decimal sums rounded in the decimal domain; each squared share
+    is one identical double chain cast to decimal per customer so
+    the segment fold is order-independent.
+
+    Scale: one (segment, customer) aggregate (the corpus-sized
+    shuffle), a segment-sized broadcast back, and a segment-keyed
+    fold; no windows, no data-sized state."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    seg = cr.groupBy("segment").agg(
+        F.round(F.sum(F.col("rev").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("total_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    sh = cr.join(F.broadcast(seg), "segment").select(
+        "segment",
+        "n_customers",
+        "total_rev",
+        (
+            10000.0
+            * (F.col("rev") / F.col("total_rev"))
+            * (F.col("rev") / F.col("total_rev"))
+        )
+        .cast("decimal(28,10)")
+        .alias("s2"),
+    )
+    return (
+        sh.groupBy("segment", "n_customers", "total_rev")
+        .agg(F.round(F.sum("s2"), 4).cast("double").alias("hhi"))
+        .select(
+            "segment",
+            "n_customers",
+            F.round("total_rev", 2).alias("total_rev"),
+            "hhi",
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin–Watson autocorrelation of detrended daily volume
+# ---------------------------------------------------------------------------
+
+_DW_SQL = """
+WITH dd AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(di) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(di * di) AS BIGINT) AS sxx,
+         CAST(SUM(di * y) AS BIGINT) AS sxy
+  FROM dd
+), fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+         sx, sy
+  FROM m
+), fit2 AS (
+  SELECT n, beta,
+         (CAST(sy AS DOUBLE) - beta * sx) / n AS alpha
+  FROM fit
+), resid AS (
+  SELECT di, CAST(y AS DOUBLE) - (alpha + beta * di) AS e, n
+  FROM dd CROSS JOIN fit2
+), dw AS (
+  SELECT MAX(a.n) AS n_days,
+         CAST(ROUND(SUM(CAST((a.e - b.e) * (a.e - b.e)
+                             AS DECIMAL(28,8))), 4) AS DOUBLE) AS num
+  FROM resid a JOIN resid b ON b.di = a.di - 1
+), den AS (
+  SELECT CAST(ROUND(SUM(CAST(e * e AS DECIMAL(28,8))), 4) AS DOUBLE) AS den
+  FROM resid
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       ROUND(num / den, 6) AS dw_stat,
+       ROUND(1.0 - (num / den) / 2.0, 6) AS rho1_approx
+FROM dw CROSS JOIN den
+"""
+
+
+@query("stats_durbin_watson", oracle=_DW_SQL)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson test statistic on the residuals of the daily
+    event-volume linear trend: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² ∈ [0,4], ≈ 2
+    for white noise, → 0 under positive serial correlation. THE
+    regression-residual autocorrelation check — a trending daily
+    metric fit by OLS with autocorrelated errors has understated
+    standard errors, and DW is the tripwire (rho1_approx ≈ 1−DW/2
+    gives the implied lag-1 correlation).
+
+    Exactness: the OLS fit uses ALL-INTEGER moment sums (Σdi, Σy,
+    Σdi², Σdi·y are exact BIGINTs — no float aggregation anywhere in
+    the fit), so α/β are one identical double division each;
+    residuals are identical doubles; the two quadratic sums are
+    decimal-quantized per term. Adjacent-day pairs come from a
+    di−1 self-join (the Ljung-Box lag-spine convention — calendar
+    gaps pair only truly adjacent days).
+
+    Scale: one day-key count shuffle; the fit, residuals, and DW
+    fold all run on the days-sized frame with a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    dd = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01").cast("date")
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    m = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("di").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("di") * F.col("di")).cast("bigint").alias("sxx"),
+        F.sum(F.col("di") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    beta = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = m.select(
+        "n", beta.alias("beta"), "sx", "sy"
+    ).select(
+        "n",
+        "beta",
+        ((F.col("sy").cast("double") - F.col("beta") * F.col("sx")) / F.col("n")).alias(
+            "alpha"
+        ),
+    )
+    resid = dd.crossJoin(F.broadcast(fit)).select(
+        "di",
+        (F.col("y").cast("double") - (F.col("alpha") + F.col("beta") * F.col("di"))).alias(
+            "e"
+        ),
+        "n",
+    )
+    ra = resid.alias("ra")
+    rb = resid.select(
+        (F.col("di") + 1).alias("dib"), F.col("e").alias("eb")
+    )
+    dw = (
+        ra.join(rb, F.col("di") == F.col("dib"))
+        .agg(
+            F.max("n").alias("n_days"),
+            F.round(
+                F.sum(
+                    ((F.col("e") - F.col("eb")) * (F.col("e") - F.col("eb"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    den = resid.agg(
+        F.round(F.sum((F.col("e") * F.col("e")).cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("den")
+    )
+    return dw.crossJoin(F.broadcast(den)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("num") / F.col("den"), 6).alias("dw_stat"),
+        F.round(1.0 - (F.col("num") / F.col("den")) / 2.0, 6).alias(
+            "rho1_approx"
+        ),
+    )
