@@ -240,6 +240,10 @@ _ROUND12_NEW: list[str] = [
     "graph_transitivity_global",
     "analytics_hhi_concentration",
     "stats_durbin_watson",
+    "events_best_split_sse",
+    "text_mattr_diversity",
+    "privacy_dp_noisy_counts",
+    "graph_label_propagation",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

@@ -1301,9 +1301,10 @@ WITH b AS (
          user_id
   FROM events WHERE user_id < 100
 ), e AS (
-  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  SELECT a.user_id AS u, c.user_id AS v
   FROM b a JOIN b c
     ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
 ), sym AS (
   SELECT u, v FROM e UNION ALL SELECT v, u FROM e
 ), deg AS (
@@ -1623,4 +1624,388 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - (F.col("num") / F.col("den")) / 2.0, 6).alias(
             "rho1_approx"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint: best single split of daily volume
+# ---------------------------------------------------------------------------
+
+_BSEG_SQL = """
+WITH dd AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT di, y,
+         SUM(y) OVER (ORDER BY di) AS s1,
+         CAST(ROW_NUMBER() OVER (ORDER BY di) AS BIGINT) AS rn,
+         (SELECT CAST(SUM(y) AS BIGINT) FROM dd) AS st,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n
+  FROM dd
+), cand AS (
+  SELECT di, rn, n, s1, st,
+         CAST(s1 AS DOUBLE) * s1 / rn
+           + CAST(st - s1 AS DOUBLE) * (st - s1) / (n - rn)
+           - CAST(st AS DOUBLE) * st / n AS gain
+  FROM cum WHERE rn < n
+), best AS (
+  SELECT di, rn, n, s1, st, gain,
+         ROW_NUMBER() OVER (ORDER BY gain DESC, di) AS pick
+  FROM cand
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(di AS BIGINT) AS split_di,
+       CAST(rn AS BIGINT) AS n_left,
+       ROUND(gain, 6) AS between_sse_gain,
+       ROUND(CAST(s1 AS DOUBLE) / rn, 6) AS mean_left,
+       ROUND(CAST(st - s1 AS DOUBLE) / (n - rn), 6) AS mean_right
+FROM best WHERE pick = 1
+"""
+
+
+@query("events_best_split_sse", oracle=_BSEG_SQL)
+def events_best_split_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of binary-segmentation changepoint detection on
+    daily event volume: the split day maximizing the between-group
+    sum-of-squares gain S₁²/n_L + S₂²/n_R − S²/N (equivalently,
+    minimizing total within-segment SSE). The level-shift detector
+    CUSUM approximates — this one is EXACT for a single shift, and
+    the full binary-segmentation algorithm is this query applied
+    recursively to each side.
+
+    Exactness: cumulative and total sums are exact BIGINTs off the
+    distributed prefix-sum spine (no unpartitioned window); the gain
+    is identical double algebra per candidate; the argmax breaks
+    ties on the EARLIEST day via a deterministic best-of struct.
+
+    Scale: one day-key count shuffle + one range exchange; the
+    candidate scan and argmax run on the days-sized frame
+    (TakeOrdered-style 1-row reduce, no global sort)."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events")
+    dd = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01").cast("date")
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    dd = dd.withColumn("one", F.lit(1).cast("bigint"))
+    cum = with_global_prefix_sums(dd, ["di"], ["y", "one"])
+    cand = cum.select(
+        "di",
+        F.col("_cum_one").alias("rn"),
+        F.col("_tot_one").alias("n"),
+        F.col("_cum_y").alias("s1"),
+        F.col("_tot_y").alias("st"),
+    ).filter(F.col("rn") < F.col("n"))
+    gain = (
+        F.col("s1").cast("double") * F.col("s1") / F.col("rn")
+        + (F.col("st") - F.col("s1")).cast("double")
+        * (F.col("st") - F.col("s1"))
+        / (F.col("n") - F.col("rn"))
+        - F.col("st").cast("double") * F.col("st") / F.col("n")
+    )
+    scored = cand.withColumn("gain", gain)
+    # deterministic argmax: max over (gain, -di) struct — ties to the
+    # EARLIEST day; a 1-row reduce, not a sort
+    best = scored.agg(
+        F.max(
+            F.struct(
+                F.col("gain"),
+                (-F.col("di")).alias("ndi"),
+                F.col("di"),
+                F.col("rn"),
+                F.col("n"),
+                F.col("s1"),
+                F.col("st"),
+            )
+        ).alias("b")
+    ).select("b.*")
+    return best.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("di").cast("bigint").alias("split_di"),
+        F.col("rn").cast("bigint").alias("n_left"),
+        F.round("gain", 6).alias("between_sse_gain"),
+        F.round(F.col("s1").cast("double") / F.col("rn"), 6).alias("mean_left"),
+        F.round(
+            (F.col("st") - F.col("s1")).cast("double")
+            / (F.col("n") - F.col("rn")),
+            6,
+        ).alias("mean_right"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MATTR moving-average type-token ratio (lexical diversity per doc)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25
+
+_MATTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+), w AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         CASE WHEN len(l) >= {_MATTR_W} THEN
+           [CAST(len(list_distinct(l[i:i+{_MATTR_W}-1])) AS BIGINT)
+            FOR i IN range(1, len(l) - {_MATTR_W} + 2)]
+         ELSE [CAST(len(list_distinct(l)) AS BIGINT)] END AS dts,
+         CASE WHEN len(l) >= {_MATTR_W}
+              THEN {_MATTR_W} ELSE len(l) END AS w_eff
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(len(dts) AS BIGINT) AS n_windows,
+       ROUND(CAST(list_sum(dts) AS DOUBLE) / (len(dts) * w_eff), 6)
+         AS mattr
+FROM w ORDER BY doc_id
+"""
+
+
+@query("text_mattr_diversity", oracle=_MATTR_SQL)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio (McCarthy & Jarvis
+    2010): mean of (distinct tokens / w) over every w=25-token
+    sliding window of each document. The lexical-diversity metric
+    that fixes raw TTR's length bias (TTR mechanically falls with
+    document length, so corpus-quality filters built on it
+    systematically mis-rank long docs); short docs fall back to
+    plain TTR over the whole token list. Belongs in the text-quality
+    belt next to the repetition ratio and Zipf fit.
+
+    Exactness: window distinct-counts are exact integers from array
+    slices; the mean is an integer sum over one double division.
+
+    Scale: per-document array work inside whole-stage codegen
+    (transform/slice/array_distinct — no UDF, no shuffle at all
+    beyond the scan); O(len·w) per doc with w fixed."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    w = _MATTR_W
+    n = F.size("l")
+    dts_long = F.transform(
+        F.sequence(F.lit(1), n - w + 1),
+        lambda i: F.size(F.array_distinct(F.slice("l", i, w))).cast("bigint"),
+    )
+    dts_short = F.array(F.size(F.array_distinct("l")).cast("bigint"))
+    out = toks.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.when(n >= w, dts_long).otherwise(dts_short).alias("dts"),
+        F.when(n >= w, F.lit(w)).otherwise(n).alias("w_eff"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("dts").cast("bigint").alias("n_windows"),
+        F.round(
+            F.aggregate(
+                "dts", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).cast("double")
+            / (F.size("dts") * F.col("w_eff")),
+            6,
+        ).alias("mattr"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Seeded-replay differentially-private counts (Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = "1.0"
+
+_DP_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+), u AS (
+  SELECT event_type, n,
+         CAST(('0x' || substring(md5('dp12:' || event_type), 1, 13))
+              AS BIGINT) / 4503599627370496.0 AS uu
+  FROM c
+), z AS (
+  SELECT event_type, n,
+         CASE WHEN uu < 0.5
+              THEN (1.0 / {_DP_EPS}) * ln(2.0 * uu)
+              ELSE -(1.0 / {_DP_EPS}) * ln(2.0 * (1.0 - uu)) END AS noise
+  FROM u
+)
+SELECT event_type, {_DP_EPS} AS epsilon,
+       ROUND(CAST(n AS DOUBLE) + noise, 4) AS noisy_count,
+       n AS true_count,
+       ROUND(noise, 4) AS applied_noise
+FROM z ORDER BY event_type
+"""
+
+
+@query("privacy_dp_noisy_counts", oracle=_DP_SQL)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy count release per event type at
+    ε = 1.0 (sensitivity 1 for a count): noise = inverse-CDF
+    transform of a uniform draw, b = 1/ε. SEEDED-REPLAY variant:
+    the uniform comes from the md5 of the release key, which makes
+    the whole mechanism deterministic and hence oracle-attested —
+    the Spark-side plumbing (per-partition count partials, the
+    release projection) is exactly the production shape. A real DP
+    release swaps the md5 draw for a fresh CSPRNG draw per release
+    (the seeded draw is NOT private against an adversary who knows
+    the key — documented trade, the multimodal fake-decode
+    pattern); the privacy-relevant columns (true_count,
+    applied_noise) exist here only for attestation and would be
+    projected out.
+
+    Scale: one 5-key count aggregate; the mechanism runs on the
+    catalog-sized release frame."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    eps = float(_DP_EPS)
+    two52 = 4503599627370496.0  # 2^52 — 13 hex digits
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("dp12"), "event_type")), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / two52
+    )
+    noise = F.when(
+        uu < 0.5, (1.0 / eps) * F.log(2.0 * uu)
+    ).otherwise(-(1.0 / eps) * F.log(2.0 * (1.0 - uu)))
+    z = c.select(
+        "event_type",
+        F.lit(eps).alias("epsilon"),
+        F.round(F.col("n").cast("double") + noise, 4).alias("noisy_count"),
+        F.col("n").alias("true_count"),
+        F.round(noise, 4).alias("applied_noise"),
+    )
+    return z.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (2 unrolled rounds, majority label)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle() -> str:
+    """DuckDB CTE unroll of 2 synchronous LPA rounds (majority
+    neighbor label, ties to the smallest label) over the co-activity
+    graph — same unroll technique as the k-means/k-core oracles."""
+    head = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 100
+), e AS (
+  SELECT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM sym
+)"""
+    rounds = []
+    for r in range(1, 3):
+        rounds.append(f""",
+v{r} AS (
+  SELECT s.u AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sym s JOIN l{r - 1} l ON l.node = s.v
+  GROUP BY s.u, l.label
+), l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rk
+    FROM v{r}
+  ) WHERE rk = 1
+)""")
+    tail = """
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+FROM l2 GROUP BY label ORDER BY size DESC, community LIMIT 20
+"""
+    return head + "".join(rounds) + tail
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    user REPEATED-co-activity graph (an edge needs >= 3 shared
+    (type, hour) buckets — one shared busy hour is noise, and the
+    unthresholded graph is 70% dense, where every community
+    algorithm rightly returns one block), 2 rounds: every node
+    adopts its neighbors' MAJORITY label, ties to the smallest label —
+    community detection where connected components is too coarse
+    (components only finds disconnected islands; LPA splits a
+    connected graph along density boundaries). Top-20 communities
+    by size.
+
+    Determinism contract: the classic async LPA is order-dependent;
+    the SYNCHRONOUS variant with a total-order tie-break
+    (count DESC, label ASC via one struct-max) is a pure function
+    of the graph, so a DuckDB CTE unroll replays both rounds
+    bit-for-bit (the k-means/k-core oracle technique). Fixed round
+    count = fixed plan depth — the production form checkpoints per
+    round via RoundCheckpointer like pagerank.
+
+    Scale: each round is one (node, label) count shuffle + a
+    per-node struct-max — Σ deg work per round, never quadratic;
+    labels live on nodes (bounded state)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select("u", "v")
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # reused by both rounds
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(2):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        # majority with ties to the SMALLEST label: one struct-max
+        labels = votes.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("m")
+        ).select("node", (-F.col("m.nl")).alias("label"))
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
     )
