@@ -244,6 +244,8 @@ _ROUND12_NEW: list[str] = [
     "text_mattr_diversity",
     "privacy_dp_noisy_counts",
     "graph_label_propagation",
+    "analytics_skyline_pareto",
+    "train_bigram_perplexity",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

@@ -2009,3 +2009,225 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto front) of customers by (revenue, order count)
+# ---------------------------------------------------------------------------
+
+_SKY_SQL = """
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+           AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+), v AS (
+  SELECT rev, CAST(MAX(n_orders) AS BIGINT) AS vmax FROM cust GROUP BY rev
+), r AS (
+  SELECT rev, vmax,
+         MAX(vmax) OVER (ORDER BY rev DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS r_excl
+  FROM v
+), sky AS (
+  SELECT c.custkey, c.rev, c.n_orders
+  FROM cust c JOIN r ON r.rev = c.rev
+  WHERE (r.r_excl IS NULL OR r.r_excl < c.n_orders)
+    AND r.vmax <= c.n_orders
+)
+SELECT custkey, ROUND(rev, 2) AS revenue, n_orders
+FROM sky ORDER BY rev DESC, custkey
+"""
+
+
+@query("analytics_skyline_pareto", oracle=_SKY_SQL)
+def analytics_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of customers under (total revenue,
+    order count): a customer survives iff NO other customer weakly
+    dominates them on both axes with at least one strict — the
+    classic "best under any monotone preference" database operator
+    (Börzsönyi et al. 2001), here the whale shortlist no single
+    score can produce.
+
+    Distributed form: dominance collapses to ONE prefix-max scan —
+    sort distinct revenue values descending; a point is dominated
+    iff the running max of order-counts over STRICTLY higher
+    revenues reaches its count, or a same-revenue point has strictly
+    more orders. The exclusive prefix max rides the month-stitch
+    running-extreme helper over a rank spine (rank from the
+    distributed prefix sum — no unpartitioned window anywhere).
+
+    Exactness: revenue is the exact decimal sum rounded at 2 (ties
+    compare exactly); everything else is integer counting.
+
+    Scale: one customer-key aggregate, a distinct-revenue spine
+    (≪ customers), one range exchange for ranks, and a broadcast
+    join back — never a pairwise dominance join (O(n²) is the naive
+    skyline's named failure mode)."""
+    from ibd_pipeline_spark.operators.calendar import (
+        month_stitched_running_extreme,
+    )
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    v = cust.groupBy("rev").agg(
+        F.max("n_orders").cast("bigint").alias("vmax")
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    ranked = with_global_prefix_sums(
+        v, [(-F.col("rev")).alias("negrev")], ["one"]
+    ).select("rev", "vmax", F.col("_cum_one").alias("rk"))
+    # inclusive running max over the rank order, block-stitched
+    rincl = month_stitched_running_extreme(
+        ranked,
+        "rk",
+        "vmax",
+        "r_incl",
+        kind="max",
+        block=F.floor(F.col("rk") / 64),
+    )
+    # exclusive prefix max = inclusive max at rank-1 (NULL at rank 1)
+    prev = rincl.select(
+        (F.col("rk") + 1).alias("rk_next"), F.col("r_incl").alias("r_excl")
+    )
+    spine = rincl.join(
+        F.broadcast(prev), F.col("rk") == F.col("rk_next"), "left"
+    ).select("rev", "vmax", "r_excl")
+    sky = (
+        cust.join(F.broadcast(spine), "rev")
+        .filter(
+            (F.col("r_excl").isNull() | (F.col("r_excl") < F.col("n_orders")))
+            & (F.col("vmax") <= F.col("n_orders"))
+        )
+    )
+    return sky.select(
+        "custkey", F.round("rev", 2).alias("revenue"), "n_orders"
+    ).orderBy(F.col("rev").desc(), "custkey")
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity (train/held-out split by doc parity)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(l))) t(i)
+), train_big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM grams WHERE doc_id % 2 = 0 GROUP BY w1, w2
+), train_ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM train_big GROUP BY w1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM train_big
+), scored AS (
+  SELECT g.doc_id, g.source,
+         CAST(ln((COALESCE(tb.c12, 0) + 1.0)
+                 / (COALESCE(tc.c1, 0) + (SELECT v FROM vocab)))
+              AS DECIMAL(28,10)) AS lp
+  FROM grams g
+  LEFT JOIN train_big tb ON tb.w1 = g.w1 AND tb.w2 = g.w2
+  LEFT JOIN train_ctx tc ON tc.w1 = g.w1
+  WHERE g.doc_id % 2 = 1
+), per_src AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(ROUND(SUM(lp), 6) AS DOUBLE) AS lp_sum
+  FROM scored GROUP BY source
+)
+SELECT source, n_docs, n_bigrams,
+       ROUND(-lp_sum / n_bigrams, 6) AS cross_entropy_nats,
+       ROUND(exp(-lp_sum / n_bigrams), 4) AS perplexity
+FROM per_src ORDER BY source
+"""
+
+
+@query("train_bigram_perplexity", oracle=_BIGRAM_SQL)
+def train_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM perplexity per source: train an add-1-
+    smoothed bigram model on even doc_ids, score odd doc_ids —
+    P(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V) — and report per-source
+    cross-entropy and perplexity. The corpus-quality readout one
+    level up from train_unigram_logprob_score: bigram surprise
+    catches scrambled/boilerplate text a unigram model scores as
+    fluent, and per-source perplexity is the standard "which crawl
+    slice is OOD for my model" ranking.
+
+    Exactness: counts and V are exact integers; each bigram's
+    log-probability is one identical double ln() chain
+    decimal-quantized before the per-source fold.
+
+    Scale: gram-postings joins (the DSIR/decontamination shape) —
+    the bigram table is vocab²-bounded and Zipf-small; the held-out
+    stream left-joins it on the gram key (broadcastable once
+    thresholded); no data-sized state anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "source", "g.w1", "g.w2")
+    train_big = (
+        grams.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    train_ctx = train_big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    vocab = train_big.agg(
+        F.countDistinct("w2").cast("bigint").alias("v")
+    )
+    scored = (
+        grams.filter(F.col("doc_id") % 2 == 1)
+        .join(train_big, ["w1", "w2"], "left")
+        .join(train_ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                (F.coalesce("c12", F.lit(0)) + 1.0)
+                / (F.coalesce("c1", F.lit(0)) + F.col("v"))
+            )
+            .cast("decimal(28,10)")
+            .alias("lp"),
+        )
+    )
+    per_src = scored.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("lp"), 6).cast("double").alias("lp_sum"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        F.round(-F.col("lp_sum") / F.col("n_bigrams"), 6).alias(
+            "cross_entropy_nats"
+        ),
+        F.round(F.exp(-F.col("lp_sum") / F.col("n_bigrams")), 4).alias(
+            "perplexity"
+        ),
+    ).orderBy("source")

@@ -56,14 +56,14 @@ def test_no_silently_stale_oracle_rows():
 
 
 def test_pinned_rotation_matches_computed():
-    from ibd_pipeline_spark.queries import _ROUND11_NEW, _ROUND11_PRIORITY
+    from ibd_pipeline_spark.queries import _ROUND12_NEW, _ROUND12_PRIORITY
 
     computed = set(_pending())
-    pinned = set(_ROUND11_PRIORITY) | set(_ROUND11_NEW)
+    pinned = set(_ROUND12_PRIORITY) | set(_ROUND12_NEW)
     # The pinned list must cover everything computed; it may carry
     # extra re-attest entries (deliberate re-runs after rewrites).
     missing = computed - pinned
     assert missing == set(), (
-        f"attestation work-list drifted — add to _ROUND11_PRIORITY "
-        f"(or _ROUND11_NEW): {sorted(missing)}"
+        f"attestation work-list drifted — add to _ROUND12_PRIORITY "
+        f"(or _ROUND12_NEW): {sorted(missing)}"
     )

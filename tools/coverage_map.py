@@ -279,6 +279,9 @@ SURVEY_ROW_QUERIES: dict[str, list[str]] = {
         "streaming:streaming/srm.py:msprt_report "
         "(tests/test_streaming_srm.py)",
     ],
+    "streaming (r12): live Benford first-digit monitor": [
+        "streaming:streaming/benford.py (tests/test_streaming_benford.py)",
+    ],
 }
 
 
