@@ -246,6 +246,9 @@ _ROUND12_NEW: list[str] = [
     "graph_label_propagation",
     "analytics_skyline_pareto",
     "train_bigram_perplexity",
+    "stats_runs_test",
+    "stats_benjamini_yekutieli",
+    "stats_anderson_darling_2samp",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

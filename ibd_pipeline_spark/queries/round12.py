@@ -2231,3 +2231,390 @@ def train_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perplexity"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on daily volume (above/below exact median)
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = f"""
+WITH dd AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), med AS (
+  SELECT MIN(y) AS m FROM (
+    SELECT y, SUM(cnt) OVER (ORDER BY y) AS cw,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n
+    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM dd GROUP BY y)
+  ) WHERE cw >= (n + 1) // 2
+), kept AS (
+  SELECT di, CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+  FROM dd WHERE y <> (SELECT m FROM med)
+), seq AS (
+  SELECT di, s, ROW_NUMBER() OVER (ORDER BY di) AS rn FROM kept
+), runs AS (
+  SELECT
+    (SELECT CAST(SUM(s) AS BIGINT) FROM kept) AS n1,
+    (SELECT CAST(COUNT(*) - SUM(s) AS BIGINT) FROM kept) AS n2,
+    CAST(1 + COUNT(*) AS BIGINT) AS r
+  FROM seq a JOIN seq b ON b.rn = a.rn + 1 AND b.s <> a.s
+), z AS (
+  SELECT n1, n2, r,
+         2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu,
+         sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+           AS sd
+  FROM runs
+)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+       ROUND(mu, 6) AS expected_runs,
+       ROUND((r - mu) / sd, 6) AS z_stat,
+       ROUND(2.0 * {_phi_tail_sql('ABS((r - mu) / sd)')}, 8) AS p_value
+FROM z
+"""
+
+
+@query("stats_runs_test", oracle=_RUNS_SQL)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of daily volume:
+    split days into above/below the EXACT median (median-equal days
+    excluded, the standard convention), count runs of consecutive
+    same-sign days, compare to E[R] = 2n₁n₂/N + 1. Too few runs =
+    trending/autocorrelated volume, too many = oscillation — the
+    nonparametric companion to Durbin–Watson (DW reads residual
+    correlation strength; runs reads sign-pattern randomness with
+    no linearity assumption).
+
+    Exactness: the median comes from the distributed prefix-sum
+    spine (exact, window-free on the Spark side); run boundaries are
+    integer comparisons between RANK-adjacent kept days (rank from
+    the same spine; calendar gaps don't split runs — documented
+    convention); one double chain + the shared normal tail.
+
+    Scale: one day-key count shuffle; the sequence logic runs on the
+    days-sized frame via a rank self-join."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events")
+    dd = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01").cast("date")
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    pv = dd.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cum = with_global_prefix_sums(pv, ["y"], ["cnt"])
+    med = cum.filter(
+        F.col("_cum_cnt") >= F.expr("(_tot_cnt + 1) DIV 2")
+    ).agg(F.min("y").alias("m"))
+    kept = (
+        dd.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select(
+            "di",
+            F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    seq = with_global_prefix_sums(kept, ["di"], ["one"]).select(
+        "s", F.col("_cum_one").alias("rn")
+    )
+    nxt = seq.select((F.col("rn") - 1).alias("rnp"), F.col("s").alias("s2"))
+    changes = seq.join(nxt, F.col("rn") == F.col("rnp")).filter(
+        F.col("s") != F.col("s2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ch"))
+    counts = kept.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+    )
+    z = counts.crossJoin(F.broadcast(changes)).select(
+        "n1",
+        "n2",
+        (F.col("ch") + 1).cast("bigint").alias("r"),
+    )
+    mu = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1.0
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    sd = F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (nn * (F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1))
+    )
+    zs = (F.col("r") - mu) / sd
+    return z.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(zs, 6).alias("z_stat"),
+        F.round(2.0 * _phi_tail_col(F.abs(zs)), 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Yekutieli FDR under arbitrary dependence (brand z-tests)
+# ---------------------------------------------------------------------------
+
+_BY_Q_NUM, _BY_Q_DEN = 1, 10  # q = 0.10, the BH family convention
+
+
+def _by_oracle() -> str:
+    from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql as pts
+
+    return f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
+), zt AS (
+  SELECT brand, n,
+         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+             / sqrt((CAST(rt AS DOUBLE) / nt)
+                    * (1.0 - CAST(rt AS DOUBLE) / nt) / n)) AS az
+  FROM b CROSS JOIN tot
+), pv AS (
+  SELECT brand, n, az, ROUND(2.0 * {pts("az")}, 8) AS p_value FROM zt
+), mc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST((SELECT CAST(ROUND(SUM(
+                 CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(28,12))), 10)
+               AS DOUBLE)
+               FROM range(1, 100001) t(i)
+               WHERE i <= (SELECT COUNT(*) FROM pv)) AS DOUBLE)
+           AS cm
+  FROM pv
+), rk AS (
+  SELECT a.brand, a.n, a.az, a.p_value,
+         CAST(COUNT(*) AS BIGINT) AS rank
+  FROM pv a
+  JOIN pv c ON (c.p_value < a.p_value)
+            OR (c.p_value = a.p_value AND c.brand <= a.brand)
+  GROUP BY a.brand, a.n, a.az, a.p_value
+), kmax AS (
+  SELECT COALESCE(MAX(rank), 0) AS kmax
+  FROM rk CROSS JOIN mc
+  WHERE p_value * m * cm * {_BY_Q_DEN} <= rank * {_BY_Q_NUM}
+)
+SELECT brand, n, ROUND(az, 6) AS z_stat, p_value,
+       CAST(rank AS INT) AS p_rank,
+       ROUND((SELECT cm FROM mc), 10) AS c_m,
+       rank <= kmax.kmax AS rejected
+FROM rk, kmax
+ORDER BY brand
+"""
+
+
+@query("stats_benjamini_yekutieli", oracle=_by_oracle)
+def stats_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Yekutieli FDR control (q = 0.10) over the SAME
+    per-brand z-test family as BH and Holm — the third corner of the
+    multiple-testing belt: BY's harmonic penalty c(m) = Σ 1/i makes
+    the FDR guarantee hold under ARBITRARY dependence between tests
+    (brand return rates share the corpus denominator, so they are
+    dependent — exactly BY's regime; BH assumes positive dependence
+    and is reported as triage).
+
+    Exactness: c(m) sums decimal-quantized harmonic terms
+    (order-independent; rounded at 10 in the decimal domain); the
+    step-up inequality p·m·c(m)·10 ≤ rank is evaluated on identical
+    doubles both engines; ranks via the brand-bounded triangular
+    join (window-free).
+
+    Scale: identical plan shape to BH — one fact-dim join, m-row
+    algebra after."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    p0 = F.col("rt").cast("double") / F.col("nt")
+    az = F.abs(
+        (F.col("r").cast("double") / F.col("n") - p0)
+        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
+    )
+    pv = (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n",
+            az.alias("az"),
+        )
+        .select(
+            "brand",
+            "n",
+            "az",
+            F.round(2.0 * _phi_tail_col(F.col("az")), 8).alias("p_value"),
+        )
+    )
+    mc = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m")).select(
+        "m",
+        F.round(
+            F.expr(
+                "aggregate(transform(sequence(1, CAST(m AS INT)),"
+                " i -> CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(28,12))),"
+                " CAST(0 AS DECIMAL(28,12)),"
+                " (acc, x) -> CAST(acc + x AS DECIMAL(28,12)))"
+            ),
+            10,
+        )
+        .cast("double")
+        .alias("cm"),
+    )
+    a, c = pv.alias("a"), pv.alias("c")
+    rk = (
+        a.join(
+            F.broadcast(c),
+            (F.col("c.p_value") < F.col("a.p_value"))
+            | (
+                (F.col("c.p_value") == F.col("a.p_value"))
+                & (F.col("c.brand") <= F.col("a.brand"))
+            ),
+        )
+        .groupBy("a.brand", "a.n", "a.az", "a.p_value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
+        .crossJoin(F.broadcast(mc))
+    )
+    kmax = rk.filter(
+        F.col("p_value") * F.col("m") * F.col("cm") * _BY_Q_DEN
+        <= F.col("rank") * _BY_Q_NUM
+    ).agg(F.coalesce(F.max("rank"), F.lit(0)).alias("kmax"))
+    return (
+        rk.crossJoin(F.broadcast(kmax))
+        .select(
+            "brand",
+            "n",
+            F.round("az", 6).alias("z_stat"),
+            "p_value",
+            F.col("rank").cast("int").alias("p_rank"),
+            F.round("cm", 10).alias("c_m"),
+            (F.col("rank") <= F.col("kmax")).alias("rejected"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anderson–Darling k-sample (k=2, Scholz–Stephens ties version)
+# ---------------------------------------------------------------------------
+
+_AD_SQL = """
+WITH s AS (
+  SELECT value AS v, event_type = 'purchase' AS is_a
+  FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL
+), pv AS (
+  SELECT v,
+         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS l1,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS l2
+  FROM s GROUP BY v
+), cum AS (
+  SELECT v, l1, l2, l1 + l2 AS lj,
+         SUM(l1) OVER (ORDER BY v) AS f1,
+         SUM(l2) OVER (ORDER BY v) AS f2,
+         (SELECT SUM(l1) FROM pv) AS n1,
+         (SELECT SUM(l2) FROM pv) AS n2
+  FROM pv
+), terms AS (
+  SELECT n1, n2, n1 + n2 AS nn,
+         CAST(f1 AS DOUBLE) - l1 / 2.0 AS ma1,
+         CAST(f2 AS DOUBLE) - l2 / 2.0 AS ma2,
+         CAST(f1 + f2 AS DOUBLE) - lj / 2.0 AS ba,
+         CAST(lj AS DOUBLE) AS lj
+  FROM cum
+), inner_t AS (
+  SELECT n1, n2, nn,
+    CAST((lj / nn) * ((nn * ma1 - n1 * ba) * (nn * ma1 - n1 * ba))
+         / (ba * (nn - ba) - nn * lj / 4.0) / n1 AS DECIMAL(28,10)) AS t1,
+    CAST((lj / nn) * ((nn * ma2 - n2 * ba) * (nn * ma2 - n2 * ba))
+         / (ba * (nn - ba) - nn * lj / 4.0) / n2 AS DECIMAL(28,10)) AS t2
+  FROM terms
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(MAX(nn) - 1 AS DOUBLE) / MAX(nn)
+             * CAST(ROUND(SUM(t1 + t2), 6) AS DOUBLE), 6) AS a2_stat
+FROM inner_t
+"""
+
+
+@query("stats_anderson_darling_2samp", oracle=_AD_SQL)
+def stats_anderson_darling_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling statistic (Scholz & Stephens 1987,
+    the midrank/ties version of A²ₐₖN at k=2) between purchase and
+    view values. AD weights ECDF gaps by 1/(F(1−F)) — maximal
+    sensitivity in the TAILS, which is where training-data value
+    distributions actually drift (CvM weighs the middle, KS only the
+    worst point; the three together are the standard drift triage).
+    Statistic-only readout like CvM (the null law is tabulated;
+    A² ≫ k−1 = 1 is the drift signal).
+
+    Exactness: the midrank cumulatives (F − l/2) are exact halves of
+    integers; every per-value term is one identical double chain
+    decimal-quantized before the fold; the (N−1)/N factor applies
+    after the rounded sum.
+
+    Scale: the same distinct-value prefix-sum spine as KS/CvM — one
+    value-key shuffle + one range exchange."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").alias("is_a"),
+    )
+    pv = s.groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("l1"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("l2"),
+    )
+    cum = with_global_prefix_sums(pv, ["v"], ["l1", "l2"])
+    n1 = F.col("_tot_l1")
+    n2 = F.col("_tot_l2")
+    nn = (n1 + n2).cast("double")
+    lj = (F.col("l1") + F.col("l2")).cast("double")
+    ma1 = F.col("_cum_l1").cast("double") - F.col("l1") / 2.0
+    ma2 = F.col("_cum_l2").cast("double") - F.col("l2") / 2.0
+    ba = (F.col("_cum_l1") + F.col("_cum_l2")).cast("double") - lj / 2.0
+    den = ba * (nn - ba) - nn * lj / 4.0
+    t1 = (
+        (lj / nn) * ((nn * ma1 - n1 * ba) * (nn * ma1 - n1 * ba)) / den / n1
+    ).cast("decimal(28,10)")
+    t2 = (
+        (lj / nn) * ((nn * ma2 - n2 * ba) * (nn * ma2 - n2 * ba)) / den / n2
+    ).cast("decimal(28,10)")
+    agg = cum.agg(
+        F.max(n1).cast("bigint").alias("n1"),
+        F.max(n2).cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(F.sum(t1 + t2), 6).cast("double").alias("ssum"),
+        F.max(nn).alias("nn"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_distinct",
+        F.round(
+            (F.col("nn") - 1.0) / F.col("nn") * F.col("ssum"), 6
+        ).alias("a2_stat"),
+    )
