@@ -249,6 +249,8 @@ _ROUND12_NEW: list[str] = [
     "stats_runs_test",
     "stats_benjamini_yekutieli",
     "stats_anderson_darling_2samp",
+    "search_mmr_rerank",
+    "search_query_likelihood",
 ]
 
 _ROUND11_PRIORITY: list[str] = [
