@@ -16,6 +16,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CURATED = {
+    "analytics_skyline_pareto": "2-D skyline: distinct-revenue spine + "
+    "block-stitched exclusive prefix max + one broadcast join back — no "
+    "pairwise dominance join, no unpartitioned window.",
+    "search_mmr_rerank": "5-step MMR greedy unroll: pool-sized broadcast "
+    "joins + struct-max argmax per step; candidate generation is the only "
+    "corpus-sized stage.",
+    "train_bigram_perplexity": "gram-postings shape: bigram table build "
+    "(vocab²-bounded shuffle) left-joined onto the held-out gram stream; "
+    "decimal-quantized per-source fold.",
+    "sketch_kmv_distinct_intersect": "mergeable min-k: per-partition "
+    "partial k-smallest then one k-sized merge — never a data-sized "
+    "collect; estimates on three k-arrays.",
+    "stats_mood_median": "exact grand median off the distributed "
+    "prefix-sum spine, broadcast back; 2×k cells fold decimal-quantized.",
     "q1_pricing_summary": "scan-filter-aggregate: date filter and 7-column "
     "projection pushed to parquet; partial+final hash aggregate on a 6-group key.",
     "q6_forecast_revenue": "pure pushdown showcase: all four predicates reach "
