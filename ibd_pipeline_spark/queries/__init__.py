@@ -251,6 +251,8 @@ _ROUND12_NEW: list[str] = [
     "stats_anderson_darling_2samp",
     "search_mmr_rerank",
     "search_query_likelihood",
+    "stats_bartlett_test",
+    "analytics_association_rules",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

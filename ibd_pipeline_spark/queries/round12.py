@@ -3000,3 +3000,203 @@ def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "rank", "doc_id", F.round("ql_score", 6).alias("ql_score")
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test of variance homogeneity (k = 5 event types)
+# ---------------------------------------------------------------------------
+
+_BARTLETT_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS s1,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))
+                        * CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), v AS (
+  SELECT event_type, n, (s2 - s1 * s1 / n) / (n - 1) AS s2i FROM g
+), terms AS (
+  SELECT n, s2i,
+         CAST((n - 1) * ln(s2i) AS DECIMAL(28,10)) AS lnterm,
+         CAST((n - 1) * s2i AS DECIMAL(28,8)) AS wvar,
+         CAST(1.0 / (n - 1) AS DECIMAL(28,12)) AS invterm
+  FROM v
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(ROUND(SUM(lnterm), 6) AS DOUBLE) AS sum_ln,
+         CAST(ROUND(SUM(wvar), 4) AS DOUBLE) AS sum_wvar,
+         CAST(ROUND(SUM(invterm), 10) AS DOUBLE) AS sum_inv
+  FROM terms
+), s AS (
+  SELECT k, nt,
+         ((nt - k) * ln(sum_wvar / (nt - k)) - sum_ln)
+           / (1.0 + (sum_inv - 1.0 / (nt - k)) / (3.0 * (k - 1)))
+           AS t_stat
+  FROM agg
+)
+SELECT nt AS n_total, CAST(k AS INT) AS n_groups,
+       CAST(k - 1 AS INT) AS df,
+       ROUND(t_stat, 6) AS bartlett_stat,
+       ROUND(exp(-t_stat / 2.0) * (1.0 + t_stat / 2.0), 8) AS p_value
+FROM s
+"""
+
+
+@query("stats_bartlett_test", oracle=_BARTLETT_SQL)
+def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the five event
+    types — the classic normal-theory counterpart of the robust
+    Levene/Brown–Forsythe pair already in the belt (Bartlett is more
+    powerful when normality holds, badly anti-conservative when it
+    doesn't; shipping all three is how variance checks are actually
+    triaged). T = ((N−k)·ln(S²ₚ) − Σ(nᵢ−1)·ln(S²ᵢ)) / C with the
+    standard C correction; p at df = k−1 = 4 via the even-df
+    closed-form survival.
+
+    Exactness: group variances from exact decimal Σx/Σx² (the Welch
+    discipline); each (nᵢ−1)·ln(S²ᵢ), (nᵢ−1)·S²ᵢ and 1/(nᵢ−1) term
+    is decimal-quantized so the k-term sums are order-independent;
+    the final statistic is one identical double chain.
+
+    Scale: one 5-group scan-aggregate; everything after runs on k
+    rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(28,8)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(dec), 4).cast("double").alias("s1"),
+        F.round(F.sum(dec * dec), 4).cast("double").alias("s2"),
+    )
+    s2i = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    terms = g.select(
+        "n",
+        ((F.col("n") - 1) * F.log(s2i)).cast("decimal(28,10)").alias("lnterm"),
+        ((F.col("n") - 1) * s2i).cast("decimal(28,8)").alias("wvar"),
+        (1.0 / (F.col("n") - 1)).cast("decimal(28,12)").alias("invterm"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.round(F.sum("lnterm"), 6).cast("double").alias("sum_ln"),
+        F.round(F.sum("wvar"), 4).cast("double").alias("sum_wvar"),
+        F.round(F.sum("invterm"), 10).cast("double").alias("sum_inv"),
+    )
+    nk = F.col("nt") - F.col("k")
+    t = (
+        nk * F.log(F.col("sum_wvar") / nk) - F.col("sum_ln")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / nk) / (3.0 * (F.col("k") - 1))
+    )
+    return agg.select(
+        F.col("nt").alias("n_total"),
+        F.col("k").cast("int").alias("n_groups"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round(t, 6).alias("bartlett_stat"),
+        F.round(F.exp(-t / 2.0) * (1.0 + t / 2.0), 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over user event-type baskets (support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+_ASSOC_SQL = """
+WITH basket AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM basket
+), singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM basket
+  GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM basket a JOIN basket b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.n_both,
+       sa.n AS n_antecedent, sc.n AS n_consequent,
+       ROUND(CAST(p.n_both AS DOUBLE) / nu.n_users, 6) AS support,
+       ROUND(CAST(p.n_both AS DOUBLE) / sa.n, 6) AS confidence,
+       ROUND((CAST(p.n_both AS DOUBLE) / sa.n)
+             / (CAST(sc.n AS DOUBLE) / nu.n_users), 6) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.antecedent
+JOIN singles sc ON sc.event_type = p.consequent
+CROSS JOIN nu
+ORDER BY antecedent, consequent
+"""
+
+
+@query("analytics_association_rules", oracle=_ASSOC_SQL)
+def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user event-type baskets: for every
+    ordered pair (A → B), support P(A∧B), confidence P(B|A), and
+    lift P(B|A)/P(B) — single-level Apriori, the market-basket
+    primitive behind "users who error also churn" readouts; lift ≈ 1
+    on independent behaviors, the off-1 pairs are the story.
+
+    Exactness: all counts are exact integers off one DISTINCT
+    (user, type) reduce; the three metrics are identical
+    double-division chains rounded at 6.
+
+    Scale: the basket self-join fans out per user by (basket size)²
+    with baskets bounded by the CATALOG of event types (≤ k² = 25
+    pairs per user, never user-quadratic); singles and the user
+    count broadcast back onto the k·(k−1)-row pair frame."""
+    ev = load(spark, sf_dir, "events")
+    basket = ev.select("user_id", "event_type").distinct()
+    nu = basket.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    singles = basket.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = basket.select(
+        "user_id", F.col("event_type").alias("antecedent")
+    )
+    b = basket.select(
+        F.col("user_id").alias("uid2"), F.col("event_type").alias("consequent")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid2"))
+            & (F.col("antecedent") != F.col("consequent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("antecedent"), F.col("n").alias("n_antecedent")
+    )
+    sc = singles.select(
+        F.col("event_type").alias("consequent"), F.col("n").alias("n_consequent")
+    )
+    out = (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(nu))
+    )
+    conf = F.col("n_both").cast("double") / F.col("n_antecedent")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_antecedent",
+        "n_consequent",
+        F.round(F.col("n_both").cast("double") / F.col("n_users"), 6).alias(
+            "support"
+        ),
+        F.round(conf, 6).alias("confidence"),
+        F.round(
+            conf / (F.col("n_consequent").cast("double") / F.col("n_users")),
+            6,
+        ).alias("lift"),
+    ).orderBy("antecedent", "consequent")

@@ -282,6 +282,10 @@ SURVEY_ROW_QUERIES: dict[str, list[str]] = {
     "streaming (r12): live Benford first-digit monitor": [
         "streaming:streaming/benford.py (tests/test_streaming_benford.py)",
     ],
+    "streaming (r12): live quantile (latency-SLO) monitor": [
+        "streaming:streaming/quantiles.py "
+        "(tests/test_streaming_quantiles.py)",
+    ],
 }
 
 
