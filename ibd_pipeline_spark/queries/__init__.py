@@ -253,6 +253,7 @@ _ROUND12_NEW: list[str] = [
     "search_query_likelihood",
     "stats_bartlett_test",
     "analytics_association_rules",
+    "stats_combined_pvalues",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

@@ -3200,3 +3200,124 @@ def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy("antecedent", "consequent")
+
+
+# ---------------------------------------------------------------------------
+# Combined p-values: Fisher's method + Stouffer's Z (brand z-tests)
+# ---------------------------------------------------------------------------
+
+_COMBINED_SQL = f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
+), zt AS (
+  SELECT brand,
+         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+             / sqrt((CAST(rt AS DOUBLE) / nt)
+                    * (1.0 - CAST(rt AS DOUBLE) / nt) / n)) AS az
+  FROM b CROSS JOIN tot
+), pv AS (
+  SELECT brand, az, ROUND(2.0 * {_phi_tail_sql('az')}, 8) AS p_value
+  FROM zt
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(ROUND(SUM(CAST(-2.0 * ln(p_value) AS DECIMAL(28,10))), 6)
+              AS DOUBLE) AS fisher_stat,
+         CAST(ROUND(SUM(CAST(az AS DECIMAL(28,10))), 6) AS DOUBLE) AS sz
+  FROM pv
+), s AS (
+  SELECT m, fisher_stat, sz / sqrt(CAST(m AS DOUBLE)) AS stouffer_z,
+         (exp(ln(fisher_stat / (2.0 * m)) / 3.0)
+          - (1.0 - 2.0 / (9.0 * (2.0 * m))))
+           * sqrt(9.0 * (2.0 * m) / 2.0) AS whz
+  FROM agg
+)
+SELECT CAST(m AS INT) AS n_tests,
+       ROUND(fisher_stat, 6) AS fisher_stat,
+       CAST(2 * m AS INT) AS fisher_df,
+       ROUND({_phi_tail_sql('whz')}, 8) AS fisher_p_wh,
+       ROUND(stouffer_z, 6) AS stouffer_z,
+       ROUND({_phi_tail_sql('ABS(stouffer_z)')}, 8) AS stouffer_p_onesided
+FROM s
+"""
+
+
+@query("stats_combined_pvalues", oracle=_COMBINED_SQL)
+def stats_combined_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-analytic p-value COMBINATION over the per-brand z-test
+    family — the question BH/Holm/BY don't answer: not "which brands
+    deviate" but "is there any global deviation at all". Fisher's
+    method X = −2·Σ ln pᵢ ~ χ²(2m) (sensitive to a few strong
+    signals) and Stouffer's Z = Σzᵢ/√m (sensitive to many weak
+    ones, directionless here since |z| is used) — reporting both is
+    the standard meta-analysis practice. Fisher's p via the shared
+    Wilson–Hilferty cube-root normal (the G-test precedent; exact
+    closed forms need df/2 = m factorial terms that overflow
+    integer arithmetic at m = 25).
+
+    Exactness: each −2·ln p and z term is decimal-quantized before
+    the m-term fold; p-values themselves are the ROUNDED family
+    p-values (identical doubles both engines by construction).
+
+    Scale: one fact-dim join; everything after is m-row algebra."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    p0 = F.col("rt").cast("double") / F.col("nt")
+    az = F.abs(
+        (F.col("r").cast("double") / F.col("n") - p0)
+        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
+    )
+    pv = b.crossJoin(F.broadcast(tot)).select(
+        "brand",
+        az.alias("az"),
+    ).select(
+        "brand",
+        "az",
+        F.round(2.0 * _phi_tail_col(F.col("az")), 8).alias("p_value"),
+    )
+    agg = pv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.round(
+            F.sum((-2.0 * F.log("p_value")).cast("decimal(28,10)")), 6
+        )
+        .cast("double")
+        .alias("fisher_stat"),
+        F.round(F.sum(F.col("az").cast("decimal(28,10)")), 6)
+        .cast("double")
+        .alias("sz"),
+    )
+    md = F.col("m").cast("double")
+    df2 = 2.0 * md
+    whz = (
+        F.exp(F.log(F.col("fisher_stat") / df2) / 3.0)
+        - (1.0 - 2.0 / (9.0 * df2))
+    ) * F.sqrt(9.0 * df2 / 2.0)
+    stz = F.col("sz") / F.sqrt(md)
+    return agg.select(
+        F.col("m").cast("int").alias("n_tests"),
+        F.round("fisher_stat", 6).alias("fisher_stat"),
+        (2 * F.col("m")).cast("int").alias("fisher_df"),
+        F.round(_phi_tail_col(whz), 8).alias("fisher_p_wh"),
+        F.round(stz, 6).alias("stouffer_z"),
+        F.round(_phi_tail_col(F.abs(stz)), 8).alias("stouffer_p_onesided"),
+    )
