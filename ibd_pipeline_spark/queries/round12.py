@@ -1301,10 +1301,9 @@ WITH b AS (
          user_id
   FROM events WHERE user_id < 100
 ), e AS (
-  SELECT a.user_id AS u, c.user_id AS v
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
   FROM b a JOIN b c
     ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
-  GROUP BY 1, 2 HAVING COUNT(*) >= 3
 ), sym AS (
   SELECT u, v FROM e UNION ALL SELECT v, u FROM e
 ), deg AS (
