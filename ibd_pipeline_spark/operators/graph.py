@@ -478,6 +478,8 @@ def absorption_probability(
     prob: str = "p",
     iters: int = 16,
     checkpoint_dir: str | None = None,
+    driver_solve: "bool | None" = None,
+    max_driver_edges: int = 65536,
 ) -> DataFrame:
     """Absorption probability of a Markov chain: for every TRANSIENT
     state s (one with outgoing transitions), the probability that a
@@ -500,13 +502,65 @@ def absorption_probability(
     a = 1.0. A target that ALSO appears as a transition source is
     absorbing by definition — it is anti-joined out of the transient
     vector so it emits exactly ONE row (a = 1.0), not a second
-    'transient' row computed from its outgoing edges (ADVICE r9)."""
+    'transient' row computed from its outgoing edges (ADVICE r9).
+
+    DRIVER SOLVE (r12, default for small chains): the chain is
+    model-state-sized BY CONSTRUCTION — states are channels/funnel
+    steps, never data — so when the edge list fits under
+    `max_driver_edges` the 16-round fixpoint runs as plain Python on
+    the collected triples (the k-means driver-update precedent:
+    distributed work = the caller's corpus-scale transition counts;
+    the solve is model state). Measured: the per-round
+    join+aggregate+checkpoint DataFrame loop cost ~8 s of pure job
+    scheduling for a 30-state chain whose arithmetic takes
+    microseconds. Per-state sums run in sorted (src, dst) order —
+    deterministic; double noise is ~1e-16 against outputs rounded at
+    6. Set driver_solve=False for state spaces that genuinely exceed
+    driver memory (the distributed loop is unchanged)."""
     if iters < 1:
         # iters=0 would return a frame whose lineage still reads
         # slots released below — reject up front (ADVICE r8).
         raise ValueError(f"iters must be >= 1, got {iters}")
 
     import pyspark.sql.functions as F
+
+    if driver_solve is None or driver_solve:
+        rows = (
+            transitions.select(
+                F.col(src).alias("s"),
+                F.col(dst).alias("d"),
+                F.col(prob).cast("double").alias("w"),
+            )
+            .limit(max_driver_edges + 1)
+            .collect()
+        )
+        if len(rows) <= max_driver_edges:
+            tgt_set = {r["state"] for r in targets.collect()}
+            edges: dict[str, list] = {}
+            for r in sorted(rows, key=lambda r: (str(r["s"]), str(r["d"]))):
+                edges.setdefault(r["s"], []).append((r["d"], r["w"]))
+            states = sorted(edges)
+            a = {s: 0.0 for s in states}
+            for _ in range(iters):
+                a = {
+                    s: sum(
+                        w * (1.0 if d in tgt_set else a.get(d, 0.0))
+                        for d, w in edges[s]
+                    )
+                    for s in states
+                }
+            out_rows = [
+                (s, float(a[s])) for s in states if s not in tgt_set
+            ] + [(t, 1.0) for t in sorted(tgt_set)]
+            return transitions.sparkSession.createDataFrame(
+                out_rows, "state string, a double"
+            )
+        if driver_solve:
+            raise ValueError(
+                f"driver_solve=True but the chain exceeds "
+                f"max_driver_edges={max_driver_edges}"
+            )
+        # fall through to the distributed loop
 
     ckpt = _checkpointer(transitions, checkpoint_dir)
     t = ckpt(
