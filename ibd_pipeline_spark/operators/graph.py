@@ -367,6 +367,8 @@ def markov_stationary(
     prob: str = "p",
     iters: int = 16,
     checkpoint_dir: str | None = None,
+    driver_solve: "bool | None" = None,
+    max_driver_edges: int = 65536,
 ) -> DataFrame:
     """Stationary distribution of a (row-stochastic) Markov chain by
     power iteration: π ← πP until fixpoint, all-DataFrame. The state
@@ -400,6 +402,75 @@ def markov_stationary(
         raise ValueError(f"iters must be >= 1, got {iters}")
 
     import pyspark.sql.functions as F
+
+    # DRIVER SOLVE (r12, default for small chains) — same contract and
+    # rationale as absorption_probability: the chain is
+    # model-state-sized, the distributed work is the caller's
+    # transition-count aggregation, and the per-round DataFrame
+    # join+checkpoint loop is pure scheduling overhead at this size.
+    if driver_solve is None or driver_solve:
+        rows = (
+            transitions.select(
+                F.col(src).alias("s"),
+                F.col(dst).alias("d"),
+                F.col(prob).cast("double").alias("w"),
+            )
+            .limit(max_driver_edges + 1)
+            .collect()
+        )
+        if len(rows) <= max_driver_edges:
+            edges = sorted(
+                ((r["s"], r["d"], r["w"]) for r in rows),
+                key=lambda e: (str(e[1]), str(e[0])),
+            )
+            src_set = sorted({s for s, _, _ in edges})
+            n = len(src_set)
+            pi = {s: 1.0 / n for s in src_set}
+            prev_pi = None
+            for i in range(iters):
+                out: dict = {}
+                for s, d, w in edges:
+                    if s in pi:
+                        out[d] = out.get(d, 0.0) + pi[s] * w
+                for st in sorted(pi):
+                    if st not in set(src_set):
+                        out[st] = out.get(st, 0.0) + pi[st]
+                pi = out
+                if (i + 1) % 2 == 0 or i == iters - 1:
+                    if prev_pi is not None:
+                        keys = set(pi) | set(prev_pi)
+                        delta = max(
+                            abs(pi.get(k, 0.0) - prev_pi.get(k, 0.0))
+                            for k in keys
+                        )
+                        if delta < 1e-12:
+                            break
+                    prev_pi = dict(pi)
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(
+                        "state",
+                        transitions.schema[src].dataType,
+                        True,
+                    ),
+                    StructField("p", DoubleType(), True),
+                ]
+            )
+            return transitions.sparkSession.createDataFrame(
+                sorted(
+                    ((k, float(v)) for k, v in pi.items()),
+                    key=lambda kv: str(kv[0]),
+                ),
+                schema,
+            )
+        if driver_solve:
+            raise ValueError(
+                f"driver_solve=True but the chain exceeds "
+                f"max_driver_edges={max_driver_edges}"
+            )
+        # fall through to the distributed loop
 
     ckpt = _checkpointer(transitions, checkpoint_dir)
     # Materialize the loop-invariant transition triples ONCE — every
@@ -551,9 +622,19 @@ def absorption_probability(
                 }
             out_rows = [
                 (s, float(a[s])) for s in states if s not in tgt_set
-            ] + [(t, 1.0) for t in sorted(tgt_set)]
+            ] + [(t, 1.0) for t in sorted(tgt_set, key=str)]
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(
+                        "state", transitions.schema[src].dataType, True
+                    ),
+                    StructField("a", DoubleType(), True),
+                ]
+            )
             return transitions.sparkSession.createDataFrame(
-                out_rows, "state string, a double"
+                out_rows, schema
             )
         if driver_solve:
             raise ValueError(
