@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.catalog import load, load_wide
 from ibd_pipeline_spark.queries import dsum, query
 from ibd_pipeline_spark.sources.weather_sim import generate_messages
 from ibd_pipeline_spark.streaming.weather import parse_weather_json, weather_pipeline
@@ -40,7 +40,11 @@ def _derived_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     with F.to_json(F.struct(...)); the weather reader's from_json then
     re-parses it, exercising the real decode path end-to-end.
     """
-    e = load(spark, sf_dir, "events")
+    # load_wide: the events table is physically one split at bench
+    # scale, which serialized the ENTIRE to_json+from_json round-trip
+    # (the per-row-heaviest path in the repo) onto one core —
+    # measured 2.7 s → 1.3 s warm at sf0.1 with the widened scan
+    e = load_wide(spark, sf_dir, "events")
     doc = F.struct(
         F.col("ts").cast("string").alias("timestamp"),
         F.struct(
