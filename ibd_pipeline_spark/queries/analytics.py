@@ -260,8 +260,13 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_skew_and_text.py."""
     from ibd_pipeline_spark.operators.text import winnowing_fingerprint_rows
 
+    from ibd_pipeline_spark.catalog import load_wide
+
+    # load_wide (r12): the single-split documents file serialized the
+    # per-gram hashing onto one core — widen the scan before the
+    # per-row-heavy fingerprint build
     d = winnowing_fingerprint_rows(
-        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        load_wide(spark, sf_dir, "documents").select("doc_id", "text"),
         portable=True,
     )
     a, b = d.alias("a"), d.alias("b")

@@ -414,9 +414,11 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc. Never pairwise: cost is O(total grams), not O(docs²).
     Top-20 via TakeOrdered, ties broken by doc_id.
     """
+    from ibd_pipeline_spark.catalog import load_wide
     from ibd_pipeline_spark.queries.llmdata import _shingles
 
-    docs = load(spark, sf_dir, "documents")
+    # load_wide (r12): single-split scan serialized the shingle build
+    docs = load_wide(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.explode(
