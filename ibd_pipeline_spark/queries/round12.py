@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.catalog import load, load_wide
 from ibd_pipeline_spark.queries import query
 from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql
 from ibd_pipeline_spark.queries.round11b import _phi_tail_col
@@ -1782,7 +1782,7 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-document array work inside whole-stage codegen
     (transform/slice/array_distinct — no UDF, no shuffle at all
     beyond the scan); O(len·w) per doc with w fixed."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")  # widen: per-row window scan
     toks = d.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
