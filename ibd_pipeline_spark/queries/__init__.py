@@ -254,6 +254,9 @@ _ROUND12_NEW: list[str] = [
     "stats_bartlett_test",
     "analytics_association_rules",
     "stats_combined_pvalues",
+    "stats_breusch_pagan",
+    "stats_chow_test",
+    "analytics_abc_classification",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

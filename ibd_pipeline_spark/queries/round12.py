@@ -3320,3 +3320,378 @@ def stats_combined_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stz, 6).alias("stouffer_z"),
         F.round(_phi_tail_col(F.abs(stz)), 8).alias("stouffer_p_onesided"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Breusch–Pagan heteroskedasticity test on the daily-volume trend fit
+# ---------------------------------------------------------------------------
+
+_BP_SQL = f"""
+WITH dd AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(di) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(di * di) AS BIGINT) AS sxx,
+         CAST(SUM(di * y) AS BIGINT) AS sxy
+  FROM dd
+), fit AS (
+  SELECT n, sx,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+         sy
+  FROM m
+), fit2 AS (
+  SELECT n, beta, (CAST(sy AS DOUBLE) - beta * sx) / n AS alpha FROM fit
+), resid AS (
+  SELECT di, CAST(y AS DOUBLE) - (alpha + beta * di) AS e FROM dd
+  CROSS JOIN fit2
+), aux AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(di) AS BIGINT) AS sx,
+         CAST(SUM(di * di) AS BIGINT) AS sxx,
+         CAST(ROUND(SUM(CAST(e * e AS DECIMAL(28,8))), 4) AS DOUBLE) AS sy2,
+         CAST(ROUND(SUM(CAST(di * e * e AS DECIMAL(28,8))), 4) AS DOUBLE)
+           AS sxy2,
+         CAST(ROUND(SUM(CAST(e * e * e * e AS DECIMAL(38,8))), 4) AS DOUBLE)
+           AS syy2
+  FROM resid
+), r2 AS (
+  SELECT n,
+         ((CAST(n AS DOUBLE) * sxy2 - CAST(sx AS DOUBLE) * sy2)
+          * (CAST(n AS DOUBLE) * sxy2 - CAST(sx AS DOUBLE) * sy2))
+           / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy2 - sy2 * sy2)) AS r2_aux
+  FROM aux
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(r2_aux, 6) AS r2_aux,
+       ROUND(n * r2_aux, 6) AS bp_lm_stat,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('sqrt(n * r2_aux)')}), 8)
+         AS p_value
+FROM r2
+"""
+
+
+@query("stats_breusch_pagan", oracle=_BP_SQL)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan heteroskedasticity test on the daily-volume
+    linear-trend residuals: auxiliary regression of e² on the day
+    index, LM = n·R²_aux ~ χ²(1) under homoskedasticity (p via the
+    exact identity 2·Φ̄(√x)). Growing-variance volume (a scaling
+    service, a widening bot mix) breaks every OLS standard error the
+    trend fit reports — DW catches serial correlation, BP catches
+    exactly this. Completes the regression-diagnostics pair.
+
+    Exactness: the trend fit reuses the Durbin–Watson all-integer
+    moment discipline; the auxiliary moments quantize the e², di·e²
+    and e⁴ terms per day so the sums are order-independent; R² and
+    LM are one identical double chain.
+
+    Scale: one day-key count shuffle; both fits run on the days-sized
+    frame with 1-row broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    dd = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01").cast("date")
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    m = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("di").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("di") * F.col("di")).cast("bigint").alias("sxx"),
+        F.sum(F.col("di") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    beta = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = m.select("n", "sx", beta.alias("beta"), "sy").select(
+        "n",
+        "beta",
+        ((F.col("sy").cast("double") - F.col("beta") * F.col("sx")) / F.col("n")).alias(
+            "alpha"
+        ),
+    )
+    resid = dd.crossJoin(F.broadcast(fit)).select(
+        "di",
+        (F.col("y").cast("double") - (F.col("alpha") + F.col("beta") * F.col("di"))).alias(
+            "e"
+        ),
+    )
+    e2 = F.col("e") * F.col("e")
+    aux = resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("di").cast("bigint").alias("sx"),
+        F.sum(F.col("di") * F.col("di")).cast("bigint").alias("sxx"),
+        F.round(F.sum(e2.cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("sy2"),
+        F.round(F.sum((F.col("di") * e2).cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("sxy2"),
+        F.round(F.sum((e2 * e2).cast("decimal(38,8)")), 4)
+        .cast("double")
+        .alias("syy2"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy2") - F.col("sx").cast("double") * F.col("sy2")
+    r2 = (num * num) / (
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy2") - F.col("sy2") * F.col("sy2"))
+    )
+    lm = F.col("n") * r2
+    return aux.select(
+        F.col("n").alias("n_days"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(lm, 6).alias("bp_lm_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.sqrt(lm))), 8
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break F-test at the window midpoint
+# ---------------------------------------------------------------------------
+
+_CHOW_SQL = """
+WITH dd AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), bnd AS (
+  SELECT (MIN(di) + MAX(di)) // 2 AS mid FROM dd
+), seg AS (
+  SELECT di, y, CASE WHEN di <= (SELECT mid FROM bnd) THEN 0 ELSE 1 END
+           AS s
+  FROM dd
+), m AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(di) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(di * di) AS BIGINT) AS sxx,
+         CAST(SUM(di * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM seg GROUP BY s
+), mp AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(sxy) AS BIGINT) AS sxy, CAST(SUM(syy) AS BIGINT) AS syy
+  FROM m
+), sse AS (
+  SELECT s, n,
+         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+           / n AS sse
+  FROM m
+), ssep AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+           / n AS sse_pooled
+  FROM mp
+), f AS (
+  SELECT ssep.n,
+         ssep.sse_pooled,
+         (SELECT SUM(sse) FROM sse) AS sse_split,
+         ((ssep.sse_pooled - (SELECT SUM(sse) FROM sse)) / 2.0)
+           / ((SELECT SUM(sse) FROM sse) / (ssep.n - 4)) AS f_stat
+  FROM ssep
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(sse_pooled, 6) AS sse_pooled,
+       ROUND(sse_split, 6) AS sse_split,
+       2 AS df1, CAST(n - 4 AS INT) AS df2,
+       ROUND(f_stat, 6) AS chow_f
+FROM f
+"""
+
+
+@query("stats_chow_test", oracle=_CHOW_SQL)
+def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test of the daily-volume trend at the
+    window midpoint: fit the linear trend pooled and separately on
+    each half; F = ((SSE_p − SSE₁ − SSE₂)/k) / ((SSE₁+SSE₂)/(n−2k)),
+    k = 2 — did the REGIME change (both level and slope jointly),
+    not just the level (events_best_split_sse's question)?
+    Statistic-only readout with its (df1, df2) pair, the CvM/AD
+    convention (the F tail has no elementary closed form; F ≫ 1 at
+    these dfs is the break signal).
+
+    Exactness: all three fits use ONLY exact BIGINT moment sums
+    (Σx, Σy, Σx², Σxy, Σy² per segment — the pooled moments are the
+    integer SUMS of the segment moments, so no second scan); each
+    SSE is one identical closed-form double chain; the midpoint is
+    integer floor-division.
+
+    Scale: one day-key count shuffle, one 2-group moment aggregate;
+    everything after is constant-size algebra."""
+    ev = load(spark, sf_dir, "events")
+    dd = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01").cast("date")
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    bnd = dd.agg(F.expr("(MIN(di) + MAX(di)) DIV 2").alias("mid"))
+    seg = dd.crossJoin(F.broadcast(bnd)).select(
+        "di",
+        "y",
+        F.when(F.col("di") <= F.col("mid"), 0).otherwise(1).alias("s"),
+    )
+    m = seg.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("di").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("di") * F.col("di")).cast("bigint").alias("sxx"),
+        F.sum(F.col("di") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+
+    def sse_of(frame):
+        nd = F.col("n").cast("double")
+        num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+        return (
+            nd * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+            - (num * num)
+            / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ) / F.col("n")
+
+    sse = m.select("s", "n", sse_of(m).alias("sse"))
+    mp = m.agg(
+        *[
+            F.sum(c).cast("bigint").alias(c)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+    ssep = mp.select("n", sse_of(mp).alias("sse_pooled"))
+    ssum = sse.agg(F.sum("sse").alias("sse_split"))
+    f = ssep.crossJoin(F.broadcast(ssum)).select(
+        "n",
+        "sse_pooled",
+        "sse_split",
+        (
+            ((F.col("sse_pooled") - F.col("sse_split")) / 2.0)
+            / (F.col("sse_split") / (F.col("n") - 4))
+        ).alias("f_stat"),
+    )
+    return f.select(
+        F.col("n").alias("n_days"),
+        F.round("sse_pooled", 6).alias("sse_pooled"),
+        F.round("sse_split", 6).alias("sse_split"),
+        F.lit(2).alias("df1"),
+        (F.col("n") - 4).cast("int").alias("df2"),
+        F.round("f_stat", 6).alias("chow_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) customer classification by revenue contribution
+# ---------------------------------------------------------------------------
+
+_ABC_SQL = """
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+           AS rev
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(ROUND(SUM(CAST(rev AS DECIMAL(28,8))), 2) AS DOUBLE) AS trev,
+         CAST(COUNT(*) AS BIGINT) AS ncust
+  FROM cr
+), ranked AS (
+  SELECT rev,
+         SUM(CAST(rev AS DECIMAL(28,8)))
+           OVER (ORDER BY rev DESC, o_custkey) AS cumrev_d,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk
+  FROM cr
+), cls AS (
+  SELECT CASE
+           WHEN CAST(cumrev_d AS DOUBLE) / tot.trev <= 0.8 THEN 'A'
+           WHEN CAST(cumrev_d AS DOUBLE) / tot.trev <= 0.95 THEN 'B'
+           ELSE 'C' END AS abc_class,
+         rev, rk, tot.ncust
+  FROM ranked CROSS JOIN tot
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(ncust), 6) AS customer_share,
+       CAST(ROUND(SUM(CAST(rev AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS class_revenue
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@query("analytics_abc_classification", oracle=_ABC_SQL)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of customers by cumulative revenue
+    contribution: rank by revenue descending, class A = the head
+    carrying the first 80% of revenue, B = the next 15%, C = the
+    tail — inventory management's 80/20 workhorse applied to
+    accounts; together with HHI (dominance) and Gini (inequality)
+    this completes the concentration-analytics kit with the
+    actionable SEGMENTATION the other two only summarize.
+
+    Exactness: per-customer and class revenues are exact decimal
+    sums; the cumulative revenue is an exact DECIMAL running total
+    over the (rev DESC, custkey) total order off the distributed
+    prefix-sum spine (no unpartitioned window, no scale shed — the
+    r11 calendar lesson); class boundaries compare the decimal
+    cumsum's double image against 0.8/0.95 of the decimal total.
+
+    Scale: one customer-key aggregate + one range exchange for the
+    prefix sum; the class rollup is a 3-key aggregate."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    o = load(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    cr = cr.withColumn("revd", F.col("rev").cast("decimal(28,8)"))
+    ranked = with_global_prefix_sums(
+        cr,
+        [(-F.col("rev")).alias("negrev"), F.col("o_custkey")],
+        ["revd"],
+    )
+    tot = ranked.agg(
+        F.round(F.max("_tot_revd"), 2).cast("double").alias("trev"),
+        F.count(F.lit(1)).cast("bigint").alias("ncust"),
+    )
+    share = F.col("_cum_revd").cast("double") / F.col("trev")
+    cls = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "ncust",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("ncust"), 6
+            ).alias("customer_share"),
+            F.round(F.sum(F.col("rev").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
