@@ -257,6 +257,7 @@ _ROUND12_NEW: list[str] = [
     "stats_breusch_pagan",
     "stats_chow_test",
     "analytics_abc_classification",
+    "stats_cohens_kappa",
 ]
 
 _ROUND11_PRIORITY: list[str] = [

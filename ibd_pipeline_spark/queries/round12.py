@@ -3695,3 +3695,157 @@ def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: behavioral agreement between window halves
+# ---------------------------------------------------------------------------
+
+_KAPPA_SQL = """
+WITH bnd AS (
+  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), lab AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < (SELECT mid FROM bnd)
+              THEN 0 ELSE 1 END AS half,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), dom AS (
+  SELECT user_id, half, event_type AS lab FROM (
+    SELECT user_id, half, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, half
+                              ORDER BY n DESC, event_type) AS rk
+    FROM lab
+  ) WHERE rk = 1
+), pair AS (
+  SELECT a.user_id, a.lab AS l1, b.lab AS l2
+  FROM dom a JOIN dom b
+    ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM pair
+), marg AS (
+  SELECT CAST(ROUND(SUM(CAST(
+           (CAST(c1 AS DOUBLE) / agg.n) * (CAST(c2 AS DOUBLE) / agg.n)
+           AS DECIMAL(28,12))), 10) AS DOUBLE) AS p_e,
+         MAX(agg.n) AS n, MAX(agg.n_agree) AS n_agree
+  FROM (
+    SELECT COALESCE(m1.lab, m2.lab) AS lab,
+           COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+    FROM (SELECT l1 AS lab, CAST(COUNT(*) AS BIGINT) AS c1
+          FROM pair GROUP BY l1) m1
+    FULL OUTER JOIN
+         (SELECT l2 AS lab, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM pair GROUP BY l2) m2
+      ON m1.lab = m2.lab
+  ) CROSS JOIN agg
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(n_agree AS DOUBLE) / n, 6) AS p_observed,
+       ROUND(p_e, 6) AS p_expected,
+       ROUND((CAST(n_agree AS DOUBLE) / n - p_e) / (1.0 - p_e), 6)
+         AS cohens_kappa
+FROM marg
+"""
+
+
+@query("stats_cohens_kappa", oracle=_KAPPA_SQL)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between each user's DOMINANT event type in the
+    first vs second half of the observation window — chance-corrected
+    agreement κ = (p₀ − p_e)/(1 − p_e). The inter-rater statistic
+    repurposed as a behavioral-stability readout (raw agreement
+    overstates stability whenever one behavior dominates the
+    marginals; κ subtracts exactly that) — and the same query shape
+    scores labeler-vs-labeler or model-vs-model agreement on any
+    (item, rater, label) table.
+
+    Exactness: dominant labels via a deterministic (count DESC,
+    type) rank inside bounded (user, half) groups; agreement and
+    marginal counts are exact integers; each marginal product is
+    decimal-quantized before the k-term p_e sum; the midpoint is the
+    McNemar integer-µs convention.
+
+    Scale: one (user, half, type) count shuffle, a user-keyed pair
+    join, then k-row marginal algebra."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    bnd = ev.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias(
+            "mid"
+        )
+    )
+    lab = (
+        ev.crossJoin(F.broadcast(bnd))
+        .groupBy(
+            "user_id",
+            F.when(F.expr("unix_micros(ts)") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("user_id", "half").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    dom = (
+        lab.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "half", F.col("event_type").alias("lab"))
+    )
+    a = dom.filter(F.col("half") == 0).select(
+        "user_id", F.col("lab").alias("l1")
+    )
+    b = dom.filter(F.col("half") == 1).select(
+        F.col("user_id").alias("uid2"), F.col("lab").alias("l2")
+    )
+    pair = a.join(b, F.col("user_id") == F.col("uid2")).select("l1", "l2")
+    agg = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l1") == F.col("l2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    m1 = pair.groupBy(F.col("l1").alias("lab")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    m2 = pair.groupBy(F.col("l2").alias("lab")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    marg = (
+        m1.join(m2, "lab", "full")
+        .select(
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+        .crossJoin(F.broadcast(agg))
+    )
+    pe = marg.agg(
+        F.round(
+            F.sum(
+                (
+                    (F.col("c1").cast("double") / F.col("n"))
+                    * (F.col("c2").cast("double") / F.col("n"))
+                ).cast("decimal(28,12)")
+            ),
+            10,
+        )
+        .cast("double")
+        .alias("p_e"),
+        F.max("n").alias("n"),
+        F.max("n_agree").alias("n_agree"),
+    )
+    po = F.col("n_agree").cast("double") / F.col("n")
+    return pe.select(
+        F.col("n").alias("n_users"),
+        F.round(po, 6).alias("p_observed"),
+        F.round("p_e", 6).alias("p_expected"),
+        F.round((po - F.col("p_e")) / (1.0 - F.col("p_e")), 6).alias(
+            "cohens_kappa"
+        ),
+    )
