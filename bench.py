@@ -511,11 +511,17 @@ def main() -> None:
         # EITHER this run or the committed time being slow, so a
         # contention-inflated run gets its re-measure too.
         if t > 1.5 or prev.get(name, 0.0) > 1.5:
+            # The re-measure stays non-fatal (same contract as the
+            # first run): a transient failure here keeps the first
+            # timing and records the error instead of aborting bench.
             t0 = time.perf_counter()
-            registry[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            rs.append(round(time.perf_counter() - t0, 3))
+            try:
+                registry[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rs.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # noqa: BLE001 — keep first timing
+                tail_errors[name] = "rerun: " + repr(e)[:190]
         runs[name] = rs
         timings[name] = min(rs)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -424,6 +424,7 @@ def markov_stationary(
                 key=lambda e: (str(e[1]), str(e[0])),
             )
             src_set = sorted({s for s, _, _ in edges})
+            srcs = set(src_set)
             n = len(src_set)
             pi = {s: 1.0 / n for s in src_set}
             prev_pi = None
@@ -433,7 +434,7 @@ def markov_stationary(
                     if s in pi:
                         out[d] = out.get(d, 0.0) + pi[s] * w
                 for st in sorted(pi):
-                    if st not in set(src_set):
+                    if st not in srcs:
                         out[st] = out.get(st, 0.0) + pi[st]
                 pi = out
                 if (i + 1) % 2 == 0 or i == iters - 1:

@@ -405,11 +405,20 @@ def axis_sign_bucket_tables(
     JVM-side. Pass the vector column NAME when available (a bare
     Column falls back to its string form, which is correct for plain
     attribute references like F.col("v"))."""
-    name = (
-        vec_col
-        if isinstance(vec_col, str)
-        else vec_col._jc.toString()  # "qv" for plain F.col("qv")
-    )
+    if isinstance(vec_col, str):
+        name = vec_col
+    else:
+        # The string form of a classic-mode Column is only a valid SQL
+        # fragment for plain attribute references (F.col("qv") → "qv");
+        # composite expressions or Connect columns would splice garbage
+        # into the F.expr below, so reject anything that isn't a bare
+        # identifier and ask for the name instead.
+        name = str(vec_col).replace("Column<'", "").rstrip("'>")
+        if not name.replace("_", "a").isalnum():
+            raise TypeError(
+                "axis_sign_bucket_tables needs the vector column NAME "
+                f"(str) for non-trivial columns; got {vec_col!r}"
+            )
     keys = []
     for t in range(n_tables):
         bits = " + ".join(

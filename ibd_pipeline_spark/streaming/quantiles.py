@@ -111,11 +111,18 @@ def quantile_report(
     for o in outs[1:]:
         row = row.crossJoin(F.broadcast(o))
     row = row.crossJoin(F.broadcast(tot))
-    p95 = F.col("p95")
+    # The shift alarm compares against p95 specifically, so asking for
+    # it requires 0.95 in `quantiles` — fail loud at call time instead
+    # of with an unresolved-column analysis error later.
+    if reference_p95 is not None and 0.95 not in quantiles:
+        raise ValueError(
+            "reference_p95 requires 0.95 in quantiles (the alarm "
+            f"reads the p95 column); got quantiles={tuple(quantiles)}"
+        )
     alarm = (
         F.lit(False)
         if reference_p95 is None
-        else (F.col("nt") > 0) & (p95 > reference_p95 * alarm_ratio)
+        else (F.col("nt") > 0) & (F.col("p95") > reference_p95 * alarm_ratio)
     )
     return row.select(
         F.col("nt").alias("n_total"),

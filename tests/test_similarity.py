@@ -314,3 +314,33 @@ def test_kmeans_arrow_and_expr_paths_agree(spark, clustered):
     e = {r["vec_id"]: r["cluster_id"]
          for r in S.kmeans(clustered, k=5, iters=3, method="expr").collect()}
     assert a == e
+
+
+def test_axis_sign_bucket_rejects_composite_column(spark):
+    """ADVICE r12: a composite Column's string form is not a bare
+    identifier and would splice garbage SQL into the F.expr bank —
+    require the column NAME and raise TypeError otherwise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ibd_pipeline_spark.operators.similarity import (
+        axis_sign_bucket_tables,
+    )
+
+    with pytest.raises(TypeError, match="column NAME"):
+        axis_sign_bucket_tables(F.col("a") + F.col("b"))
+    # plain attribute references (str or F.col) still work
+    df = spark.createDataFrame(
+        [([1.0, -1.0, 2.0, -2.0],)], "qv array<double>"
+    )
+    a = df.select(
+        axis_sign_bucket_tables(
+            "qv", n_tables=1, bits_per_table=2, stride=1
+        ).alias("k")
+    ).collect()[0]["k"]
+    b = df.select(
+        axis_sign_bucket_tables(
+            F.col("qv"), n_tables=1, bits_per_table=2, stride=1
+        ).alias("k")
+    ).collect()[0]["k"]
+    assert a == b

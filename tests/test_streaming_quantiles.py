@@ -92,3 +92,19 @@ def test_empty_counter_is_quiet_row(spark):
     assert len(rows) == 1
     assert rows[0]["n_total"] == 0
     assert not rows[0]["latency_alarm"]
+
+
+def test_reference_p95_requires_p95_quantile(spark):
+    """ADVICE r12: the shift alarm reads the p95 column, so asking for
+    reference_p95 without 0.95 in `quantiles` must fail loud at call
+    time, not with an unresolved-column analysis error later."""
+    import pytest
+
+    counts = bucket_traffic(
+        spark.range(10).select(F.col("id").cast("double").alias("value"))
+    )
+    with pytest.raises(ValueError, match="requires 0.95"):
+        quantile_report(counts, quantiles=(0.5, 0.9), reference_p95=1.0)
+    # and the non-alarm path still accepts any quantile set
+    row = quantile_report(counts, quantiles=(0.5, 0.9)).collect()[0]
+    assert row["n_total"] == 10 and not row["latency_alarm"]
