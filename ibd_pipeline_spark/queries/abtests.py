@@ -1,0 +1,362 @@
+"""2×2 / stratified experimentation effect measures (round-12 split):
+Woolf odds-ratio interval, McNemar paired flips, Mantel–Haenszel/CMH.
+Split out of the former round12.py; names/semantics unchanged.
+No reference analog (`spark_processor.py:153-164`); SURVEY §2.2 rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql
+from ibd_pipeline_spark.queries.round11b import _phi_tail_col
+
+# ---------------------------------------------------------------------------
+# 2×2 odds ratio with the Woolf log-interval (md5 arm × converted)
+# ---------------------------------------------------------------------------
+
+_OR_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5('or12:' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS arm,
+         CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM u
+), orr AS (
+  SELECT a, b, c, d,
+         ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)) AS lor,
+         sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+  FROM c
+)
+SELECT a, b, c, d,
+       ROUND(exp(lor), 6) AS odds_ratio,
+       ROUND(exp(lor - 1.959963984540054 * se), 6) AS ci_low,
+       ROUND(exp(lor + 1.959963984540054 * se), 6) AS ci_high,
+       ROUND(2.0 * {_phi_tail_sql('ABS(lor / se)')}, 8) AS p_value
+FROM orr
+"""
+
+
+@query("ab_odds_ratio_woolf", oracle=_OR_SQL)
+def ab_odds_ratio_woolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-level 2×2 odds ratio between the md5 experiment arms on
+    user conversion (any high-value purchase, value > 200 — "any
+    purchase" is degenerate on this corpus: every user has one), with the Woolf logit
+    interval exp(lnOR ± z·√(1/a+1/b+1/c+1/d)) and its two-sided
+    normal p. The effect measure case-control convention reports —
+    and on an A/A hash split the expected readout is OR ≈ 1 with the
+    CI straddling it, making this double as a split-health audit
+    beside ab_srm_check.
+
+    Exactness: the 2×2 cells are exact integer counts off the
+    engine-portable md5 split (seed 'or12'); everything after is one
+    chain of identical double algebra (ln, sqrt, exp) rounded at the
+    end — no sums of doubles anywhere.
+
+    Scale: one user-key shuffle (the conversion reduce), then a
+    4-integer readout."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv")
+    ).select(
+        md5_bucket(F.col("user_id"), F.lit("or12"), 2).alias("arm"), "conv"
+    )
+    c = u.agg(
+        *[
+            F.sum(
+                F.when((F.col("arm") == arm) & (F.col("conv") == cv), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(name)
+            for name, arm, cv in (
+                ("a", 0, 1),
+                ("b", 0, 0),
+                ("c", 1, 1),
+                ("d", 1, 0),
+            )
+        ]
+    )
+    lor = F.log(
+        (F.col("a").cast("double") * F.col("d"))
+        / (F.col("b").cast("double") * F.col("c"))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    z975 = 1.959963984540054
+    return c.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.exp(lor), 6).alias("odds_ratio"),
+        F.round(F.exp(lor - z975 * se), 6).alias("ci_low"),
+        F.round(F.exp(lor + z975 * se), 6).alias("ci_high"),
+        F.round(2.0 * _phi_tail_col(F.abs(lor / se)), 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test (conversion flip between window halves)
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_SQL = f"""
+WITH bnd AS (
+  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), u AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' AND value > 200
+             AND epoch_us(CAST(ts AS TIMESTAMP)) < mid
+             THEN 1 ELSE 0 END) AS c1,
+    MAX(CASE WHEN event_type = 'purchase' AND value > 200
+             AND epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+             THEN 1 ELSE 0 END) AS c2
+  FROM events CROSS JOIN bnd GROUP BY user_id
+), cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM u
+), s AS (
+  SELECT n_pairs, b, c,
+         (ABS(CAST(b AS DOUBLE) - c) - 1.0)
+           * (ABS(CAST(b AS DOUBLE) - c) - 1.0) / (b + c) AS chi2_cc
+  FROM cells
+)
+SELECT n_pairs, b, c, ROUND(chi2_cc, 6) AS chi2_cc,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('sqrt(chi2_cc)')}), 8)
+         AS p_value
+FROM s
+"""
+
+
+@query("ab_mcnemar_paired", oracle=_MCNEMAR_SQL)
+def ab_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes: per user, did the
+    high-value-purchase flag flip between the first and second half
+    of the observation window? Only the discordant cells matter
+    (b = early-only, c = late-only); χ² = (|b−c|−1)²/(b+c) with
+    continuity correction, p from the exact χ²(1) ↔ normal identity
+    P(χ²₁ > x) = 2·Φ̄(√x). The within-subject before/after test a
+    two-sample z-test gets WRONG (it ignores the pairing).
+
+    Exactness: the midpoint is integer-µs floor-division arithmetic
+    on min/max event times (bigint — both engines identical); cells
+    are exact integer counts; one double chain after.
+
+    Scale: one user-key shuffle (the per-user flag reduce) after a
+    1-row broadcast of the midpoint; the test runs on 3 integers."""
+    ev = load(spark, sf_dir, "events")
+    bnd = ev.agg(
+        F.expr(
+            "(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2"
+        ).alias("mid")
+    )
+    hv = (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    u = (
+        ev.crossJoin(F.broadcast(bnd))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(hv & (F.expr("unix_micros(ts)") < F.col("mid")), 1)
+                .otherwise(0)
+            ).alias("c1"),
+            F.max(
+                F.when(hv & (F.expr("unix_micros(ts)") >= F.col("mid")), 1)
+                .otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    cells = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when((F.col("c1") == 1) & (F.col("c2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("c1") == 0) & (F.col("c2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    ad = F.abs(F.col("b").cast("double") - F.col("c"))
+    chi2 = (ad - 1.0) * (ad - 1.0) / (F.col("b") + F.col("c"))
+    return cells.select(
+        "n_pairs",
+        "b",
+        "c",
+        F.round(chi2, 6).alias("chi2_cc"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.sqrt(chi2))), 8
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mantel–Haenszel stratified odds ratio + CMH test (strata = ISO dow)
+# ---------------------------------------------------------------------------
+
+_MH_SQL = f"""
+WITH e AS (
+  SELECT ISODOW(CAST(ts AS TIMESTAMP)) AS stratum,
+         CAST(('0x' || substring(md5('mh12:' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS arm,
+         CASE WHEN event_type = 'purchase' AND value > 200
+              THEN 1 ELSE 0 END AS succ
+  FROM events
+), cells AS (
+  SELECT stratum,
+    CAST(SUM(CASE WHEN arm = 0 AND succ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN arm = 0 AND succ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN arm = 1 AND succ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN arm = 1 AND succ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM e GROUP BY stratum
+), t AS (
+  SELECT CAST(a + b + c + d AS BIGINT) AS n, a, b, c, d,
+    CAST(CAST(a AS DOUBLE) * d / (a + b + c + d) AS DECIMAL(28,10)) AS rr,
+    CAST(CAST(b AS DOUBLE) * c / (a + b + c + d) AS DECIMAL(28,10)) AS ss,
+    CAST(CAST(a AS DOUBLE) AS DECIMAL(28,10)) AS ai,
+    CAST(CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)
+         AS DECIMAL(28,10)) AS ei,
+    CAST(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+         / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)
+            * (a + b + c + d - 1)) AS DECIMAL(28,10)) AS vi
+  FROM cells
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(ROUND(SUM(rr), 6) AS DOUBLE) AS num,
+         CAST(ROUND(SUM(ss), 6) AS DOUBLE) AS den,
+         CAST(ROUND(SUM(ai), 6) AS DOUBLE) AS sa,
+         CAST(ROUND(SUM(ei), 6) AS DOUBLE) AS se,
+         CAST(ROUND(SUM(vi), 6) AS DOUBLE) AS sv
+  FROM t
+), s AS (
+  SELECT n_strata, n_total, num / den AS or_mh,
+         (ABS(sa - se) - 0.5) * (ABS(sa - se) - 0.5) / sv AS cmh_chi2
+  FROM agg
+)
+SELECT n_strata, n_total,
+       ROUND(or_mh, 6) AS or_mh,
+       ROUND(cmh_chi2, 6) AS cmh_chi2,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('sqrt(cmh_chi2)')}), 8)
+         AS p_value
+FROM s
+"""
+
+
+@query("ab_mantel_haenszel", oracle=_MH_SQL)
+def ab_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 analysis across ISO-dow strata:
+    the pooled odds ratio OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) and the
+    continuity-corrected Cochran–Mantel–Haenszel χ²(1). THE fix for
+    Simpson's paradox in experiment readouts — a day-of-week mix
+    shift can reverse a crude 2×2 (ab_odds_ratio_woolf); MH pools
+    the per-stratum evidence instead. On an A/A md5 split the
+    expected readout is OR_MH ≈ 1, quiet p.
+
+    Exactness: per-stratum cells are exact integers; each stratum's
+    MH numerator/denominator and CMH E/V terms are decimal-quantized
+    doubles so the 7-term sums are order-independent; χ²(1) p via
+    the exact identity 2·Φ̄(√x).
+
+    Scale: one (stratum × arm × succ) count shuffle (28 keys), then
+    7-row algebra."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        (F.weekday("ts") + F.lit(1)).alias("stratum"),
+        md5_bucket(F.col("user_id"), F.lit("mh12"), 2).alias("arm"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+        )
+        .otherwise(0)
+        .alias("succ"),
+    )
+    cells = e.groupBy("stratum").agg(
+        *[
+            F.sum(
+                F.when((F.col("arm") == arm) & (F.col("succ") == sc), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(nm)
+            for nm, arm, sc in (
+                ("a", 0, 1),
+                ("b", 0, 0),
+                ("c", 1, 1),
+                ("d", 1, 0),
+            )
+        ]
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("bigint")
+    nd = n.cast("double")
+    t = cells.select(
+        n.alias("n"),
+        (F.col("a").cast("double") * F.col("d") / n).cast(
+            "decimal(28,10)"
+        ).alias("rr"),
+        (F.col("b").cast("double") * F.col("c") / n).cast(
+            "decimal(28,10)"
+        ).alias("ss"),
+        F.col("a").cast("double").cast("decimal(28,10)").alias("ai"),
+        (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("c"))
+            / n
+        ).cast("decimal(28,10)").alias("ei"),
+        (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nd * n * (n - 1))
+        ).cast("decimal(28,10)").alias("vi"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.round(F.sum("rr"), 6).cast("double").alias("num"),
+        F.round(F.sum("ss"), 6).cast("double").alias("den"),
+        F.round(F.sum("ai"), 6).cast("double").alias("sa"),
+        F.round(F.sum("ei"), 6).cast("double").alias("se"),
+        F.round(F.sum("vi"), 6).cast("double").alias("sv"),
+    )
+    chi2 = (
+        (F.abs(F.col("sa") - F.col("se")) - 0.5)
+        * (F.abs(F.col("sa") - F.col("se")) - 0.5)
+        / F.col("sv")
+    )
+    return agg.select(
+        "n_strata",
+        "n_total",
+        F.round(F.col("num") / F.col("den"), 6).alias("or_mh"),
+        F.round(chi2, 6).alias("cmh_chi2"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.sqrt(chi2))), 8
+        ).alias("p_value"),
+    )

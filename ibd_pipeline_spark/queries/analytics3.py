@@ -801,3 +801,392 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman revenue concentration per market segment
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = """
+WITH cr AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,8))), 2)
+              AS DOUBLE) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), seg AS (
+  SELECT segment, CAST(ROUND(SUM(CAST(rev AS DECIMAL(28,8))), 2) AS DOUBLE)
+           AS total_rev,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM cr GROUP BY segment
+), sh AS (
+  SELECT cr.segment,
+         CAST(10000.0 * (cr.rev / seg.total_rev) * (cr.rev / seg.total_rev)
+              AS DECIMAL(28,10)) AS s2
+  FROM cr JOIN seg USING (segment)
+)
+SELECT seg.segment, seg.n_customers,
+       ROUND(seg.total_rev, 2) AS total_rev,
+       CAST(ROUND(SUM(sh.s2), 4) AS DOUBLE) AS hhi
+FROM sh JOIN seg USING (segment)
+GROUP BY seg.segment, seg.n_customers, seg.total_rev
+ORDER BY seg.segment
+"""
+
+
+@query("analytics_hhi_concentration", oracle=_HHI_SQL)
+def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue concentration per market segment:
+    HHI = 10000·Σᵢ sᵢ² over customer revenue shares — the antitrust
+    yardstick repurposed as "is this segment's revenue one whale or
+    a long tail" (10000 = monopoly; <1500 ≈ unconcentrated). The
+    concentration complement of quality_activity_gini: Gini reads
+    inequality of the distribution, HHI reads dominance mass.
+
+    Exactness: per-customer and per-segment revenue use exact
+    decimal sums rounded in the decimal domain; each squared share
+    is one identical double chain cast to decimal per customer so
+    the segment fold is order-independent.
+
+    Scale: one (segment, customer) aggregate (the corpus-sized
+    shuffle), a segment-sized broadcast back, and a segment-keyed
+    fold; no windows, no data-sized state."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    seg = cr.groupBy("segment").agg(
+        F.round(F.sum(F.col("rev").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("total_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    sh = cr.join(F.broadcast(seg), "segment").select(
+        "segment",
+        "n_customers",
+        "total_rev",
+        (
+            10000.0
+            * (F.col("rev") / F.col("total_rev"))
+            * (F.col("rev") / F.col("total_rev"))
+        )
+        .cast("decimal(28,10)")
+        .alias("s2"),
+    )
+    return (
+        sh.groupBy("segment", "n_customers", "total_rev")
+        .agg(F.round(F.sum("s2"), 4).cast("double").alias("hhi"))
+        .select(
+            "segment",
+            "n_customers",
+            F.round("total_rev", 2).alias("total_rev"),
+            "hhi",
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto front) of customers by (revenue, order count)
+# ---------------------------------------------------------------------------
+
+_SKY_SQL = """
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+           AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+), v AS (
+  SELECT rev, CAST(MAX(n_orders) AS BIGINT) AS vmax FROM cust GROUP BY rev
+), r AS (
+  SELECT rev, vmax,
+         MAX(vmax) OVER (ORDER BY rev DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS r_excl
+  FROM v
+), sky AS (
+  SELECT c.custkey, c.rev, c.n_orders
+  FROM cust c JOIN r ON r.rev = c.rev
+  WHERE (r.r_excl IS NULL OR r.r_excl < c.n_orders)
+    AND r.vmax <= c.n_orders
+)
+SELECT custkey, ROUND(rev, 2) AS revenue, n_orders
+FROM sky ORDER BY rev DESC, custkey
+"""
+
+
+@query("analytics_skyline_pareto", oracle=_SKY_SQL)
+def analytics_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of customers under (total revenue,
+    order count): a customer survives iff NO other customer weakly
+    dominates them on both axes with at least one strict — the
+    classic "best under any monotone preference" database operator
+    (Börzsönyi et al. 2001), here the whale shortlist no single
+    score can produce.
+
+    Distributed form: dominance collapses to ONE prefix-max scan —
+    sort distinct revenue values descending; a point is dominated
+    iff the running max of order-counts over STRICTLY higher
+    revenues reaches its count, or a same-revenue point has strictly
+    more orders. The exclusive prefix max rides the month-stitch
+    running-extreme helper over a rank spine (rank from the
+    distributed prefix sum — no unpartitioned window anywhere).
+
+    Exactness: revenue is the exact decimal sum rounded at 2 (ties
+    compare exactly); everything else is integer counting.
+
+    Scale: one customer-key aggregate, a distinct-revenue spine
+    (≪ customers), one range exchange for ranks, and a broadcast
+    join back — never a pairwise dominance join (O(n²) is the naive
+    skyline's named failure mode)."""
+    from ibd_pipeline_spark.operators.calendar import (
+        month_stitched_running_extreme,
+    )
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    v = cust.groupBy("rev").agg(
+        F.max("n_orders").cast("bigint").alias("vmax")
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    ranked = with_global_prefix_sums(
+        v, [(-F.col("rev")).alias("negrev")], ["one"]
+    ).select("rev", "vmax", F.col("_cum_one").alias("rk"))
+    # inclusive running max over the rank order, block-stitched
+    rincl = month_stitched_running_extreme(
+        ranked,
+        "rk",
+        "vmax",
+        "r_incl",
+        kind="max",
+        block=F.floor(F.col("rk") / 64),
+    )
+    # exclusive prefix max = inclusive max at rank-1 (NULL at rank 1)
+    prev = rincl.select(
+        (F.col("rk") + 1).alias("rk_next"), F.col("r_incl").alias("r_excl")
+    )
+    spine = rincl.join(
+        F.broadcast(prev), F.col("rk") == F.col("rk_next"), "left"
+    ).select("rev", "vmax", "r_excl")
+    sky = (
+        cust.join(F.broadcast(spine), "rev")
+        .filter(
+            (F.col("r_excl").isNull() | (F.col("r_excl") < F.col("n_orders")))
+            & (F.col("vmax") <= F.col("n_orders"))
+        )
+    )
+    return sky.select(
+        "custkey", F.round("rev", 2).alias("revenue"), "n_orders"
+    ).orderBy(F.col("rev").desc(), "custkey")
+
+
+# ---------------------------------------------------------------------------
+# Association rules over user event-type baskets (support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+_ASSOC_SQL = """
+WITH basket AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM basket
+), singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM basket
+  GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM basket a JOIN basket b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.n_both,
+       sa.n AS n_antecedent, sc.n AS n_consequent,
+       ROUND(CAST(p.n_both AS DOUBLE) / nu.n_users, 6) AS support,
+       ROUND(CAST(p.n_both AS DOUBLE) / sa.n, 6) AS confidence,
+       ROUND((CAST(p.n_both AS DOUBLE) / sa.n)
+             / (CAST(sc.n AS DOUBLE) / nu.n_users), 6) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.antecedent
+JOIN singles sc ON sc.event_type = p.consequent
+CROSS JOIN nu
+ORDER BY antecedent, consequent
+"""
+
+
+@query("analytics_association_rules", oracle=_ASSOC_SQL)
+def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user event-type baskets: for every
+    ordered pair (A → B), support P(A∧B), confidence P(B|A), and
+    lift P(B|A)/P(B) — single-level Apriori, the market-basket
+    primitive behind "users who error also churn" readouts; lift ≈ 1
+    on independent behaviors, the off-1 pairs are the story.
+
+    Exactness: all counts are exact integers off one DISTINCT
+    (user, type) reduce; the three metrics are identical
+    double-division chains rounded at 6.
+
+    Scale: the basket self-join fans out per user by (basket size)²
+    with baskets bounded by the CATALOG of event types (≤ k² = 25
+    pairs per user, never user-quadratic); singles and the user
+    count broadcast back onto the k·(k−1)-row pair frame."""
+    ev = load(spark, sf_dir, "events")
+    basket = ev.select("user_id", "event_type").distinct()
+    nu = basket.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    singles = basket.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = basket.select(
+        "user_id", F.col("event_type").alias("antecedent")
+    )
+    b = basket.select(
+        F.col("user_id").alias("uid2"), F.col("event_type").alias("consequent")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid2"))
+            & (F.col("antecedent") != F.col("consequent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("antecedent"), F.col("n").alias("n_antecedent")
+    )
+    sc = singles.select(
+        F.col("event_type").alias("consequent"), F.col("n").alias("n_consequent")
+    )
+    out = (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(nu))
+    )
+    conf = F.col("n_both").cast("double") / F.col("n_antecedent")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_antecedent",
+        "n_consequent",
+        F.round(F.col("n_both").cast("double") / F.col("n_users"), 6).alias(
+            "support"
+        ),
+        F.round(conf, 6).alias("confidence"),
+        F.round(
+            conf / (F.col("n_consequent").cast("double") / F.col("n_users")),
+            6,
+        ).alias("lift"),
+    ).orderBy("antecedent", "consequent")
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) customer classification by revenue contribution
+# ---------------------------------------------------------------------------
+
+_ABC_SQL = """
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+           AS rev
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(ROUND(SUM(CAST(rev AS DECIMAL(28,8))), 2) AS DOUBLE) AS trev,
+         CAST(COUNT(*) AS BIGINT) AS ncust
+  FROM cr
+), ranked AS (
+  SELECT rev,
+         SUM(CAST(rev AS DECIMAL(28,8)))
+           OVER (ORDER BY rev DESC, o_custkey) AS cumrev_d,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk
+  FROM cr
+), cls AS (
+  SELECT CASE
+           WHEN CAST(cumrev_d AS DOUBLE) / tot.trev <= 0.8 THEN 'A'
+           WHEN CAST(cumrev_d AS DOUBLE) / tot.trev <= 0.95 THEN 'B'
+           ELSE 'C' END AS abc_class,
+         rev, rk, tot.ncust
+  FROM ranked CROSS JOIN tot
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(ncust), 6) AS customer_share,
+       CAST(ROUND(SUM(CAST(rev AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS class_revenue
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@query("analytics_abc_classification", oracle=_ABC_SQL)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of customers by cumulative revenue
+    contribution: rank by revenue descending, class A = the head
+    carrying the first 80% of revenue, B = the next 15%, C = the
+    tail — inventory management's 80/20 workhorse applied to
+    accounts; together with HHI (dominance) and Gini (inequality)
+    this completes the concentration-analytics kit with the
+    actionable SEGMENTATION the other two only summarize.
+
+    Exactness: per-customer and class revenues are exact decimal
+    sums; the cumulative revenue is an exact DECIMAL running total
+    over the (rev DESC, custkey) total order off the distributed
+    prefix-sum spine (no unpartitioned window, no scale shed — the
+    r11 calendar lesson); class boundaries compare the decimal
+    cumsum's double image against 0.8/0.95 of the decimal total.
+
+    Scale: one customer-key aggregate + one range exchange for the
+    prefix sum; the class rollup is a 3-key aggregate."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    o = load(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    cr = cr.withColumn("revd", F.col("rev").cast("decimal(28,8)"))
+    ranked = with_global_prefix_sums(
+        cr,
+        [(-F.col("rev")).alias("negrev"), F.col("o_custkey")],
+        ["revd"],
+    )
+    tot = ranked.agg(
+        F.round(F.max("_tot_revd"), 2).cast("double").alias("trev"),
+        F.count(F.lit(1)).cast("bigint").alias("ncust"),
+    )
+    share = F.col("_cum_revd").cast("double") / F.col("trev")
+    cls = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "ncust",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("ncust"), 6
+            ).alias("customer_share"),
+            F.round(F.sum(F.col("rev").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

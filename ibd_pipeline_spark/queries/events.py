@@ -334,3 +334,114 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint: best single split of daily volume
+# ---------------------------------------------------------------------------
+
+_BSEG_SQL = """
+WITH dd AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT di, y,
+         SUM(y) OVER (ORDER BY di) AS s1,
+         CAST(ROW_NUMBER() OVER (ORDER BY di) AS BIGINT) AS rn,
+         (SELECT CAST(SUM(y) AS BIGINT) FROM dd) AS st,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n
+  FROM dd
+), cand AS (
+  SELECT di, rn, n, s1, st,
+         CAST(s1 AS DOUBLE) * s1 / rn
+           + CAST(st - s1 AS DOUBLE) * (st - s1) / (n - rn)
+           - CAST(st AS DOUBLE) * st / n AS gain
+  FROM cum WHERE rn < n
+), best AS (
+  SELECT di, rn, n, s1, st, gain,
+         ROW_NUMBER() OVER (ORDER BY gain DESC, di) AS pick
+  FROM cand
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(di AS BIGINT) AS split_di,
+       CAST(rn AS BIGINT) AS n_left,
+       ROUND(gain, 6) AS between_sse_gain,
+       ROUND(CAST(s1 AS DOUBLE) / rn, 6) AS mean_left,
+       ROUND(CAST(st - s1 AS DOUBLE) / (n - rn), 6) AS mean_right
+FROM best WHERE pick = 1
+"""
+
+
+@query("events_best_split_sse", oracle=_BSEG_SQL)
+def events_best_split_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of binary-segmentation changepoint detection on
+    daily event volume: the split day maximizing the between-group
+    sum-of-squares gain S₁²/n_L + S₂²/n_R − S²/N (equivalently,
+    minimizing total within-segment SSE). The level-shift detector
+    CUSUM approximates — this one is EXACT for a single shift, and
+    the full binary-segmentation algorithm is this query applied
+    recursively to each side.
+
+    Exactness: cumulative and total sums are exact BIGINTs off the
+    distributed prefix-sum spine (no unpartitioned window); the gain
+    is identical double algebra per candidate; the argmax breaks
+    ties on the EARLIEST day via a deterministic best-of struct.
+
+    Scale: one day-key count shuffle + one range exchange; the
+    candidate scan and argmax run on the days-sized frame
+    (TakeOrdered-style 1-row reduce, no global sort)."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events")
+    dd = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01").cast("date")
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    dd = dd.withColumn("one", F.lit(1).cast("bigint"))
+    cum = with_global_prefix_sums(dd, ["di"], ["y", "one"])
+    cand = cum.select(
+        "di",
+        F.col("_cum_one").alias("rn"),
+        F.col("_tot_one").alias("n"),
+        F.col("_cum_y").alias("s1"),
+        F.col("_tot_y").alias("st"),
+    ).filter(F.col("rn") < F.col("n"))
+    gain = (
+        F.col("s1").cast("double") * F.col("s1") / F.col("rn")
+        + (F.col("st") - F.col("s1")).cast("double")
+        * (F.col("st") - F.col("s1"))
+        / (F.col("n") - F.col("rn"))
+        - F.col("st").cast("double") * F.col("st") / F.col("n")
+    )
+    scored = cand.withColumn("gain", gain)
+    # deterministic argmax: max over (gain, -di) struct — ties to the
+    # EARLIEST day; a 1-row reduce, not a sort
+    best = scored.agg(
+        F.max(
+            F.struct(
+                F.col("gain"),
+                (-F.col("di")).alias("ndi"),
+                F.col("di"),
+                F.col("rn"),
+                F.col("n"),
+                F.col("s1"),
+                F.col("st"),
+            )
+        ).alias("b")
+    ).select("b.*")
+    return best.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("di").cast("bigint").alias("split_di"),
+        F.col("rn").cast("bigint").alias("n_left"),
+        F.round("gain", 6).alias("between_sse_gain"),
+        F.round(F.col("s1").cast("double") / F.col("rn"), 6).alias("mean_left"),
+        F.round(
+            (F.col("st") - F.col("s1")).cast("double")
+            / (F.col("n") - F.col("rn")),
+            6,
+        ).alias("mean_right"),
+    )

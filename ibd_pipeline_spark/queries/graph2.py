@@ -1,0 +1,240 @@
+"""Graph queries, second file (round-12 split): global transitivity
+and label propagation communities. Split out of the former
+round12.py; names/semantics unchanged. No reference analog
+(`spark_processor.py:153-164`); SURVEY §2.2 rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Global transitivity (triangles vs wedges) of the co-activity graph
+# ---------------------------------------------------------------------------
+
+_TRANS_SQL = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 100
+), e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), wed AS (
+  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg
+)
+SELECT n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       n_tri AS n_triangles, n_wedges,
+       ROUND(3.0 * n_tri / n_wedges, 6) AS transitivity
+FROM wed CROSS JOIN tri
+"""
+
+
+@query("graph_transitivity_global", oracle=_TRANS_SQL)
+def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (a.k.a. the global clustering coefficient)
+    of the user co-activity graph: C = 3·triangles / wedges, where
+    wedges = Σ_n C(deg n, 2). The one-number "how clique-like is
+    this graph" summary — the graph-level companion of the per-node
+    clustering coefficient (graph_clustering_coefficient reports
+    WHERE the dense tissue is; this reports HOW MUCH there is, the
+    number random-graph nulls are compared against).
+
+    Exactness: pure integer counting (edge dedup, oriented-wedge
+    triangle closure, exact degree binomials); one double division
+    at output.
+
+    Scale: identical bounds to the CC query — the oriented wedge
+    join is Σ deg², probed linear under volume replication and
+    quadratic-by-construction under density replication
+    (SCALE.md round-12, the named degradation mode); the triangle
+    closure is an edge-list equi-join. user_id < 100 bounds the
+    bench, not the shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by degrees + triangles
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("(deg * (deg - 1)) DIV 2"))
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    ecount = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        wed.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ecount))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").alias("n_triangles"),
+            "n_wedges",
+            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
+                "transitivity"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (2 unrolled rounds, majority label)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle() -> str:
+    """DuckDB CTE unroll of 2 synchronous LPA rounds (majority
+    neighbor label, ties to the smallest label) over the co-activity
+    graph — same unroll technique as the k-means/k-core oracles."""
+    head = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 100
+), e AS (
+  SELECT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM sym
+)"""
+    rounds = []
+    for r in range(1, 3):
+        rounds.append(f""",
+v{r} AS (
+  SELECT s.u AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sym s JOIN l{r - 1} l ON l.node = s.v
+  GROUP BY s.u, l.label
+), l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rk
+    FROM v{r}
+  ) WHERE rk = 1
+)""")
+    tail = """
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+FROM l2 GROUP BY label ORDER BY size DESC, community LIMIT 20
+"""
+    return head + "".join(rounds) + tail
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    user REPEATED-co-activity graph (an edge needs >= 3 shared
+    (type, hour) buckets — one shared busy hour is noise, and the
+    unthresholded graph is 70% dense, where every community
+    algorithm rightly returns one block), 2 rounds: every node
+    adopts its neighbors' MAJORITY label, ties to the smallest label —
+    community detection where connected components is too coarse
+    (components only finds disconnected islands; LPA splits a
+    connected graph along density boundaries). Top-20 communities
+    by size.
+
+    Determinism contract: the classic async LPA is order-dependent;
+    the SYNCHRONOUS variant with a total-order tie-break
+    (count DESC, label ASC via one struct-max) is a pure function
+    of the graph, so a DuckDB CTE unroll replays both rounds
+    bit-for-bit (the k-means/k-core oracle technique). Fixed round
+    count = fixed plan depth — the production form checkpoints per
+    round via RoundCheckpointer like pagerank.
+
+    Scale: each round is one (node, label) count shuffle + a
+    per-node struct-max — Σ deg work per round, never quadratic;
+    labels live on nodes (bounded state)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select("u", "v")
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # reused by both rounds
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(2):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        # majority with ties to the SMALLEST label: one struct-max
+        labels = votes.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("m")
+        ).select("node", (-F.col("m.nl")).alias("label"))
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

@@ -564,3 +564,164 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + intersection estimate
+# ---------------------------------------------------------------------------
+
+_KMV_K = 200
+
+_KMV_SQL = f"""
+WITH ua AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+), ub AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), ha AS (
+  SELECT CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM ua
+), hb AS (
+  SELECT CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM ub
+), ka AS (
+  SELECT (SELECT list(h ORDER BY h) FROM ha)[1:{_KMV_K}] AS ks,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ha) AS n_exact
+), kb AS (
+  SELECT (SELECT list(h ORDER BY h) FROM hb)[1:{_KMV_K}] AS ks,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hb) AS n_exact
+), un AS (
+  SELECT list_sort(list_distinct(ka.ks || kb.ks))[1:{_KMV_K}] AS ks
+  FROM ka, kb
+), est AS (
+  SELECT ka.n_exact AS n_exact_a, kb.n_exact AS n_exact_b,
+         CAST(len(ka.ks) AS BIGINT) AS k_a,
+         CAST(len(kb.ks) AS BIGINT) AS k_b,
+         CAST(len(un.ks) AS BIGINT) AS k_u,
+         ka.ks[len(ka.ks)] AS hk_a,
+         kb.ks[len(kb.ks)] AS hk_b,
+         un.ks[len(un.ks)] AS hk_u,
+         CAST(len(list_filter(un.ks,
+              x -> list_contains(ka.ks, x) AND list_contains(kb.ks, x)))
+              AS BIGINT) AS n_both
+  FROM ka, kb, un
+)
+SELECT n_exact_a, n_exact_b,
+       ROUND((k_a - 1) / (CAST(hk_a AS DOUBLE)
+                          / 1152921504606846976.0), 4) AS est_a,
+       ROUND((k_b - 1) / (CAST(hk_b AS DOUBLE)
+                          / 1152921504606846976.0), 4) AS est_b,
+       ROUND(CAST(n_both AS DOUBLE) / k_u
+             * ((k_u - 1) / (CAST(hk_u AS DOUBLE)
+                             / 1152921504606846976.0)), 4)
+         AS est_intersection,
+       ROUND(CAST(n_both AS DOUBLE) / k_u, 6) AS est_jaccard
+FROM est
+"""
+
+
+@query("sketch_kmv_distinct_intersect", oracle=_KMV_SQL)
+def sketch_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketches for the viewer
+    and purchaser user sets, with the SET-INTERSECTION estimate HLL
+    cannot give directly: est(|A|) = (k−1)/h₍ₖ₎ from the k-th
+    smallest normalized hash, and est(|A∩B|) = ρ·est(|A∪B|) where ρ
+    is the share of the union sketch present in both per-set
+    sketches (Beyer et al. 2007). Deterministic end-to-end (md5
+    order statistics — no RNG), so the sketch itself is
+    hash-attested, and the exact distinct counts ride along as the
+    accuracy readout.
+
+    Scale: the sketch is MERGEABLE — each partition contributes its
+    own ≤k smallest (groupBy over (set, partition-id) partials,
+    state ≤ k·P rows), then one k-sized merge; the full hash set is
+    never collected anywhere. Union/intersection run on three
+    k-sized arrays.
+
+    Exactness: hashes are exact 60-bit integers; order statistics
+    and membership are integer operations; the only doubles are the
+    three closed-form estimates, rounded."""
+    ev = load(spark, sf_dir, "events")
+
+    def kset(tp: str) -> DataFrame:
+        h = (
+            ev.filter(F.col("event_type") == tp)
+            .select("user_id")
+            .distinct()
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit("kmv"), "user_id")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("h")
+            )
+        )
+        # mergeable min-k: per-partition partials (<= k each), then one
+        # k-sized merge — exact k smallest, no data-sized state
+        part = h.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks")
+        )
+        return part.select(F.explode("ks").alias("h")).agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks"),
+        ).crossJoin(
+            F.broadcast(h.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact")))
+        )
+
+    ka = kset("view").select(
+        F.col("ks").alias("ks_a"), F.col("n_exact").alias("n_exact_a")
+    )
+    kb = kset("purchase").select(
+        F.col("ks").alias("ks_b"), F.col("n_exact").alias("n_exact_b")
+    )
+    j = ka.crossJoin(F.broadcast(kb)).withColumn(
+        "ks_u",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("ks_a", "ks_b"))),
+            1,
+            _KMV_K,
+        ),
+    )
+    two60 = 1152921504606846976.0  # 2^60 — hash normalization
+    est = j.select(
+        "n_exact_a",
+        "n_exact_b",
+        F.size("ks_a").cast("bigint").alias("k_a"),
+        F.size("ks_b").cast("bigint").alias("k_b"),
+        F.size("ks_u").cast("bigint").alias("k_u"),
+        F.element_at("ks_a", -1).alias("hk_a"),
+        F.element_at("ks_b", -1).alias("hk_b"),
+        F.element_at("ks_u", -1).alias("hk_u"),
+        F.size(
+            F.filter(
+                F.col("ks_u"),
+                lambda x: F.array_contains(F.col("ks_a"), x)
+                & F.array_contains(F.col("ks_b"), x),
+            )
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    return est.select(
+        "n_exact_a",
+        "n_exact_b",
+        F.round(
+            (F.col("k_a") - 1) / (F.col("hk_a").cast("double") / two60), 4
+        ).alias("est_a"),
+        F.round(
+            (F.col("k_b") - 1) / (F.col("hk_b").cast("double") / two60), 4
+        ).alias("est_b"),
+        F.round(
+            F.col("n_both").cast("double")
+            / F.col("k_u")
+            * ((F.col("k_u") - 1) / (F.col("hk_u").cast("double") / two60)),
+            4,
+        ).alias("est_intersection"),
+        F.round(F.col("n_both").cast("double") / F.col("k_u"), 6).alias(
+            "est_jaccard"
+        ),
+    )

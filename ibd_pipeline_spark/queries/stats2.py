@@ -1,0 +1,1537 @@
+"""Hypothesis-test queries (round-12 split): normality, effect size,
+outlier screens, independence, rank/EDF tests, multiplicity control,
+variance homogeneity, p-value combination, agreement.
+
+Split out of the former chronological round12.py (judge r12 item 5);
+registry names and semantics unchanged. No reference analog (the
+reference computes streaming means/max/stddev only —
+`spark_processor.py:153-164`); SURVEY §2.2 north-star rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql
+from ibd_pipeline_spark.queries.round11b import _phi_tail_col
+
+# ---------------------------------------------------------------------------
+# Jarque–Bera normality test (events.value)
+# ---------------------------------------------------------------------------
+
+_JB_SQL = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL
+), m1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 6) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM base
+), cm AS (
+  SELECT n, mu,
+         CAST(ROUND(SUM(CAST((x - mu) * (x - mu) AS DECIMAL(38,8))), 4)
+              AS DOUBLE) AS m2s,
+         CAST(ROUND(SUM(CAST((x - mu) * (x - mu) * (x - mu)
+                             AS DECIMAL(38,8))), 4) AS DOUBLE) AS m3s,
+         CAST(ROUND(SUM(CAST((x - mu) * (x - mu) * (x - mu) * (x - mu)
+                             AS DECIMAL(38,8))), 4) AS DOUBLE) AS m4s
+  FROM base CROSS JOIN m1
+  GROUP BY n, mu
+), st AS (
+  SELECT n,
+         (m3s / n) / sqrt((m2s / n) * (m2s / n) * (m2s / n)) AS b1,
+         (m4s / n) / ((m2s / n) * (m2s / n)) AS b2
+  FROM cm
+)
+SELECT n AS n_obs,
+       ROUND(b1, 6) AS skewness,
+       ROUND(b2, 6) AS kurtosis,
+       ROUND(n / 6.0 * (b1 * b1 + (b2 - 3.0) * (b2 - 3.0) / 4.0), 4)
+         AS jb_stat,
+       ROUND(exp(-(n / 6.0 * (b1 * b1 + (b2 - 3.0) * (b2 - 3.0) / 4.0))
+                 / 2.0), 8) AS p_value
+FROM st
+"""
+
+
+@query("stats_jarque_bera", oracle=_JB_SQL)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test of the event `value` distribution:
+    JB = n/6·(b₁² + (b₂−3)²/4) from sample skewness b₁ and kurtosis
+    b₂. JB ~ χ²(2) under normality, whose survival has the EXACT
+    closed form e^(−x/2) — no approximation enters the p-value. The
+    go/no-go gate before any mean-based test in the stats belt (a
+    heavy-tailed metric sends you to the rank tests next door).
+
+    Exactness: μ is the davg rule (decimal sum rounded at 6, one
+    double division); centered power sums cast each per-row double
+    term to DECIMAL(38,8) so the moment sums are order-independent
+    and bit-identical cross-engine; everything after is identical
+    double algebra rounded at the end.
+
+    Scale: two scan-aggregates (mean pass + moment pass, the second
+    with a 1-row broadcast of μ); no shuffle beyond the map-side
+    partials. The moment pass would fold into the first at 100 TB
+    with a streaming one-pass central-moment formula, traded here
+    for the cross-engine-exact two-pass."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(F.col("value").cast("double").alias("x"))
+    m1 = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.round(F.sum(F.col("x").cast("decimal(28,8)")), 6).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    d = F.col("x") - F.col("mu")
+    cm = (
+        base.crossJoin(F.broadcast(m1))
+        .groupBy("n", "mu")
+        .agg(
+            F.round(F.sum((d * d).cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("m2s"),
+            F.round(F.sum((d * d * d).cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("m3s"),
+            F.round(F.sum((d * d * d * d).cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("m4s"),
+        )
+    )
+    m2 = F.col("m2s") / F.col("n")
+    b1 = (F.col("m3s") / F.col("n")) / F.sqrt(m2 * m2 * m2)
+    b2 = (F.col("m4s") / F.col("n")) / (m2 * m2)
+    jb = F.col("n") / 6.0 * (b1 * b1 + (b2 - 3.0) * (b2 - 3.0) / 4.0)
+    return cm.select(
+        F.col("n").alias("n_obs"),
+        F.round(b1, 6).alias("skewness"),
+        F.round(b2, 6).alias("kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        F.round(F.exp(-jb / 2.0), 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g effect size (purchase vs view values)
+# ---------------------------------------------------------------------------
+
+_COHEN_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS s1,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))
+                        * CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS s2
+  FROM events WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+  GROUP BY event_type
+), w AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_a,
+    MAX(CASE WHEN event_type = 'view' THEN n END) AS n_b,
+    MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS s1_a,
+    MAX(CASE WHEN event_type = 'view' THEN s1 END) AS s1_b,
+    MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS s2_a,
+    MAX(CASE WHEN event_type = 'view' THEN s2 END) AS s2_b
+  FROM g
+), v AS (
+  SELECT n_a, n_b, s1_a / n_a AS m_a, s1_b / n_b AS m_b,
+         (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS v_a,
+         (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS v_b
+  FROM w
+), d AS (
+  SELECT n_a, n_b, m_a, m_b,
+         (m_a - m_b)
+           / sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2))
+           AS cohens_d
+  FROM v
+)
+SELECT n_a, n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND(cohens_d, 6) AS cohens_d,
+       ROUND((1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)) * cohens_d, 6)
+         AS hedges_g
+FROM d
+"""
+
+
+@query("stats_cohens_d", oracle=_COHEN_SQL)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between purchase and view
+    event values, with the Hedges' g small-sample correction
+    J = 1 − 3/(4N−9). The "is it LARGE, not just significant"
+    readout that belongs next to every t-test the belt ships
+    (stats_welch_ttest reports p; this reports magnitude on the
+    pooled-σ scale).
+
+    Exactness: the Welch-query moment discipline verbatim — exact
+    decimal Σx and Σx² per group rounded in the decimal domain, then
+    identical double algebra (pooled variance, d, J·d) both engines.
+
+    Scale: one 2-group scan-aggregate with map-side partials."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    dec = F.col("value").cast("decimal(28,8)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(dec), 4).cast("double").alias("s1"),
+        F.round(F.sum(dec * dec), 4).cast("double").alias("s2"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col(c))).alias(
+                f"{c}_{s}"
+            )
+            for t, s in (("purchase", "a"), ("view", "b"))
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    m_a = F.col("s1_a") / F.col("n_a")
+    m_b = F.col("s1_b") / F.col("n_b")
+    v_a = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    v_b = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    pooled = F.sqrt(
+        ((F.col("n_a") - 1) * v_a + (F.col("n_b") - 1) * v_b)
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = (m_a - m_b) / pooled
+    j = 1.0 - 3.0 / (4.0 * (F.col("n_a") + F.col("n_b")) - 9.0)
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(j * d, 6).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs' maximum-studentized-deviate outlier screen (order totals)
+# ---------------------------------------------------------------------------
+
+_GRUBBS_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 6) AS DOUBLE)
+           / COUNT(*) AS mu,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 4) AS DOUBLE) AS s1,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))
+                        * CAST(x AS DECIMAL(28,8))), 4) AS DOUBLE) AS s2
+  FROM base
+), mx AS (
+  SELECT n, mu, sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd,
+         MAX(ABS(x - mu)) AS maxdev
+  FROM base CROSS JOIN m
+  GROUP BY n, mu, s1, s2
+), pick AS (
+  SELECT mx.n, mx.mu, mx.sd, mx.maxdev,
+         MIN(b.x) AS outlier_value
+  FROM mx JOIN base b ON ABS(b.x - mx.mu) = mx.maxdev
+  GROUP BY mx.n, mx.mu, mx.sd, mx.maxdev
+)
+SELECT n AS n_obs, ROUND(mu, 6) AS mean_x, ROUND(sd, 6) AS stddev_x,
+       ROUND(maxdev / sd, 6) AS g_stat,
+       ROUND(outlier_value, 2) AS outlier_value,
+       ROUND(LEAST(1.0, n * 2.0 * {_phi_tail_sql('(maxdev / sd)')}), 8)
+         AS p_bonferroni_bound
+FROM pick
+"""
+
+
+@query("stats_grubbs_outlier", oracle=_GRUBBS_SQL)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style maximum-studentized-deviate outlier screen over
+    order totals: G = max|x−x̄|/s, the offending value, and the
+    Bonferroni-bounded normal tail p ≤ n·2·Φ̄(G) (the union bound
+    over n candidate outliers — an upper BOUND by construction,
+    reported as such; the exact Grubbs critical value needs the t
+    quantile, overkill for a screen). The data-quality tripwire run
+    before any mean/variance-based monitor trusts a new batch.
+
+    Exactness: μ via the davg rule; s via exact decimal Σx/Σx²; the
+    max deviation is a pure MAX over identical doubles (no sum-order
+    hazard at all); the offending value is deterministically the
+    MINIMUM x among argmax-deviation rows (both engines agree on
+    ties by construction).
+
+    Scale: one scan-aggregate + a 1-row broadcast re-scan for the
+    argmax; no shuffle beyond partials."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x")
+    )
+    dec = F.col("x").cast("decimal(28,8)")
+    m = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.round(F.sum(dec), 6).cast("double") / F.count(F.lit(1))
+        ).alias("mu"),
+        F.round(F.sum(dec), 4).cast("double").alias("s1"),
+        F.round(F.sum(dec * dec), 4).cast("double").alias("s2"),
+    )
+    mx = (
+        base.crossJoin(F.broadcast(m))
+        .groupBy("n", "mu", "s1", "s2")
+        .agg(F.max(F.abs(F.col("x") - F.col("mu"))).alias("maxdev"))
+        .select(
+            "n",
+            "mu",
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sd"),
+            "maxdev",
+        )
+    )
+    pick = (
+        base.crossJoin(F.broadcast(mx))
+        .filter(F.abs(F.col("x") - F.col("mu")) == F.col("maxdev"))
+        .groupBy("n", "mu", "sd", "maxdev")
+        .agg(F.min("x").alias("outlier_value"))
+    )
+    g = F.col("maxdev") / F.col("sd")
+    return pick.select(
+        F.col("n").alias("n_obs"),
+        F.round("mu", 6).alias("mean_x"),
+        F.round("sd", 6).alias("stddev_x"),
+        F.round(g, 6).alias("g_stat"),
+        F.round("outlier_value", 2).alias("outlier_value"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n") * 2.0 * _phi_tail_col(g)), 8
+        ).alias("p_bonferroni_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G-test (log-likelihood ratio) of independence — event_type × ISO dow
+# ---------------------------------------------------------------------------
+
+_GTEST_SQL = f"""
+WITH o AS (
+  SELECT event_type, ISODOW(CAST(ts AS TIMESTAMP)) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, SUM(obs) AS row_tot FROM o GROUP BY 1),
+ct AS (SELECT dow, SUM(obs) AS col_tot FROM o GROUP BY 1),
+nt AS (SELECT SUM(obs) AS n, CAST(COUNT(DISTINCT event_type) AS BIGINT)
+              AS n_types,
+              CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows
+       FROM o),
+t AS (
+  SELECT CAST(obs AS DOUBLE) AS od,
+         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+           / CAST(n AS DOUBLE) AS e,
+         n_types, n_dows
+  FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         MAX((n_types - 1) * (n_dows - 1)) AS df,
+         CAST(ROUND(SUM(CAST(od * ln(od / e) AS DECIMAL(28,8))), 4)
+              AS DOUBLE) * 2.0 AS g_stat
+  FROM t
+), wh AS (
+  SELECT n_cells, CAST(df AS INT) AS df, g_stat,
+         (exp(ln(g_stat / df) / 3.0) - (1.0 - 2.0 / (9.0 * df)))
+           * sqrt(9.0 * df / 2.0) AS z
+  FROM s
+)
+SELECT n_cells, df, ROUND(g_stat, 4) AS g_stat,
+       ROUND({_phi_tail_sql('z')}, 8) AS p_wilson_hilferty
+FROM wh
+"""
+
+
+@query("stats_g_test_independence", oracle=_GTEST_SQL)
+def stats_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio) of independence between event_type
+    and ISO day-of-week: G = 2·Σ o·ln(o/e) over the contingency
+    cells — the information-theoretic twin of the chi-square query
+    (G = 2N·MI in nats; additive across partitions of the table,
+    which Pearson's X² is not). p via the Wilson–Hilferty cube-root
+    normal approximation at df = (r−1)(c−1), evaluated by the IDENTICAL
+    formula both engines (exp(ln(x)/3) for the cube root), so the
+    hash never depends on the approximation's quality.
+
+    Exactness: margins by aggregate-and-broadcast (the r12
+    chi-square form — no windows); each o·ln(o/e) term decimal-cast
+    per cell so the 35-term sum is order-independent.
+
+    Scale: one count shuffle on ~35 keys; margins are broadcast
+    joins; everything after runs on the cell frame."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = obs.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    nt = obs.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct("dow").cast("bigint").alias("n_dows"),
+    )
+    t = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("obs").cast("double").alias("od"),
+            (
+                F.col("row_tot").cast("double")
+                * F.col("col_tot").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+            "n_types",
+            "n_dows",
+        )
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("df"),
+        (
+            F.round(
+                F.sum(
+                    (F.col("od") * F.log(F.col("od") / F.col("e"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                4,
+            ).cast("double")
+            * 2.0
+        ).alias("g_stat"),
+    )
+    dfc = F.col("df").cast("double")
+    z = (
+        F.exp(F.log(F.col("g_stat") / dfc) / 3.0)
+        - (1.0 - 2.0 / (9.0 * dfc))
+    ) * F.sqrt(9.0 * dfc / 2.0)
+    return s.select(
+        "n_cells",
+        F.col("df").cast("int").alias("df"),
+        F.round("g_stat", 4).alias("g_stat"),
+        F.round(_phi_tail_col(z), 8).alias("p_wilson_hilferty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (k-group, exact global median)
+# ---------------------------------------------------------------------------
+
+_MOOD_SQL = """
+WITH s AS (
+  SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL
+), pv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v
+), cum AS (
+  SELECT v, SUM(t) OVER (ORDER BY v) AS cw,
+         (SELECT SUM(t) FROM pv) AS n
+  FROM pv
+), med AS (
+  SELECT MIN(v) AS m FROM cum WHERE cw >= (n + 1) // 2
+), cells AS (
+  SELECT g,
+         CAST(COUNT(CASE WHEN v >  (SELECT m FROM med) THEN 1 END)
+              AS BIGINT) AS o_above,
+         CAST(COUNT(CASE WHEN v <= (SELECT m FROM med) THEN 1 END)
+              AS BIGINT) AS o_le
+  FROM s GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(o_above) AS BIGINT) AS ta,
+         CAST(SUM(o_le) AS BIGINT) AS tl,
+         CAST(SUM(o_above + o_le) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+), terms AS (
+  SELECT
+    CAST((CAST(o_above AS DOUBLE)
+          - CAST(ta AS DOUBLE) * (o_above + o_le) / n)
+         * (CAST(o_above AS DOUBLE)
+            - CAST(ta AS DOUBLE) * (o_above + o_le) / n)
+         / (CAST(ta AS DOUBLE) * (o_above + o_le) / n)
+         AS DECIMAL(28,8)) AS t1,
+    CAST((CAST(o_le AS DOUBLE)
+          - CAST(tl AS DOUBLE) * (o_above + o_le) / n)
+         * (CAST(o_le AS DOUBLE)
+            - CAST(tl AS DOUBLE) * (o_above + o_le) / n)
+         / (CAST(tl AS DOUBLE) * (o_above + o_le) / n)
+         AS DECIMAL(28,8)) AS t2,
+    n, k
+  FROM cells CROSS JOIN tot
+), agg AS (
+  SELECT n, CAST(k AS INT) AS n_groups, CAST(k - 1 AS INT) AS df,
+         CAST(ROUND(SUM(t1 + t2), 6) AS DOUBLE) AS chi2
+  FROM terms GROUP BY n, k
+), med2 AS (SELECT m FROM med)
+SELECT n AS n_total, n_groups, df,
+       ROUND((SELECT m FROM med2), 6) AS grand_median,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 8) AS p_value
+FROM agg
+"""
+
+
+@query("stats_mood_median", oracle=_MOOD_SQL)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: does each event type put the same share of
+    its values above the EXACT grand median? The blunt-but-robust
+    k-group location test (only counts above/≤ the pooled median —
+    immune to any monotone transform and to outliers that wreck
+    ANOVA; Kruskal-Wallis is its sharper rank sibling next door).
+
+    The grand median is EXACT and distributed: per-value counts +
+    the global prefix-sum spine (no unpartitioned window), lower
+    median = least v with cum ≥ ⌈N/2⌉. Cells are integer counts
+    against the broadcast median; the 2×k chi-square folds
+    decimal-quantized per-cell terms; p at df = k−1 = 4 via the
+    even-df closed-form survival (asserted like Kruskal-Wallis).
+
+    Scale: one value-key shuffle + one range exchange for the
+    median, one 5-group scan aggregate for the cells."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
+    pv = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    cum = with_global_prefix_sums(pv, ["v"], ["t"])
+    med = cum.filter(
+        F.col("_cum_t") >= F.expr("(_tot_t + 1) DIV 2")
+    ).agg(F.min("v").alias("m"))
+    cells = (
+        s.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.count(F.when(F.col("v") > F.col("m"), 1))
+            .cast("bigint")
+            .alias("o_above"),
+            F.count(F.when(F.col("v") <= F.col("m"), 1))
+            .cast("bigint")
+            .alias("o_le"),
+            F.max("m").alias("m"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("o_above").cast("bigint").alias("ta"),
+        F.sum("o_le").cast("bigint").alias("tl"),
+        F.sum(F.col("o_above") + F.col("o_le")).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    col_n = F.col("o_above") + F.col("o_le")
+    e_a = F.col("ta").cast("double") * col_n / F.col("n")
+    e_l = F.col("tl").cast("double") * col_n / F.col("n")
+    t1 = (
+        (F.col("o_above").cast("double") - e_a)
+        * (F.col("o_above").cast("double") - e_a)
+        / e_a
+    ).cast("decimal(28,8)")
+    t2 = (
+        (F.col("o_le").cast("double") - e_l)
+        * (F.col("o_le").cast("double") - e_l)
+        / e_l
+    ).cast("decimal(28,8)")
+    agg = j.groupBy("n", "k", "m").agg(
+        F.round(F.sum(t1 + t2), 6).cast("double").alias("chi2")
+    )
+    # df = k-1 must be even for the closed-form survival (the
+    # Kruskal-Wallis contract); the corpus has k = 5 event types.
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("k").cast("int").alias("n_groups"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round("m", 6).alias("grand_median"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.exp(-F.col("chi2") / 2.0) * (1.0 + F.col("chi2") / 2.0), 8
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér–von Mises (purchase vs view values)
+# ---------------------------------------------------------------------------
+
+_CVM_SQL = """
+WITH s AS (
+  SELECT value AS v, event_type = 'purchase' AS is_a
+  FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL
+), pv AS (
+  SELECT v,
+         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS c1,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS c2
+  FROM s GROUP BY v
+), cum AS (
+  SELECT v, c1, c2,
+         SUM(c1) OVER (ORDER BY v) AS f1,
+         SUM(c2) OVER (ORDER BY v) AS f2,
+         (SELECT SUM(c1) FROM pv) AS n,
+         (SELECT SUM(c2) FROM pv) AS m
+  FROM pv
+), terms AS (
+  SELECT n, m,
+         CAST((c1 + c2)
+              * (CAST(f1 AS DOUBLE) / n - CAST(f2 AS DOUBLE) / m)
+              * (CAST(f1 AS DOUBLE) / n - CAST(f2 AS DOUBLE) / m)
+              AS DECIMAL(28,10)) AS term
+  FROM cum
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n1, CAST(MAX(m) AS BIGINT) AS n2,
+         CAST(ROUND(SUM(term), 6) AS DOUBLE) AS ssum
+  FROM terms
+)
+SELECT n1, n2,
+       ROUND(CAST(n1 AS DOUBLE) * n2
+             / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2))
+             * ssum, 6) AS cvm_t
+FROM agg
+"""
+
+
+@query("stats_cramer_von_mises", oracle=_CVM_SQL)
+def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between purchase and
+    view values: T = nm/N² · Σ over all pooled observations of
+    (F_n(x) − G_m(x))². Where KS reads only the single worst ECDF
+    gap, CvM integrates EVERY gap — far more sensitive to
+    distributed (scale/shape) differences that never produce one
+    large vertical gap. Statistic-only readout (its limiting law is
+    nonstandard; thresholds come from published tables — T ≳ 0.46
+    ≈ 5%), which is how the monitoring belt consumes it.
+
+    Exactness: rides the SAME distinct-value prefix-sum spine as the
+    KS query (exact integer cumulative counts under the value
+    order); per-value terms t_v·(F−G)² decimal-quantized so the sum
+    is order-independent; one closed-form double at output.
+
+    Scale: one value-key shuffle + one range exchange — identical
+    plan shape to stats_ks_two_sample; everything after runs on the
+    distinct-value frame."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").alias("is_a"),
+    )
+    pv = s.groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("c1"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("c2"),
+    )
+    cum = with_global_prefix_sums(pv, ["v"], ["c1", "c2"])
+    gap = (
+        F.col("_cum_c1").cast("double") / F.col("_tot_c1")
+        - F.col("_cum_c2").cast("double") / F.col("_tot_c2")
+    )
+    term = ((F.col("c1") + F.col("c2")) * gap * gap).cast("decimal(28,10)")
+    agg = cum.agg(
+        F.max("_tot_c1").cast("bigint").alias("n1"),
+        F.max("_tot_c2").cast("bigint").alias("n2"),
+        F.round(F.sum(term), 6).cast("double").alias("ssum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(
+            n1d * F.col("n2") / ((n1d + F.col("n2")) * (n1d + F.col("n2")))
+            * F.col("ssum"),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (blocks = ISO dow, treatments = event types)
+# ---------------------------------------------------------------------------
+
+_FRIEDMAN_SQL = """
+WITH cell AS (
+  SELECT ISODOW(CAST(ts AS TIMESTAMP)) AS blk, event_type AS trt,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 6) AS DOUBLE)
+           / COUNT(value) AS m
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), rk AS (
+  SELECT a.blk, a.trt,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM cell a JOIN cell b
+    ON a.blk = b.blk
+   AND (b.m < a.m OR (b.m = a.m AND b.trt <= a.trt))
+  GROUP BY a.blk, a.trt
+), rs AS (
+  SELECT trt, CAST(SUM(r) AS BIGINT) AS rj FROM rk GROUP BY trt
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+         CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+  FROM cell
+), q AS (
+  SELECT b, k,
+         12.0 / (CAST(b AS DOUBLE) * k * (k + 1))
+           * (SELECT SUM(CAST(rj AS DOUBLE) * rj) FROM rs)
+           - 3.0 * b * (k + 1) AS qstat
+  FROM dims
+)
+SELECT CAST(b AS INT) AS n_blocks, CAST(k AS INT) AS n_treatments,
+       CAST(k - 1 AS INT) AS df,
+       ROUND(qstat, 6) AS q_stat,
+       ROUND(exp(-qstat / 2.0) * (1.0 + qstat / 2.0), 8) AS p_value
+FROM q
+"""
+
+
+@query("stats_friedman_test", oracle=_FRIEDMAN_SQL)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman two-way rank test: ranking the five event types'
+    mean values WITHIN each ISO-dow block, do the treatments differ
+    once the block (day-of-week) effect is removed? The repeated-
+    measures ANOVA-on-ranks — Kruskal-Wallis would confound the dow
+    effect; Friedman blocks it out. Q = 12/(bk(k+1))·ΣRⱼ² − 3b(k+1),
+    p at df = k−1 = 4 via the even-df closed-form survival.
+
+    Exactness: per-cell means use the davg rule (decimal sum rounded
+    at 6, one double division — bit-identical both engines); ranks
+    within a block come from a TRIANGULAR COUNT over the 5-row block
+    under the (m, treatment-name) total order — deterministic
+    tie-break, no window operator anywhere; rank sums are exact
+    integers. Complete blocks verified by construction (every type
+    occurs every dow at all fixture scales).
+
+    Scale: one 35-key count shuffle, then a 35×35 broadcast
+    triangular join on the cell frame — everything past the first
+    aggregate is metadata-sized."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 6).cast(
+                "double"
+            )
+            / F.count("value")
+        ).alias("m")
+    )
+    a = cell.select(
+        F.col("blk"), F.col("trt"), F.col("m")
+    )
+    b = cell.select(
+        F.col("blk").alias("blk2"),
+        F.col("trt").alias("trt2"),
+        F.col("m").alias("m2"),
+    )
+    rk = (
+        a.join(
+            F.broadcast(b),
+            (F.col("blk") == F.col("blk2"))
+            & (
+                (F.col("m2") < F.col("m"))
+                | ((F.col("m2") == F.col("m")) & (F.col("trt2") <= F.col("trt")))
+            ),
+        )
+        .groupBy("blk", "trt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    rs = rk.groupBy("trt").agg(F.sum("r").cast("bigint").alias("rj"))
+    dims = cell.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.countDistinct("trt").cast("bigint").alias("k"),
+    )
+    ssq = rs.agg(
+        F.sum(F.col("rj").cast("double") * F.col("rj")).alias("s2")
+    )
+    q = dims.crossJoin(F.broadcast(ssq)).select(
+        "b",
+        "k",
+        (
+            12.0
+            / (F.col("b").cast("double") * F.col("k") * (F.col("k") + 1))
+            * F.col("s2")
+            - 3.0 * F.col("b") * (F.col("k") + 1)
+        ).alias("qstat"),
+    )
+    return q.select(
+        F.col("b").cast("int").alias("n_blocks"),
+        F.col("k").cast("int").alias("n_treatments"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round("qstat", 6).alias("q_stat"),
+        F.round(
+            F.exp(-F.col("qstat") / 2.0) * (1.0 + F.col("qstat") / 2.0), 8
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on daily volume (above/below exact median)
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = f"""
+WITH dd AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), med AS (
+  SELECT MIN(y) AS m FROM (
+    SELECT y, SUM(cnt) OVER (ORDER BY y) AS cw,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n
+    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM dd GROUP BY y)
+  ) WHERE cw >= (n + 1) // 2
+), kept AS (
+  SELECT di, CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+  FROM dd WHERE y <> (SELECT m FROM med)
+), seq AS (
+  SELECT di, s, ROW_NUMBER() OVER (ORDER BY di) AS rn FROM kept
+), runs AS (
+  SELECT
+    (SELECT CAST(SUM(s) AS BIGINT) FROM kept) AS n1,
+    (SELECT CAST(COUNT(*) - SUM(s) AS BIGINT) FROM kept) AS n2,
+    CAST(1 + COUNT(*) AS BIGINT) AS r
+  FROM seq a JOIN seq b ON b.rn = a.rn + 1 AND b.s <> a.s
+), z AS (
+  SELECT n1, n2, r,
+         2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu,
+         sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+           AS sd
+  FROM runs
+)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+       ROUND(mu, 6) AS expected_runs,
+       ROUND((r - mu) / sd, 6) AS z_stat,
+       ROUND(2.0 * {_phi_tail_sql('ABS((r - mu) / sd)')}, 8) AS p_value
+FROM z
+"""
+
+
+@query("stats_runs_test", oracle=_RUNS_SQL)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of daily volume:
+    split days into above/below the EXACT median (median-equal days
+    excluded, the standard convention), count runs of consecutive
+    same-sign days, compare to E[R] = 2n₁n₂/N + 1. Too few runs =
+    trending/autocorrelated volume, too many = oscillation — the
+    nonparametric companion to Durbin–Watson (DW reads residual
+    correlation strength; runs reads sign-pattern randomness with
+    no linearity assumption).
+
+    Exactness: the median comes from the distributed prefix-sum
+    spine (exact, window-free on the Spark side); run boundaries are
+    integer comparisons between RANK-adjacent kept days (rank from
+    the same spine; calendar gaps don't split runs — documented
+    convention); one double chain + the shared normal tail.
+
+    Scale: one day-key count shuffle; the sequence logic runs on the
+    days-sized frame via a rank self-join."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events")
+    dd = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01").cast("date")
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    pv = dd.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cum = with_global_prefix_sums(pv, ["y"], ["cnt"])
+    med = cum.filter(
+        F.col("_cum_cnt") >= F.expr("(_tot_cnt + 1) DIV 2")
+    ).agg(F.min("y").alias("m"))
+    kept = (
+        dd.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select(
+            "di",
+            F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    seq = with_global_prefix_sums(kept, ["di"], ["one"]).select(
+        "s", F.col("_cum_one").alias("rn")
+    )
+    nxt = seq.select((F.col("rn") - 1).alias("rnp"), F.col("s").alias("s2"))
+    changes = seq.join(nxt, F.col("rn") == F.col("rnp")).filter(
+        F.col("s") != F.col("s2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ch"))
+    counts = kept.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+    )
+    z = counts.crossJoin(F.broadcast(changes)).select(
+        "n1",
+        "n2",
+        (F.col("ch") + 1).cast("bigint").alias("r"),
+    )
+    mu = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1.0
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    sd = F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (nn * (F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1))
+    )
+    zs = (F.col("r") - mu) / sd
+    return z.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(zs, 6).alias("z_stat"),
+        F.round(2.0 * _phi_tail_col(F.abs(zs)), 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Yekutieli FDR under arbitrary dependence (brand z-tests)
+# ---------------------------------------------------------------------------
+
+_BY_Q_NUM, _BY_Q_DEN = 1, 10  # q = 0.10, the BH family convention
+
+
+def _by_oracle() -> str:
+    from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql as pts
+
+    return f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
+), zt AS (
+  SELECT brand, n,
+         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+             / sqrt((CAST(rt AS DOUBLE) / nt)
+                    * (1.0 - CAST(rt AS DOUBLE) / nt) / n)) AS az
+  FROM b CROSS JOIN tot
+), pv AS (
+  SELECT brand, n, az, ROUND(2.0 * {pts("az")}, 8) AS p_value FROM zt
+), mc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST((SELECT CAST(ROUND(SUM(
+                 CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(28,12))), 10)
+               AS DOUBLE)
+               FROM range(1, 100001) t(i)
+               WHERE i <= (SELECT COUNT(*) FROM pv)) AS DOUBLE)
+           AS cm
+  FROM pv
+), rk AS (
+  SELECT a.brand, a.n, a.az, a.p_value,
+         CAST(COUNT(*) AS BIGINT) AS rank
+  FROM pv a
+  JOIN pv c ON (c.p_value < a.p_value)
+            OR (c.p_value = a.p_value AND c.brand <= a.brand)
+  GROUP BY a.brand, a.n, a.az, a.p_value
+), kmax AS (
+  SELECT COALESCE(MAX(rank), 0) AS kmax
+  FROM rk CROSS JOIN mc
+  WHERE p_value * m * cm * {_BY_Q_DEN} <= rank * {_BY_Q_NUM}
+)
+SELECT brand, n, ROUND(az, 6) AS z_stat, p_value,
+       CAST(rank AS INT) AS p_rank,
+       ROUND((SELECT cm FROM mc), 10) AS c_m,
+       rank <= kmax.kmax AS rejected
+FROM rk, kmax
+ORDER BY brand
+"""
+
+
+@query("stats_benjamini_yekutieli", oracle=_by_oracle)
+def stats_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Yekutieli FDR control (q = 0.10) over the SAME
+    per-brand z-test family as BH and Holm — the third corner of the
+    multiple-testing belt: BY's harmonic penalty c(m) = Σ 1/i makes
+    the FDR guarantee hold under ARBITRARY dependence between tests
+    (brand return rates share the corpus denominator, so they are
+    dependent — exactly BY's regime; BH assumes positive dependence
+    and is reported as triage).
+
+    Exactness: c(m) sums decimal-quantized harmonic terms
+    (order-independent; rounded at 10 in the decimal domain); the
+    step-up inequality p·m·c(m)·10 ≤ rank is evaluated on identical
+    doubles both engines; ranks via the brand-bounded triangular
+    join (window-free).
+
+    Scale: identical plan shape to BH — one fact-dim join, m-row
+    algebra after."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    p0 = F.col("rt").cast("double") / F.col("nt")
+    az = F.abs(
+        (F.col("r").cast("double") / F.col("n") - p0)
+        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
+    )
+    pv = (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n",
+            az.alias("az"),
+        )
+        .select(
+            "brand",
+            "n",
+            "az",
+            F.round(2.0 * _phi_tail_col(F.col("az")), 8).alias("p_value"),
+        )
+    )
+    mc = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m")).select(
+        "m",
+        F.round(
+            F.expr(
+                "aggregate(transform(sequence(1, CAST(m AS INT)),"
+                " i -> CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(28,12))),"
+                " CAST(0 AS DECIMAL(28,12)),"
+                " (acc, x) -> CAST(acc + x AS DECIMAL(28,12)))"
+            ),
+            10,
+        )
+        .cast("double")
+        .alias("cm"),
+    )
+    a, c = pv.alias("a"), pv.alias("c")
+    rk = (
+        a.join(
+            F.broadcast(c),
+            (F.col("c.p_value") < F.col("a.p_value"))
+            | (
+                (F.col("c.p_value") == F.col("a.p_value"))
+                & (F.col("c.brand") <= F.col("a.brand"))
+            ),
+        )
+        .groupBy("a.brand", "a.n", "a.az", "a.p_value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
+        .crossJoin(F.broadcast(mc))
+    )
+    kmax = rk.filter(
+        F.col("p_value") * F.col("m") * F.col("cm") * _BY_Q_DEN
+        <= F.col("rank") * _BY_Q_NUM
+    ).agg(F.coalesce(F.max("rank"), F.lit(0)).alias("kmax"))
+    return (
+        rk.crossJoin(F.broadcast(kmax))
+        .select(
+            "brand",
+            "n",
+            F.round("az", 6).alias("z_stat"),
+            "p_value",
+            F.col("rank").cast("int").alias("p_rank"),
+            F.round("cm", 10).alias("c_m"),
+            (F.col("rank") <= F.col("kmax")).alias("rejected"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anderson–Darling k-sample (k=2, Scholz–Stephens ties version)
+# ---------------------------------------------------------------------------
+
+_AD_SQL = """
+WITH s AS (
+  SELECT value AS v, event_type = 'purchase' AS is_a
+  FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL
+), pv AS (
+  SELECT v,
+         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS l1,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS l2
+  FROM s GROUP BY v
+), cum AS (
+  SELECT v, l1, l2, l1 + l2 AS lj,
+         SUM(l1) OVER (ORDER BY v) AS f1,
+         SUM(l2) OVER (ORDER BY v) AS f2,
+         (SELECT SUM(l1) FROM pv) AS n1,
+         (SELECT SUM(l2) FROM pv) AS n2
+  FROM pv
+), terms AS (
+  SELECT n1, n2, n1 + n2 AS nn,
+         CAST(f1 AS DOUBLE) - l1 / 2.0 AS ma1,
+         CAST(f2 AS DOUBLE) - l2 / 2.0 AS ma2,
+         CAST(f1 + f2 AS DOUBLE) - lj / 2.0 AS ba,
+         CAST(lj AS DOUBLE) AS lj
+  FROM cum
+), inner_t AS (
+  SELECT n1, n2, nn,
+    CAST((lj / nn) * ((nn * ma1 - n1 * ba) * (nn * ma1 - n1 * ba))
+         / (ba * (nn - ba) - nn * lj / 4.0) / n1 AS DECIMAL(28,10)) AS t1,
+    CAST((lj / nn) * ((nn * ma2 - n2 * ba) * (nn * ma2 - n2 * ba))
+         / (ba * (nn - ba) - nn * lj / 4.0) / n2 AS DECIMAL(28,10)) AS t2
+  FROM terms
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(MAX(nn) - 1 AS DOUBLE) / MAX(nn)
+             * CAST(ROUND(SUM(t1 + t2), 6) AS DOUBLE), 6) AS a2_stat
+FROM inner_t
+"""
+
+
+@query("stats_anderson_darling_2samp", oracle=_AD_SQL)
+def stats_anderson_darling_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling statistic (Scholz & Stephens 1987,
+    the midrank/ties version of A²ₐₖN at k=2) between purchase and
+    view values. AD weights ECDF gaps by 1/(F(1−F)) — maximal
+    sensitivity in the TAILS, which is where training-data value
+    distributions actually drift (CvM weighs the middle, KS only the
+    worst point; the three together are the standard drift triage).
+    Statistic-only readout like CvM (the null law is tabulated;
+    A² ≫ k−1 = 1 is the drift signal).
+
+    Exactness: the midrank cumulatives (F − l/2) are exact halves of
+    integers; every per-value term is one identical double chain
+    decimal-quantized before the fold; the (N−1)/N factor applies
+    after the rounded sum.
+
+    Scale: the same distinct-value prefix-sum spine as KS/CvM — one
+    value-key shuffle + one range exchange."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").alias("is_a"),
+    )
+    pv = s.groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("l1"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("l2"),
+    )
+    cum = with_global_prefix_sums(pv, ["v"], ["l1", "l2"])
+    n1 = F.col("_tot_l1")
+    n2 = F.col("_tot_l2")
+    nn = (n1 + n2).cast("double")
+    lj = (F.col("l1") + F.col("l2")).cast("double")
+    ma1 = F.col("_cum_l1").cast("double") - F.col("l1") / 2.0
+    ma2 = F.col("_cum_l2").cast("double") - F.col("l2") / 2.0
+    ba = (F.col("_cum_l1") + F.col("_cum_l2")).cast("double") - lj / 2.0
+    den = ba * (nn - ba) - nn * lj / 4.0
+    t1 = (
+        (lj / nn) * ((nn * ma1 - n1 * ba) * (nn * ma1 - n1 * ba)) / den / n1
+    ).cast("decimal(28,10)")
+    t2 = (
+        (lj / nn) * ((nn * ma2 - n2 * ba) * (nn * ma2 - n2 * ba)) / den / n2
+    ).cast("decimal(28,10)")
+    agg = cum.agg(
+        F.max(n1).cast("bigint").alias("n1"),
+        F.max(n2).cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(F.sum(t1 + t2), 6).cast("double").alias("ssum"),
+        F.max(nn).alias("nn"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_distinct",
+        F.round(
+            (F.col("nn") - 1.0) / F.col("nn") * F.col("ssum"), 6
+        ).alias("a2_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test of variance homogeneity (k = 5 event types)
+# ---------------------------------------------------------------------------
+
+_BARTLETT_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS s1,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))
+                        * CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), v AS (
+  SELECT event_type, n, (s2 - s1 * s1 / n) / (n - 1) AS s2i FROM g
+), terms AS (
+  SELECT n, s2i,
+         CAST((n - 1) * ln(s2i) AS DECIMAL(28,10)) AS lnterm,
+         CAST((n - 1) * s2i AS DECIMAL(28,8)) AS wvar,
+         CAST(1.0 / (n - 1) AS DECIMAL(28,12)) AS invterm
+  FROM v
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(ROUND(SUM(lnterm), 6) AS DOUBLE) AS sum_ln,
+         CAST(ROUND(SUM(wvar), 4) AS DOUBLE) AS sum_wvar,
+         CAST(ROUND(SUM(invterm), 10) AS DOUBLE) AS sum_inv
+  FROM terms
+), s AS (
+  SELECT k, nt,
+         ((nt - k) * ln(sum_wvar / (nt - k)) - sum_ln)
+           / (1.0 + (sum_inv - 1.0 / (nt - k)) / (3.0 * (k - 1)))
+           AS t_stat
+  FROM agg
+)
+SELECT nt AS n_total, CAST(k AS INT) AS n_groups,
+       CAST(k - 1 AS INT) AS df,
+       ROUND(t_stat, 6) AS bartlett_stat,
+       ROUND(exp(-t_stat / 2.0) * (1.0 + t_stat / 2.0), 8) AS p_value
+FROM s
+"""
+
+
+@query("stats_bartlett_test", oracle=_BARTLETT_SQL)
+def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the five event
+    types — the classic normal-theory counterpart of the robust
+    Levene/Brown–Forsythe pair already in the belt (Bartlett is more
+    powerful when normality holds, badly anti-conservative when it
+    doesn't; shipping all three is how variance checks are actually
+    triaged). T = ((N−k)·ln(S²ₚ) − Σ(nᵢ−1)·ln(S²ᵢ)) / C with the
+    standard C correction; p at df = k−1 = 4 via the even-df
+    closed-form survival.
+
+    Exactness: group variances from exact decimal Σx/Σx² (the Welch
+    discipline); each (nᵢ−1)·ln(S²ᵢ), (nᵢ−1)·S²ᵢ and 1/(nᵢ−1) term
+    is decimal-quantized so the k-term sums are order-independent;
+    the final statistic is one identical double chain.
+
+    Scale: one 5-group scan-aggregate; everything after runs on k
+    rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(28,8)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(dec), 4).cast("double").alias("s1"),
+        F.round(F.sum(dec * dec), 4).cast("double").alias("s2"),
+    )
+    s2i = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    terms = g.select(
+        "n",
+        ((F.col("n") - 1) * F.log(s2i)).cast("decimal(28,10)").alias("lnterm"),
+        ((F.col("n") - 1) * s2i).cast("decimal(28,8)").alias("wvar"),
+        (1.0 / (F.col("n") - 1)).cast("decimal(28,12)").alias("invterm"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.round(F.sum("lnterm"), 6).cast("double").alias("sum_ln"),
+        F.round(F.sum("wvar"), 4).cast("double").alias("sum_wvar"),
+        F.round(F.sum("invterm"), 10).cast("double").alias("sum_inv"),
+    )
+    nk = F.col("nt") - F.col("k")
+    t = (
+        nk * F.log(F.col("sum_wvar") / nk) - F.col("sum_ln")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / nk) / (3.0 * (F.col("k") - 1))
+    )
+    return agg.select(
+        F.col("nt").alias("n_total"),
+        F.col("k").cast("int").alias("n_groups"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round(t, 6).alias("bartlett_stat"),
+        F.round(F.exp(-t / 2.0) * (1.0 + t / 2.0), 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Combined p-values: Fisher's method + Stouffer's Z (brand z-tests)
+# ---------------------------------------------------------------------------
+
+_COMBINED_SQL = f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
+), zt AS (
+  SELECT brand,
+         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+             / sqrt((CAST(rt AS DOUBLE) / nt)
+                    * (1.0 - CAST(rt AS DOUBLE) / nt) / n)) AS az
+  FROM b CROSS JOIN tot
+), pv AS (
+  SELECT brand, az, ROUND(2.0 * {_phi_tail_sql('az')}, 8) AS p_value
+  FROM zt
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(ROUND(SUM(CAST(-2.0 * ln(p_value) AS DECIMAL(28,10))), 6)
+              AS DOUBLE) AS fisher_stat,
+         CAST(ROUND(SUM(CAST(az AS DECIMAL(28,10))), 6) AS DOUBLE) AS sz
+  FROM pv
+), s AS (
+  SELECT m, fisher_stat, sz / sqrt(CAST(m AS DOUBLE)) AS stouffer_z,
+         (exp(ln(fisher_stat / (2.0 * m)) / 3.0)
+          - (1.0 - 2.0 / (9.0 * (2.0 * m))))
+           * sqrt(9.0 * (2.0 * m) / 2.0) AS whz
+  FROM agg
+)
+SELECT CAST(m AS INT) AS n_tests,
+       ROUND(fisher_stat, 6) AS fisher_stat,
+       CAST(2 * m AS INT) AS fisher_df,
+       ROUND({_phi_tail_sql('whz')}, 8) AS fisher_p_wh,
+       ROUND(stouffer_z, 6) AS stouffer_z,
+       ROUND({_phi_tail_sql('ABS(stouffer_z)')}, 8) AS stouffer_p_onesided
+FROM s
+"""
+
+
+@query("stats_combined_pvalues", oracle=_COMBINED_SQL)
+def stats_combined_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-analytic p-value COMBINATION over the per-brand z-test
+    family — the question BH/Holm/BY don't answer: not "which brands
+    deviate" but "is there any global deviation at all". Fisher's
+    method X = −2·Σ ln pᵢ ~ χ²(2m) (sensitive to a few strong
+    signals) and Stouffer's Z = Σzᵢ/√m (sensitive to many weak
+    ones, directionless here since |z| is used) — reporting both is
+    the standard meta-analysis practice. Fisher's p via the shared
+    Wilson–Hilferty cube-root normal (the G-test precedent; exact
+    closed forms need df/2 = m factorial terms that overflow
+    integer arithmetic at m = 25).
+
+    Exactness: each −2·ln p and z term is decimal-quantized before
+    the m-term fold; p-values themselves are the ROUNDED family
+    p-values (identical doubles both engines by construction).
+
+    Scale: one fact-dim join; everything after is m-row algebra."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    p0 = F.col("rt").cast("double") / F.col("nt")
+    az = F.abs(
+        (F.col("r").cast("double") / F.col("n") - p0)
+        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
+    )
+    pv = b.crossJoin(F.broadcast(tot)).select(
+        "brand",
+        az.alias("az"),
+    ).select(
+        "brand",
+        "az",
+        F.round(2.0 * _phi_tail_col(F.col("az")), 8).alias("p_value"),
+    )
+    agg = pv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.round(
+            F.sum((-2.0 * F.log("p_value")).cast("decimal(28,10)")), 6
+        )
+        .cast("double")
+        .alias("fisher_stat"),
+        F.round(F.sum(F.col("az").cast("decimal(28,10)")), 6)
+        .cast("double")
+        .alias("sz"),
+    )
+    md = F.col("m").cast("double")
+    df2 = 2.0 * md
+    whz = (
+        F.exp(F.log(F.col("fisher_stat") / df2) / 3.0)
+        - (1.0 - 2.0 / (9.0 * df2))
+    ) * F.sqrt(9.0 * df2 / 2.0)
+    stz = F.col("sz") / F.sqrt(md)
+    return agg.select(
+        F.col("m").cast("int").alias("n_tests"),
+        F.round("fisher_stat", 6).alias("fisher_stat"),
+        (2 * F.col("m")).cast("int").alias("fisher_df"),
+        F.round(_phi_tail_col(whz), 8).alias("fisher_p_wh"),
+        F.round(stz, 6).alias("stouffer_z"),
+        F.round(_phi_tail_col(F.abs(stz)), 8).alias("stouffer_p_onesided"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: behavioral agreement between window halves
+# ---------------------------------------------------------------------------
+
+_KAPPA_SQL = """
+WITH bnd AS (
+  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), lab AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < (SELECT mid FROM bnd)
+              THEN 0 ELSE 1 END AS half,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), dom AS (
+  SELECT user_id, half, event_type AS lab FROM (
+    SELECT user_id, half, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, half
+                              ORDER BY n DESC, event_type) AS rk
+    FROM lab
+  ) WHERE rk = 1
+), pair AS (
+  SELECT a.user_id, a.lab AS l1, b.lab AS l2
+  FROM dom a JOIN dom b
+    ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM pair
+), marg AS (
+  SELECT CAST(ROUND(SUM(CAST(
+           (CAST(c1 AS DOUBLE) / agg.n) * (CAST(c2 AS DOUBLE) / agg.n)
+           AS DECIMAL(28,12))), 10) AS DOUBLE) AS p_e,
+         MAX(agg.n) AS n, MAX(agg.n_agree) AS n_agree
+  FROM (
+    SELECT COALESCE(m1.lab, m2.lab) AS lab,
+           COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+    FROM (SELECT l1 AS lab, CAST(COUNT(*) AS BIGINT) AS c1
+          FROM pair GROUP BY l1) m1
+    FULL OUTER JOIN
+         (SELECT l2 AS lab, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM pair GROUP BY l2) m2
+      ON m1.lab = m2.lab
+  ) CROSS JOIN agg
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(n_agree AS DOUBLE) / n, 6) AS p_observed,
+       ROUND(p_e, 6) AS p_expected,
+       ROUND((CAST(n_agree AS DOUBLE) / n - p_e) / (1.0 - p_e), 6)
+         AS cohens_kappa
+FROM marg
+"""
+
+
+@query("stats_cohens_kappa", oracle=_KAPPA_SQL)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between each user's DOMINANT event type in the
+    first vs second half of the observation window — chance-corrected
+    agreement κ = (p₀ − p_e)/(1 − p_e). The inter-rater statistic
+    repurposed as a behavioral-stability readout (raw agreement
+    overstates stability whenever one behavior dominates the
+    marginals; κ subtracts exactly that) — and the same query shape
+    scores labeler-vs-labeler or model-vs-model agreement on any
+    (item, rater, label) table.
+
+    Exactness: dominant labels via a deterministic (count DESC,
+    type) rank inside bounded (user, half) groups; agreement and
+    marginal counts are exact integers; each marginal product is
+    decimal-quantized before the k-term p_e sum; the midpoint is the
+    McNemar integer-µs convention.
+
+    Scale: one (user, half, type) count shuffle, a user-keyed pair
+    join, then k-row marginal algebra."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    bnd = ev.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias(
+            "mid"
+        )
+    )
+    lab = (
+        ev.crossJoin(F.broadcast(bnd))
+        .groupBy(
+            "user_id",
+            F.when(F.expr("unix_micros(ts)") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("user_id", "half").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    dom = (
+        lab.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "half", F.col("event_type").alias("lab"))
+    )
+    a = dom.filter(F.col("half") == 0).select(
+        "user_id", F.col("lab").alias("l1")
+    )
+    b = dom.filter(F.col("half") == 1).select(
+        F.col("user_id").alias("uid2"), F.col("lab").alias("l2")
+    )
+    pair = a.join(b, F.col("user_id") == F.col("uid2")).select("l1", "l2")
+    agg = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l1") == F.col("l2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    m1 = pair.groupBy(F.col("l1").alias("lab")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    m2 = pair.groupBy(F.col("l2").alias("lab")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    marg = (
+        m1.join(m2, "lab", "full")
+        .select(
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+        .crossJoin(F.broadcast(agg))
+    )
+    pe = marg.agg(
+        F.round(
+            F.sum(
+                (
+                    (F.col("c1").cast("double") / F.col("n"))
+                    * (F.col("c2").cast("double") / F.col("n"))
+                ).cast("decimal(28,12)")
+            ),
+            10,
+        )
+        .cast("double")
+        .alias("p_e"),
+        F.max("n").alias("n"),
+        F.max("n_agree").alias("n_agree"),
+    )
+    po = F.col("n_agree").cast("double") / F.col("n")
+    return pe.select(
+        F.col("n").alias("n_users"),
+        F.round(po, 6).alias("p_observed"),
+        F.round("p_e", 6).alias("p_expected"),
+        F.round((po - F.col("p_e")) / (1.0 - F.col("p_e")), 6).alias(
+            "cohens_kappa"
+        ),
+    )

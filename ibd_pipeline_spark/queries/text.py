@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.catalog import load, load_wide
 from ibd_pipeline_spark.operators import text as T
 from ibd_pipeline_spark.queries import query
 
@@ -235,4 +235,81 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.length("text") - F.length(redacted)).alias("chars_removed"),
         F.md5(redacted).alias("redacted_digest"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MATTR moving-average type-token ratio (lexical diversity per doc)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25
+
+_MATTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+), w AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         CASE WHEN len(l) >= {_MATTR_W} THEN
+           [CAST(len(list_distinct(l[i:i+{_MATTR_W}-1])) AS BIGINT)
+            FOR i IN range(1, len(l) - {_MATTR_W} + 2)]
+         ELSE [CAST(len(list_distinct(l)) AS BIGINT)] END AS dts,
+         CASE WHEN len(l) >= {_MATTR_W}
+              THEN {_MATTR_W} ELSE len(l) END AS w_eff
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(len(dts) AS BIGINT) AS n_windows,
+       ROUND(CAST(list_sum(dts) AS DOUBLE) / (len(dts) * w_eff), 6)
+         AS mattr
+FROM w ORDER BY doc_id
+"""
+
+
+@query("text_mattr_diversity", oracle=_MATTR_SQL)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio (McCarthy & Jarvis
+    2010): mean of (distinct tokens / w) over every w=25-token
+    sliding window of each document. The lexical-diversity metric
+    that fixes raw TTR's length bias (TTR mechanically falls with
+    document length, so corpus-quality filters built on it
+    systematically mis-rank long docs); short docs fall back to
+    plain TTR over the whole token list. Belongs in the text-quality
+    belt next to the repetition ratio and Zipf fit.
+
+    Exactness: window distinct-counts are exact integers from array
+    slices; the mean is an integer sum over one double division.
+
+    Scale: per-document array work inside whole-stage codegen
+    (transform/slice/array_distinct — no UDF, no shuffle at all
+    beyond the scan); O(len·w) per doc with w fixed."""
+    d = load_wide(spark, sf_dir, "documents")  # widen: per-row window scan
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    w = _MATTR_W
+    n = F.size("l")
+    dts_long = F.transform(
+        F.sequence(F.lit(1), n - w + 1),
+        lambda i: F.size(F.array_distinct(F.slice("l", i, w))).cast("bigint"),
+    )
+    dts_short = F.array(F.size(F.array_distinct("l")).cast("bigint"))
+    out = toks.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.when(n >= w, dts_long).otherwise(dts_short).alias("dts"),
+        F.when(n >= w, F.lit(w)).otherwise(n).alias("w_eff"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("dts").cast("bigint").alias("n_windows"),
+        F.round(
+            F.aggregate(
+                "dts", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).cast("double")
+            / (F.size("dts") * F.col("w_eff")),
+            6,
+        ).alias("mattr"),
     ).orderBy("doc_id")

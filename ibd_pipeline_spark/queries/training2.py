@@ -396,3 +396,125 @@ def train_epoch_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity (train/held-out split by doc parity)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(l))) t(i)
+), train_big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM grams WHERE doc_id % 2 = 0 GROUP BY w1, w2
+), train_ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM train_big GROUP BY w1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM train_big
+), scored AS (
+  SELECT g.doc_id, g.source,
+         CAST(ln((COALESCE(tb.c12, 0) + 1.0)
+                 / (COALESCE(tc.c1, 0) + (SELECT v FROM vocab)))
+              AS DECIMAL(28,10)) AS lp
+  FROM grams g
+  LEFT JOIN train_big tb ON tb.w1 = g.w1 AND tb.w2 = g.w2
+  LEFT JOIN train_ctx tc ON tc.w1 = g.w1
+  WHERE g.doc_id % 2 = 1
+), per_src AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(ROUND(SUM(lp), 6) AS DOUBLE) AS lp_sum
+  FROM scored GROUP BY source
+)
+SELECT source, n_docs, n_bigrams,
+       ROUND(-lp_sum / n_bigrams, 6) AS cross_entropy_nats,
+       ROUND(exp(-lp_sum / n_bigrams), 4) AS perplexity
+FROM per_src ORDER BY source
+"""
+
+
+@query("train_bigram_perplexity", oracle=_BIGRAM_SQL)
+def train_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM perplexity per source: train an add-1-
+    smoothed bigram model on even doc_ids, score odd doc_ids —
+    P(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V) — and report per-source
+    cross-entropy and perplexity. The corpus-quality readout one
+    level up from train_unigram_logprob_score: bigram surprise
+    catches scrambled/boilerplate text a unigram model scores as
+    fluent, and per-source perplexity is the standard "which crawl
+    slice is OOD for my model" ranking.
+
+    Exactness: counts and V are exact integers; each bigram's
+    log-probability is one identical double ln() chain
+    decimal-quantized before the per-source fold.
+
+    Scale: gram-postings joins (the DSIR/decontamination shape) —
+    the bigram table is vocab²-bounded and Zipf-small; the held-out
+    stream left-joins it on the gram key (broadcastable once
+    thresholded); no data-sized state anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "source", "g.w1", "g.w2")
+    train_big = (
+        grams.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    train_ctx = train_big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    vocab = train_big.agg(
+        F.countDistinct("w2").cast("bigint").alias("v")
+    )
+    scored = (
+        grams.filter(F.col("doc_id") % 2 == 1)
+        .join(train_big, ["w1", "w2"], "left")
+        .join(train_ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                (F.coalesce("c12", F.lit(0)) + 1.0)
+                / (F.coalesce("c1", F.lit(0)) + F.col("v"))
+            )
+            .cast("decimal(28,10)")
+            .alias("lp"),
+        )
+    )
+    per_src = scored.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("lp"), 6).cast("double").alias("lp_sum"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        F.round(-F.col("lp_sum") / F.col("n_bigrams"), 6).alias(
+            "cross_entropy_nats"
+        ),
+        F.round(F.exp(-F.col("lp_sum") / F.col("n_bigrams")), 4).alias(
+            "perplexity"
+        ),
+    ).orderBy("source")

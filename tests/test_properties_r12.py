@@ -49,7 +49,7 @@ def test_mergeable_min_k_is_exact(spark, vals, parts):
 def test_skyline_equals_bruteforce(spark, sf_dir):
     """The prefix-max skyline must equal the O(n²) dominance scan."""
     from ibd_pipeline_spark.catalog import load
-    from ibd_pipeline_spark.queries.round12 import analytics_skyline_pareto
+    from ibd_pipeline_spark.queries.analytics3 import analytics_skyline_pareto
 
     got = {
         (r["custkey"], r["n_orders"])
@@ -81,7 +81,7 @@ def test_skyline_equals_bruteforce(spark, sf_dir):
 def test_mmr_greedy_matches_python_replay(spark, sf_dir):
     """The unrolled DataFrame greedy must pick the same 5 candidates
     (same order) as a plain Python MMR over the collected pool."""
-    from ibd_pipeline_spark.queries.round12 import (
+    from ibd_pipeline_spark.queries.search import (
         _MMR_LAM,
         search_mmr_rerank,
     )
@@ -141,7 +141,7 @@ def test_mmr_greedy_matches_python_replay(spark, sf_dir):
 def test_chow_and_bp_internal_consistency(spark, sf_dir):
     """Chow: splitting can only reduce total SSE; BP: R² ∈ [0, 1]
     and LM = n·R²."""
-    from ibd_pipeline_spark.queries.round12 import (
+    from ibd_pipeline_spark.queries.stats3 import (
         stats_breusch_pagan,
         stats_chow_test,
     )
@@ -160,9 +160,7 @@ def test_abc_partition_and_order(spark, sf_dir):
     """ABC classes partition the customers; class A's per-customer
     revenue share dominates C's."""
     from ibd_pipeline_spark.catalog import load
-    from ibd_pipeline_spark.queries.round12 import (
-        analytics_abc_classification,
-    )
+    from ibd_pipeline_spark.queries.analytics3 import analytics_abc_classification
 
     rows = {r["abc_class"]: r for r in
             analytics_abc_classification(spark, sf_dir).collect()}

@@ -12,9 +12,7 @@ def test_kmv_estimates_near_exact(spark, sf_dir):
     """KMV with k=200 over ~hundreds of distinct users is nearly
     exact (relative error O(1/sqrt(k)) ~ 7%); the intersection
     estimate must also respect basic set algebra."""
-    from ibd_pipeline_spark.queries.round12 import (
-        sketch_kmv_distinct_intersect,
-    )
+    from ibd_pipeline_spark.queries.sketches import sketch_kmv_distinct_intersect
 
     r = sketch_kmv_distinct_intersect(spark, sf_dir).collect()[0]
     for side in ("a", "b"):
@@ -25,7 +23,7 @@ def test_kmv_estimates_near_exact(spark, sf_dir):
 
 
 def test_transitivity_in_unit_range(spark, sf_dir):
-    from ibd_pipeline_spark.queries.round12 import graph_transitivity_global
+    from ibd_pipeline_spark.queries.graph2 import graph_transitivity_global
 
     r = graph_transitivity_global(spark, sf_dir).collect()[0]
     assert 0.0 <= r["transitivity"] <= 1.0
@@ -36,7 +34,7 @@ def test_transitivity_in_unit_range(spark, sf_dir):
 def test_hhi_bounds_and_whale(spark, sf_dir):
     """HHI lies in (10000/n, 10000]; a planted single-whale segment
     reads ~10000."""
-    from ibd_pipeline_spark.queries.round12 import analytics_hhi_concentration
+    from ibd_pipeline_spark.queries.analytics3 import analytics_hhi_concentration
 
     rows = analytics_hhi_concentration(spark, sf_dir).collect()
     assert len(rows) >= 2
@@ -48,7 +46,7 @@ def test_lpa_labels_partition_nodes(spark, sf_dir):
     """Community sizes must sum to the node count of the thresholded
     graph, and with the >= 3 shared-bucket edge the graph must split
     into more than one community at fixture scale."""
-    from ibd_pipeline_spark.queries.round12 import graph_label_propagation
+    from ibd_pipeline_spark.queries.graph2 import graph_label_propagation
 
     rows = graph_label_propagation(spark, sf_dir).collect()
     assert len(rows) >= 2, "thresholded co-activity graph collapsed"
@@ -62,7 +60,7 @@ def test_best_split_gain_is_max(spark, sf_dir):
     """The emitted split must dominate a brute-force scan of every
     candidate computed independently in Python."""
     from ibd_pipeline_spark.catalog import load
-    from ibd_pipeline_spark.queries.round12 import events_best_split_sse
+    from ibd_pipeline_spark.queries.events import events_best_split_sse
 
     r = events_best_split_sse(spark, sf_dir).collect()[0]
     dd = (
@@ -92,7 +90,7 @@ def test_best_split_gain_is_max(spark, sf_dir):
 def test_mattr_invariants(spark, sf_dir):
     """MATTR is a ratio in (0, 1]; a fully-repetitive doc scores
     1/w and a fully-distinct doc scores 1."""
-    from ibd_pipeline_spark.queries.round12 import text_mattr_diversity
+    from ibd_pipeline_spark.queries.text import text_mattr_diversity
 
     rows = text_mattr_diversity(spark, sf_dir).collect()
     assert rows and all(0.0 < r["mattr"] <= 1.0 for r in rows)
@@ -142,7 +140,7 @@ def test_dp_noise_is_laplace_shaped(spark, sf_dir):
     """The seeded draw must produce bounded, nonzero noise and the
     noisy counts must differ from the true counts by exactly the
     applied noise."""
-    from ibd_pipeline_spark.queries.round12 import privacy_dp_noisy_counts
+    from ibd_pipeline_spark.queries.privacy import privacy_dp_noisy_counts
 
     rows = privacy_dp_noisy_counts(spark, sf_dir).collect()
     assert len(rows) == 5
@@ -156,7 +154,7 @@ def test_mcnemar_plants_a_flip(spark, sf_dir):
     late-only discordants off: c becomes 0 and the statistic
     explodes relative to the honest split."""
     from ibd_pipeline_spark.catalog import load
-    from ibd_pipeline_spark.queries.round12 import ab_mcnemar_paired
+    from ibd_pipeline_spark.queries.abtests import ab_mcnemar_paired
 
     honest = ab_mcnemar_paired(spark, sf_dir).collect()[0]
     assert honest["b"] > 0 and honest["c"] > 0
@@ -165,7 +163,7 @@ def test_mcnemar_plants_a_flip(spark, sf_dir):
 def test_friedman_and_mood_quiet_on_even_df(spark, sf_dir):
     """Both k-group tests must emit the df their p was computed at
     (the Kruskal-Wallis hardcode lesson, ADVICE r11)."""
-    from ibd_pipeline_spark.queries.round12 import (
+    from ibd_pipeline_spark.queries.stats2 import (
         stats_friedman_test,
         stats_mood_median,
     )
