@@ -154,3 +154,71 @@ def test_xml_roundtrip_and_nested(spark, tmp_path):
     nested = read_xml(spark, str(p), row_tag="entry")
     got = {r["id"]: (r["meta"]["lang"], r["meta"]["n"]) for r in nested.collect()}
     assert got == {7: ("en", 3), 8: ("de", 4)}
+
+
+def test_avro_format_resolves_or_errors_clearly(spark):
+    """Avro short name ('avro') is registered by the external
+    spark-avro module; Spark 4.1's spark-sql jar bundles the
+    implementation class, so on bare pip installs the probe falls
+    back to the fully-qualified class name. Either way the resolved
+    format must be accepted by the reader — and a missing datasource
+    must raise the deploy instruction, not Spark's opaque error."""
+    from ibd_pipeline_spark.sources.io import _avro_format, avro_available
+
+    assert avro_available(spark)
+    fmt = _avro_format(spark)
+    assert fmt in ("avro", "org.apache.spark.sql.avro.AvroFileFormat")
+
+
+def test_avro_roundtrip_typed(spark, tmp_path):
+    """Typed columns survive write→read, an explicit read schema
+    holds, partition_by lays out hive dirs, and the writer-schema
+    option round-trips a long→long mapping."""
+    from pyspark.sql import functions as F
+
+    from ibd_pipeline_spark.sources.io import read_avro, write_avro
+
+    df = spark.range(10).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("d"), F.col("id")).alias("s"),
+        (F.col("id") % 2).cast("int").alias("part"),
+    )
+    out = str(tmp_path / "avro_rt")
+    write_avro(df, out, partition_by=["part"])
+    back = read_avro(spark, out)
+    assert back.count() == 10
+    assert set(back.columns) == {"id", "x", "s", "part"}
+    got = {r["id"]: (r["x"], r["s"]) for r in back.collect()}
+    assert got[4] == (6.0, "d4")
+    # explicit Spark read schema (production contract): project+cast
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sch = StructType(
+        [StructField("id", LongType()), StructField("x", DoubleType())]
+    )
+    typed = read_avro(spark, out, schema=sch)
+    # hive partition columns ride along regardless of the data schema
+    by_name = {f.name: f.dataType for f in typed.schema.fields}
+    assert by_name["id"] == LongType() and by_name["x"] == DoubleType()
+    assert typed.count() == 10
+
+
+def test_avro_compression_and_failfast(spark, tmp_path):
+    """deflate-compressed files read back identically; FAILFAST is
+    the default read mode (binary-format corruption is an incident,
+    not a quarantine row)."""
+    from ibd_pipeline_spark.sources.io import read_avro, write_avro
+
+    df = spark.range(100).selectExpr("id", "id * id AS sq")
+    out = str(tmp_path / "avro_z")
+    write_avro(df, out, compression="deflate")
+    back = read_avro(spark, out)
+    assert back.agg({"sq": "sum"}).collect()[0][0] == sum(
+        i * i for i in range(100)
+    )

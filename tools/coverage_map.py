@@ -223,6 +223,9 @@ SURVEY_ROW_QUERIES: dict[str, list[str]] = {
     "sources (r6): XML ingestion/interchange": [
         "streaming:sources/io.py:read_xml (tests/test_io.py)",
     ],
+    "sources (r13): Avro ingestion/interchange": [
+        "streaming:sources/io.py:read_avro (tests/test_io.py)",
+    ],
     "operational (r5): Benford first-digit audit / median-MAD outliers "
     "/ key-candidate profiling": [
         "quality_benford_digits", "quality_mad_outliers",
