@@ -999,3 +999,209 @@ def image_entropy_profile(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, ENTROPY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio quality gates: clipping rate + silence ratio over planted clips
+# ---------------------------------------------------------------------------
+
+def synthesize_wav_gate(
+    i: int, seed: int = 42, sample_rate: int = 8000
+) -> "tuple[bytes, int, str]":
+    """WAV corpus with PLANTED quality defects, deterministic in
+    (seed, i) — the audio twin of the planted-image entropy corpus.
+    Four modes by i % 4:
+
+      0 normal      clean sine burst (amp inside int16, audible)
+      1 clipped     requested amplitude 1.35×32767, clamped at pack
+                    time — true digital clipping (samples pinned at
+                    full scale), not a metadata flag
+      2 half_silent first half of the clip is digital zero, second
+                    half a clean sine — silence_ratio ≈ 0.5 plus the
+                    sine's own near-zero crossings
+      3 quiet       amplitude 25 (below any sane silence threshold)
+                    — the whole clip reads as silence
+
+    Returns (wav_bytes, duration_ms, kind)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    kind = ("normal", "clipped", "half_silent", "quiet")[i % 4]
+    duration_ms = 200 + (seed * 11 + i * 53) % 600
+    freq = 220.0 * (1 + (i % 5))
+    amp = {
+        "normal": 8000 + (i * 997) % 20000,
+        "clipped": int(1.35 * 32767),
+        "half_silent": 12000 + (i * 499) % 8000,
+        "quiet": 25,
+    }[kind]
+    n = sample_rate * duration_ms // 1000
+    silent_until = n // 2 if kind == "half_silent" else 0
+    pcm = b"".join(
+        struct.pack(
+            "<h",
+            0
+            if t < silent_until
+            else max(
+                -32768,
+                min(
+                    32767,
+                    int(amp * math.sin(2 * math.pi * freq * t / sample_rate)),
+                ),
+            ),
+        )
+        for t in range(n)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return buf.getvalue(), duration_ms, kind
+
+
+def audio_gate_asset_rows(n: int = 32, seed: int = 42) -> "list[tuple]":
+    """ASSET_SCHEMA rows over the planted-defect WAV corpus; the kind
+    rides in source_uri so tests can assert planted vs detected
+    without a side channel."""
+    rows = []
+    for i in range(n):
+        blob, duration_ms, kind = synthesize_wav_gate(i, seed)
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(blob),
+                len(blob),
+                None,
+                None,
+                duration_ms,
+                f"synthetic://assets/audio-gate/{kind}/{i}.wav",
+            )
+        )
+    return rows
+
+
+def synthesize_audio_gate_assets(spark, n: int = 32, seed: int = 42) -> DataFrame:
+    """Asset table (ASSET_SCHEMA) of planted-defect WAV blobs. Cached
+    per session."""
+    return _cached_asset_frame(
+        spark,
+        "wav-gate",
+        n,
+        seed,
+        lambda: spark.createDataFrame(
+            audio_gate_asset_rows(n, seed), ASSET_SCHEMA
+        ),
+    )
+
+
+def audio_gate_stats(
+    content: bytes,
+    silence_threshold: int = 100,
+    clip_level: int = 32766,
+) -> dict:
+    """Per-clip quality-gate statistics from a REAL wave-module decode
+    (same codec pass as decode_audio): integer sample counts for the
+    two defect classes plus RMS/peak. All counts are exact integers;
+    the ratios are single double divisions of those integers — both
+    deterministic and replayable by the VALUES oracle, which runs this
+    same function."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate, width, n = w.getframerate(), w.getsampwidth(), w.getnframes()
+        if width != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width={width}")
+        samples = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+    absx = np.abs(samples)
+    n_clipped = int(np.count_nonzero(absx >= clip_level))
+    n_silent = int(np.count_nonzero(absx < silence_threshold))
+    rms = float(np.sqrt(np.mean((samples.astype(np.float64)) ** 2))) if n else 0.0
+    return {
+        "sample_rate": rate,
+        "n_frames": n,
+        "peak": int(absx.max()) if n else 0,
+        "n_clipped": n_clipped,
+        "n_silent": n_silent,
+        "clip_rate": (n_clipped / n) if n else 0.0,
+        "silence_ratio": (n_silent / n) if n else 1.0,
+        "rms": f"{rms:.4f}",
+    }
+
+
+def gate_verdict(
+    stats: dict,
+    max_clip_rate: float = 0.001,
+    max_silence_ratio: float = 0.6,
+) -> str:
+    """First-failing-gate verdict, checked in severity order: clipped
+    (irrecoverable distortion) → silent (no usable signal) → pass.
+    Thresholds are corpus-policy, not codec facts — callers tune."""
+    if stats["clip_rate"] > max_clip_rate:
+        return "clipped"
+    if stats["silence_ratio"] > max_silence_ratio:
+        return "silent"
+    return "pass"
+
+
+AUDIO_GATE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("peak", IntegerType()),
+        StructField("n_clipped", IntegerType()),
+        StructField("n_silent", IntegerType()),
+        StructField("clip_rate", DoubleType()),
+        StructField("silence_ratio", DoubleType()),
+        StructField("rms", StringType()),
+        StructField("verdict", StringType()),
+    ]
+)
+
+
+def audio_quality_gates(
+    assets: DataFrame,
+    silence_threshold: int = 100,
+    clip_level: int = 32766,
+    max_clip_rate: float = 0.001,
+    max_silence_ratio: float = 0.6,
+) -> DataFrame:
+    """Per-clip audio QUALITY GATES via Arrow mapInPandas — the audio
+    twin of multimodal_image_entropy's keep/drop screen: clipping rate
+    (|s| ≥ clip_level) and silence ratio (|s| < silence_threshold)
+    over a real RIFF/WAV decode, with a first-failing-gate verdict.
+    A 100 TB training-audio sweep runs exactly this shape: blobs stay
+    in executor Arrow batches, the output is metadata-sized, and the
+    downstream filter (verdict = 'pass') prunes before any expensive
+    featurization.
+
+    Reference parity: none (the reference has no media path at all —
+    its whole surface is `spark_processor.py`); north-star multimodal
+    row (SURVEY §2.2)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            auds = pdf[pdf["media_type"] == "audio"]
+            if auds.empty:
+                continue
+            feats = [
+                audio_gate_stats(bytes(b), silence_threshold, clip_level)
+                for b in auds["content"]
+            ]
+            out = pd.DataFrame(feats)
+            out["verdict"] = [
+                gate_verdict(f, max_clip_rate, max_silence_ratio)
+                for f in feats
+            ]
+            out.insert(0, "asset_id", auds["asset_id"].values)
+            yield out[[f.name for f in AUDIO_GATE_SCHEMA.fields]]
+
+    return assets.mapInPandas(batches, AUDIO_GATE_SCHEMA)

@@ -434,3 +434,120 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupied gray levels, and H = −Σ p·ln p in nats."""
     assets = M.synthesize_image_assets(spark, n=48)
     return M.image_entropy_profile(assets).orderBy("asset_id")
+
+
+def _audio_gates_expected() -> str:
+    rows = []
+    for i, _media, blob, *_ in M.audio_gate_asset_rows(32):
+        s = M.audio_gate_stats(bytes(blob))
+        rows.append(
+            (
+                i,
+                s["sample_rate"],
+                s["n_frames"],
+                s["peak"],
+                s["n_clipped"],
+                s["n_silent"],
+                s["clip_rate"],
+                s["silence_ratio"],
+                s["rms"],
+                M.gate_verdict(s),
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("sample_rate", "INT"),
+            ("n_frames", "INT"),
+            ("peak", "INT"),
+            ("n_clipped", "INT"),
+            ("n_silent", "INT"),
+            ("clip_rate", "DOUBLE"),
+            ("silence_ratio", "DOUBLE"),
+            ("rms", "VARCHAR"),
+            ("verdict", "VARCHAR"),
+        ],
+        "asset_id",
+    )
+
+
+@query("multimodal_audio_quality_gates", oracle=_audio_gates_expected)
+def multimodal_audio_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio quality gates over a REAL wave-codec decode of
+    the planted-defect WAV corpus (clean / hard-clipped / half-silent
+    / all-quiet clips): clipping rate, silence ratio, RMS, peak, and
+    a first-failing-gate verdict — the keep/drop screen a training-
+    audio sweep runs before featurization. Oracle replays the same
+    decode in Python (integer counts; the two ratios are single
+    integer-over-integer double divisions)."""
+    assets = M.synthesize_audio_gate_assets(spark, n=32)
+    return M.audio_quality_gates(assets).orderBy("asset_id")
+
+
+def _audio_gate_summary_expected() -> str:
+    agg: dict = {}
+    for _i, _media, blob, *_ in M.audio_gate_asset_rows(32):
+        s = M.audio_gate_stats(bytes(blob))
+        v = M.gate_verdict(s)
+        g = agg.setdefault(
+            v,
+            {
+                "n": 0,
+                "frames": 0,
+                "silent": 0,
+                "clipped": 0,
+                "peak": 0,
+            },
+        )
+        g["n"] += 1
+        g["frames"] += s["n_frames"]
+        g["silent"] += s["n_silent"]
+        g["clipped"] += s["n_clipped"]
+        g["peak"] = max(g["peak"], s["peak"])
+    rows = [
+        (
+            v,
+            g["n"],
+            g["frames"],
+            g["silent"],
+            g["clipped"],
+            g["peak"],
+        )
+        for v, g in sorted(agg.items())
+    ]
+    return _values_oracle(
+        rows,
+        [
+            ("verdict", "VARCHAR"),
+            ("n_clips", "BIGINT"),
+            ("total_frames", "BIGINT"),
+            ("silent_samples", "BIGINT"),
+            ("clipped_samples", "BIGINT"),
+            ("max_peak", "INT"),
+        ],
+        "verdict",
+    )
+
+
+@query("multimodal_audio_gate_summary", oracle=_audio_gate_summary_expected)
+def multimodal_audio_gate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level audio-gate rollup: clips / frames / defect-sample
+    totals / max peak per verdict class. The aggregation is pure
+    integer arithmetic on the gate frame (counts and maxima commute
+    across partitions — no float order sensitivity), so the JVM-side
+    groupBy is exact; the VALUES oracle replays the same decode and
+    the same integer sums."""
+    assets = M.synthesize_audio_gate_assets(spark, n=32)
+    g = M.audio_quality_gates(assets)
+    return (
+        g.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_silent").alias("silent_samples"),
+            F.sum("n_clipped").alias("clipped_samples"),
+            F.max("peak").alias("max_peak"),
+        )
+        .orderBy("verdict")
+    )

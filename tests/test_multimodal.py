@@ -253,3 +253,65 @@ def test_ahash_locality_and_pair_search(spark):
         assert h <= 8
         # only planted pairs should survive at this threshold
         assert ib == ia + 1 and ia % 2 == 0, (ia, ib, h)
+
+
+def test_audio_planted_clipping_detected(spark):
+    """Every i%4==1 clip is synthesized at 1.35×full-scale and clamped
+    at pack time — true digital clipping; the gate must flag exactly
+    those, and clean sines must read clip_rate == 0."""
+    from ibd_pipeline_spark.operators import multimodal as M
+
+    assets = M.synthesize_audio_gate_assets(spark, n=32)
+    rows = {r["asset_id"]: r for r in M.audio_quality_gates(assets).collect()}
+    for i in range(32):
+        r = rows[i]
+        if i % 4 == 1:
+            assert r["clip_rate"] > 0.001 and r["verdict"] == "clipped", r
+            assert r["peak"] >= 32766
+        elif i % 4 == 0:
+            assert r["n_clipped"] == 0 and r["verdict"] == "pass", r
+
+
+def test_audio_planted_silence_detected(spark):
+    """quiet clips (amp 25 < threshold 100) read silence_ratio == 1.0
+    and verdict 'silent'; half-silent clips read ≈ 0.5 (planted zeros
+    plus the sine's own near-zero crossings) and still PASS the 0.6
+    policy gate — the gate measures, policy decides."""
+    from ibd_pipeline_spark.operators import multimodal as M
+
+    assets = M.synthesize_audio_gate_assets(spark, n=32)
+    rows = {r["asset_id"]: r for r in M.audio_quality_gates(assets).collect()}
+    for i in range(32):
+        r = rows[i]
+        if i % 4 == 3:
+            assert r["silence_ratio"] == 1.0 and r["verdict"] == "silent", r
+        elif i % 4 == 2:
+            assert 0.5 <= r["silence_ratio"] < 0.55, r
+            assert r["verdict"] == "pass", r
+        elif i % 4 == 0:
+            assert r["silence_ratio"] < 0.05, r
+
+
+def test_audio_gate_stats_exactness_tiny_known_wav(spark):
+    """Hand-built 6-sample WAV with known values: counts are exact
+    integers, ratios exact divisions, peak the true max."""
+    import io
+    import struct
+    import wave
+
+    from ibd_pipeline_spark.operators.multimodal import audio_gate_stats
+
+    samples = [0, 50, -32767, 32766, 12000, -99]
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    s = audio_gate_stats(buf.getvalue())
+    assert s["n_frames"] == 6
+    assert s["n_clipped"] == 2  # |−32767| and 32766
+    assert s["n_silent"] == 3  # 0, 50, −99
+    assert s["peak"] == 32767
+    assert s["clip_rate"] == 2 / 6 and s["silence_ratio"] == 3 / 6
