@@ -643,8 +643,149 @@ def main_r12() -> None:
     spark.stop()
 
 
+def main_r13() -> None:
+    """Round-13 probes (`python tools/scale_probe.py r13`) — the two
+    r12 graph shapes whose SCALE.md bounds were stated but not
+    measured (VERDICT r12 #7), same 1x/4x volume/density protocol as
+    the Adamic-Adar / clustering-coefficient probes:
+
+    1. Label propagation, 2 synchronous rounds over the thresholded
+       (w >= 3) co-activity graph: per-round work is one
+       (node, label) vote shuffle = Σ deg — volume mode should be
+       ~linear in edges; density mode inflates Σ deg via the same
+       bucket-occupancy quadratic as every co-activity consumer
+       (edge build dominates; the vote rounds stay Σ deg).
+    2. Global transitivity: wedge bound Σ deg² on the oriented
+       adjacency + one edge-list triangle equi-join — shares the CC
+       probe's bound, measured here end-to-end (degree binomial sum
+       + triangle closure + the one division).
+    """
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    results: dict[str, dict[str, object]] = {}
+
+    ev = load(spark, SF, "events").filter(F.col("user_id") < 150)
+
+    def lpa_communities(events):
+        b = events.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+        ).distinct()
+        a, c = b.alias("a"), b.alias("c")
+        e = (
+            a.join(
+                c,
+                (F.col("a.event_type") == F.col("c.event_type"))
+                & (F.col("a.h") == F.col("c.h"))
+                & (F.col("a.user_id") < F.col("c.user_id")),
+            )
+            .groupBy(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 3)
+            .select("u", "v")
+        )
+        sym = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=True)
+        labels = sym.select(F.col("u").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        for _ in range(2):
+            votes = (
+                sym.join(
+                    labels.select(F.col("node").alias("v"), F.col("label")),
+                    "v",
+                )
+                .groupBy(F.col("u").alias("node"), "label")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            )
+            labels = votes.groupBy("node").agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            ).select("node", (-F.col("m.nl")).alias("label"))
+        return sym, labels
+
+    def transitivity_row(events):
+        b = events.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+        ).distinct()
+        a, c = b.alias("a"), b.alias("c")
+        e = (
+            a.join(
+                c,
+                (F.col("a.event_type") == F.col("c.event_type"))
+                & (F.col("a.h") == F.col("c.h"))
+                & (F.col("a.user_id") < F.col("c.user_id")),
+            )
+            .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy(F.col("u").alias("n")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e1.u") == F.col("e2.u"))
+                & (F.col("e1.v") < F.col("e2.v")),
+            )
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.v"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+        )
+        wed = deg.agg(
+            F.sum(F.expr("(deg * (deg - 1)) DIV 2")).cast("bigint").alias("n_wedges")
+        )
+        return e, wed.crossJoin(F.broadcast(tri)).select(
+            "n_wedges",
+            "n_tri",
+            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias("t"),
+        )
+
+    for k in (1, 4):
+        vol = None
+        for i in range(k):
+            c = ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+            c = c.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 2400} HOURS")
+            )
+            vol = c if vol is None else vol.unionByName(c)
+        dens = replicate(ev, k, {"user_id": 1_000_000})
+        for mode, src in (("volume", vol), ("density", dens)):
+            t0 = time.perf_counter()
+            sym, labels = lpa_communities(src)
+            n_comm = labels.select("label").distinct().count()
+            results.setdefault(f"lpa_2rounds_{mode}_x", {})[str(k)] = {
+                "sym_edges": sym.count(),
+                "n_communities": n_comm,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+            t0 = time.perf_counter()
+            e, row = transitivity_row(src)
+            r = row.collect()[0]
+            results.setdefault(f"transitivity_{mode}_x", {})[str(k)] = {
+                "n_edges": e.count(),
+                "n_wedges": r["n_wedges"],
+                "n_triangles": r["n_tri"],
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r10":
+    if len(sys.argv) > 1 and sys.argv[1] == "r13":
+        main_r13()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r10":
         main_r10()
     elif len(sys.argv) > 1 and sys.argv[1] == "r11":
         main_r11()
