@@ -1205,3 +1205,81 @@ def audio_quality_gates(
             yield out[[f.name for f in AUDIO_GATE_SCHEMA.fields]]
 
     return assets.mapInPandas(batches, AUDIO_GATE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral features: centroid / rolloff / dominant frequency
+# ---------------------------------------------------------------------------
+
+def audio_spectral_stats(content: bytes) -> dict:
+    """Per-clip magnitude-spectrum features from a real wave decode +
+    numpy rfft: spectral centroid (the magnitude-weighted mean
+    frequency — the classic brightness feature), 85% rolloff (the
+    frequency below which 85% of magnitude mass sits), and the
+    dominant bin frequency. Deterministic: rfft of a fixed int16
+    buffer is pure IEEE arithmetic, and the VALUES oracle replays
+    this exact function, so the attestation pins the distributed
+    Arrow plumbing bit-for-bit (float outputs ride as fixed-point
+    strings, the decode_audio rms convention)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate, width, n = w.getframerate(), w.getsampwidth(), w.getnframes()
+        if width != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width={width}")
+        samples = np.frombuffer(w.readframes(n), dtype="<i2").astype(
+            np.float64
+        )
+    mag = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(samples.size, d=1.0 / rate)
+    total = float(mag.sum())
+    if total <= 0.0:
+        centroid = 0.0
+        rolloff = 0.0
+        dominant = 0.0
+    else:
+        centroid = float((freqs * mag).sum() / total)
+        cum = np.cumsum(mag)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+        dominant = float(freqs[int(np.argmax(mag))])
+    return {
+        "sample_rate": rate,
+        "n_bins": int(mag.size),
+        "centroid_hz": f"{centroid:.4f}",
+        "rolloff85_hz": f"{rolloff:.4f}",
+        "dominant_hz": f"{dominant:.4f}",
+    }
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_bins", IntegerType()),
+        StructField("centroid_hz", StringType()),
+        StructField("rolloff85_hz", StringType()),
+        StructField("dominant_hz", StringType()),
+    ]
+)
+
+
+def audio_spectral_features(assets: DataFrame) -> DataFrame:
+    """Spectral features via Arrow mapInPandas over binary WAV blobs —
+    same batch shape and partition-sizing rules as the gate/feature
+    extractors; the FFT runs vectorized per clip inside the executor
+    Python worker, never on the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            auds = pdf[pdf["media_type"] == "audio"]
+            if auds.empty:
+                continue
+            feats = [audio_spectral_stats(bytes(b)) for b in auds["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", auds["asset_id"].values)
+            yield out[[f.name for f in SPECTRAL_SCHEMA.fields]]
+
+    return assets.mapInPandas(batches, SPECTRAL_SCHEMA)

@@ -1190,3 +1190,154 @@ def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil index inequality decomposition (r13)
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = """
+WITH cust AS (
+  SELECT c.c_custkey AS ck, n.n_name AS nation,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,8))), 2)
+              AS DOUBLE) AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY c.c_custkey, n.n_name
+), grp AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 2) AS DOUBLE) AS xg
+  FROM cust GROUP BY nation
+), tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(xg AS DECIMAL(28,8))), 2) AS DOUBLE) AS xt
+  FROM grp
+), within AS (
+  SELECT c.nation,
+         CAST(ROUND(SUM(CAST((c.x / g.xg) * ln(c.x * g.ng / g.xg)
+                             AS DECIMAL(28,12))), 8) AS DOUBLE) AS tg
+  FROM cust c JOIN grp g ON g.nation = c.nation
+  GROUP BY c.nation
+), folded AS (
+  SELECT CAST(ROUND(SUM(CAST((g.xg / t.xt) * w.tg
+                             AS DECIMAL(28,12))), 8) AS DOUBLE)
+           AS t_within,
+         CAST(ROUND(SUM(CAST((g.xg / t.xt)
+                             * ln((g.xg / t.xt) / (CAST(g.ng AS DOUBLE) / t.n))
+                             AS DECIMAL(28,12))), 8) AS DOUBLE)
+           AS t_between,
+         CAST(MAX(t.n) AS BIGINT) AS n_customers,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM grp g JOIN within w ON w.nation = g.nation CROSS JOIN tot t
+)
+SELECT n_customers, n_groups,
+       ROUND(t_between, 6) AS theil_between,
+       ROUND(t_within, 6) AS theil_within,
+       ROUND(t_between + t_within, 6) AS theil_total
+FROM folded
+"""
+
+
+@query("analytics_theil_index", oracle=_THEIL_SQL)
+def analytics_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index over customer revenue, DECOMPOSED into
+    between-nation and within-nation components — the additive
+    decomposition is what Gini cannot do and why Theil is the
+    concentration tool for "is revenue inequality driven by geography
+    or by whales inside each market?". T_between =
+    Σ_g s_g·ln(s_g/p_g) (s_g revenue share, p_g population share);
+    T_within = Σ_g s_g·T_g with T_g = Σ_i (x_i/X_g)·ln(x_i·N_g/X_g);
+    T_total = T_between + T_within exactly (emitted as the sum, so the
+    identity is pinned by construction).
+
+    Float discipline: revenues are exact-decimal sums cast to double
+    (bit-identical inputs both engines), every ln/÷ term is the
+    identical double chain, and each TERM is decimal-quantized before
+    summation (the stats_combined_pvalues pattern) so the folds are
+    order-independent.
+
+    Scale: per-customer revenue is one map-side-combined aggregate;
+    nation joins broadcast (25-row dim); the within fold shuffles the
+    customer frame once on nation. No windows, no sorts."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("x")
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "x")
+    )
+    grp = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.round(F.sum(F.col("x").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("xg"),
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.round(F.sum(F.col("xg").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("xt"),
+    )
+    within = (
+        cust.join(F.broadcast(grp), "nation")
+        .select(
+            "nation",
+            (
+                (F.col("x") / F.col("xg"))
+                * F.log(F.col("x") * F.col("ng") / F.col("xg"))
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+        .groupBy("nation")
+        .agg(F.round(F.sum("term"), 8).cast("double").alias("tg"))
+    )
+    folded = (
+        grp.join(F.broadcast(within), "nation")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    ((F.col("xg") / F.col("xt")) * F.col("tg")).cast(
+                        "decimal(28,12)"
+                    )
+                ),
+                8,
+            )
+            .cast("double")
+            .alias("t_within"),
+            F.round(
+                F.sum(
+                    (
+                        (F.col("xg") / F.col("xt"))
+                        * F.log(
+                            (F.col("xg") / F.col("xt"))
+                            / (F.col("ng").cast("double") / F.col("n"))
+                        )
+                    ).cast("decimal(28,12)")
+                ),
+                8,
+            )
+            .cast("double")
+            .alias("t_between"),
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        )
+    )
+    return folded.select(
+        "n_customers",
+        "n_groups",
+        F.round(F.col("t_between"), 6).alias("theil_between"),
+        F.round(F.col("t_within"), 6).alias("theil_within"),
+        F.round(F.col("t_between") + F.col("t_within"), 6).alias(
+            "theil_total"
+        ),
+    )

@@ -445,3 +445,130 @@ def events_best_split_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_right"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lo–MacKinlay variance-ratio test, q = 2, on the daily value series (r13)
+# ---------------------------------------------------------------------------
+
+_VR_SQL = """
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                             AS DATE)) AS BIGINT) AS did,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DECIMAL(28,8))
+           AS sd
+  FROM events GROUP BY 1
+), d1 AS (
+  SELECT a.did, a.sd - b.sd AS inc1
+  FROM d a JOIN d b ON b.did = a.did - 1
+), d2 AS (
+  SELECT a.did, a.sd - b.sd AS inc2
+  FROM d a JOIN d b ON b.did = a.did - 2
+), m1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(inc1) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(inc1 AS DECIMAL(38,8)) * inc1) AS DOUBLE) AS s2
+  FROM d1
+), m2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(inc2) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(inc2 AS DECIMAL(38,8)) * inc2) AS DOUBLE) AS s2
+  FROM d2
+), s AS (
+  SELECT m1.m AS m1n, m2.m AS m2n,
+         (m1.s2 - m1.s1 * m1.s1 / m1.m) / m1.m AS v1,
+         (m2.s2 - m2.s1 * m2.s1 / m2.m) / m2.m AS v2
+  FROM m1 CROSS JOIN m2
+), vr AS (
+  SELECT m1n, m2n, v1, v2, v2 / (2.0 * v1) AS vratio FROM s
+)
+SELECT m1n AS n_increments,
+       ROUND(v1, 4) AS var_1period,
+       ROUND(v2, 4) AS var_2period,
+       ROUND(vratio, 6) AS variance_ratio,
+       ROUND(sqrt(CAST(m1n AS DOUBLE)) * (vratio - 1.0), 6) AS z_stat
+FROM vr
+"""
+
+
+@query("events_variance_ratio", oracle=_VR_SQL)
+def events_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test (q = 2) on the daily value
+    series: under a random walk, the variance of 2-day increments is
+    exactly twice the 1-day variance, so VR = Var(2d)/(2·Var(1d))
+    departs from 1 under mean reversion (< 1) or trending (> 1) —
+    the econometric "is this series a random walk" companion to
+    stats_ljung_box's autocorrelation portmanteau (VR(2) ≈ 1 + ρ₁,
+    so the two cross-check).
+
+    Exactness: daily totals are exact decimals; increments are exact
+    decimal differences built by DAY-INDEX SELF-JOINS (no lag window
+    anywhere — the day-grain frame stays distributed); raw moments
+    Σd and Σd² sum in the decimal domain, and the MLE variances /
+    ratio / z = √T·(VR−1) (the homoskedastic asymptotics, φ(2) = 1)
+    run the identical double chain both engines.
+
+    Scale: one map-side-combined day aggregate (≤ days rows forever),
+    two metadata-sized equi-joins on day index, two one-row moment
+    folds. Nothing is ever proportional to raw event volume except
+    the first aggregate scan."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("did")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+        .cast("decimal(28,8)")
+        .alias("sd")
+    )
+    a, b = d.alias("a"), d.alias("b")
+
+    def increments(k: int, name: str) -> DataFrame:
+        return a.join(
+            b, F.col("b.did") == F.col("a.did") - F.lit(k)
+        ).select((F.col("a.sd") - F.col("b.sd")).alias(name))
+
+    m1 = increments(1, "inc1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("inc1").cast("double").alias("s1"),
+        F.sum(F.col("inc1").cast("decimal(38,8)") * F.col("inc1"))
+        .cast("double")
+        .alias("s2"),
+    )
+    m2 = increments(2, "inc2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("inc2").cast("double").alias("s1"),
+        F.sum(F.col("inc2").cast("decimal(38,8)") * F.col("inc2"))
+        .cast("double")
+        .alias("s2"),
+    )
+    s = m1.select(
+        F.col("m").alias("m1n"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("m")) / F.col("m"))
+        .alias("v1"),
+    ).crossJoin(
+        F.broadcast(
+            m2.select(
+                F.col("m").alias("m2n"),
+                (
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m"))
+                    / F.col("m")
+                ).alias("v2"),
+            )
+        )
+    )
+    vr = F.col("v2") / (F.lit(2.0) * F.col("v1"))
+    return s.select(
+        F.col("m1n").alias("n_increments"),
+        F.round(F.col("v1"), 4).alias("var_1period"),
+        F.round(F.col("v2"), 4).alias("var_2period"),
+        F.round(vr, 6).alias("variance_ratio"),
+        F.round(
+            F.sqrt(F.col("m1n").cast("double")) * (vr - F.lit(1.0)), 6
+        ).alias("z_stat"),
+    )

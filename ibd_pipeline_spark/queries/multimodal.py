@@ -551,3 +551,45 @@ def multimodal_audio_gate_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("verdict")
     )
+
+
+def _audio_spectral_expected() -> str:
+    rows = []
+    for i, _media, blob, *_ in M.audio_gate_asset_rows(32):
+        s = M.audio_spectral_stats(bytes(blob))
+        rows.append(
+            (
+                i,
+                s["sample_rate"],
+                s["n_bins"],
+                s["centroid_hz"],
+                s["rolloff85_hz"],
+                s["dominant_hz"],
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("sample_rate", "INT"),
+            ("n_bins", "INT"),
+            ("centroid_hz", "VARCHAR"),
+            ("rolloff85_hz", "VARCHAR"),
+            ("dominant_hz", "VARCHAR"),
+        ],
+        "asset_id",
+    )
+
+
+@query("multimodal_audio_spectral", oracle=_audio_spectral_expected)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral centroid / 85% rolloff / dominant frequency per clip
+    over a real wave decode + numpy rfft in Arrow mapInPandas — the
+    frequency-domain audio featurizer next to the time-domain gates
+    (a clip can pass the clipping/silence gates and still be a pure
+    test tone; the dominant-bin and centroid features catch that
+    class). Planted-tone correctness: each clean corpus clip is a
+    known-frequency sine, and the dominant bin recovers it
+    (tests/test_multimodal.py)."""
+    assets = M.synthesize_audio_gate_assets(spark, n=32)
+    return M.audio_spectral_features(assets).orderBy("asset_id")

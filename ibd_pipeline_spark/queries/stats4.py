@@ -1,0 +1,434 @@
+"""Round-13 rank/trend hypothesis tests: Cochran's Q (binary repeated
+measures), Wilcoxon signed-rank (paired halves), Jonckheere–Terpstra
+(ordered-alternative trend across groups).
+
+All three follow the registry float discipline: every statistic is
+built from EXACT integer (or exact-decimal) aggregates — presence
+counts, mid-rank identities on the distinct-value frame
+(2·avg_rank = 2·cum − t + 1, the MWU trick), pairwise-precedence
+counts off one multi-weight prefix scan — with doubles entering only
+in the final closed-form z/p chain, which both engines evaluate
+bit-identically on bit-identical inputs (Zelen & Severo Φ tail /
+even-df χ² closed form).
+
+No reference analog (the reference computes streaming
+means/max/stddev only — `spark_processor.py:153-164`); SURVEY §2.2
+north-star rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import query
+from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql
+from ibd_pipeline_spark.queries.round11b import _phi_tail_col
+
+# ---------------------------------------------------------------------------
+# Cochran's Q: k=3 binary repeated measures (did the user view/click/
+# purchase at all?) across user blocks
+# ---------------------------------------------------------------------------
+
+_COCHRAN_Q_SQL = """
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND value > 200
+), r AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ru FROM pres GROUP BY user_id
+), ra AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(ru) AS BIGINT) AS t,
+         CAST(SUM(ru * ru) AS BIGINT) AS sr2
+  FROM r
+), ca AS (
+  SELECT CAST(SUM(cj * cj) AS BIGINT) AS sc2
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cj FROM pres GROUP BY event_type)
+), s AS (
+  SELECT n_blocks, t, sc2,
+         CAST(6 * sc2 - 2 * t * t AS DOUBLE)
+           / CAST(3 * t - sr2 AS DOUBLE) AS q
+  FROM ra CROSS JOIN ca
+)
+SELECT n_blocks, t AS total_successes, sc2 AS sum_coltot_sq,
+       ROUND(q, 6) AS q_stat,
+       ROUND(exp(-q / 2.0), 8) AS p_value
+FROM s
+"""
+
+
+@query("stats_cochran_q", oracle=_COCHRAN_Q_SQL)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test for k=3 binary repeated measures: blocks are
+    users, treatments are funnel actions (view / click / purchase),
+    response is "did the user perform a HIGH-VALUE (value > 200)
+    action of that type" — the unthresholded presence bit is 1
+    almost everywhere at test volumes (every block all-ones ⇒ the
+    denominator kT − ΣRᵤ² degenerates to 0, Q undefined). Q tests
+    whether the three success rates differ across the SAME subjects —
+    the k-treatment generalization of McNemar (ab_mcnemar_paired is
+    exactly the k=2 case, and Q reduces to its uncorrected χ² there).
+
+    Exactness: Q = [k(k−1)·ΣCⱼ² − (k−1)·T²] / (k·T − ΣRᵤ²) is a ratio
+    of two INTEGERS (column-total squares, row-sum squares, grand
+    total) — one double division, then the exact even-df χ²(2) tail
+    e^(−Q/2); no float accumulation anywhere.
+
+    Scale: one distinct on (user, type) — a map-side-combinable
+    shuffle on the pair key — then two independent catalog-sized
+    aggregates (per-user row sums, 3-row column totals). Block count
+    never materializes per-block state beyond the groupBy.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+        & (F.col("value") > 200)
+    )
+    pres = ev.select("user_id", "event_type").distinct()
+    ra = (
+        pres.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ru"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("ru").cast("bigint").alias("t"),
+            F.sum(F.col("ru") * F.col("ru")).cast("bigint").alias("sr2"),
+        )
+    )
+    ca = (
+        pres.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("bigint").alias("sc2"))
+    )
+    s = ra.crossJoin(F.broadcast(ca))
+    q = (6 * F.col("sc2") - 2 * F.col("t") * F.col("t")).cast("double") / (
+        3 * F.col("t") - F.col("sr2")
+    ).cast("double")
+    return s.select(
+        "n_blocks",
+        F.col("t").alias("total_successes"),
+        F.col("sc2").alias("sum_coltot_sq"),
+        F.round(q, 6).alias("q_stat"),
+        F.round(F.exp(-q / F.lit(2.0)), 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank: per-user paired halves (first vs second half of
+# the window), mid-ranks on |d| via the distinct-value prefix scan
+# ---------------------------------------------------------------------------
+
+_WILCOXON_SQL = f"""
+WITH bnd AS (
+  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), u AS (
+  SELECT user_id,
+    SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid
+             THEN CAST(value AS DECIMAL(28,8))
+             ELSE CAST(0 AS DECIMAL(28,8)) END) AS s1,
+    SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+             THEN CAST(value AS DECIMAL(28,8))
+             ELSE CAST(0 AS DECIMAL(28,8)) END) AS s2
+  FROM events CROSS JOIN bnd GROUP BY user_id
+), d AS (
+  SELECT s2 - s1 AS d FROM u WHERE s2 <> s1
+), pv AS (
+  SELECT ABS(d) AS ad,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM d GROUP BY ABS(d)
+), r AS (
+  SELECT ad, cpos, t, SUM(t) OVER (ORDER BY ad) AS cum FROM pv
+), agg AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(cpos * (2 * cum - t + 1)) AS BIGINT) AS wplus_x2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+  FROM r
+), s AS (
+  SELECT n, wplus_x2,
+         (CAST(wplus_x2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0)
+         / (2.0 * sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                       - CAST(tie3 AS DOUBLE) / 48.0)) AS z
+  FROM agg
+)
+SELECT n AS n_pairs, wplus_x2,
+       ROUND(z, 6) AS z_stat,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('abs(z)')}), 8) AS p_value
+FROM s
+"""
+
+
+@query("stats_wilcoxon_signed_rank", oracle=_WILCOXON_SQL)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-user activity: each
+    user's total `value` in the first vs second half of the window
+    (integer-µs midpoint, the McNemar pairing), d = second − first as
+    an EXACT decimal (difference of exact decimal sums, zero diffs
+    dropped per the standard procedure). The paired-magnitude
+    counterpart of ab_mcnemar_paired's flip test and the one-sample
+    sibling of stats_mann_whitney_u.
+
+    Exactness: mid-ranks of |d| never materialize halves — on the
+    distinct-|d| frame, Σ over positive pairs of 2·avg_rank =
+    Σ cpos·(2·cum − t + 1) is an exact INTEGER (2·W⁺); the normal
+    approximation uses the textbook tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48 from integer aggregates, and the z/p
+    chain is the shared Φ-tail polynomial.
+
+    Scale: one groupBy(user) builds the pairs (map-side combined);
+    ranking is the distributed rank-from-prefix-sum spine
+    (operators/ranking.py:with_global_prefix_sums) over the
+    distinct-|d| frame — no global window, no row sort; everything
+    after runs on one aggregate row.
+    """
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias(
+            "mid"
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(ts)") < F.col("mid"),
+                    F.col("value").cast("decimal(28,8)"),
+                ).otherwise(zero)
+            ).alias("s1"),
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(ts)") >= F.col("mid"),
+                    F.col("value").cast("decimal(28,8)"),
+                ).otherwise(zero)
+            ).alias("s2"),
+        )
+    )
+    d = u.filter(F.col("s2") != F.col("s1")).select(
+        (F.col("s2") - F.col("s1")).alias("d")
+    )
+    pv = d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cpos"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    cum = with_global_prefix_sums(pv, ["ad"], ["t"])
+    agg = cum.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("cpos") * (2 * F.col("_cum_t") - F.col("t") + F.lit(1)))
+        .cast("bigint")
+        .alias("wplus_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    z = (
+        F.col("wplus_x2").cast("double")
+        - nd * (F.col("n") + F.lit(1)) / F.lit(2.0)
+    ) / (
+        F.lit(2.0)
+        * F.sqrt(
+            nd * (F.col("n") + F.lit(1)) * (2 * F.col("n") + F.lit(1))
+            / F.lit(24.0)
+            - F.col("tie3").cast("double") / F.lit(48.0)
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        "wplus_x2",
+        F.round(z, 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(z))), 8
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere–Terpstra: ordered-alternative trend in `value` across the
+# funnel depth ordering view < click < purchase
+# ---------------------------------------------------------------------------
+
+_JT_SQL = f"""
+WITH s AS (
+  SELECT value AS v,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              ELSE 3 END AS g
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND value IS NOT NULL
+), pv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM s GROUP BY v
+), r AS (
+  SELECT pv.*,
+         SUM(c1) OVER (ORDER BY v) AS m1,
+         SUM(c2) OVER (ORDER BY v) AS m2
+  FROM pv
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c3) AS BIGINT) AS n3,
+         CAST(SUM(2 * c2 * (m1 - c1) + c1 * c2
+                + 2 * c3 * (m1 - c1) + c1 * c3
+                + 2 * c3 * (m2 - c2) + c2 * c3) AS BIGINT) AS jt_x2,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_a,
+         CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS tie_b,
+         CAST(SUM(t * (t - 1)) AS BIGINT) AS tie_c
+  FROM r
+), mo AS (
+  SELECT n1, n2, n3, jt_x2,
+         n1 + n2 + n3 AS nn,
+         n1 * n1 + n2 * n2 + n3 * n3 AS sn2,
+         CAST(n1 AS DOUBLE) * (n1 - 1) * (2 * n1 + 5)
+           + CAST(n2 AS DOUBLE) * (n2 - 1) * (2 * n2 + 5)
+           + CAST(n3 AS DOUBLE) * (n3 - 1) * (2 * n3 + 5) AS ga,
+         CAST(n1 AS DOUBLE) * (n1 - 1) * (n1 - 2)
+           + CAST(n2 AS DOUBLE) * (n2 - 1) * (n2 - 2)
+           + CAST(n3 AS DOUBLE) * (n3 - 1) * (n3 - 2) AS gb,
+         CAST(n1 AS DOUBLE) * (n1 - 1) + CAST(n2 AS DOUBLE) * (n2 - 1)
+           + CAST(n3 AS DOUBLE) * (n3 - 1) AS gc,
+         CAST(tie_a AS DOUBLE) AS ta, CAST(tie_b AS DOUBLE) AS tb,
+         CAST(tie_c AS DOUBLE) AS tc
+  FROM agg
+), vz AS (
+  SELECT n1, n2, n3, jt_x2,
+         (CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5) - ga - ta) / 72.0
+           + gb * tb / (36.0 * CAST(nn AS DOUBLE) * (nn - 1) * (nn - 2))
+           + gc * tc / (8.0 * CAST(nn AS DOUBLE) * (nn - 1)) AS var_jt,
+         CAST(jt_x2 - (nn * nn - sn2) / 2 AS DOUBLE) AS num_x2
+  FROM mo
+)
+SELECT n1, n2, n3, jt_x2,
+       ROUND(num_x2 / (2.0 * sqrt(var_jt)), 6) AS z_stat,
+       ROUND(LEAST(1.0,
+             2.0 * {_phi_tail_sql('abs(num_x2 / (2.0 * sqrt(var_jt)))')}),
+             8) AS p_value
+FROM vz
+"""
+
+
+@query("stats_jonckheere_terpstra", oracle=_JT_SQL)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative: does
+    `value` trend upward along the funnel depth ordering
+    view < click < purchase? More powerful than Kruskal–Wallis when
+    the alternative is monotone (KW spends power on every permutation
+    of group medians; JT spends it all on the ordering you actually
+    believe) — the k-group sibling of stats_mann_kendall's two-group
+    logic.
+
+    Exactness: JT = Σ_{{i<j}} U_ij where each Mann–Whitney count
+    U_ij = #{{x∈Gᵢ < y∈Gⱼ}} + ½·ties comes off ONE multi-weight
+    prefix scan over the distinct-value frame: per value v,
+    2·U-contribution = 2·c_j(v)·(cum_i(v) − c_i(v)) + c_i(v)·c_j(v) —
+    exact integers (2·JT materialized, halves never). The
+    tie-corrected variance (Hollander–Wolfe) uses the three
+    integer tie spectra Σt(t−1)(2t+5) / Σt(t−1)(t−2) / Σt(t−1) and
+    group-size polynomials, composed in DOUBLE in the identical
+    expression order both engines (the cubes exceed nothing at test
+    SF but the mirrored-order IEEE contract is what the hash pins).
+
+    Scale: the distinct-value frame + one range-exchange prefix scan
+    (with_global_prefix_sums, two weights = one shuffle) — the same
+    de-serialized ECDF spine as KS/MWU/Spearman; group count k is a
+    constant (3), so the pairwise fold is 3 expressions, not a join.
+    """
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+        .alias("g"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(F.when(F.col("g") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c3"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    cum = with_global_prefix_sums(pv, ["v"], ["c1", "c2"])
+    m1, m2 = F.col("_cum_c1"), F.col("_cum_c2")
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum("c3").cast("bigint").alias("n3"),
+        F.sum(
+            2 * F.col("c2") * (m1 - F.col("c1"))
+            + F.col("c1") * F.col("c2")
+            + 2 * F.col("c3") * (m1 - F.col("c1"))
+            + F.col("c1") * F.col("c3")
+            + 2 * F.col("c3") * (m2 - F.col("c2"))
+            + F.col("c2") * F.col("c3")
+        )
+        .cast("bigint")
+        .alias("jt_x2"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("bigint")
+        .alias("tie_a"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        .cast("bigint")
+        .alias("tie_b"),
+        F.sum(F.col("t") * (F.col("t") - 1)).cast("bigint").alias("tie_c"),
+    )
+
+    nn = F.col("n1") + F.col("n2") + F.col("n3")
+    sn2 = (
+        F.col("n1") * F.col("n1")
+        + F.col("n2") * F.col("n2")
+        + F.col("n3") * F.col("n3")
+    )
+    ga = sum(
+        F.col(c).cast("double") * (F.col(c) - 1) * (2 * F.col(c) + 5)
+        for c in ("n1", "n2", "n3")
+    )
+    gb = sum(
+        F.col(c).cast("double") * (F.col(c) - 1) * (F.col(c) - 2)
+        for c in ("n1", "n2", "n3")
+    )
+    gc = sum(
+        F.col(c).cast("double") * (F.col(c) - 1) for c in ("n1", "n2", "n3")
+    )
+    nnd = nn.cast("double")
+    var_jt = (
+        (nnd * (nn - 1) * (2 * nn + 5) - ga - F.col("tie_a").cast("double"))
+        / F.lit(72.0)
+        + gb
+        * F.col("tie_b").cast("double")
+        / (F.lit(36.0) * nnd * (nn - 1) * (nn - 2))
+        + gc * F.col("tie_c").cast("double") / (F.lit(8.0) * nnd * (nn - 1))
+    )
+    num_x2 = (F.col("jt_x2") - (nn * nn - sn2) / F.lit(2)).cast("double")
+    z = num_x2 / (F.lit(2.0) * F.sqrt(var_jt))
+    return agg.select(
+        "n1",
+        "n2",
+        "n3",
+        "jt_x2",
+        F.round(z, 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(z))), 8
+        ).alias("p_value"),
+    )

@@ -313,3 +313,159 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mattr"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Yule's K + Simpson's D lexical concentration (r13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_yule_k_simpson",
+    oracle="""
+WITH words AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source, w
+), agg AS (
+  SELECT source,
+         CAST(SUM(f) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(f * f) AS BIGINT) AS sf2,
+         CAST(SUM(f * (f - 1)) AS BIGINT) AS sff1
+  FROM words GROUP BY source
+)
+SELECT source, n AS n_tokens, vocab,
+       ROUND(10000.0 * CAST(sf2 - n AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n), 6) AS yule_k,
+       ROUND(CAST(sff1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (n - 1)), 8) AS simpson_d
+FROM agg ORDER BY source
+""",
+)
+def text_yule_k_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K and Simpson's D lexical concentration per source —
+    the REPETITIVENESS counterpart of the vocabulary-size family
+    (vocab/hapax measure breadth; K and D measure how hard the
+    frequency mass concentrates on few types, the template/boilerplate
+    smell that survives a large vocabulary). K = 10⁴·(Σf² − N)/N²;
+    D = Σf(f−1)/(N(N−1)) — D is exactly the probability two random
+    tokens are the same type, and K = 10⁴·(N−1)/N·D + o(1), so the
+    pair cross-checks itself.
+
+    Exactness: both statistics are ratios of INTEGER frequency-
+    spectrum sums (Σf, Σf², Σf(f−1)) — the same two-level
+    (source, word) → source hash aggregation as text_vocab_hapax_stats
+    (map-side combined, text exploded once, never reshuffled raw);
+    one double division each at the end.
+
+    Scale: frequency spectrum per source is vocabulary-sized, not
+    corpus-sized; no windows, no sorts — the spectrum sums fold in the
+    same aggregate that builds them."""
+    d = load_wide(spark, sf_dir, "documents")
+    words = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    agg = words.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("sf2"),
+        F.sum(F.col("f") * (F.col("f") - 1)).cast("bigint").alias("sff1"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.round(
+            F.lit(10000.0) * (F.col("sf2") - F.col("n")).cast("double")
+            / (nd * F.col("n")),
+            6,
+        ).alias("yule_k"),
+        F.round(
+            F.col("sff1").cast("double") / (nd * (F.col("n") - 1)), 8
+        ).alias("simpson_d"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease from corpus-level integer counts (r13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_flesch_reading_ease",
+    oracle="""
+WITH c AS (
+  SELECT lang,
+         CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+         CAST(LEN(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+           AS y,
+         CAST(LEN(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS words,
+         CAST(SUM(y) AS BIGINT) AS syllables,
+         GREATEST(CAST(SUM(s) AS BIGINT), 1) AS sentences
+  FROM c GROUP BY lang
+)
+SELECT lang, n_docs, words, syllables, sentences,
+       ROUND(206.835
+             - 1.015 * (CAST(words AS DOUBLE) / sentences)
+             - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+         AS flesch_reading_ease
+FROM agg ORDER BY lang
+""",
+)
+def text_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per language, computed from CORPUS-LEVEL
+    integer counts (Σwords, Σvowel-group syllables, Σsentence
+    terminators) rather than averaged per-doc scores — the readability
+    quality signal used to bucket training text by difficulty. The
+    syllable counter is the classic vowel-run heuristic ([aeiouy]+
+    runs), exact-replayable by regex in any engine — a real syllable
+    dictionary is a model asset, not an engine feature.
+
+    Exactness: three regexp_count integers per document, summed
+    exactly per language; the 206.835 − 1.015·W/S − 84.6·Y/W chain is
+    two divisions of exact integers — bit-identical both engines.
+    GREATEST(S, 1) guards punctuation-free corpora identically.
+
+    Scale: per-row regex counting is codegen'd JVM work (no UDF), one
+    map-side-combined aggregate on the (tiny) language key; document
+    text is scanned once and never shuffled."""
+    d = load_wide(spark, sf_dir, "documents")
+    c = d.select(
+        "lang",
+        F.regexp_count("text", F.lit(r"[A-Za-z]+")).cast("bigint").alias("w"),
+        F.regexp_count("text", F.lit(r"[aeiouyAEIOUY]+"))
+        .cast("bigint")
+        .alias("y"),
+        F.regexp_count("text", F.lit(r"[.!?]+")).cast("bigint").alias("s"),
+    )
+    agg = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("words"),
+        F.sum("y").cast("bigint").alias("syllables"),
+        F.greatest(F.sum("s").cast("bigint"), F.lit(1).cast("bigint")).alias(
+            "sentences"
+        ),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words",
+        "syllables",
+        "sentences",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6)
+            * (F.col("syllables").cast("double") / F.col("words")),
+            4,
+        ).alias("flesch_reading_ease"),
+    ).orderBy("lang")

@@ -315,3 +315,29 @@ def test_audio_gate_stats_exactness_tiny_known_wav(spark):
     assert s["n_silent"] == 3  # 0, 50, −99
     assert s["peak"] == 32767
     assert s["clip_rate"] == 2 / 6 and s["silence_ratio"] == 3 / 6
+
+
+def test_audio_spectral_recovers_planted_tone(spark):
+    """Clean corpus clips are known-frequency sines: the dominant FFT
+    bin must land within one bin width of the planted frequency, and
+    the centroid near it (harmonically light signal); the all-quiet
+    clips still produce finite features."""
+    from ibd_pipeline_spark.operators import multimodal as M
+
+    assets = M.synthesize_audio_gate_assets(spark, n=32)
+    rows = {
+        r["asset_id"]: r
+        for r in M.audio_spectral_features(assets).collect()
+    }
+    for i in range(32):
+        if i % 4 != 0:
+            continue
+        planted = 220.0 * (1 + (i % 5))
+        r = rows[i]
+        bin_hz = r["sample_rate"] / (2.0 * (r["n_bins"] - 1))
+        assert abs(float(r["dominant_hz"]) - planted) <= bin_hz + 1e-9, (
+            i, planted, r["dominant_hz"], bin_hz)
+        # centroid sits ABOVE the tone (rectangular-window leakage
+        # spreads magnitude to high bins) but stays the same order
+        c = float(r["centroid_hz"])
+        assert 0.8 * planted <= c <= 10.0 * planted, r
