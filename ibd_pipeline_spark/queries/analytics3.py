@@ -1341,3 +1341,143 @@ def analytics_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices between window halves (r13)
+# ---------------------------------------------------------------------------
+
+_PRICE_INDEX_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS did
+  FROM lineitem
+), bnd AS (
+  SELECT (MIN(did) + MAX(did)) // 2 AS mid FROM li
+), h AS (
+  SELECT l_partkey AS pk,
+         CASE WHEN did < mid THEN 0 ELSE 1 END AS half,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE)
+           AS q,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 2)
+              AS DOUBLE) AS rev
+  FROM li CROSS JOIN bnd
+  GROUP BY 1, 2
+), m AS (
+  SELECT a.pk, a.q AS q0, a.rev / a.q AS p0,
+         b.q AS q1, b.rev / b.q AS p1
+  FROM h a JOIN h b ON a.pk = b.pk AND a.half = 0 AND b.half = 1
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(ROUND(SUM(CAST(p1 * q0 AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS l_num,
+         CAST(ROUND(SUM(CAST(p0 * q0 AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS l_den,
+         CAST(ROUND(SUM(CAST(p1 * q1 AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS p_num,
+         CAST(ROUND(SUM(CAST(p0 * q1 AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS p_den
+  FROM m
+)
+SELECT n_parts,
+       ROUND(l_num / l_den, 6) AS laspeyres,
+       ROUND(p_num / p_den, 6) AS paasche,
+       ROUND(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+FROM s
+"""
+
+
+@query("analytics_price_index_fisher", oracle=_PRICE_INDEX_SQL)
+def analytics_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the two
+    halves of the shipping window (unit-value prices per part):
+    Laspeyres holds the base-period basket (Σp₁q₀/Σp₀q₀), Paasche the
+    current one (Σp₁q₁/Σp₀q₁), Fisher is their geometric mean — the
+    index-number classics behind every "did our average selling price
+    actually move or did the mix shift?" question
+    (analytics_mix_shift_decompose answers the additive version; this
+    is the multiplicative one).
+
+    Exactness: per-(part, half) quantity and revenue are exact
+    decimals; unit values divide decimal-rounded doubles; every
+    basket term p·q is decimal-quantized before folding; two
+    divisions + one sqrt of bit-identical doubles at the end.
+
+    Scale: one map-side-combined (part, half) aggregate, a part-keyed
+    self-join (parts-dimension-sized, not lineitem-sized), one-row
+    fold. The half split uses DAY-INDEX arithmetic (l_shipdate is
+    day-grained and loads as TIMESTAMP_NTZ — datediff from a fixed
+    epoch is the engine-safe midpoint, the variance-ratio idiom)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("did"),
+    )
+    mid = li.agg(
+        F.expr("(MIN(did) + MAX(did)) DIV 2").alias("mid")
+    )
+    h = (
+        li.crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.when(F.col("did") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("q"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    a = h.filter(F.col("half") == 0).select(
+        "pk",
+        F.col("q").alias("q0"),
+        (F.col("rev") / F.col("q")).alias("p0"),
+    )
+    b = h.filter(F.col("half") == 1).select(
+        "pk",
+        F.col("q").alias("q1"),
+        (F.col("rev") / F.col("q")).alias("p1"),
+    )
+    m = a.join(b, "pk")
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum((F.col("p1") * F.col("q0")).cast("decimal(38,6)")), 2
+        )
+        .cast("double")
+        .alias("l_num"),
+        F.round(
+            F.sum((F.col("p0") * F.col("q0")).cast("decimal(38,6)")), 2
+        )
+        .cast("double")
+        .alias("l_den"),
+        F.round(
+            F.sum((F.col("p1") * F.col("q1")).cast("decimal(38,6)")), 2
+        )
+        .cast("double")
+        .alias("p_num"),
+        F.round(
+            F.sum((F.col("p0") * F.col("q1")).cast("decimal(38,6)")), 2
+        )
+        .cast("double")
+        .alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return s.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

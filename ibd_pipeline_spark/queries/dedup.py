@@ -811,3 +811,192 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     D.release_state(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LSH recall/precision evaluation against exact same-universe truth (r13)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    """MinHash pipeline CTE (→ state/cand) + an exact prefix-filter
+    truth join over the SAME hashed-shingle universe at τ = 1/2, then
+    integer-gated counts."""
+    return (
+        _mh_cte(_REPS_SRC, "")
+        + """
+, tok AS (
+  SELECT doc_id, u.h FROM state, unnest(hs) AS u(h)
+), tfr AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY h
+), stp AS (
+  SELECT doc_id, array_agg(h ORDER BY freq, h) AS stoks,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT tok.doc_id, tok.h, tfr.freq FROM tok JOIN tfr USING (h))
+  GROUP BY doc_id
+), pref AS (
+  SELECT doc_id, u.h
+  FROM stp, unnest(list_slice(stoks, 1,
+         CAST(n - CEIL(n / 2.0) + 1 AS BIGINT))) AS u(h)
+), tcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+), truth AS (
+  SELECT t.id_a, t.id_b
+  FROM tcand t JOIN state a ON a.doc_id = t.id_a
+               JOIN state b ON b.doc_id = t.id_b
+  WHERE 2 * len(list_intersect(a.hs, b.hs))
+        >= len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+), found AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN state a ON a.doc_id = c.id_a
+              JOIN state b ON b.doc_id = c.id_b
+  WHERE 2 * len(list_intersect(a.hs, b.hs))
+        >= len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+), counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found
+)
+SELECT n_true AS n_true_pairs, n_candidates, n_found,
+       ROUND(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
+       ROUND(CAST(n_found AS DOUBLE) / n_candidates, 6)
+         AS candidate_precision
+FROM counts
+"""
+    )
+
+
+@query("dedup_lsh_recall_eval", oracle=_lsh_recall_oracle)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall/precision of the MinHash-LSH banding (8×4,
+    tuned s-curve threshold ≈ 0.59) against EXACT ground truth at
+    J ≥ 1/2 over the SAME hashed-shingle universe — the evaluation
+    row every approximate-dedup deployment owes its users
+    (similarity_ndcg_eval is the ANN twin). Truth comes from the
+    prefix-filter exact join (zero false negatives by the pigeonhole
+    bound), so recall = |LSH-found|/|truth| is an exact statement
+    about the banding, not an estimate; candidate_precision measures
+    the verify-stage waste.
+
+    Both sides share one similarity definition: Jaccard on the
+    md5-hashed shingle sets, gated by the INTEGER cross-multiplication
+    2·|∩| ≥ |∪| (no rounded-double thresholds anywhere), and both
+    engines replay the identical pipeline (the portable md5 family).
+
+    Scale: truth is the prefix-filter join (rare-postings bounded),
+    LSH is the banded bucket join — the eval costs one run of each,
+    which is exactly what an offline recall audit costs at 100 TB;
+    the shared session-cached minhash state feeds the LSH side."""
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents")
+    reps = d.select("doc_id", "text").join(
+        D.exact_keeper_ids(d), "doc_id", "left_semi"
+    )
+    # hashed shingle sets — the md5-portable universe (mirrors the
+    # oracle's `state.hs` and minhash_candidate_pairs portable=True)
+    hashed = (
+        reps.repartition(par)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)  # split once (CollapseProject)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        D.shingles(F.concat_ws(" ", "w"), 3),
+                        lambda g: F.substring(F.md5(g), 1, 8),
+                    )
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)  # feeds tf, stp, and both verifies
+    )
+    sets = hashed.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tf = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    stp = (
+        hashed.join(tf, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "h"))),
+                lambda s: s["h"],
+            ).alias("stoks"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    plen = (
+        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
+    ).cast("int")
+    pref = stp.select(
+        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
+    ).localCheckpoint(eager=True)  # self-join: evaluate once
+    a, b = pref.alias("a"), pref.alias("b")
+    tcand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .repartition(par)  # verify-stage parallelism (AQE coalesce)
+    )
+    x = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
+    )
+    y = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    gate = 2 * ni >= F.col("na") + F.col("nb") - ni
+    truth = (
+        tcand.join(x, "id_a").join(y, "id_b").filter(gate)
+        .select("id_a", "id_b")
+    )
+    cand = (
+        D.minhash_candidate_pairs(reps, "doc_id", "text", portable=True)
+        .select("id_a", "id_b")
+        .repartition(par)
+    )
+    found = (
+        cand.join(x, "id_a").join(y, "id_b").filter(gate)
+        .select("id_a", "id_b")
+    )
+    counts = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .crossJoin(
+            F.broadcast(
+                cand.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+            )
+        )
+    )
+    return counts.select(
+        F.col("n_true").alias("n_true_pairs"),
+        "n_candidates",
+        "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_true"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_candidates"), 6
+        ).alias("candidate_precision"),
+    )

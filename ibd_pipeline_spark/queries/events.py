@@ -572,3 +572,156 @@ def events_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("m1n").cast("double")) * (vr - F.lit(1.0)), 6
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength via residue-class ANOVA (trig-free periodogram, r13)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = """
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                             AS DATE)) AS BIGINT) AS did,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 4) AS DOUBLE) AS sx
+  FROM d
+), per AS (
+  SELECT p FROM (VALUES (2), (3), (7)) AS t(p)
+), cls AS (
+  SELECT per.p, d.did % per.p AS r,
+         CAST(COUNT(*) AS BIGINT) AS nr,
+         CAST(ROUND(SUM(CAST(d.x AS DECIMAL(28,8))), 4) AS DOUBLE) AS sr
+  FROM d CROSS JOIN per GROUP BY per.p, d.did % per.p
+), ssb AS (
+  SELECT cls.p,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(ROUND(SUM(CAST(
+           (sr / nr - sx / n) * (sr / nr - sx / n) * nr
+           AS DECIMAL(38,8))), 4) AS DOUBLE) AS ss_between
+  FROM cls CROSS JOIN tot GROUP BY cls.p
+), sst AS (
+  SELECT CAST(ROUND(SUM(CAST(
+           (x - sx / n) * (x - sx / n) AS DECIMAL(38,8))), 4) AS DOUBLE)
+           AS ss_total
+  FROM d CROSS JOIN tot
+)
+SELECT p AS period, k AS n_classes,
+       ROUND(ss_between, 4) AS ss_between,
+       ROUND(ss_total, 4) AS ss_total,
+       ROUND(ss_between / ss_total, 6) AS seasonal_strength,
+       ROUND((ss_between / (k - 1))
+             / ((ss_total - ss_between)
+                / ((SELECT n FROM tot) - k)), 6) AS f_stat
+FROM ssb CROSS JOIN sst
+ORDER BY period
+"""
+
+
+@query("events_seasonal_strength_anova", oracle=_SEASONAL_SQL)
+def events_seasonal_strength_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength detector via residue-class ANOVA — a
+    TRIG-FREE periodogram: for each candidate period p ∈ {2, 3, 7}
+    (every class needs replication: k < n_days = 30 at all fixtures,
+    so month-scale periods are out of scope by design),
+    fold the daily series by day-index mod p and measure how much
+    variance the p-class means explain (SSB/SST = the seasonal
+    strength of the forecast literature; the F ratio tests it).
+    The true weekly cycle shows up as the dominant p = 7 row without
+    a single cos() call — which is the point: cross-engine trig is
+    the one libm surface the float discipline can't pin, while this
+    decomposition is exact decimal sums end to end.
+
+    Exactness: daily totals and class sums are exact decimals; class
+    means divide decimal-rounded doubles by integer counts; every
+    squared-deviation term is decimal-quantized before folding.
+
+    Scale: one day-grain aggregate (≤ days rows forever), one
+    (period, residue) aggregate over day×3 rows — all metadata-sized
+    after the first scan; no windows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("did")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("x")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("x").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("sx"),
+    )
+    per = d.sparkSession.createDataFrame([(2,), (3,), (7,)], "p int")
+    cls = (
+        d.crossJoin(F.broadcast(per))
+        .groupBy("p", (F.col("did") % F.col("p")).alias("r"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nr"),
+            F.round(F.sum(F.col("x").cast("decimal(28,8)")), 4)
+            .cast("double")
+            .alias("sr"),
+        )
+    )
+    mu = F.col("sx") / F.col("n")
+    ssb = (
+        cls.crossJoin(F.broadcast(tot))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.round(
+                F.sum(
+                    (
+                        (F.col("sr") / F.col("nr") - mu)
+                        * (F.col("sr") / F.col("nr") - mu)
+                        * F.col("nr")
+                    ).cast("decimal(38,8)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("ss_between"),
+        )
+    )
+    sst = (
+        d.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(((F.col("x") - mu) * (F.col("x") - mu)).cast("decimal(38,8)")),
+                4,
+            )
+            .cast("double")
+            .alias("ss_total"),
+        )
+        .crossJoin(F.broadcast(tot.select("n")))
+    )
+    return (
+        ssb.crossJoin(F.broadcast(sst))
+        .select(
+            F.col("p").alias("period"),
+            F.col("k").alias("n_classes"),
+            F.round(F.col("ss_between"), 4).alias("ss_between"),
+            F.round(F.col("ss_total"), 4).alias("ss_total"),
+            F.round(F.col("ss_between") / F.col("ss_total"), 6).alias(
+                "seasonal_strength"
+            ),
+            F.round(
+                (F.col("ss_between") / (F.col("k") - 1))
+                / (
+                    (F.col("ss_total") - F.col("ss_between"))
+                    / (F.col("n") - F.col("k"))
+                ),
+                6,
+            ).alias("f_stat"),
+        )
+        .orderBy("period")
+    )

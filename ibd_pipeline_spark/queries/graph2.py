@@ -238,3 +238,112 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction over the co-activity graph (r13)
+# ---------------------------------------------------------------------------
+
+_JACCARD_LP_SQL = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 100
+), e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), common AS (
+  SELECT t1.v AS u, t2.v AS v, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym t1 JOIN sym t2 ON t1.u = t2.u AND t1.v < t2.v
+  GROUP BY t1.v, t2.v
+), nonadj AS (
+  SELECT c.u, c.v, c.cn
+  FROM common c LEFT JOIN e ON e.u = c.u AND e.v = c.v
+  WHERE e.u IS NULL
+), scored AS (
+  SELECT n.u, n.v, n.cn,
+         du.deg AS deg_u, dv.deg AS deg_v,
+         ROUND(CAST(n.cn AS DOUBLE) / (du.deg + dv.deg - n.cn), 6)
+           AS jaccard
+  FROM nonadj n JOIN deg du ON du.n = n.u JOIN deg dv ON dv.n = n.v
+)
+SELECT u, v, cn AS common_neighbors, deg_u, deg_v, jaccard
+FROM scored
+ORDER BY jaccard DESC, u, v LIMIT 20
+"""
+
+
+@query("graph_jaccard_link_prediction", oracle=_JACCARD_LP_SQL)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction over the user co-activity
+    graph: for NON-ADJACENT wedge-connected pairs, J(u,v) =
+    |N(u)∩N(v)| / |N(u)∪N(v)| — the normalized sibling of
+    graph_adamic_adar (AA up-weights rare shared neighbors; Jaccard
+    penalizes hub-heavy neighborhoods), top-20 missing links. The
+    "who should be connected but isn't" primitive behind
+    recommendation candidate generation.
+
+    Exactness: common-neighbor counts and degrees are integers off
+    the same oriented wedge join as the triangle family; union =
+    deg(u)+deg(v)−common by inclusion-exclusion; one double division,
+    total-order tiebreak (jaccard DESC, u, v).
+
+    Scale: identical Σ deg² wedge bound as transitivity/AA
+    (SCALE.md r13 probes: volume-linear, density-quadratic-by-
+    construction with the same cap/salt mitigation); the non-adjacency
+    check is one anti-join against the edge list."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: wedges, degrees, anti-join
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    t1, t2 = sym.alias("t1"), sym.alias("t2")
+    common = (
+        t1.join(
+            t2, (F.col("t1.u") == F.col("t2.u")) & (F.col("t1.v") < F.col("t2.v"))
+        )
+        .groupBy(F.col("t1.v").alias("u"), F.col("t2.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    nonadj = common.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        nonadj.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "u", "v"
+    ).limit(20)
