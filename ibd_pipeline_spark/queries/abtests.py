@@ -360,3 +360,163 @@ def ab_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.sqrt(chi2))), 8
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences between md5 arms across window halves (r13)
+# ---------------------------------------------------------------------------
+
+_DID_SQL = f"""
+WITH bnd AS (
+  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), u AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5('did13:' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS arm,
+    CAST(ROUND(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid
+             THEN CAST(value AS DECIMAL(28,8))
+             ELSE CAST(0 AS DECIMAL(28,8)) END), 4) AS DECIMAL(28,4)) AS y0,
+    CAST(ROUND(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+             THEN CAST(value AS DECIMAL(28,8))
+             ELSE CAST(0 AS DECIMAL(28,8)) END), 4) AS DECIMAL(28,4)) AS y1
+  FROM events CROSS JOIN bnd GROUP BY user_id
+), cell AS (
+  SELECT arm, half, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(y AS DECIMAL(38,8)) * y) AS DOUBLE) AS s2
+  FROM (SELECT arm, 0 AS half, y0 AS y FROM u
+        UNION ALL SELECT arm, 1, y1 FROM u)
+  GROUP BY arm, half
+), st AS (
+  SELECT arm, half, n, s1 / n AS mu,
+         (s2 - s1 * s1 / n) / (n - 1) / n AS var_mean
+  FROM cell
+), w AS (
+  SELECT
+    MAX(CASE WHEN arm = 1 AND half = 1 THEN mu END) AS t1,
+    MAX(CASE WHEN arm = 1 AND half = 0 THEN mu END) AS t0,
+    MAX(CASE WHEN arm = 0 AND half = 1 THEN mu END) AS c1,
+    MAX(CASE WHEN arm = 0 AND half = 0 THEN mu END) AS c0,
+    SUM(var_mean) AS v,
+    CAST(SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT) AS n_users
+  FROM st
+), s AS (
+  SELECT n_users, (t1 - t0) - (c1 - c0) AS did, sqrt(v) AS se,
+         ((t1 - t0) - (c1 - c0)) / sqrt(v) AS z
+  FROM w
+)
+SELECT n_users,
+       ROUND(did, 6) AS did_estimate,
+       ROUND(se, 6) AS se,
+       ROUND(z, 6) AS z_stat,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('abs(z)')}), 8) AS p_value
+FROM s
+"""
+
+
+@query("ab_diff_in_diff", oracle=_DID_SQL)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences across the md5 arms and window
+    halves: DiD = (ȳ_T,after − ȳ_T,before) − (ȳ_C,after − ȳ_C,before)
+    on per-user total value — the quasi-experimental workhorse when
+    the arms were NOT randomized at assignment time (the control
+    trend nets out seasonality the plain after−before comparison
+    eats). Naive four-cell SE (Σ var(ȳ)/n, cells independent) — the
+    textbook form; a clustered SE is a modeling upgrade, not an
+    engine feature. On an A/A md5 split the estimate is a null
+    calibration check, like ab_odds_ratio_woolf.
+
+    Exactness: per-(user, half) totals are exact decimals quantized
+    at 4dp; cell raw moments Σy, Σy² stay in the decimal domain
+    (y² at DECIMAL(38,8) is exact); mean/variance/z/p are one
+    identical double chain.
+
+    Scale: one groupBy(user) (map-side combined), a 4-row cell
+    aggregate, one-row fold — nothing downstream of the first
+    shuffle is data-sized."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias(
+            "mid"
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.expr("unix_micros(ts)") < F.col("mid"),
+                        F.col("value").cast("decimal(28,8)"),
+                    ).otherwise(zero)
+                ),
+                4,
+            )
+            .cast("decimal(28,4)")
+            .alias("y0"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.expr("unix_micros(ts)") >= F.col("mid"),
+                        F.col("value").cast("decimal(28,8)"),
+                    ).otherwise(zero)
+                ),
+                4,
+            )
+            .cast("decimal(28,4)")
+            .alias("y1"),
+        )
+        .select(
+            md5_bucket(F.col("user_id"), F.lit("did13"), 2).alias("arm"),
+            "y0",
+            "y1",
+        )
+    )
+    long = u.select("arm", F.lit(0).alias("half"), F.col("y0").alias("y")).unionAll(
+        u.select("arm", F.lit(1).alias("half"), F.col("y1").alias("y"))
+    )
+    cell = long.groupBy("arm", "half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("double").alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,8)") * F.col("y"))
+        .cast("double")
+        .alias("s2"),
+    )
+    st = cell.select(
+        "arm",
+        "half",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("var_mean"),
+    )
+    w = st.agg(
+        F.max(F.when((F.col("arm") == 1) & (F.col("half") == 1), F.col("mu"))).alias("t1"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("half") == 0), F.col("mu"))).alias("t0"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("half") == 1), F.col("mu"))).alias("c1"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("half") == 0), F.col("mu"))).alias("c0"),
+        F.sum("var_mean").alias("v"),
+        F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_users"),
+    )
+    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+    z = did / F.sqrt(F.col("v"))
+    return w.select(
+        "n_users",
+        F.round(did, 6).alias("did_estimate"),
+        F.round(F.sqrt(F.col("v")), 6).alias("se"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(z))), 8
+        ).alias("p_value"),
+    )

@@ -725,3 +725,98 @@ def events_seasonal_strength_anova(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("period")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential-decay fit via log-linear OLS on the day frame (r13)
+# ---------------------------------------------------------------------------
+
+_DECAY_SQL = """
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                             AS DATE)) AS BIGINT) AS t,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), ly AS (
+  SELECT t, ln(y) AS g FROM d WHERE y > 0
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(t * t) AS BIGINT) AS sxx,
+         CAST(ROUND(SUM(CAST(g AS DECIMAL(28,12))), 8) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(CAST(t * g AS DECIMAL(28,12))), 8) AS DOUBLE) AS sxy
+  FROM ly
+), fit AS (
+  SELECT n,
+         (sxy - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope,
+         sy / n - (sxy - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+           * (CAST(sx AS DOUBLE) / n) AS intercept
+  FROM m
+)
+SELECT n AS n_days,
+       ROUND(intercept, 6) AS log_intercept,
+       ROUND(slope, 8) AS decay_rate,
+       CASE WHEN slope < 0 THEN ROUND(-ln(2.0) / slope, 4) END
+         AS half_life_days,
+       ROUND(exp(intercept), 4) AS fitted_day0
+FROM fit
+"""
+
+
+@query("events_decay_halflife_fit", oracle=_DECAY_SQL)
+def events_decay_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of daily purchase volume by LOG-LINEAR
+    OLS: ln(y_t) = a + b·t, half-life = −ln2/b — the retention/decay
+    primitive behind "how fast does this cohort/feature/campaign
+    fade" (NULL half-life when the series isn't decaying, as a
+    stationary fixture honestly reports). The closed-form OLS shares
+    the stats_durbin_watson integer-moment discipline: Σt, Σt² are
+    exact integers, ln(y) terms come from exact-decimal daily totals
+    and are decimal-quantized before folding.
+
+    Scale: one day-grain aggregate then a one-row closed-form fit —
+    nothing beyond the first scan is data-sized; no windows."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("t")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("y")
+    )
+    ly = d.filter(F.col("y") > 0).select("t", F.log("y").alias("g"))
+    m = ly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"),
+        F.round(F.sum(F.col("g").cast("decimal(28,12)")), 8)
+        .cast("double")
+        .alias("sy"),
+        F.round(F.sum((F.col("t") * F.col("g")).cast("decimal(28,12)")), 8)
+        .cast("double")
+        .alias("sxy"),
+    )
+    sxd = F.col("sx").cast("double")
+    slope = (F.col("sxy") - sxd * F.col("sy") / F.col("n")) / (
+        F.col("sxx").cast("double") - sxd * F.col("sx") / F.col("n")
+    )
+    intercept = F.col("sy") / F.col("n") - slope * (sxd / F.col("n"))
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(intercept, 6).alias("log_intercept"),
+        F.round(slope, 8).alias("decay_rate"),
+        F.when(slope < 0, F.round(-F.log(F.lit(2.0)) / slope, 4)).alias(
+            "half_life_days"
+        ),
+        F.round(F.exp(intercept), 4).alias("fitted_day0"),
+    )

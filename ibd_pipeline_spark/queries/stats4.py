@@ -432,3 +432,136 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(z))), 8
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conover squared-ranks scale test (purchase vs view dispersion)
+# ---------------------------------------------------------------------------
+
+_CONOVER_SQL = f"""
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS x, event_type = 'purchase' AS is_a
+  FROM events WHERE event_type IN ('purchase', 'view')
+), mu AS (
+  SELECT is_a,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 6) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM s GROUP BY is_a
+), dev AS (
+  SELECT s.is_a, ABS(s.x - mu.m) AS ad
+  FROM s JOIN mu ON mu.is_a = s.is_a
+), pv AS (
+  SELECT ad,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM dev GROUP BY ad
+), r AS (
+  SELECT c1, t, 2 * SUM(t) OVER (ORDER BY ad) - t + 1 AS u FROM pv
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(t - c1) AS BIGINT) AS n2,
+         CAST(SUM(c1 * u * u) AS BIGINT) AS t4,
+         CAST(SUM(t * u * u) AS BIGINT) AS s2,
+         SUM(CAST(CAST(t AS DOUBLE) * (CAST(u AS DOUBLE) * u * u * u)
+                  AS DECIMAL(38,0))) AS s4d
+  FROM r
+), z AS (
+  SELECT n1, n2, t4,
+         (CAST(t4 AS DOUBLE)
+          - CAST(n1 AS DOUBLE) * s2 / (n1 + n2))
+         / sqrt(CAST(n1 AS DOUBLE) * n2
+                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))
+                * (CAST(s4d AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * s2 / (n1 + n2))) AS zv
+  FROM agg
+)
+SELECT n1, n2, t4 AS t_stat_x4,
+       ROUND(zv, 6) AS z_stat,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('abs(zv)')}), 8) AS p_value
+FROM z
+"""
+
+
+@query("stats_conover_squared_ranks", oracle=_CONOVER_SQL)
+def stats_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover squared-ranks test for equal DISPERSION between
+    purchase and view values — the rank-based scale test that stays
+    valid when Levene/Bartlett's normal-ish assumptions don't
+    (stats_levene_test is the mean-deviation sibling; this one ranks
+    |x − x̄_group| and squares the mid-ranks, Conover 1980). T =
+    Σ_A r̄²; under H₀, E[T] = n₁·S̄ and Var[T] = n₁n₂(ΣS² − N·S̄²)
+    / (N(N−1)) with S the squared mid-ranks.
+
+    Exactness: mid-ranks never materialize halves — with u(v) =
+    2·cum − t + 1 per distinct deviation, 4·T = Σ c₁·u² and the
+    moment sums 4·ΣS = Σ t·u², 16·ΣS² = Σ t·u⁴ are integers (the u⁴
+    fold rides in DOUBLE products cast to DECIMAL(38,0) per term —
+    integer-valued floats, exact sums — because u⁴ can exceed BIGINT
+    at scale); deviations group by RAW double |x − μ_g| (never
+    rounded — the round-a-computed-quotient trap), with μ_g from
+    exact decimal sums.
+
+    Scale: group means are one aggregate; ranking is the distributed
+    distinct-value prefix-sum spine (one range exchange), the same
+    de-serialized form as MWU/KS; one-row fold after.
+    """
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = ev.select(
+        F.col("value").cast("double").alias("x"),
+        (F.col("event_type") == "purchase").alias("is_a"),
+    )
+    mu = s.groupBy("is_a").agg(
+        (
+            F.round(F.sum(F.col("x").cast("decimal(28,8)")), 6).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    dev = s.join(F.broadcast(mu), "is_a").select(
+        "is_a", F.abs(F.col("x") - F.col("m")).alias("ad")
+    )
+    pv = dev.groupBy("ad").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    cum = with_global_prefix_sums(pv, ["ad"], ["t"])
+    u = 2 * F.col("_cum_t") - F.col("t") + F.lit(1)
+    ud = u.cast("double")
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * u * u).cast("bigint").alias("t4"),
+        F.sum(F.col("t") * u * u).cast("bigint").alias("s2"),
+        F.sum(
+            (F.col("t").cast("double") * (ud * ud * ud * ud)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s4d"),
+    )
+    nn = F.col("n1") + F.col("n2")
+    zv = (
+        F.col("t4").cast("double")
+        - F.col("n1").cast("double") * F.col("s2") / nn
+    ) / F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / (nn.cast("double") * (nn - 1))
+        * (
+            F.col("s4d").cast("double")
+            - F.col("s2").cast("double") * F.col("s2") / nn
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("t4").alias("t_stat_x4"),
+        F.round(zv, 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(zv))), 8
+        ).alias("p_value"),
+    )

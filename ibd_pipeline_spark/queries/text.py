@@ -469,3 +469,94 @@ def text_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch_reading_ease"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram entropy per language (r13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_char_trigram_entropy",
+    oracle="""
+WITH grams AS (
+  SELECT lang, u.g
+  FROM (SELECT lang, text,
+               list_transform(
+                 range(1, GREATEST(LEN(text) - 2, 1) + 1),
+                 i -> substring(text, CAST(i AS INT), 3)) AS gs
+        FROM documents) t, unnest(gs) AS u(g)
+), freq AS (
+  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS f FROM grams GROUP BY lang, g
+), agg AS (
+  SELECT lang,
+         CAST(SUM(f) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(ROUND(SUM(CAST(f * ln(CAST(f AS DOUBLE)) AS DECIMAL(28,8))), 6)
+              AS DOUBLE) AS sfl
+  FROM freq GROUP BY lang
+)
+SELECT lang, n AS n_grams, vocab,
+       ROUND(ln(CAST(n AS DOUBLE)) - sfl / n, 6) AS entropy_nats,
+       ROUND((ln(CAST(n AS DOUBLE)) - sfl / n)
+             / ln(CAST(vocab AS DOUBLE)), 6) AS norm_entropy
+FROM agg ORDER BY lang
+""",
+)
+def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram entropy per language: H = ln N − (Σ f·ln f)/N
+    over the trigram frequency table, plus the vocabulary-normalized
+    form H/ln V — the script-level degeneracy detector (repeated
+    boilerplate, mojibake, and single-byte-padding text all collapse
+    trigram entropy long before word-level stats notice; the
+    character sibling of text_vocab_hapax_stats and the corpus-level
+    counterpart of the per-image entropy gate).
+
+    Exactness: integer trigram frequencies (substr sliding window,
+    identical 1-based semantics both engines; short docs degrade to
+    one whole-text gram); each f·ln f term decimal-quantized before
+    the fold; two ln/÷ at the end on bit-identical inputs.
+
+    Scale: the explode is 1 row per character of corpus — one
+    map-side-combined (lang, gram) aggregate bounds it immediately;
+    the per-language frequency table is vocabulary-sized (≤ charset³)
+    and the rollup is catalog-sized. No windows, no UDFs."""
+    d = load_wide(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))
+                ),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    agg = freq.groupBy("lang").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.round(
+            F.sum(
+                (F.col("f") * F.log(F.col("f").cast("double"))).cast(
+                    "decimal(28,8)"
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("sfl"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("sfl") / F.col("n")
+    return agg.select(
+        "lang",
+        F.col("n").alias("n_grams"),
+        "vocab",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(h / F.log(F.col("vocab").cast("double")), 6).alias(
+            "norm_entropy"
+        ),
+    ).orderBy("lang")
