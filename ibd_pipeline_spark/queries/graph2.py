@@ -347,3 +347,117 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.orderBy(
         F.col("jaccard").desc(), "u", "v"
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient of the co-activity graph (r13)
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_SQL = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 100
+), e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), ks AS (
+  SELECT k FROM (VALUES (10), (20), (40)) AS t(k)
+), club AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS nk
+  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY ks.k
+), ek AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS edges_k
+  FROM ks JOIN e ON TRUE
+  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+  WHERE du.deg > ks.k AND dv.deg > ks.k
+  GROUP BY ks.k
+)
+SELECT club.k AS k, club.nk AS n_club, COALESCE(ek.edges_k, 0) AS club_edges,
+       CASE WHEN club.nk >= 2
+            THEN ROUND(2.0 * COALESCE(ek.edges_k, 0)
+                       / (CAST(club.nk AS DOUBLE) * (club.nk - 1)), 6)
+       END AS rich_club_phi
+FROM club LEFT JOIN ek ON ek.k = club.k
+ORDER BY k
+"""
+
+
+@query("graph_rich_club_coefficient", oracle=_RICH_CLUB_SQL)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) — the
+    density of the subgraph induced by nodes of degree > k, for the
+    ladder k ∈ {10, 20, 40}: do the most-connected users also connect
+    to EACH OTHER (hub oligarchy) or only to the periphery
+    (hub-and-spoke)? The graph-topology companion of
+    analytics_hhi_concentration's market version, and the summary
+    degree_assortativity can't give (assortativity is one global
+    correlation; φ(k) localizes it to the top of the degree ladder).
+
+    Exactness: degrees, club sizes, and club-internal edge counts are
+    integers; one guarded double division per k (NULL below 2
+    members, the honest degenerate report).
+
+    Scale: degree frame is node-sized; the club-edge count joins the
+    edge list against the (broadcast) degree frame twice and
+    aggregates per k — O(|E|·|ks|) with catalog-sized k ladder; same
+    co-activity edge bounds as the rest of the family (SCALE.md)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by degrees + club edges
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ks = e.sparkSession.createDataFrame([(10,), (20,), (40,)], "k int")
+    club = (
+        F.broadcast(ks)
+        .join(deg, deg["deg"] > ks["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nk"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    ek = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("edges_k"))
+    )
+    out = club.join(ek, "k", "left").select(
+        "k",
+        F.col("nk").alias("n_club"),
+        F.coalesce(F.col("edges_k"), F.lit(0)).cast("bigint").alias(
+            "club_edges"
+        ),
+        F.when(
+            F.col("nk") >= 2,
+            F.round(
+                2.0
+                * F.coalesce(F.col("edges_k"), F.lit(0))
+                / (F.col("nk").cast("double") * (F.col("nk") - 1)),
+                6,
+            ),
+        ).alias("rich_club_phi"),
+    )
+    return out.orderBy("k")

@@ -565,3 +565,190 @@ def stats_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(zv))), 8
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chapman capture-recapture population estimate (r13)
+# ---------------------------------------------------------------------------
+
+_CAPTURE_SQL = """
+WITH bnd AS (
+  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), u AS (
+  SELECT user_id,
+         MAX(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid
+                  THEN 1 ELSE 0 END) AS c1,
+         MAX(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+                  THEN 1 ELSE 0 END) AS c2
+  FROM events CROSS JOIN bnd GROUP BY user_id
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * c2) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM u
+), est AS (
+  SELECT n1, n2, m, n_true,
+         CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1.0 AS nhat,
+         sqrt(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) * (n1 - m) * (n2 - m)
+              / (CAST((m + 1) AS DOUBLE) * (m + 1) * (m + 2))) AS se
+  FROM agg
+)
+SELECT n1 AS n_first, n2 AS n_second, m AS n_both, n_true,
+       ROUND(nhat, 4) AS chapman_estimate,
+       ROUND(se, 4) AS se,
+       ROUND(nhat - 1.959963984540054 * se, 4) AS ci_lo,
+       ROUND(nhat + 1.959963984540054 * se, 4) AS ci_hi
+FROM est
+"""
+
+
+@query("stats_capture_recapture", oracle=_CAPTURE_SQL)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the user population from
+    two "capture occasions" (active in the first vs second half of
+    the window): N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with the closed-form SE —
+    the coverage-estimation primitive ("how many entities exist that
+    my two partial crawls/feeds only sample?"); `n_true` rides along
+    for attestation and honesty-checking the estimator, exactly the
+    privacy_randomized_response pattern.
+
+    Exactness: three integer capture counts and one double chain —
+    the z·SE interval uses the exact double z₉₇.₅ literal both
+    engines.
+
+    Scale: one groupBy(user) with two MAX flags (map-side combined),
+    one-row fold."""
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias(
+            "mid"
+        )
+    )
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.expr("unix_micros(ts)") < F.col("mid"), 1).otherwise(
+                    0
+                )
+            ).alias("c1"),
+            F.max(
+                F.when(
+                    F.expr("unix_micros(ts)") >= F.col("mid"), 1
+                ).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    agg = u.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+    )
+    nhat = ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double") / (
+        F.col("m") + 1
+    ) - F.lit(1.0)
+    se = F.sqrt(
+        ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / (
+            (F.col("m") + 1).cast("double")
+            * (F.col("m") + 1)
+            * (F.col("m") + 2)
+        )
+    )
+    z975 = F.lit(1.959963984540054)
+    return agg.select(
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        F.col("m").alias("n_both"),
+        "n_true",
+        F.round(nhat, 4).alias("chapman_estimate"),
+        F.round(se, 4).alias("se"),
+        F.round(nhat - z975 * se, 4).alias("ci_lo"),
+        F.round(nhat + z975 * se, 4).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peaks-over-threshold GPD fit by method of moments (r13)
+# ---------------------------------------------------------------------------
+
+_POT_SQL = """
+WITH e AS (
+  SELECT CAST(value AS DOUBLE) - 150.0 AS x
+  FROM events WHERE event_type = 'purchase' AND value > 150.0
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 6) AS DOUBLE) AS s1,
+         CAST(ROUND(SUM(CAST(x * x AS DECIMAL(38,8))), 4) AS DOUBLE) AS s2
+  FROM e
+), mo AS (
+  SELECT n, s1 / n AS mu,
+         (s2 - s1 * s1 / n) / (n - 1) AS v
+  FROM m
+), fit AS (
+  SELECT n, mu, v,
+         0.5 * (1.0 - mu * mu / v) AS xi,
+         0.5 * mu * (1.0 + mu * mu / v) AS beta
+  FROM mo
+)
+SELECT n AS n_exceedances,
+       ROUND(mu, 6) AS mean_excess,
+       ROUND(v, 4) AS var_excess,
+       ROUND(xi, 6) AS gpd_xi,
+       ROUND(beta, 6) AS gpd_beta
+FROM fit
+"""
+
+
+@query("stats_pot_gpd_moments", oracle=_POT_SQL)
+def stats_pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value fit: generalized Pareto
+    shape/scale by METHOD OF MOMENTS over excesses above u = 150
+    (the smallest fixture keeps n ≥ 2 there; u is corpus policy)
+    (ξ = ½(1 − μ²/σ²), β = ½μ(1 + μ²/σ²), Hosking & Wallis 1987) —
+    the tail-risk sibling of stats_gumbel_return_level: block maxima
+    model the biggest value per period, POT models EVERY exceedance,
+    which is what capacity planning and fraud thresholds consume.
+    ξ < 0 reports a bounded tail (as a bounded synthetic fixture
+    honestly should); ξ ≥ ½ would flag an infinite-variance tail
+    where the MOM fit itself stops being valid.
+
+    Exactness: excess first/second moments as exact decimal sums
+    (x·x at DECIMAL(38,8) from bit-identical doubles), one closed
+    double chain for μ/σ²/ξ/β.
+
+    Scale: one filtered scan with a pushed predicate + a one-row
+    moment fold; the threshold keeps the excess frame tail-sized."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+    )
+    e = ev.select((F.col("value").cast("double") - F.lit(150.0)).alias("x"))
+    m = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("x").cast("decimal(28,8)")), 6)
+        .cast("double")
+        .alias("s1"),
+        F.round(F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)")), 4)
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    v = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    xi = F.lit(0.5) * (F.lit(1.0) - mu * mu / v)
+    beta = F.lit(0.5) * mu * (F.lit(1.0) + mu * mu / v)
+    return m.select(
+        F.col("n").alias("n_exceedances"),
+        F.round(mu, 6).alias("mean_excess"),
+        F.round(v, 4).alias("var_excess"),
+        F.round(xi, 6).alias("gpd_xi"),
+        F.round(beta, 6).alias("gpd_beta"),
+    )
