@@ -487,3 +487,123 @@ def similarity_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("pos").cast("int"), "mean_val")
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out kNN label-recovery evaluation (r13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_knn_label_eval",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS yt
+  FROM embeddings WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv, label AS yn
+  FROM embeddings
+), scored AS (
+  SELECT q.qid, q.yt, c.cid, c.yn,
+         ROUND(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+  FROM q JOIN c ON q.qid <> c.cid
+), ranked AS (
+  SELECT qid, yt, yn,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cs DESC, cid) AS rank
+  FROM scored
+), votes AS (
+  SELECT qid, yt, yn, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ranked WHERE rank <= 5 GROUP BY qid, yt, yn
+), pred AS (
+  SELECT qid, yt, yn AS yp FROM (
+    SELECT qid, yt, yn,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cnt DESC, yn) AS rk
+    FROM votes) WHERE rk = 1
+)
+SELECT yt AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN yp = yt THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN yp = yt THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS accuracy
+FROM pred GROUP BY yt ORDER BY yt
+""",
+)
+def similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label recovery over the embedding corpus
+    (every 10th vector as a query): majority vote among the 5 exact
+    cosine neighbors' labels, ties to the smallest label — the
+    EMBEDDING-QUALITY probe (if nearest neighbors don't share labels,
+    no ANN index will fix retrieval) and the evaluation sibling of
+    similarity_ndcg_eval, measured per class so one dominant label
+    can't hide a dead one.
+
+    Exactness: rides brute_force_topk's determinism contract (rounded
+    cosine, corpus-id tiebreak); the vote is integer counts with a
+    total-order tiebreak (cnt DESC, label ASC via one struct-max, the
+    LPA idiom); accuracies are single divisions of integers.
+
+    Scale: O(|Q|·|C|) exact scoring with the query side broadcast —
+    the offline eval shape (run it on a sample, exactly like this
+    10% systematic sample); the production retrieval path stays
+    LSH/IVF."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    top = S.brute_force_topk(
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        k=5,
+    )
+    lab = emb.select("vec_id", "label")
+    votes = (
+        top.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("corpus_id"),
+                    F.col("label").alias("yn"),
+                )
+            ),
+            "corpus_id",
+        )
+        .groupBy("query_id", "yn")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pred = (
+        votes.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("yn")).alias("ny"))
+            ).alias("m")
+        )
+        .select("query_id", (-F.col("m.ny")).cast("int").alias("yp"))
+    )
+    truth = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("yt")
+    )
+    j = pred.join(F.broadcast(truth), "query_id")
+    return (
+        j.groupBy(F.col("yt").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("yp") == F.col("yt"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("yp") == F.col("yt"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

@@ -725,3 +725,95 @@ def sketch_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame
             "est_jaccard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz–Thompson sum estimation from a deterministic 10% sample (r13)
+# ---------------------------------------------------------------------------
+
+_HT_SQL = """
+WITH t AS (
+  SELECT l_extendedprice AS y,
+         CAST(('0x' || substring(md5('ht13:' || CAST(l_orderkey AS VARCHAR)
+                                  || '-' || CAST(l_linenumber AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 10 AS b
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+         CAST(ROUND(SUM(CAST(y AS DECIMAL(28,8))), 2) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(CAST(y AS DECIMAL(28,8))
+                        * CAST(y AS DECIMAL(28,8))), 2) AS DOUBLE) AS syy
+  FROM t WHERE b = 0
+), tr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(ROUND(SUM(CAST(y AS DECIMAL(28,8))), 2) AS DOUBLE) AS true_sum
+  FROM t
+), e AS (
+  SELECT n_sample, n_total, true_sum,
+         sy * 10.0 AS est,
+         sqrt(syy * 0.9 * 100.0) AS se
+  FROM s CROSS JOIN tr
+)
+SELECT n_sample, n_total,
+       ROUND(est, 2) AS ht_estimate,
+       ROUND(true_sum, 2) AS true_sum,
+       ROUND(se, 2) AS se,
+       ROUND((est - true_sum) / true_sum, 6) AS rel_error
+FROM e
+"""
+
+
+@query("sketch_sample_sum_estimator", oracle=_HT_SQL)
+def sketch_sample_sum_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson total-revenue estimate from a DETERMINISTIC
+    10% Bernoulli sample (md5 bucket on the row key — the
+    train_split_three_way membership contract: stable across reruns,
+    engines, partitioning, appends): θ̂ = Σ_sample y / p with the
+    standard V̂ = (1−p)/p²·Σ_sample y² variance estimate — "query the
+    sample, bound the error" is the cheapest approximate-aggregation
+    scheme there is and the baseline any sketch must beat; true_sum
+    rides along for attestation (the capture-recapture/randomized-
+    response honesty pattern).
+
+    Exactness: sample membership is a pure row function; both sums
+    stay in the decimal domain (y·y exact at DECIMAL(38,16)→rounded);
+    estimate/SE/relative error are one double chain.
+
+    Scale: one pushed-filter scan for the sample aggregate + one full
+    scan for the attestation column (dropped in production — the
+    whole point is NOT computing the true sum)."""
+    li = load(spark, sf_dir, "lineitem")
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    t = li.select(
+        F.col("l_extendedprice").alias("y"),
+        md5_bucket(key, F.lit("ht13"), 10).alias("b"),
+    )
+    yd = F.col("y").cast("decimal(28,8)")
+    s = t.filter(F.col("b") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.round(F.sum(yd), 2).cast("double").alias("sy"),
+        F.round(F.sum(yd * yd), 2).cast("double").alias("syy"),
+    )
+    tr = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.round(F.sum(yd), 2).cast("double").alias("true_sum"),
+    )
+    e = s.crossJoin(F.broadcast(tr))
+    est = F.col("sy") * F.lit(10.0)
+    se = F.sqrt(F.col("syy") * F.lit(0.9) * F.lit(100.0))
+    return e.select(
+        "n_sample",
+        "n_total",
+        F.round(est, 2).alias("ht_estimate"),
+        F.round(F.col("true_sum"), 2).alias("true_sum"),
+        F.round(se, 2).alias("se"),
+        F.round((est - F.col("true_sum")) / F.col("true_sum"), 6).alias(
+            "rel_error"
+        ),
+    )

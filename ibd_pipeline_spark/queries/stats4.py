@@ -752,3 +752,109 @@ def stats_pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(xi, 6).alias("gpd_xi"),
         F.round(beta, 6).alias("gpd_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deming (orthogonal) regression: order totalprice vs lineitem revenue
+# ---------------------------------------------------------------------------
+
+_DEMING_SQL = """
+WITH p AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_totalprice AS DOUBLE) AS y,
+         CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,8))), 2)
+              AS DOUBLE) AS x
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_totalprice
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 2) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(y AS DECIMAL(28,8))), 2) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))
+                        * CAST(x AS DECIMAL(28,8))), 2) AS DOUBLE) AS sxx,
+         CAST(ROUND(SUM(CAST(y AS DECIMAL(28,8))
+                        * CAST(y AS DECIMAL(28,8))), 2) AS DOUBLE) AS syy,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))
+                        * CAST(y AS DECIMAL(28,8))), 2) AS DOUBLE) AS sxy
+  FROM p
+), c AS (
+  SELECT n,
+         sxx - sx * sx / n AS cxx,
+         syy - sy * sy / n AS cyy,
+         sxy - sx * sy / n AS cxy,
+         sx / n AS mx, sy / n AS my
+  FROM m
+), fit AS (
+  SELECT n, mx, my, cxy / cxx AS ols_slope,
+         (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx) + 4.0 * cxy * cxy))
+           / (2.0 * cxy) AS dem_slope
+  FROM c
+)
+SELECT n AS n_orders,
+       ROUND(dem_slope, 6) AS deming_slope,
+       ROUND(my - dem_slope * mx, 4) AS deming_intercept,
+       ROUND(ols_slope, 6) AS ols_slope,
+       ROUND(my - ols_slope * mx, 4) AS ols_intercept
+FROM fit
+"""
+
+
+@query("stats_deming_regression", oracle=_DEMING_SQL)
+def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (orthogonal, λ=1) regression of order header totalprice
+    on the per-order lineitem revenue sum — the errors-in-BOTH-
+    variables fit: OLS assumes x is exact and attenuates the slope
+    toward zero when it isn't (two noisy measurements of the same
+    underlying amount is exactly that case); the Deming slope
+    (C_yy − C_xx + √((C_yy−C_xx)² + 4C_xy²)) / 2C_xy is the
+    measurement-reconciliation classic, emitted NEXT TO the OLS slope
+    so the attenuation is visible in one row.
+
+    Exactness: all five raw moments stay in the decimal domain
+    (cross products of DECIMAL(28,8) are exact), centered moments and
+    the slope chain are identical double algebra both engines.
+
+    Scale: one map-side-combined per-order aggregate joined to the
+    header (order-key shuffle), then a one-row moment fold."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    p = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 2
+            )
+            .cast("double")
+            .alias("x")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("x", F.col("o_totalprice").cast("double").alias("y"))
+    )
+    xd = F.col("x").cast("decimal(28,8)")
+    yd = F.col("y").cast("decimal(28,8)")
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(xd), 2).cast("double").alias("sx"),
+        F.round(F.sum(yd), 2).cast("double").alias("sy"),
+        F.round(F.sum(xd * xd), 2).cast("double").alias("sxx"),
+        F.round(F.sum(yd * yd), 2).cast("double").alias("syy"),
+        F.round(F.sum(xd * yd), 2).cast("double").alias("sxy"),
+    )
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    ols = cxy / cxx
+    dem = (
+        cyy - cxx + F.sqrt((cyy - cxx) * (cyy - cxx) + F.lit(4.0) * cxy * cxy)
+    ) / (F.lit(2.0) * cxy)
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.round(dem, 6).alias("deming_slope"),
+        F.round(my - dem * mx, 4).alias("deming_intercept"),
+        F.round(ols, 6).alias("ols_slope"),
+        F.round(my - ols * mx, 4).alias("ols_intercept"),
+    )

@@ -518,3 +518,102 @@ def train_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perplexity"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) sharding of the document corpus (r13)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+_RENDEZVOUS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, s.shard,
+         CAST(('0x' || substring(md5('hrw13:' || CAST(s.shard AS VARCHAR)
+                                  || ':' || CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS wt
+  FROM documents
+  CROSS JOIN (SELECT UNNEST(range(0, {_N_SHARDS})) AS shard) s
+), pick AS (
+  SELECT doc_id, shard FROM (
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY wt DESC, shard) AS rk
+    FROM w) WHERE rk = 1
+), sizes AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pick GROUP BY shard
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM sizes
+)
+SELECT shard, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) * {_N_SHARDS} / n, 6) AS balance_ratio
+FROM sizes CROSS JOIN tot ORDER BY shard
+"""
+
+
+@query("train_rendezvous_sharding", oracle=_RENDEZVOUS_SQL)
+def train_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding of the corpus
+    across 8 shards: every document hashes once per shard and lands
+    on its argmax weight — the assignment that moves only 1/(n+1) of
+    keys when a shard is added (Thaler–Ravishankar 1996), which plain
+    `hash(id) % n` cannot do (mod-n reshuffles nearly everything).
+    The shard-assignment primitive for checkpoint/download sharding
+    of a training corpus; per-shard sizes + balance ratio audit the
+    uniformity the scheme promises.
+
+    Exactness: md5-derived 60-bit integer weights (collision odds
+    immaterial, and the (weight, shard) order is total anyway);
+    argmax via one struct-max (no window); integer sizes, one
+    division.
+
+    Scale: |docs|×|shards| weight rows never materialize — the
+    struct-max folds them in the same map-side-combinable aggregate;
+    adding shard 9 re-routes ~1/9 of keys, attested by construction."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    shards = d.sparkSession.createDataFrame(
+        [(i,) for i in range(_N_SHARDS)], "shard int"
+    )
+    wt = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("hrw13"),
+                    F.col("shard").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pick = (
+        d.crossJoin(F.broadcast(shards))
+        .select("doc_id", "shard", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("wt"), (-F.col("shard")).alias("ns"))
+            ).alias("m")
+        )
+        .select("doc_id", (-F.col("m.ns")).cast("int").alias("shard"))
+    )
+    sizes = pick.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = sizes.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") * _N_SHARDS / F.col("n"), 6
+            ).alias("balance_ratio"),
+        )
+        .orderBy("shard")
+    )
