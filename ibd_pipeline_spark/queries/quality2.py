@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.catalog import load, load_wide
 from ibd_pipeline_spark.queries import query
 
 # Deterministic mutation gates (pure functions of the key, identical
@@ -317,4 +317,162 @@ def quality_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log2(F.col("n_distinct").cast("double")), 6).alias(
             "max_entropy_bits"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest-order monotonicity audit: event_id vs event-time (r13)
+# ---------------------------------------------------------------------------
+
+_MONO_SQL = """
+WITH e AS (
+  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), p AS (
+  SELECT a.event_id, a.us AS cur, b.us AS prev
+  FROM e a JOIN e b ON b.event_id = a.event_id - 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN cur < prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         CAST(MAX(CASE WHEN cur < prev THEN prev - cur ELSE 0 END)
+              AS BIGINT) AS max_backstep_us
+  FROM p
+)
+SELECT n_pairs, n_violations,
+       ROUND(CAST(n_violations AS DOUBLE) / n_pairs, 6) AS violation_rate,
+       ROUND(CAST(max_backstep_us AS DOUBLE) / 1000000.0, 3)
+         AS max_backstep_sec
+FROM agg
+"""
+
+
+@query("quality_monotonic_violations", oracle=_MONO_SQL)
+def quality_monotonic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order monotonicity audit: does event-time move backwards
+    between consecutively-ASSIGNED event ids? Every at-least-once
+    ingest path reorders under retries/partitions, and this count —
+    adjacent-id pairs where ts regresses, plus the worst backstep —
+    is the number that sizes your streaming WATERMARK (a 2-minute
+    watermark with 5-minute backsteps silently drops data; the
+    reference hardcodes 2 min at `spark_processor.py:149` with no
+    audit behind it — this query is that audit).
+
+    Exactness: adjacency by id SELF-JOIN (id − 1 equi-join; no global
+    sort, no lag window), integer µs comparisons, one division.
+
+    Scale: one id-keyed self-join (both sides partition on the key)
+    + a one-row fold; ids are dense by construction here, and a
+    sparse id space degrades gracefully (missing neighbors just drop
+    out of the pair frame)."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("event_id", F.expr("unix_micros(ts)").alias("us"))
+    a, b = e.alias("a"), e.alias("b")
+    p = a.join(
+        b, F.col("b.event_id") == F.col("a.event_id") - F.lit(1)
+    ).select(F.col("a.us").alias("cur"), F.col("b.us").alias("prev"))
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("cur") < F.col("prev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.max(
+            F.when(
+                F.col("cur") < F.col("prev"), F.col("prev") - F.col("cur")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("max_backstep_us"),
+    )
+    return agg.select(
+        "n_pairs",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_pairs"), 6
+        ).alias("violation_rate"),
+        F.round(
+            F.col("max_backstep_us").cast("double") / F.lit(1000000.0), 3
+        ).alias("max_backstep_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-damage audit: replacement/control characters per source (r13)
+# ---------------------------------------------------------------------------
+
+_ENC_SQL = """
+WITH c AS (
+  SELECT source,
+         CAST(LEN(text) AS BIGINT) AS n_chars,
+         CAST(LEN(regexp_extract_all(text, '\\xEF\\xBF\\xBD')) AS BIGINT)
+           AS n_repl,
+         CAST(LEN(regexp_extract_all(text,
+              '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_ctrl
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_repl) AS BIGINT) AS replacement_chars,
+       CAST(SUM(n_ctrl) AS BIGINT) AS control_chars,
+       CAST(SUM(CASE WHEN n_repl + n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS damaged_docs,
+       ROUND(SUM(CASE WHEN n_repl + n_ctrl > 0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS damaged_ratio
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+@query("quality_encoding_damage", oracle=_ENC_SQL)
+def quality_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit per source: U+FFFD replacement characters
+    (the scar every mis-decoded byte leaves once text is UTF-8) and
+    C0 control characters (binary junk that survived extraction;
+    tab/newline/CR exempted) — the transcoding-health gate that runs
+    BEFORE any text statistic, because mojibake poisons tokenizers
+    and dedup alike while looking like valid unicode to every other
+    filter. A clean synthetic corpus honestly reports zeros; the
+    plumbing is what the oracle pins.
+
+    Exactness: integer regexp counts per doc, integer sums, one
+    division. The U+FFFD pattern is spelled as its UTF-8 bytes so
+    both regex engines match the literal character.
+
+    Scale: per-row codegen regex + one map-side-combined aggregate
+    on the source key; text scanned once."""
+    d = load_wide(spark, sf_dir, "documents")
+    c = d.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.regexp_count("text", F.lit("�"))
+        .cast("bigint")
+        .alias("n_repl"),
+        F.regexp_count(
+            "text", F.lit("[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+        )
+        .cast("bigint")
+        .alias("n_ctrl"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_repl").cast("bigint").alias("replacement_chars"),
+            F.sum("n_ctrl").cast("bigint").alias("control_chars"),
+            F.sum(
+                F.when(F.col("n_repl") + F.col("n_ctrl") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("damaged_docs"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("n_repl") + F.col("n_ctrl") > 0, 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("damaged_ratio"),
+        )
+        .orderBy("source")
     )

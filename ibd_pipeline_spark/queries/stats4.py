@@ -858,3 +858,115 @@ def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ols, 6).alias("ols_slope"),
         F.round(my - ols * mx, 4).alias("ols_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Circular statistics: hour-of-day mean direction + Rayleigh test (r13)
+# ---------------------------------------------------------------------------
+
+
+def _hour_trig_rows() -> "list[tuple[int, float, float]]":
+    """The 24 unit-circle coordinates for hour angles 2πh/24, computed
+    ONCE in Python — both the Spark frame and the DuckDB VALUES
+    literal consume these exact doubles, so no engine ever calls its
+    own cos/sin (the one libm surface the float discipline cannot
+    pin; the seasonal-ANOVA query avoids trig entirely, this one
+    needs actual directions and shares a single trig source
+    instead)."""
+    import math
+
+    return [
+        (
+            h,
+            math.cos(2.0 * math.pi * h / 24.0),
+            math.sin(2.0 * math.pi * h / 24.0),
+        )
+        for h in range(24)
+    ]
+
+
+def _rayleigh_oracle() -> str:
+    vals = ",\n    ".join(
+        f"({h}, {c!r}, {s!r})" for h, c, s in _hour_trig_rows()
+    )
+    return f"""
+WITH trig(h, cx, sx) AS (VALUES
+    {vals}
+), e AS (
+  SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS h
+  FROM events WHERE event_type = 'purchase'
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(t.cx AS DECIMAL(28,12))), 8) AS DOUBLE) AS sc,
+         CAST(ROUND(SUM(CAST(t.sx AS DECIMAL(28,12))), 8) AS DOUBLE) AS ss
+  FROM e JOIN trig t ON t.h = e.h
+), s AS (
+  SELECT n, sc, ss,
+         sqrt(sc * sc + ss * ss) / n AS rbar
+  FROM agg
+), z AS (
+  SELECT n, rbar, CAST(n AS DOUBLE) * rbar * rbar AS zs FROM s
+)
+SELECT n AS n_events,
+       ROUND(rbar, 6) AS resultant_length,
+       ROUND(zs, 6) AS rayleigh_z,
+       ROUND(exp(-zs) * (1.0 + (2.0 * zs - zs * zs) / (4.0 * n)), 8)
+         AS p_value
+FROM z
+"""
+
+
+@query("stats_rayleigh_hour_uniformity", oracle=_rayleigh_oracle)
+def stats_rayleigh_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh test of hour-of-day uniformity for purchases —
+    CIRCULAR statistics: hours live on a clock, so "mean hour" via
+    arithmetic averaging is wrong at the midnight wrap (23:00 and
+    01:00 average to noon); the resultant vector R̄ of the unit
+    directions is the right mean, and Z = n·R̄² tests uniformity
+    (with the standard O(1/n) corrected p). The diurnal-concentration
+    sibling of the residue-class seasonal ANOVA.
+
+    Exactness: both engines consume ONE Python-computed 24-row trig
+    table (no engine-side cos/sin — libm is the one surface the
+    float discipline can't pin), components decimal-quantized before
+    folding, then an identical double chain.
+
+    Scale: per-row hour extraction + a broadcast join against 24
+    rows + one aggregate; nothing downstream is data-sized."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    trig = ev.sparkSession.createDataFrame(
+        _hour_trig_rows(), "h int, cx double, sx double"
+    )
+    e = ev.select(F.hour("ts").cast("int").alias("h"))
+    agg = (
+        e.join(F.broadcast(trig), "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("cx").cast("decimal(28,12)")), 8)
+            .cast("double")
+            .alias("sc"),
+            F.round(F.sum(F.col("sx").cast("decimal(28,12)")), 8)
+            .cast("double")
+            .alias("ss"),
+        )
+    )
+    rbar = (
+        F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+        / F.col("n")
+    )
+    zs = F.col("n").cast("double") * rbar * rbar
+    return agg.select(
+        F.col("n").alias("n_events"),
+        F.round(rbar, 6).alias("resultant_length"),
+        F.round(zs, 6).alias("rayleigh_z"),
+        F.round(
+            F.exp(-zs)
+            * (
+                F.lit(1.0)
+                + (F.lit(2.0) * zs - zs * zs) / (F.lit(4.0) * F.col("n"))
+            ),
+            8,
+        ).alias("p_value"),
+    )
