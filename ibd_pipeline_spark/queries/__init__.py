@@ -207,6 +207,50 @@ _ROUND6_NEW: list[str] = [
 # Computed mechanically by tools/attestation_status.py;
 # tests/test_attestation.py gates drift.
 # ----------------------------------------------------------------------
+# ----------------------------------------------------------------------
+# ROUND-13 WINDOW PREFIX. The 29 r13 additions (waves 1-6 + the two
+# audio-gate queries + spectral), all never-attested; no r13 change
+# touched an attested query's values (the markov srcs hoist, bench
+# rerun guard, similarity TypeError guard, and quantiles alarm guard
+# are value-neutral; the POT threshold resize happened inside this
+# round, pre-attestation), so _ROUND13_PRIORITY is empty.
+# Computed mechanically by tools/attestation_status.py;
+# tests/test_attestation.py gates drift.
+# ----------------------------------------------------------------------
+_ROUND13_PRIORITY: list[str] = []
+
+_ROUND13_NEW: list[str] = [
+    "multimodal_audio_quality_gates",
+    "multimodal_audio_gate_summary",
+    "multimodal_audio_spectral",
+    "stats_cochran_q",
+    "stats_wilcoxon_signed_rank",
+    "stats_jonckheere_terpstra",
+    "text_yule_k_simpson",
+    "text_flesch_reading_ease",
+    "analytics_theil_index",
+    "privacy_randomized_response",
+    "events_variance_ratio",
+    "dedup_lsh_recall_eval",
+    "events_seasonal_strength_anova",
+    "graph_jaccard_link_prediction",
+    "analytics_price_index_fisher",
+    "ab_diff_in_diff",
+    "events_decay_halflife_fit",
+    "stats_conover_squared_ranks",
+    "text_char_trigram_entropy",
+    "stats_capture_recapture",
+    "stats_pot_gpd_moments",
+    "graph_rich_club_coefficient",
+    "similarity_knn_label_eval",
+    "train_rendezvous_sharding",
+    "sketch_sample_sum_estimator",
+    "stats_deming_regression",
+    "stats_rayleigh_hour_uniformity",
+    "quality_monotonic_violations",
+    "quality_encoding_damage",
+]
+
 _ROUND12_PRIORITY: list[str] = [
     # rows-only -> hash-attested conversion (the registry's LAST
     # no_oracle row): deterministic envelope over the synth pipeline
@@ -660,9 +704,11 @@ def _driver_order(names: list[str]) -> list[str]:
     # r06 prefix: never-attested wave-3/4 queries + this round's new
     # registrations (≤50 total), then the r01–r05 attested history in
     # its historical order (evidence in CORRECTNESS_r{01..05}.json).
-    head = _ROUND12_PRIORITY + [
-        n for n in _ROUND12_NEW if n not in _ROUND12_PRIORITY
+    head = _ROUND13_PRIORITY + [
+        n for n in _ROUND13_NEW if n not in _ROUND13_PRIORITY
     ]
+    head = head + [n for n in _ROUND12_PRIORITY if n not in head]
+    head = head + [n for n in _ROUND12_NEW if n not in head]
     head = head + [n for n in _ROUND11_PRIORITY if n not in head]
     head = head + [n for n in _ROUND11_NEW if n not in head]
     head = head + [n for n in _ROUND10_PRIORITY if n not in head]

@@ -56,14 +56,24 @@ def test_no_silently_stale_oracle_rows():
 
 
 def test_pinned_rotation_matches_computed():
-    from ibd_pipeline_spark.queries import _ROUND12_NEW, _ROUND12_PRIORITY
+    from ibd_pipeline_spark.queries import (
+        _ROUND12_NEW,
+        _ROUND12_PRIORITY,
+        _ROUND13_NEW,
+        _ROUND13_PRIORITY,
+    )
 
     computed = set(_pending())
-    pinned = set(_ROUND12_PRIORITY) | set(_ROUND12_NEW)
+    pinned = (
+        set(_ROUND13_PRIORITY)
+        | set(_ROUND13_NEW)
+        | set(_ROUND12_PRIORITY)
+        | set(_ROUND12_NEW)
+    )
     # The pinned list must cover everything computed; it may carry
     # extra re-attest entries (deliberate re-runs after rewrites).
     missing = computed - pinned
     assert missing == set(), (
-        f"attestation work-list drifted — add to _ROUND12_PRIORITY "
-        f"(or _ROUND12_NEW): {sorted(missing)}"
+        f"attestation work-list drifted — add to _ROUND13_PRIORITY "
+        f"(or _ROUND13_NEW): {sorted(missing)}"
     )

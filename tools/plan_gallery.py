@@ -68,6 +68,17 @@ CURATED = {
     "broadcastable term join → per-language top-k window.",
     "join_interval_overlap": "interval self-overlap as equi-join on the "
     "customer key + range filter; fan-out bounded by per-key order count.",
+    "dedup_lsh_recall_eval": "eval row costing one run of each audited "
+    "machine: prefix-filter truth join (rare-postings bounded) + banded "
+    "LSH candidates, integer-gated verifies, three one-row counts.",
+    "similarity_knn_label_eval": "broadcast 10%-sample query side against "
+    "one corpus scan; vote and accuracy folds are integer aggregates, "
+    "top-k the only window (partitioned).",
+    "stats_jonckheere_terpstra": "distinct-value frame + ONE multi-weight "
+    "range-exchange prefix scan (two weights share the shuffle); the "
+    "pairwise fold is 3 expressions, not a join.",
+    "train_rendezvous_sharding": "|docs|×8 HRW weights fold map-side in a "
+    "struct-max aggregate — the weight relation never materializes.",
     "train_curriculum_schedule": "per-language NTILE banding, then the global "
     "position via distributed ranking (range exchange + P-row offset "
     "broadcast) — no single-partition window survives (r8).",
