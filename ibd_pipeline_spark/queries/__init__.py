@@ -249,6 +249,8 @@ _ROUND13_NEW: list[str] = [
     "stats_rayleigh_hour_uniformity",
     "quality_monotonic_violations",
     "quality_encoding_damage",
+    "stats_page_trend_test",
+    "train_sampling_ess",
 ]
 
 _ROUND12_PRIORITY: list[str] = [

@@ -970,3 +970,138 @@ def stats_rayleigh_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFram
             8,
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page's L trend test across ordered treatments within dow blocks (r13)
+# ---------------------------------------------------------------------------
+
+_PAGE_SQL = f"""
+WITH cell AS (
+  SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS blk,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              ELSE 3 END AS trt,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 6) AS DOUBLE)
+           / COUNT(value) AS m
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        AND value IS NOT NULL
+  GROUP BY 1, 2
+), rk AS (
+  SELECT a.blk, a.trt, CAST(COUNT(*) AS BIGINT) AS r
+  FROM cell a JOIN cell b
+    ON a.blk = b.blk
+   AND (b.m < a.m OR (b.m = a.m AND b.trt <= a.trt))
+  GROUP BY a.blk, a.trt
+), rs AS (
+  SELECT trt, CAST(SUM(r) AS BIGINT) AS rj FROM rk GROUP BY trt
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+         CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+  FROM cell
+), l AS (
+  SELECT CAST(SUM(trt * rj) AS BIGINT) AS lstat FROM rs
+), s AS (
+  SELECT b, k, lstat,
+         (CAST(lstat AS DOUBLE)
+          - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1) / 4.0)
+         / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1) * (k * k - 1) / 144.0)
+           AS z
+  FROM dims CROSS JOIN l
+)
+SELECT CAST(b AS INT) AS n_blocks, CAST(k AS INT) AS n_treatments,
+       lstat AS page_l,
+       ROUND(z, 6) AS z_stat,
+       ROUND(CASE WHEN z >= 0 THEN {_phi_tail_sql('z')}
+             ELSE 1.0 - {_phi_tail_sql('(-z)')} END, 8) AS p_one_sided
+FROM s
+"""
+
+
+@query("stats_page_trend_test", oracle=_PAGE_SQL)
+def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for a MONOTONE treatment trend within blocks:
+    rank the three funnel actions' mean values inside each ISO-dow
+    block, L = Σ j·R_j against the hypothesized order
+    view < click < purchase — the blocked sibling of
+    Jonckheere–Terpstra exactly as Friedman is the blocked sibling of
+    Kruskal–Wallis (Friedman asks "any difference?", Page spends all
+    its power on the ordering you believe). One-sided by
+    construction; E[L] = bk(k+1)²/4, Var[L] = bk²(k+1)(k²−1)/144.
+
+    Exactness: within-block ranks come from the Friedman triangular
+    count under the (m, treatment) total order — a permutation of
+    1..k per block, so L is an exact INTEGER; cell means follow the
+    davg rule; z/p is the shared Φ-tail chain.
+
+    Scale: one 21-cell aggregate, a 21×21 broadcast triangular join,
+    catalog-sized folds — identical shape to stats_friedman_test."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    cell = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).alias("blk"),
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+        .alias("trt"),
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 6).cast(
+                "double"
+            )
+            / F.count("value")
+        ).alias("m")
+    )
+    a = cell
+    b = cell.select(
+        F.col("blk").alias("blk2"),
+        F.col("trt").alias("trt2"),
+        F.col("m").alias("m2"),
+    )
+    rk = (
+        a.join(
+            F.broadcast(b),
+            (F.col("blk") == F.col("blk2"))
+            & (
+                (F.col("m2") < F.col("m"))
+                | (
+                    (F.col("m2") == F.col("m"))
+                    & (F.col("trt2") <= F.col("trt"))
+                )
+            ),
+        )
+        .groupBy("blk", "trt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    rs = rk.groupBy("trt").agg(F.sum("r").cast("bigint").alias("rj"))
+    dims = cell.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.countDistinct("trt").cast("bigint").alias("k"),
+    )
+    lsum = rs.agg(
+        F.sum(F.col("trt") * F.col("rj")).cast("bigint").alias("lstat")
+    )
+    s = dims.crossJoin(F.broadcast(lsum))
+    bd = F.col("b").cast("double")
+    kd = F.col("k").cast("double")
+    z = (
+        F.col("lstat").cast("double")
+        - bd * kd * (kd + 1) * (kd + 1) / F.lit(4.0)
+    ) / F.sqrt(
+        bd * kd * kd * (kd + 1) * (kd * kd - 1) / F.lit(144.0)
+    )
+    return s.select(
+        F.col("b").cast("int").alias("n_blocks"),
+        F.col("k").cast("int").alias("n_treatments"),
+        F.col("lstat").alias("page_l"),
+        F.round(z, 6).alias("z_stat"),
+        # the Φ-tail polynomial is valid for z ≥ 0 only — reflect for
+        # a trend in the opposite direction
+        F.round(
+            F.when(z >= 0, _phi_tail_col(z)).otherwise(
+                F.lit(1.0) - _phi_tail_col(-z)
+            ),
+            8,
+        ).alias("p_one_sided"),
+    )

@@ -617,3 +617,65 @@ def train_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of length-proportional sampling weights (r13)
+# ---------------------------------------------------------------------------
+
+_ESS_SQL = """
+WITH w AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS w FROM documents
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(w * w) AS BIGINT) AS sww
+  FROM w GROUP BY source
+)
+SELECT source, n_docs,
+       ROUND(CAST(sw AS DOUBLE) * sw / sww, 4) AS ess,
+       ROUND(CAST(sw AS DOUBLE) * sw / sww / n_docs, 6) AS ess_ratio,
+       ROUND(CAST(sww AS DOUBLE) * n_docs / (CAST(sw AS DOUBLE) * sw)
+             - 1.0, 6) AS weight_cv2
+FROM agg ORDER BY source
+"""
+
+
+@query("train_sampling_ess", oracle=_ESS_SQL)
+def train_sampling_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of LENGTH-proportional sampling
+    weights per source: ESS = (Σw)²/Σw² with w = n_chars — the
+    diagnostic every weighted-sampling policy owes its users
+    (train_source_temperature and train_weighted_sample_ares choose
+    weights; this says how many INDEPENDENT draws those weights are
+    actually worth — ESS/n collapses toward 1/n when one whale
+    document dominates a source). weight_cv² = n·Σw²/(Σw)² − 1 is
+    the equivalent skew reading.
+
+    Exactness: pure integer sums off the ingest-time n_chars column
+    (the metadata-only scan — no text bytes touched), two divisions.
+
+    Scale: one map-side-combined aggregate on the source key; column
+    pruning keeps the scan at two columns."""
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sw"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("sww"),
+    )
+    swd = F.col("sw").cast("double")
+    ess = swd * F.col("sw") / F.col("sww")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.col("n_docs"), 6).alias("ess_ratio"),
+        F.round(
+            F.col("sww").cast("double") * F.col("n_docs") / (swd * F.col("sw"))
+            - F.lit(1.0),
+            6,
+        ).alias("weight_cv2"),
+    ).orderBy("source")
