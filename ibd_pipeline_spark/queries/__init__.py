@@ -251,6 +251,7 @@ _ROUND13_NEW: list[str] = [
     "quality_encoding_damage",
     "stats_page_trend_test",
     "train_sampling_ess",
+    "stats_sign_test",
 ]
 
 _ROUND12_PRIORITY: list[str] = [

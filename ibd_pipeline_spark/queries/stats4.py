@@ -1105,3 +1105,99 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("p_one_sided"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign test on the paired window halves (r13)
+# ---------------------------------------------------------------------------
+
+_SIGN_SQL = f"""
+WITH bnd AS (
+  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), u AS (
+  SELECT user_id,
+    SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid
+             THEN CAST(value AS DECIMAL(28,8))
+             ELSE CAST(0 AS DECIMAL(28,8)) END) AS s1,
+    SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+             THEN CAST(value AS DECIMAL(28,8))
+             ELSE CAST(0 AS DECIMAL(28,8)) END) AS s2
+  FROM events CROSS JOIN bnd GROUP BY user_id
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN s2 > s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN s2 < s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM u
+), s AS (
+  SELECT n_pos, n_neg, n_pos + n_neg AS n,
+         (ABS(CAST(n_pos AS DOUBLE) - (n_pos + n_neg) / 2.0) - 0.5)
+           / (0.5 * sqrt(CAST(n_pos + n_neg AS DOUBLE))) AS z
+  FROM agg
+)
+SELECT n_pos, n_neg, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(z, 6) AS z_stat,
+       ROUND(LEAST(1.0, 2.0 * {_phi_tail_sql('abs(z)')}), 8) AS p_value
+FROM s
+"""
+
+
+@query("stats_sign_test", oracle=_SIGN_SQL)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign test on the paired per-user window halves — the
+    assumption-free floor of the paired-test ladder this round
+    completes: McNemar (binary flips) → sign test (direction only) →
+    Wilcoxon signed-rank (direction + magnitude ranks) → paired t
+    (magnitudes, normality). Uses ONLY the sign of d = second − first
+    (exact decimal comparison, zeros dropped), binomial(½) normal
+    approximation with continuity correction.
+
+    Exactness: two integer counts and one double chain; nothing else.
+
+    Scale: one groupBy(user) (map-side combined), one-row fold."""
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias(
+            "mid"
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(ts)") < F.col("mid"),
+                    F.col("value").cast("decimal(28,8)"),
+                ).otherwise(zero)
+            ).alias("s1"),
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(ts)") >= F.col("mid"),
+                    F.col("value").cast("decimal(28,8)"),
+                ).otherwise(zero)
+            ).alias("s2"),
+        )
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("s2") > F.col("s1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("s2") < F.col("s1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    n = F.col("n_pos") + F.col("n_neg")
+    z = (
+        F.abs(F.col("n_pos").cast("double") - n / F.lit(2.0)) - F.lit(0.5)
+    ) / (F.lit(0.5) * F.sqrt(n.cast("double")))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        n.cast("bigint").alias("n_pairs"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(z))), 8
+        ).alias("p_value"),
+    )
