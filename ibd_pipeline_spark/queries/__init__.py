@@ -208,8 +208,8 @@ _ROUND6_NEW: list[str] = [
 # tests/test_attestation.py gates drift.
 # ----------------------------------------------------------------------
 # ----------------------------------------------------------------------
-# ROUND-13 WINDOW PREFIX. The 29 r13 additions (waves 1-6 + the two
-# audio-gate queries + spectral), all never-attested; no r13 change
+# ROUND-13 WINDOW PREFIX. The r13 additions (waves 1-8; count is
+# len(_ROUND13_NEW) — don't hardcode it), all never-attested; no r13 change
 # touched an attested query's values (the markov srcs hoist, bench
 # rerun guard, similarity TypeError guard, and quantiles alarm guard
 # are value-neutral; the POT threshold resize happened inside this
@@ -217,6 +217,25 @@ _ROUND6_NEW: list[str] = [
 # Computed mechanically by tools/attestation_status.py;
 # tests/test_attestation.py gates drift.
 # ----------------------------------------------------------------------
+# ----------------------------------------------------------------------
+# ROUND-14 WINDOW PREFIX. Two value-affecting r14 changes, both from
+# ADVICE r13: stats_page_trend_test moved to Friedman mid-ranks for
+# tied cell means (page_l bigint → double, values change whenever
+# ties occur) and quality_encoding_damage's oracle regex fixed from
+# the RE2 byte-spelling '\xEF\xBF\xBD' (matched the mojibake string
+# 'ï¿½', not U+FFFD) to the code-point escape '\x{FFFD}' — values
+# identical on the clean fixtures, but the attested SQL text changed,
+# so the evidence must postdate the oracle. _ROUND14_NEW grows with
+# this round's additions. Computed mechanically by
+# tools/attestation_status.py; tests/test_attestation.py gates drift.
+# ----------------------------------------------------------------------
+_ROUND14_PRIORITY: list[str] = [
+    "stats_page_trend_test",
+    "quality_encoding_damage",
+]
+
+_ROUND14_NEW: list[str] = []
+
 _ROUND13_PRIORITY: list[str] = []
 
 _ROUND13_NEW: list[str] = [
@@ -707,9 +726,11 @@ def _driver_order(names: list[str]) -> list[str]:
     # r06 prefix: never-attested wave-3/4 queries + this round's new
     # registrations (≤50 total), then the r01–r05 attested history in
     # its historical order (evidence in CORRECTNESS_r{01..05}.json).
-    head = _ROUND13_PRIORITY + [
-        n for n in _ROUND13_NEW if n not in _ROUND13_PRIORITY
+    head = _ROUND14_PRIORITY + [
+        n for n in _ROUND14_NEW if n not in _ROUND14_PRIORITY
     ]
+    head = head + [n for n in _ROUND13_PRIORITY if n not in head]
+    head = head + [n for n in _ROUND13_NEW if n not in head]
     head = head + [n for n in _ROUND12_PRIORITY if n not in head]
     head = head + [n for n in _ROUND12_NEW if n not in head]
     head = head + [n for n in _ROUND11_PRIORITY if n not in head]

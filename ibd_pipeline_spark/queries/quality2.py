@@ -403,7 +403,7 @@ _ENC_SQL = """
 WITH c AS (
   SELECT source,
          CAST(LEN(text) AS BIGINT) AS n_chars,
-         CAST(LEN(regexp_extract_all(text, '\\xEF\\xBF\\xBD')) AS BIGINT)
+         CAST(LEN(regexp_extract_all(text, '\\x{FFFD}')) AS BIGINT)
            AS n_repl,
          CAST(LEN(regexp_extract_all(text,
               '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_ctrl
@@ -434,8 +434,14 @@ def quality_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing is what the oracle pins.
 
     Exactness: integer regexp counts per doc, integer sums, one
-    division. The U+FFFD pattern is spelled as its UTF-8 bytes so
-    both regex engines match the literal character.
+    division. The oracle spells U+FFFD as RE2's code-point escape
+    '\\x{FFFD}' — RE2 runs in UTF-8 mode, so the byte-spelling
+    '\\xEF\\xBF\\xBD' would match the three CODE POINTS U+00EF
+    U+00BF U+00BD (the mojibake string 'ï¿½'), not the replacement
+    character; the Spark side matches the literal character. Parity
+    on a corpus with REAL damage (not just the vacuous clean-corpus
+    zeros) is pinned by tests/test_round14.py's planted-damage
+    fixture.
 
     Scale: per-row codegen regex + one map-side-combined aggregate
     on the source key; text scanned once."""

@@ -987,29 +987,30 @@ WITH cell AS (
         AND value IS NOT NULL
   GROUP BY 1, 2
 ), rk AS (
-  SELECT a.blk, a.trt, CAST(COUNT(*) AS BIGINT) AS r
+  SELECT a.blk, a.trt,
+         CAST(SUM(CASE WHEN b.m < a.m THEN 2 ELSE 1 END) + 1 AS BIGINT)
+           AS r2
   FROM cell a JOIN cell b
-    ON a.blk = b.blk
-   AND (b.m < a.m OR (b.m = a.m AND b.trt <= a.trt))
+    ON a.blk = b.blk AND b.m <= a.m
   GROUP BY a.blk, a.trt
 ), rs AS (
-  SELECT trt, CAST(SUM(r) AS BIGINT) AS rj FROM rk GROUP BY trt
+  SELECT trt, CAST(SUM(r2) AS BIGINT) AS rj2 FROM rk GROUP BY trt
 ), dims AS (
   SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
          CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
   FROM cell
 ), l AS (
-  SELECT CAST(SUM(trt * rj) AS BIGINT) AS lstat FROM rs
+  SELECT CAST(SUM(trt * rj2) AS BIGINT) AS l2 FROM rs
 ), s AS (
-  SELECT b, k, lstat,
-         (CAST(lstat AS DOUBLE)
+  SELECT b, k, CAST(l2 AS DOUBLE) / 2.0 AS lstat,
+         (CAST(l2 AS DOUBLE) / 2.0
           - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1) / 4.0)
          / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1) * (k * k - 1) / 144.0)
            AS z
   FROM dims CROSS JOIN l
 )
 SELECT CAST(b AS INT) AS n_blocks, CAST(k AS INT) AS n_treatments,
-       lstat AS page_l,
+       ROUND(lstat, 1) AS page_l,
        ROUND(z, 6) AS z_stat,
        ROUND(CASE WHEN z >= 0 THEN {_phi_tail_sql('z')}
              ELSE 1.0 - {_phi_tail_sql('(-z)')} END, 8) AS p_one_sided
@@ -1028,10 +1029,14 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     its power on the ordering you believe). One-sided by
     construction; E[L] = bk(k+1)²/4, Var[L] = bk²(k+1)(k²−1)/144.
 
-    Exactness: within-block ranks come from the Friedman triangular
-    count under the (m, treatment) total order — a permutation of
-    1..k per block, so L is an exact INTEGER; cell means follow the
-    davg rule; z/p is the shared Φ-tail chain.
+    Exactness: within-block ranks are MID-RANKS (the Friedman
+    convention — tied cell means share the average of the ranks they
+    span; r14 fix, previously ties broke by treatment order which
+    biased L toward the alternative). Mid-ranks are half-integers, so
+    both engines compute the INTEGER 2·rank = 2·#{m'<m} + #{m'=m} + 1
+    (self included in the equal count) and divide the integer 2L by
+    two at the end — L stays exact in half-integer units; cell means
+    follow the davg rule; z/p is the shared Φ-tail chain.
 
     Scale: one 21-cell aggregate, a 21×21 broadcast triangular join,
     catalog-sized folds — identical shape to stats_friedman_test."""
@@ -1063,38 +1068,41 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             F.broadcast(b),
             (F.col("blk") == F.col("blk2"))
-            & (
-                (F.col("m2") < F.col("m"))
-                | (
-                    (F.col("m2") == F.col("m"))
-                    & (F.col("trt2") <= F.col("trt"))
-                )
-            ),
+            & (F.col("m2") <= F.col("m")),
         )
         .groupBy("blk", "trt")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("m2") < F.col("m"), 2).otherwise(1)
+                )
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
     )
-    rs = rk.groupBy("trt").agg(F.sum("r").cast("bigint").alias("rj"))
+    rs = rk.groupBy("trt").agg(F.sum("r2").cast("bigint").alias("rj2"))
     dims = cell.agg(
         F.countDistinct("blk").cast("bigint").alias("b"),
         F.countDistinct("trt").cast("bigint").alias("k"),
     )
     lsum = rs.agg(
-        F.sum(F.col("trt") * F.col("rj")).cast("bigint").alias("lstat")
+        F.sum(F.col("trt") * F.col("rj2")).cast("bigint").alias("l2")
     )
     s = dims.crossJoin(F.broadcast(lsum))
     bd = F.col("b").cast("double")
     kd = F.col("k").cast("double")
+    lstat = F.col("l2").cast("double") / F.lit(2.0)
     z = (
-        F.col("lstat").cast("double")
-        - bd * kd * (kd + 1) * (kd + 1) / F.lit(4.0)
+        lstat - bd * kd * (kd + 1) * (kd + 1) / F.lit(4.0)
     ) / F.sqrt(
         bd * kd * kd * (kd + 1) * (kd * kd - 1) / F.lit(144.0)
     )
     return s.select(
         F.col("b").cast("int").alias("n_blocks"),
         F.col("k").cast("int").alias("n_treatments"),
-        F.col("lstat").alias("page_l"),
+        F.round(lstat, 1).alias("page_l"),
         F.round(z, 6).alias("z_stat"),
         # the Φ-tail polynomial is valid for z ≥ 0 only — reflect for
         # a trend in the opposite direction

@@ -57,23 +57,23 @@ def test_no_silently_stale_oracle_rows():
 
 def test_pinned_rotation_matches_computed():
     from ibd_pipeline_spark.queries import (
-        _ROUND12_NEW,
-        _ROUND12_PRIORITY,
         _ROUND13_NEW,
         _ROUND13_PRIORITY,
+        _ROUND14_NEW,
+        _ROUND14_PRIORITY,
     )
 
     computed = set(_pending())
     pinned = (
-        set(_ROUND13_PRIORITY)
+        set(_ROUND14_PRIORITY)
+        | set(_ROUND14_NEW)
+        | set(_ROUND13_PRIORITY)
         | set(_ROUND13_NEW)
-        | set(_ROUND12_PRIORITY)
-        | set(_ROUND12_NEW)
     )
     # The pinned list must cover everything computed; it may carry
     # extra re-attest entries (deliberate re-runs after rewrites).
     missing = computed - pinned
     assert missing == set(), (
-        f"attestation work-list drifted — add to _ROUND13_PRIORITY "
-        f"(or _ROUND13_NEW): {sorted(missing)}"
+        f"attestation work-list drifted — add to _ROUND14_PRIORITY "
+        f"(or _ROUND14_NEW): {sorted(missing)}"
     )
