@@ -234,7 +234,10 @@ _ROUND14_PRIORITY: list[str] = [
     "quality_encoding_damage",
 ]
 
-_ROUND14_NEW: list[str] = []
+_ROUND14_NEW: list[str] = [
+    "io_avro_payload_roundtrip",
+    "io_avro_malformed_audit",
+]
 
 _ROUND13_PRIORITY: list[str] = []
 

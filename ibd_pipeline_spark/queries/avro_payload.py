@@ -1,0 +1,253 @@
+"""Avro message-payload queries (r14, VERDICT r13 #1): the
+schema-registry form of the reference's core ingest step.
+
+The reference decodes Kafka binary payloads with CAST + from_json
+(`spark_processor.py:123-124`); production Kafka topics carry
+Confluent-framed Avro instead (magic byte + schema id + Avro binary).
+These queries run that path END TO END on the events fixture — encode
+with the engine's codec (`sources/avro_codec.py`), frame, unframe,
+decode, aggregate from the DECODED columns — so any codec bug flips
+the value hash. The DuckDB oracle cannot run Avro, so it attests two
+independent things instead:
+
+- the round-trip IDENTITY: aggregates over decoded values must equal
+  the same aggregates over the raw table;
+- the ENCODED SIZE, from first principles: Avro's varint arithmetic
+  (zigzag + base-128 length ladder) reproduced in exact integer SQL
+  and compared against the Spark-side measured octet_length sums.
+
+Byte-level parity with Spark's own JVM AvroSerializer is pinned
+separately in tests/test_avro_codec.py (uncompressed-OCF split).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ibd_pipeline_spark.catalog import load
+from ibd_pipeline_spark.queries import dsum_sql, query
+from ibd_pipeline_spark.sources import avro_codec as A
+
+_SCHEMA_ID = 7
+
+_MSG_SCHEMA = (
+    '{"type":"record","name":"event_msg","fields":['
+    '{"name":"event_id","type":"long"},'
+    '{"name":"event_type","type":"string"},'
+    '{"name":"value","type":["null","double"]},'
+    '{"name":"ts_us","type":"long"}]}'
+)
+
+
+def _vlen_sql(zz: str) -> str:
+    """SQL byte-count of an unsigned base-128 varint — thresholds are
+    the exact powers 2^(7k), integer comparisons only."""
+    return f"""CASE
+      WHEN {zz} < 128 THEN 1
+      WHEN {zz} < 16384 THEN 2
+      WHEN {zz} < 2097152 THEN 3
+      WHEN {zz} < 268435456 THEN 4
+      WHEN {zz} < 34359738368 THEN 5
+      WHEN {zz} < 4398046511104 THEN 6
+      WHEN {zz} < 562949953421312 THEN 7
+      WHEN {zz} < 72057594037927936 THEN 8
+      WHEN {zz} <= 9223372036854775807 THEN 9
+      ELSE 10 END"""
+
+
+def _zz_sql(x: str) -> str:
+    """Zigzag as HUGEINT (2x can exceed BIGINT for large inputs)."""
+    return (
+        f"CASE WHEN {x} >= 0 THEN CAST({x} AS HUGEINT) * 2 "
+        f"ELSE CAST({x} AS HUGEINT) * -2 - 1 END"
+    )
+
+
+# Per-record Avro body size: varint(event_id) + [varint(len)+len bytes
+# of event_type] + 1 union-index byte + 0|8 value bytes +
+# varint(ts_us); the Confluent frame adds 5.
+_BODY_BYTES_SQL = (
+    f"{_vlen_sql(_zz_sql('event_id'))} "
+    f"+ {_vlen_sql(_zz_sql('strlen(event_type)'))} + strlen(event_type) "
+    f"+ 1 + CASE WHEN value IS NULL THEN 0 ELSE 8 END "
+    f"+ {_vlen_sql(_zz_sql('epoch_us(CAST(ts AS TIMESTAMP))'))}"
+)
+
+_ROUNDTRIP_SQL = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_msgs,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       {dsum_sql('value', 2)} AS sum_value,
+       CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_ts_us,
+       CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_ts_us,
+       CAST(SUM({_BODY_BYTES_SQL}) AS BIGINT) AS payload_bytes,
+       CAST(SUM({_BODY_BYTES_SQL}) + 5 * COUNT(*) AS BIGINT) AS wire_bytes
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("io_avro_payload_roundtrip", oracle=_ROUNDTRIP_SQL)
+def io_avro_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-payload Avro round-trip: events → Avro binary
+    (sources/avro_codec.py, native JVM expressions when spark-avro is
+    deployed, Arrow pandas-UDF codec otherwise) → Confluent wire frame
+    → unframe (schema-id-checked, pure Column exprs) → decode →
+    aggregate FROM THE DECODED COLUMNS. The oracle attests round-trip
+    identity (aggregates equal the raw table's) and the encoded sizes
+    from first-principles varint arithmetic — a wrong byte anywhere
+    shifts payload_bytes/wire_bytes; a wrong value shifts the sums.
+
+    Scale: framing/unframing is whole-stage codegen; the codec is one
+    Arrow batch round-trip per partition in the fallback and pure JVM
+    when spark-avro is deployed. Aggregation is map-side combined on
+    the event_type key. Cite: reference ingest decode is
+    spark_processor.py:123-124; this is its schema-registry form."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    payload = A.to_avro_binary(
+        F.struct("event_id", "event_type", "value", "ts_us"),
+        _MSG_SCHEMA,
+        spark,
+    )
+    wire = ev.select(A.to_confluent_wire(payload, _SCHEMA_ID).alias("wire"))
+    dec = wire.select(
+        F.octet_length("wire").alias("wire_len"),
+        A.from_avro_binary(
+            A.wire_payload(F.col("wire"), _SCHEMA_ID),
+            _MSG_SCHEMA,
+            spark,
+            mode="FAILFAST",
+        ).alias("r"),
+    ).select("wire_len", "r.*")
+    return (
+        dec.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.min("ts_us").cast("bigint").alias("min_ts_us"),
+            F.max("ts_us").cast("bigint").alias("max_ts_us"),
+            (F.sum("wire_len") - F.lit(5) * F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("payload_bytes"),
+            F.sum("wire_len").cast("bigint").alias("wire_bytes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MALFORMED_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_msgs,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0 AND event_id % 89 = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_frame,
+       CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_payload,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0 AND event_id % 89 <> 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0 AND event_id % 89 <> 1
+                THEN event_id ELSE 0 END) AS BIGINT) AS sum_ok_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("io_avro_malformed_audit", oracle=_MALFORMED_SQL)
+def io_avro_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-payload audit with PLANTED damage in
+    two classes (deterministic by event_id, so the oracle knows the
+    truth): frame damage (magic byte flipped to 0x01 — the unframer
+    must null it) for event_id % 89 == 1, and payload damage (body
+    truncated to zero bytes — the decoder must quarantine it) for
+    event_id % 97 == 0, payload damage taking precedence. Per
+    event_type: how many landed in each quarantine class, how many
+    decoded clean, and the id-sum of the clean ones (pins that intact
+    payloads survive the damaged batch — PERMISSIVE isolates rows,
+    not batches).
+
+    Scale: same pipeline as io_avro_payload_roundtrip plus two
+    codegen CASE branches for the planting; quarantine classes come
+    from null-pattern inspection, no extra pass."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    payload = A.to_avro_binary(
+        F.struct("event_id", "event_type", "value", "ts_us"),
+        _MSG_SCHEMA,
+        spark,
+    )
+    wire = ev.select(
+        "event_id",
+        "event_type",
+        A.to_confluent_wire(payload, _SCHEMA_ID).alias("wire"),
+    )
+    damaged = wire.select(
+        F.col("event_type").alias("orig_type"),
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.substring(F.col("wire"), 1, 5),  # empty Avro body
+        )
+        .when(
+            F.col("event_id") % 89 == 1,
+            F.concat(
+                F.lit(b"\x01"),
+                F.substring(
+                    F.col("wire"), F.lit(2), F.length("wire") - F.lit(1)
+                ),
+            ),
+        )
+        .otherwise(F.col("wire"))
+        .alias("wire"),
+    )
+    unframed = damaged.select(
+        "orig_type",
+        A.wire_payload(F.col("wire"), _SCHEMA_ID).alias("payload"),
+    )
+    dec = unframed.select(
+        "orig_type",
+        F.col("payload").isNull().alias("frame_null"),
+        A.from_avro_binary(
+            F.col("payload"), _MSG_SCHEMA, spark, mode="PERMISSIVE"
+        ).alias("r"),
+    )
+    return (
+        dec.groupBy(F.col("orig_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+            F.sum(F.when(F.col("frame_null"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bad_frame"),
+            F.sum(
+                F.when(
+                    ~F.col("frame_null") & F.col("r.event_id").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_bad_payload"),
+            F.sum(F.when(F.col("r.event_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ok"),
+            F.sum(F.coalesce(F.col("r.event_id"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_ok_event_id"),
+        )
+        .orderBy("event_type")
+    )
