@@ -237,6 +237,8 @@ _ROUND14_PRIORITY: list[str] = [
 _ROUND14_NEW: list[str] = [
     "io_avro_payload_roundtrip",
     "io_avro_malformed_audit",
+    "multimodal_video_quality_gates",
+    "multimodal_video_gate_summary",
 ]
 
 _ROUND13_PRIORITY: list[str] = []

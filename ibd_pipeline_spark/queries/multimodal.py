@@ -593,3 +593,109 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_multimodal.py)."""
     assets = M.synthesize_audio_gate_assets(spark, n=32)
     return M.audio_spectral_features(assets).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# Video frame-level gates (r14 — VERDICT r13 #2: the WAV-gate
+# precedent applied to video on a stdlib-decodable raw-frame corpus)
+# ---------------------------------------------------------------------------
+
+
+def _video_gates_expected() -> str:
+    rows = []
+    for i, _media, blob, *_ in M.video_gate_asset_rows(24):
+        s = M.video_gate_stats(bytes(blob))
+        rows.append(
+            (
+                i,
+                s["width"],
+                s["height"],
+                s["n_frames"],
+                s["n_black"],
+                s["n_frozen"],
+                s["black_ratio"],
+                s["frozen_ratio"],
+                s["mean_luma"],
+                M.video_gate_verdict(s),
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("width", "INT"),
+            ("height", "INT"),
+            ("n_frames", "INT"),
+            ("n_black", "INT"),
+            ("n_frozen", "INT"),
+            ("black_ratio", "DOUBLE"),
+            ("frozen_ratio", "DOUBLE"),
+            ("mean_luma", "VARCHAR"),
+            ("verdict", "VARCHAR"),
+        ],
+        "asset_id",
+    )
+
+
+@query("multimodal_video_quality_gates", oracle=_video_gates_expected)
+def multimodal_video_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video FRAME-level quality gates over a REAL ISO-BMFF
+    sample-table decode (stsd dimensions → stsz sizes → stsc/stco
+    offsets → raw grayscale frames) of the planted-defect corpus
+    (clean / black-heavy / frozen / too-short videos): black-frame
+    ratio, frozen-adjacent ratio, mean luma, first-failing verdict —
+    the keep/drop screen a training-video sweep runs before any
+    codec-heavy work. Counts are exact integers; ratios single
+    integer/integer divisions; the VALUES oracle replays the same
+    decode in pure Python."""
+    assets = M.synthesize_video_gate_assets(spark, n=24)
+    return M.video_quality_gates(assets).orderBy("asset_id")
+
+
+def _video_gate_summary_expected() -> str:
+    agg: dict = {}
+    for _i, _media, blob, *_ in M.video_gate_asset_rows(24):
+        s = M.video_gate_stats(bytes(blob))
+        v = M.video_gate_verdict(s)
+        g = agg.setdefault(
+            v, {"n": 0, "frames": 0, "black": 0, "frozen": 0}
+        )
+        g["n"] += 1
+        g["frames"] += s["n_frames"]
+        g["black"] += s["n_black"]
+        g["frozen"] += s["n_frozen"]
+    rows = [
+        (v, g["n"], g["frames"], g["black"], g["frozen"])
+        for v, g in sorted(agg.items())
+    ]
+    return _values_oracle(
+        rows,
+        [
+            ("verdict", "VARCHAR"),
+            ("n_videos", "BIGINT"),
+            ("total_frames", "BIGINT"),
+            ("black_frames", "BIGINT"),
+            ("frozen_frames", "BIGINT"),
+        ],
+        "verdict",
+    )
+
+
+@query("multimodal_video_gate_summary", oracle=_video_gate_summary_expected)
+def multimodal_video_gate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level video-gate rollup per verdict class — videos,
+    frames, defect-frame totals. Pure integer groupBy on the gate
+    frame (counts commute across partitions); the VALUES oracle
+    replays the same decode and integer sums."""
+    assets = M.synthesize_video_gate_assets(spark, n=24)
+    g = M.video_quality_gates(assets)
+    return (
+        g.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+            F.sum("n_black").cast("bigint").alias("black_frames"),
+            F.sum("n_frozen").cast("bigint").alias("frozen_frames"),
+        )
+        .orderBy("verdict")
+    )

@@ -341,3 +341,96 @@ def test_audio_spectral_recovers_planted_tone(spark):
         # spreads magnitude to high bins) but stays the same order
         c = float(r["centroid_hz"])
         assert 0.8 * planted <= c <= 10.0 * planted, r
+
+
+# ---------------------------------------------------------------------------
+# Video frame-level gates (r14): planted-defect recovery + decoder
+# structural-damage behavior + dual-parse consistency
+# ---------------------------------------------------------------------------
+
+
+def test_video_gate_planted_recovery():
+    """Every planted defect class maps to exactly its verdict — no
+    false positives on clean videos, no misses on planted ones."""
+    from collections import Counter
+
+    from ibd_pipeline_spark.operators import multimodal as M
+
+    got = Counter()
+    for i in range(24):
+        blob, _dur, kind = M.synthesize_mp4_raw(i)
+        v = M.video_gate_verdict(M.video_gate_stats(blob))
+        got[(kind, v)] += 1
+    assert got == {
+        ("normal", "pass"): 6,
+        ("black_heavy", "black"): 6,
+        ("frozen", "frozen"): 6,
+        ("short", "too_short"): 6,
+    }
+
+
+def test_video_gate_stats_exact_counts():
+    """The planted construction puts ceil(0.7 n) defect frames in
+    each damaged video; the decoder must count exactly those."""
+    from ibd_pipeline_spark.operators import multimodal as M
+
+    for i in (1, 2, 5, 6):  # black_heavy and frozen instances
+        blob, _dur, kind = M.synthesize_mp4_raw(i)
+        s = M.video_gate_stats(blob)
+        n_defect = (7 * s["n_frames"] + 9) // 10
+        if kind == "black_heavy":
+            assert s["n_black"] == n_defect
+            assert s["n_frozen"] == n_defect - 1  # identical black run
+        elif kind == "frozen":
+            # frame 0 repeated at positions 1..n_defect → n_defect
+            # identical-adjacent pairs
+            assert s["n_frozen"] == n_defect
+            assert s["n_black"] == 0
+
+
+def test_video_decoder_rejects_structural_damage():
+    import struct
+
+    import pytest
+
+    from ibd_pipeline_spark.operators import multimodal as M
+
+    blob, _dur, _kind = M.synthesize_mp4_raw(0)
+
+    # truncate mdat: a sample now extends past end of file
+    with pytest.raises(ValueError):
+        M.decode_video_samples(blob[:-50])
+
+    # corrupt a box size (first moov child): framing must fail loudly
+    moov_at = blob.index(b"moov") - 4
+    bad = bytearray(blob)
+    struct.pack_into(">I", bad, moov_at + 8, 4)  # child size < 8
+    with pytest.raises(ValueError):
+        M.decode_video_samples(bytes(bad))
+
+    # sample count inflated in stsz: locator must notice the shortfall
+    stsz_at = blob.index(b"stsz")
+    bad2 = bytearray(blob)
+    # payload: version/flags(4) + uniform(4) + count(4)
+    (count,) = struct.unpack_from(">I", blob, stsz_at + 12)
+    struct.pack_into(">I", bad2, stsz_at + 12, count + 5)
+    with pytest.raises(ValueError):
+        M.decode_video_samples(bytes(bad2))
+
+
+def test_raw_mp4_dual_parse_consistency():
+    """The raw-frame container must be readable by BOTH the sample-
+    table decoder and the r12 metadata box-walk — one corpus, two
+    independent readers agreeing on the container facts."""
+    from ibd_pipeline_spark.operators import multimodal as M
+
+    for i in range(8):
+        blob, dur, _kind = M.synthesize_mp4_raw(i)
+        meta = M.parse_mp4_meta(blob)
+        assert meta["duration_ms"] == dur
+        assert meta["major_brand"] == "isom"
+        w, h, frames = M.decode_video_samples(blob)
+        assert (w, h) == (16, 12)
+        assert all(len(f) == w * h for f in frames)
+        # duration consistency: n_frames at 10 fps
+        assert dur == len(frames) * 100
