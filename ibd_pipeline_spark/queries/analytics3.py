@@ -1481,3 +1481,164 @@ def analytics_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_analytics.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Exact Shapley attribution over journey channel sets
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_SQL = """
+WITH ord AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), fp AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+  FROM ord GROUP BY user_id
+), um AS (
+  SELECT f.user_id,
+         COALESCE(BIT_OR(CASE o.event_type
+                           WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                           WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                         END), 0) AS mask
+  FROM fp f LEFT JOIN ord o
+    ON o.user_id = f.user_id AND o.rn < f.prn
+  WHERE f.prn IS NOT NULL
+  GROUP BY f.user_id
+), mc AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM um GROUP BY mask
+), sp AS (
+  SELECT CAST(t.range AS INT) AS S FROM range(16) t
+), v AS (
+  SELECT sp.S,
+         COALESCE(SUM(CASE WHEN (mc.mask | sp.S) = sp.S THEN mc.cnt END),
+                  0) AS v
+  FROM sp LEFT JOIN mc ON TRUE GROUP BY sp.S
+), ch AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                        ('signup', 4), ('view', 8)) c(channel, bit)
+), marg AS (
+  SELECT ch.channel,
+         (CASE bit_count(sp.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                               WHEN 2 THEN 2 ELSE 6 END)
+           * (v1.v - v0.v) AS term
+  FROM ch JOIN sp ON (sp.S & ch.bit) = 0
+  JOIN v v0 ON v0.S = sp.S
+  JOIN v v1 ON v1.S = (sp.S | ch.bit)
+), phi AS (
+  SELECT channel, CAST(SUM(term) AS BIGINT) AS shapley_x24
+  FROM marg GROUP BY channel
+), tot AS (SELECT SUM(shapley_x24) AS t FROM phi)
+SELECT channel, shapley_x24,
+       ROUND(CAST(shapley_x24 AS DOUBLE) / tot.t, 6) AS share
+FROM phi, tot ORDER BY channel
+"""
+
+
+@query("analytics_shapley_attribution", oracle=_SHAPLEY_SQL)
+def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over journey CHANNEL SETS —
+    the game-theoretic multi-touch model next to the r9 Markov
+    removal effects: channels are players, the characteristic
+    v(S) = conversions whose pre-purchase touch set ⊆ S, and each
+    channel's credit is its average marginal contribution over all
+    orderings. With 4 channels the 2⁴ coalition values make the sum
+    EXACT: φᵢ·4! = Σ_{S∌i} |S|!·(3−|S|)!·(v(S∪i) − v(S)) is pure
+    integer algebra (weights 6/2/2/6), so `shapley_x24` is a BIGINT
+    the driver hashes float-free; the share divides once at the end.
+    v is monotone by construction (mask-subset counting), so every
+    marginal ≥ 0 and shares sum to 1 over v(N) − v(∅).
+
+    Scale: journey construction is the corpus-scale work (one
+    user_id window + first-purchase truncation — the exact shape
+    analytics_markov_attribution already pays); everything after
+    runs on the 16-row mask-count frame. Exponential-in-channels is
+    real but irrelevant at k=4 — past ~10 channels you sample
+    permutations instead (and lose the exactness this query's
+    oracle buys)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ord_ = ev.select(
+        "user_id", "event_type", F.row_number().over(w_u).alias("rn")
+    )
+    fp = ord_.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("prn")
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    touches = ord_.select("user_id", bit.alias("bit"), "rn")
+    um = (
+        fp.filter(F.col("prn").isNotNull())
+        .alias("f")
+        .join(
+            touches.alias("o"),
+            (F.col("o.user_id") == F.col("f.user_id"))
+            & (F.col("o.rn") < F.col("f.prn")),
+            "left",
+        )
+        .groupBy("f.user_id")
+        .agg(F.coalesce(F.bit_or("o.bit"), F.lit(0)).alias("mask"))
+    )
+    mc = um.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    sp = spark.range(16).select(F.col("id").cast("int").alias("S"))
+    v = (
+        sp.join(
+            F.broadcast(mc),
+            (F.col("mask").bitwiseOR(F.col("S")) == F.col("S")),
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    w24 = (
+        F.when(F.bit_count(F.col("S")) == 0, 6)
+        .when(F.bit_count(F.col("S")) == 1, 2)
+        .when(F.bit_count(F.col("S")) == 2, 2)
+        .otherwise(6)
+    )
+    marg = (
+        ch.crossJoin(F.broadcast(sp))
+        .filter(F.col("S").bitwiseAND(F.col("bit")) == 0)
+        .join(
+            F.broadcast(v.select(F.col("S").alias("S0"), F.col("v").alias("v0"))),
+            F.col("S") == F.col("S0"),
+        )
+        .join(
+            F.broadcast(v.select(F.col("S").alias("S1"), F.col("v").alias("v1"))),
+            F.col("S").bitwiseOR(F.col("bit")) == F.col("S1"),
+        )
+        .select("channel", (w24 * (F.col("v1") - F.col("v0"))).alias("term"))
+    )
+    phi = marg.groupBy("channel").agg(
+        F.sum("term").cast("bigint").alias("shapley_x24")
+    )
+    tot = phi.agg(F.sum("shapley_x24").alias("t"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "shapley_x24",
+            F.round(F.col("shapley_x24").cast("double") / F.col("t"), 6)
+            .alias("share"),
+        )
+        .orderBy("channel")
+    )

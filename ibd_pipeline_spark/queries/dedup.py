@@ -1000,3 +1000,154 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("double") / F.col("n_candidates"), 6
         ).alias("candidate_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_similarity.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# EXACT Jaccard similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+_PFJ_TAU_NUM, _PFJ_TAU_DEN = 3, 5  # tau = 0.6 as an exact fraction
+
+_PREFIX_JACCARD_SQL = """
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), d AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                ELSE [array_to_string(w, ' ')] END) AS toks
+  FROM raw
+), tf AS (
+  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM d, unnest(d.toks) AS u(tok) GROUP BY u.tok
+), st AS (
+  SELECT doc_id, array_agg(tok ORDER BY freq, tok) AS stoks,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT d.doc_id, u.tok, tf.freq
+        FROM d, unnest(d.toks) AS u(tok) JOIN tf USING (tok))
+  GROUP BY doc_id
+), pref AS (
+  SELECT doc_id, u.tok
+  FROM st, unnest(list_slice(stoks, 1,
+         CAST(n - CEIL(0.6 * n) + 1 AS BIGINT))) AS u(tok)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(x.toks, y.toks))) AS BIGINT)
+         AS n_union
+FROM cand c JOIN d x ON x.doc_id = c.id_a JOIN d y ON y.doc_id = c.id_b
+WHERE 5 * len(list_intersect(x.toks, y.toks))
+      >= 3 * len(list_distinct(list_concat(x.toks, y.toks)))
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_prefix_filter_jaccard", oracle=_PREFIX_JACCARD_SQL)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join (J ≥ 0.6 on 3-gram shingle sets)
+    via prefix filtering — the database-literature counterpart of the
+    MinHash-LSH family (PPJoin lineage: Xiao et al., WWW'08): order
+    every document's shingle set by ASCENDING GLOBAL FREQUENCY
+    (rarest first, ties by shingle) and keep only the first
+    n − ⌈τ·n⌉ + 1 shingles as its PREFIX; two sets with J ≥ τ MUST
+    share a prefix element (pigeonhole on the τ-overlap), so the
+    candidate join runs on prefix shingles only — rare by
+    construction — and the exact |∩|/|∪| verification touches
+    candidates, never all pairs. Unlike LSH this is EXACT: zero
+    false negatives, no banding probability. The τ gate is the
+    cross-multiplied integer comparison 5·|∩| ≥ 3·|∪|, outputs are
+    BIGINTs — no float anywhere.
+
+    Shingles, not word sets: over a small vocabulary nearly every
+    pair of word SETS is Jaccard-similar (measured: 71k of 125k
+    pairs at sf0.01), which guts the filter; 3-gram shingles are the
+    same distinctive unit the MinHash family blocks on.
+
+    Scale: shingle frequencies are one vocab-sized aggregate; the
+    prefix join's fan-out is bounded by rare-shingle postings (the
+    frequency ordering is exactly what keeps stop-shingles OUT of
+    prefixes); verification is per-candidate set algebra. At 100 TB
+    this is the exact-dedup sibling you run where LSH recall
+    arguments don't fly (dedup_minhash_lsh stays the approximate
+    scale path)."""
+    par = spark.sparkContext.defaultParallelism
+    # words MUST be PHYSICALLY materialized before the gram transform:
+    # CollapseProject inlines a projected split(text) straight back
+    # into the lambda (measured 30 split() copies in the executed
+    # plan), so each gram re-splits the whole text — O(len²) per doc.
+    # A projection barrier is not enough; the checkpoint is.
+    w = F.col("w")
+    nw = F.size(w)
+    k = 3
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j + 1) for j in range(k)]
+    )
+    sh = F.array_distinct(
+        F.when(nw >= k, F.transform(F.sequence(F.lit(0), nw - k), gram))
+        .otherwise(F.array(F.concat_ws(" ", w)))
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(par)  # single-split corpus would serialize
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)  # split exactly once (see above)
+        .select("doc_id", sh.alias("toks"))
+        .localCheckpoint(eager=True)  # verify join reads it twice
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    st = (
+        tok.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
+                lambda s: s["tok"],
+            ).alias("stoks"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    plen = (F.col("n") - F.ceil(0.6 * F.col("n")) + 1).cast("int")
+    pref = (
+        st.select(
+            "doc_id",
+            F.explode(F.slice("stoks", F.lit(1), plen)).alias("tok"),
+        )
+        .localCheckpoint(eager=True)  # self-join: evaluate ONCE
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        # the candidate frame is BYTE-small but each row costs a full
+        # shingle-set intersection below — repartition so AQE's
+        # size-based coalesce doesn't serialize the verify onto 2
+        # tasks (measured 8 s -> ~2 s at sf0.1)
+        .repartition(par)
+    )
+    x = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    y = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    ni = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    nu = F.size(F.array_union("ta", "tb")).cast("bigint")
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select("id_a", "id_b", ni.alias("n_inter"), nu.alias("n_union"))
+        .filter(
+            F.lit(_PFJ_TAU_DEN) * F.col("n_inter")
+            >= F.lit(_PFJ_TAU_NUM) * F.col("n_union")
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -820,3 +820,88 @@ def events_decay_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.exp(intercept), 4).alias("fitted_day0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_analytics.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Fano factor / burstiness of event arrivals
+# ---------------------------------------------------------------------------
+
+_FANO_SQL = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM h GROUP BY event_type
+), d AS (
+  SELECT event_type, n_hours, s,
+         CAST(s AS DOUBLE) / n_hours AS mu,
+         CASE WHEN n_hours > 1 THEN
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours)
+             / (n_hours - 1) END AS vr
+  FROM m
+)
+SELECT event_type, n_hours, s AS n_events,
+       ROUND(mu, 6) AS mean_per_hour,
+       ROUND(vr / mu, 6) AS fano_factor,
+       ROUND(vr / (mu * mu), 6) AS cv_squared,
+       ROUND((sqrt(vr) - mu) / (sqrt(vr) + mu), 6) AS burstiness
+FROM d ORDER BY event_type
+"""
+
+
+@query("events_fano_burstiness", oracle=_FANO_SQL)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type from hourly bucket counts —
+    the monitoring trio nothing else in the registry covers: Fano
+    factor (var/mean; 1 = Poisson, >1 = overdispersed/bursty), CV²
+    (var/mean² — the squared coefficient of variation queueing theory
+    keys on), and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ)
+    ∈ (−1, 1). Bucket counts are exact BIGINTs, so the (n, Σc, Σc²)
+    moments are integers and every statistic is fixed double algebra
+    at output.
+
+    Scale: one map-side-combined (type, hour) count — the grain is
+    calendar-bounded — then a type-level moment aggregate; no window,
+    no join."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n_hours")
+    # n_hours == 1 → no sample variance; emit NULL, never NaN
+    # (ADVICE r10; streaming twin streaming/burstiness.py matches)
+    vr = F.when(
+        F.col("n_hours") > 1,
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_hours")
+        )
+        / (F.col("n_hours") - 1),
+    )
+    sd = F.sqrt(vr)
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("n_events"),
+        F.round(mu, 6).alias("mean_per_hour"),
+        F.round(vr / mu, 6).alias("fano_factor"),
+        F.round(vr / (mu * mu), 6).alias("cv_squared"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")

@@ -461,3 +461,123 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rich_club_phi"),
     )
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_analytics.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel) of the user co-activity graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K, _KCORE_ROUNDS = 3, 4
+
+
+def _kcore_oracle() -> str:
+    head = """
+WITH b AS (
+  SELECT DISTINCT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id
+  FROM events
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h
+   AND a.user_id < c.user_id
+)"""
+    body = ""
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        body += f""",
+d{r} AS MATERIALIZED (
+  SELECT n, CAST(SUM(c) AS BIGINT) AS deg FROM (
+    SELECT u AS n, COUNT(*) AS c FROM {prev} GROUP BY u
+    UNION ALL
+    SELECT v AS n, COUNT(*) AS c FROM {prev} GROUP BY v
+  ) GROUP BY n
+), a{r} AS MATERIALIZED (
+  SELECT n FROM d{r} WHERE deg >= {_KCORE_K}
+), e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN a{r} x ON x.n = e.u JOIN a{r} y ON y.n = e.v
+)"""
+        prev = f"e{r}"
+    tail = f"""
+SELECT d.n AS user_id, d.deg AS core_degree
+FROM (
+  SELECT n, CAST(SUM(c) AS BIGINT) AS deg FROM (
+    SELECT u AS n, COUNT(*) AS c FROM {prev} GROUP BY u
+    UNION ALL
+    SELECT v AS n, COUNT(*) AS c FROM {prev} GROUP BY v
+  ) GROUP BY n
+) d
+WHERE d.deg >= {_KCORE_K}
+ORDER BY user_id
+"""
+    return head + body + tail
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = 3, bounded 4-round peel) of the user
+    CO-ACTIVITY graph — nodes are users, an edge joins two users
+    active in the same (event_type, hour) bucket; the k-core (every
+    member keeps ≥ k neighbors INSIDE the core) is the dense-cohort
+    extractor behind fraud-ring mining, community seeding, and
+    engaged-user carving that degree thresholds alone miss (a
+    high-degree node hanging off a sparse fringe is NOT core).
+    Each peel round drops nodes whose degree fell below k and
+    restricts edges to survivors; like every fixpoint in
+    operators/graph.py the round count is FIXED (4 — the peel is
+    monotone, so round r output is the exact r-round peel and an
+    upper bound on the true core) and the oracle unrolls the same
+    rounds as a CTE chain.
+
+    Scale: edge construction is the bucket self-join — co-activity
+    buckets are (type × hour)-bounded, so pair fan-out is per-bucket
+    quadratic, never user-quadratic (the same blocking argument as
+    every dedup family); each peel round is one degree aggregate +
+    one semi-join, edge-set-sized."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        "user_id",
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        alive = degrees(e).filter(F.col("deg") >= _KCORE_K).select("n")
+        e = (
+            e.join(alive.withColumnRenamed("n", "u"), "u", "semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)  # next round reads it twice
+        )
+    return (
+        degrees(e)
+        .filter(F.col("deg") >= _KCORE_K)
+        .select(F.col("n").alias("user_id"), F.col("deg").alias("core_degree"))
+        .orderBy("user_id")
+    )

@@ -374,3 +374,93 @@ def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("target_group")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_analytics.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# File-overlap clustering depth (layout health metric)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SQL = """
+WITH f AS (
+  SELECT o_orderkey % 64 AS file_id,
+         MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+  FROM orders GROUP BY 1
+), ev AS (
+  SELECT file_id, lo AS d, 1 AS delta FROM f
+  UNION ALL
+  SELECT file_id, hi AS d, -1 AS delta FROM f
+), dep AS (
+  SELECT file_id, delta,
+         SUM(delta) OVER (ORDER BY d, delta DESC, file_id
+                          ROWS UNBOUNDED PRECEDING) AS depth
+  FROM ev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       ROUND(AVG(CAST(depth AS DOUBLE)), 4) AS avg_open_depth
+FROM dep WHERE delta = 1
+"""
+
+
+@query("maintenance_file_overlap_depth", oracle=_OVERLAP_SQL)
+def maintenance_file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering depth of a file layout — the OPTIMIZE/Z-ORDER health
+    metric: how many files' [min, max] key ranges overlap at once
+    (depth 1 = perfectly clustered; high depth = every scan touches
+    many files). Files simulated as orderkey%64 buckets with their
+    orderdate ranges; depth is the classic +1/−1 boundary sweep —
+    running sum over the 2·n_files boundary events, here as a
+    TRIANGULAR SELF-JOIN on the file-count-sized boundary frame
+    (n ≤ 128 rows → 16k join pairs) so no unpartitioned window
+    appears anywhere in the plan. Boundary tie order (+1 before −1 at
+    the same date: inclusive intervals overlap at a shared endpoint)
+    is pinned by the (date, delta DESC, file_id) total order.
+
+    Scale: the corpus-scale work is the per-file min/max aggregate
+    (one map-side-combined pass); the sweep runs over file METADATA —
+    at 100 TB that is the transaction log, not the data."""
+    orders = load(spark, sf_dir, "orders")
+    f = (
+        orders.groupBy((F.col("o_orderkey") % 64).alias("file_id"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        # file-count-sized; pin it so the boundary union + triangular
+        # join don't re-scan orders per reference
+        .localCheckpoint(eager=True)
+    )
+    ev = f.select(
+        "file_id", F.col("lo").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        f.select("file_id", F.col("hi").alias("d"), F.lit(-1).alias("delta"))
+    )
+    a, b = ev.alias("a"), F.broadcast(ev.alias("b"))
+    # inclusive running sum under (d, delta DESC, file_id): b precedes
+    # or equals a in the sweep order
+    before = (
+        (F.col("b.d") < F.col("a.d"))
+        | ((F.col("b.d") == F.col("a.d")) & (F.col("b.delta") > F.col("a.delta")))
+        | (
+            (F.col("b.d") == F.col("a.d"))
+            & (F.col("b.delta") == F.col("a.delta"))
+            & (F.col("b.file_id") <= F.col("a.file_id"))
+        )
+    )
+    dep = (
+        a.join(b, before)
+        .groupBy("a.file_id", "a.d", "a.delta")
+        .agg(F.sum("b.delta").alias("depth"))
+    )
+    return (
+        dep.filter(F.col("delta") == 1)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.max("depth").cast("bigint").alias("max_depth"),
+            F.round(F.avg(F.col("depth").cast("double")), 4).alias(
+                "avg_open_depth"
+            ),
+        )
+    )

@@ -228,3 +228,106 @@ def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", F.row_number().over(Window.orderBy("o_orderkey")).alias("global_id")
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_analytics.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Nearest-as-of join (bidirectional, tolerance-bounded)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_TOL = 7 * 24 * 3600  # 7 days
+
+_ASOF_NEAREST_SQL = f"""
+WITH p AS (
+  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+         o_custkey % 50 AS k
+  FROM orders WHERE o_orderkey < 100
+), m AS (
+  SELECT p.o_orderkey, p.order_ts, b.bwd, f.fwd,
+         epoch_us(p.order_ts) - epoch_us(b.bwd) AS gb,
+         epoch_us(f.fwd) - epoch_us(p.order_ts) AS gf
+  FROM p
+  LEFT JOIN LATERAL (
+    SELECT MAX(CAST(ts AS TIMESTAMP)) AS bwd FROM events
+    WHERE user_id = p.k AND CAST(ts AS TIMESTAMP) <= p.order_ts
+  ) b ON TRUE
+  LEFT JOIN LATERAL (
+    SELECT MIN(CAST(ts AS TIMESTAMP)) AS fwd FROM events
+    WHERE user_id = p.k AND CAST(ts AS TIMESTAMP) >= p.order_ts
+  ) f ON TRUE
+), g AS (
+  SELECT o_orderkey, order_ts,
+         CASE WHEN gb IS NOT NULL AND gb <= CAST({_ASOF_NEAREST_TOL} AS BIGINT) * 1000000
+              THEN bwd END AS bwd,
+         CASE WHEN gf IS NOT NULL AND gf <= CAST({_ASOF_NEAREST_TOL} AS BIGINT) * 1000000
+              THEN fwd END AS fwd,
+         gb, gf
+  FROM m
+)
+SELECT o_orderkey, order_ts,
+       CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
+            THEN bwd ELSE fwd END AS nearest_ts,
+       CAST(CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
+                 THEN gb // 1000000
+                 WHEN fwd IS NOT NULL THEN gf // 1000000
+            END AS BIGINT) AS gap_seconds,
+       CASE WHEN bwd IS NOT NULL AND (fwd IS NULL OR gb <= gf)
+            THEN 'backward'
+            WHEN fwd IS NOT NULL THEN 'forward' END AS direction
+FROM g ORDER BY o_orderkey
+"""
+
+
+@query("join_asof_nearest_tolerance", oracle=_ASOF_NEAREST_SQL)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-as-of join with a 7-day tolerance — the bidirectional
+    sibling of events_asof_join (backward-only): each order matches
+    its closest event in EITHER direction on the same key, exact
+    ties resolving backward, matches past the tolerance nulled (the
+    pandas merge_asof `tolerance` contract) — the sensor/trade-quote
+    alignment operator Spark lacks natively.
+
+    Composition (operators/joins.py:asof_nearest_join): ONE
+    union-and-sort shuffle on the key carries BOTH direction fills —
+    a backward last() frame and a forward first() frame over the same
+    sorted union — then the nearer side wins by MICROSECOND-exact
+    gap comparison (unix_micros / epoch_us on the two engines); only
+    the reported gap_seconds floors the true gap (ADVICE r10: the
+    earlier per-side second-truncation mis-resolved sub-second
+    ties). No range explosion, no second exchange."""
+    from ibd_pipeline_spark.operators.joins import asof_nearest_join
+
+    probes = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+            (F.col("o_custkey") % 50).alias("k"),
+        )
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("event_ts")
+    )
+    return (
+        asof_nearest_join(
+            probes,
+            events,
+            key="k",
+            probe_time="order_ts",
+            event_time="event_ts",
+            tolerance_seconds=_ASOF_NEAREST_TOL,
+        )
+        .select(
+            "o_orderkey",
+            "order_ts",
+            F.col("nearest_event_ts").alias("nearest_ts"),
+            "gap_seconds",
+            "direction",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -560,3 +560,202 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_entropy"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_analytics.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+_HEAPS_BUCKETS = 20
+
+_HEAPS_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), docs AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                     i -> array_to_string(list_slice(w, i, i + 2), ' '))
+              ELSE [array_to_string(w, ' ')] END AS toks
+  FROM raw
+), nd AS (
+  SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS doc_cnt
+  FROM docs
+), tok AS (
+  SELECT d.doc_id, u.tok FROM docs d, unnest(d.toks) AS u(tok)
+), firsts AS (
+  SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok
+), vb AS (
+  SELECT CAST(FLOOR(fd * {_HEAPS_BUCKETS} / nd.n_docs) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM firsts, nd GROUP BY 1
+), tb AS (
+  SELECT CAST(FLOOR(doc_id * {_HEAPS_BUCKETS} / nd.n_docs) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM tok, nd GROUP BY 1
+), pts AS (
+  SELECT tb.b,
+         SUM(tb.t) OVER (ORDER BY tb.b) AS n_cum,
+         SUM(COALESCE(vb.v, 0)) OVER (ORDER BY tb.b) AS v_cum
+  FROM tb LEFT JOIN vb ON vb.b = tb.b
+), lp AS (
+  SELECT CAST(ROUND(ln(CAST(n_cum AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+         CAST(ROUND(ln(CAST(v_cum AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y
+  FROM pts
+), mm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM lp
+), fit AS (
+  SELECT k,
+         (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (k * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+         (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           * (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / ((k * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (k * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2,
+         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+  FROM mm
+), tots AS (
+  SELECT CAST(MAX(n_cum) AS BIGINT) AS n_tokens,
+         CAST(MAX(v_cum) AS BIGINT) AS vocab
+  FROM pts
+)
+SELECT nd.doc_cnt AS n_docs, tots.n_tokens, tots.vocab,
+       ROUND(fit.b, 4) AS heaps_b,
+       ROUND((fit.syd - fit.b * fit.sxd) / fit.k, 4) AS heaps_logk,
+       ROUND(fit.r2, 4) AS r_squared
+FROM nd, tots, fit
+"""
+
+
+@query("text_heaps_law", oracle=_HEAPS_SQL)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: V(N) ≈ k·N^b — the sublinear
+    vocabulary scaling every tokenizer-budget and dedup-capacity
+    plan leans on. Vocabulary unit = 3-GRAM SHINGLES (the corpus's
+    word vocabulary is a closed 31-term set — flat V(N), r² undefined;
+    shingle vocabulary genuinely grows). The curve is sampled at 20
+    corpus prefixes WITHOUT any sequential scan: a shingle's
+    FIRST-OCCURRENCE doc (one min aggregate) assigns it to the bucket
+    where it enters the vocabulary, so cumulative (tokens, vocab) per
+    bucket is a
+    20-row prefix sum — computed here as conditional sums over the
+    bucket frame, window-free. The log-log least-squares fit rounds
+    ln-values to 9 decimals into DECIMALs BEFORE summing (a raw
+    double sum over buckets would be partial-order-dependent
+    cross-engine), then solves slope/intercept/R² in fixed double
+    algebra.
+
+    Scale: two corpus-scale aggregates (first-occurrence min per
+    token — vocab-sized shuffle — and per-bucket token counts);
+    everything else is 20-row algebra. doc_id density assumption:
+    buckets are doc_id-ranged (FLOOR(id·B/max+1)); sparse ids skew
+    bucket widths, not correctness."""
+    # words PHYSICALLY materialized (localCheckpoint below): a merely
+    # projected split(text) gets CollapseProject-inlined back into the
+    # gram lambda and re-splits per gram — the Catalyst
+    # nested-expression blowup (measured ~6 s -> ~1 s on 5000 docs)
+    w = F.col("w")
+    nw = F.size(w)
+    gram3 = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j + 1) for j in range(3)]
+    )
+    shingles = F.when(
+        nw >= 3, F.transform(F.sequence(F.lit(0), nw - 3), gram3)
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    docs = (
+        load(spark, sf_dir, "documents")
+        # single-split corpus: widen before the shingle explode or
+        # the whole vocab build runs on one task
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)  # split exactly once (see above)
+        .select("doc_id", shingles.alias("toks"))
+        # two consumers below (vocab firsts + bucket token counts):
+        # materialize the shingle arrays once
+        .localCheckpoint(eager=True)
+    )
+    nd = docs.agg(
+        (F.max("doc_id") + 1).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_cnt"),
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    bkt = lambda c: F.floor(  # noqa: E731
+        F.col(c) * _HEAPS_BUCKETS / F.col("n_docs")
+    ).cast("bigint")
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    vb = (
+        firsts.crossJoin(F.broadcast(nd))
+        .groupBy(bkt("fd").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    tb = (
+        tok.crossJoin(F.broadcast(nd))
+        .groupBy(bkt("doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    # 20-row cumulative sums via triangular self-join (window-free)
+    base = tb.join(vb, "b", "left").select(
+        "b", "t", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pts = (
+        l.join(r, F.col("r.b") <= F.col("l.b"))
+        .groupBy(F.col("l.b").alias("b"))
+        .agg(
+            F.sum("r.t").alias("n_cum"),
+            F.sum("r.v").alias("v_cum"),
+        )
+    )
+    dec = "decimal(28,9)"
+    lp = pts.select(
+        F.round(F.log(F.col("n_cum").cast("double")), 9).cast(dec).alias("x"),
+        F.round(F.log(F.col("v_cum").cast("double")), 9).cast(dec).alias("y"),
+    )
+    mm = lp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = kd * F.col("sxy").cast("double") - sxd * syd
+    dxx = kd * F.col("sxx").cast("double") - sxd * sxd
+    dyy = kd * F.col("syy").cast("double") - syd * syd
+    b = num / dxx
+    tots = pts.agg(
+        F.max("n_cum").cast("bigint").alias("n_tokens"),
+        F.max("v_cum").cast("bigint").alias("vocab"),
+    )
+    fit = mm.select(
+        F.round(b, 4).alias("heaps_b"),
+        F.round((syd - b * sxd) / kd, 4).alias("heaps_logk"),
+        F.round(num * num / (dxx * dyy), 4).alias("r_squared"),
+    )
+    return (
+        nd.select("doc_cnt")
+        .crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.col("doc_cnt").alias("n_docs"),
+            "n_tokens",
+            "vocab",
+            "heaps_b",
+            "heaps_logk",
+            "r_squared",
+        )
+    )

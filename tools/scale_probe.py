@@ -230,10 +230,10 @@ def main_r10() -> None:
     candidate growth of the EXACT prefix-filter Jaccard join and
     per-query flatness of IVF-PQ as the corpus replicates."""
     from ibd_pipeline_spark.catalog import load
-    from ibd_pipeline_spark.queries.round10_similarity import (
-        _PQ_CENTS,
+    from ibd_pipeline_spark.queries.dedup import (
         dedup_prefix_filter_jaccard,  # noqa: F401 (registry import)
     )
+    from ibd_pipeline_spark.queries.similarity import _PQ_CENTS
     from ibd_pipeline_spark.session import get_spark
 
     spark = get_spark(master="local[32]", shuffle_partitions=32)
@@ -782,8 +782,173 @@ def main_r13() -> None:
     spark.stop()
 
 
+def main_r14() -> None:
+    """Round-14 probe (`python tools/scale_probe.py r14`) — VERDICT
+    r13 #5: the composed `dedup_lsh_recall_eval` shape, whose cost
+    story ("one run of each side") inherits TWO different bounds:
+    the banded bucket join (density-quadratic in block occupancy) and
+    the prefix-filter truth join (rare-postings bounded). Same 1x/4x
+    volume/density protocol as the LPA/transitivity probes.
+
+    - volume mode: 4 textually-DISTINCT copies (a per-copy token is
+      interleaved between every word, so every 3-shingle of copy i
+      contains the token and shares nothing across copies, while
+      intra-copy near-dup structure is preserved — both members of a
+      pair get the same transformation). Expectation: both sides
+      ~linear in corpus (postings and buckets grow, occupancy per
+      key does not).
+    - density mode: 4 copies with a single distinct token APPENDED
+      (near-dup but not exact-dup, so the exact-keeper semi-join
+      keeps them): every original near-dup cluster of size s becomes
+      size ~4s -> true pairs grow ~quadratically BY CONSTRUCTION;
+      the probe measures whether wall time follows the pair count
+      (the verify stage is the quadratic consumer) or worse.
+    """
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.operators import dedup as D
+    from ibd_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    results: dict[str, dict[str, object]] = {}
+
+    base = load(spark, SF, "documents").select("doc_id", "text")
+
+    def eval_counts(docs):
+        """The dedup_lsh_recall_eval composition, re-driven against an
+        injected documents frame (mirrors queries/dedup.py:871)."""
+        par = spark.sparkContext.defaultParallelism
+        reps = docs.join(
+            D.exact_keeper_ids(docs.withColumn("source", F.lit("x"))),
+            "doc_id",
+            "left_semi",
+        )
+        hashed = (
+            reps.repartition(par)
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .localCheckpoint(eager=True)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            D.shingles(F.concat_ws(" ", "w"), 3),
+                            lambda g: F.substring(F.md5(g), 1, 8),
+                        )
+                    )
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sets = hashed.groupBy("doc_id").agg(
+            F.collect_set("h").alias("hs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        tf = hashed.groupBy("h").agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq")
+        )
+        stp = (
+            hashed.join(tf, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("freq", "h"))),
+                    lambda s: s["h"],
+                ).alias("stoks"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+        plen = (
+            F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
+        ).cast("int")
+        pref = stp.select(
+            "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
+        ).localCheckpoint(eager=True)
+        a, b = pref.alias("a"), pref.alias("b")
+        tcand = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+            .repartition(par)
+        )
+        x = sets.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("hs").alias("ha"),
+            F.col("n").alias("na"),
+        )
+        y = sets.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("hs").alias("hb"),
+            F.col("n").alias("nb"),
+        )
+        ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+        gate = 2 * ni >= F.col("na") + F.col("nb") - ni
+        truth = (
+            tcand.join(x, "id_a").join(y, "id_b").filter(gate)
+            .select("id_a", "id_b")
+        )
+        cand = (
+            D.minhash_candidate_pairs(
+                reps.withColumn("source", F.lit("x")),
+                "doc_id",
+                "text",
+                portable=True,
+            )
+            .select("id_a", "id_b")
+            .repartition(par)
+        )
+        found = (
+            cand.join(x, "id_a").join(y, "id_b").filter(gate)
+            .select("id_a", "id_b")
+        )
+        return {
+            "n_postings": hashed.count(),
+            "n_truth_cand": tcand.count(),
+            "n_lsh_cand": cand.count(),
+            "n_true": truth.count(),
+            "n_found": found.count(),
+        }
+
+    for k in (1, 4):
+        # volume: interleave a per-copy token between every word
+        vol = None
+        for i in range(k):
+            c = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            if i:
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), " ", f" qq{i}x "),
+                )
+            vol = c if vol is None else vol.unionByName(c)
+        # density: one distinct token appended (near-dup, not exact)
+        dens = None
+        for i in range(k):
+            c = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            if i:
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" zc{i}"))
+                )
+            dens = c if dens is None else dens.unionByName(c)
+        for mode, src in (("volume", vol), ("density", dens)):
+            t0 = time.perf_counter()
+            m = eval_counts(src)
+            m["wall_s"] = round(time.perf_counter() - t0, 3)
+            results.setdefault(f"lsh_recall_eval_{mode}_x", {})[str(k)] = m
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r13":
+    if len(sys.argv) > 1 and sys.argv[1] == "r14":
+        main_r14()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r13":
         main_r13()
     elif len(sys.argv) > 1 and sys.argv[1] == "r10":
         main_r10()
