@@ -11,8 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
-from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql
-from ibd_pipeline_spark.queries.round11b import _phi_tail_col
+from ibd_pipeline_spark.queries.statcommon import _phi_tail_col, _phi_tail_sql
 
 # ---------------------------------------------------------------------------
 # 2×2 odds ratio with the Woolf log-interval (md5 arm × converted)
@@ -519,4 +518,174 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(z))), 8
         ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11c.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Post-stratification A/B effect estimator
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+WITH s AS (
+  SELECT event_type AS g,
+         CAST(('0x' || substring(md5('11:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         value AS y
+  FROM events WHERE value IS NOT NULL
+), cell AS (
+  SELECT g,
+         CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS na,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS nb,
+         SUM(CASE WHEN arm = 0 THEN CAST(y AS DECIMAL(28,8)) END) AS s1a,
+         SUM(CASE WHEN arm = 1 THEN CAST(y AS DECIMAL(28,8)) END) AS s1b,
+         SUM(CASE WHEN arm = 0 THEN CAST(y AS DECIMAL(28,8))
+                                    * CAST(y AS DECIMAL(28,8)) END) AS s2a,
+         SUM(CASE WHEN arm = 1 THEN CAST(y AS DECIMAL(28,8))
+                                    * CAST(y AS DECIMAL(28,8)) END) AS s2b
+  FROM s GROUP BY g
+), nn AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+         SUM(s1a) AS t1a, SUM(s1b) AS t1b, SUM(s2a) AS t2a, SUM(s2b) AS t2b
+  FROM cell
+), terms AS (
+  SELECT
+    SUM(CAST(ROUND(
+      (CAST(na + nb AS DOUBLE) / (ta + tb))
+      * (CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb), 12)
+      AS DECIMAL(28,12))) AS delta_ps,
+    SUM(CAST(ROUND(
+      (CAST(na + nb AS DOUBLE) / (ta + tb))
+      * (CAST(na + nb AS DOUBLE) / (ta + tb))
+      * (((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+             / na) / (na - 1)) / na
+         + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+             / nb) / (nb - 1)) / nb), 14)
+      AS DECIMAL(28,14))) AS var_ps
+  FROM cell CROSS JOIN nn
+), raw AS (
+  SELECT ta, tb,
+         CAST(t1a AS DOUBLE) / ta - CAST(t1b AS DOUBLE) / tb AS delta_raw,
+         ((CAST(t2a AS DOUBLE) - CAST(t1a AS DOUBLE) * CAST(t1a AS DOUBLE)
+             / ta) / (ta - 1)) / ta
+         + ((CAST(t2b AS DOUBLE) - CAST(t1b AS DOUBLE) * CAST(t1b AS DOUBLE)
+             / tb) / (tb - 1)) / tb AS var_raw
+  FROM nn
+)
+SELECT ta AS n_a, tb AS n_b,
+       ROUND(delta_raw, 6) AS delta_raw,
+       ROUND(sqrt(var_raw), 8) AS se_raw,
+       ROUND(CAST(delta_ps AS DOUBLE), 6) AS delta_ps,
+       ROUND(sqrt(CAST(var_ps AS DOUBLE)), 8) AS se_ps,
+       ROUND(100.0 * (1.0 - CAST(var_ps AS DOUBLE) / var_raw), 2)
+         AS var_reduction_pct
+FROM raw CROSS JOIN terms
+"""
+
+
+@query("ab_post_stratification", oracle=_PS_SQL)
+def ab_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified A/B effect estimate (Miratrix et al. 2013) —
+    the variance-reduction you get for FREE after randomization, no
+    pre-period data required (CUPED's sibling: CUPED needs a
+    covariate; post-stratification only needs a categorical
+    stratum): Δ_ps = Σ_s w_s(ȳ_sa − ȳ_sb) with pooled stratum
+    weights w_s = n_s/N and Var = Σ_s w_s²(s²_sa/n_sa + s²_sb/n_sb),
+    vs the raw difference-in-means. Arms are the md5('11:'|user)
+    hash split shared with ab_msprt_always_valid; strata are the
+    five event types. The emitted var_reduction_pct IS the payoff
+    readout — how much narrower the CI got for one GROUP BY.
+
+    Exactness: per-(stratum, arm) moments are exact decimal/integer
+    sums (map-side combined); each stratum's Δ and variance term
+    rounds to decimal before the k-term fold; the raw estimator runs
+    on the decimal-sum totals — double algebra only at output.
+
+    Scale: ONE (stratum, arm)-key aggregate over the fact table (10
+    cells); everything after is cell-frame algebra."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("11"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        arm.alias("arm"),
+        F.col("value").alias("y"),
+    )
+    yd = F.col("y").cast("decimal(28,8)")
+    cell = s.groupBy("g").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("na"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, yd)).alias("s1a"),
+        F.sum(F.when(F.col("arm") == 1, yd)).alias("s1b"),
+        F.sum(F.when(F.col("arm") == 0, yd * yd)).alias("s2a"),
+        F.sum(F.when(F.col("arm") == 1, yd * yd)).alias("s2b"),
+    )
+    nn = cell.agg(
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+        F.sum("s1a").alias("t1a"),
+        F.sum("s1b").alias("t1b"),
+        F.sum("s2a").alias("t2a"),
+        F.sum("s2b").alias("t2b"),
+    )
+    j = cell.crossJoin(F.broadcast(nn))
+    w = (F.col("na") + F.col("nb")).cast("double") / (
+        F.col("ta") + F.col("tb")
+    )
+    ma = F.col("s1a").cast("double") / F.col("na")
+    mb = F.col("s1b").cast("double") / F.col("nb")
+    va = (
+        F.col("s2a").cast("double")
+        - F.col("s1a").cast("double") * F.col("s1a").cast("double") / F.col("na")
+    ) / (F.col("na") - 1)
+    vb = (
+        F.col("s2b").cast("double")
+        - F.col("s1b").cast("double") * F.col("s1b").cast("double") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    terms = j.select(
+        F.round(w * (ma - mb), 12).cast("decimal(28,12)").alias("dt"),
+        F.round(w * w * (va / F.col("na") + vb / F.col("nb")), 14)
+        .cast("decimal(28,14)")
+        .alias("vt"),
+    ).agg(F.sum("dt").alias("delta_ps"), F.sum("vt").alias("var_ps"))
+    tma = F.col("t1a").cast("double") / F.col("ta")
+    tmb = F.col("t1b").cast("double") / F.col("tb")
+    tva = (
+        F.col("t2a").cast("double")
+        - F.col("t1a").cast("double") * F.col("t1a").cast("double") / F.col("ta")
+    ) / (F.col("ta") - 1)
+    tvb = (
+        F.col("t2b").cast("double")
+        - F.col("t1b").cast("double") * F.col("t1b").cast("double") / F.col("tb")
+    ) / (F.col("tb") - 1)
+    raw = nn.select(
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        (tma - tmb).alias("delta_raw"),
+        (tva / F.col("ta") + tvb / F.col("tb")).alias("var_raw"),
+    )
+    return raw.crossJoin(F.broadcast(terms)).select(
+        "n_a",
+        "n_b",
+        F.round("delta_raw", 6).alias("delta_raw"),
+        F.round(F.sqrt("var_raw"), 8).alias("se_raw"),
+        F.round(F.col("delta_ps").cast("double"), 6).alias("delta_ps"),
+        F.round(F.sqrt(F.col("var_ps").cast("double")), 8).alias("se_ps"),
+        F.round(
+            100.0
+            * (F.lit(1.0) - F.col("var_ps").cast("double") / F.col("var_raw")),
+            2,
+        ).alias("var_reduction_pct"),
     )

@@ -1642,3 +1642,89 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11b.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention triangle
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first_d AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+), size_d AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first_d GROUP BY cohort_day
+), ret AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+  FROM act a JOIN first_d f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.day_offset, r.active_users, s.cohort_size,
+       ROUND(CAST(r.active_users AS DOUBLE) / s.cohort_size, 6)
+         AS retention_rate
+FROM ret r JOIN size_d s USING (cohort_day)
+ORDER BY cohort_day, day_offset
+"""
+
+
+@query("analytics_cohort_retention", oracle=_COHORT_SQL)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — THE product-analytics table:
+    users bucketed by first-activity day (the cohort), and for each
+    later day the share of the cohort still active. Diagonal reads
+    = aging; column reads = product-change impact. Day-grain here
+    (the fixture spans 30 days); the week-grain variant is the same
+    plan with date_trunc('week') at the act stage.
+
+    Scale: one DISTINCT (user, week) shuffle (the only data-sized
+    exchange), then a user-keyed min-reduce and a join back on
+    user_id — both co-partitioned on the same key so AQE reuses the
+    exchange; the final frame is (weeks × offsets), metadata-sized.
+    retention_rate is bigint/bigint in double — exact inputs, same
+    quotient bits on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    first_d = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    size_d = first_d.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    ret = (
+        act.join(first_d, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(
+            F.count_distinct(F.col("user_id"))
+            .cast("bigint")
+            .alias("active_users")
+        )
+    )
+    return (
+        ret.join(F.broadcast(size_d), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

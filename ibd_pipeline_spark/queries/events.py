@@ -905,3 +905,260 @@ def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vr / (mu * mu), 6).alias("cv_squared"),
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round6.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LAT_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'signup')   AS first_signup,
+         MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT CAST(date_diff('second', first_signup, first_purchase) AS DOUBLE)
+           AS lat_s
+  FROM f
+  WHERE first_signup IS NOT NULL AND first_purchase > first_signup
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat_s), 4) AS p50_s,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat_s), 4) AS p90_s,
+       CAST(MAX(lat_s) AS BIGINT) AS max_s
+FROM lat
+"""
+
+
+@query("events_funnel_latency", oracle=_FUNNEL_LAT_SQL)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup→purchase funnel:
+    exact p50/p90 latency in seconds across users whose first
+    purchase follows their first signup. Same conditional-MIN
+    per-user shape as funnel_signup_purchase (one shuffle, never a
+    self-join); this query adds the LATENCY quantiles a funnel
+    readout needs next to the conversion count.
+
+    Latencies are integer second diffs cast to double, so the exact
+    interpolated percentile is a sum of halves — binary-exact in
+    both engines (the text_length_percentiles contract).
+
+    Scale: groupBy user_id is the one event-volume shuffle; the
+    quantile runs over the (users-sized) latency column — swap in
+    approx_percentile when conversions alone exceed a buffer."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    lat = f.filter(
+        F.col("fs").isNotNull() & (F.col("fp") > F.col("fs"))
+    ).select(
+        (F.unix_timestamp("fp") - F.unix_timestamp("fs"))
+        .cast("double")
+        .alias("lat_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("lat_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("lat_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.max("lat_s").cast("bigint").alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_SQL = """
+WITH s AS (
+  SELECT event_type, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), g AS (
+  SELECT event_type,
+         CAST(date_diff('second', prev_ts, ts) AS DOUBLE) AS gap_s
+  FROM s WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 4) AS p50_s,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_s), 4) AS p90_s
+FROM g
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_inter_arrival_stats", oracle=_INTERARRIVAL_SQL)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics: exact p50/p90 of the
+    gap (seconds) between a user's consecutive events of the same
+    type — the cadence profile that sizes session-gap thresholds and
+    watermark horizons (events_sessionize_gaps picks its 30-min gap
+    from exactly this readout). LAG over (user, type) with event_id
+    tiebreak for determinism on equal timestamps.
+
+    Scale: one shuffle on (user_id, event_type) for the window; gaps
+    aggregate per type — tiny output. Integer-second diffs keep the
+    interpolated percentile binary-exact cross-engine."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        )
+        .cast("double")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean
+# ---------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH b AS (
+  SELECT event_type,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT e.event_type,
+         LEAST(GREATEST(e.value, b.lo), b.hi) AS clipped
+  FROM events e JOIN b ON e.event_type = b.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(clipped AS DECIMAL(28,8))), 4) AS DOUBLE)
+         / COUNT(*) AS winsor_mean
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_value_winsorize", oracle=_WINSOR_SQL)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value per type: clip at the exact
+    p05/p95 group quantiles, then average — the outlier-robust KPI
+    that stops one whale purchase from moving the daily number. The
+    mean follows the davg contract (exact decimal sum rounded in the
+    decimal domain, THEN divided) so the oracle hash is stable; the
+    clip thresholds are interpolated percentiles computed identically
+    in both engines.
+
+    Scale: two passes over events sharing one event_type shuffle —
+    quantiles per group, then clip+aggregate with the threshold row
+    broadcast back. Swap approx_percentile in when a single group's
+    values can't buffer (the stats_approx_percentiles trade)."""
+    from ibd_pipeline_spark.queries import davg
+
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    c = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "clipped"
+        ),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            davg(F.col("clipped"), 4).alias("winsor_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness
+# ---------------------------------------------------------------------------
+
+_STICKINESS_SQL = """
+WITH d AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         user_id
+  FROM events
+), daily AS (
+  SELECT week, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM d GROUP BY week, day
+), weekly AS (
+  SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM d GROUP BY week
+)
+SELECT w.week,
+       CAST(SUM(dl.dau) AS BIGINT) AS sum_dau,
+       w.wau,
+       CAST(SUM(dl.dau) * 10000 // (COUNT(dl.day) * w.wau) AS BIGINT)
+         AS stickiness_bp
+FROM weekly w JOIN daily dl ON dl.week = w.week
+GROUP BY w.week, w.wau
+ORDER BY w.week
+"""
+
+
+@query("events_stickiness_ratio", oracle=_STICKINESS_SQL)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness (avg DAU / WAU, the product-health ratio):
+    per calendar week, the sum of daily distinct actives, the weekly
+    distinct actives, and avgDAU/WAU in integer basis points
+    (floor-div — exact oracle, no float rounding). Two COUNT
+    DISTINCTs sharing one (week/day, user) pre-dedup shuffle.
+
+    Scale: at event volume this is the one dedup shuffle; for the
+    rolling/sketched form see events_rolling_active_users (HLL
+    unions) — this query pins the exact values the sketches
+    approximate."""
+    e = load(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+    )
+    daily = e.groupBy("week", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    weekly = e.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        weekly.join(daily, "week")
+        .groupBy("week", "wau")
+        .agg(
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+            F.count("day").alias("n_days"),
+        )
+        .select(
+            "week",
+            "sum_dau",
+            "wau",
+            F.expr("sum_dau * 10000L div (n_days * wau)")
+            .cast("bigint")
+            .alias("stickiness_bp"),
+        )
+        .orderBy("week")
+    )

@@ -581,3 +581,113 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n").alias("user_id"), F.col("deg").alias("core_degree"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11c.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-activity graph
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 150
+), e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u AS nd, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), pairs AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM sym JOIN deg du ON du.nd = sym.u JOIN deg dv ON dv.nd = sym.v
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS md,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       CAST(md // 2 AS BIGINT) AS n_edges,
+       ROUND((CAST(md AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(md AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(md AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS assortativity
+FROM s
+"""
+
+
+@query("graph_degree_assortativity", oracle=_ASSORT_SQL)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the user
+    co-activity graph (same edge build as graph_kcore_peel /
+    graph_adamic_adar: an edge joins two users active in the same
+    (event_type, hour) bucket): the Pearson correlation of endpoint
+    degrees over DIRECTED edge occurrences (each undirected edge
+    counted both ways — the standard symmetrization). Positive =
+    hubs attach to hubs (social nets); negative = hub-and-spoke
+    (infrastructure). The one-number structure summary next to
+    k-core's global peel and the local clustering coefficient.
+
+    Exactness: every moment (Σx, Σx², Σxy over directed edges) is an
+    exact BIGINT sum of bounded integers; the correlation is one
+    closed-form double chain at output — bit-identical engines.
+
+    Scale: degrees are one edge-key aggregate; the moment pass is two
+    hash joins of the edge list against the (node, degree) table —
+    broadcastable, since nodes ≪ edges in any dense graph. The
+    user_id < 150 slice bounds the bench, not the shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v")
+        )
+        .distinct()
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("nd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    du = deg.select(F.col("nd").alias("nu"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("nd").alias("nv"), F.col("deg").alias("y"))
+    pairs = sym.join(F.broadcast(du), F.col("u") == F.col("nu")).join(
+        F.broadcast(dv), F.col("v") == F.col("nv")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("md"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    mdd = F.col("md").cast("double")
+    num = mdd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        mdd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(mdd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return nn.crossJoin(F.broadcast(s)).select(
+        "n_nodes",
+        (F.col("md") / 2).cast("bigint").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -634,3 +634,216 @@ def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round6.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiling
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = """
+WITH k AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+       CAST(MAX(cnt) * COUNT(*) * 10000 // SUM(cnt) AS BIGINT) AS skew_bp,
+       CAST((MAX(cnt) * COUNT(*) + SUM(cnt) - 1) // SUM(cnt) AS BIGINT)
+         AS suggested_salt
+FROM k
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("profile_key_skew", oracle=_SKEW_SQL)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnosis — the profiling pass you run
+    BEFORE deciding to salt (operators/skew.py): per candidate key
+    domain (event_type × user_id here), the key count, max single-key
+    row count, skew ratio max/mean in integer basis points, and the
+    ceil(max/mean) salt factor the salted-join would use. All integer
+    arithmetic (cross-multiplied, floor-div) — exact oracle, no float
+    rounding anywhere.
+
+    Scale: one map-side-combined count per (type, key) then a
+    per-type reduce — the same two-level aggregate a 100 TB skew
+    probe runs; output is O(|types|)."""
+    k = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("total_rows"),
+            F.max("cnt").cast("bigint").alias("max_per_key"),
+        )
+        .select(
+            "event_type",
+            "n_keys",
+            "total_rows",
+            "max_per_key",
+            # `div`, not `/`: Spark `/` on BIGINTs is a DOUBLE divide
+            # and DuckDB CAST(double AS BIGINT) ROUNDS where Spark
+            # truncates — floor-div in INTEGER space on both sides.
+            F.expr("max_per_key * n_keys * 10000L div total_rows")
+            .cast("bigint")
+            .alias("skew_bp"),
+            F.expr("(max_per_key * n_keys + total_rows - 1) div total_rows")
+            .cast("bigint")
+            .alias("suggested_salt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order/lineitem reconciliation audit
+# ---------------------------------------------------------------------------
+
+_RECON_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l_discount AS DECIMAL(8,6)))
+                   * (1 + CAST(l_tax AS DECIMAL(8,6)))), 2) AS computed
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderstatus,
+         li.computed,
+         ROUND(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) AS stated
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(computed) AS BIGINT) AS n_with_lines,
+       CAST(COUNT(*) FILTER (computed = stated) AS BIGINT) AS n_equal,
+       CAST(COUNT(*) FILTER (computed > stated) AS BIGINT) AS n_over,
+       CAST(COUNT(*) FILTER (computed < stated) AS BIGINT) AS n_under
+FROM j
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("quality_order_reconciliation", oracle=_RECON_SQL)
+def quality_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: recompute each order's
+    total from its line items (extendedprice·(1−discount)·(1+tax),
+    the TPC-H revenue expression) and compare against the stated
+    o_totalprice — the referential data-quality audit that catches
+    drift between a rollup and its detail table. Comparison happens
+    entirely in the exact DECIMAL domain rounded to cents (the dsum
+    contract), so equal/over/under counts are engine-exact.
+
+    Scale: one lineitem aggregate sharing the orderkey shuffle with
+    the join; output is O(|statuses|). AQE handles the orders-side
+    join strategy."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                    * (F.lit(1) + F.col("l_tax").cast("decimal(8,6)"))
+                ),
+                2,
+            ).alias("computed")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2).alias("stated"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count("computed").cast("bigint").alias("n_with_lines"),
+            F.count(F.when(F.col("computed") == F.col("stated"), 1))
+            .cast("bigint")
+            .alias("n_equal"),
+            F.count(F.when(F.col("computed") > F.col("stated"), 1))
+            .cast("bigint")
+            .alias("n_over"),
+            F.count(F.when(F.col("computed") < F.col("stated"), 1))
+            .cast("bigint")
+            .alias("n_under"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity orphan audit
+# ---------------------------------------------------------------------------
+
+_ORPHANS_SQL = """
+SELECT 'lineitem->orders' AS relation,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+ORDER BY relation
+"""
+
+
+@query("quality_referential_orphans", oracle=_ORPHANS_SQL)
+def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    FK relation, the child row count and how many children have no
+    parent (left-anti join) — the orphan check every warehouse load
+    gate runs. Output: (relation, n_child, n_orphans).
+
+    Scale: each orphan count is one anti join on the FK — broadcast
+    when the parent is a dim (nation, customer at this ratio), AQE
+    picks SMJ for orders⋈lineitem; the three audits are independent
+    branches of one union plan and run concurrently."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def audit(rel: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        return child.agg(
+            F.lit(rel).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+        ).crossJoin(
+            child.join(parent, child[ck] == parent[pk], "left_anti").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+            )
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(audit("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+        .orderBy("relation")
+    )

@@ -593,22 +593,10 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
 
-# Zelen & Severo 26.2.17 polynomial for the standard normal CDF —
-# plain double algebra (exp + one polynomial) both engines evaluate
-# bit-identically; |error| < 7.5e-8, far inside the ROUND(…, 8).
-_PHI_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
-
-
-def _phi_tail_sql(z: str) -> str:
-    """SQL for P(Z > z), z ≥ 0 (upper tail)."""
-    k = f"(1.0 / (1.0 + 0.2316419 * {z}))"
-    poly = (
-        f"((((({_PHI_B[4]} * {k} + {_PHI_B[3]}) * {k} + {_PHI_B[2]}) * {k}"
-        f" + {_PHI_B[1]}) * {k} + {_PHI_B[0]}) * {k})"
-    )
-    return (
-        f"(0.3989422804014327 * exp(-0.5 * {z} * {z}) * {poly})"
-    )
+from ibd_pipeline_spark.queries.statcommon import (  # noqa: E402,F401
+    _PHI_B,
+    _phi_tail_sql,
+)
 
 
 _BH_SQL = f"""

@@ -562,7 +562,7 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cochran–Armitage trend test
 # ---------------------------------------------------------------------------
 
-from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql, _PHI_B  # noqa: E402
+from ibd_pipeline_spark.queries.statcommon import _phi_tail_sql, _PHI_B  # noqa: E402
 
 _CA_SQL = f"""
 WITH g AS (

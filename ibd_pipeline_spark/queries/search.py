@@ -393,3 +393,263 @@ def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "rank", "doc_id", F.round("ql_score", 6).alias("ql_score")
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11b.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and a
+# dense (embedding-cosine) ranking
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 50
+_RRF_LABEL = 0
+
+
+def _rrf_oracle() -> str:
+    from ibd_pipeline_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    tf = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df = ", ".join(
+        f"CAST(COUNT(*) FILTER (tf{i} > 0) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln(1 + (g.n - g.df{i} + 0.5) / (g.df{i} + 0.5))"
+        f" * tf{i} * ({_BM25_K1} + 1)"
+        f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * t.dl / g.avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tf} FROM d
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, {df} FROM t
+), lex AS (
+  SELECT doc_id, {score} AS bm25 FROM t, g
+), lexr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM lex
+), xk AS (
+  SELECT e.vec_id AS doc_id, i - 1 AS k, CAST(e.embedding[i] AS DOUBLE) AS x
+  FROM embeddings e, UNNEST(generate_series(1, 64)) t(i)
+), cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m
+  FROM embeddings WHERE label = {_RRF_LABEL}
+), cent AS (
+  SELECT x.k,
+         SUM(CAST(FLOOR(x.x * 1e9) AS BIGINT)) / (1e9 * cm.m) AS c
+  FROM xk x JOIN embeddings e ON e.vec_id = x.doc_id, cm
+  WHERE e.label = {_RRF_LABEL}
+  GROUP BY x.k, cm.m
+), cn AS (
+  SELECT SUM(CAST(FLOOR(c * c * 1e12) AS BIGINT)) AS cn2 FROM cent
+), den AS (
+  SELECT x.doc_id,
+         (CAST(SUM(CAST(FLOOR(x.x * c.c * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+         / (sqrt(CAST(SUM(CAST(FLOOR(x.x * x.x * 1e12) AS BIGINT))
+                      AS DOUBLE) / 1e12)
+            * sqrt(CAST(cn.cn2 AS DOUBLE) / 1e12)) AS cos
+  FROM xk x JOIN cent c USING (k), cn
+  GROUP BY x.doc_id, cn.cn2
+), denr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+  FROM den
+), fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         l.r AS lex_rank, v.r AS dense_rank,
+         COALESCE(1.0 / ({_RRF_K} + l.r), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + v.r), 0.0) AS rrf_score
+  FROM (SELECT * FROM lexr WHERE r <= {_RRF_POOL}) l
+  FULL OUTER JOIN (SELECT * FROM denr WHERE r <= {_RRF_POOL}) v
+    USING (doc_id)
+)
+SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+       CAST(dense_rank AS INT) AS dense_rank,
+       ROUND(rrf_score, 8) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("search_hybrid_rrf", oracle=_rrf_oracle)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):
+    a lexical BM25 ranking (same terms/constants as
+    text_bm25_ranking) and a dense embedding ranking (cosine to the
+    label-0 centroid — query-by-example) each contribute
+    1/(60+rank); the fused top-10 is the modern lexical+dense hybrid
+    search result list. RRF is scorer-agnostic — no score
+    calibration between BM25's unbounded sums and cosine's [-1,1]
+    is needed, which is exactly why it's the production default.
+
+    Exactness: centroid dims and all dot products accumulate in
+    fixed point (order-independent integer sums); BM25 reuses the
+    attested formula. Ranks: each scorer's top-50 via global
+    TakeOrdered (sort-limit, no unpartitioned window), then rank =
+    broadcast self-join count within the pool-sized frame.
+
+    Scale: BM25 is a scan + tiny global stats; the dense side is one
+    d-explode shuffle keyed by (doc, dim); the fusion frame is
+    pool-sized. At 100 TB each ranking's top-k comes from its own
+    index path (postings / ANN) and the fusion stays rank-only.
+    """
+    from ibd_pipeline_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    tf_cols = [
+        F.size(F.filter("toks", lambda x: x == F.lit(t)))
+        .cast("double")
+        .alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    t = toks.select(
+        "doc_id", F.size("toks").cast("double").alias("dl"), *tf_cols
+    )
+    g = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        term = (
+            F.log(
+                1
+                + (F.col("n") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+            )
+            * F.col(f"tf{i}")
+            * (_BM25_K1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    lex = (
+        t.crossJoin(F.broadcast(g))
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .localCheckpoint(eager=True)  # pool-sized; barrier for the rank join
+    )
+    la, lc = lex.alias("la"), lex.alias("lc")
+    lexr = (
+        la.join(
+            F.broadcast(lc),
+            (F.col("lc.bm25") > F.col("la.bm25"))
+            | (
+                (F.col("lc.bm25") == F.col("la.bm25"))
+                & (F.col("lc.doc_id") <= F.col("la.doc_id"))
+            ),
+        )
+        .groupBy("la.doc_id")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    xk = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("label"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("k", "x"),
+    )
+    cm = emb.filter(F.col("label") == _RRF_LABEL).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    cent = (
+        xk.filter(F.col("label") == _RRF_LABEL)
+        .groupBy("k")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1e9).cast("bigint")).alias("s")
+        )
+        .crossJoin(F.broadcast(cm))
+        .select("k", (F.col("s") / (F.lit(1e9) * F.col("m"))).alias("c"))
+    )
+    cn = cent.agg(
+        F.sum(F.floor(F.col("c") * F.col("c") * 1e12).cast("bigint")).alias(
+            "cn2"
+        )
+    )
+    den = (
+        xk.join(F.broadcast(cent), "k")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.floor(F.col("x") * F.col("c") * 1e12).cast("bigint"))
+            .alias("ip_fp"),
+            F.sum(F.floor(F.col("x") * F.col("x") * 1e12).cast("bigint"))
+            .alias("xn2"),
+        )
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "doc_id",
+            (
+                (F.col("ip_fp").cast("double") / 1e12)
+                / (
+                    F.sqrt(F.col("xn2").cast("double") / 1e12)
+                    * F.sqrt(F.col("cn2").cast("double") / 1e12)
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .localCheckpoint(eager=True)  # pool-sized
+    )
+    da, dc = den.alias("da"), den.alias("dc")
+    denr = (
+        da.join(
+            F.broadcast(dc),
+            (F.col("dc.cos") > F.col("da.cos"))
+            | (
+                (F.col("dc.cos") == F.col("da.cos"))
+                & (F.col("dc.doc_id") <= F.col("da.doc_id"))
+            ),
+        )
+        .groupBy("da.doc_id")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fused = lexr.withColumnRenamed("r", "lr").join(
+        denr.withColumnRenamed("r", "dr"), "doc_id", "full_outer"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (_RRF_K + F.col("lr")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("dr")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lr").cast("int").alias("lex_rank"),
+            F.col("dr").cast("int").alias("dense_rank"),
+            F.round(rrf, 8).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )

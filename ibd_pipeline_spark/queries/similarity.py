@@ -967,3 +967,368 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round6.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization audit
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+WITH v AS (
+  SELECT label,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS amax,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT label,
+         list_transform(emb, x -> FLOOR(x * 127.0 / amax + 0.5)) AS qs
+  FROM v WHERE amax > 0
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(list_aggregate(qs, 'sum')) AS BIGINT) AS sum_q,
+       CAST(SUM(len(list_filter(qs, x -> abs(x) = 127))) AS BIGINT)
+         AS n_saturated
+FROM q
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("similarity_quantize_int8", oracle=_QUANT_SQL)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (q = round(x·127/max|x|),
+    the faiss/sentence-transformers storage trick that cuts an
+    embedding store 4×), audited per label: vector count, the exact
+    sum of all quantized components, and how many components
+    saturate at ±127.
+
+    Rounding is FLOOR(x + 0.5), not round(): both engines floor the
+    identical IEEE double, where Spark's round() would go through
+    the shortest-string repr and diverge from DuckDB on half-points
+    (the r05 davg lesson). Outputs are BIGINTs — exact oracle.
+
+    Scale: pure per-row projection (higher-order transform, no
+    shuffle until the label aggregate); the real store would write
+    the int8 array + per-vector scale as columns — same plan minus
+    the audit aggregate."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    amax = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    q = (
+        emb.select("label", "emb", amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .select(
+            "label",
+            F.transform(
+                "emb",
+                lambda x: F.floor(x * F.lit(127.0) / F.col("amax") + F.lit(0.5)),
+            ).alias("qs"),
+        )
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.aggregate("qs", F.lit(0).cast("long"), lambda a, x: a + x))
+            .cast("bigint")
+            .alias("sum_q"),
+            F.sum(F.size(F.filter("qs", lambda x: F.abs(x) == 127)))
+            .cast("bigint")
+            .alias("n_saturated"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label confusion (embedding-space label coherence)
+# ---------------------------------------------------------------------------
+
+_KNN_CONFUSION_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id < 200
+), n AS (
+  SELECT vec_id, label,
+         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm,
+         emb
+  FROM v
+), p AS (
+  SELECT a.vec_id AS qid, a.label AS label_q, b.label AS label_n,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_aggregate(
+                      list_transform(range(1, len(a.emb) + 1),
+                                     i -> a.emb[i] * b.emb[i]), 'sum')
+                    / (a.nrm * b.nrm) DESC,
+                    b.vec_id
+         ) AS rk
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT label_q, label_n, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE rk = 1
+GROUP BY label_q, label_n
+ORDER BY label_q, label_n
+"""
+
+
+@query("similarity_knn_label_confusion", oracle=_KNN_CONFUSION_SQL)
+def similarity_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label coherence: each vector's single nearest
+    neighbor by cosine (excluding itself), aggregated into a label
+    confusion matrix — the eval that tells you whether embedding
+    clusters track labels before trusting embedding-based dedup or
+    search. Deterministic: neighbor ties break on vec_id, and the
+    dot product is the SAME sequential index-order fold in both
+    engines (F.aggregate ↔ list_aggregate) so the doubles compare
+    identically.
+
+    Scale: the all-pairs form lives only inside the oracle-bounded
+    200-vector slice; the corpus-scale path is the ANN variants
+    (similarity_ann_lsh / similarity_ann_ivf) feeding the same
+    confusion aggregate."""
+    from pyspark.sql import Window
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("emb", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("nrm"),
+        )
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.emb", "b.emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("a.label").alias("label_q"),
+        F.col("b.label").alias("label_n"),
+        cos.alias("cos"),
+        F.col("b.vec_id").alias("nid"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    return (
+        pairs.select("label_q", "label_n", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .groupBy("label_q", "label_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("label_q", "label_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11b.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: NDCG@10 + recall@10 of the JL-projected
+# ranking against the exact-cosine ground truth
+# ---------------------------------------------------------------------------
+
+_NDCG_Q, _NDCG_TOPK = 10, 10
+
+
+def _ndcg_oracle() -> str:
+    from ibd_pipeline_spark.queries.round11 import _jl_proj_sql
+
+    d64 = " + ".join(
+        f"q.v[{i}] * c.v[{i}]" for i in range(1, 65)
+    )
+    qn = " + ".join(f"q.v[{i}] * q.v[{i}]" for i in range(1, 65))
+    cn = " + ".join(f"c.v[{i}] * c.v[{i}]" for i in range(1, 65))
+    projs = ", ".join(
+        f"{p} AS p{j}" for j, p in enumerate(_jl_proj_sql("v", True))
+    )
+    d16 = " + ".join(f"q.p{j} * c.p{j}" for j in range(16))
+    qn16 = " + ".join(f"q.p{j} * q.p{j}" for j in range(16))
+    cn16 = " + ".join(f"c.p{j} * c.p{j}" for j in range(16))
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT id, v, {projs} FROM v
+), s AS (
+  SELECT q.id AS qid, c.id AS cid,
+         ({d64}) / (sqrt({qn}) * sqrt({cn})) AS cos64,
+         ({d16}) / (sqrt({qn16}) * sqrt({cn16})) AS cos16
+  FROM p q JOIN p c ON c.id <> q.id
+  WHERE q.id < {_NDCG_Q}
+), r AS (
+  SELECT qid, cid, cos64, cos16,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos64 DESC, cid) AS re,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos16 DESC, cid) AS ra
+  FROM s
+), agg AS (
+  SELECT qid,
+         SUM(CASE WHEN ra <= {_NDCG_TOPK} THEN
+           CAST(FLOOR(GREATEST(cos64, 0.0) / (ln(ra + 1) / ln(2.0)) * 1e9)
+                AS BIGINT) ELSE 0 END) AS dcg_fp,
+         SUM(CASE WHEN re <= {_NDCG_TOPK} THEN
+           CAST(FLOOR(GREATEST(cos64, 0.0) / (ln(re + 1) / ln(2.0)) * 1e9)
+                AS BIGINT) ELSE 0 END) AS idcg_fp,
+         CAST(SUM(CASE WHEN ra <= {_NDCG_TOPK} AND re <= {_NDCG_TOPK}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM r GROUP BY qid
+)
+SELECT qid AS query_id,
+       ROUND(CAST(dcg_fp AS DOUBLE) / 1e9, 6) AS dcg10,
+       ROUND(CAST(idcg_fp AS DOUBLE) / 1e9, 6) AS idcg10,
+       ROUND(CAST(dcg_fp AS DOUBLE) / idcg_fp, 6) AS ndcg10,
+       hits,
+       ROUND(CAST(hits AS DOUBLE) / {_NDCG_TOPK}, 4) AS recall10
+FROM agg ORDER BY query_id
+"""
+
+
+@query("similarity_ndcg_eval", oracle=_ndcg_oracle)
+def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of an approximate retrieval path:
+    NDCG@10 and recall@10 of the JL-projected 16-dim cosine ranking
+    (similarity_jl_projection's sign matrix) against the exact
+    64-dim cosine ground truth, per query — the metric pair every
+    ANN deployment reports. Graded relevance = clamped exact cosine
+    (monotone in the exact score, so the ideal ranking IS the exact
+    ranking); discount = log2(rank+1).
+
+    Exactness: both scores are fixed-order double chains (the JL
+    matrix is embedded as literals in both engines); DCG terms
+    quantize at 1e-9 and sum as exact integers, so the per-query
+    aggregation never depends on float order.
+
+    Scale: queries broadcast against the corpus scan (the eval runs
+    on a query SAMPLE by design — cost is q·n, not n²); per-query
+    ranks via qid-partitioned windows. At 100 TB the corpus side
+    would come pre-filtered by the candidate generator under test.
+    """
+    from ibd_pipeline_spark.operators.similarity import as_double_array, dot
+    from ibd_pipeline_spark.queries.round11 import _jl_proj_sql
+
+    emb = load(spark, sf_dir, "embeddings")
+    projs = _jl_proj_sql("v", False)
+    # materialize the projected corpus ONCE: the 16 JL projections are
+    # 1024-node literal sums, and without a barrier Catalyst re-analyzes
+    # (and codegen re-compiles) that tree on BOTH sides of the q×c join
+    # — measured, the wall here was plan compilation, not arithmetic
+    from ibd_pipeline_spark.operators.ckpt import literal_barrier
+
+    p = literal_barrier(
+        emb.select(
+            F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
+        ).select(
+            "id", "v", *[F.expr(pp).alias(f"p{j}") for j, pp in enumerate(projs)]
+        )
+    )
+    q = p.filter(F.col("id") < _NDCG_Q).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        *[F.col(f"p{j}").alias(f"qp{j}") for j in range(16)],
+    )
+    c = p.select(
+        F.col("id").alias("cid"),
+        F.col("v").alias("cv"),
+        *[F.col(f"p{j}").alias(f"cp{j}") for j in range(16)],
+    )
+
+    def chain(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    d64 = chain(
+        [
+            F.element_at("qv", i) * F.element_at("cv", i)
+            for i in range(1, 65)
+        ]
+    )
+    qn = chain(
+        [F.element_at("qv", i) * F.element_at("qv", i) for i in range(1, 65)]
+    )
+    cn = chain(
+        [F.element_at("cv", i) * F.element_at("cv", i) for i in range(1, 65)]
+    )
+    d16 = chain([F.col(f"qp{j}") * F.col(f"cp{j}") for j in range(16)])
+    qn16 = chain([F.col(f"qp{j}") * F.col(f"qp{j}") for j in range(16)])
+    cn16 = chain([F.col(f"cp{j}") * F.col(f"cp{j}") for j in range(16)])
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (d64 / (F.sqrt(qn) * F.sqrt(cn))).alias("cos64"),
+            (d16 / (F.sqrt(qn16) * F.sqrt(cn16))).alias("cos16"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    we = W.partitionBy("qid").orderBy(F.col("cos64").desc(), "cid")
+    wa = W.partitionBy("qid").orderBy(F.col("cos16").desc(), "cid")
+    r = s.withColumn("re", F.row_number().over(we)).withColumn(
+        "ra", F.row_number().over(wa)
+    )
+    gain = F.greatest(F.col("cos64"), F.lit(0.0))
+    dterm_a = F.floor(
+        gain / (F.log(F.col("ra") + 1) / F.log(F.lit(2.0))) * 1e9
+    ).cast("bigint")
+    dterm_e = F.floor(
+        gain / (F.log(F.col("re") + 1) / F.log(F.lit(2.0))) * 1e9
+    ).cast("bigint")
+    agg = r.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("ra") <= _NDCG_TOPK, dterm_a).otherwise(F.lit(0))
+        ).alias("dcg_fp"),
+        F.sum(
+            F.when(F.col("re") <= _NDCG_TOPK, dterm_e).otherwise(F.lit(0))
+        ).alias("idcg_fp"),
+        F.sum(
+            (
+                (F.col("ra") <= _NDCG_TOPK) & (F.col("re") <= _NDCG_TOPK)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("hits"),
+    )
+    return agg.select(
+        F.col("qid").alias("query_id"),
+        F.round(F.col("dcg_fp").cast("double") / 1e9, 6).alias("dcg10"),
+        F.round(F.col("idcg_fp").cast("double") / 1e9, 6).alias("idcg10"),
+        F.round(
+            F.col("dcg_fp").cast("double") / F.col("idcg_fp"), 6
+        ).alias("ndcg10"),
+        "hits",
+        F.round(F.col("hits").cast("double") / _NDCG_TOPK, 4).alias(
+            "recall10"
+        ),
+    ).orderBy("query_id")

@@ -15,8 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
-from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql
-from ibd_pipeline_spark.queries.round11b import _phi_tail_col
+from ibd_pipeline_spark.queries.statcommon import _phi_tail_col, _phi_tail_sql
 
 # ---------------------------------------------------------------------------
 # Jarque–Bera normality test (events.value)
@@ -905,7 +904,7 @@ _BY_Q_NUM, _BY_Q_DEN = 1, 10  # q = 0.10, the BH family convention
 
 
 def _by_oracle() -> str:
-    from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql as pts
+    from ibd_pipeline_spark.queries.statcommon import _phi_tail_sql as pts
 
     return f"""
 WITH b AS (
@@ -1535,3 +1534,696 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohens_kappa"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11b.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test
+# ---------------------------------------------------------------------------
+
+_WELCH_SQL = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS s1,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))
+                        * CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS s2
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY event_type
+), w AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_a,
+    MAX(CASE WHEN event_type = 'view' THEN n END) AS n_b,
+    MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS s1_a,
+    MAX(CASE WHEN event_type = 'view' THEN s1 END) AS s1_b,
+    MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS s2_a,
+    MAX(CASE WHEN event_type = 'view' THEN s2 END) AS s2_b
+  FROM g
+), v AS (
+  SELECT n_a, n_b,
+         s1_a / n_a AS m_a, s1_b / n_b AS m_b,
+         (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS v_a,
+         (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS v_b
+  FROM w
+), t AS (
+  SELECT n_a, n_b, m_a, m_b, v_a, v_b,
+         (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) AS t_stat,
+         (v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+           / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+              + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) AS df
+  FROM v
+)
+SELECT n_a, n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND(t_stat, 6) AS t_stat, ROUND(df, 2) AS df_welch,
+       ROUND(2.0 * {_phi_tail_sql('ABS(t_stat)')}, 8) AS p_value
+FROM t
+"""
+
+
+@query("stats_welch_ttest", oracle=_WELCH_SQL)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: do purchase and
+    view events carry different mean values? The default two-sample
+    mean test (it never assumes equal variances, so it dominates
+    Student's t in practice); df by Welch–Satterthwaite. p-value
+    uses the shared normal tail — at df in the thousands t and z
+    are indistinguishable at the rounded precision, and both
+    engines evaluate the SAME formula so the hash never depends on
+    the statistical approximation.
+
+    Exactness: n is exact; Σx and Σx² are exact DECIMAL sums
+    rounded in the decimal domain (the davg rule) before casting to
+    double; everything downstream is pure double algebra on
+    bit-identical inputs. One groupBy = one shuffle of 2 groups
+    with map-side partials; scales as a scan.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    dec = F.col("value").cast("decimal(28,8)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(dec), 4).cast("double").alias("s1"),
+        F.round(F.sum(dec * dec), 4).cast("double").alias("s2"),
+    )
+    pick = lambda c, t: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = g.agg(
+        pick("n", "purchase").alias("n_a"),
+        pick("n", "view").alias("n_b"),
+        pick("s1", "purchase").alias("s1_a"),
+        pick("s1", "view").alias("s1_b"),
+        pick("s2", "purchase").alias("s2_a"),
+        pick("s2", "view").alias("s2_b"),
+    )
+    v = w.select(
+        "n_a",
+        "n_b",
+        (F.col("s1_a") / F.col("n_a")).alias("m_a"),
+        (F.col("s1_b") / F.col("n_b")).alias("m_b"),
+        (
+            (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
+            / (F.col("n_a") - 1)
+        ).alias("v_a"),
+        (
+            (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
+            / (F.col("n_b") - 1)
+        ).alias("v_b"),
+    )
+    se2a = F.col("v_a") / F.col("n_a")
+    se2b = F.col("v_b") / F.col("n_b")
+    t = v.select(
+        "n_a",
+        "n_b",
+        "m_a",
+        "m_b",
+        ((F.col("m_a") - F.col("m_b")) / F.sqrt(se2a + se2b)).alias("t_stat"),
+        (
+            (se2a + se2b)
+            * (se2a + se2b)
+            / (
+                se2a * se2a / (F.col("n_a") - 1)
+                + se2b * se2b / (F.col("n_b") - 1)
+            )
+        ).alias("df"),
+    )
+    return t.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df", 2).alias("df_welch"),
+        F.round(2.0 * _phi_tail_col(F.abs(F.col("t_stat"))), 8).alias(
+            "p_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation
+# ---------------------------------------------------------------------------
+
+_KENDALL_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS val
+  FROM events GROUP BY CAST(ts AS DATE)
+), p AS (
+  SELECT
+    CAST(SUM(CASE WHEN (b.cnt - a.cnt) * (b.val - a.val) > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+    CAST(SUM(CASE WHEN (b.cnt - a.cnt) * (b.val - a.val) < 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+    CAST(SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+    CAST(SUM(CASE WHEN b.val = a.val THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+    CAST(COUNT(*) AS BIGINT) AS n0
+  FROM d a JOIN d b ON a.day < b.day
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+SELECT n.n_days, p.conc AS concordant, p.disc AS discordant,
+       ROUND((CAST(p.conc AS DOUBLE) - p.disc)
+             / sqrt((CAST(p.n0 AS DOUBLE) - p.tie_x)
+                    * (CAST(p.n0 AS DOUBLE) - p.tie_y)), 6) AS tau_b,
+       ROUND(3.0 * (CAST(p.conc AS DOUBLE) - p.disc)
+             / sqrt(CAST(n.n_days AS DOUBLE) * (n.n_days - 1)
+                    * (2.0 * n.n_days + 5) / 2.0), 6) AS z_stat
+FROM p, n
+"""
+
+
+@query("stats_kendall_tau", oracle=_KENDALL_SQL)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily event volume and daily total
+    value — the pair-concordance rank correlation beside Spearman
+    (stats_spearman_corr): tau reads directly as P(concordant) −
+    P(discordant) and tau-b's denominator corrects for ties, which
+    integer daily counts WILL produce. z under the null uses the
+    standard no-ties variance n(n−1)(2n+5)/18 on 2(C−D) scale.
+
+    Scale: the pair join is over the DAY-GRAIN frame (one row per
+    day — metadata-sized at any corpus size; a year is 66k pairs),
+    broadcast-joined. The data pass is one groupBy(day) with exact
+    decimal sums. Day count n is data-derived, never assumed.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("val"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    p = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                (
+                    (F.col("b.cnt") - F.col("a.cnt"))
+                    * (F.col("b.val") - F.col("a.val"))
+                    > 0
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("conc"),
+            F.sum(
+                (
+                    (F.col("b.cnt") - F.col("a.cnt"))
+                    * (F.col("b.val") - F.col("a.val"))
+                    < 0
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("disc"),
+            F.sum((F.col("b.cnt") == F.col("a.cnt")).cast("int"))
+            .cast("bigint")
+            .alias("tie_x"),
+            F.sum((F.col("b.val") == F.col("a.val")).cast("int"))
+            .cast("bigint")
+            .alias("tie_y"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    out = p.crossJoin(F.broadcast(n))
+    cd = F.col("conc").cast("double") - F.col("disc")
+    nd = F.col("n_days").cast("double")
+    return out.select(
+        "n_days",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            cd
+            / F.sqrt(
+                (F.col("n0").cast("double") - F.col("tie_x"))
+                * (F.col("n0").cast("double") - F.col("tie_y"))
+            ),
+            6,
+        ).alias("tau_b"),
+        F.round(
+            3.0 * cd / F.sqrt(nd * (nd - 1) * (2.0 * nd + 5) / 2.0), 6
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Poisson rate z-test (rate drift between window halves)
+# ---------------------------------------------------------------------------
+
+_POIS_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+         CAST(MIN(CAST(ts AS DATE)) AS DATE)
+           + INTERVAL (CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                                      MAX(CAST(ts AS DATE))) / 2 AS INT)) DAY
+           AS split_day
+  FROM events
+), halves AS (
+  SELECT e.event_type,
+         CASE WHEN CAST(e.ts AS DATE) <= b.split_day
+              THEN 'early' ELSE 'late' END AS half,
+         CAST(e.ts AS DATE) AS day
+  FROM events e, bounds b
+), c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_early,
+         CAST(SUM(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_late
+  FROM halves GROUP BY event_type
+), expo AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN half = 'early' THEN day END) AS BIGINT)
+      AS t_early,
+    CAST(COUNT(DISTINCT CASE WHEN half = 'late' THEN day END) AS BIGINT)
+      AS t_late
+  FROM halves
+), z AS (
+  SELECT c.event_type, c.c_early, c.c_late, e.t_early, e.t_late,
+         (CAST(c.c_early AS DOUBLE) / e.t_early
+          - CAST(c.c_late AS DOUBLE) / e.t_late)
+         / sqrt(CAST(c.c_early AS DOUBLE) / (e.t_early * e.t_early)
+                + CAST(c.c_late AS DOUBLE) / (e.t_late * e.t_late)) AS z_stat
+  FROM c, expo e
+)
+SELECT event_type, c_early, c_late, t_early, t_late,
+       ROUND(CAST(c_early AS DOUBLE) / t_early, 6) AS rate_early,
+       ROUND(CAST(c_late AS DOUBLE) / t_late, 6) AS rate_late,
+       ROUND(z_stat, 6) AS z_stat,
+       ROUND(2.0 * {_phi_tail_sql('ABS(z_stat)')}, 8) AS p_value
+FROM z ORDER BY event_type
+"""
+
+
+@query("stats_poisson_rate_ztest", oracle=_POIS_SQL)
+def stats_poisson_rate_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate z-test per event type: did the
+    DAILY ARRIVAL RATE drift between the first and second half of
+    the observed window? Exposure-corrected (counts divided by the
+    actual distinct days in each half, data-derived — an uneven
+    split or missing days never biases the test), unlike the naive
+    raw-count comparison. z = (λ̂₁−λ̂₂)/√(c₁/T₁² + c₂/T₂²) — the
+    standard unconditional rate test; p from the shared normal tail.
+
+    Scale: one scan → per-type counts (5 groups, map-side combine)
+    + one distinct-day frame (day-grain). All inputs to the double
+    algebra are exact integers.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.date_add(
+            F.col("d0"),
+            (F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        ).alias("split_day")
+    )
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "day",
+        F.when(F.col("day") <= F.col("split_day"), "early")
+        .otherwise("late")
+        .alias("half"),
+    )
+    c = halves.groupBy("event_type").agg(
+        F.sum((F.col("half") == "early").cast("int"))
+        .cast("bigint")
+        .alias("c_early"),
+        F.sum((F.col("half") == "late").cast("int"))
+        .cast("bigint")
+        .alias("c_late"),
+    )
+    expo = halves.agg(
+        F.count_distinct(
+            F.when(F.col("half") == "early", F.col("day"))
+        )
+        .cast("bigint")
+        .alias("t_early"),
+        F.count_distinct(F.when(F.col("half") == "late", F.col("day")))
+        .cast("bigint")
+        .alias("t_late"),
+    )
+    z = c.crossJoin(F.broadcast(expo)).select(
+        "event_type",
+        "c_early",
+        "c_late",
+        "t_early",
+        "t_late",
+        (
+            (
+                F.col("c_early").cast("double") / F.col("t_early")
+                - F.col("c_late").cast("double") / F.col("t_late")
+            )
+            / F.sqrt(
+                F.col("c_early").cast("double")
+                / (F.col("t_early") * F.col("t_early"))
+                + F.col("c_late").cast("double")
+                / (F.col("t_late") * F.col("t_late"))
+            )
+        ).alias("z_stat"),
+    )
+    return z.select(
+        "event_type",
+        "c_early",
+        "c_late",
+        "t_early",
+        "t_late",
+        F.round(F.col("c_early").cast("double") / F.col("t_early"), 6).alias(
+            "rate_early"
+        ),
+        F.round(F.col("c_late").cast("double") / F.col("t_late"), 6).alias(
+            "rate_late"
+        ),
+        F.round("z_stat", 6).alias("z_stat"),
+        F.round(
+            2.0 * _phi_tail_col(F.abs(F.col("z_stat"))), 8
+        ).alias("p_value"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11c.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H (k-group rank ANOVA over event-type values)
+# ---------------------------------------------------------------------------
+
+_KW_SQL = """
+WITH s AS (
+  SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT g,
+         RANK() OVER (ORDER BY v) + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0
+           AS avg_rank
+  FROM s
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(2 * avg_rank) AS BIGINT) AS r2_g
+  FROM r GROUP BY g
+), nn AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM grp
+), ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v)
+), dev AS (
+  SELECT SUM(CAST(ROUND(
+           n_g * (CAST(r2_g AS DOUBLE) / (2 * n_g) - (n + 1) / 2.0)
+               * (CAST(r2_g AS DOUBLE) / (2 * n_g) - (n + 1) / 2.0), 6)
+           AS DECIMAL(28,6))) AS ss
+  FROM grp, nn
+), h AS (
+  SELECT CAST(12.0 * CAST(ss AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n + 1)) AS DOUBLE) AS h_raw,
+         1.0 - CAST(tie_term AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * n - n) AS c,
+         n, k
+  FROM dev, nn, ties
+)
+SELECT n AS n_total, CAST(k AS INT) AS n_groups,
+       CAST(k - 1 AS INT) AS df,
+       ROUND(h_raw, 6) AS h_stat,
+       ROUND(h_raw / c, 6) AS h_corrected,
+       ROUND(exp(-(h_raw / c) / 2.0) * (1.0 + (h_raw / c) / 2.0), 8)
+         AS p_value
+FROM h
+"""
+
+
+@query("stats_kruskal_wallis", oracle=_KW_SQL)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test — does the `value` distribution differ
+    across the FIVE event types? The k-group rank ANOVA that drops
+    ANOVA's normality assumption, generalizing stats_mann_whitney_u
+    beyond two groups: H = 12/(N(N+1))·Σ n_g(r̄_g − (N+1)/2)², tie
+    correction C = 1 − Σ(t³−t)/(N³−N), H_c = H/C, p from the
+    chi-square survival at df = k−1 = 4 (even df → the closed form
+    exp(−x/2)·Σ_{j<df/2}(x/2)^j/j! — no incomplete-gamma needed).
+
+    Exactness: rank sums are exact integers via rank-from-prefix-sum
+    (2·avg_rank(v) = 2·cum(v)−t(v)+1 — the r09 MWU pattern, one
+    multi-weight distributed scan, no global RANK window); per-group
+    squared deviations round to decimal before the k-term sum; the
+    p-value chain is plain double algebra on identical inputs.
+
+    Scale: one value-key shuffle for tie groups, one range exchange
+    for the prefix scan; everything after runs on k = 5 rows."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
+    # group list is k = 5 catalog values — one metadata-sized collect
+    # (what pivot() does internally, minus pivot's extra agg pass:
+    # measured 3.2 s -> 0.4 s for the per-value frame at sf0.1)
+    gvals = sorted(r["g"] for r in s.select("g").distinct().collect())
+    # Sanitized positional aliases (g__0..g__{k-1}) so a group value
+    # colliding with internal column names ('v', 't', 'n', 'k') or
+    # containing a quote can't corrupt the plan (ADVICE r11); the
+    # value itself travels only inside F.lit, never an f-string expr.
+    gcols = [f"g__{i}" for i in range(len(gvals))]
+    per_value = s.groupBy("v").agg(
+        *[
+            F.count(F.when(F.col("g") == F.lit(v), 1))
+            .cast("bigint")
+            .alias(c)
+            for c, v in zip(gcols, gvals)
+        ]
+    )
+    per_value = per_value.withColumn(
+        "t", sum(F.col(c) for c in gcols).cast("bigint")
+    )
+    cum = with_global_prefix_sums(per_value, ["v"], ["t"])
+    two_avg_rank = 2 * F.col("_cum_t") - F.col("t") + F.lit(1)
+    grp_aggs = []
+    for c in gcols:
+        grp_aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"n__{c}"))
+        grp_aggs.append(
+            F.sum(F.col(c) * two_avg_rank).cast("bigint").alias(f"r2__{c}")
+        )
+    agg = cum.agg(
+        *grp_aggs,
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    # unpivot the k per-group (n, 2R) pairs back to rows via an
+    # explode of struct literals — group names enter as F.lit only
+    grp = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("g"),
+                        F.col(f"n__{c}").alias("n_g"),
+                        F.col(f"r2__{c}").alias("r2_g"),
+                    )
+                    for c, v in zip(gcols, gvals)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.g", "_s.n_g", "_s.r2_g")
+    nn = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    ).crossJoin(F.broadcast(agg.select("tie_term")))
+    nd = F.col("n").cast("double")
+    rbar = F.col("r2_g").cast("double") / (2 * F.col("n_g"))
+    dev = rbar - (F.col("n") + 1) / F.lit(2.0)
+    ss = (
+        grp.crossJoin(F.broadcast(nn))
+        .select(
+            F.round(F.col("n_g") * dev * dev, 6)
+            .cast("decimal(28,6)")
+            .alias("term"),
+            "n",
+            "k",
+            "tie_term",
+        )
+        .groupBy("n", "k", "tie_term")
+        .agg(F.sum("term").alias("ss"))
+    )
+    h = F.lit(12.0) * F.col("ss").cast("double") / (nd * (F.col("n") + 1))
+    c = F.lit(1.0) - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
+    hc = h / c
+    # chi-square survival at df = k-1, built FROM the driver-side k so
+    # p_value always matches the emitted df (ADVICE r11: the old form
+    # hardcoded the df=4 polynomial while df floated with the data).
+    # Even df has the exact closed form exp(-x/2)·Σ_{j<df/2}(x/2)^j/j!;
+    # odd df would need the erf branch, which this corpus never takes —
+    # fail loudly instead of silently mis-stating p.
+    df = len(gvals) - 1
+    if df < 2 or df % 2 != 0:
+        raise ValueError(
+            "stats_kruskal_wallis closed-form p-value requires even "
+            f"df >= 2; got k={len(gvals)} groups (df={df}). Use the "
+            "regularized-gamma survival for odd df."
+        )
+    fact = 1.0
+    series = F.lit(1.0)
+    for j in range(1, df // 2):
+        fact *= j
+        series = series + F.pow(hc / 2.0, F.lit(float(j))) / F.lit(fact)
+    return ss.select(
+        F.col("n").alias("n_total"),
+        F.col("k").cast("int").alias("n_groups"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(hc, 6).alias("h_corrected"),
+        F.round(F.exp(-hc / 2.0) * series, 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holm-Bonferroni step-down (FWER control over the BH z-test family)
+# ---------------------------------------------------------------------------
+
+_HOLM_ALPHA_NUM, _HOLM_ALPHA_DEN = 1, 20  # alpha = 0.05, cross-multiplied
+
+_HOLM_SQL = f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
+), zt AS (
+  SELECT brand, n, r,
+         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+             / sqrt((CAST(rt AS DOUBLE) / nt) * (1.0 - CAST(rt AS DOUBLE) / nt)
+                    / n)) AS az
+  FROM b, tot
+), pv AS (
+  SELECT brand, n, az,
+         ROUND(2.0 * {_phi_tail_sql("az")}, 8) AS p_value
+  FROM zt
+), rk AS (
+  SELECT a.brand, a.n, a.az, a.p_value,
+         CAST(COUNT(*) AS BIGINT) AS rank,
+         CAST(MAX(cnt.m) AS BIGINT) AS m
+  FROM pv a
+  JOIN pv c ON (c.p_value < a.p_value)
+            OR (c.p_value = a.p_value AND c.brand <= a.brand)
+  CROSS JOIN (SELECT COUNT(*) AS m FROM pv) cnt
+  GROUP BY a.brand, a.n, a.az, a.p_value
+), holm AS (
+  SELECT a.brand, a.n, a.az, a.p_value, a.rank, a.m,
+         LEAST(1.0, MAX((a.m - c.rank + 1) * c.p_value)) AS holm_p,
+         MIN(CASE WHEN c.p_value * (a.m - c.rank + 1) * {_HOLM_ALPHA_DEN}
+                       <= {_HOLM_ALPHA_NUM} THEN 1 ELSE 0 END) AS rej
+  FROM rk a JOIN rk c ON c.rank <= a.rank
+  GROUP BY a.brand, a.n, a.az, a.p_value, a.rank, a.m
+)
+SELECT brand, n, ROUND(az, 6) AS z_stat, p_value,
+       CAST(rank AS INT) AS p_rank,
+       ROUND(holm_p, 8) AS holm_p,
+       rej = 1 AS rejected
+FROM holm ORDER BY brand
+"""
+
+
+@query("stats_holm_bonferroni", oracle=_HOLM_SQL)
+def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down over the SAME per-brand z-test family
+    as stats_benjamini_hochberg — the FWER-controlling sibling (no
+    false positive at all with prob ≥ 1−α) beside BH's FDR control:
+    order the m p-values ascending; reject while p(i) ≤ α/(m−i+1);
+    the first failure stops everything after it. Adjusted p̃(i) =
+    max_{j≤i} min(1, (m−j+1)·p(j)). Running both on one family is the
+    standard analyst report (Holm for ship/no-ship, BH for triage).
+
+    Exactness: p-values are the Zelen-Severo polynomial rounded to 8
+    (identical on both engines); ranks and the prefix min/max ride
+    TRIANGULAR JOINS over the brand-bounded frame (m = |brands| —
+    catalog metadata, window-free); the step-down inequality is
+    evaluated cross-multiplied in exact arithmetic (p·(m−i+1)·20 ≤ 1).
+
+    Scale: one fact-dimension join + per-brand counts (map-side
+    combined); everything after runs on m rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    p0 = F.col("rt").cast("double") / F.col("nt")
+    az = F.abs(
+        (F.col("r").cast("double") / F.col("n") - p0)
+        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
+    )
+    zt = b.crossJoin(F.broadcast(tot)).select("brand", "n", az.alias("az"))
+    pv = zt.select(
+        "brand", "n", "az",
+        F.round(2.0 * _phi_tail_col(F.col("az")), 8).alias("p_value"),
+    )
+    a, c = pv.alias("a"), pv.alias("c")
+    rk = (
+        a.join(
+            F.broadcast(c),
+            (F.col("c.p_value") < F.col("a.p_value"))
+            | (
+                (F.col("c.p_value") == F.col("a.p_value"))
+                & (F.col("c.brand") <= F.col("a.brand"))
+            ),
+        )
+        .groupBy("a.brand", "a.n", "a.az", "a.p_value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
+    )
+    m = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    rk = rk.crossJoin(F.broadcast(m))
+    ra = rk.select(
+        F.col("brand"), F.col("n"), F.col("az"), F.col("p_value"),
+        F.col("rank"), F.col("m"),
+    ).alias("ra")
+    rc = rk.select(
+        F.col("rank").alias("c_rank"), F.col("p_value").alias("c_p")
+    ).alias("rc")
+    holm = (
+        ra.join(F.broadcast(rc), F.col("c_rank") <= F.col("rank"))
+        .groupBy("brand", "n", "az", "p_value", "rank", "m")
+        .agg(
+            F.least(
+                F.lit(1.0),
+                F.max((F.col("m") - F.col("c_rank") + 1) * F.col("c_p")),
+            ).alias("holm_p"),
+            F.min(
+                F.when(
+                    F.col("c_p")
+                    * (F.col("m") - F.col("c_rank") + 1)
+                    * _HOLM_ALPHA_DEN
+                    <= _HOLM_ALPHA_NUM,
+                    1,
+                ).otherwise(0)
+            ).alias("rej"),
+        )
+    )
+    return holm.select(
+        "brand",
+        "n",
+        F.round("az", 6).alias("z_stat"),
+        "p_value",
+        F.col("rank").cast("int").alias("p_rank"),
+        F.round("holm_p", 8).alias("holm_p"),
+        (F.col("rej") == 1).alias("rejected"),
+    ).orderBy("brand")

@@ -11,8 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
-from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql
-from ibd_pipeline_spark.queries.round11b import _phi_tail_col
+from ibd_pipeline_spark.queries.statcommon import _phi_tail_col, _phi_tail_sql
 
 # ---------------------------------------------------------------------------
 # Durbin–Watson autocorrelation of detrended daily volume

@@ -23,8 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
-from ibd_pipeline_spark.queries.round10_stats import _phi_tail_sql
-from ibd_pipeline_spark.queries.round11b import _phi_tail_col
+from ibd_pipeline_spark.queries.statcommon import _phi_tail_col, _phi_tail_sql
 
 # ---------------------------------------------------------------------------
 # Cochran's Q: k=3 binary repeated measures (did the user view/click/

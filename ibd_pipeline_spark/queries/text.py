@@ -759,3 +759,225 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_squared",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round6.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# BM25 ranking
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "join", "spark"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         {", ".join(
+             f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+             for i, t in enumerate(_BM25_TERMS)
+         )}
+  FROM d
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         {", ".join(
+             f"CAST(COUNT(*) FILTER (tf{i} > 0) AS DOUBLE) AS df{i}"
+             for i in range(len(_BM25_TERMS))
+         )}
+  FROM t
+)
+SELECT doc_id,
+       ROUND(
+         {" + ".join(
+             f"ln(1 + (g.n - g.df{i} + 0.5) / (g.df{i} + 0.5))"
+             f" * tf{i} * ({_BM25_K1} + 1)"
+             f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * t.dl / g.avgdl))"
+             for i in range(len(_BM25_TERMS))
+         )}, 4) AS bm25
+FROM t, g
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("text_bm25_ranking", oracle=_BM25_SQL)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed conjunctive query (the
+    Robertson/Spärck Jones Okapi weighting, k1=1.2 b=0.75, Lucene's
+    ln(1 + (N-df+0.5)/(df+0.5)) idf) — relevance ranking as one
+    Catalyst plan: per-doc term frequencies via higher-order
+    list_filter (no explode), corpus stats (N, avgdl, per-term df)
+    as ONE aggregate row broadcast back over the scan.
+
+    Scale: two passes over the corpus — one tiny global aggregate,
+    one scoring scan + top-k (takeOrdered, no global sort shuffle);
+    term stats are O(|terms|) state. The cross join is 1-row
+    broadcast, never data-sized."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # NB: term must be closed over with a ONE-argument lambda factory —
+    # a `lambda x, t=term:` default-arg capture makes Spark pass the
+    # array INDEX as the second argument, shadowing the default (the
+    # minhash_signature lesson, operators/dedup.py:57).
+    def tf_of(term: str):
+        return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("double")
+
+    t = docs.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[tf_of(t_).alias(f"tf{i}") for i, t_ in enumerate(_BM25_TERMS)],
+    )
+    g = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("double").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0) + (F.col("n") - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        term = (
+            idf
+            * F.col(f"tf{i}")
+            * F.lit(_BM25_K1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + F.lit(_BM25_K1)
+                * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        t.crossJoin(F.broadcast(g))
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11c.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Good-Turing / Chao1 vocabulary richness report
+# ---------------------------------------------------------------------------
+
+_GT_SQL = """
+WITH toks AS (
+  SELECT t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), tc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term
+), fof AS (
+  SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc GROUP BY c
+), scal AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM tc
+), spine AS (
+  SELECT CAST(t.r AS BIGINT) AS r FROM UNNEST(range(1, 6)) t(r)
+)
+SELECT spine.r,
+       COALESCE(f1.n_r, 0) AS n_r,
+       COALESCE(f2.n_r, 0) AS n_r_next,
+       CASE WHEN COALESCE(f1.n_r, 0) > 0 THEN
+         ROUND((spine.r + 1) * CAST(COALESCE(f2.n_r, 0) AS DOUBLE)
+               / COALESCE(f1.n_r, 0), 6)
+       END AS gt_adjusted_count,
+       s.vocab AS vocab_size,
+       s.n_tokens AS total_tokens,
+       ROUND(s.vocab + CAST(s.n1 AS DOUBLE) * (s.n1 - 1)
+             / (2.0 * (s.n2 + 1)), 4) AS chao1_richness,
+       ROUND(1.0 - CAST(s.n1 AS DOUBLE) / s.n_tokens, 6) AS gt_coverage
+FROM spine
+LEFT JOIN fof f1 ON f1.r = spine.r
+LEFT JOIN fof f2 ON f2.r = spine.r + 1
+CROSS JOIN scal s
+ORDER BY spine.r
+"""
+
+
+@query("text_good_turing_vocab", oracle=_GT_SQL)
+def text_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing + Chao1 species richness over
+    the corpus vocabulary — the unseen-mass estimators beside
+    text_heaps_law's growth curve and text_vocab_hapax_stats' raw
+    counts: from the frequency-of-frequencies N_r, the GT adjusted
+    count r* = (r+1)·N_{r+1}/N_r for r = 1..5, the missing-mass
+    coverage estimate 1 − N_1/N (what fraction of the next token
+    stream is already-seen vocabulary), and the bias-corrected Chao1
+    total-vocabulary estimate V + N_1(N_1−1)/(2(N_2+1)). The
+    "how much tail is left" report that decides whether more data
+    still buys vocabulary.
+
+    Exactness: N_r, V, N are exact integer aggregates; every derived
+    statistic is one closed-form double chain at output.
+
+    Scale: token explode → one term-key count (map-side combined) →
+    a frequency-of-frequencies aggregate whose domain is tiny; the
+    report joins a 5-row literal spine against it."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    fof = tc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    scal = tc.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    spine = d.sparkSession.range(1, 6).select(F.col("id").alias("r"))
+    f1 = fof.select(F.col("r").alias("r1"), F.col("n_r").alias("nr1"))
+    f2 = fof.select(F.col("r").alias("r2"), F.col("n_r").alias("nr2"))
+    out = (
+        spine.join(F.broadcast(f1), F.col("r1") == F.col("r"), "left")
+        .join(F.broadcast(f2), F.col("r2") == F.col("r") + 1, "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    n_r = F.coalesce(F.col("nr1"), F.lit(0))
+    n_rn = F.coalesce(F.col("nr2"), F.lit(0))
+    return out.select(
+        "r",
+        n_r.alias("n_r"),
+        n_rn.alias("n_r_next"),
+        F.when(
+            n_r > 0,
+            F.round((F.col("r") + 1) * n_rn.cast("double") / n_r, 6),
+        ).alias("gt_adjusted_count"),
+        F.col("vocab").alias("vocab_size"),
+        F.col("n_tokens").alias("total_tokens"),
+        F.round(
+            F.col("vocab")
+            + F.col("n1").cast("double")
+            * (F.col("n1") - 1)
+            / (2.0 * (F.col("n2") + 1)),
+            4,
+        ).alias("chao1_richness"),
+        F.round(
+            F.lit(1.0) - F.col("n1").cast("double") / F.col("n_tokens"), 6
+        ).alias("gt_coverage"),
+    ).orderBy("r")

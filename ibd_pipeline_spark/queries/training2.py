@@ -679,3 +679,171 @@ def train_sampling_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight_cv2"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11c.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-bigram domain resampling scores)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_SEED = 29
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, l[i] || ' ' || l[i + 1] AS gram
+  FROM toks, UNNEST(generate_series(1, len(l) - 1)) t(i)
+), hashed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5('{_DSIR_SEED}:' || gram), 1, 8))
+              AS BIGINT) % {_DSIR_B} AS b
+  FROM grams
+), counts AS (
+  SELECT b,
+         CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS ct
+  FROM hashed GROUP BY b
+), tots AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+  FROM counts
+), lr AS (
+  SELECT b,
+         CAST(ROUND(
+           ln(CAST(ct + 1 AS DOUBLE) / (nt + {_DSIR_B}))
+           - ln(CAST(cr + 1 AS DOUBLE) / (nr + {_DSIR_B})), 10)
+           AS DECIMAL(18,10)) AS lw
+  FROM counts, tots
+), docw AS (
+  SELECT h.doc_id, h.lang, SUM(lr.lw) AS w
+  FROM hashed h JOIN lr USING (b)
+  GROUP BY h.doc_id, h.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 8) AS mean_logw,
+       CAST(COUNT(*) FILTER (w > 0) AS BIGINT) AS n_selected
+FROM docw GROUP BY lang ORDER BY lang
+"""
+
+
+@query("train_dsir_importance", oracle=_DSIR_SQL)
+def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    against a TARGET domain (lang = 'en' stands in for the quality
+    corpus) with hashed-bigram n-gram features — per bucket b,
+    lw(b) = ln p̂_target(b) − ln p̂_raw(b) under add-1 smoothing over
+    256 buckets; a document's importance weight is the sum of lw over
+    its bigram OCCURRENCES. The published recipe for "select web data
+    that looks like Wikipedia" at pretraining scale; resampling by
+    these weights is importance resampling onto the target. The
+    per-language report is its own audit: the target language must
+    rank first on mean weight.
+
+    Exactness: bucket counts are exact integers; each bucket's
+    log-ratio rounds to DECIMAL(18,10) before any per-doc sum, so doc
+    weights are order-independent decimal sums; the per-language mean
+    divides a rounded decimal sum by an exact count.
+
+    Scale: gram explode → one 256-key count aggregate (map-side
+    combined) → broadcast 256-row weight table back onto the gram
+    stream → one doc-key sum. Never materializes a vocabulary: the
+    hash trick bounds state at B buckets regardless of corpus size —
+    exactly why DSIR scales to CommonCrawl."""
+    d = load(spark, sf_dir, "documents")
+    # physical barrier before the gram lambdas: CollapseProject would
+    # inline the merely-projected split(text) into slice/zip_with and
+    # re-split per gram — the r10 prefix-filter lesson (measured here:
+    # 2.3 s -> 0.6 s on the sf0.1 gram build)
+    from ibd_pipeline_spark.operators.ckpt import literal_barrier
+
+    toks = literal_barrier(
+        d.select(
+            "doc_id",
+            "lang",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+        )
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("gram"),
+    )
+    # the hashed gram stream feeds BOTH the bucket counts and the
+    # per-doc weight join — materialize it once (it is (doc, lang,
+    # int) — far smaller than re-hashing 250k+ md5 grams twice)
+    hashed = literal_barrier(
+        grams.select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(str(_DSIR_SEED)), F.col("gram")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    counts = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("ct"),
+    )
+    tots = counts.agg(
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.sum("ct").cast("bigint").alias("nt"),
+    )
+    lr = counts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("ct") + 1).cast("double") / (F.col("nt") + _DSIR_B)
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double") / (F.col("nr") + _DSIR_B)
+            ),
+            10,
+        )
+        .cast("decimal(18,10)")
+        .alias("lw"),
+    )
+    docw = hashed.join(F.broadcast(lr), "b").groupBy("doc_id", "lang").agg(
+        F.sum("lw").alias("w")
+    )
+    return (
+        docw.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # decimal→double BEFORE any rounding (the NA half-"…50"
+            # cross-engine decimal-ROUND lesson)
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)), 8
+            ).alias("mean_logw"),
+            F.count(F.when(F.col("w") > 0, 1))
+            .cast("bigint")
+            .alias("n_selected"),
+        )
+        .orderBy("lang")
+    )

@@ -93,7 +93,7 @@ def test_md5_minhash_component_match_exact(spark, words_a, words_b):
     algebra (one md5 per shingle + Carter–Wegman family mixing) is
     engine-portable bit for bit. Single-token docs exercise the
     whole-text shingle fallback."""
-    from ibd_pipeline_spark.queries.round6 import (
+    from ibd_pipeline_spark.queries.dedup import (
         _MINHASH_AB,
         _MINHASH_P,
         _md5_shingle_base,

@@ -12,7 +12,7 @@ def test_dsir_target_language_ranks_first(spark, sf_dir):
     """DSIR self-consistency: the target domain (lang='en') must have
     the highest mean importance weight — by construction its docs
     look most like the target distribution."""
-    from ibd_pipeline_spark.queries.round11c import train_dsir_importance
+    from ibd_pipeline_spark.queries.training2 import train_dsir_importance
 
     rows = train_dsir_importance(spark, sf_dir).collect()
     by_lang = {r["lang"]: r for r in rows}
@@ -29,7 +29,7 @@ def test_semdedup_prune_counts_consistent(spark, sf_dir):
     """SemDeDup structural invariants: kept + pruned = members per
     cluster; a cluster with zero dup pairs prunes nothing; pruned
     can never exceed members − 1 (the lowest id always survives)."""
-    from ibd_pipeline_spark.queries.round11c import dedup_semantic_clusters
+    from ibd_pipeline_spark.queries.dedup import dedup_semantic_clusters
 
     rows = dedup_semantic_clusters(spark, sf_dir).collect()
     assert rows, "kmeans must produce clusters"
@@ -50,7 +50,7 @@ def test_holm_rejections_subset_of_bh(spark, sf_dir):
     from ibd_pipeline_spark.queries.round10_stats import (
         stats_benjamini_hochberg,
     )
-    from ibd_pipeline_spark.queries.round11c import stats_holm_bonferroni
+    from ibd_pipeline_spark.queries.stats2 import stats_holm_bonferroni
 
     holm = {
         r["brand"]: r for r in stats_holm_bonferroni(spark, sf_dir).collect()
@@ -148,7 +148,7 @@ def test_logrank_null_on_hash_split(spark, sf_dir):
 def test_good_turing_identities(spark, sf_dir):
     """Good-Turing internal identities: N_r sums and the coverage/
     Chao1 bounds (coverage in (0,1); Chao1 >= observed vocabulary)."""
-    from ibd_pipeline_spark.queries.round11c import text_good_turing_vocab
+    from ibd_pipeline_spark.queries.text import text_good_turing_vocab
 
     rows = text_good_turing_vocab(spark, sf_dir).collect()
     assert [r["r"] for r in rows] == [1, 2, 3, 4, 5]
@@ -166,7 +166,7 @@ def test_post_stratification_reduces_or_matches_variance(spark, sf_dir):
     weakly predictive strata the stratified variance can sit a few
     percent above raw (it spends k-1 degrees of freedom). Assert the
     near-equality band, not strict dominance."""
-    from ibd_pipeline_spark.queries.round11c import ab_post_stratification
+    from ibd_pipeline_spark.queries.abtests import ab_post_stratification
 
     r = ab_post_stratification(spark, sf_dir).collect()[0]
     assert r["n_a"] > 0 and r["n_b"] > 0
@@ -178,7 +178,7 @@ def test_post_stratification_reduces_or_matches_variance(spark, sf_dir):
 
 def test_assortativity_in_range(spark, sf_dir):
     """Assortativity is a correlation: must land in [-1, 1]."""
-    from ibd_pipeline_spark.queries.round11c import (
+    from ibd_pipeline_spark.queries.graph2 import (
         graph_degree_assortativity,
     )
 
