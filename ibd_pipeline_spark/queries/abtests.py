@@ -689,3 +689,446 @@ def ab_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("var_reduction_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_stats.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch audit
+# ---------------------------------------------------------------------------
+
+_SRM_SQL = """
+WITH cust AS (
+  SELECT DISTINCT o_custkey FROM orders
+), arms AS (
+  SELECT CAST(('0x' || substring(md5('srm:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS arm
+  FROM cust
+), c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       ROUND(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6)
+         AS chi2,
+       (CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b)) > 3.841
+         AS srm_alarm
+FROM c
+"""
+
+
+@query("ab_srm_check", oracle=_SRM_SQL)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit — the experimentation guardrail
+    that catches broken randomization before any metric is read:
+    units (customers) hash-split 50/50 by the engine-portable md5
+    bucket, arm counts compared by the 1-df chi-square
+    (n_a−n_b)²/(n_a+n_b) against the 0.05 critical value 3.841.
+    Counts are exact integers; the statistic is one double division —
+    both engines replay the split AND the verdict bit-for-bit.
+
+    Scale: distinct-unit aggregate + 2-cell count — one shuffle on
+    the unit key, constant output. The hash split is the same
+    assignment mechanism ab_test_proportion_ztest uses, so this is
+    the audit you run NEXT TO every experiment readout."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    cust = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    arms = cust.select(
+        md5_bucket(F.col("o_custkey"), F.lit("srm"), 2).alias("arm")
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect at the current size
+# ---------------------------------------------------------------------------
+
+_MDE_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS converted
+  FROM orders GROUP BY o_custkey
+), arms AS (
+  SELECT converted,
+         CAST(('0x' || substring(md5('srm:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS arm
+  FROM cust
+), c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(converted) AS BIGINT) AS conv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM arms
+), d AS (
+  SELECT n_a, n_b, conv, n,
+         CAST(conv AS DOUBLE) / n AS p0,
+         CASE WHEN n_a < n_b THEN n_a ELSE n_b END AS n_arm
+  FROM c
+)
+SELECT n_a, n_b, conv,
+       ROUND(p0, 6) AS p0,
+       ROUND((1.959963985 + 0.841621234)
+             * sqrt(2.0 * p0 * (1.0 - p0) / n_arm), 6) AS mde_abs,
+       ROUND((1.959963985 + 0.841621234)
+             * sqrt(2.0 * p0 * (1.0 - p0) / n_arm) / p0, 6) AS mde_rel
+FROM d
+"""
+
+
+@query("ab_power_mde", oracle=_MDE_SQL)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT experiment size —
+    the 'is this test even worth running' readout that completes the
+    experimentation kit (z-test → CUPED → delta-method → SRM → BH →
+    power): with α = 0.05 two-sided and 80% power,
+    MDE_abs = (z_{0.975} + z_{0.80})·√(2·p̂(1−p̂)/n_arm) on the
+    baseline conversion p̂ (customer has an urgent order) under the
+    same md5 hash split ab_srm_check audits. Counts are exact
+    integers; the z constants are literals; one double formula at
+    output — both engines replay the verdict bit-for-bit.
+
+    Scale: one per-customer conversion aggregate + a 2-cell count —
+    the same single-shuffle shape as the SRM audit it pairs with."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    arms = cust.select(
+        "converted", md5_bucket(F.col("o_custkey"), F.lit("srm"), 2).alias("arm")
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum("converted").cast("bigint").alias("conv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    p0 = F.col("conv").cast("double") / F.col("n")
+    n_arm = F.least(F.col("n_a"), F.col("n_b"))
+    z = F.lit(1.959963985 + 0.841621234)
+    mde = z * F.sqrt(2.0 * p0 * (1.0 - p0) / n_arm)
+    return c.select(
+        "n_a",
+        "n_b",
+        "conv",
+        F.round(p0, 6).alias("p0"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p0, 6).alias("mde_rel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# mSPRT always-valid sequential test
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = 1e-4
+
+_MSPRT_SQL = f"""
+WITH du AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id,
+         CAST(('0x' || substring(md5('11:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY 1, 2, 3
+), daily AS (
+  SELECT day,
+         CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS na,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb
+  FROM du GROUP BY day
+), cum AS (
+  SELECT day,
+         SUM(na) OVER w AS na, SUM(nb) OVER w AS nb,
+         SUM(ca) OVER w AS ca, SUM(cb) OVER w AS cb
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), lam AS (
+  SELECT day, na, nb, ca, cb,
+         CASE WHEN na > 0 AND nb > 0
+                   AND (ca + cb) > 0 AND (ca + cb) < (na + nb) THEN
+           sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 / na + 1.0 / nb)
+                / ((CAST(ca + cb AS DOUBLE) / (na + nb))
+                   * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                   * (1.0 / na + 1.0 / nb) + {_MSPRT_TAU2}))
+           * exp((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                 * (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                 * {_MSPRT_TAU2}
+                 / (2.0 * ((CAST(ca + cb AS DOUBLE) / (na + nb))
+                           * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                           * (1.0 / na + 1.0 / nb))
+                    * ((CAST(ca + cb AS DOUBLE) / (na + nb))
+                       * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                       * (1.0 / na + 1.0 / nb) + {_MSPRT_TAU2})))
+         END AS lam
+  FROM cum
+), runm AS (
+  SELECT day, na, nb, ca, cb, lam,
+         MAX(lam) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lmax
+  FROM lam
+)
+SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+       ROUND(lam, 6) AS mixture_lr,
+       ROUND(CASE WHEN lmax IS NOT NULL AND lmax > 1.0
+                  THEN 1.0 / lmax ELSE 1.0 END, 6) AS p_always_valid
+FROM runm ORDER BY day
+"""
+
+
+@query("ab_msprt_always_valid", oracle=_MSPRT_SQL)
+def ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B testing via the mixture SPRT
+    (Johari et al.): per calendar day, the cumulative two-proportion
+    mixture likelihood ratio Λₙ = √(Vₙ/(Vₙ+τ²))·exp(d²τ²/(2Vₙ(Vₙ+τ²)))
+    and the always-valid p-value pₙ = min(1, 1/max_{k≤n} Λₖ) — the
+    p-value you may READ EVERY DAY and stop on without inflating
+    type-I error, which the fixed-horizon z-test
+    (ab_test_proportion_ztest) forbids. Units are (user, day) active
+    Bernoullis, arms by md5 hash split, conversion = any purchase
+    that day.
+
+    Exactness: all cumulative counts are exact integer prefix sums
+    (r11 month-stitch); Λ and p are fixed double algebra over
+    identical integers, and the running max rides the
+    running-extreme stitch — max over identical doubles is
+    bit-deterministic.
+
+    Scale: one (day, user) aggregate, a day-grain frame after;
+    everything windowed is month-partitioned."""
+    from ibd_pipeline_spark.operators.calendar import (
+        month_stitched_cumsum,
+        month_stitched_running_extreme,
+    )
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    du = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+        md5_bucket(F.col("user_id"), 11, 2).alias("arm"),
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv")
+    )
+    daily = du.groupBy("day").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("na"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    cum = month_stitched_cumsum(daily, "day", ["na", "nb", "ca", "cb"])
+    na, nb = F.col("cum_na"), F.col("cum_nb")
+    ca, cb = F.col("cum_ca"), F.col("cum_cb")
+    pbar = (ca + cb).cast("double") / (na + nb)
+    v = pbar * (F.lit(1.0) - pbar) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    d = ca.cast("double") / na - cb.cast("double") / nb
+    lam = F.when(
+        (na > 0) & (nb > 0) & ((ca + cb) > 0) & ((ca + cb) < (na + nb)),
+        F.sqrt(v / (v + F.lit(_MSPRT_TAU2)))
+        * F.exp(
+            d * d * F.lit(_MSPRT_TAU2)
+            / (F.lit(2.0) * v * (v + F.lit(_MSPRT_TAU2)))
+        ),
+    )
+    lamf = cum.select("day", na.alias("n_a"), nb.alias("n_b"),
+                      ca.alias("conv_a"), cb.alias("conv_b"),
+                      lam.alias("lam"))
+    runm = month_stitched_running_extreme(lamf, "day", "lam", "lmax", kind="max")
+    return runm.select(
+        "day",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round("lam", 6).alias("mixture_lr"),
+        F.round(
+            F.when(
+                F.col("lmax").isNotNull() & (F.col("lmax") > 1.0),
+                F.lit(1.0) / F.col("lmax"),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("p_always_valid"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN = 0.02
+
+
+def _phi_upper(t: str) -> str:
+    """SQL for P(Z > t) for ARBITRARY-sign t via the positive-arg
+    Zelen–Severo tail: tail(t) when t ≥ 0, else 1 − tail(−t)."""
+    return (
+        f"(CASE WHEN {t} >= 0 THEN {_phi_tail_sql(f'({t})')}"
+        f" ELSE 1.0 - {_phi_tail_sql(f'(-({t}))')} END)"
+    )
+
+
+_TOST_SQL = f"""
+WITH assigned AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5('11:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 80
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM assigned
+), d AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b AS diff,
+         sqrt(CAST(conv_a AS DOUBLE) / n_a * (1.0 - CAST(conv_a AS DOUBLE) / n_a)
+                / n_a
+              + CAST(conv_b AS DOUBLE) / n_b
+                * (1.0 - CAST(conv_b AS DOUBLE) / n_b) / n_b) AS se
+  FROM c
+), t AS (
+  SELECT n_a, n_b, conv_a, conv_b, diff, se,
+         (diff + {_TOST_MARGIN}) / se AS t1,
+         (diff - {_TOST_MARGIN}) / se AS t2
+  FROM d
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(diff, 6) AS diff,
+       ROUND(GREATEST({_phi_upper('t1')},
+                      1.0 - {_phi_upper('t2')}), 8) AS p_tost,
+       GREATEST({_phi_upper('t1')}, 1.0 - {_phi_upper('t2')}) < 0.05
+         AS equivalent
+FROM t
+"""
+
+
+@query("ab_tost_equivalence", oracle=_TOST_SQL)
+def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann): can
+    we POSITIVELY conclude the two arms' conversion rates differ by
+    less than ±2 points? The question a non-significant z-test
+    cannot answer (absence of evidence ≠ evidence of absence) — the
+    ship-the-cheaper-variant / no-regression gate. p_tost =
+    max(P(d ≤ −δ), P(d ≥ δ)) under the normal approximation; same
+    md5 hash split and conversion rule as ab_test_proportion_ztest
+    so the two read side by side.
+
+    Exactness: counts are exact integers; diff/se/both tails are
+    fixed double algebra (the signed normal tail reduces to the
+    positive-arg Zelen–Severo polynomial both engines share).
+
+    Scale: one user-grain aggregate, then 1-row algebra."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.groupBy(
+        "user_id", md5_bucket(F.col("user_id"), 11, 2).alias("arm")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 80), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    c = assigned.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    diff = pa - pb
+    se = F.sqrt(
+        pa * (F.lit(1.0) - pa) / F.col("n_a")
+        + pb * (F.lit(1.0) - pb) / F.col("n_b")
+    )
+    t1 = (diff + F.lit(_TOST_MARGIN)) / se
+    t2 = (diff - F.lit(_TOST_MARGIN)) / se
+
+    def phi_upper(t):
+        at = F.abs(t)
+        kk = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * at)
+        poly = (
+            (
+                (
+                    (F.lit(_PHI_B[4]) * kk + F.lit(_PHI_B[3])) * kk
+                    + F.lit(_PHI_B[2])
+                )
+                * kk
+                + F.lit(_PHI_B[1])
+            )
+            * kk
+            + F.lit(_PHI_B[0])
+        ) * kk
+        tail = F.lit(0.3989422804014327) * F.exp(-0.5 * at * at) * poly
+        return F.when(t >= 0, tail).otherwise(F.lit(1.0) - tail)
+
+    p_tost = F.greatest(phi_upper(t1), F.lit(1.0) - phi_upper(t2))
+    return c.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(diff, 6).alias("diff"),
+        F.round(p_tost, 8).alias("p_tost"),
+        (p_tost < 0.05).alias("equivalent"),
+    )

@@ -1162,3 +1162,383 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Interval-union activity coverage
+# ---------------------------------------------------------------------------
+
+_IVU_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+  FROM events WHERE user_id < 50
+), marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775808)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM marked
+), g AS (
+  SELECT user_id, island_id,
+         MIN(s) AS is_, MAX(e) AS ie, CAST(COUNT(*) AS BIGINT) AS n
+  FROM isl GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(ie - is_) AS BIGINT) AS covered_us
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("events_interval_union_time", oracle=_IVU_SQL)
+def events_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TOTAL ACTIVE TIME as the union of overlapping
+    activity intervals (each event opens a 5-minute window): the
+    sweep-line island merge — an interval starts a new island iff its
+    start exceeds the running max end of everything before it — done
+    entirely with user-PARTITIONED windows and exact integer
+    microseconds. The engagement-time primitive session counts
+    under-measure (overlapping sessions double-count; this never
+    does). Complements join_interval_overlap (pairwise) with the
+    union/coverage aggregate.
+
+    Scale: one user_id shuffle shared by both windows and the island
+    aggregate — the sessionization shape; islands are
+    monotone-mergeable so a streaming twin holds per-user
+    (last_island_end) state only. user_id < 50 bounds the output,
+    not the shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id", us.alias("s"), (us + F.lit(300_000_000)).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(prev_max, F.lit(-(2**63))), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    isl = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    g = isl.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("is_"),
+        F.max("e").alias("ie"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.col("ie") - F.col("is_")).cast("bigint").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown's double exponential smoothing + 7-day forecast
+# ---------------------------------------------------------------------------
+
+_DS_W = [0.5 ** k for k in range(8)]  # dyadic EWMA weights, a = 0.5
+_DS_A = 1.9921875  # sum of the 8 truncated weights (2 - 2^-7)
+
+
+def _ewma_sql(col: str, lag_fmt: str) -> str:
+    """value + 0.5*lag1 + ... over 7 lags, normalized — written once,
+    instantiated for both engines with their lag spelling."""
+    terms = [col] + [
+        f"{w!r} * {lag_fmt.format(col=col, k=k)}"
+        for k, w in enumerate(_DS_W[1:], start=1)
+    ]
+    return f"(({' + '.join(terms)}) / {_DS_A!r})"
+
+
+_DS_SQL = f"""
+WITH d AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE)
+           / COUNT(value) AS x
+  FROM events GROUP BY 1
+), s1 AS (
+  SELECT day, x,
+         {_ewma_sql("x", "LAG({col}, {k}) OVER (ORDER BY day)")} AS sp,
+         LAG(x, 14) OVER (ORDER BY day) AS x14
+  FROM d
+), s2 AS (
+  SELECT day, x, sp, x14,
+         {_ewma_sql("sp", "LAG({col}, {k}) OVER (ORDER BY day)")} AS spp
+  FROM s1
+)
+SELECT day, ROUND(x, 4) AS day_avg,
+       ROUND(2.0 * sp - spp, 6) AS level,
+       ROUND(sp - spp, 6) AS trend,
+       ROUND((2.0 * sp - spp) + 7.0 * (sp - spp), 6) AS forecast_7d
+FROM s2 WHERE x14 IS NOT NULL
+ORDER BY day
+"""
+
+
+@query("events_double_smoothing_forecast", oracle=_DS_SQL)
+def events_double_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing of the daily mean event
+    value with a 7-day-ahead forecast: S′ = EWMA(x), S″ = EWMA(S′),
+    level = 2S′−S″, trend = S′−S″ (α = 0.5 makes Holt's two
+    parameters collapse), ŷ(t+7) = level + 7·trend — the
+    trend-aware forecaster events_ewma_daily (level only) and
+    events_forecast_backtest feed on. Both smoothing stages use the
+    8-term truncated dyadic window of the EWMA precedent, so every
+    product is an exponent shift and the fixed-order sums are
+    bit-identical across engines; only days with 14 full lags emit
+    (every output is a full double window).
+
+    Scale: one day-grain aggregate; both lag stages run
+    MONTH-PARTITIONED over a 14-day-padded day frame
+    (operators/calendar.py:with_month_padding — exact on the dense
+    day grain)."""
+    from ibd_pipeline_spark.operators.calendar import with_month_padding
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4).cast("double")
+            / F.count("value")
+        ).alias("x")
+    )
+    padded = with_month_padding(d, "day", pad_before=14)
+    w = Window.partitionBy("_m").orderBy("day")
+
+    def ewma_of(col: str):
+        e = F.col(col)
+        for k, wt in enumerate(_DS_W[1:], start=1):
+            e = e + F.lit(wt) * F.lag(col, k).over(w)
+        return e / F.lit(_DS_A)
+
+    s1 = padded.select(
+        "day",
+        "x",
+        "_m",
+        "_own",
+        ewma_of("x").alias("sp"),
+        F.lag("x", 14).over(w).alias("x14"),
+    )
+    s2 = s1.select(
+        "day", "x", "x14", "_own", ewma_of("sp").alias("spp"), "sp"
+    )
+    level = 2.0 * F.col("sp") - F.col("spp")
+    trend = F.col("sp") - F.col("spp")
+    return (
+        s2.filter(F.col("_own") & F.col("x14").isNotNull())
+        .select(
+            "day",
+            F.round("x", 4).alias("day_avg"),
+            F.round(level, 6).alias("level"),
+            F.round(trend, 6).alias("trend"),
+            F.round(level + 7.0 * trend, 6).alias("forecast_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent by rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+_HURST_NS = (8, 16, 32)
+
+_HURST_SQL = f"""
+WITH d AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS t FROM d
+), blocks AS (
+  SELECT n, (t - 1) // n AS blk, t, CAST(x AS DOUBLE) AS x
+  FROM idx, UNNEST([{", ".join(str(n) for n in _HURST_NS)}]) u(n)
+), full_blocks AS (
+  SELECT n, blk FROM blocks GROUP BY n, blk HAVING COUNT(*) = n
+), m AS (
+  SELECT b.n, b.blk, b.t, b.x,
+         CAST(SUM(b.x) OVER (PARTITION BY b.n, b.blk) AS DOUBLE) / b.n AS mu,
+         CAST(SUM(b.x * b.x) OVER (PARTITION BY b.n, b.blk) AS DOUBLE) / b.n
+           AS xx
+  FROM blocks b SEMI JOIN full_blocks f ON f.n = b.n AND f.blk = b.blk
+), cd AS (
+  SELECT n, blk, mu, xx,
+         SUM(x - mu) OVER (PARTITION BY n, blk ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdev
+  FROM m
+), rs AS (
+  SELECT n, blk,
+         CASE WHEN xx - mu * mu > 0 THEN
+           CAST(ROUND((MAX(cdev) - MIN(cdev)) / sqrt(xx - mu * mu), 8)
+                AS DECIMAL(28,8))
+         END AS rsv
+  FROM cd GROUP BY n, blk, mu, xx
+), av AS (
+  SELECT n, CAST(COUNT(rsv) AS BIGINT) AS n_blocks,
+         CAST(SUM(rsv) AS DOUBLE) / COUNT(rsv) AS avg_rs
+  FROM rs GROUP BY n HAVING COUNT(rsv) > 0
+), pts AS (
+  SELECT n, n_blocks, avg_rs,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)), 10) AS DECIMAL(28,10)) AS lx,
+         CAST(ROUND(ln(avg_rs), 10) AS DECIMAL(28,10)) AS ly
+  FROM av
+), h AS (
+  SELECT (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(lx * ly) AS DOUBLE)
+          - CAST(SUM(lx) AS DOUBLE) * CAST(SUM(ly) AS DOUBLE))
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(lx * lx) AS DOUBLE)
+            - CAST(SUM(lx) AS DOUBLE) * CAST(SUM(lx) AS DOUBLE)) AS hurst
+  FROM pts
+)
+SELECT CAST(p.n AS INT) AS block_size, p.n_blocks,
+       ROUND(p.avg_rs, 6) AS avg_rs,
+       ROUND(h.hurst, 4) AS hurst
+FROM pts p CROSS JOIN h ORDER BY block_size
+"""
+
+
+@query("events_hurst_exponent", oracle=_HURST_SQL)
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series by classical
+    rescaled-range analysis: split the series into blocks of n ∈
+    {8, 16, 32} days, per block R/S = (max−min of the mean-adjusted
+    cumulative deviation) / population σ, and H = the log-log OLS
+    slope of avg R/S against n — the long-memory diagnostic
+    (H ≈ 0.5 random walk, > 0.5 persistent trends, < 0.5 mean
+    reversion) that tells a capacity planner whether bursts cluster.
+    Complements events_fano_burstiness (dispersion at ONE scale)
+    with the ACROSS-scale signature, and
+    stats_autocorrelation_daily (linear memory at fixed lags) with a
+    scale-free summary.
+
+    Exactness: day indices ride the integer month-stitch; block
+    moments are exact integer sums; the within-block cumulative
+    deviation is a sequential windowed sum over identical doubles
+    (deterministic under the total order on both engines); per-block
+    R/S rounds to decimal before the cross-block mean, and the
+    ln-values round to decimal before the 3-point OLS (the ANOVA
+    cancellation guard).
+
+    Scale: one day-grain aggregate; blocks are day-frame-sized, all
+    windows (n, blk)-partitioned."""
+    from ibd_pipeline_spark.operators.calendar import month_stitched_cumsum
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    idx = month_stitched_cumsum(
+        d.withColumn("one", F.lit(1).cast("bigint")), "day", ["one"]
+    ).select("day", "x", F.col("cum_one").alias("t"))
+    ns = spark.range(len(_HURST_NS)).select(
+        F.element_at(
+            F.array(*[F.lit(n) for n in _HURST_NS]), (F.col("id") + 1).cast("int")
+        ).alias("n")
+    )
+    blocks = idx.crossJoin(F.broadcast(ns)).select(
+        "n",
+        F.floor((F.col("t") - 1) / F.col("n")).alias("blk"),
+        "t",
+        F.col("x").cast("double").alias("x"),
+    )
+    full = blocks.groupBy("n", "blk").agg(
+        F.count(F.lit(1)).alias("c")
+    ).filter(F.col("c") == F.col("n")).select("n", "blk")
+    b = blocks.join(full, ["n", "blk"], "left_semi")
+    wb = Window.partitionBy("n", "blk")
+    m = b.select(
+        "n",
+        "blk",
+        "t",
+        "x",
+        (F.sum("x").over(wb).cast("double") / F.col("n")).alias("mu"),
+        (F.sum(F.col("x") * F.col("x")).over(wb).cast("double") / F.col("n"))
+        .alias("xx"),
+    )
+    wcd = (
+        Window.partitionBy("n", "blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cd = m.select(
+        "n", "blk", "mu", "xx",
+        F.sum(F.col("x") - F.col("mu")).over(wcd).alias("cdev"),
+    )
+    rs = cd.groupBy("n", "blk", "mu", "xx").agg(
+        F.when(
+            F.col("xx") - F.col("mu") * F.col("mu") > 0,
+            F.round(
+                (F.max("cdev") - F.min("cdev"))
+                / F.sqrt(F.col("xx") - F.col("mu") * F.col("mu")),
+                8,
+            ).cast("decimal(28,8)"),
+        ).alias("rsv")
+    )
+    av = (
+        rs.groupBy("n")
+        .agg(
+            F.count("rsv").cast("bigint").alias("n_blocks"),
+            (F.sum("rsv").cast("double") / F.count("rsv")).alias("avg_rs"),
+        )
+        .filter(F.col("n_blocks") > 0)
+    )
+    pts = av.select(
+        "n",
+        "n_blocks",
+        "avg_rs",
+        F.round(F.log(F.col("n").cast("double")), 10)
+        .cast("decimal(28,10)")
+        .alias("lx"),
+        F.round(F.log("avg_rs"), 10).cast("decimal(28,10)").alias("ly"),
+    )
+    hm = pts.agg(
+        (
+            (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("lx") * F.col("ly")).cast("double")
+                - F.sum("lx").cast("double") * F.sum("ly").cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("lx") * F.col("lx")).cast("double")
+                - F.sum("lx").cast("double") * F.sum("lx").cast("double")
+            )
+        ).alias("hurst")
+    )
+    return (
+        pts.crossJoin(F.broadcast(hm))
+        .select(
+            F.col("n").cast("int").alias("block_size"),
+            "n_blocks",
+            F.round("avg_rs", 6).alias("avg_rs"),
+            F.round("hurst", 4).alias("hurst"),
+        )
+        .orderBy("block_size")
+    )

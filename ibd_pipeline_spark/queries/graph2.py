@@ -691,3 +691,235 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("md") / 2).cast("bigint").alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction over the co-activity graph
+# ---------------------------------------------------------------------------
+
+_AA_SQL = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 150
+), e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), cn AS (
+  SELECT t1.v AS u, t2.v AS v, t1.u AS w
+  FROM sym t1 JOIN sym t2 ON t1.u = t2.u AND t1.v < t2.v
+), nonedge AS (
+  SELECT cn.u, cn.v, cn.w FROM cn
+  LEFT JOIN e ON e.u = cn.u AND e.v = cn.v
+  WHERE e.u IS NULL
+), scored AS (
+  SELECT ne.u, ne.v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         SUM(CAST(1.0 / ln(d.deg) AS DECIMAL(28,12))) AS aa
+  FROM nonedge ne JOIN deg d ON d.n = ne.w
+  GROUP BY ne.u, ne.v
+)
+SELECT u, v, n_common,
+       CAST(ROUND(aa, 6) AS DOUBLE) AS aa_score
+FROM scored
+ORDER BY aa DESC, u, v
+LIMIT 20
+"""
+
+
+@query("graph_adamic_adar", oracle=_AA_SQL)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the user co-activity graph
+    (same edge build as graph_kcore_peel: an edge joins two users
+    active in the same (event_type, hour) bucket): for every
+    NON-edge pair with ≥1 common neighbor, AA(u,v) = Σ_w 1/ln(deg w)
+    over common neighbors — rare shared contacts score higher than
+    hubs. The "who will co-occur next" primitive behind
+    recommendation seeding and fraud-ring expansion. Top-20 by score.
+
+    Exactness: per-term 1/ln(deg) quantized to DECIMAL(28,12) (the
+    dsum pattern) so the per-pair sum is order-independent; a common
+    neighbor has degree ≥ 2 by construction, so ln(deg) > 0 always.
+
+    Scale: common-neighbor enumeration is the sym⋈sym self-join on
+    the CENTER node — fan-out Σ_w deg(w)², the standard triangle/
+    wedge bound, never user-quadratic; the user_id < 150 slice
+    bounds the bench, not the shape. Top-20 is a TakeOrdered."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # edge set reused by 3 consumers
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    t1, t2 = sym.alias("t1"), sym.alias("t2")
+    cn = t1.join(
+        t2, (F.col("t1.u") == F.col("t2.u")) & (F.col("t1.v") < F.col("t2.v"))
+    ).select(
+        F.col("t1.v").alias("u"), F.col("t2.v").alias("v"), F.col("t1.u").alias("w")
+    )
+    nonedge = cn.join(e, ["u", "v"], "left_anti")
+    scored = (
+        nonedge.join(deg.withColumnRenamed("n", "w"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(
+                (F.lit(1.0) / F.log(F.col("deg").cast("double"))).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("aa"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("aa").desc(), "u", "v")
+        .limit(20)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round("aa", 6).cast("double").alias("aa_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient + global transitivity
+# ---------------------------------------------------------------------------
+
+_CC_SQL = """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         user_id
+  FROM events WHERE user_id < 100
+), e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h AND a.user_id < c.user_id
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), tri AS (
+  -- ordered triangles u < v < w: wedge (u<v, u<w with v<w) closed by (v,w)
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), pertri AS (
+  SELECT u AS n FROM tri
+  UNION ALL SELECT v AS n FROM tri
+  UNION ALL SELECT w AS n FROM tri
+), tcount AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM pertri GROUP BY n
+)
+SELECT d.n AS user_id, d.deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2 THEN
+         ROUND(2.0 * COALESCE(t.n_triangles, 0) / (d.deg * (d.deg - 1)), 6)
+       END AS clustering_coeff
+FROM deg d LEFT JOIN tcount t ON t.n = d.n
+ORDER BY user_id
+"""
+
+
+@query("graph_clustering_coefficient", oracle=_CC_SQL)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the user co-activity
+    graph: cc(n) = 2·triangles(n) / (deg(n)·(deg(n)−1)) — how close a
+    user's neighborhood is to a clique. Triangles enumerate ONCE in
+    canonical u < v < w order (wedge at the minimum vertex closed by
+    the (v, w) edge — each triangle counted exactly once, then
+    credited to all three corners), the standard oriented-wedge
+    algorithm. With graph_kcore_peel (dense cores) and
+    graph_adamic_adar (missing links) this completes the cohort-
+    structure toolkit: cc says WHICH nodes sit in locally dense
+    tissue.
+
+    Exactness: pure integer counting until one final division.
+
+    Scale: the wedge join's fan-out is Σ deg(u over its ordered
+    neighbors)² and the closing probe is an equi-join against the
+    edge list — the count-triangles-in-MapReduce bound; never
+    node-quadratic. user_id < 100 bounds the bench, not the shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by degrees, wedges, closure
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("u"),
+            F.col("e1.v").alias("v"),
+            F.col("e2.v").alias("w"),
+        )
+    )
+    pertri = (
+        tri.select(F.col("u").alias("n"))
+        .unionAll(tri.select(F.col("v").alias("n")))
+        .unionAll(tri.select(F.col("w").alias("n")))
+    )
+    tcount = pertri.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    out = deg.join(tcount, "n", "left").select(
+        F.col("n").alias("user_id"),
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        ).alias("clustering_coeff"),
+    )
+    return out.orderBy("user_id")

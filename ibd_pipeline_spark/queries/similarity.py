@@ -1158,8 +1158,6 @@ _NDCG_Q, _NDCG_TOPK = 10, 10
 
 
 def _ndcg_oracle() -> str:
-    from ibd_pipeline_spark.queries.round11 import _jl_proj_sql
-
     d64 = " + ".join(
         f"q.v[{i}] * c.v[{i}]" for i in range(1, 65)
     )
@@ -1232,8 +1230,6 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     would come pre-filtered by the candidate generator under test.
     """
     from ibd_pipeline_spark.operators.similarity import as_double_array, dot
-    from ibd_pipeline_spark.queries.round11 import _jl_proj_sql
-
     emb = load(spark, sf_dir, "embeddings")
     projs = _jl_proj_sql("v", False)
     # materialize the projected corpus ONCE: the 16 JL projections are
@@ -1332,3 +1328,237 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall10"
         ),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Maximum-inner-product top-k
+# ---------------------------------------------------------------------------
+
+
+def _seq_dot(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(dim))
+
+
+_MIPS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv,
+         sqrt({_seq_dot('v', 'v')}) AS qn
+  FROM v WHERE vec_id < 10
+), m AS (
+  SELECT MAX(sqrt({_seq_dot('v', 'v')})) AS mx FROM v
+), s AS (
+  SELECT q.qid, c.vec_id AS cid, q.qn,
+         ({_seq_dot('q.qv', 'c.v')}) AS ip
+  FROM q CROSS JOIN v c WHERE c.vec_id <> q.qid
+), r AS (
+  SELECT qid, cid, qn, ip,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, cid) AS rn
+  FROM s
+)
+SELECT qid AS query_id, cid AS corpus_id, CAST(rn AS INT) AS rank,
+       ROUND(ip, 6) AS inner_product,
+       ROUND(ip / (qn * m.mx), 6) AS mips_cosine
+FROM r, m WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("similarity_mips_topk", oracle=_MIPS_SQL)
+def similarity_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k — the scoring mode of two-tower
+    retrieval and recommendation (query·item, NOT cosine: a popular
+    item's larger norm should win). Exact brute force over the
+    corpus for 10 query vectors, with the norm-augmentation
+    reduction attested alongside: appending sqrt(M²−‖c‖²) to each
+    item (M = max corpus norm) turns MIPS into cosine search — the
+    standard trick that unlocks the sign-LSH/IVF bucketing this repo
+    already has for cosine — and the emitted `mips_cosine` =
+    ip/(‖q‖·M) is exactly the augmented-space cosine, monotone in ip
+    per query, so both rankings provably agree.
+
+    Scale: 10 broadcast queries × corpus scan, one fold per pair,
+    per-query top-5 via a qid-partitioned window; the LSH-bucketed
+    path for large query sets is lsh_bucketed_topk over augmented
+    vectors (same reduction). Cross-engine exactness: the dot is the
+    left-associated fold both engines evaluate identically; ties
+    break on corpus_id."""
+    from ibd_pipeline_spark.operators.similarity import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cv")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            as_double_array("embedding").alias("qv"),
+        )
+        .withColumn("qn", l2_norm(F.col("qv")))
+    )
+    mx = v.agg(F.max(l2_norm(F.col("cv"))).alias("mx"))
+    s = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "qn", dot(F.col("qv"), F.col("cv")).alias("ip"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("ip").desc(), "cid")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("corpus_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("ip", 6).alias("inner_product"),
+            F.round(F.col("ip") / (F.col("qn") * F.col("mx")), 6).alias(
+                "mips_cosine"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss sign projection + distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_M, _JL_DIM, _JL_SQRT_M = 16, 64, 4.0
+
+
+def _jl_signs() -> "list[list[float]]":
+    """±1 sign matrix (m × dim) from md5 — deterministic public
+    randomness, generated once here and embedded as LITERALS in both
+    engines (Achlioptas 2003: ±1 entries satisfy the JL lemma)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1.0
+            for i in range(_JL_DIM)
+        ]
+        for j in range(_JL_M)
+    ]
+
+
+def _jl_proj_sql(vec: str, one_based: bool) -> "list[str]":
+    off = 1 if one_based else 0
+    return [
+        "(("
+        + " + ".join(
+            f"{s!r} * {vec}[{i + off}]" for i, s in enumerate(row)
+        )
+        + f") / {_JL_SQRT_M!r})"
+        for row in _jl_signs()
+    ]
+
+
+def _jl_oracle() -> str:
+    projs = ", ".join(
+        f"{p} AS p{j}" for j, p in enumerate(_jl_proj_sql("v", True))
+    )
+    d_orig = " + ".join(
+        f"(a.v[{i + 1}] - b.v[{i + 1}]) * (a.v[{i + 1}] - b.v[{i + 1}])"
+        for i in range(_JL_DIM)
+    )
+    d_proj = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_JL_M)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 20
+), p AS (
+  SELECT id, v, {projs} FROM v
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND({d_orig}, 6) AS d_orig,
+       ROUND({d_proj}, 6) AS d_proj,
+       ROUND(({d_proj}) / ({d_orig}), 4) AS distortion
+FROM p a JOIN p b ON a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+
+@query("similarity_jl_projection", oracle=_jl_oracle)
+def similarity_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection (64 → 16 dims) with a
+    per-pair distortion audit: y = Rx/√m with R ∈ {±1}^{16×64} drawn
+    from md5 (Achlioptas' database-friendly JL — no Gaussians
+    needed), then every pair among 20 probe vectors reports original
+    vs projected squared L2 and their ratio. The cheap OBLIVIOUS
+    dimensionality reduction next to PCA (data-dependent, needs a
+    pass) — the front end that shrinks ANN/clustering inputs 4× with
+    E[distortion] = 1 and variance 2/m per pair.
+
+    Exactness: the sign matrix is generated ONCE in Python from md5
+    and embedded as literals in both engines; projections and
+    distances are identical fixed-order double chains, so the audit
+    replays bit-for-bit.
+
+    Scale: projection is a per-row map (16 dot folds); the audit's
+    pair join is probe-set-sized (190 pairs), broadcast."""
+    from ibd_pipeline_spark.operators.similarity import as_double_array
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    v = emb.select(
+        F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
+    )
+    from ibd_pipeline_spark.operators.ckpt import literal_barrier
+
+    projs = _jl_proj_sql("v", False)
+    p = literal_barrier(  # probe-set-sized; barrier stops re-projection
+        v.select(
+            "id", "v", *[F.expr(pp).alias(f"p{j}") for j, pp in enumerate(projs)]
+        )
+    )
+    a = p.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        *[F.col(f"p{j}").alias(f"pa{j}") for j in range(_JL_M)],
+    )
+    b = p.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        *[F.col(f"p{j}").alias(f"pb{j}") for j in range(_JL_M)],
+    )
+    d_orig = F.lit(0.0)
+    # left-assoc without a leading 0.0 to mirror the oracle's chain
+    d_orig = None
+    for i in range(1, _JL_DIM + 1):
+        t = (F.element_at("va", i) - F.element_at("vb", i)) * (
+            F.element_at("va", i) - F.element_at("vb", i)
+        )
+        d_orig = t if d_orig is None else d_orig + t
+    d_proj = None
+    for j in range(_JL_M):
+        t = (F.col(f"pa{j}") - F.col(f"pb{j}")) * (
+            F.col(f"pa{j}") - F.col(f"pb{j}")
+        )
+        d_proj = t if d_proj is None else d_proj + t
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(d_orig, 6).alias("d_orig"),
+            F.round(d_proj, 6).alias("d_proj"),
+            F.round(d_proj / d_orig, 4).alias("distortion"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
-from ibd_pipeline_spark.queries.statcommon import _phi_tail_col, _phi_tail_sql
+from ibd_pipeline_spark.queries.statcommon import (
+    _PHI_B,
+    _phi_tail_col,
+    _phi_tail_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Jarque–Bera normality test (events.value)
@@ -2227,3 +2231,634 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("holm_p", 8).alias("holm_p"),
         (F.col("rej") == 1).alias("rejected"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_stats.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected), per group
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH r AS (
+  SELECT l_linestatus AS g, l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+), xr AS (
+  SELECT g, x,
+         2 * SUM(cnt) OVER (PARTITION BY g ORDER BY x) - cnt + 1 AS rx2
+  FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY g, x)
+), yr AS (
+  SELECT g, y,
+         2 * SUM(cnt) OVER (PARTITION BY g ORDER BY y) - cnt + 1 AS ry2
+  FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY g, y)
+), j AS (
+  SELECT r.g, xr.rx2, yr.ry2
+  FROM r JOIN xr ON xr.g = r.g AND xr.x = r.x
+         JOIN yr ON yr.g = r.g AND yr.y = r.y
+), m AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy
+  FROM j GROUP BY g
+)
+SELECT g AS l_linestatus, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS spearman_rho
+FROM m ORDER BY l_linestatus
+"""
+
+
+@query("stats_spearman_corr", oracle=_SPEARMAN_SQL)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between quantity and
+    price per line status — Pearson over AVERAGE ranks, where the
+    average rank of a tied block is pure integer algebra:
+    2·r̄(v) = 2·c_le(v) − cnt(v) + 1 (c_le = inclusive cumulative
+    count under the value order). Doubling keeps every rank an exact
+    BIGINT, and the ×2 scale cancels in the correlation, so the
+    moments are exact integers and both engines agree bit-for-bit
+    until the single final division.
+
+    Scale: ranks are computed on the DISTINCT-VALUE frame (counts per
+    (group, value)) via the distributed grouped prefix-sum — never a
+    row-level sort — then broadcast/shuffle-joined back; moment sums
+    are one map-side-combined aggregate. No value buffer, no
+    single-task window (the in-operator offset window runs over
+    partition metadata only)."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        vc = li.groupBy("g", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        ps = with_grouped_prefix_sum(vc, ["g"], [col], "cnt")
+        return ps.select(
+            "g",
+            col,
+            (2 * F.col("_cw") - F.col("cnt") + 1).alias(f"r{col}2"),
+        )
+
+    j = li.join(rank2("x"), ["g", "x"]).join(rank2("y"), ["g", "y"])
+    dec = "decimal(38,0)"
+    m = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum((F.col("rx2").cast(dec) * F.col("rx2"))).alias("sxx"),
+        F.sum((F.col("ry2").cast(dec) * F.col("ry2"))).alias("syy"),
+        F.sum((F.col("rx2").cast(dec) * F.col("ry2"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return m.select(
+        F.col("g").alias("l_linestatus"),
+        "n",
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_rho"),
+    ).orderBy("l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across groups
+# ---------------------------------------------------------------------------
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+           AS sg,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)) * l_extendedprice)
+              AS DECIMAL(38,4)) AS qg
+  FROM lineitem GROUP BY l_returnflag
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS ss_groups,
+         CAST(SUM(sg) AS DOUBLE) AS s_all,
+         CAST(SUM(qg) AS DOUBLE) AS q_all
+  FROM g
+), d AS (
+  SELECT k, n,
+         ss_groups - s_all * s_all / n AS ssb,
+         q_all - ss_groups AS ssw
+  FROM t
+)
+SELECT CAST(k AS INT) AS k_groups, n,
+       ROUND(ssb / (k - 1), 4) AS ms_between,
+       ROUND(ssw / (n - k), 4) AS ms_within,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+       ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+FROM d
+"""
+
+
+@query("stats_anova_oneway", oracle=_ANOVA_SQL)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of extended price across return flags: F-statistic
+    and effect size (η²) from per-group moment sums — count, Σx, Σx²
+    in exact DECIMALs (price has 2 decimals, squares 4; nothing
+    rounds) — so both engines carry identical numbers into the final
+    double-domain sum-of-squares algebra. The per-group Σs²/n step
+    runs over the K-ROW group frame in a fixed double expression.
+
+    Scale: ONE map-side-combined aggregate over the fact table; the
+    group frame is k rows; everything after is scalar algebra. This
+    is the variance decomposition every A/B/C/n-way experiment
+    readout needs, at one-scan cost."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,4)"
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("l_extendedprice").cast(dec)).alias("sg"),
+        F.sum(F.col("l_extendedprice").cast(dec) * F.col("l_extendedprice"))
+        .alias("qg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        # each group's Σ²/n is a deterministic double; ROUND→DECIMAL
+        # before summing so the k-row sum is order-independent
+        # cross-engine (a raw double sum at ~1e13 magnitude wobbles
+        # past the output rounding under catastrophic cancellation)
+        F.sum(
+            F.round(
+                F.col("sg").cast("double") * F.col("sg").cast("double")
+                / F.col("ng"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("ss_groups"),
+        F.sum("sg").cast("double").alias("s_all"),
+        F.sum("qg").cast("double").alias("q_all"),
+    )
+    ssb = F.col("ss_groups") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("q_all") - F.col("ss_groups")
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("n") - F.col("k"))
+    return t.select(
+        F.col("k").cast("int").alias("k_groups"),
+        "n",
+        F.round(msb, 4).alias("ms_between"),
+        F.round(msw, 4).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe (robust Levene) variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+_LEVENE_SQL = """
+WITH med AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4)
+              AS DECIMAL(38,4)) AS med
+  FROM lineitem GROUP BY l_returnflag
+), z AS (
+  SELECT li.l_returnflag AS g,
+         ABS(CAST(li.l_extendedprice AS DECIMAL(38,4)) - med.med) AS z
+  FROM lineitem li JOIN med ON med.g = li.l_returnflag
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(z) AS DECIMAL(38,4)) AS sz,
+         CAST(SUM(CAST(z AS DECIMAL(38,8)) * z) AS DECIMAL(38,8)) AS qz
+  FROM z GROUP BY g
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / ng, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS ss_groups,
+         CAST(SUM(sz) AS DOUBLE) AS s_all,
+         CAST(SUM(qz) AS DOUBLE) AS q_all
+  FROM grp
+), d AS (
+  SELECT k, n,
+         ss_groups - s_all * s_all / n AS ssb,
+         q_all - ss_groups AS ssw
+  FROM t
+)
+SELECT CAST(k AS INT) AS k_groups, n,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS levene_w,
+       (ssb / (k - 1)) / (ssw / (n - k)) > 3.0 AS variance_heterogeneous
+FROM d
+"""
+
+
+@query("stats_levene_test", oracle=_LEVENE_SQL)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (the robust Levene variant) for variance
+    homogeneity across return flags — THE assumption check behind
+    stats_anova_oneway: W = one-way-ANOVA F computed on the absolute
+    deviations z = |x − median_g|. Composition showcase: the group
+    medians come from the SAME bounded-memory prefix-sum
+    quantile_cont replay stats_percentiles uses (rounded to 4
+    decimals so z is an exact ≤4-decimal quantity), then the SAME
+    decimal-moment ANOVA algebra runs on z — both stages already
+    hash-attested on their own, now composed and attested end-to-end.
+
+    Scale: one prefix-sum scan for the k medians (broadcast back as a
+    k-row join), one map-side-combined moment aggregate over z; the
+    k-row Σ²/n step ROUND→DECIMAL before summing (the ANOVA
+    cancellation guard)."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    ps = with_grouped_prefix_sum(
+        li, ["g"], ["v", "l_orderkey", "l_linenumber"], "_one"
+    )
+    cw, n = F.col("_cw"), F.col("_tw")
+    p = F.lit(1.0) + F.lit(0.5) * (n - F.lit(1)).cast("double")
+    lo_rank = F.floor(p)
+    frac = p - lo_rank.cast("double")
+    vlo = F.min(F.when(cw >= lo_rank, F.col("v").cast("double")))
+    vhi = F.min(F.when(cw >= lo_rank + 1, F.col("v").cast("double")))
+    med = ps.groupBy("g").agg(
+        F.round(vlo + F.max(frac) * (F.coalesce(vhi, vlo) - vlo), 4)
+        .cast("decimal(38,4)")
+        .alias("med")
+    )
+    z = (
+        li.join(F.broadcast(med), "g")
+        .select("g", F.abs(F.col("v").cast("decimal(38,4)") - F.col("med"))
+                .alias("z"))
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("z").cast("decimal(38,4)").alias("sz"),
+        F.sum(F.col("z").cast("decimal(38,8)") * F.col("z"))
+        .cast("decimal(38,8)")
+        .alias("qz"),
+    )
+    t = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(
+            F.round(
+                F.col("sz").cast("double") * F.col("sz").cast("double")
+                / F.col("ng"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("ss_groups"),
+        F.sum("sz").cast("double").alias("s_all"),
+        F.sum("qz").cast("double").alias("q_all"),
+    )
+    ssb = F.col("ss_groups") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("q_all") - F.col("ss_groups")
+    w = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return t.select(
+        F.col("k").cast("int").alias("k_groups"),
+        "n",
+        F.round(w, 6).alias("levene_w"),
+        (w > 3.0).alias("variance_heterogeneous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR control over per-brand return-rate tests
+# ---------------------------------------------------------------------------
+
+_BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
+
+
+_BH_SQL = f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
+), zt AS (
+  SELECT brand, n, r,
+         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+             / sqrt((CAST(rt AS DOUBLE) / nt) * (1.0 - CAST(rt AS DOUBLE) / nt)
+                    / n)) AS az
+  FROM b, tot
+), pv AS (
+  SELECT brand, n, az,
+         ROUND(2.0 * {_phi_tail_sql("az")}, 8) AS p_value
+  FROM zt
+), rk AS (
+  SELECT a.brand, a.n, a.az, a.p_value,
+         CAST(COUNT(*) AS BIGINT) AS rank,
+         CAST(MAX(cnt.m) AS BIGINT) AS m
+  FROM pv a
+  JOIN pv c ON (c.p_value < a.p_value)
+            OR (c.p_value = a.p_value AND c.brand <= a.brand)
+  CROSS JOIN (SELECT COUNT(*) AS m FROM pv) cnt
+  GROUP BY a.brand, a.n, a.az, a.p_value
+), kmax AS (
+  SELECT COALESCE(MAX(rank), 0) AS kmax
+  FROM rk WHERE p_value * m * {_BH_Q_DEN} <= rank * {_BH_Q_NUM}
+)
+SELECT brand, n, ROUND(az, 6) AS z_stat, p_value,
+       CAST(rank AS INT) AS p_rank,
+       rank <= kmax.kmax AS rejected
+FROM rk, kmax
+ORDER BY brand
+"""
+
+
+@query("stats_benjamini_hochberg", oracle=_BH_SQL)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (q = 0.10) over one z-test per
+    part brand (brand return rate vs the corpus rate) — the multiple-
+    testing guardrail every metrics platform needs once it runs one
+    test per segment: order the m p-values, find the largest k with
+    p(k) ≤ k·q/m, reject ranks ≤ k. The BH inequality is evaluated in
+    CROSS-MULTIPLIED integer-scaled form (p·m·10 ≤ rank·1), p-values
+    come from the Zelen–Severo normal-CDF polynomial (plain exp +
+    double algebra both engines evaluate identically, error < 7.5e-8,
+    rounded to 8), and ranks come from a triangular self-join over
+    the BRAND-bounded frame (catalog metadata, window-free).
+
+    Scale: one fact-dimension join + per-brand counts (map-side
+    combined); everything after runs on m = |brands| rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    p0 = F.col("rt").cast("double") / F.col("nt")
+    az = F.abs(
+        (F.col("r").cast("double") / F.col("n") - p0)
+        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
+    )
+    zt = b.crossJoin(F.broadcast(tot)).select("brand", "n", az.alias("az"))
+    k = 1.0 / (1.0 + 0.2316419 * F.col("az"))
+    poly = (
+        (
+            (
+                (F.lit(_PHI_B[4]) * k + F.lit(_PHI_B[3])) * k
+                + F.lit(_PHI_B[2])
+            )
+            * k
+            + F.lit(_PHI_B[1])
+        )
+        * k
+        + F.lit(_PHI_B[0])
+    ) * k
+    tail = F.lit(0.3989422804014327) * F.exp(-0.5 * F.col("az") * F.col("az")) * poly
+    pv = zt.select(
+        "brand", "n", "az", F.round(2.0 * tail, 8).alias("p_value")
+    )
+    a, c = pv.alias("a"), pv.alias("c")
+    rk = (
+        # brand-bounded frame: broadcast one side so the non-equi
+        # rank join plans as BNLJ, never a partitioned cartesian
+        a.join(
+            F.broadcast(c),
+            (F.col("c.p_value") < F.col("a.p_value"))
+            | (
+                (F.col("c.p_value") == F.col("a.p_value"))
+                & (F.col("c.brand") <= F.col("a.brand"))
+            ),
+        )
+        .groupBy("a.brand", "a.n", "a.az", "a.p_value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
+    )
+    m = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    rk = rk.crossJoin(F.broadcast(m))
+    kmax = rk.filter(
+        F.col("p_value") * F.col("m") * _BH_Q_DEN
+        <= F.col("rank") * _BH_Q_NUM
+    ).agg(F.coalesce(F.max("rank"), F.lit(0)).alias("kmax"))
+    return (
+        rk.crossJoin(F.broadcast(kmax))
+        .select(
+            F.col("brand"),
+            F.col("n"),
+            F.round("az", 6).alias("z_stat"),
+            "p_value",
+            F.col("rank").cast("int").alias("p_rank"),
+            (F.col("rank") <= F.col("kmax")).alias("rejected"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test
+# ---------------------------------------------------------------------------
+
+
+_CA_SQL = f"""
+WITH g AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS r
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+         CAST(SUM(s * n) AS BIGINT) AS sn,
+         CAST(SUM(s * s * n) AS BIGINT) AS ssn,
+         CAST(SUM(s * r) AS BIGINT) AS sr
+  FROM g
+), z AS (
+  SELECT nn, rr,
+         (CAST(sr AS DOUBLE) - CAST(rr AS DOUBLE) * sn / nn) AS t,
+         (CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)
+           * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nn) AS v
+  FROM m
+)
+SELECT nn AS n, rr AS n_success,
+       ROUND(t / sqrt(v), 6) AS z_stat,
+       ROUND(2.0 * {_phi_tail_sql("abs(t / sqrt(v))")}, 8) AS p_value
+FROM z
+"""
+
+
+@query("stats_cochran_armitage", oracle=_CA_SQL)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: is the 'F'-status proportion
+    monotonically associated with order priority (scores 1..5 from
+    the priority prefix)? The dose-response test a chi-square of
+    independence wastes power on — one degree of freedom aimed at
+    the ORDERED alternative. T = Σsᵢrᵢ − R·Σsᵢnᵢ/N with
+    Var = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N); all five moments are exact
+    BIGINTs from one map-side-combined aggregate, the z and the
+    Abramowitz–Stegun two-sided p are fixed double algebra at
+    output (the BH normal-tail pattern).
+
+    Scale: one scan, one 5-row group frame — nothing else."""
+    od = load(spark, sf_dir, "orders")
+    g = od.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1))
+        .cast("bigint")
+        .alias("r"),
+    )
+    m = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum(F.col("s") * F.col("n")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("bigint").alias("ssn"),
+        F.sum(F.col("s") * F.col("r")).cast("bigint").alias("sr"),
+    )
+    t = (
+        F.col("sr").cast("double")
+        - F.col("rr").cast("double") * F.col("sn") / F.col("nn")
+    )
+    v = (
+        (F.col("rr").cast("double") / F.col("nn"))
+        * (F.lit(1.0) - F.col("rr").cast("double") / F.col("nn"))
+        * (
+            F.col("ssn").cast("double")
+            - F.col("sn").cast("double") * F.col("sn") / F.col("nn")
+        )
+    )
+    az = F.abs(t / F.sqrt(v))
+    kk = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = (
+        (
+            (
+                (F.lit(_PHI_B[4]) * kk + F.lit(_PHI_B[3])) * kk
+                + F.lit(_PHI_B[2])
+            )
+            * kk
+            + F.lit(_PHI_B[1])
+        )
+        * kk
+        + F.lit(_PHI_B[0])
+    ) * kk
+    tail = F.lit(0.3989422804014327) * F.exp(-0.5 * az * az) * poly
+    return m.select(
+        F.col("nn").alias("n"),
+        F.col("rr").alias("n_success"),
+        F.round(t / F.sqrt(v), 6).alias("z_stat"),
+        F.round(2.0 * tail, 8).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score confidence intervals
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959963985
+
+_WILSON_SQL = f"""
+WITH assigned AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5('11:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 80
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assigned GROUP BY arm
+), w AS (
+  SELECT arm, n, conv,
+         CAST(conv AS DOUBLE) / n AS p,
+         {_WILSON_Z} * {_WILSON_Z} / n AS z2n
+  FROM c
+)
+SELECT CAST(arm AS INT) AS arm, n, conv,
+       ROUND(p, 6) AS p_hat,
+       ROUND((p + z2n / 2.0
+              - {_WILSON_Z} * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)))
+             / (1.0 + z2n), 6) AS wilson_lo,
+       ROUND((p + z2n / 2.0
+              + {_WILSON_Z} * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)))
+             / (1.0 + z2n), 6) AS wilson_hi
+FROM w ORDER BY arm
+"""
+
+
+@query("stats_wilson_ci", oracle=_WILSON_SQL)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence intervals for each arm's
+    conversion rate — the binomial interval that behaves at the
+    extremes where the Wald interval collapses (never escapes [0,1],
+    correct coverage at small n or p near 0/1); the per-arm readout
+    next to the difference tests. Same md5 split and conversion
+    rule as the z-test family.
+
+    Exactness: exact integer counts; the interval is one fixed
+    double formula per arm. Scale: one user-grain aggregate."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.groupBy(
+        "user_id", md5_bucket(F.col("user_id"), 11, 2).alias("arm")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 80), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    c = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    p = F.col("conv").cast("double") / F.col("n")
+    z2n = F.lit(_WILSON_Z) * F.lit(_WILSON_Z) / F.col("n")
+    rad = F.lit(_WILSON_Z) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n") + z2n / (F.lit(4.0) * F.col("n"))
+    )
+    return c.select(
+        F.col("arm").cast("int").alias("arm"),
+        "n",
+        "conv",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + z2n / 2.0 - rad) / (F.lit(1.0) + z2n), 6).alias("wilson_lo"),
+        F.round((p + z2n / 2.0 + rad) / (F.lit(1.0) + z2n), 6).alias("wilson_hi"),
+    ).orderBy("arm")

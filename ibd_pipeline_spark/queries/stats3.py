@@ -425,3 +425,90 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - 4).cast("int").alias("df2"),
         F.round("f_stat", 6).alias("chow_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_stats.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Trimmed + winsorized mean per group (prefix-sum rank thresholds)
+# ---------------------------------------------------------------------------
+
+_TRIM_SQL = """
+WITH r AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), b AS (
+  SELECT g, CAST(v AS DECIMAL(38,4)) AS v, rn, n,
+         CAST(FLOOR(0.1 * n) AS BIGINT) AS lo
+  FROM r
+)
+SELECT g AS l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN v END)
+                  AS DOUBLE) / (MAX(n) - 2 * MAX(lo)), 4) AS trimmed_mean,
+       ROUND(CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN v END)
+                  + MAX(lo) * MIN(CASE WHEN rn >= lo + 1 THEN v END)
+                  + MAX(lo) * MIN(CASE WHEN rn >= n - lo THEN v END)
+                  AS DOUBLE) / MAX(n), 4) AS winsorized_mean
+FROM b GROUP BY g ORDER BY l_returnflag
+"""
+
+
+@query("stats_trimmed_mean", oracle=_TRIM_SQL)
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed and winsorized means per return flag — the robust
+    location estimators, as PURE RANK-THRESHOLD conditional
+    aggregates over one weight-1 grouped prefix-sum scan (the same
+    spine as stats_percentiles): trim drops ranks outside
+    (⌊0.1n⌋, n−⌊0.1n⌋]; winsorize clamps them to the boundary values
+    v(lo+1) / v(n−lo), both MIN-over-rank-condition lookups. Price
+    sums stay in exact decimals; the two divisions happen once, at
+    the end — bit-identical to the oracle's windowed ROW_NUMBER
+    replay under the same (price, orderkey, linenumber) total order.
+
+    Scale: one range exchange + Arrow running count (bounded memory
+    even when a group spans tasks), conditional aggregates map-side
+    combine; no per-group value buffer anywhere."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    ps = with_grouped_prefix_sum(
+        li, ["g"], ["v", "l_orderkey", "l_linenumber"], "_one"
+    )
+    rn, n = F.col("_cw"), F.col("_tw")
+    lo = F.floor(0.1 * n).cast("bigint")
+    # decimal-domain sums: price has 2 decimals, so the cast is exact
+    # and the running total is order-independent cross-engine
+    vdec = F.col("v").cast("decimal(38,4)")
+    core = F.sum(F.when((rn > lo) & (rn <= n - lo), vdec))
+    v_lo = F.min(F.when(rn >= lo + 1, vdec))
+    v_hi = F.min(F.when(rn >= n - lo, vdec))
+    n_, lo_ = F.max(n), F.max(lo)
+    return (
+        ps.groupBy("g")
+        .agg(
+            n_.cast("bigint").alias("n"),
+            F.round(core.cast("double") / (n_ - 2 * lo_), 4).alias(
+                "trimmed_mean"
+            ),
+            F.round(
+                (core + lo_ * v_lo + lo_ * v_hi).cast("double") / n_, 4
+            ).alias("winsorized_mean"),
+        )
+        .select(F.col("g").alias("l_returnflag"), "n", "trimmed_mean",
+                "winsorized_mean")
+        .orderBy("l_returnflag")
+    )

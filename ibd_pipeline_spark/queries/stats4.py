@@ -1208,3 +1208,98 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), 2.0 * _phi_tail_col(F.abs(z))), 8
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_stats.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Extreme-value analysis: Gumbel return levels from daily block maxima
+# ---------------------------------------------------------------------------
+
+_GUMBEL_SQL = """
+WITH bm AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(ROUND(MAX(value), 6) AS DECIMAL(28,6)) AS mx
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mx) AS DECIMAL(38,6)) AS s,
+         CAST(SUM(CAST(mx AS DECIMAL(38,12)) * mx) AS DECIMAL(38,12)) AS q
+  FROM bm
+), d AS (
+  SELECT n,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+              / (n - 1)) AS sd
+  FROM m
+), fit AS (
+  SELECT n, mean, sd,
+         sd * sqrt(6.0) / pi() AS beta,
+         mean - 0.5772156649015329 * (sd * sqrt(6.0) / pi()) AS mu
+  FROM d
+)
+SELECT n AS n_days,
+       ROUND(mean, 4) AS mean_daily_max,
+       ROUND(mu, 4) AS gumbel_mu,
+       ROUND(beta, 4) AS gumbel_beta,
+       ROUND(mu - beta * ln(-ln(1.0 - 1.0 / 30)), 4) AS return_level_30d,
+       ROUND(mu - beta * ln(-ln(1.0 - 1.0 / 365)), 4) AS return_level_365d
+FROM fit
+"""
+
+
+@query("stats_gumbel_return_level", oracle=_GUMBEL_SQL)
+def stats_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis: Gumbel return levels from daily block
+    maxima — the capacity-planning readout ('what value do we exceed
+    once per 30 / 365 days?') the monitoring family needs beyond
+    percentiles (which say nothing about maxima of FUTURE blocks).
+    Method-of-moments Gumbel fit (β = s·√6/π, μ = x̄ − γ·β with the
+    Euler–Mascheroni literal), return level z_T = μ − β·ln(−ln(1−1/T))
+    — the classical EVT block-maxima recipe (Gumbel 1958; Coles 2001).
+
+    Exactness: daily maxima are exact double MAXes, ROUNDed→DECIMAL
+    before the moment sums (the cross-engine order-independence
+    rule), the fit is fixed double algebra at output.
+
+    Scale: one map-side-combined day-grain max + one moment aggregate
+    over the calendar-bounded frame — no window, no sort, no buffer;
+    block size (day) is the knob, not the data volume."""
+    ev = load(spark, sf_dir, "events")
+    bm = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.max("value"), 6).cast("decimal(28,6)").alias("mx"))
+    m = bm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mx").cast("decimal(38,6)").alias("s"),
+        F.sum(F.col("mx").cast("decimal(38,12)") * F.col("mx"))
+        .cast("decimal(38,12)")
+        .alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    import math
+
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+
+    def level(t: int):
+        return F.round(mu - beta * math.log(-math.log(1.0 - 1.0 / t)), 4)
+
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(mean, 4).alias("mean_daily_max"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        level(30).alias("return_level_30d"),
+        level(365).alias("return_level_365d"),
+    )

@@ -230,3 +230,150 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard
+# ---------------------------------------------------------------------------
+
+_NA_SQL = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+           AS conv_ts
+  FROM events GROUP BY user_id
+), lif AS (
+  SELECT CAST(datediff('day', CAST(first_ts AS DATE),
+                       CAST(COALESCE(conv_ts, last_ts) AS DATE))
+              AS BIGINT) AS dur,
+         conv_ts IS NULL AS censored
+  FROM u
+), d AS (
+  SELECT dur,
+         CAST(COUNT(*) FILTER (NOT censored) AS BIGINT) AS d_events,
+         CAST(COUNT(*) FILTER (censored) AS BIGINT) AS c_censored
+  FROM lif GROUP BY dur
+), k AS (
+  SELECT dur, d_events, c_censored,
+         CAST((SELECT SUM(d_events + c_censored) FROM d)
+           - COALESCE(SUM(d_events + c_censored) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM d
+), s AS (
+  SELECT dur, d_events, n_risk,
+         SUM(CAST(ROUND(CAST(d_events AS DOUBLE) / n_risk, 8)
+                  AS DECIMAL(28,8))) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS h,
+         SUM(CAST(ROUND(CAST(d_events AS DOUBLE) / (n_risk * n_risk), 10)
+                  AS DECIMAL(28,10))) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS vr
+  FROM k
+)
+SELECT dur, n_risk, d_events,
+       ROUND(CAST(h AS DOUBLE), 6) AS cum_hazard,
+       ROUND(EXP(-CAST(h AS DOUBLE)), 6) AS na_survival,
+       ROUND(CAST(vr AS DOUBLE), 8) AS hazard_var
+FROM s ORDER BY dur
+"""
+
+
+@query("stats_nelson_aalen", oracle=_NA_SQL)
+def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over time-to-first-
+    purchase (same right-censored construction as stats_kaplan_meier
+    since r11: death = a user's first purchase, measured in days from
+    first activity; never-purchasers censored at last activity):
+    H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ, its variance Σ dᵢ/nᵢ², and
+    the Fleming–Harrington survival exp(−H) — the hazard-side
+    companion KM's product-limit can't give (H is additive, so
+    hazard INCREMENTS between any two horizons read directly off the
+    curve).
+
+    Exactness: dᵢ, nᵢ are exact integers; each hazard term rounds
+    to decimal BEFORE the cumulative sum (the KM ln-term pattern) so
+    prefixes are order-independent; prefix sums ride the
+    block-stitched cumsum (blocks of 32 duration days — the r11
+    calendar helper with an integer spine), no unpartitioned window.
+
+    Scale: one user_id shuffle for lifetimes; everything after runs
+    on the day-span-bounded duration frame."""
+    from ibd_pipeline_spark.operators.calendar import month_stitched_cumsum
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts"),
+    )
+    lif = u.select(
+        F.datediff(
+            F.to_date(F.coalesce("conv_ts", "last_ts")),
+            F.to_date("first_ts"),
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.col("conv_ts").isNull().alias("censored"),
+    )
+    d = lif.groupBy("dur").agg(
+        F.count(F.when(~F.col("censored"), 1)).cast("bigint").alias("d_events"),
+        F.count(F.when(F.col("censored"), 1)).cast("bigint").alias("c_censored"),
+    )
+    tot = d.agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).alias("n_total")
+    )
+    blk = F.floor(F.col("dur") / 32)
+    cum = month_stitched_cumsum(
+        d.withColumn("dc", F.col("d_events") + F.col("c_censored")),
+        "dur",
+        ["dc"],
+        block=blk,
+    )
+    k = cum.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d_events",
+        (F.col("n_total") - F.col("cum_dc") + F.col("dc"))
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    terms = k.select(
+        "dur",
+        "d_events",
+        "n_risk",
+        F.round(F.col("d_events").cast("double") / F.col("n_risk"), 8)
+        .cast("decimal(28,8)")
+        .alias("ht"),
+        F.round(
+            F.col("d_events").cast("double")
+            / (F.col("n_risk") * F.col("n_risk")),
+            10,
+        )
+        .cast("decimal(28,10)")
+        .alias("vt"),
+    )
+    s = month_stitched_cumsum(terms, "dur", ["ht", "vt"], block=blk)
+    # r11: ROUND runs on the decimal→double IMAGE, not the decimal —
+    # a DECIMAL cumsum ending in an exact trailing "…50" rounds
+    # differently across engines (Spark decimal ROUND is HALF_UP;
+    # DuckDB's is not), while the double image never sits exactly on
+    # the half, so both engines decide the same way (hit at sf0.1:
+    # cum_hazard 1.11769250 → 1.117693 vs 1.117692)
+    return s.select(
+        "dur",
+        "n_risk",
+        "d_events",
+        F.round(F.col("cum_ht").cast("double"), 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("cum_ht").cast("double")), 6).alias("na_survival"),
+        F.round(F.col("cum_vt").cast("double"), 8).alias("hazard_var"),
+    ).orderBy("dur")

@@ -981,3 +981,136 @@ def text_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n1").cast("double") / F.col("n_tokens"), 6
         ).alias("gt_coverage"),
     ).orderBy("r")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, w[i] AS word,
+         w[i] IN ({", ".join(f"'{s}'" for s in _RAKE_STOP)}) AS is_stop
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w))) t(i)
+), seg AS (
+  SELECT doc_id, pos, word, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM toks
+), nonstop AS (
+  SELECT doc_id, pos, word, seg_id FROM seg WHERE NOT is_stop
+), phr AS (
+  SELECT doc_id, seg_id,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM nonstop GROUP BY doc_id, seg_id
+), pw AS (
+  SELECT p.doc_id, p.seg_id, p.phrase, p.plen, s.word
+  FROM phr p JOIN nonstop s
+    ON s.doc_id = p.doc_id AND s.seg_id = p.seg_id
+), ws AS (
+  SELECT word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM pw GROUP BY word
+), scored AS (
+  SELECT pw.doc_id, pw.seg_id, pw.phrase,
+         SUM(CAST(ROUND(CAST(ws.deg AS DOUBLE) / ws.freq, 8)
+                  AS DECIMAL(28,8))) AS pscore
+  FROM pw JOIN ws USING (word)
+  GROUP BY pw.doc_id, pw.seg_id, pw.phrase
+), uniq AS (
+  SELECT phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MAX(pscore) AS score
+  FROM scored GROUP BY phrase
+)
+SELECT phrase,
+       CAST(len(string_split(phrase, ' ')) AS INT) AS n_words,
+       n_occurrences,
+       CAST(ROUND(score, 6) AS DOUBLE) AS score
+FROM uniq
+ORDER BY score DESC, phrase
+LIMIT 20
+"""
+
+@query("text_rake_keyphrases", oracle=_RAKE_SQL)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free word runs; each word
+    scores deg/freq (deg = summed length of phrases containing it —
+    co-occurrence degree; freq = raw count inside phrases), a phrase
+    scores the sum of its words' scores, and the top 20 distinct
+    phrases emit with occurrence counts — the zero-supervision
+    keyword extractor next to tf-idf (corpus-relative) and PMI
+    (pair-level) for corpus summarization and topic tagging.
+
+    Exactness: per-word deg/freq ratios round to DECIMAL(28,8)
+    before the phrase sum (order-independent); the phrase score is
+    identical across occurrences by construction, so distinct-phrase
+    aggregation is stable.
+
+    Scale: tokenization explodes once; segment ids ride a
+    doc-PARTITIONED running count; word scores are one vocab-sized
+    aggregate joined back broadcast; top-20 is a TakeOrdered."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).withColumn("is_stop", F.col("word").isin(*_RAKE_STOP))
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = toks.withColumn(
+        "seg_id", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wseg)
+    ).filter(~F.col("is_stop"))
+    phr = seg.groupBy("doc_id", "seg_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    pw = phr.join(
+        seg.select("doc_id", "seg_id", "word"), ["doc_id", "seg_id"]
+    )
+    ws = pw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = (
+        pw.join(F.broadcast(ws), "word")
+        .groupBy("doc_id", "seg_id", "phrase")
+        .agg(
+            F.sum(
+                F.round(F.col("deg").cast("double") / F.col("freq"), 8).cast(
+                    "decimal(28,8)"
+                )
+            ).alias("pscore")
+        )
+    )
+    uniq = scored.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("pscore").alias("score"),  # identical across occurrences
+    )
+    return (
+        uniq.select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("int").alias("n_words"),
+            "n_occurrences",
+            F.round(F.col("score"), 6).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(20)
+    )

@@ -160,3 +160,231 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_stats.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (daily order volume)
+# ---------------------------------------------------------------------------
+
+_MK_SQL = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+           AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+         CAST(COUNT(DISTINCT a.day) + 1 AS BIGINT) AS n
+  FROM d a JOIN d b ON b.day > a.day
+), ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY x)
+  WHERE t > 1
+), v AS (
+  SELECT s.n, s.s_stat, ties.tt,
+         (CAST(s.n AS DOUBLE) * (s.n - 1) * (2 * s.n + 5) - ties.tt) / 18.0
+           AS var_s
+  FROM s, ties
+)
+SELECT n AS n_days, s_stat,
+       ROUND(var_s, 4) AS var_s,
+       ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z_stat,
+       CASE WHEN s_stat > 0 THEN 'increasing'
+            WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+FROM v
+"""
+
+
+@query("stats_mann_kendall", oracle=_MK_SQL)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test on daily order volume —
+    the monitoring family's distribution-free 'is this metric
+    drifting' answer (no linearity or normality assumed, robust to
+    spikes): S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 and the
+    continuity-corrected z. S and the tie sums are exact BIGINTs; the
+    two divisions happen at output.
+
+    Scale: the corpus-scale work is the day-grain count aggregate;
+    the pair sum runs as a triangular self-join over the CALENDAR-
+    bounded day frame (365² pairs/year — metadata, and window-free so
+    the plan audit stays clean). The parametric twin is
+    stats_theil_sen_trend (same frame, slope instead of sign-sum)."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a, b = d.alias("a"), d.alias("b")
+    # calendar-bounded frame: broadcast one side (BNLJ, never a
+    # partitioned cartesian)
+    s = a.join(F.broadcast(b), F.col("b.day") > F.col("a.day")).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat"),
+        (F.countDistinct("a.day") + 1).cast("bigint").alias("n"),
+    )
+    ties = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    v = s.crossJoin(F.broadcast(ties)).withColumn(
+        "var_s",
+        (
+            F.col("n").cast("double")
+            * (F.col("n") - 1)
+            * (2 * F.col("n") + 5)
+            - F.col("tt")
+        )
+        / 18.0,
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round("var_s", 4).alias("var_s"),
+        F.round(z, 6).alias("z_stat"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Page–Hinkley changepoint statistic
+# ---------------------------------------------------------------------------
+
+_PH_DELTA, _PH_LAMBDA = 0.1, 5.0
+
+_PH_SQL = f"""
+WITH d AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE)
+           / COUNT(value) AS day_avg
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(ROUND(SUM(CAST(day_avg AS DECIMAL(28,8))), 8) AS DOUBLE)
+           / COUNT(*) AS gmean
+  FROM d
+), t AS (
+  SELECT day, day_avg,
+         CAST(ROUND(day_avg - g.gmean - {_PH_DELTA}, 8) AS DECIMAL(28,8)) AS dev
+  FROM d, g
+), c0 AS (
+  SELECT day, day_avg,
+         SUM(dev) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM t
+), c AS (
+  SELECT day, day_avg, m,
+         MIN(m) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM c0
+), ph AS (
+  SELECT day, day_avg, m - runmin AS ph FROM c
+)
+SELECT day AS changepoint_day,
+       CAST(ROUND(ph, 6) AS DOUBLE) AS ph_stat,
+       ph > {_PH_LAMBDA} AS alarm,
+       ROUND(day_avg, 4) AS day_avg
+FROM ph ORDER BY ph DESC, day LIMIT 1
+"""
+
+
+@query("stats_page_hinkley", oracle=_PH_SQL)
+def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley upward-drift detector on the daily mean event
+    value: mₜ = Σ(x̄ᵢ − μ − δ) and PHₜ = mₜ − min_{k≤t} mₖ — the
+    sequential cousin of events_cusum_changepoint (CUSUM localizes a
+    level shift against the diagonal; PH accumulates drift against a
+    tolerance δ and alarms when the climb from the running minimum
+    exceeds λ). Reports the argmax day, the statistic, and the
+    alarm verdict at δ=0.1, λ=5.
+
+    Exactness: day means ride the davg decimal contract; deviations
+    round to DECIMAL(28,8) before any prefix, so the cumulative sum
+    AND its running minimum are exact decimal algebra — both ride
+    the r11 month-stitch helpers (cumsum + running-extreme), no
+    unpartitioned window.
+
+    Scale: one day-grain aggregate, then day-frame stitches; argmax
+    is a LIMIT-1 TakeOrdered."""
+    from ibd_pipeline_spark.operators.calendar import (
+        month_stitched_cumsum,
+        month_stitched_running_extreme,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4).cast("double")
+            / F.count("value")
+        ).alias("day_avg")
+    )
+    g = d.agg(
+        (
+            F.round(F.sum(F.col("day_avg").cast("decimal(28,8)")), 8).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("gmean")
+    )
+    t = d.crossJoin(F.broadcast(g)).select(
+        "day",
+        "day_avg",
+        F.round(
+            F.col("day_avg") - F.col("gmean") - F.lit(_PH_DELTA), 8
+        )
+        .cast("decimal(28,8)")
+        .alias("dev"),
+    )
+    c = month_stitched_cumsum(t, "day", ["dev"])
+    c = month_stitched_running_extreme(c, "day", "cum_dev", "runmin", kind="min")
+    ph = F.col("cum_dev") - F.col("runmin")
+    return (
+        c.select("day", "day_avg", ph.alias("ph"))
+        .orderBy(F.col("ph").desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.round("ph", 6).cast("double").alias("ph_stat"),
+            (F.col("ph") > _PH_LAMBDA).alias("alarm"),
+            F.round("day_avg", 4).alias("day_avg"),
+        )
+    )

@@ -847,3 +847,236 @@ def train_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round10_stats.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Priority sampling for subset-sum estimation
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 64
+_PRIO_M = 1_000_000
+
+_PRIO_SQL = f"""
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority AS seg,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS wc,
+         CAST(('0x' || substring(md5('prio:' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % {_PRIO_M} AS h
+  FROM orders
+), q AS (
+  SELECT o_orderkey, seg, wc,
+         CAST(wc AS DOUBLE) * {_PRIO_M} / (h + 1) AS prio
+  FROM w
+), topk1 AS (
+  SELECT * FROM q ORDER BY prio DESC, o_orderkey LIMIT {_PRIO_K + 1}
+), tau AS (
+  SELECT MIN(prio) AS tau FROM topk1
+), samp AS (
+  SELECT t.seg, t.wc FROM topk1 t, tau
+  WHERE t.prio > tau.tau
+     OR (t.prio = tau.tau
+         AND t.o_orderkey < (SELECT MAX(o_orderkey) FROM topk1 x, tau
+                             WHERE x.prio = tau.tau))
+), est AS (
+  SELECT samp.seg,
+         CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         SUM(CAST(ROUND(CASE WHEN CAST(samp.wc AS DOUBLE) > tau.tau
+                             THEN CAST(samp.wc AS DOUBLE)
+                             ELSE tau.tau END, 6) AS DECIMAL(28,6))) AS e
+  FROM samp, tau GROUP BY samp.seg
+), exact AS (
+  SELECT seg, CAST(SUM(wc) AS BIGINT) AS exact_cents FROM w GROUP BY seg
+)
+SELECT exact.seg AS o_orderpriority,
+       COALESCE(est.n_sampled, 0) AS n_sampled,
+       ROUND(CAST(COALESCE(est.e, 0) AS DOUBLE) / 100, 2) AS est_total,
+       ROUND(CAST(exact_cents AS DOUBLE) / 100, 2) AS exact_total,
+       ROUND(ABS(CAST(COALESCE(est.e, 0) AS DOUBLE) / 100
+                 - CAST(exact_cents AS DOUBLE) / 100)
+             / (CAST(exact_cents AS DOUBLE) / 100), 4) AS rel_err
+FROM exact LEFT JOIN est ON est.seg = exact.seg
+ORDER BY o_orderpriority
+"""
+
+
+@query("sample_priority_subset_sums", oracle=_PRIO_SQL)
+def sample_priority_subset_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM'07) — the
+    weighted sample that answers UNBIASED SUBSET-SUM queries after
+    the fact: each order draws priority q = w/u (u uniform from the
+    engine-portable md5 hash, so both engines draw IDENTICAL
+    priorities), the top-k survive, τ = the (k+1)-th priority, and
+    any segment's total estimates as Σ max(w, τ) over its sampled
+    members — provably unbiased with near-optimal variance, which
+    A-Res-style weighted sampling (train_weighted_sample_ares) does
+    NOT give you for sums. The audit emits per-priority-segment
+    estimate vs exact total and relative error; the per-item
+    max(w, τ) terms ROUND→DECIMAL before summing (≤ k doubles would
+    otherwise sum in partial order).
+
+    Scale: one scan computes priorities; the top-(k+1) is a
+    TakeOrdered (per-task heaps, no global sort, no window); the
+    estimator touches k rows. At 100 TB this is THE way to keep a
+    64-row summary that still answers 'how much revenue did segment X
+    have' unbiasedly — the sketch family's answer to weighted
+    GROUP-BY-later queries."""
+    orders = load(spark, sf_dir, "orders")
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    w = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("wc"),
+        md5_bucket(F.col("o_orderkey"), F.lit("prio"), _PRIO_M).alias("h"),
+    )
+    q = w.select(
+        "o_orderkey",
+        "seg",
+        "wc",
+        (F.col("wc").cast("double") * _PRIO_M / (F.col("h") + 1)).alias("prio"),
+    )
+    topk1 = q.orderBy(F.col("prio").desc(), "o_orderkey").limit(_PRIO_K + 1)
+    topk1 = topk1.localCheckpoint(eager=True)  # tiny; consumed thrice
+    tau = topk1.agg(F.min("prio").alias("tau"))
+    # drop exactly ONE row at τ (the k+1-th); if several tie at τ, the
+    # highest orderkey among them is the one TakeOrdered ranked last
+    drop_key = (
+        topk1.crossJoin(F.broadcast(tau))
+        .filter(F.col("prio") == F.col("tau"))
+        .agg(F.max("o_orderkey").alias("dk"))
+    )
+    samp = (
+        topk1.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(drop_key))
+        .filter(
+            (F.col("prio") > F.col("tau"))
+            | ((F.col("prio") == F.col("tau")) & (F.col("o_orderkey") < F.col("dk")))
+        )
+    )
+    term = F.round(
+        F.when(F.col("wc").cast("double") > F.col("tau"), F.col("wc").cast("double"))
+        .otherwise(F.col("tau")),
+        6,
+    ).cast("decimal(28,6)")
+    est = samp.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(term).alias("e"),
+    )
+    exact = w.groupBy("seg").agg(F.sum("wc").cast("bigint").alias("exact_cents"))
+    ex = F.col("exact_cents").cast("double") / 100
+    ee = F.coalesce(F.col("e"), F.lit(0)).cast("double") / 100
+    return (
+        exact.join(F.broadcast(est), "seg", "left")
+        .select(
+            F.col("seg").alias("o_orderpriority"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            F.round(ee, 2).alias("est_total"),
+            F.round(ex, 2).alias("exact_total"),
+            F.round(F.abs(ee - ex) / ex, 4).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round11.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Consistent cross-table hash sampling
+# ---------------------------------------------------------------------------
+
+_CONSISTENT_SQL = """
+WITH eu AS (
+  SELECT DISTINCT user_id AS k FROM events
+), ou AS (
+  SELECT DISTINCT o_custkey % 150 AS k FROM orders
+), tagged AS (
+  SELECT k, 'events' AS tbl,
+         CAST(('0x' || substring(md5('7:' || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 10 AS sampled
+  FROM eu
+  UNION ALL
+  SELECT k, 'orders' AS tbl,
+         CAST(('0x' || substring(md5('7:' || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 10 AS sampled
+  FROM ou
+), agg AS (
+  SELECT
+    CAST(COUNT(CASE WHEN tbl = 'events' THEN 1 END) AS BIGINT) AS n_event_users,
+    CAST(COUNT(CASE WHEN tbl = 'orders' THEN 1 END) AS BIGINT) AS n_order_users,
+    CAST(COUNT(CASE WHEN tbl = 'events' AND sampled THEN 1 END) AS BIGINT)
+      AS sampled_event_users,
+    CAST(COUNT(CASE WHEN tbl = 'orders' AND sampled THEN 1 END) AS BIGINT)
+      AS sampled_order_users
+  FROM tagged
+), common AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(COUNT(CASE WHEN e.sampled THEN 1 END) AS BIGINT)
+           AS sampled_common,
+         CAST(COUNT(CASE WHEN e.sampled <> o.sampled THEN 1 END) AS BIGINT)
+           AS n_flag_mismatch
+  FROM (SELECT k, sampled FROM tagged WHERE tbl = 'events') e
+  JOIN (SELECT k, sampled FROM tagged WHERE tbl = 'orders') o USING (k)
+)
+SELECT a.*, c.n_common, c.sampled_common, c.n_flag_mismatch,
+       c.n_flag_mismatch = 0 AS consistent
+FROM agg a CROSS JOIN common c
+"""
+
+
+@query("sample_consistent_hash_join", oracle=_CONSISTENT_SQL)
+def sample_consistent_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent 10% entity sampling ACROSS TABLES: the same md5
+    bucket rule applied to the shared key in events AND orders keeps
+    exactly the same entities in both samples — the property
+    rand()/TABLESAMPLE cannot give, and the one that makes sampled
+    JOINs valid (sample-then-join equals join-then-sample on hash
+    samples; on independent samples the join keeps ~1% instead of
+    10%). Emits per-table populations/sample sizes, the common-key
+    domain, and a zero flag-mismatch attestation.
+
+    Scale: per-row hash + two distinct-key aggregates + one key
+    join; no data-sized structure anywhere. The md5 rule is
+    engine-portable, so a downstream DuckDB/ClickHouse consumer
+    draws the identical sample."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    ev = load(spark, sf_dir, "events")
+    od = load(spark, sf_dir, "orders")
+    eu = ev.select(F.col("user_id").alias("k")).distinct()
+    ou = od.select((F.col("o_custkey") % 150).alias("k")).distinct()
+    flag = (md5_bucket(F.col("k"), 7, 100) < 10).alias("sampled")
+    e = eu.select("k", flag)
+    o = ou.select("k", flag)
+    agg = e.select(F.lit("e").alias("t"), "sampled").unionAll(
+        o.select(F.lit("o").alias("t"), "sampled")
+    ).agg(
+        F.count(F.when(F.col("t") == "e", 1)).cast("bigint").alias("n_event_users"),
+        F.count(F.when(F.col("t") == "o", 1)).cast("bigint").alias("n_order_users"),
+        F.count(F.when((F.col("t") == "e") & F.col("sampled"), 1))
+        .cast("bigint")
+        .alias("sampled_event_users"),
+        F.count(F.when((F.col("t") == "o") & F.col("sampled"), 1))
+        .cast("bigint")
+        .alias("sampled_order_users"),
+    )
+    j = e.withColumnRenamed("sampled", "se").join(
+        o.withColumnRenamed("sampled", "so"), "k"
+    )
+    common = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.count(F.when(F.col("se"), 1)).cast("bigint").alias("sampled_common"),
+        F.count(F.when(F.col("se") != F.col("so"), 1))
+        .cast("bigint")
+        .alias("n_flag_mismatch"),
+    )
+    return agg.crossJoin(F.broadcast(common)).withColumn(
+        "consistent", F.col("n_flag_mismatch") == 0
+    )

@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 # Zelen & Severo 26.2.17 normal-tail polynomial (shared constants with
-# queries/round10_stats.py — inlined so the streaming layer stays
+# queries/stats2.py (stats_benjamini_hochberg) — inlined so the streaming layer stays
 # dependency-free of the query registry).
 _B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
 

@@ -47,7 +47,7 @@ def test_holm_rejections_subset_of_bh(spark, sf_dir):
     """Holm (FWER) is uniformly more conservative than BH (FDR) on
     the same p-value family: every Holm rejection must also be a BH
     rejection, and holm_p must be monotone in p_rank."""
-    from ibd_pipeline_spark.queries.round10_stats import (
+    from ibd_pipeline_spark.queries.stats2 import (
         stats_benjamini_hochberg,
     )
     from ibd_pipeline_spark.queries.stats2 import stats_holm_bonferroni

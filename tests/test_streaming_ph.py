@@ -52,7 +52,7 @@ def test_streaming_daily_means_equal_batch(spark, sf_dir, tmp_path):
 def test_ph_report_matches_batch_twin(spark, sf_dir):
     """The read-side report's max row == the registry twin's single
     output row (same day, same statistic, same verdict)."""
-    from ibd_pipeline_spark.queries.round11 import stats_page_hinkley
+    from ibd_pipeline_spark.queries.timeseries import stats_page_hinkley
 
     ev = load(spark, sf_dir, "events").select("ts", "value")
     rep = (
