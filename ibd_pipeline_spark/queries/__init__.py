@@ -239,6 +239,12 @@ _ROUND14_NEW: list[str] = [
     "io_avro_malformed_audit",
     "multimodal_video_quality_gates",
     "multimodal_video_gate_summary",
+    "stats_cliffs_delta",
+    "stats_quade_test",
+    "graph_edge_triangle_support",
+    "text_mendenhall_word_length",
+    "text_burrows_delta",
+    "quality_luhn_card_audit",
 ]
 
 _ROUND13_PRIORITY: list[str] = []

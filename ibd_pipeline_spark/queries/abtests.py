@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
-from ibd_pipeline_spark.queries.statcommon import _phi_tail_col, _phi_tail_sql
+from ibd_pipeline_spark.queries.statcommon import (
+    _PHI_B,
+    _phi_tail_col,
+    _phi_tail_sql,
+)
 
 # ---------------------------------------------------------------------------
 # 2×2 odds ratio with the Woolf log-interval (md5 arm × converted)
@@ -1131,4 +1135,228 @@ def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff, 6).alias("diff"),
         F.round(p_tost, 8).alias("p_tost"),
         (p_tost < 0.05).alias("equivalent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (covariate-adjusted experiment metric)
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+WITH pre AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+), post AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE year(o_orderdate) = 1999 GROUP BY 1
+), j AS (
+  SELECT pre.x, post.y FROM pre JOIN post ON post.o_custkey = pre.o_custkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM j
+), d AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+  FROM m
+)
+SELECT n AS n_customers,
+       ROUND(covn / varxn, 6) AS theta,
+       ROUND(varyn / (1e4 * n * n), 4) AS var_raw,
+       ROUND((varyn - covn * covn / varxn) / (1e4 * n * n), 4)
+         AS var_adjusted,
+       ROUND(covn * covn / (varxn * varyn), 6) AS variance_reduction
+FROM d
+"""
+
+
+@query("ab_cuped_variance_reduction", oracle=_CUPED_SQL)
+def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) — the
+    experimentation-platform preprocessing that shrinks an A/B
+    metric's variance using pre-experiment behavior: with pre-period
+    spend X as the covariate and post-period spend Y as the metric,
+    the adjusted metric Y − θ(X − x̄) with θ = cov(X,Y)/var(X) keeps
+    the same mean but drops the variance by exactly corr²(X,Y) — the
+    readout is how much smaller your experiment can be. Companion to
+    ab_test_proportion_ztest: that tests a difference, this makes the
+    test cheaper.
+
+    Exactness: per-customer sums are integer CENTS (BIGINT); the
+    moment sums run in 128-bit integer space (Spark decimal(38,0) ↔
+    DuckDB HUGEINT — exact, order-independent), and θ/variances are
+    the same double expressions of those exact integers, rounded only
+    at the output (variances reported in squared currency units via
+    the 1e4 cents² rescale).
+
+    Scale: two year-pruned aggregates of the orders fact (predicate
+    pushed to the scan), one equi-join on customer, one single-row
+    moment aggregate — no window, no driver math."""
+    o = load(spark, sf_dir, "orders")
+
+    def yearly(yr: int, out: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    j = yearly(1996, "x").join(yearly(1999, "y"), "o_custkey").select("x", "y")
+    dec = "decimal(38,0)"
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).alias("sxy"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    covn = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    varxn = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    varyn = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(covn / varxn, 6).alias("theta"),
+        F.round(varyn / (F.lit(1e4) * F.col("n") * F.col("n")), 4).alias(
+            "var_raw"
+        ),
+        F.round(
+            (varyn - covn * covn / varxn) / (F.lit(1e4) * F.col("n") * F.col("n")),
+            4,
+        ).alias("var_adjusted"),
+        F.round(covn * covn / (varxn * varyn), 6).alias("variance_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (revenue per order)
+# ---------------------------------------------------------------------------
+
+_RATIO_DELTA_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders WHERE year(o_orderdate) = 1999 GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_cust
+), d AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) AS vx,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (n - 1) AS cxy,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (n - 1) AS vy
+  FROM m
+), r AS (
+  SELECT n, mx / my AS ratio,
+         sqrt((vx - 2 * (mx / my) * cxy + (mx / my) * (mx / my) * vy)
+              / (n * my * my)) AS se_delta,
+         sqrt(vx / n) / my AS se_naive
+  FROM d
+)
+SELECT n AS n_customers,
+       ROUND(ratio / 100, 6) AS revenue_per_order,
+       ROUND(se_delta / 100, 6) AS se_delta,
+       ROUND(se_naive / 100, 6) AS se_naive,
+       ROUND((ratio - 1.959963984540054 * se_delta) / 100, 4) AS ci_lo,
+       ROUND((ratio + 1.959963984540054 * se_delta) / 100, 4) AS ci_hi
+FROM r
+"""
+
+
+@query("ab_ratio_metric_delta", oracle=_RATIO_DELTA_SQL)
+def ab_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    order, randomization unit = customer): the A/B metric shape where
+    naive per-row variance is WRONG because each customer contributes
+    correlated numerator and denominator — Var(x̄/ȳ) ≈
+    (Sx² − 2R·Sxy + R²·Sy²)/(n·ȳ²), the Deng et al. (KDD'18)
+    cluster-randomized correction. Reported beside the naive SE
+    (which ignores the covariance and the denominator's variance) and
+    a 95% CI; with ab_test_proportion_ztest and
+    ab_cuped_variance_reduction this completes the experimentation
+    kit: test a proportion, shrink a mean, and get ratio-metric
+    uncertainty right.
+
+    Exactness: the CUPED idiom — integer-cent per-customer sums,
+    128-bit moment accumulation (decimal(38,0) ↔ HUGEINT), then one
+    fixed-order double expression per statistic; z₀.₉₇₅ is written as
+    the exact IEEE double both engines parse identically.
+
+    Scale: one year-pruned customer aggregate + one single-row moment
+    aggregate — no window, no driver math."""
+    o = load(spark, sf_dir, "orders")
+    pc = (
+        o.filter(F.year("o_orderdate") == 1999)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = pc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    mx, my = sx / n, sy / n
+    vx = (F.col("sxx").cast("double") - sx * sx / n) / (n - 1)
+    cxy = (F.col("sxy").cast("double") - sx * sy / n) / (n - 1)
+    vy = (F.col("syy").cast("double") - sy * sy / n) / (n - 1)
+    ratio = mx / my
+    se_delta = F.sqrt(
+        (vx - 2 * ratio * cxy + ratio * ratio * vy) / (n * my * my)
+    )
+    se_naive = F.sqrt(vx / n) / my
+    z = F.lit(1.959963984540054)
+    return m.select(
+        n.alias("n_customers"),
+        F.round(ratio / 100, 6).alias("revenue_per_order"),
+        F.round(se_delta / 100, 6).alias("se_delta"),
+        F.round(se_naive / 100, 6).alias("se_naive"),
+        F.round((ratio - z * se_delta) / 100, 4).alias("ci_lo"),
+        F.round((ratio + z * se_delta) / 100, 4).alias("ci_hi"),
     )

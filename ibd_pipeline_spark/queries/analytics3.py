@@ -10,7 +10,7 @@ Reference parity note: no analog in the reference engine; SURVEY.md
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
@@ -1727,4 +1727,326 @@ def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_rate"),
         )
         .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Mix-shift contribution decomposition (why did the metric move?)
+# ---------------------------------------------------------------------------
+
+_MIX_SHIFT_SQL = """
+WITH o AS (
+  SELECT c.c_mktsegment AS seg,
+         year(o.o_orderdate) AS y,
+         CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE year(o.o_orderdate) IN (1996, 1999)
+), s AS (
+  SELECT seg,
+         CAST(COUNT(*) FILTER (y = 1996) AS BIGINT) AS n0,
+         CAST(COUNT(*) FILTER (y = 1999) AS BIGINT) AS n1,
+         SUM(v) FILTER (y = 1996) AS s0,
+         SUM(v) FILTER (y = 1999) AS s1
+  FROM o GROUP BY seg
+), t AS (
+  SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM s
+)
+SELECT seg,
+       ROUND(CAST(s.n0 AS DOUBLE) / t.t0, 6) AS share_base,
+       ROUND(CAST(s.n1 AS DOUBLE) / t.t1, 6) AS share_cmp,
+       ROUND(s.s0 / s.n0, 4) AS rate_base,
+       ROUND(s.s1 / s.n1, 4) AS rate_cmp,
+       ROUND((CAST(s.n1 AS DOUBLE) / t.t1 - CAST(s.n0 AS DOUBLE) / t.t0)
+             * (s.s0 / s.n0), 4) AS mix_effect,
+       ROUND((CAST(s.n1 AS DOUBLE) / t.t1)
+             * (s.s1 / s.n1 - s.s0 / s.n0), 4) AS rate_effect
+FROM s, t
+ORDER BY seg
+"""
+
+
+@query("analytics_mix_shift_decompose", oracle=_MIX_SHIFT_SQL)
+def analytics_mix_shift_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift contribution decomposition — the 'why did average
+    order value move' answer: between a base and comparison period
+    (1996 vs 1999), the overall average decomposes EXACTLY as
+    Δavg = Σ_seg [mix_effect + rate_effect] with
+    mix_effect = Δshare·rate_base (the metric moved because segment
+    weights shifted) and rate_effect = share_cmp·Δrate (it moved
+    because segments themselves changed) — the identity
+    Σ share₁r₁ − share₀r₀ = Σ (share₁−share₀)r₀ + share₁(r₁−r₀).
+    events_period_over_period says THAT the metric moved; this says
+    WHO moved it and through which lever.
+
+    Exactness: per-segment counts and sums come from one conditional
+    aggregate (FILTER), every ratio is the same IEEE double division
+    in the same order on both engines, rounding only at the output.
+
+    Scale: one orders scan with the year predicate pushed down, a
+    broadcast customer-dimension join, a segment-grain conditional
+    aggregate, and a 1-row total broadcast — no shuffle beyond the
+    segment groupBy."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base, cmp_ = 1996, 1999
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("y"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        )
+        .filter(F.col("y").isin(base, cmp_))
+    )
+    s = j.groupBy("seg").agg(
+        F.count(F.when(F.col("y") == base, 1)).cast("bigint").alias("n0"),
+        F.count(F.when(F.col("y") == cmp_, 1)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("y") == base, F.col("v"))).alias("s0"),
+        F.sum(F.when(F.col("y") == cmp_, F.col("v"))).alias("s1"),
+    )
+    t = s.agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    sh0 = F.col("n0").cast("double") / F.col("t0")
+    sh1 = F.col("n1").cast("double") / F.col("t1")
+    r0 = F.col("s0") / F.col("n0")
+    r1 = F.col("s1") / F.col("n1")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "seg",
+            F.round(sh0, 6).alias("share_base"),
+            F.round(sh1, 6).alias("share_cmp"),
+            F.round(r0, 4).alias("rate_base"),
+            F.round(r1, 4).alias("rate_cmp"),
+            F.round((sh1 - sh0) * r0, 4).alias("mix_effect"),
+            F.round(sh1 * (r1 - r0), 4).alias("rate_effect"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain channel credit)
+# ---------------------------------------------------------------------------
+
+
+def _markov_attribution_oracle() -> str:
+    """operators/graph.py:absorption_probability unrolled to SQL over
+    the variant-tagged chain (BASE + one variant per removed channel),
+    16 value-iteration rounds as MATERIALIZED CTEs — the
+    markov_stationary-oracle precedent. Transition weights are exact
+    integer-count ratios; the per-round float sums match the Spark
+    loop within double noise, far inside the 6-dp output rounding."""
+    rounds = []
+    for k in range(1, 17):
+        prev = f"a{k - 1}"
+        rounds.append(f"""a{k} AS MATERIALIZED (
+  SELECT t.s AS state,
+         SUM(t.w * CASE WHEN tg.state IS NOT NULL THEN 1.0
+                        ELSE COALESCE(ap.a, 0.0) END) AS a
+  FROM trans t
+  LEFT JOIN targets tg ON tg.state = t.d
+  LEFT JOIN {prev} ap ON ap.state = t.d
+  GROUP BY t.s
+)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH ord AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), fp AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+  FROM ord GROUP BY user_id
+), kept AS (
+  SELECT o.user_id, o.event_type, o.rn
+  FROM ord o JOIN fp f ON f.user_id = o.user_id
+  WHERE f.prn IS NULL OR o.rn <= f.prn
+), leads AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+  FROM kept
+), steps AS (
+  SELECT 'START' AS src, event_type AS dst FROM kept WHERE rn = 1
+  UNION ALL
+  SELECT src, COALESCE(nxt, 'END') AS dst FROM leads
+  WHERE NOT (nxt IS NULL AND src = 'purchase')
+), channels AS (
+  SELECT DISTINCT event_type AS c FROM events WHERE event_type <> 'purchase'
+), variants AS (
+  SELECT 'BASE' AS v UNION ALL SELECT c FROM channels
+), vcounts AS (
+  SELECT vr.v, s.src,
+         CASE WHEN s.dst = vr.v THEN 'END' ELSE s.dst END AS dst,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM steps s CROSS JOIN variants vr
+  WHERE s.src <> vr.v
+  GROUP BY 1, 2, 3
+), trans AS MATERIALIZED (
+  SELECT v || '|' || src AS s, v || '|' || dst AS d,
+         n * 1.0 / SUM(n) OVER (PARTITION BY v, src) AS w
+  FROM vcounts
+), targets AS MATERIALIZED (
+  SELECT v || '|purchase' AS state FROM variants
+), a0 AS MATERIALIZED (
+  SELECT DISTINCT s AS state, 0.0 AS a FROM trans
+),
+{chain},
+base AS (
+  SELECT a AS base_a FROM a16 WHERE state = 'BASE|START'
+), re AS (
+  SELECT string_split(state, '|')[1] AS channel,
+         a AS a_removed,
+         (SELECT base_a FROM base) AS base_a,
+         CASE WHEN 1.0 - a / (SELECT base_a FROM base) > 0.0
+              THEN 1.0 - a / (SELECT base_a FROM base) ELSE 0.0 END AS re
+  FROM a16
+  WHERE state LIKE '%|START' AND state <> 'BASE|START'
+), tot AS (
+  SELECT CAST(SUM(CAST(re AS DECIMAL(28,12))) AS DOUBLE) AS re_sum FROM re
+)
+SELECT channel,
+       ROUND(base_a, 6) AS conv_base,
+       ROUND(a_removed, 6) AS conv_removed,
+       ROUND(re, 6) AS removal_effect,
+       CASE WHEN t.re_sum > 0 THEN ROUND(re / t.re_sum, 6) END AS attribution
+FROM re CROSS JOIN tot t
+ORDER BY channel
+"""
+
+
+@query("analytics_markov_attribution", oracle=_markov_attribution_oracle)
+def analytics_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: credit each channel
+    (event_type) for conversions by how much the chain's
+    START→purchase absorption probability DROPS when the channel is
+    removed (transitions into it die to END) — the data-driven
+    multi-touch model that replaces last-click heuristics.
+
+    Per-user journeys truncate at the first purchase (absorbing);
+    users who never purchase end at END (absorbing drop). One
+    variant-tagged chain — BASE plus one variant per removed channel,
+    states keyed 'variant|state' — feeds a SINGLE absorption fixpoint
+    (operators/graph.py:absorption_probability, 16 value-iteration
+    rounds) instead of k+1 separate loops. Removal effects clamp at 0
+    (removing a dropout-feeder can raise conversion) and normalize to
+    attribution shares.
+
+    Hash-attested: transition weights are exact integer-count ratios;
+    the fixpoint unrolls to a DuckDB CTE chain
+    (_markov_attribution_oracle — the markov_stationary precedent).
+
+    Scale: journey construction is the corpus-scale work (one user_id
+    window + counts shuffle); the chain itself is
+    (channels+2)·(variants)-sized — fixed cost regardless of event
+    volume, like every fixpoint in operators/graph.py."""
+    from pyspark.sql import Window
+
+    from ibd_pipeline_spark.operators.graph import absorption_probability
+
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ord_ = ev.select(
+        "user_id", "event_type", F.row_number().over(w_u).alias("rn")
+    )
+    fp = ord_.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("prn")
+    )
+    kept = ord_.join(fp, "user_id").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    w_k = Window.partitionBy("user_id").orderBy("rn")
+    leads = kept.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w_k).alias("nxt"),
+    )
+    starts = kept.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    steps = starts.unionByName(
+        leads.filter(
+            ~(F.col("nxt").isNull() & (F.col("src") == "purchase"))
+        ).select("src", F.coalesce("nxt", F.lit("END")).alias("dst"))
+    )
+    variants = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("v"))
+        .distinct()
+        .unionByName(
+            ev.sparkSession.createDataFrame([("BASE",)], "v string")
+        )
+    )
+    vcounts = (
+        steps.crossJoin(F.broadcast(variants))
+        .filter(F.col("src") != F.col("v"))
+        .groupBy(
+            "v",
+            "src",
+            F.when(F.col("dst") == F.col("v"), F.lit("END"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vtot = vcounts.groupBy("v", "src").agg(F.sum("n").alias("tot"))
+    trans = vcounts.join(vtot, ["v", "src"]).select(
+        F.concat_ws("|", "v", "src").alias("src_s"),
+        F.concat_ws("|", "v", "dst").alias("dst_s"),
+        (F.col("n") / F.col("tot")).alias("p"),
+    )
+    targets = variants.select(
+        F.concat_ws("|", "v", F.lit("purchase")).alias("state")
+    )
+    a = absorption_probability(
+        trans, targets, src="src_s", dst="dst_s", prob="p", iters=16
+    )
+    starts_a = a.filter(F.col("state").endswith("|START")).select(
+        F.substring_index("state", "|", 1).alias("variant"), "a"
+    )
+    base = starts_a.filter(F.col("variant") == "BASE").select(
+        F.col("a").alias("base_a")
+    )
+    re = (
+        starts_a.filter(F.col("variant") != "BASE")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("variant").alias("channel"),
+            F.col("a").alias("a_removed"),
+            "base_a",
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.col("a") / F.col("base_a")
+            ).alias("re"),
+        )
+    )
+    tot = re.agg(
+        F.sum(F.col("re").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("re_sum")
+    )
+    return (
+        re.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round("base_a", 6).alias("conv_base"),
+            F.round("a_removed", 6).alias("conv_removed"),
+            F.round("re", 6).alias("removal_effect"),
+            F.when(
+                F.col("re_sum") > 0, F.round(F.col("re") / F.col("re_sum"), 6)
+            ).alias("attribution"),
+        )
+        .orderBy("channel")
     )

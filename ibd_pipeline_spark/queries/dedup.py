@@ -12,7 +12,7 @@ and planted-flip recovery property-tested in tests/test_dedup.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.operators import dedup as D
@@ -1658,4 +1658,420 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cos",
         )
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# LSH blocking-quality evaluation (pair completeness / reduction ratio)
+# ---------------------------------------------------------------------------
+
+
+def _blocking_quality_oracle() -> str:
+    """The md5-portable LSH pipeline's candidates measured against
+    the EXACT truth set (all pairs with shingle-set Jaccard >= 0.5,
+    found via the inverted-index shingle join, J-test kept in integer
+    space: 2*inter >= union)."""
+    from ibd_pipeline_spark.queries.dedup import _mh_cte
+
+    return (
+        _mh_cte("src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)")
+        + """
+, dh AS (
+  SELECT DISTINCT doc_id, h FROM hashed
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM dh GROUP BY 1
+), inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS ni
+  FROM dh l JOIN dh r ON l.h = r.h AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes a ON a.doc_id = i.id_a
+  JOIN sizes b ON b.doc_id = i.id_b
+  WHERE 2 * i.ni >= a.n + b.n - i.ni
+), m AS (
+  SELECT (SELECT COUNT(*) FROM src) AS n_docs,
+         (SELECT COUNT(*) FROM cand) AS cand_pairs,
+         (SELECT COUNT(*) FROM truth) AS true_pairs,
+         (SELECT COUNT(*) FROM truth t
+            JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS found_true
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+       CAST(true_pairs AS BIGINT) AS true_pairs,
+       CAST(found_true AS BIGINT) AS found_true,
+       CAST((n_docs * (n_docs - 1) // 2 - cand_pairs) * 10000
+            // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS reduction_bp,
+       CAST(CASE WHEN true_pairs = 0 THEN 10000
+                 ELSE found_true * 10000 // true_pairs END AS BIGINT)
+         AS completeness_bp,
+       CAST(CASE WHEN cand_pairs = 0 THEN 0
+                 ELSE found_true * 10000 // cand_pairs END AS BIGINT)
+         AS precision_bp
+FROM m
+"""
+    )
+
+
+@query("dedup_blocking_quality", oracle=_blocking_quality_oracle)
+def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation of the MinHash-LSH candidate
+    generator — the record-linkage acceptance test (pair completeness
+    / reduction ratio, Christen's survey metrics): LSH candidates
+    measured against the EXACT truth set (every pair with shingle-set
+    Jaccard >= 0.5), reporting how many comparisons blocking saved
+    (reduction ratio, basis points of the full n*(n-1)/2), how many
+    true duplicate pairs the bands caught (pair completeness =
+    recall), and how many candidates were worth verifying
+    (precision). This is how you TUNE (bands x rows) before trusting
+    a dedup pipeline at 100 TB: completeness says whether duplicates
+    leak through, reduction says whether the quadratic stage stays
+    dead.
+
+    The truth set comes from the inverted-index shingle join (pairs
+    sharing >= 1 shingle hash, exact inter/union counts) with the
+    J >= 0.5 test kept in INTEGER space (2*inter >= union) — no float
+    anywhere, so with the md5-portable signature mode the whole
+    relation is hash-attested. On the bounded doc_id < 300 slice the
+    exact truth is affordable; at scale you run this audit on exactly
+    such a sampled slice — the metrics, not the truth join, are the
+    production artifact.
+
+    Scale: the LSH branch is the attested banded shape (never
+    all-pairs); the truth branch's shingle join is the audit's
+    deliberate quadratic-in-collisions cost, bounded by the slice;
+    everything reduces to four single-row counts cross-joined
+    broadcast."""
+    from ibd_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        release_state,
+        shingles,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    cand = minhash_candidate_pairs(d, portable=True)
+
+    dh = (
+        d.select("doc_id", F.explode(shingles("text")).alias("g"))
+        .select("doc_id", F.substring(F.md5("g"), 1, 8).alias("h"))
+        .distinct()
+    )
+    sizes = dh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    l, r = dh.alias("l"), dh.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    truth = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
+        .filter(2 * F.col("ni") >= F.col("na") + F.col("nb") - F.col("ni"))
+        .select("id_a", "id_b")
+    )
+
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    cc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
+    tc = truth.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
+    fc = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("found_true")
+    )
+    out = (
+        nd.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(fc))
+        .select(
+            "n_docs",
+            F.expr("n_docs * (n_docs - 1) div 2").cast("bigint").alias("total_pairs"),
+            "cand_pairs",
+            "true_pairs",
+            "found_true",
+            F.expr(
+                "(n_docs * (n_docs - 1) div 2 - cand_pairs) * 10000"
+                " div (n_docs * (n_docs - 1) div 2)"
+            )
+            .cast("bigint")
+            .alias("reduction_bp"),
+            F.when(F.col("true_pairs") == 0, F.lit(10000))
+            .otherwise(F.expr("found_true * 10000 div true_pairs"))
+            .cast("bigint")
+            .alias("completeness_bp"),
+            F.when(F.col("cand_pairs") == 0, F.lit(0))
+            .otherwise(F.expr("found_true * 10000 div cand_pairs"))
+            .cast("bigint")
+            .alias("precision_bp"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    release_state(cand)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking (window-over-sort-key family)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_neighborhood_oracle() -> str:
+    """Sort by normalized text, candidate = pairs within 5 positions
+    of the global sort order, verified by exact shingle-set Jaccard
+    (reuses the _mh_cte state relation for the hs sets)."""
+    from ibd_pipeline_spark.queries.dedup import _mh_cte
+
+    return (
+        _mh_cte("src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)")
+        + r"""
+, rn AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    doc_id) AS rn
+  FROM src
+), scand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b
+  FROM rn a JOIN rn b ON b.rn BETWEEN a.rn + 1 AND a.rn + 5
+), sver AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(len(list_intersect(x.hs, y.hs)) * 1.0
+               / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))),
+               6) AS jaccard
+  FROM scand c
+  JOIN state x ON x.doc_id = c.id_a
+  JOIN state y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM sver
+WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+    )
+
+
+@query("dedup_sorted_neighborhood", oracle=_sorted_neighborhood_oracle)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández–Stolfo): sort the
+    corpus by a normalized key (lowercased whitespace-collapsed
+    text), slide a w=5 window over the GLOBAL sort order, verify the
+    in-window pairs by exact shingle-set Jaccard (J ≥ 0.5) — the
+    third blocking family beside MinHash-LSH (set similarity) and
+    SimHash (bit similarity): it catches prefix-edited near-copies
+    that land adjacent under the sort even when band hashing splits
+    them, and dedup_blocking_quality's metrics apply to it
+    unchanged.
+
+    The global sort position comes from
+    operators/ranking.py:with_global_row_number — one range exchange
+    + offset broadcast, never a single-partition window — and the
+    window join is an equi-join on rn against an exploded offset
+    sequence (1..w), so the candidate count is exactly w·n and the
+    shuffle is on integer rn keys. Verification reuses the
+    md5-portable shingle sets, so DuckDB replays sort, window, and
+    verify end-to-end.
+
+    Scale: sort = the one range exchange; candidates w·n (linear,
+    vs LSH's collision-driven count); verify joins are
+    candidate-sized. The classic production posture is multi-pass
+    (several sort keys) — each pass is this same plan."""
+    from ibd_pipeline_spark.operators.dedup import normalized_text, shingles
+    from ibd_pipeline_spark.operators.ranking import with_global_row_number
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            normalized_text("text").alias("k"),
+            F.array_distinct(
+                F.transform(shingles("text"), lambda g: F.substring(F.md5(g), 1, 8))
+            ).alias("hs"),
+        )
+    )
+    rn = with_global_row_number(d, ["k", "doc_id"], rn_col="rn").select(
+        "doc_id", "rn", "hs"
+    )
+    offs = rn.select(
+        "rn",
+        F.col("doc_id").alias("id_x"),
+        F.col("hs").alias("hs_x"),
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("off"),
+    ).select((F.col("rn") + F.col("off")).alias("rn_y"), "id_x", "hs_x")
+    pairs = offs.join(
+        rn.select(
+            F.col("rn").alias("rn_y"),
+            F.col("doc_id").alias("id_y"),
+            F.col("hs").alias("hs_y"),
+        ),
+        "rn_y",
+    )
+    inter = F.size(F.array_intersect("hs_x", "hs_y"))
+    union = F.size("hs_x") + F.size("hs_y") - inter
+    return (
+        pairs.select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            F.round(inter * F.lit(1.0) / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage scoring
+# ---------------------------------------------------------------------------
+
+_FS_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars // 10 AS blk,
+         string_split(text, ' ')[1] AS first_tok,
+         string_split(text, ' ')[-1] AS last_tok
+  FROM documents WHERE doc_id < 500
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+), u AS (
+  SELECT
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+       SELECT COUNT(*) AS c FROM d GROUP BY lang)) AS u2_lang,
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+       SELECT COUNT(*) AS c FROM d GROUP BY source)) AS u2_source,
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+       SELECT COUNT(*) AS c FROM d GROUP BY first_tok)) AS u2_first,
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+       SELECT COUNT(*) AS c FROM d GROUP BY last_tok)) AS u2_last,
+    (SELECT n_docs FROM n) AS nd
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(a.lang = b.lang AS INT) AS ag_lang,
+         CAST(a.source = b.source AS INT) AS ag_source,
+         CAST(a.first_tok = b.first_tok AS INT) AS ag_first,
+         CAST(a.last_tok = b.last_tok AS INT) AS ag_last
+  FROM d a JOIN d b ON b.blk = a.blk AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         ag_lang + ag_source + ag_first + ag_last AS n_agree,
+         (CASE WHEN ag_lang = 1
+               THEN ln(0.95 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                       / CAST(u2_lang AS DOUBLE))
+               ELSE ln(0.05 / (1.0 - CAST(u2_lang AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))) END)
+       + (CASE WHEN ag_source = 1
+               THEN ln(0.95 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                       / CAST(u2_source AS DOUBLE))
+               ELSE ln(0.05 / (1.0 - CAST(u2_source AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))) END)
+       + (CASE WHEN ag_first = 1
+               THEN ln(0.95 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                       / CAST(u2_first AS DOUBLE))
+               ELSE ln(0.05 / (1.0 - CAST(u2_first AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))) END)
+       + (CASE WHEN ag_last = 1
+               THEN ln(0.95 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                       / CAST(u2_last AS DOUBLE))
+               ELSE ln(0.05 / (1.0 - CAST(u2_last AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))) END)
+         AS score
+  FROM pairs CROSS JOIN u
+)
+SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+       ROUND(score, 6) AS fs_score
+FROM scored
+WHERE n_agree >= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_fellegi_sunter_linkage", oracle=_FS_SQL)
+def dedup_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage: blocked candidate
+    pairs scored by Σ_field ln(m/u) on agreement, ln((1−m)/(1−u)) on
+    disagreement — the classical entity-resolution weight model on top
+    of the dedup family's blocking machinery. m is the standard 0.95
+    prior; each field's u-probability (chance agreement) is ESTIMATED
+    FROM THE DATA as Σ_v c_v²/N² — kept as exact integers (Σc², N²)
+    all the way into a single ln per field, so both engines compute
+    bit-identical weights.
+
+    Candidates come from n_chars÷10 length blocking (pairs only
+    within a block — the sorted-neighborhood/LSH contract, never
+    all-pairs); the emission gate is the exact integer n_agree ≥ 3,
+    not a float score threshold.
+
+    Scale: blocking bounds pair enumeration; the u-statistics are
+    map-side-combined value-frequency aggregates broadcast into the
+    pair scorer. The doc_id < 500 slice is the oracle-bounded
+    calibration subset (jaccard-estimate precedent); production runs
+    the same plan per block partition."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 10).alias("blk"),
+            F.element_at(F.split("text", " "), 1).alias("first_tok"),
+            F.element_at(F.split("text", " "), -1).alias("last_tok"),
+        )
+    )
+    fields = ["lang", "source", "first_tok", "last_tok"]
+    u2 = [
+        d.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias(f"u2_{f}"))
+        for f in fields
+    ]
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    stats = nd
+    for frame in u2:
+        stats = stats.crossJoin(F.broadcast(frame))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.blk") == F.col("a.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        *[
+            (F.col(f"a.{f}") == F.col(f"b.{f}")).cast("int").alias(f"ag_{f}")
+            for f in fields
+        ],
+    )
+    scored = pairs.crossJoin(F.broadcast(stats))
+    ndd = F.col("nd").cast("double")
+    score = None
+    for f in fields:
+        u2d = F.col(f"u2_{f}").cast("double")
+        w = F.when(
+            F.col(f"ag_{f}") == 1,
+            F.log(F.lit(0.95) * ndd * ndd / u2d),
+        ).otherwise(F.log(F.lit(0.05) / (F.lit(1.0) - u2d / (ndd * ndd))))
+        score = w if score is None else score + w
+    n_agree = sum(F.col(f"ag_{f}") for f in fields)
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            n_agree.cast("bigint").alias("n_agree"),
+            F.round(score, 6).alias("fs_score"),
+        )
+        .filter(F.col("n_agree") >= 3)
+        .orderBy("id_a", "id_b")
     )

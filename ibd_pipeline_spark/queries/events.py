@@ -16,7 +16,7 @@ ts to TIMESTAMP (µs) before bucketing/comparison.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import davg, query
@@ -1542,3 +1542,396 @@ def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+_FORECAST_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), j AS (
+  SELECT a.day, a.n_events AS actual, f.n_events AS forecast
+  FROM daily a JOIN daily f ON f.day = a.day - INTERVAL 7 DAY
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+       ROUND(AVG(ABS(CAST(actual - forecast AS DOUBLE)) / actual), 6) AS mape,
+       ROUND(AVG(2.0 * ABS(CAST(actual - forecast AS DOUBLE))
+                 / (actual + forecast)), 6) AS smape,
+       ROUND(AVG(CAST(forecast - actual AS DOUBLE)), 6) AS mean_bias
+FROM j
+"""
+
+
+@query("events_forecast_backtest", oracle=_FORECAST_SQL)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest on daily event volume:
+    forecast(d) = actual(d − 7 calendar days), scored with MAPE,
+    sMAPE, and mean bias over every day that has a week-ago
+    observation. The third leg of the monitoring trio —
+    events_seasonal_decompose says what normal looks like,
+    events_cusum_changepoint says where the level shifted, and this
+    query says how predictable the series actually is (the baseline
+    any fancier forecaster must beat before it earns a deploy).
+
+    The forecast joins the day grain to itself on a CALENDAR offset
+    (day − 7), never LAG(7)-over-rows: with gap days present a row
+    lag silently compares against whatever happened to be 7 rows ago.
+    Error metrics are identical IEEE double expressions in identical
+    order on both engines; rounding (6 dp) applies only at the
+    output.
+
+    Scale: one shuffle to the day grain, then a day-count-sized
+    self-join and a single-row aggregate — event-volume work is the
+    first groupBy only."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    a = daily.alias("a")
+    f = daily.alias("f")
+    j = a.join(
+        f, F.col("f.day") == F.date_sub(F.col("a.day"), 7), "inner"
+    ).select(
+        F.col("a.n_events").alias("actual"),
+        F.col("f.n_events").alias("forecast"),
+    )
+    diff = (F.col("actual") - F.col("forecast")).cast("double")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_days"),
+        F.round(F.avg(F.abs(diff) / F.col("actual")), 6).alias("mape"),
+        F.round(
+            F.avg(
+                F.lit(2.0) * F.abs(diff) / (F.col("actual") + F.col("forecast"))
+            ),
+            6,
+        ).alias("smape"),
+        F.round(
+            F.avg((F.col("forecast") - F.col("actual")).cast("double")), 6
+        ).alias("mean_bias"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral path mining (top first-3-event journeys)
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3
+  GROUP BY user_id
+  HAVING COUNT(*) = 3
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 10
+"""
+
+
+@query("events_top_paths", oracle=_TOP_PATHS_SQL)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: each user's first three events (by
+    event time, event_id tiebreak — a total order) joined into a
+    'a > b > c' journey string, ranked by user count — the top-10
+    onboarding funnels actually taken, the relation behind every
+    Sankey/flow diagram. events_transition_matrix gives the
+    one-step Markov view; this gives the top full prefixes, which is
+    what product questions ('what do users DO first?') actually ask.
+
+    Users with fewer than three events are excluded (their journey
+    isn't comparable to a 3-step path). Deterministic: the (ts,
+    event_id) order is total, and the final top-10 breaks count ties
+    on the path string.
+
+    Scale: one shuffle to (user) for the per-user window (partitioned
+    — never a global window), the rn ≤ 3 filter cuts the frame to
+    ≤3 rows/user BEFORE the path aggregate, then a path-cardinality
+    groupBy and a top-10 TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    p = (
+        r.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x.event_type,
+                ),
+                " > ",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_steps"),
+        )
+        .filter(F.col("n_steps") == 3)
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per day
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = """
+WITH e AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(ts AS TIMESTAMP) AS t, event_id, value
+  FROM events
+), d AS (
+  SELECT day, value,
+         CAST(date_diff('microsecond', t,
+              LEAD(t) OVER (PARTITION BY day ORDER BY t, event_id))
+           AS DOUBLE) AS w
+  FROM e
+), a AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_weighted,
+         SUM(value * w) / SUM(w) AS twap,
+         AVG(value) AS plain_avg
+  FROM d WHERE w IS NOT NULL
+  GROUP BY day
+  HAVING SUM(w) > 0
+)
+SELECT day, n_weighted, ROUND(twap, 4) AS twap,
+       ROUND(plain_avg, 4) AS plain_avg
+FROM a ORDER BY day
+"""
+
+
+@query("events_time_weighted_avg", oracle=_TWAP_SQL)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average of `value` (TWAP): each
+    observation is weighted by how long it REMAINED the latest one
+    (microseconds to the next event that day, total (ts, event_id)
+    order), against the plain average for contrast — the standard
+    correction when observations arrive irregularly and a burst of
+    readings shouldn't dominate the day (the finance/metrics TWAP,
+    and the right way to average gauge metrics sampled on change).
+    The last event of each day carries no duration and is excluded
+    from the weighted mean (it still counts in plain_avg's source
+    rows via the w IS NOT NULL filter — both means run over the
+    SAME weighted row set, so the two columns are comparable).
+
+    Exactness: weights are exact integer microsecond differences
+    cast to double; both aggregates are the same double sums in both
+    engines, rounded at the output.
+
+    Scale: one shuffle to (day) for the partitioned LEAD window —
+    never a global window — then a day-grain aggregate."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.col("ts").alias("t"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("day").orderBy("t", "event_id")
+    d = e.select(
+        "day",
+        "value",
+        (
+            F.unix_micros(F.lead("t").over(w)) - F.unix_micros("t")
+        ).cast("double").alias("w"),
+    ).filter(F.col("w").isNotNull())
+    return (
+        d.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weighted"),
+            (F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("twap"),
+            F.avg("value").alias("plain_avg"),
+            F.sum("w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            "day",
+            "n_weighted",
+            F.round("twap", 4).alias("twap"),
+            F.round("plain_avg", 4).alias("plain_avg"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-segment OLS trend (closed-form integer moments)
+# ---------------------------------------------------------------------------
+
+_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type,
+       n AS n_days,
+       ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+         AS slope_per_day,
+       ROUND((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept
+FROM m ORDER BY event_type
+"""
+
+
+@query("events_trend_per_type", oracle=_TREND_SQL)
+def events_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS volume trend: daily counts per event type, then
+    the closed-form least-squares slope/intercept from five exact
+    integer moments (n, Σx, Σy, Σxy, Σx²) — 'which event types are
+    growing and how fast', the grouped counterpart of
+    agg_corr_regression's single global line and the parametric twin
+    of stats_theil_sen_trend's robust median slope.
+
+    Exactness: the moments are exact BIGINTs (epoch-day x ≈ 10⁴,
+    day counts y — Σx·y over years of days stays far under 2⁶³);
+    slope and intercept are single double expressions of those
+    integers, identical on both engines, rounded at the output.
+
+    Scale: one shuffle to (type, day), a per-type moment aggregate
+    (map-side combined, output |types| rows) — the same two-level
+    shape as profile_key_skew; nothing is day-count-serial, no
+    window at all."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_date(F.to_date(F.date_trunc("day", "ts"))).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(
+        1.0
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Binned-PSI value drift (batch twin of streaming/drift.py)
+# ---------------------------------------------------------------------------
+
+_PSI_BINNED_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0, MAX(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events
+), binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 100.0 * 32) AS BIGINT),
+                        0), 31) AS bin,
+         CAST(ts AS TIMESTAMP) AS tts
+  FROM events
+), base AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned
+  WHERE tts < (SELECT t0 + INTERVAL 7 DAY FROM bounds) GROUP BY bin
+), cur AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned
+  WHERE tts >= (SELECT t1 - INTERVAL 7 DAY FROM bounds) GROUP BY bin
+), spine AS (
+  SELECT CAST(UNNEST(range(0, 32)) AS BIGINT) AS bin
+), j AS (
+  SELECT s.bin,
+         CAST(COALESCE(c.n, 0) AS DOUBLE) AS c,
+         CAST(COALESCE(b.n, 0) AS DOUBLE) AS b
+  FROM spine s LEFT JOIN cur c ON c.bin = s.bin
+  LEFT JOIN base b ON b.bin = s.bin
+), tot AS (
+  SELECT SUM(c) AS ct, SUM(b) AS bt FROM j
+)
+SELECT CAST(t.ct AS BIGINT) AS n_current,
+       CAST(t.bt AS BIGINT) AS n_baseline,
+       CAST(ROUND(SUM(CAST(
+         ((CASE WHEN j.c > 0.5 THEN j.c ELSE 0.5 END) / t.ct
+          - (CASE WHEN j.b > 0.5 THEN j.b ELSE 0.5 END) / t.bt)
+         * ln(((CASE WHEN j.c > 0.5 THEN j.c ELSE 0.5 END) / t.ct)
+              / ((CASE WHEN j.b > 0.5 THEN j.b ELSE 0.5 END) / t.bt))
+         AS DECIMAL(28,8))), 6) AS DOUBLE) AS psi,
+       CAST(ROUND(SUM(CAST(
+         ((CASE WHEN j.c > 0.5 THEN j.c ELSE 0.5 END) / t.ct
+          - (CASE WHEN j.b > 0.5 THEN j.b ELSE 0.5 END) / t.bt)
+         * ln(((CASE WHEN j.c > 0.5 THEN j.c ELSE 0.5 END) / t.ct)
+              / ((CASE WHEN j.b > 0.5 THEN j.b ELSE 0.5 END) / t.bt))
+         AS DECIMAL(28,8))), 6) AS DOUBLE) > 0.2 AS drift_alarm
+FROM j CROSS JOIN tot t
+GROUP BY t.ct, t.bt
+"""
+
+
+@query("events_value_psi_binned", oracle=_PSI_BINNED_SQL)
+def events_value_psi_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-PSI value drift, batch twin of the live monitor
+    (streaming/drift.py — same value_bin / binned_histogram /
+    psi_report code): the last calendar week's `value` distribution
+    scored against the first week's over a fixed 32-bin histogram
+    with 0.5-count smoothing and the industry 0.2 alarm. This query
+    is the hash-attested face of the streaming operator — the stream
+    path is proven stream-equals-batch against the SAME expressions
+    in tests/test_streaming_drift.py, and this attests those
+    expressions against DuckDB.
+
+    Determinism: bin counts are exact integers; p/q are exact-integer
+    ratios; one ln per bin on identical doubles; decimal-cast terms
+    sum order-independently (dsum contract).
+
+    Scale: two filtered count aggregates over 32 keys (map-side
+    combined) + a 32-row spine join — the monitoring readout shape."""
+    from ibd_pipeline_spark.streaming.drift import binned_histogram, psi_report
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    evb = ev.crossJoin(F.broadcast(bounds))
+    base = binned_histogram(
+        evb.filter(F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAY")),
+        "value",
+    )
+    cur = binned_histogram(
+        evb.filter(F.col("ts") >= F.col("t1") - F.expr("INTERVAL 7 DAY")),
+        "value",
+    )
+    return psi_report(cur, base)

@@ -10,7 +10,7 @@ spark_processor.py:167-197); dimension upkeep is north-star surface.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
@@ -463,4 +463,70 @@ def maintenance_file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFram
                 "avg_open_depth"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Deletion-vector maintenance planning (merge-on-read bookkeeping)
+# ---------------------------------------------------------------------------
+
+_DV_SQL = """
+WITH f AS (
+  SELECT l_orderkey // 1000 AS file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_deleted
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(file_id AS BIGINT) AS file_id, n_rows, n_deleted,
+       n_rows - n_deleted AS n_live,
+       CAST(CEIL(n_rows / 8.0) AS BIGINT) AS dv_bytes,
+       n_deleted = n_rows AS fully_dead,
+       n_deleted * 10 > n_rows * 3 AS rewrite_recommended
+FROM f
+ORDER BY file_id
+"""
+
+
+@query("maintenance_deletion_vectors", oracle=_DV_SQL)
+def maintenance_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector maintenance planner — the merge-on-read
+    bookkeeping Delta/Iceberg tables run after a DELETE: per data file
+    (simulated as l_orderkey÷1000 row groups), the DV cardinality a
+    `l_returnflag='R'` predicate delete would write, the bitmap size
+    (1 bit/row), fully-dead files (drop, don't rewrite), and the
+    rewrite recommendation once tombstones exceed 30% of the file
+    (read amplification beats rewrite cost past that point — the
+    compaction trigger, cross-multiplied so the 0.3 threshold stays
+    in exact integers).
+
+    Scale: ONE count aggregate keyed by file id — this is metadata
+    maintenance, the per-file frame is what a table's add/delete log
+    holds; no joins, no windows, booleans and integers only."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.groupBy(
+        F.floor(F.col("l_orderkey") / 1000).cast("bigint").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_deleted"),
+    )
+    return (
+        f.select(
+            "file_id",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_deleted").cast("bigint").alias("n_deleted"),
+            (F.col("n_rows") - F.col("n_deleted"))
+            .cast("bigint")
+            .alias("n_live"),
+            F.ceil(F.col("n_rows") / 8.0).cast("bigint").alias("dv_bytes"),
+            (F.col("n_deleted") == F.col("n_rows")).alias("fully_dead"),
+            (F.col("n_deleted") * 10 > F.col("n_rows") * 3).alias(
+                "rewrite_recommended"
+            ),
+        )
+        .orderBy("file_id")
     )

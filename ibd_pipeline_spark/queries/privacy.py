@@ -200,3 +200,258 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pi_true"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy): quasi-identifier group-size profile
+# ---------------------------------------------------------------------------
+
+_KANON_SQL = """
+WITH qi AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+  FROM customer
+), g AS (
+  SELECT nation, seg, bal_bucket, CAST(COUNT(*) AS BIGINT) AS grp_n
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(grp_n) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS rows_below_k5,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k5,
+       ROUND(CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(grp_n) AS DOUBLE), 6) AS suppress_frac
+FROM g
+"""
+
+
+@query("quality_k_anonymity", oracle=_KANON_SQL)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment, account-balance 1k-bucket): the dataset's
+    k (smallest QI group), how many rows/groups sit below the k=5
+    release threshold, and the suppression fraction a k=5 release
+    would pay — the privacy readout next to gdpr_delete_propagation.
+
+    Everything is exact integer arithmetic off ONE group-size
+    aggregate (map-side combined, QI-cardinality keys); the only
+    division is the final suppress_frac on exact integers.
+
+    Scale: one shuffle at QI cardinality; no windows, no joins."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias(
+            "bal_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    below = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(F.lit(0))
+    return g.agg(
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("grp_n").cast("bigint").alias("k_anonymity"),
+        F.sum(below).cast("bigint").alias("rows_below_k5"),
+        F.sum((F.col("grp_n") < 5).cast("int")).cast("bigint").alias(
+            "groups_below_k5"
+        ),
+        F.round(
+            F.sum(below).cast("double") / F.sum("grp_n").cast("double"), 6
+        ).alias("suppress_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity within QI groups)
+# ---------------------------------------------------------------------------
+
+_LDIV_SQL = """
+WITH g AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS grp_n,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+       CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+       CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l2,
+       CAST(SUM(CASE WHEN l_div < 2 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS rows_below_l2,
+       ROUND(CAST(SUM(CASE WHEN l_div < 2 THEN grp_n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(grp_n) AS DOUBLE), 6) AS exposed_frac
+FROM g
+"""
+
+
+@query("quality_l_diversity", oracle=_LDIV_SQL)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: within
+    each quasi-identifier group (nation, balance bucket), how many
+    DISTINCT values of the sensitive attribute (market segment)
+    appear? A group can be k-anonymous yet fully exposed if every
+    member shares the sensitive value (the homogeneity attack);
+    l_diversity = the dataset's minimum, with the row mass sitting in
+    l < 2 groups as the exposure readout.
+
+    Exact integers off one aggregate carrying COUNT + COUNT DISTINCT
+    per QI group; the only division is the final exposed_frac.
+
+    Scale: one shuffle at QI cardinality; the distinct-count is
+    per-group (segment values ≤ 5), never global."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias(
+            "bal_bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct("c_mktsegment").alias("l_div"),
+    )
+    exposed = F.when(F.col("l_div") < 2, F.col("grp_n")).otherwise(F.lit(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+        F.sum((F.col("l_div") < 2).cast("int")).cast("bigint").alias(
+            "groups_below_l2"
+        ),
+        F.sum(exposed).cast("bigint").alias("rows_below_l2"),
+        F.round(
+            F.sum(exposed).cast("double") / F.sum("grp_n").cast("double"), 6
+        ).alias("exposed_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (distributional privacy, completes the trio)
+# ---------------------------------------------------------------------------
+
+_TCLOSE_SQL = """
+WITH qi AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         c_mktsegment AS seg
+  FROM customer
+), gseg AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS cv FROM qi GROUP BY seg
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM qi
+), grp AS (
+  SELECT nation, bal_bucket, CAST(COUNT(*) AS BIGINT) AS n_g FROM qi
+  GROUP BY 1, 2
+), gc AS (
+  SELECT nation, bal_bucket, seg, CAST(COUNT(*) AS BIGINT) AS c_gv FROM qi
+  GROUP BY 1, 2, 3
+), spine AS (
+  SELECT g.nation, g.bal_bucket, g.n_g, gl.seg, gl.cv,
+         COALESCE(c.c_gv, 0) AS c_gv
+  FROM grp g CROSS JOIN gseg gl
+  LEFT JOIN gc c ON c.nation = g.nation AND c.bal_bucket = g.bal_bucket
+                AND c.seg = gl.seg
+), t AS (
+  SELECT nation, bal_bucket, n_g,
+         CAST(SUM(ABS(c_gv * (SELECT nn FROM n) - cv * n_g)) AS BIGINT)
+           AS num
+  FROM spine GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(MAX(CAST(num AS DOUBLE)
+                 / (2.0 * CAST(n_g AS DOUBLE)
+                    * CAST((SELECT nn FROM n) AS DOUBLE))), 6) AS max_t,
+       CAST(SUM(CASE WHEN 10 * num > 6 * n_g * (SELECT nn FROM n)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS groups_above_t03,
+       CAST(SUM(CASE WHEN 10 * num > 6 * n_g * (SELECT nn FROM n)
+                     THEN n_g ELSE 0 END) AS BIGINT) AS rows_above_t03,
+       ROUND(CAST(SUM(CASE WHEN 10 * num > 6 * n_g * (SELECT nn FROM n)
+                           THEN n_g ELSE 0 END) AS DOUBLE)
+             / CAST((SELECT nn FROM n) AS DOUBLE), 6) AS exposed_frac
+FROM t
+"""
+
+
+@query("quality_t_closeness", oracle=_TCLOSE_SQL)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the distributional member of the privacy
+    trio (k-anonymity: group size; l-diversity: distinct sensitive
+    values; t-closeness: the DISTRIBUTION of the sensitive attribute
+    within a QI group must stay close to the global one, or the group
+    leaks by skew even when l is high). Distance is the categorical
+    EMD (total variation): t_g = ½·Σ_v |c_gv/n_g − C_v/N|.
+
+    All-integer core: per (group, segment) term |c_gv·N − C_v·n_g| is
+    an exact BIGINT (groups missing a segment contribute C_v·n_g via
+    the group × segment spine), t_g's numerator sums exactly, and the
+    t > 0.3 release gate is the cross-multiplied 10·num > 6·n_g·N —
+    only the reported max_t touches a float, once, at output.
+
+    Scale: two QI-cardinality aggregates + a broadcast segment spine
+    (≤ 5 values); no windows, no data-sized joins."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias(
+            "bal_bucket"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    glob = c.groupBy("seg").agg(F.count(F.lit(1)).alias("cv"))
+    n = c.agg(F.count(F.lit(1)).alias("nn"))
+    grp = c.groupBy("nation", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    gc = c.groupBy("nation", "bal_bucket", "seg").agg(
+        F.count(F.lit(1)).alias("c_gv")
+    )
+    spine = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(gc, ["nation", "bal_bucket", "seg"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "nation",
+            "bal_bucket",
+            "n_g",
+            "nn",
+            F.abs(
+                F.coalesce("c_gv", F.lit(0)) * F.col("nn")
+                - F.col("cv") * F.col("n_g")
+            ).alias("term"),
+        )
+    )
+    t = spine.groupBy("nation", "bal_bucket", "n_g", "nn").agg(
+        F.sum("term").alias("num")
+    )
+    above = F.lit(10) * F.col("num") > F.lit(6) * F.col("n_g") * F.col("nn")
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.round(
+            F.max(
+                F.col("num").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_g").cast("double")
+                    * F.col("nn").cast("double")
+                )
+            ),
+            6,
+        ).alias("max_t"),
+        F.sum(above.cast("int")).cast("bigint").alias("groups_above_t03"),
+        F.sum(F.when(above, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_above_t03"),
+        F.round(
+            F.sum(F.when(above, F.col("n_g")).otherwise(0)).cast("double")
+            / F.max("nn").cast("double"),
+            6,
+        ).alias("exposed_frac"),
+    )

@@ -847,3 +847,166 @@ def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("customer->nation", c, "c_nationkey", n, "n_nationkey"))
         .orderBy("relation")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Distributed join-size estimation (shuffle planning)
+# ---------------------------------------------------------------------------
+
+_JOIN_SIZE_SQL = """
+WITH c AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), s AS (
+  SELECT k, n FROM c
+  WHERE CAST(('0x' || substring(md5('7:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+), e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n * n) AS BIGINT) AS exact_pairs
+  FROM c
+), se AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sampled_keys,
+         CAST(COALESCE(SUM(n * n), 0) * 10 AS BIGINT) AS est_pairs
+  FROM s
+)
+SELECT e.n_keys, e.exact_pairs, se.sampled_keys, se.est_pairs,
+       CAST(ABS(se.est_pairs - e.exact_pairs) * 10000 // e.exact_pairs AS BIGINT)
+         AS abs_err_bp
+FROM e, se
+"""
+
+
+@query("profile_join_size_estimate", oracle=_JOIN_SIZE_SQL)
+def profile_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from a key sample — the planning probe you
+    run BEFORE a potentially quadratic join (here the lineitem
+    self-join on l_partkey, the classic blowup shape): per-key counts
+    once, |A ⋈ A| = Σₖ n(k)² exactly, and the 10%-of-KEYS estimate
+    scaled by 1/p next to it with the error in integer basis points.
+    Key-sampling (not row-sampling) is what makes the estimator
+    unbiased for Σ n² — a row sample deflates heavy keys
+    quadratically. The companion to profile_key_skew: skew tells you
+    WHERE the hot keys are, this tells you whether the join output
+    fits before you launch it.
+
+    Exactness: the sample membership is the md5-portable bucket
+    (seed 7, mod 100 < 10) — both engines pick the identical keys —
+    and every output column is BIGINT arithmetic (cross-multiplied
+    basis points, integer floor-div), so the oracle is exact with no
+    float rounding anywhere.
+
+    Scale: one map-side-combined count per key (the same pass any
+    shuffle-planning probe pays), then two key-domain-sized
+    aggregates to single rows; the estimate needs only the sampled
+    10% of the key domain — at 100 TB you run ONLY the `s` branch
+    (drop the exact twin, which exists here to attest the estimator)
+    and the probe costs one aggregate over a 10% key sample."""
+    from ibd_pipeline_spark.operators.sketches import md5_bucket
+
+    c = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = c.filter(md5_bucket(F.col("k"), 7, 100) < 10)
+    e = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_pairs"),
+    )
+    se = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sampled_keys"),
+        (F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0)) * 10)
+        .cast("bigint")
+        .alias("est_pairs"),
+    )
+    return (
+        e.crossJoin(F.broadcast(se))
+        .select(
+            "n_keys",
+            "exact_pairs",
+            "sampled_keys",
+            "est_pairs",
+            # integer space on both sides: Spark `div`, DuckDB `//`
+            # (Spark `/` is a DOUBLE divide; DuckDB CAST rounds where
+            # Spark truncates — profile_key_skew precedent).
+            F.expr("abs(est_pairs - exact_pairs) * 10000L div exact_pairs")
+            .cast("bigint")
+            .alias("abs_err_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling (det → dep violation audit)
+# ---------------------------------------------------------------------------
+
+_FD_PAIRS = [
+    ("o_orderkey", "o_orderstatus"),     # key → anything: must hold
+    ("o_orderkey", "o_orderpriority"),   # key → anything: must hold
+    ("o_custkey", "o_orderstatus"),      # expected violated (reorders)
+    ("o_orderpriority", "o_orderstatus"),  # expected violated
+]
+
+_FD_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_det_values,
+       CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_violating,
+       CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) * 10000 // COUNT(*) AS BIGINT)
+         AS violation_bp,
+       COUNT(CASE WHEN nd > 1 THEN 1 END) = 0 AS holds
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM orders GROUP BY {det}) t
+"""
+    for det, dep in _FD_PAIRS
+) + "\nORDER BY determinant, dependent"
+
+
+@query("profile_functional_dependencies", oracle=_FD_SQL)
+def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — for each candidate det → dep
+    rule, the number of determinant values, how many map to MORE
+    than one dependent value (violations), the violation rate in
+    basis points, and the verdict. The schema-inference profiling
+    pass (TANE-style single-column check) that tells you which
+    'obvious' relationships actually hold before you normalize,
+    build dimension tables, or trust a join key: here the o_orderkey
+    rules must hold (it's the key), while o_custkey → o_orderstatus
+    must not (customers reorder) and o_orderpriority →
+    o_orderstatus must not (priorities span statuses) — the profiler
+    SURFACES which hold on this data rather than hard-coding them.
+
+    Scale: each rule is one map-side-combined (det, dep) distinct
+    aggregate then a det-grain count — the same two-level shape as
+    profile_key_candidates; rules are independent scans of a
+    two-column projection (column pruning makes each cheap) and
+    could share one pass via grouping sets if the rule set grows."""
+    o = load(spark, sf_dir, "orders")
+    parts = []
+    for det, dep in _FD_PAIRS:
+        t = o.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_det_values"),
+                F.count(F.when(F.col("nd") > 1, 1))
+                .cast("bigint")
+                .alias("n_violating"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_det_values",
+                "n_violating",
+                F.expr("n_violating * 10000L div n_det_values")
+                .cast("bigint")
+                .alias("violation_bp"),
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("determinant", "dependent")

@@ -482,3 +482,121 @@ def quality_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card-number audit (r14)
+# ---------------------------------------------------------------------------
+
+_LUHN_SQL = """
+WITH m AS (
+  SELECT d.source, d.doc_id, u.cand
+  FROM documents d,
+       unnest(regexp_extract_all(d.text, '[0-9]{13,16}')) AS u(cand)
+), v AS (
+  SELECT source, doc_id, cand,
+    list_sum(list_transform(range(1, strlen(cand) + 1), i ->
+      CASE WHEN i % 2 = 1
+           THEN CAST(substring(cand, strlen(cand) - i + 1, 1) AS BIGINT)
+           ELSE CASE WHEN 2 * CAST(substring(cand, strlen(cand) - i + 1, 1)
+                              AS BIGINT) > 9
+                     THEN 2 * CAST(substring(cand, strlen(cand) - i + 1, 1)
+                                   AS BIGINT) - 9
+                     ELSE 2 * CAST(substring(cand, strlen(cand) - i + 1, 1)
+                                   AS BIGINT) END
+      END)) % 10 = 0 AS valid
+  FROM m
+), per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_luhn_valid,
+         CAST(COUNT(DISTINCT CASE WHEN valid THEN doc_id END) AS BIGINT)
+           AS docs_with_valid
+  FROM v GROUP BY source
+), docs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT d.source, d.n_docs,
+       COALESCE(p.n_candidates, 0) AS n_candidates,
+       COALESCE(p.n_luhn_valid, 0) AS n_luhn_valid,
+       COALESCE(p.docs_with_valid, 0) AS docs_with_valid
+FROM docs d LEFT JOIN per p ON p.source = d.source
+ORDER BY d.source
+"""
+
+
+@query("quality_luhn_card_audit", oracle=_LUHN_SQL)
+def quality_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card-number PII audit per source: 13–16-digit runs are
+    candidates; each is validated with the REAL Luhn mod-10 checksum
+    (double every second digit from the right, subtract 9 above 9) —
+    the check that separates random digit runs (1-in-10 pass rate)
+    from actual card numbers, i.e. the difference between a noisy
+    regex alarm and a reportable PII incident. Complements
+    text_pii_redaction (which masks) by MEASURING the exposure — the
+    audit row a 100 TB-corpus compliance pass publishes.
+
+    A clean synthetic corpus honestly reports zero candidates; the
+    checksum plumbing is pinned with planted valid/invalid numbers in
+    tests/test_round14.py (the encoding-damage precedent). Boundary
+    convention: runs longer than 16 digits contribute their leftmost-
+    greedy 16-digit prefix — identical non-overlapping matching in
+    both regex engines (RE2 has no lookbehind, so no word-boundary
+    guard; documented, not hidden).
+
+    Exactness: the checksum is pure integer arithmetic via a
+    higher-order transform over character positions; counts are exact
+    BIGINTs; no floats anywhere.
+
+    Scale: per-row codegen regex + one explode bounded by candidate
+    count (rare by construction) + a map-side-combined groupBy on
+    source; text scanned once."""
+    d = load_wide(spark, sf_dir, "documents")
+    m = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit("[0-9]{13,16}"), 0)
+        ).alias("cand"),
+    )
+    digit = lambda i: F.substring(  # noqa: E731
+        F.col("cand"), F.length("cand") - i + 1, 1
+    ).cast("long")
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), F.length("cand")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(i % 2 == 1, digit(i)).otherwise(
+            F.when(2 * digit(i) > 9, 2 * digit(i) - 9).otherwise(
+                2 * digit(i)
+            )
+        ),
+    )
+    v = m.select("source", "doc_id", (luhn_sum % 10 == 0).alias("valid"))
+    per = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("valid"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_luhn_valid"),
+        F.countDistinct(F.when(F.col("valid"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("docs_with_valid"),
+    )
+    docs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        docs.join(per, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_luhn_valid", F.lit(0)).alias("n_luhn_valid"),
+            F.coalesce("docs_with_valid", F.lit(0)).alias(
+                "docs_with_valid"
+            ),
+        )
+        .orderBy("source")
+    )

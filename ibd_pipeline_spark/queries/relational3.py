@@ -9,7 +9,7 @@ earlier batches don't reach.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import dsum, query
@@ -330,4 +330,98 @@ def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "direction",
         )
         .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Banded range join (equi-key-less interval containment at scale)
+# ---------------------------------------------------------------------------
+
+_BANDED_SQL = """
+WITH inc AS (
+  SELECT event_id AS incident_id,
+         CAST(ts AS TIMESTAMP) AS w_start,
+         CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'error' AND event_id % 97 = 0
+)
+SELECT i.incident_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (e.event_type = 'error') AS BIGINT)
+         AS n_errors
+FROM inc i JOIN events e
+  ON CAST(e.ts AS TIMESTAMP) >= i.w_start
+ AND CAST(e.ts AS TIMESTAMP) < i.w_end
+GROUP BY i.incident_id
+ORDER BY i.incident_id
+"""
+
+
+@query("join_banded_range", oracle=_BANDED_SQL)
+def join_banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join WITHOUT an equi key — events falling inside
+    incident windows ([error ts, +1 hour)) — made shuffle-joinable by
+    BANDING: both sides tag hour-floor band numbers (a window of
+    length ≤ band covers at most 2 bands, so the interval side
+    explodes into ≤ 2 rows), the join runs as a plain EQUI join on
+    the band, and the exact containment predicate filters after. The
+    hand-rolled form of the range-join bin optimization — without it
+    this shape is a BroadcastNestedLoopJoin (fine for a small
+    interval side) or, worse, a cartesian.
+
+    The oracle runs the plain theta join; banding is provably
+    lossless because an event inside [start, start+1h) has its hour
+    floor in {floor(start), floor(start)+1}, exactly the two exploded
+    bands.
+
+    Scale: shuffle on the band key distributes both sides; per-band
+    work is (events in the hour) × (windows touching it) — bounded by
+    incident density, never |events|²; skewed hot hours fall to AQE
+    skew-split since the join is a plain exchange."""
+    ev = load(spark, sf_dir, "events")
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 97 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    # interval side: ≤ 2 bands per 1-hour window (band == window size)
+    inc_b = inc.select(
+        "incident_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.unix_timestamp("w_start") / 3600),
+                    F.floor(F.unix_timestamp("w_end") / 3600),
+                )
+            )
+        ).alias("band"),
+    )
+    ev_b = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("band"),
+    )
+    joined = inc_b.join(ev_b, "band").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.when(F.col("event_type") == "error", 1))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+        .orderBy("incident_id")
     )

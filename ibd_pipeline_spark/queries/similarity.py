@@ -9,7 +9,7 @@ in tests/test_similarity.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.operators import similarity as S
@@ -1561,4 +1561,371 @@ def similarity_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(d_proj / d_orig, 4).alias("distortion"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Farthest-point (k-center) diverse subset selection
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+_KC_SLICE = 200
+
+
+def _kcenter_oracle() -> str:
+    """Greedy farthest-point traversal unrolled to k CTE stages (the
+    fixpoint-unrolling idiom proven on label propagation / PageRank):
+    stage r picks the vector maximizing the min cosine distance to
+    the r−1 already-selected, ties to the smaller vec_id."""
+    dot = (
+        "list_aggregate(list_transform(range(1, len(v.emb) + 1), "
+        "i -> v.emb[i] * s.emb[i]), 'sum')"
+    )
+    sql = f"""
+WITH v0 AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id < {_KC_SLICE}
+), n AS (
+  SELECT vec_id, label, emb,
+         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+  FROM v0
+), c1 AS (
+  SELECT vec_id, label, 0.0 AS d FROM n ORDER BY vec_id LIMIT 1
+), sel1 AS (SELECT vec_id FROM c1)"""
+    for r in range(2, _KC_K + 1):
+        sql += f""", m{r} AS (
+  SELECT v.vec_id, v.label,
+         MIN(1 - {dot} / (v.nrm * s.nrm)) AS d
+  FROM n v, n s
+  WHERE s.vec_id IN (SELECT vec_id FROM sel{r - 1})
+    AND v.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+  GROUP BY v.vec_id, v.label
+), c{r} AS (
+  SELECT vec_id, label, d FROM m{r} ORDER BY d DESC, vec_id LIMIT 1
+), sel{r} AS (
+  SELECT vec_id FROM sel{r - 1} UNION ALL SELECT vec_id FROM c{r}
+)"""
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS sel_order, vec_id, label, "
+        f"ROUND(d, 6) AS dist FROM c{r}"
+        for r in range(1, _KC_K + 1)
+    )
+    return sql + "\n" + sel + "\nORDER BY sel_order"
+
+
+@query("similarity_kcenter_diverse", oracle=_kcenter_oracle)
+def similarity_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse subset selection by greedy farthest-point traversal
+    (the 2-approximate k-center heuristic, Gonzalez 1985): seed with
+    the smallest vec_id, then repeatedly take the vector with the
+    LARGEST min-cosine-distance to everything already selected. The
+    training-data use: pick maximally diverse exemplars (for eval
+    sets, annotation batches, curriculum anchors) instead of k-means
+    centroids, which over-sample dense regions. Output is the
+    selection order with each pick's coverage distance — the dist
+    column is the evolving k-center radius, monotonically
+    non-increasing from pick 2 on.
+
+    Hash-attested end-to-end: the greedy loop is DETERMINISTIC (seed
+    = min id, argmax ties to smaller vec_id, dot product the same
+    sequential fold in both engines — the knn-confusion idiom), so
+    the k rounds unroll to a DuckDB CTE chain exactly like the graph
+    fixpoints. Spark-side per-round state is ONE collected row (the
+    new center) — model-state-sized, the kmeans-init precedent.
+
+    Scale: each round is one broadcast of ≤k centers against the
+    corpus + a top-1 TakeOrdered — k passes total, never all-pairs.
+    The vec_id < 200 slice bounds the attestation, not the shape; at
+    100 TB the same loop runs with the candidate argmax computed per
+    partition then reduced (TakeOrdered already is that)."""
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _KC_SLICE)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("emb", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)  # k tiny rounds re-read this slice
+    )
+    first = v.orderBy("vec_id").limit(1).select("vec_id", "label").collect()[0]
+    ids = [first.vec_id]
+    rows = [(1, first.vec_id, first.label, 0.0)]
+    for r in range(2, _KC_K + 1):
+        s = v.filter(F.col("vec_id").isin(ids)).select(
+            F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+        )
+        rem = v.filter(~F.col("vec_id").isin(ids))
+        dot = F.aggregate(
+            F.zip_with("emb", "cemb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        mind = (
+            rem.crossJoin(F.broadcast(s))
+            .groupBy("vec_id", "label")
+            .agg(F.min(F.lit(1.0) - dot / (F.col("nrm") * F.col("cnrm"))).alias("d"))
+        )
+        top = mind.orderBy(F.desc("d"), "vec_id").limit(1).collect()[0]
+        ids.append(top.vec_id)
+        rows.append((r, top.vec_id, top.label, top.d))
+    return (
+        spark.createDataFrame(
+            rows, "sel_order int, vec_id bigint, label int, dist double"
+        )
+        .select("sel_order", "vec_id", "label", F.round("dist", 6).alias("dist"))
+        .orderBy("sel_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Inverted-index sparse cosine (document-term postings join)
+# ---------------------------------------------------------------------------
+
+_INVIDX_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 300
+), post AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm FROM post GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM post a JOIN post b ON b.term = a.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, d.dot, na.nrm AS norm_a, nb.nrm AS norm_b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / SQRT(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+         AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE 100 * d.dot * d.dot > 81 * na.nrm * nb.nrm
+ORDER BY d.id_a, d.id_b
+"""
+
+
+@query("similarity_inverted_index_cosine", oracle=_INVIDX_SQL)
+def similarity_inverted_index_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity through an INVERTED-INDEX join — the
+    scalable alternative to dense all-pairs for bag-of-words vectors:
+    explode documents into (doc, term, tf) postings, join postings ON
+    TERM (only documents sharing a term ever meet), hash-aggregate the
+    products into dot products, attach norms, gate at cosine ≥ 0.9.
+
+    Everything before the output rounding is exact integer algebra —
+    dot products and squared norms are BIGINT tf sums, and the 0.9
+    gate is the cross-multiplied 100·dot² > 81·‖a‖²·‖b‖², so the
+    result-set boundary never touches a float; the cosine value is a
+    final single-division-plus-sqrt on identical doubles.
+
+    Scale: the postings join shuffles on TERM; per-term work is
+    df(term)² — production prunes the head of the df distribution
+    (stopword-like terms contribute no discrimination at quadratic
+    cost). This synthetic corpus draws from a ~30-word vocabulary, so
+    every term is a head term and df-pruning would empty the index;
+    the oracle-bounded doc_id < 300 slice stands in for that prune
+    (same role as dedup_minhash_jaccard_estimate's slice) while the
+    plan — postings, term join, integer dots — is the production
+    shape."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    post = d.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("nrm")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("b.term") == F.col("a.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("id_a"), F.col("nrm").alias("norm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("id_b"), F.col("nrm").alias("norm_b")
+    )
+    out = (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(
+            F.lit(100) * F.col("dot") * F.col("dot")
+            > F.lit(81) * F.col("norm_a") * F.col("norm_b")
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("dot").cast("bigint").alias("dot"),
+        F.col("norm_a").cast("bigint").alias("norm_a"),
+        F.col("norm_b").cast("bigint").alias("norm_b"),
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(
+                F.col("norm_a").cast("double") * F.col("norm_b").cast("double")
+            ),
+            6,
+        ).alias("cosine"),
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Silhouette score of the given label clustering (bounded audit slice)
+# ---------------------------------------------------------------------------
+
+_SIL_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 200
+), p AS (
+  SELECT a.vec_id AS i, a.label AS la, b.label AS lb,
+         SQRT(CAST((
+           SELECT SUM(CAST(FLOOR((a.v[k] - b.v[k]) * (a.v[k] - b.v[k]) * 1e12)
+                            AS BIGINT))
+           FROM UNNEST(range(1, len(a.v) + 1)) t(k)
+         ) AS DOUBLE) / 1e12) AS dist
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+), m AS (
+  SELECT i, la, lb,
+         CAST(ROUND(SUM(CAST(dist AS DECIMAL(28,8))), 8) AS DOUBLE)
+           / COUNT(*) AS mean_d
+  FROM p GROUP BY 1, 2, 3
+), ab AS (
+  SELECT i, la,
+         MAX(CASE WHEN lb = la THEN mean_d END) AS a_i,
+         MIN(CASE WHEN lb <> la THEN mean_d END) AS b_i
+  FROM m GROUP BY 1, 2
+), s AS (
+  SELECT i, la,
+         CASE WHEN a_i IS NULL THEN 0.0
+              ELSE (b_i - a_i) / (CASE WHEN a_i > b_i THEN a_i ELSE b_i END)
+         END AS sil
+  FROM ab
+)
+SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(ROUND(SUM(CAST(sil AS DECIMAL(28,8))), 6) AS DOUBLE) / COUNT(*)
+         AS avg_silhouette
+FROM s GROUP BY la ORDER BY la
+"""
+
+
+@query("similarity_silhouette_labels", oracle=_SIL_SQL)
+def similarity_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette quality of the embedding table's GIVEN label
+    clustering on the vec_id < 200 audit slice: per point,
+    s = (b−a)/max(a,b) with a = mean distance to own cluster and
+    b = the nearest other cluster's mean distance — the
+    cluster-separation readout you run after any clustering
+    (k-means included; labels here play the assignment so the whole
+    chain is SQL-attestable rather than rows-only).
+
+    Cross-engine float discipline: elements cast float→double before
+    any arithmetic (float ops round differently per engine's
+    promotion rules); each squared difference lands as an exact
+    integer via FLOOR(t·10¹²) so the 64-term distance sum is
+    order-independent; per-pair distance is one sqrt on identical
+    doubles; every mean uses the decimal-sum-then-divide (davg)
+    idiom. Singleton clusters take silhouette 0 by convention.
+
+    Scale: silhouette is inherently quadratic — the audit runs on a
+    bounded sample (the universal practice; sklearn does the same via
+    `sample_size`). The slice join broadcasts 200 rows; per-label
+    means then reduce |slice|² pair rows in one hash aggregate."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    d2_scaled = F.aggregate(
+        F.zip_with(
+            F.col("a.v"),
+            F.col("b.v"),
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(1e12)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    p = a.join(
+        F.broadcast(b), F.col("b.vec_id") != F.col("a.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("i"),
+        F.col("a.label").alias("la"),
+        F.col("b.label").alias("lb"),
+        F.sqrt(d2_scaled.cast("double") / F.lit(1e12)).alias("dist"),
+    )
+    m = p.groupBy("i", "la", "lb").agg(
+        (
+            F.round(F.sum(F.col("dist").cast("decimal(28,8)")), 8).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_d")
+    )
+    ab = m.groupBy("i", "la").agg(
+        F.max(F.when(F.col("lb") == F.col("la"), F.col("mean_d"))).alias(
+            "a_i"
+        ),
+        F.min(F.when(F.col("lb") != F.col("la"), F.col("mean_d"))).alias(
+            "b_i"
+        ),
+    )
+    sil = F.when(F.col("a_i").isNull(), F.lit(0.0)).otherwise(
+        (F.col("b_i") - F.col("a_i")) / F.greatest("a_i", "b_i")
+    )
+    return (
+        ab.select(F.col("la").alias("label"), sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            (
+                F.round(F.sum(F.col("sil").cast("decimal(28,8)")), 6).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("label")
     )

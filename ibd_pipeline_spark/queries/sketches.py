@@ -817,3 +817,157 @@ def sketch_sample_sum_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Sketch-based audience overlap (inclusion–exclusion)
+# ---------------------------------------------------------------------------
+
+_AO_M = 65536
+_AUDIENCE_OVERLAP_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT event_type AS t, user_id AS u,
+         CAST(('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_AO_M} AS b
+  FROM events
+), types AS (
+  SELECT DISTINCT t FROM ev
+), spine AS (
+  SELECT a.t AS type_a, c.t AS type_b
+  FROM types a JOIN types c ON a.t < c.t
+), occ AS (
+  SELECT t, CAST(COUNT(DISTINCT b) AS BIGINT) AS occ FROM ev GROUP BY t
+), uin AS (
+  SELECT a.t AS type_a, c.t AS type_b,
+         CAST(COUNT(DISTINCT a.u) AS BIGINT) AS exact_overlap
+  FROM ev a JOIN ev c ON c.u = a.u AND a.t < c.t
+  GROUP BY 1, 2
+), tbkt AS (
+  SELECT DISTINCT t, b FROM ev
+), bin AS (
+  SELECT a.t AS type_a, c.t AS type_b, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM tbkt a JOIN tbkt c ON c.b = a.b AND a.t < c.t
+  GROUP BY 1, 2
+)
+SELECT s.type_a AS type_a, s.type_b AS type_b,
+       COALESCE(u.exact_overlap, 0) AS exact_overlap,
+       ROUND(
+         (CASE WHEN oa.occ < {_AO_M} THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - oa.occ)) END)
+         + (CASE WHEN ob.occ < {_AO_M} THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - ob.occ)) END)
+         - (CASE WHEN oa.occ + ob.occ - COALESCE(b.nb, 0) < {_AO_M}
+            THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - (oa.occ + ob.occ - COALESCE(b.nb, 0)))) END),
+         4) AS est_overlap,
+       CASE WHEN COALESCE(u.exact_overlap, 0) = 0 THEN NULL
+            ELSE ROUND(ABS(
+              (CASE WHEN oa.occ < {_AO_M} THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - oa.occ)) END)
+              + (CASE WHEN ob.occ < {_AO_M} THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - ob.occ)) END)
+              - (CASE WHEN oa.occ + ob.occ - COALESCE(b.nb, 0) < {_AO_M}
+                 THEN {_AO_M}.0 * ln({_AO_M}.0 / ({_AO_M} - (oa.occ + ob.occ - COALESCE(b.nb, 0)))) END)
+              - u.exact_overlap) / u.exact_overlap, 4) END AS rel_err
+FROM spine s
+JOIN occ oa ON oa.t = s.type_a
+JOIN occ ob ON ob.t = s.type_b
+LEFT JOIN uin u ON u.type_a = s.type_a AND u.type_b = s.type_b
+LEFT JOIN bin b ON b.type_a = s.type_a AND b.type_b = s.type_b
+ORDER BY s.type_a, s.type_b
+"""
+
+
+@query("sketch_audience_overlap", oracle=_AUDIENCE_OVERLAP_SQL)
+def sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix by sketch inclusion–exclusion:
+    |A ∩ B| ≈ lc(A) + lc(B) − lc(A ∪ B), where lc is the
+    linear-counting estimate over each audience's occupied-bucket
+    set and the union's occupancy comes from bucket-set algebra
+    (occ_A + occ_B − shared buckets) — intersections are exactly
+    what mergeable union-only sketches (HLL/LC) cannot answer
+    directly, and inclusion–exclusion over THREE union estimates is
+    the standard production answer ('how much do the click and
+    purchase audiences overlap' without re-scanning raw events).
+    The exact overlap rides alongside for the error readout.
+
+    Hash-attested: the md5-portable bucket (the sketch_lc_weekly_union
+    idiom) makes occupancy integers identical in both engines, and
+    the lc formula is the same IEEE double expression — the whole
+    matrix is exact under the 4-dp output rounding.
+
+    Scale: one distinct-projection of (type, user) (map-side
+    combined), then every join runs on user-count or bucket-count
+    (≤ 65536/type) frames; the exact-overlap self-join exists for
+    the error column and is the piece you DROP at 100 TB — the
+    sketch branch never touches raw volume twice."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("t"),
+            F.col("user_id").alias("u"),
+        )
+        .distinct()
+        .select("t", "u", F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("0"), F.col("u").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("bigint"), F.lit(_AO_M),
+        ).alias("b"))
+    )
+    types = ev.select("t").distinct()
+    ta, tc = types.alias("a"), types.alias("c")
+    spine = ta.join(tc, F.col("a.t") < F.col("c.t")).select(
+        F.col("a.t").alias("type_a"), F.col("c.t").alias("type_b")
+    )
+    occ = ev.groupBy("t").agg(F.countDistinct("b").cast("bigint").alias("occ"))
+    ea, ec = ev.alias("a"), ev.alias("c")
+    uin = (
+        ea.join(ec, (F.col("c.u") == F.col("a.u")) & (F.col("a.t") < F.col("c.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("c.t").alias("type_b"))
+        .agg(F.countDistinct("a.u").cast("bigint").alias("exact_overlap"))
+    )
+    tbkt = ev.select("t", "b").distinct()
+    ba, bc = tbkt.alias("a"), tbkt.alias("c")
+    bin_ = (
+        ba.join(bc, (F.col("c.b") == F.col("a.b")) & (F.col("a.t") < F.col("c.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("c.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    m = float(_AO_M)
+    # Saturated occupancy (x == m) would be ln(m/0) = +inf — the
+    # estimator is undefined there; NULL propagates through the
+    # inclusion-exclusion sum exactly as in the SQL twin (ADVICE r8).
+    lc = lambda x: F.when(  # noqa: E731
+        x < _AO_M, F.lit(m) * F.log(F.lit(m) / (F.lit(_AO_M) - x))
+    )
+    est = (
+        lc(F.col("occ_a"))
+        + lc(F.col("occ_b"))
+        - lc(F.col("occ_a") + F.col("occ_b") - F.coalesce(F.col("nb"), F.lit(0)))
+    )
+    exact = F.coalesce(F.col("exact_overlap"), F.lit(0))
+    return (
+        spine.join(
+            F.broadcast(occ.withColumnsRenamed({"t": "type_a", "occ": "occ_a"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(occ.withColumnsRenamed({"t": "type_b", "occ": "occ_b"})),
+            "type_b",
+        )
+        .join(F.broadcast(uin), ["type_a", "type_b"], "left")
+        .join(F.broadcast(bin_), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            exact.alias("exact_overlap"),
+            F.round(est, 4).alias("est_overlap"),
+            F.when(exact == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.abs(est - exact) / exact, 4))
+            .alias("rel_err"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -11,7 +11,7 @@ reference computes streaming means/max/stddev only —
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
@@ -2862,3 +2862,312 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + z2n / 2.0 - rad) / (F.lit(1.0) + z2n), 6).alias("wilson_lo"),
         F.round((p + z2n / 2.0 + rad) / (F.lit(1.0) + z2n), 6).alias("wilson_hi"),
     ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth mover) drift between two event populations
+# ---------------------------------------------------------------------------
+
+_W1_SQL = """
+WITH p AS (
+  SELECT value AS v,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS c1,
+         CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+  GROUP BY value
+), c AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+         SUM(c1) OVER () AS n1,
+         SUM(c2) OVER () AS n2,
+         LEAD(v) OVER (ORDER BY v) AS v_next
+  FROM p
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(ROUND(SUM(CAST(
+              ABS(cum1 * n2 - cum2 * n1) * (v_next - v)
+            AS DECIMAL(28,8))), 4) AS DOUBLE)
+         / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS w1
+FROM c
+WHERE v_next IS NOT NULL
+"""
+
+
+@query("stats_wasserstein_drift", oracle=_W1_SQL)
+def stats_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the `value`
+    distributions of purchase vs view events — the drift metric that,
+    unlike KS's max-gap, weighs HOW FAR mass moved:
+    W1 = ∫|F1−F2| dv = Σ over adjacent support points of
+    |F1(v)−F2(v)|·(v_next−v).
+
+    Fully distributed: group by value (one shuffle, support-sized
+    frame), then ONE multi-weight prefix-sum scan
+    (operators/ranking.py:with_global_prefix_sums) carrying c1, c2
+    AND a unit weight — the unit's running total is the support row
+    number, so the adjacent-point gap comes from an rn ↔ rn+1
+    self-join instead of a LEAD window (no single-task WindowExec
+    anywhere; the scan is checkpointed once so both join sides read
+    the same physical rows).
+
+    Exactness: per-segment mass |cum1·n2 − cum2·n1| is an exact
+    integer; its product with the gap is one IEEE multiply on
+    identical doubles; segments sum in the decimal domain (dsum
+    contract) and divide by the exact n1·n2 once at the end.
+    """
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    per_value = (
+        ev.groupBy(F.col("value").alias("v"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    cum = with_global_prefix_sums(per_value, ["v"], ["c1", "c2", "one"])
+    a = cum.select(
+        "v",
+        F.col("_cum_c1").alias("cum1"),
+        F.col("_cum_c2").alias("cum2"),
+        F.col("_tot_c1").alias("n1"),
+        F.col("_tot_c2").alias("n2"),
+        F.col("_cum_one").alias("rn"),
+    )
+    b = cum.select(
+        F.col("v").alias("v_next"), (F.col("_cum_one") - 1).alias("rn")
+    )
+    # inner join drops the last support point (no successor): its
+    # segment has zero width, exactly the oracle's v_next IS NOT NULL.
+    seg = a.join(b, "rn")
+    mass = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    term = mass * (F.col("v_next") - F.col("v"))
+    return seg.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        (
+            F.round(F.sum(term.cast("decimal(28,8)")), 4).cast("double")
+            / (F.max("n1").cast("double") * F.max("n2").cast("double"))
+        ).alias("w1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information + Cramér's V (association strength)
+# ---------------------------------------------------------------------------
+
+_MI_SQL = """
+WITH o AS (
+  SELECT event_type AS t, ISODOW(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS r_rows,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS c_cols
+  FROM o
+), rt AS (SELECT t, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY t),
+   ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY dow),
+   terms AS (
+  SELECT CAST(o.obs AS DOUBLE) AS od,
+         CAST(rt.row_tot AS DOUBLE) AS rtd,
+         CAST(ct.col_tot AS DOUBLE) AS ctd,
+         CAST(tot.n AS DOUBLE) AS nd
+  FROM o JOIN rt ON rt.t = o.t JOIN ct ON ct.dow = o.dow CROSS JOIN tot
+)
+SELECT tot.n AS n, tot.r_rows AS r_rows, tot.c_cols AS c_cols,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_cells,
+       (SELECT CAST(ROUND(SUM(CAST(
+            od / nd * ln(od * nd / (rtd * ctd)) AS DECIMAL(28,8))), 6)
+          AS DOUBLE) FROM terms) AS mi_nats,
+       (SELECT ROUND(SQRT(
+            SUM((od - rtd * ctd / nd) * (od - rtd * ctd / nd)
+                / (rtd * ctd / nd))
+            / (MAX(nd) * (CASE WHEN tot.r_rows < tot.c_cols
+                               THEN tot.r_rows ELSE tot.c_cols END - 1))), 6)
+          FROM terms) AS cramers_v
+FROM tot
+"""
+
+
+@query("stats_mutual_information", oracle=_MI_SQL)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and Cramér's V between event_type and
+    ISO day-of-week — the association-STRENGTH readouts beside
+    stats_chi_square_independence's yes/no: MI = Σ p_ij·ln(p_ij/p_i·p_j)
+    over the contingency cells, V = √(χ²/(n·(min(r,c)−1))).
+
+    Margins come from two cell-frame aggregates broadcast back (no
+    window at all — the chi² query's window-margin idiom replaced so
+    the plan has zero unpartitioned windows even on the cell frame).
+    Each MI term is the identical double chain in both engines
+    (counts exact, one ln per cell) decimal-cast before the
+    order-independent sum; χ² inside V uses the same per-cell decimal
+    discipline, with √ as the final single IEEE op.
+
+    Scale: one map-side-combined count shuffle on ~35 keys; margins
+    and folds run on the cell frame."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("t"),
+        (F.weekday("ts") + F.lit(1)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = obs.groupBy("t").agg(F.sum("obs").alias("row_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    tot = obs.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.countDistinct("t").cast("bigint").alias("r_rows"),
+        F.countDistinct("dow").cast("bigint").alias("c_cols"),
+    )
+    cells = (
+        obs.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    od = F.col("obs").cast("double")
+    rtd = F.col("row_tot").cast("double")
+    ctd = F.col("col_tot").cast("double")
+    nd = F.col("n").cast("double")
+    mi_term = od / nd * F.log(od * nd / (rtd * ctd))
+    e = rtd * ctd / nd
+    chi_term = (od - e) * (od - e) / e
+    return cells.groupBy("n", "r_rows", "c_cols").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum(mi_term.cast("decimal(28,8)")), 6)
+        .cast("double")
+        .alias("mi_nats"),
+        F.round(
+            F.sqrt(
+                F.sum(chi_term.cast("decimal(28,8)")).cast("double")
+                / (
+                    F.max(nd)
+                    * (F.least(F.col("r_rows"), F.col("c_cols")) - 1).cast(
+                        "double"
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta ordinal effect size (r14)
+# ---------------------------------------------------------------------------
+
+_CLIFFS_SQL = """
+WITH s AS (
+  SELECT value AS v, event_type = 'purchase' AS is_a
+  FROM events WHERE event_type IN ('purchase', 'view')
+        AND value IS NOT NULL
+), dv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM s GROUP BY v
+), sp AS (
+  SELECT v, ca, cb,
+         SUM(cb) OVER (ORDER BY v) AS cum_b,
+         SUM(cb) OVER () AS tot_b,
+         SUM(ca) OVER () AS tot_a
+  FROM dv
+), agg AS (
+  SELECT CAST(MAX(tot_a) AS BIGINT) AS n_a,
+         CAST(MAX(tot_b) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (cum_b - cb)) AS BIGINT) AS gt_pairs,
+         CAST(SUM(ca * (tot_b - cum_b)) AS BIGINT) AS lt_pairs
+  FROM sp
+)
+SELECT n_a, n_b, gt_pairs, lt_pairs,
+       CAST(n_a * n_b - gt_pairs - lt_pairs AS BIGINT) AS tied_pairs,
+       ROUND(CAST(gt_pairs - lt_pairs AS DOUBLE) / (n_a * n_b), 6)
+         AS cliffs_delta,
+       CASE WHEN 1000 * ABS(gt_pairs - lt_pairs) < 147 * n_a * n_b
+              THEN 'negligible'
+            WHEN 1000 * ABS(gt_pairs - lt_pairs) < 330 * n_a * n_b
+              THEN 'small'
+            WHEN 1000 * ABS(gt_pairs - lt_pairs) < 474 * n_a * n_b
+              THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM agg
+"""
+
+
+@query("stats_cliffs_delta", oracle=_CLIFFS_SQL)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between purchase and view
+    values: δ = (#{x>y} − #{x<y}) / (n_a·n_b) — the distribution-free
+    "how often does one group dominate" companion to
+    stats_mann_whitney_u's p-value (significance without effect size
+    is the classic A/B misread; this row completes the pair). The
+    Romano et al. magnitude bands (0.147/0.33/0.474) are evaluated as
+    exact cross-multiplied INTEGER comparisons — no rounded-double
+    thresholds.
+
+    Exactness: dominance pair counts come from the distinct-value
+    frame — for a distinct value v, the purchases there dominate
+    exactly (running view count strictly below v) pairs — so gt/lt/
+    tied are exact BIGINTs off one multi-weight prefix scan
+    (operators/ranking.py:with_global_prefix_sums, the MWU spine);
+    one double division at output.
+
+    Scale: one groupBy(value) shuffle + the range-exchange scan; no
+    pairwise join, no global row window — the n_a·n_b pair space is
+    never materialized."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    dv = (
+        ev.select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == "purchase").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("ca"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("cb"),
+        )
+    )
+    sp = with_global_prefix_sums(dv, ["v"], ["ca", "cb"])
+    agg = sp.agg(
+        F.max("_tot_ca").cast("bigint").alias("n_a"),
+        F.max("_tot_cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("ca") * (F.col("_cum_cb") - F.col("cb")))
+        .cast("bigint")
+        .alias("gt_pairs"),
+        F.sum(F.col("ca") * (F.col("_tot_cb") - F.col("_cum_cb")))
+        .cast("bigint")
+        .alias("lt_pairs"),
+    )
+    diff = F.col("gt_pairs") - F.col("lt_pairs")
+    pairs = F.col("n_a") * F.col("n_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        "gt_pairs",
+        "lt_pairs",
+        (pairs - F.col("gt_pairs") - F.col("lt_pairs"))
+        .cast("bigint")
+        .alias("tied_pairs"),
+        F.round(diff.cast("double") / pairs, 6).alias("cliffs_delta"),
+        F.when(1000 * F.abs(diff) < 147 * pairs, "negligible")
+        .when(1000 * F.abs(diff) < 330 * pairs, "small")
+        .when(1000 * F.abs(diff) < 474 * pairs, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )

@@ -512,3 +512,415 @@ def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "winsorized_mean")
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS di,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT CAST(b.n - a.n AS DOUBLE) / (b.di - a.di) AS slope
+  FROM daily a JOIN daily b ON b.di > a.di
+), m AS (
+  SELECT median(slope) AS slope,
+         (SELECT COUNT(*) FROM slopes) AS n_pairs,
+         (SELECT COUNT(*) FROM daily) AS n_days
+  FROM slopes
+)
+SELECT CAST(m.n_days AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(m.slope, 6) AS slope_per_day,
+       ROUND((SELECT median(d.n - m.slope * d.di) FROM daily d), 6)
+         AS intercept
+FROM m
+"""
+
+
+@query("stats_theil_sen_trend", oracle=_THEIL_SEN_SQL)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume: the median of
+    all pairwise slopes (n_j − n_i)/(day_j − day_i), with the
+    matching median intercept — the robust-regression twin of
+    agg_corr_regression's OLS line. Up to ~29% of days can be
+    corrupted (outages, bot floods) before the estimator budges,
+    which is exactly the property a volume-trend alert needs; OLS
+    moves on the first bad day.
+
+    Exactness: slopes are identical IEEE double divisions on both
+    sides; both engines define median as the continuous 0.5-quantile
+    (average of the two middle values for even counts) over the
+    identical multiset — Spark `percentile(col, 0.5)` ↔ DuckDB
+    `median` — so even the medians agree bit-for-bit; rounding only
+    at the output.
+
+    Scale: the all-pairs slope set is DAY-COUNT-bounded (n days →
+    n²/2 pairs; ~500 k pairs for three years — trivially parallel
+    after the one day-grain shuffle). For multi-decade grains,
+    subsample pairs (the classic randomized Theil–Sen) — the
+    estimator is the same median over a pair sample."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_date(F.to_date(F.date_trunc("day", "ts")))).alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.di") > F.col("a.di")).select(
+        (
+            (F.col("b.n") - F.col("a.n")).cast("double")
+            / (F.col("b.di") - F.col("a.di"))
+        ).alias("slope")
+    )
+    m = slopes.agg(
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    resid = (
+        daily.crossJoin(F.broadcast(m))
+        .select((F.col("n") - F.col("slope") * F.col("di")).alias("r"))
+        .agg(F.expr("percentile(r, 0.5)").alias("intercept"))
+    )
+    return (
+        nd.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("slope_per_day"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median per group (distributed prefix-sum consumer)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_SQL = """
+WITH r AS (
+  SELECT l_returnflag,
+         l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(MAX(tw) AS BIGINT) AS total_qty,
+       ROUND(MIN(CASE WHEN 2 * cw >= tw THEN l_extendedprice END), 2)
+         AS weighted_median
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("stats_weighted_median", oracle=_WMEDIAN_SQL)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of extended price per return flag,
+    weighted by quantity — 'the price a median UNIT ships at', which
+    differs from the row median whenever quantity correlates with
+    price (percentile() can't weight; approx sketches can't be
+    exact). Definition: the smallest value whose inclusive cumulative
+    weight reaches half the group total (lower weighted median,
+    2·cw ≥ tw kept in INTEGER space — quantities are integral, so
+    both the running and total sums are order-independent BIGINTs
+    and the oracle is exact).
+
+    Scale: the cumulative weight comes from
+    operators/ranking.py:with_grouped_prefix_sum — the distributed
+    SCAN: one range exchange on (flag, price, tiebreak) with
+    oversized groups split across tasks, a mapInPandas running sum
+    with per-group carry (narrow, no second exchange), and a
+    P×groups offset broadcast — NEVER the single-task-per-group
+    `SUM OVER (PARTITION BY flag ORDER BY …)` the oracle uses, which
+    at 100 TB would put each flag's entire history on one task. The
+    argmin over qualifying rows is an ordinary aggregate."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    ps = with_grouped_prefix_sum(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        "w",
+    )
+    return (
+        ps.groupBy("l_returnflag")
+        .agg(
+            F.max("_tw").cast("bigint").alias("total_qty"),
+            F.round(
+                F.min(
+                    F.when(
+                        2 * F.col("_cw") >= F.col("_tw"),
+                        F.col("l_extendedprice"),
+                    )
+                ),
+                2,
+            ).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted quartiles per group (prefix-sum consumer, 3 thresholds)
+# ---------------------------------------------------------------------------
+
+_WQUART_SQL = """
+WITH r AS (
+  SELECT l_returnflag,
+         l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(MIN(CASE WHEN 4 * cw >= tw THEN l_extendedprice END), 2) AS w_p25,
+       ROUND(MIN(CASE WHEN 2 * cw >= tw THEN l_extendedprice END), 2) AS w_p50,
+       ROUND(MIN(CASE WHEN 4 * cw >= 3 * tw THEN l_extendedprice END), 2)
+         AS w_p75,
+       ROUND(MIN(CASE WHEN 4 * cw >= 3 * tw THEN l_extendedprice END)
+             - MIN(CASE WHEN 4 * cw >= tw THEN l_extendedprice END), 2)
+         AS w_iqr
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("stats_weighted_quartiles", oracle=_WQUART_SQL)
+def stats_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quartiles (p25/p50/p75 + IQR) of extended price per
+    return flag, quantity-weighted — the five-number-summary
+    extension of stats_weighted_median, and the point of the
+    prefix-sum design: ONE distributed scan yields EVERY quantile as
+    a row-local integer threshold (4·cw ≥ tw, 2·cw ≥ tw,
+    4·cw ≥ 3·tw), where a percentile-function approach pays one pass
+    per quantile and can't weight at all.
+
+    Same exactness story as the median: integral quantities keep the
+    running and total weights order-independent BIGINTs, so every
+    threshold comparison is exact cross-engine.
+
+    Scale: identical plan to stats_weighted_median (range exchange +
+    Arrow running sum + offset broadcast from
+    operators/ranking.py:with_grouped_prefix_sum) — adding quantiles
+    adds conditional aggregates, not passes."""
+    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    ps = with_grouped_prefix_sum(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        "w",
+    )
+    price = F.col("l_extendedprice")
+    q25 = F.min(F.when(4 * F.col("_cw") >= F.col("_tw"), price))
+    q50 = F.min(F.when(2 * F.col("_cw") >= F.col("_tw"), price))
+    q75 = F.min(F.when(4 * F.col("_cw") >= 3 * F.col("_tw"), price))
+    return (
+        ps.groupBy("l_returnflag")
+        .agg(
+            F.round(q25, 2).alias("w_p25"),
+            F.round(q50, 2).alias("w_p50"),
+            F.round(q75, 2).alias("w_p75"),
+            F.round(q75 - q25, 2).alias("w_iqr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic resampling)
+# ---------------------------------------------------------------------------
+
+# Inverse-CDF thresholds of Poisson(1) scaled to u ∈ [0, 1e6): a row
+# enters resample b with multiplicity k when u lands in bin k. Exact
+# integers, so both engines draw IDENTICAL resamples.
+_POIS = (367879, 735758, 919698, 981011, 996340)
+
+_BOOT_B = 100
+
+_BOOT_SQL = f"""
+WITH draws AS (
+  SELECT o.o_totalprice AS x, t.b,
+         CAST(('0x' || substring(md5(CAST(t.b AS VARCHAR) || ':'
+                || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS u
+  FROM orders o, UNNEST(range(0, {_BOOT_B})) t(b)
+), mult AS (
+  SELECT b, x,
+         CASE WHEN u < {_POIS[0]} THEN 0
+              WHEN u < {_POIS[1]} THEN 1
+              WHEN u < {_POIS[2]} THEN 2
+              WHEN u < {_POIS[3]} THEN 3
+              WHEN u < {_POIS[4]} THEN 4
+              ELSE 5 END AS m
+  FROM draws
+), means AS (
+  SELECT b,
+         CAST(ROUND(SUM(CAST(m * x AS DECIMAL(28,8))), 4) AS DOUBLE)
+           / SUM(m) AS mb
+  FROM mult GROUP BY b HAVING SUM(m) > 0
+), pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 4) AS DOUBLE)
+           / COUNT(o_totalprice) AS point_mean
+  FROM orders
+)
+SELECT pt.n_rows,
+       CAST((SELECT COUNT(*) FROM means) AS BIGINT) AS b_resamples,
+       pt.point_mean AS point_mean,
+       ROUND((SELECT quantile_cont(mb, 0.025) FROM means), 4) AS ci_lo,
+       ROUND((SELECT quantile_cont(mb, 0.975) FROM means), 4) AS ci_hi,
+       ROUND((SELECT SQRT((CAST(SUM(CAST(mb * mb AS DECIMAL(28,8))) AS DOUBLE)
+                  - CAST(SUM(CAST(mb AS DECIMAL(28,8))) AS DOUBLE)
+                    * CAST(SUM(CAST(mb AS DECIMAL(28,8))) AS DOUBLE)
+                    / COUNT(*))
+                 / (COUNT(*) - 1)) FROM means), 6) AS boot_se
+FROM pt
+"""
+
+
+@query("stats_bootstrap_ci", oracle=_BOOT_SQL)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value
+    — the resampling CI that actually distributes: classical
+    bootstrap resamples n-with-replacement (impossible to coordinate
+    across partitions); the Poisson(1) approximation gives every row
+    an INDEPENDENT multiplicity per resample, so the whole B-resample
+    ensemble is one explode + one hash aggregate (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams', Google 2012).
+
+    Fully deterministic & oracle-replayable: multiplicities come from
+    md5(b:orderkey) mod 10⁶ against exact integer Poisson inverse-CDF
+    thresholds (both engines draw identical resamples), per-resample
+    means use the davg decimal contract, the CI is an exact
+    interpolated percentile over the B-row mean frame, and the
+    bootstrap SE runs on decimal-cast moments.
+
+    Scale: B× row multiplication feeds straight into a map-side
+    combined aggregate keyed by resample id — shuffle is B rows of
+    partials per partition, never B× data; B caps the memory of
+    nothing (no per-resample state beyond one sum/count). The input
+    is repartitioned BEFORE the explode: a compact parquet of orders
+    arrives in a handful of splits, and without the fan-out the
+    B×n md5 draws serialize onto those few cores (SCALE.md r4
+    lesson #5; measured 30 s → ~3 s at sf0.1 on local[32])."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    B = _BOOT_B
+    draws = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    ).select(
+        "x",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("u"),
+    )
+    m = (
+        F.when(F.col("u") < _POIS[0], 0)
+        .when(F.col("u") < _POIS[1], 1)
+        .when(F.col("u") < _POIS[2], 2)
+        .when(F.col("u") < _POIS[3], 3)
+        .when(F.col("u") < _POIS[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        draws.select("b", m.alias("m"), "x")
+        .groupBy("b")
+        .agg(
+            F.sum((F.col("m") * F.col("x")).cast("decimal(28,8)")).alias(
+                "sx"
+            ),
+            F.sum("m").alias("sm"),
+        )
+        .filter(F.col("sm") > 0)
+        .select(
+            (
+                F.round(F.col("sx"), 4).cast("double") / F.col("sm")
+            ).alias("mb")
+        )
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 4
+            ).cast("double")
+            / F.count("o_totalprice")
+        ).alias("point_mean"),
+    )
+    stats = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_resamples"),
+        F.round(F.expr("percentile(mb, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(mb, 0.975)"), 4).alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum((F.col("mb") * F.col("mb")).cast("decimal(28,8)"))
+                    .cast("double")
+                    - F.sum(F.col("mb").cast("decimal(28,8)")).cast("double")
+                    * F.sum(F.col("mb").cast("decimal(28,8)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            ),
+            6,
+        ).alias("boot_se"),
+    )
+    return pt.crossJoin(F.broadcast(stats)).select(
+        "n_rows", "b_resamples", "point_mean", "ci_lo", "ci_hi", "boot_se"
+    )

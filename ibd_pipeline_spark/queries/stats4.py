@@ -1303,3 +1303,185 @@ def stats_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         level(30).alias("return_level_30d"),
         level(365).alias("return_level_365d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quade test: blocked rank test weighting blocks by their range (r14)
+# ---------------------------------------------------------------------------
+
+_QUADE_SQL = """
+WITH cell AS (
+  SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS blk,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              ELSE 3 END AS trt,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 6) AS DOUBLE)
+           / COUNT(value) AS m
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        AND value IS NOT NULL
+  GROUP BY 1, 2
+), rk AS (
+  SELECT a.blk, a.trt,
+         CAST(SUM(CASE WHEN b.m < a.m THEN 2 ELSE 1 END) + 1 AS BIGINT)
+           AS r2
+  FROM cell a JOIN cell b ON a.blk = b.blk AND b.m <= a.m
+  GROUP BY a.blk, a.trt
+), brange AS (
+  SELECT blk, MAX(m) - MIN(m) AS rng FROM cell GROUP BY blk
+), bq AS (
+  SELECT a.blk,
+         CAST(SUM(CASE WHEN b.rng < a.rng THEN 2 ELSE 1 END) + 1 AS BIGINT)
+           AS q2
+  FROM brange a JOIN brange b ON b.rng <= a.rng
+  GROUP BY a.blk
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+         CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+  FROM cell
+), s4 AS (
+  SELECT rk.trt, bq.q2 * (rk.r2 - (SELECT k + 1 FROM dims)) AS s4
+  FROM rk JOIN bq ON bq.blk = rk.blk
+), sj AS (
+  SELECT trt, CAST(SUM(s4) AS BIGINT) AS s4j,
+         CAST(SUM(s4 * s4) AS BIGINT) AS s4sq
+  FROM s4 GROUP BY trt
+), agg AS (
+  SELECT CAST(SUM(s4j * s4j) AS BIGINT) AS sum_sj2,
+         CAST(SUM(s4sq) AS BIGINT) AS sum_sbj2
+  FROM sj
+), f AS (
+  SELECT b, k, sum_sj2, sum_sbj2,
+         CAST((b - 1) * sum_sj2 AS DOUBLE)
+           / NULLIF(CAST(b * sum_sbj2 - sum_sj2 AS DOUBLE), 0) AS fstat
+  FROM dims CROSS JOIN agg
+)
+SELECT CAST(b AS INT) AS n_blocks, CAST(k AS INT) AS n_treatments,
+       ROUND(fstat, 6) AS quade_f,
+       ROUND(CASE WHEN k = 3 AND b = 7 AND fstat >= 0 THEN
+           1.0 / (((1.0 + fstat / 6.0) * (1.0 + fstat / 6.0)
+                   * (1.0 + fstat / 6.0))
+                  * ((1.0 + fstat / 6.0) * (1.0 + fstat / 6.0)
+                     * (1.0 + fstat / 6.0)))
+         END, 8) AS p_value
+FROM f
+"""
+
+
+@query("stats_quade_test", oracle=_QUADE_SQL)
+def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test across the ordered funnel treatments within ISO-dow
+    blocks — the blocked rank test that WEIGHTS each block by how much
+    signal it carries (block rank of the cell-mean range), where
+    Friedman weights all blocks equally and Page spends power on a
+    hypothesized ordering. Completes the blocked-rank family
+    (Friedman → Page → Quade).
+
+    Exactness: within-block mid-ranks and block-range mid-ranks both
+    use the doubled-rank integer identity (2·rank = 2·#{<} + #{=} + 1,
+    the r14 Page convention); S_bj = Q_b·(r_bj − (k+1)/2) is carried
+    ×4 as the exact INTEGER q2·(r2 − (k+1)), so Σ S_j² and Σ S_bj²
+    are exact BIGINTs and F = (b−1)·ΣS_j² / (b·ΣS_bj² − ΣS_j²) is ONE
+    double division. The F(2,12) tail at k=3, b=7 has the closed form
+    (1 + F/6)^(−6), evaluated by plain multiplication (no libm pow);
+    other shapes emit NULL rather than a wrong constant.
+
+    Scale: one 21-cell aggregate, broadcast triangular joins over the
+    21-cell and 7-block frames, catalog-sized folds — the
+    stats_friedman_test / stats_page_trend_test shape."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    cell = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).alias("blk"),
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+        .alias("trt"),
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 6).cast(
+                "double"
+            )
+            / F.count("value")
+        ).alias("m")
+    )
+    b2 = cell.select(
+        F.col("blk").alias("blk2"),
+        F.col("trt").alias("trt2"),
+        F.col("m").alias("m2"),
+    )
+    rk = (
+        cell.join(
+            F.broadcast(b2),
+            (F.col("blk") == F.col("blk2")) & (F.col("m2") <= F.col("m")),
+        )
+        .groupBy("blk", "trt")
+        .agg(
+            (
+                F.sum(F.when(F.col("m2") < F.col("m"), 2).otherwise(1))
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    brange = cell.groupBy("blk").agg(
+        (F.max("m") - F.min("m")).alias("rng")
+    )
+    br2 = brange.select(
+        F.col("blk").alias("blkb"), F.col("rng").alias("rng2")
+    )
+    bq = (
+        brange.join(F.broadcast(br2), F.col("rng2") <= F.col("rng"))
+        .groupBy("blk")
+        .agg(
+            (
+                F.sum(F.when(F.col("rng2") < F.col("rng"), 2).otherwise(1))
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("q2")
+        )
+    )
+    dims = cell.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.countDistinct("trt").cast("bigint").alias("k"),
+    )
+    s4 = (
+        rk.join(bq.withColumnRenamed("blk", "blkq"), F.col("blkq") == F.col("blk"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "trt",
+            "b",
+            "k",
+            (F.col("q2") * (F.col("r2") - (F.col("k") + 1))).alias("s4"),
+        )
+    )
+    sj = s4.groupBy("trt", "b", "k").agg(
+        F.sum("s4").cast("bigint").alias("s4j"),
+        F.sum(F.col("s4") * F.col("s4")).cast("bigint").alias("s4sq"),
+    )
+    agg = sj.groupBy("b", "k").agg(
+        F.sum(F.col("s4j") * F.col("s4j")).cast("bigint").alias("sum_sj2"),
+        F.sum("s4sq").cast("bigint").alias("sum_sbj2"),
+    )
+    denom = (F.col("b") * F.col("sum_sbj2") - F.col("sum_sj2")).cast(
+        "double"
+    )
+    fstat = ((F.col("b") - 1) * F.col("sum_sj2")).cast("double") / F.when(
+        denom != 0, denom
+    )
+    t = F.lit(1.0) + fstat / F.lit(6.0)
+    t3 = t * t * t
+    return agg.select(
+        F.col("b").cast("int").alias("n_blocks"),
+        F.col("k").cast("int").alias("n_treatments"),
+        F.round(fstat, 6).alias("quade_f"),
+        F.round(
+            F.when(
+                (F.col("k") == 3) & (F.col("b") == 7) & (fstat >= 0),
+                F.lit(1.0) / (t3 * t3),
+            ),
+            8,
+        ).alias("p_value"),
+    )

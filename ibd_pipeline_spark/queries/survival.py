@@ -377,3 +377,173 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-F.col("cum_ht").cast("double")), 6).alias("na_survival"),
         F.round(F.col("cum_vt").cast("double"), 8).alias("hazard_var"),
     ).orderBy("dur")
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival estimator (user lifetime with right-censoring)
+# ---------------------------------------------------------------------------
+
+_KM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+           AS conv_ts
+  FROM events GROUP BY user_id
+), lif AS (
+  SELECT CAST(datediff('day', CAST(first_ts AS DATE),
+                       CAST(COALESCE(conv_ts, last_ts) AS DATE))
+              AS BIGINT) AS dur,
+         conv_ts IS NULL AS censored
+  FROM u
+), d AS (
+  SELECT dur,
+         CAST(COUNT(*) FILTER (NOT censored) AS BIGINT) AS d_events,
+         CAST(COUNT(*) FILTER (censored) AS BIGINT) AS c_censored
+  FROM lif GROUP BY dur
+), k AS (
+  SELECT dur, d_events, c_censored,
+         (SELECT SUM(d_events + c_censored) FROM d)
+           - COALESCE(SUM(d_events + c_censored) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM d
+), s AS (
+  SELECT dur, d_events, c_censored, CAST(n_risk AS BIGINT) AS n_risk,
+         SUM(CASE WHEN d_events < n_risk THEN
+               CAST(ROUND(ln(1.0 - CAST(d_events AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)), 8)
+                    AS DECIMAL(28,8))
+             ELSE NULL END) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ln_cum,
+         MAX(CASE WHEN d_events >= n_risk THEN dur END) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dead_at
+  FROM k
+)
+SELECT dur, d_events, c_censored, n_risk,
+       CASE WHEN dead_at IS NOT NULL THEN 0.0
+            ELSE ROUND(EXP(CAST(COALESCE(ln_cum, 0) AS DOUBLE)), 6)
+       END AS survival
+FROM s
+ORDER BY dur
+"""
+
+
+@query("stats_kaplan_meier", oracle=_KM_SQL)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion survival curve: the "event" is
+    a user's FIRST PURCHASE, measured in days from their first
+    activity; users who never purchase are right-censored at their
+    last observed activity — the product-limit estimator conversion/
+    churn analysis runs: S(t) = Π_{s≤t} (1 − d_s/n_s) over event
+    times, censored users leaving the risk set without a death.
+    (r11: the event was previously "last observed event", which on
+    this synthetic corpus censored EVERY user — survival ≡ 1.0, a
+    correct but dead readout; conversion gives the curve real drops.)
+
+    Cross-engine determinism: deaths/censorings/at-risk are exact
+    integers; each factor enters as ln(1 − d/n) ROUNDED TO 8 DP AND
+    CAST TO DECIMAL, so the running product is an exact decimal sum
+    (order-independent) with one exp at the output. The d = n
+    extinction row (and everything after) is pinned to exactly 0.0
+    rather than exp(−inf).
+
+    Scale: user-lifetime aggregation is one user_id shuffle; the
+    duration frame is DAY-SPAN-bounded (≤ dataset days — the
+    plan-audit allow-list bound), so its cumulative windows run over
+    ≤ ~10³ rows of aggregate, never data."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts"),
+    )
+    lif = u.select(
+        F.datediff(
+            F.to_date(F.coalesce("conv_ts", "last_ts")),
+            F.to_date("first_ts"),
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.col("conv_ts").isNull().alias("censored"),
+    )
+    d = lif.groupBy("dur").agg(
+        F.count(F.when(~F.col("censored"), 1)).alias("d_events"),
+        F.count(F.when(F.col("censored"), 1)).alias("c_censored"),
+    )
+    tot = d.agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).alias("n_total")
+    )
+    # r11: all three prefix quantities (exclusive risk-set cumsum, the
+    # ln-factor running sum, the extinction-day running max) ride the
+    # block-stitched helpers over the integer duration spine — no
+    # unpartitioned window (previously the last allow-list day-grain
+    # entry beside interpolate).
+    from ibd_pipeline_spark.operators.calendar import (
+        month_stitched_cumsum,
+        month_stitched_running_extreme,
+    )
+
+    blk = F.floor(F.col("dur") / 32)
+    cum = month_stitched_cumsum(
+        d.withColumn("dc", F.col("d_events") + F.col("c_censored")),
+        "dur",
+        ["dc"],
+        block=blk,
+    )
+    k = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", F.col("n_total") - F.col("cum_dc") + F.col("dc")
+    )
+    ln_factor = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_events").cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            8,
+        ).cast("decimal(28,8)"),
+    )
+    base = k.select(
+        "dur",
+        F.col("d_events").cast("bigint").alias("d_events"),
+        F.col("c_censored").cast("bigint").alias("c_censored"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        ln_factor.alias("lnf"),
+        F.when(F.col("d_events") >= F.col("n_risk"), F.col("dur")).alias(
+            "dead_dur"
+        ),
+    )
+    # sum-over-window is NULL until the first non-null; the stitch adds
+    # a 0 offset instead — immaterial here because the output already
+    # coalesces ln_cum to 0 (exp(0) = 1 before any event).
+    s = month_stitched_cumsum(base, "dur", ["lnf"], block=blk)
+    s = month_stitched_running_extreme(
+        s, "dur", "dead_dur", "dead_at", kind="max", block=blk
+    )
+    return s.select(
+        "dur",
+        "d_events",
+        "c_censored",
+        "n_risk",
+        F.when(F.col("dead_at").isNotNull(), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.coalesce(F.col("cum_lnf"), F.lit(0)).cast("double")), 6
+            )
+        )
+        .alias("survival"),
+    ).orderBy("dur")

@@ -10,7 +10,7 @@ sides are deterministic arithmetic.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 
 from ibd_pipeline_spark.catalog import load, load_wide
 from ibd_pipeline_spark.operators import text as T
@@ -1113,4 +1113,531 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "phrase")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per source (log-odds keyness)
+# ---------------------------------------------------------------------------
+
+_KEYNESS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+), filt AS (
+  SELECT source, w FROM tok WHERE len(w) >= 3
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM filt GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM filt GROUP BY 1
+), gw AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cg FROM filt GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM filt
+), scored AS (
+  SELECT sw.source, sw.w, sw.c,
+         ln((sw.c + 1.0) / (st.n - sw.c + 1.0))
+         - ln((gw.cg - sw.c + 1.0) / (tot.nn - st.n - (gw.cg - sw.c) + 1.0))
+           AS lo
+  FROM sw JOIN st ON st.source = sw.source
+  JOIN gw ON gw.w = sw.w
+  CROSS JOIN tot
+), ranked AS (
+  SELECT source, w, c, lo,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY lo DESC, w) AS rk
+  FROM scored
+)
+SELECT source, w AS term, c AS n_occurrences, ROUND(lo, 6) AS log_odds
+FROM ranked WHERE rk <= 3
+ORDER BY source, log_odds DESC, term
+"""
+
+
+@query("text_distinctive_terms", oracle=_KEYNESS_SQL)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source by smoothed log-odds keyness:
+    for each (source, token), ln of the add-one-smoothed odds of the
+    token INSIDE the source against its odds in the REST of the
+    corpus — the corpus-comparison statistic ('what vocabulary makes
+    this source itself') behind source fingerprinting, crawl-quality
+    triage, and mixture-audit dashboards; tf-idf ranks within a
+    document, keyness ranks a SOURCE against the rest. Top-3 terms
+    per source.
+
+    Exactness: every count is an exact BIGINT from two hash
+    aggregates; the log-odds is the same IEEE double expression on
+    both engines (identical parenthesization), ranked under a
+    (lo DESC, token) total order and rounded only at the output.
+
+    Scale: token work is one explode + (source, token) hash
+    aggregate (map-side combined, shuffle O(vocab×sources) — never
+    O(tokens)); the global-term and per-source totals re-join
+    broadcast; the rank window runs per source over its vocab-sized
+    slice."""
+    from pyspark.sql import Window
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .filter(F.length("w") >= 3)
+    )
+    sw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    gw = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+    tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    lo = F.log((F.col("c") + 1.0) / (F.col("n") - F.col("c") + 1.0)) - F.log(
+        (F.col("cg") - F.col("c") + 1.0)
+        / (F.col("nn") - F.col("n") - (F.col("cg") - F.col("c")) + 1.0)
+    )
+    scored = (
+        sw.join(F.broadcast(st), "source")
+        .join(gw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "w", "c", lo.alias("lo"))
+    )
+    rk = Window.partitionBy("source").orderBy(F.desc("lo"), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("c").alias("n_occurrences"),
+            F.round("lo", 6).alias("log_odds"),
+        )
+        .orderBy("source", F.desc("log_odds"), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# PMI collocations (pointwise mutual information over adjacent pairs)
+# ---------------------------------------------------------------------------
+
+_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT w[i] AS left_tok, w[i + 1] AS right_tok
+  FROM toks, UNNEST(range(1, len(w))) t(i)
+), c AS (
+  SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM pairs GROUP BY 1, 2
+), m AS (
+  SELECT left_tok, right_tok, n_pair,
+         SUM(n_pair) OVER (PARTITION BY left_tok) AS n_left,
+         SUM(n_pair) OVER (PARTITION BY right_tok) AS n_right,
+         SUM(n_pair) OVER () AS n_total
+  FROM c
+)
+SELECT left_tok, right_tok, n_pair,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       ROUND(ln(CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)
+                / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))), 6)
+         AS pmi
+FROM m
+WHERE n_pair >= 20 AND n_pair * n_total > n_left * n_right
+ORDER BY left_tok, right_tok
+"""
+
+
+@query("text_pmi_collocations", oracle=_PMI_SQL)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token pairs: PMI(a,b) = ln(c(a,b)·N / (c(a,·)·c(·,b))) — the
+    classic 'which word pairs co-occur more than chance' readout a
+    corpus-curation pipeline runs to find multiword expressions worth
+    protecting from tokenization.
+
+    The selection gate is EXACT INTEGER algebra — support c(a,b) ≥ 20
+    and positive PMI as the cross-multiplied c·N > c_l·c_r — so the
+    result-set boundary never depends on a float comparison; the PMI
+    value itself is one ln on identical doubles, rounded at output.
+    Output ordered by the pair, not by the float.
+
+    Scale: pairs explode into a map-side-combined hash aggregate
+    (shuffle = distinct pair space, Zipf-small); margins are two
+    pair-frame windows PARTITIONED by token (vocab-sized groups) plus
+    a broadcast total."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    c = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    nl = c.groupBy("left_tok").agg(F.sum("n_pair").alias("n_left"))
+    nr = c.groupBy("right_tok").agg(F.sum("n_pair").alias("n_right"))
+    nt = c.agg(F.sum("n_pair").alias("n_total"))
+    m = (
+        c.join(F.broadcast(nl), "left_tok")
+        .join(F.broadcast(nr), "right_tok")
+        .crossJoin(F.broadcast(nt))
+    )
+    pmi = F.log(
+        F.col("n_pair").cast("double")
+        * F.col("n_total").cast("double")
+        / (F.col("n_left").cast("double") * F.col("n_right").cast("double"))
+    )
+    return (
+        m.filter(
+            (F.col("n_pair") >= 20)
+            & (
+                F.col("n_pair") * F.col("n_total")
+                > F.col("n_left") * F.col("n_right")
+            )
+        )
+        .select(
+            "left_tok",
+            "right_tok",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy("left_tok", "right_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence between source vocabularies
+# ---------------------------------------------------------------------------
+
+_JS_SQL = """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents WHERE source IN ('src0', 'src1')
+), c AS (
+  SELECT tok,
+         CAST(COUNT(*) FILTER (source = 'src0') AS BIGINT) AS c1,
+         CAST(COUNT(*) FILTER (source = 'src1') AS BIGINT) AS c2
+  FROM toks GROUP BY tok
+), n AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+         COUNT(*) AS vocab,
+         COUNT(*) FILTER (c1 > 0 AND c2 > 0) AS vocab_shared
+  FROM c
+), terms AS (
+  SELECT
+    CASE WHEN c.c1 > 0 THEN
+      CAST(c.c1 AS DOUBLE) / CAST(n.n1 AS DOUBLE)
+      * ln((2.0 * CAST(c.c1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
+           / (CAST(c.c1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+              + CAST(c.c2 AS DOUBLE) * CAST(n.n1 AS DOUBLE)))
+    ELSE 0.0 END AS pterm,
+    CASE WHEN c.c2 > 0 THEN
+      CAST(c.c2 AS DOUBLE) / CAST(n.n2 AS DOUBLE)
+      * ln((2.0 * CAST(c.c2 AS DOUBLE) * CAST(n.n1 AS DOUBLE))
+           / (CAST(c.c1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+              + CAST(c.c2 AS DOUBLE) * CAST(n.n1 AS DOUBLE)))
+    ELSE 0.0 END AS qterm
+  FROM c CROSS JOIN n
+)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(n.vocab AS BIGINT) AS vocab,
+       CAST(n.vocab_shared AS BIGINT) AS vocab_shared,
+       (SELECT CAST(ROUND(SUM(CAST(0.5 * pterm + 0.5 * qterm
+                AS DECIMAL(28,8))), 6) AS DOUBLE) FROM terms) AS js_nats
+FROM n
+"""
+
+
+@query("text_jensen_shannon_sources", oracle=_JS_SQL)
+def text_jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram vocabularies of
+    two corpus sources (src0 vs src1) — the symmetric, bounded [0, ln2]
+    distribution distance a mixture-curation pipeline uses to measure
+    how different two ingest feeds actually are (KL is undefined the
+    moment one source lacks a word; JS never is).
+
+    Per-token terms use the cross-multiplied form
+    p·ln(2·c1·n2 / (c1·n2 + c2·n1)) so every ln argument is a ratio of
+    exact integers — one ln per (token, side), identical double chains
+    in both engines, decimal-cast before the order-independent sum.
+
+    Scale: one token-explode into a vocab-sized hash aggregate; the
+    term fold runs on the vocab frame with a broadcast 1-row total."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c1"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.count(F.when((F.col("c1") > 0) & (F.col("c2") > 0), 1)).alias(
+            "vocab_shared"
+        ),
+    )
+    t = c.crossJoin(F.broadcast(n))
+    c1d, c2d = F.col("c1").cast("double"), F.col("c2").cast("double")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    denom = c1d * n2d + c2d * n1d
+    pterm = F.when(
+        F.col("c1") > 0,
+        c1d / n1d * F.log(F.lit(2.0) * c1d * n2d / denom),
+    ).otherwise(F.lit(0.0))
+    qterm = F.when(
+        F.col("c2") > 0,
+        c2d / n2d * F.log(F.lit(2.0) * c2d * n1d / denom),
+    ).otherwise(F.lit(0.0))
+    return t.groupBy("n1", "n2", "vocab", "vocab_shared").agg(
+        F.round(
+            F.sum((F.lit(0.5) * pterm + F.lit(0.5) * qterm).cast("decimal(28,8)")),
+            6,
+        )
+        .cast("double")
+        .alias("js_nats"),
+    ).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("vocab_shared").cast("bigint").alias("vocab_shared"),
+        "js_nats",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mendenhall word-length characteristic curve (r14)
+# ---------------------------------------------------------------------------
+
+_MENDENHALL_SQL = """
+WITH w AS (
+  SELECT source, LEAST(CAST(strlen(u.tok) AS BIGINT), 13) AS wlen
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+  WHERE strlen(u.tok) > 0
+), per AS (
+  SELECT source, wlen, CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM w GROUP BY source, wlen
+), tot AS (
+  SELECT source, CAST(SUM(n_words) AS BIGINT) AS src_words FROM per
+  GROUP BY source
+)
+SELECT p.source, p.wlen, p.n_words,
+       ROUND(CAST(p.n_words AS DOUBLE) / t.src_words, 6) AS share
+FROM per p JOIN tot t ON t.source = p.source
+ORDER BY p.source, p.wlen
+"""
+
+
+@query("text_mendenhall_word_length", oracle=_MENDENHALL_SQL)
+def text_mendenhall_word_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mendenhall's characteristic curve: the word-length spectrum per
+    source (lengths capped at 13+ — the classic stylometry fingerprint
+    from 1887, still the cheapest authorship/provenance screen a text
+    pipeline runs; a source whose curve shifts between snapshots
+    changed register, language mix, or generator). Counts are exact
+    integers over the registry's single-space tokenizer; the share is
+    one integer/integer division.
+
+    Scale: one explode + map-side-combined groupBy on (source,
+    length) — 13·|sources| output rows regardless of corpus size; the
+    per-source totals join broadcasts."""
+    d = load_wide(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    per = w.groupBy(
+        "source",
+        F.least(F.length("tok").cast("bigint"), F.lit(13)).alias("wlen"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_words"))
+    tot = per.groupBy("source").agg(
+        F.sum("n_words").cast("bigint").alias("src_words")
+    )
+    return (
+        per.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "wlen",
+            "n_words",
+            F.round(
+                F.col("n_words").cast("double") / F.col("src_words"), 6
+            ).alias("share"),
+        )
+        .orderBy("source", "wlen")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources (r14)
+# ---------------------------------------------------------------------------
+
+_BURROWS_TOPW = 20
+
+_BURROWS_SQL = f"""
+WITH w AS (
+  SELECT source, u.tok
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+  WHERE strlen(u.tok) > 0
+), topw AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY tok
+    ORDER BY c DESC, tok LIMIT {_BURROWS_TOPW}
+  )
+), stot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS toks FROM w GROUP BY source
+), f AS (
+  SELECT s.source, t.tok,
+         CAST(COALESCE(c.cnt, 0) * 1000000000 AS BIGINT) // s.toks AS f9
+  FROM stot s CROSS JOIN topw t
+  LEFT JOIN (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM w GROUP BY source, tok) c
+    ON c.source = s.source AND c.tok = t.tok
+), mom AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS ns,
+         CAST(SUM(f9) AS BIGINT) AS sf,
+         CAST(SUM(f9 * f9) AS BIGINT) AS sf2
+  FROM f GROUP BY tok
+), z AS (
+  SELECT f.source, f.tok,
+         (CAST(f.f9 AS DOUBLE) - CAST(m.sf AS DOUBLE) / m.ns)
+         / NULLIF(sqrt((CAST(m.ns AS DOUBLE) * m.sf2
+                        - CAST(m.sf AS DOUBLE) * m.sf)
+                       / (CAST(m.ns AS DOUBLE) * m.ns)), 0) AS zv
+  FROM f JOIN mom m ON m.tok = f.tok
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(ROUND(ABS(COALESCE(a.zv, 0) - COALESCE(b.zv, 0)), 9)
+              AS DECIMAL(28,9)) AS term
+  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+)
+SELECT source_a, source_b,
+       ROUND(CAST(SUM(term) AS DOUBLE) / {_BURROWS_TOPW}, 6)
+         AS burrows_delta
+FROM pairs GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("text_burrows_delta", oracle=_BURROWS_SQL)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (2002) — the standard stylometric distance
+    between sources: z-score each source's relative frequency of the
+    corpus's top-20 words (mean/std taken ACROSS
+    sources, the Delta convention), then Δ(a,b) = mean |z_a − z_b|.
+    The provenance screen that catches a corpus slice whose
+    function-word profile doesn't match its label (different author
+    pool, machine translation, template boilerplate).
+
+    Exactness: relative frequencies are carried as the exact integer
+    f9 = (count·10⁹) DIV source_tokens (integer floor division —
+    identical both engines); cross-source moments are exact BIGINTs;
+    z and the |z_a − z_b| terms are plain double algebra on identical
+    inputs, ROUND→DECIMAL-quantized before the 20-term sum so the
+    cross-engine aggregate is order-independent; one division at
+    output. A zero-variance word (same f9 in every source)
+    contributes 0 via the NULLIF/COALESCE guard on both sides.
+
+    Scale: one wordcount shuffle + a |sources|×20 frame; everything
+    after the two groupBys is catalog-sized. Pair join is
+    |sources|² / 2 rows."""
+    d = load_wide(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    topw = (
+        w.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_BURROWS_TOPW)
+        .select("tok")
+    )
+    stot = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("toks")
+    )
+    cnt = w.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    f = (
+        stot.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr(
+                "CAST(coalesce(cnt, 0) * 1000000000 AS BIGINT)"
+                " DIV toks"
+            ).alias("f9"),
+        )
+    )
+    mom = f.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("f9").cast("bigint").alias("sf"),
+        F.sum(F.col("f9") * F.col("f9")).cast("bigint").alias("sf2"),
+    )
+    nsd = F.col("ns").cast("double")
+    sd = F.sqrt(
+        (nsd * F.col("sf2") - F.col("sf").cast("double") * F.col("sf"))
+        / (nsd * F.col("ns"))
+    )
+    z = f.join(F.broadcast(mom), "tok").select(
+        "source",
+        "tok",
+        (
+            (F.col("f9").cast("double") - F.col("sf").cast("double") / F.col("ns"))
+            / F.when(sd != 0, sd)
+        ).alias("zv"),
+    )
+    za = z.select(
+        F.col("source").alias("source_a"), "tok", F.col("zv").alias("zva")
+    )
+    zb = z.select(
+        F.col("source").alias("source_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("zv").alias("zvb"),
+    )
+    pairs = za.join(
+        F.broadcast(zb),
+        (F.col("source_a") < F.col("source_b"))
+        & (F.col("tok") == F.col("tok_b")),
+    ).select(
+        "source_a",
+        "source_b",
+        F.round(
+            F.abs(
+                F.coalesce(F.col("zva"), F.lit(0.0))
+                - F.coalesce(F.col("zvb"), F.lit(0.0))
+            ),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("term"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum("term").cast("double") / F.lit(_BURROWS_TOPW), 6
+            ).alias("burrows_delta")
+        )
+        .orderBy("source_a", "source_b")
     )

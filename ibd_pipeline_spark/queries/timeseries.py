@@ -388,3 +388,112 @@ def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("day_avg", 4).alias("day_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of daily volume (seasonality fingerprint)
+# ---------------------------------------------------------------------------
+
+_ACF_SQL = """
+WITH dd AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), muc AS (
+  SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dd
+), denc AS (
+  SELECT CAST(SUM(CAST((CAST(dd.x AS DOUBLE) - muc.mu)
+                       * (CAST(dd.x AS DOUBLE) - muc.mu) AS DECIMAL(28,8)))
+              AS DOUBLE) AS den
+  FROM dd CROSS JOIN muc
+), numc AS (
+  SELECT t.k AS lag_k,
+         CAST(SUM(CAST((CAST(a.x AS DOUBLE) - muc.mu)
+                       * (CAST(b.x AS DOUBLE) - muc.mu) AS DECIMAL(28,8)))
+              AS DOUBLE) AS num,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM UNNEST(range(1, 8)) t(k)
+  JOIN dd a ON TRUE JOIN dd b ON b.di = a.di + t.k CROSS JOIN muc
+  GROUP BY t.k
+)
+SELECT CAST(numc.lag_k AS BIGINT) AS lag_k, numc.n_pairs,
+       (SELECT n_days FROM muc) AS n_days,
+       ROUND(numc.num / (SELECT den FROM denc), 6) AS acf
+FROM numc
+ORDER BY lag_k
+"""
+
+
+@query("stats_autocorrelation_daily", oracle=_ACF_SQL)
+def stats_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event volume at lags 1–7 —
+    the seasonality fingerprint behind the monitoring family: a
+    spike at lag 7 confirms the weekly cycle events_seasonal_decompose
+    removes; near-zero everywhere says the seasonal-naive backtest
+    baseline is as good as it gets.
+
+    ACF_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² over the day-grain
+    frame, with a LAG SPINE JOIN (explode k∈1..7, equi-join on
+    day+k) instead of a LAG window — no unpartitioned window, and
+    gap days pair by CALENDAR distance (a row-LAG silently stretches
+    across gaps; the r8 forecast-backtest lesson). Counts are exact
+    integers; x̄ and every deviation product are identical double
+    chains, decimal-cast before the order-independent sums.
+
+    Scale: the corpus-sized work is one day-grain count aggregate;
+    the spine join runs on (days × 7) rows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.unix_date(F.to_date(F.date_trunc("day", "ts"))).alias("di")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mu = d.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    dm = d.crossJoin(F.broadcast(mu))
+    den = dm.agg(
+        F.sum(
+            (
+                (F.col("x").cast("double") - F.col("mu"))
+                * (F.col("x").cast("double") - F.col("mu"))
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("den")
+    )
+    ks = ev.sparkSession.range(1, 8).select(F.col("id").alias("lag_k"))
+    b = d.select(F.col("di").alias("dib"), F.col("x").alias("xb"))
+    pairs = dm.crossJoin(F.broadcast(ks)).join(
+        b, F.col("dib") == F.col("di") + F.col("lag_k")
+    )
+    num = pairs.groupBy("lag_k").agg(
+        F.sum(
+            (
+                (F.col("x").cast("double") - F.col("mu"))
+                * (F.col("xb").cast("double") - F.col("mu"))
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.max("n_days").alias("n_days"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag_k").cast("bigint").alias("lag_k"),
+            "n_pairs",
+            "n_days",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("lag_k")
+    )

@@ -1080,3 +1080,223 @@ def sample_consistent_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.crossJoin(F.broadcast(common)).withColumn(
         "consistent", F.col("n_flag_mismatch") == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round8.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (distribution matching)
+# ---------------------------------------------------------------------------
+
+_QNORM_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+), g AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rs,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM d
+), gl AS (
+  SELECT n_chars AS norm,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grn
+  FROM d
+), n AS (
+  SELECT COUNT(*) AS nn FROM d
+), t AS (
+  SELECT g.source, g.n_chars,
+         ((2 * g.rs - 1) * n.nn + 2 * g.ns - 1) // (2 * g.ns) AS gt
+  FROM g, n
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(t.n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+       ROUND(CAST(SUM(gl.norm) AS DOUBLE) / COUNT(*), 4) AS mean_norm
+FROM t JOIN gl ON gl.grn = t.gt
+GROUP BY t.source ORDER BY t.source
+"""
+
+
+@query("train_quantile_normalize", oracle=_QNORM_SQL)
+def train_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization — distribution matching
+    for batch-effect correction: each document's length is replaced
+    by the POOLED order statistic at its within-source midpoint
+    quantile (global rank = ceil((2·rs−1)·N / (2·ns)), all integer),
+    so every source ends up with the same length distribution while
+    preserving within-source ranking. The preprocessing step before
+    cross-source quality comparisons or mixing-weight decisions when
+    sources measure 'length/quality' on different scales (the
+    microarray quantile-normalization idea applied to corpus stats).
+    Output: per source, mean length before and after — after, the
+    means converge toward the pooled mean by construction.
+
+    Both ranks come from operators/ranking.py: the within-source
+    rank from with_grouped_row_number (one grouped range shuffle,
+    oversized sources split across tasks), the pooled order
+    statistics from with_global_row_number — never a
+    single-partition window. The rank→value lookup is an equi-join
+    on integer ranks. All rank math is BIGINT; the only doubles are
+    the two output means (exact integer sums divided once).
+
+    Scale: two range exchanges + one integer equi-join — the same
+    budget as two global sorts, nothing single-task."""
+    from ibd_pipeline_spark.operators.ranking import (
+        with_global_row_number,
+        with_grouped_row_number,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = with_grouped_row_number(
+        d, ["source"], ["n_chars", "doc_id"], rn_col="rs", total_col="ns"
+    )
+    gl = with_global_row_number(
+        d, ["n_chars", "doc_id"], rn_col="grn", total_col="nn"
+    ).select(F.col("grn"), F.col("n_chars").alias("norm"))
+    nrow = d.agg(F.count(F.lit(1)).alias("nn"))
+    t = (
+        g.crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "gt",
+            F.expr("((2*rs - 1) * nn + 2*ns - 1) div (2*ns)").cast("long"),
+        )
+        .select("source", "n_chars", "gt")
+    )
+    return (
+        t.join(gl, t["gt"] == gl["grn"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_raw"),
+            F.round(
+                F.sum("norm").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_norm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# (moved from round9.py in the r14 chronological->topic split;
+# registry names, semantics, and oracles unchanged)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_SQL = """
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_h,
+         SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n_h AS DOUBLE)) / CAST(n_h - 1 AS DOUBLE)) AS sigma
+  FROM s
+), t AS (
+  SELECT source, n_h, sigma, CAST(n_h AS DOUBLE) * sigma AS wt,
+         CAST((SELECT CAST(SUM(CAST(CAST(n_h AS DOUBLE) * sigma
+                 AS DECIMAL(28,8))) AS DOUBLE) FROM w) AS DOUBLE) AS wt_total
+  FROM w
+), a AS (
+  SELECT source, n_h, sigma, 1000.0 * wt / wt_total AS n_real,
+         CAST(FLOOR(1000.0 * wt / wt_total) AS BIGINT) AS n_floor,
+         1000.0 * wt / wt_total - FLOOR(1000.0 * wt / wt_total) AS rem
+  FROM t
+), r AS (
+  SELECT source, n_h, sigma, n_floor, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+         CAST(1000 - (SELECT SUM(n_floor) FROM a) AS BIGINT) AS leftover
+  FROM a
+)
+SELECT source, n_h, ROUND(sigma, 6) AS sigma_chars,
+       n_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS n_alloc
+FROM r
+ORDER BY source
+"""
+
+
+@query("train_neyman_allocation", oracle=_NEYMAN_SQL)
+def train_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation over document
+    sources for a 1000-document budget: n_h ∝ N_h·σ_h (strata that are
+    bigger OR more variable in length get more samples — the
+    minimum-variance allocation for estimating corpus means), floored
+    and topped up by largest remainder so the allocation sums to
+    exactly 1000.
+
+    Determinism: per-stratum moments (Σx, Σx²) are exact BIGINTs;
+    σ_h is one IEEE sqrt on identical doubles; the weight total sums
+    decimal-cast terms (order-independent); every later quotient/floor
+    runs on bit-identical doubles, so n_alloc is the same exact
+    integer in both engines; the largest-remainder rank breaks float
+    ties by source name.
+
+    Scale: one map-side-combined moment aggregate (stratum-count
+    keys); the allocation math runs on the stratum frame — the one
+    unpartitioned rank window is one row per source (plan-audit
+    allow-list bound)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("n_h").cast("double")
+        )
+        / (F.col("n_h") - 1).cast("double")
+    )
+    w = s.select(
+        "source", "n_h", sigma.alias("sigma"),
+        (F.col("n_h").cast("double") * sigma).alias("wt"),
+    )
+    wt_total = w.agg(
+        F.sum(F.col("wt").cast("decimal(28,8)")).cast("double").alias(
+            "wt_total"
+        )
+    )
+    a = w.crossJoin(F.broadcast(wt_total)).select(
+        "source",
+        "n_h",
+        "sigma",
+        (F.lit(1000.0) * F.col("wt") / F.col("wt_total")).alias("n_real"),
+    )
+    a = a.select(
+        "source",
+        "n_h",
+        "sigma",
+        F.floor("n_real").cast("bigint").alias("n_floor"),
+        (F.col("n_real") - F.floor("n_real")).alias("rem"),
+    )
+    left = a.agg((F.lit(1000) - F.sum("n_floor")).alias("leftover"))
+    w_rk = Window.orderBy(F.col("rem").desc(), "source")
+    r = a.crossJoin(F.broadcast(left)).select(
+        "source",
+        F.col("n_h").cast("bigint").alias("n_h"),
+        F.round("sigma", 6).alias("sigma_chars"),
+        (
+            F.col("n_floor")
+            + F.when(
+                F.row_number().over(w_rk) <= F.col("leftover"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    return r.orderBy("source")

@@ -119,3 +119,40 @@ def test_page_trend_midranks_on_planted_ties(spark, tmp_path):
     d_got = dict(zip(cols, d_row))
     for k in ("n_blocks", "n_treatments", "page_l", "z_stat", "p_one_sided"):
         assert got[k] == d_got[k], (k, got[k], d_got[k])
+
+
+def test_luhn_card_audit_planted(spark, tmp_path):
+    """Plant one Luhn-VALID card number, one single-digit-off invalid
+    sibling, a short digit run (no candidate), and an 11-digit number
+    (below the 13-digit floor) — Spark and the DuckDB oracle must
+    agree with NONZERO counts, and only the valid number may count."""
+    from ibd_pipeline_spark.queries import all_oracles, all_queries
+
+    rows = [
+        (1, "pay 4532015112830366 today", "en", "web", 25),
+        (2, "typo 4532015112830367 here", "en", "web", 25),
+        (3, "order 12345 is short", "en", "crawl", 20),
+        (4, "phone 79927398713 is 11 digits", "en", "crawl", 30),
+        (5, "amex 371449635398431 works", "en", "web", 26),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    tmp_sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{tmp_sf}/documents.parquet")
+
+    q = all_queries()["quality_luhn_card_audit"]
+    sdf = q(spark, tmp_sf)
+    s_rows = {tuple(r) for r in sdf.collect()}
+    cols, d_rows = _oracle_on(tmp_sf, all_oracles()["quality_luhn_card_audit"])
+    assert sorted(sdf.columns) == sorted(cols)
+    assert s_rows == {tuple(r) for r in d_rows}
+
+    by_src = {r[0]: dict(zip(sdf.columns, r)) for r in s_rows}
+    # web: 3 candidates (16,16,15 digits), 2 Luhn-valid (visa + amex)
+    assert by_src["web"]["n_candidates"] == 3
+    assert by_src["web"]["n_luhn_valid"] == 2
+    assert by_src["web"]["docs_with_valid"] == 2
+    # crawl: no 13-16 digit run at all
+    assert by_src["crawl"]["n_candidates"] == 0
+    assert by_src["crawl"]["n_luhn_valid"] == 0
