@@ -245,6 +245,9 @@ _ROUND14_NEW: list[str] = [
     "text_mendenhall_word_length",
     "text_burrows_delta",
     "quality_luhn_card_audit",
+    "stats_dunn_posthoc",
+    "dedup_lsh_band_planning",
+    "similarity_ivf_recall_curve",
 ]
 
 _ROUND13_PRIORITY: list[str] = []

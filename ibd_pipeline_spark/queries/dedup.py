@@ -2075,3 +2075,260 @@ def dedup_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_agree") >= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-configuration planning from the observed J-histogram (r14)
+# ---------------------------------------------------------------------------
+
+# (bands, rows) configurations spending the same 32-hash signature
+# budget as the deployed 8x4 banding; the s-curve threshold
+# (1/b)^(1/r) is a CONFIG constant, computed here once in Python and
+# shipped as a literal (no fractional pow in either engine).
+_BAND_CONFIGS = [(4, 8), (8, 4), (16, 2), (32, 1)]
+_BAND_THRESH = {(b, r): round((1.0 / b) ** (1.0 / r), 6) for b, r in _BAND_CONFIGS}
+
+
+def _band_planning_oracle() -> str:
+    def p_expr(b: int, r: int) -> str:
+        # s^r and (1-s^r)^b by repeated squaring — plain multiplication
+        sr = "s"
+        k = 1
+        while k * 2 <= r:
+            sr = f"({sr} * {sr})"
+            k *= 2
+        while k < r:
+            sr = f"({sr} * s)"
+            k += 1
+        t = f"(1.0 - {sr})"
+        tb = t
+        k = 1
+        while k * 2 <= b:
+            tb = f"({tb} * {tb})"
+            k *= 2
+        while k < b:
+            tb = f"({tb} * {t})"
+            k += 1
+        return f"(1.0 - {tb})"
+
+    cols = ",\n         ".join(
+        f"CAST(ROUND({p_expr(b, r)}, 9) AS DECIMAL(28,9)) AS p_{b}_{r}"
+        for b, r in _BAND_CONFIGS
+    )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band, "
+        f"CAST({_BAND_THRESH[(b, r)]} AS DOUBLE) AS s_curve_threshold, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs, "
+        f"ROUND(CAST((SELECT SUM(p_{b}_{r}) FROM p) AS DOUBLE) "
+        f"/ (SELECT COUNT(*) FROM p), 6) AS expected_recall"
+        for b, r in _BAND_CONFIGS
+    )
+    return f"""
+WITH {_REPS_SRC}, tok AS (
+  SELECT doc_id, u.h FROM (
+    SELECT doc_id, list_distinct(list(substring(md5(g), 1, 8))) AS hs
+    FROM (
+      SELECT doc_id, unnest(
+        CASE WHEN len(w) >= 3
+             THEN list_transform(range(0, len(w) - 2),
+                    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))
+             ELSE [array_to_string(w, ' ')] END) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM src)
+    ) GROUP BY doc_id
+  ), unnest(hs) AS u(h)
+), sets AS (
+  SELECT doc_id, list(h ORDER BY h) AS hs, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY doc_id
+), tfr AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY h
+), stp AS (
+  SELECT doc_id, array_agg(h ORDER BY freq, h) AS stoks,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT tok.doc_id, tok.h, tfr.freq FROM tok JOIN tfr USING (h))
+  GROUP BY doc_id
+), pref AS (
+  SELECT doc_id, u.h
+  FROM stp, unnest(list_slice(stoks, 1,
+         CAST(n - CEIL(n / 2.0) + 1 AS BIGINT))) AS u(h)
+), tcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+), jp AS (
+  SELECT CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         / (a.n + b.n - len(list_intersect(a.hs, b.hs))) AS s,
+         2 * len(list_intersect(a.hs, b.hs))
+           >= a.n + b.n - len(list_intersect(a.hs, b.hs)) AS keep
+  FROM tcand t JOIN sets a ON a.doc_id = t.id_a
+               JOIN sets b ON b.doc_id = t.id_b
+), p AS (
+  SELECT {cols} FROM jp WHERE keep
+)
+{unions}
+ORDER BY bands
+"""
+
+
+@query("dedup_lsh_band_planning", oracle=_band_planning_oracle)
+def dedup_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration PLANNING table: for every (bands, rows)
+    split of the deployed 32-hash signature budget, the expected
+    recall over THIS corpus's observed true-pair similarity
+    distribution — E[recall] = mean over true pairs of the s-curve
+    P(hit | s) = 1 − (1 − s^r)^b — plus the config's threshold
+    (1/b)^(1/r). dedup_lsh_recall_eval measures what the deployed 8×4
+    banding DID; this row predicts what each alternative WOULD do, on
+    the same exact ground truth (prefix-filter join at J ≥ 1/2, zero
+    false negatives), which is precisely the r14 scale-probe lesson:
+    recall is a property of the corpus's J-histogram near τ, so the
+    tuning table must be computed per-corpus, not copied from a
+    textbook.
+
+    Exactness: s = |∩|/|∪| is one division of exact integers; s^r and
+    (1 − s^r)^b are repeated-squaring multiplication chains (integer
+    exponents — no libm pow anywhere); per-pair probabilities
+    ROUND→DECIMAL-quantize before the cross-pair mean; the thresholds
+    are Python-computed config literals.
+
+    Scale: one run of the truth side (rare-postings prefix-filter
+    join — the bound the r14 probe measured, SCALE.md) + four codegen
+    expressions per pair; output is |configs| rows."""
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents")
+    reps = d.select("doc_id", "text").join(
+        D.exact_keeper_ids(d), "doc_id", "left_semi"
+    )
+    hashed = (
+        reps.repartition(par)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        D.shingles(F.concat_ws(" ", "w"), 3),
+                        lambda g: F.substring(F.md5(g), 1, 8),
+                    )
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sets = hashed.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tf = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    stp = (
+        hashed.join(tf, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "h"))),
+                lambda s: s["h"],
+            ).alias("stoks"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    plen = (
+        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
+    ).cast("int")
+    pref = stp.select(
+        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
+    ).localCheckpoint(eager=True)
+    a, b = pref.alias("a"), pref.alias("b")
+    tcand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .repartition(par)
+    )
+    x = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
+    )
+    y = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    nu = F.col("na") + F.col("nb") - ni
+    s = ni.cast("double") / nu
+    jp = (
+        tcand.join(x, "id_a")
+        .join(y, "id_b")
+        .filter(2 * ni >= nu)
+        .select(s.alias("s"))
+    )
+
+    def p_col(bnd: int, r: int):
+        sr = F.col("s")
+        k = 1
+        while k * 2 <= r:
+            sr = sr * sr
+            k *= 2
+        while k < r:
+            sr = sr * F.col("s")
+            k += 1
+        t = F.lit(1.0) - sr
+        tb = t
+        k = 1
+        while k * 2 <= bnd:
+            tb = tb * tb
+            k *= 2
+        while k < bnd:
+            tb = tb * t
+            k += 1
+        return (
+            F.round(F.lit(1.0) - tb, 9)
+            .cast("decimal(28,9)")
+            .alias(f"p_{bnd}_{r}")
+        )
+
+    p = jp.select(*[p_col(bnd, r) for bnd, r in _BAND_CONFIGS])
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        *[
+            F.sum(f"p_{bnd}_{r}").alias(f"sp_{bnd}_{r}")
+            for bnd, r in _BAND_CONFIGS
+        ],
+    )
+    rows = agg.select(
+        "n_pairs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("bands"),
+                        F.lit(r).alias("rows_per_band"),
+                        F.lit(_BAND_THRESH[(bnd, r)])
+                        .cast("double")
+                        .alias("s_curve_threshold"),
+                        F.round(
+                            F.col(f"sp_{bnd}_{r}").cast("double")
+                            / F.col("n_pairs"),
+                            6,
+                        ).alias("expected_recall"),
+                    )
+                    for bnd, r in _BAND_CONFIGS
+                ]
+            )
+        ).alias("_c"),
+    )
+    return rows.select(
+        "_c.bands",
+        "_c.rows_per_band",
+        "_c.s_curve_threshold",
+        "n_pairs",
+        "_c.expected_recall",
+    ).orderBy("bands")

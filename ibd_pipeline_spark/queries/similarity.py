@@ -1929,3 +1929,165 @@ def similarity_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-nprobe curve against exact truth (r14)
+# ---------------------------------------------------------------------------
+
+_IVF_CURVE_PROBES = (1, 2, 4)
+_IVF_CURVE_K = 10
+_IVF_CURVE_CELLS = 16
+_IVF_CURVE_NQ = 10
+
+
+def _ivf_curve_oracle() -> str:
+    branches = "\n  UNION ALL ".join(
+        f"""SELECT {p} AS nprobe, p.qid, a.cid
+  FROM (SELECT qid, cell_id FROM probes WHERE rn <= {p}) p
+  JOIN asgn a ON a.cell_id = p.cell_id AND a.cid <> p.qid"""
+        for p in _IVF_CURVE_PROBES
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT id AS cent_id, v AS cv FROM v ORDER BY id LIMIT {_IVF_CURVE_CELLS}
+), sims AS (
+  SELECT v.id, v.v, c.cent_id, {_cos_sql("v.v", "c.cv")} AS sim
+  FROM v CROSS JOIN cents c
+), asgn AS (
+  SELECT id AS cid, cent_id AS cell_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM sims)
+  WHERE rn = 1
+), probes AS (
+  SELECT id AS qid, cent_id AS cell_id,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY sim DESC, cent_id) AS rn
+  FROM sims WHERE id < {_IVF_CURVE_NQ}
+), truth AS (
+  SELECT q.id AS qid, b.id AS cid
+  FROM (SELECT q.id, b.id AS bid, {_cos_sql("q.v", "b.v")} AS cs
+        FROM v q JOIN v b ON q.id < {_IVF_CURVE_NQ} AND b.id <> q.id)
+       t(id, bid, cs)
+  JOIN v q ON q.id = t.id JOIN v b ON b.id = t.bid
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY t.id
+                             ORDER BY t.cs DESC, t.bid) <= {_IVF_CURVE_K}
+), cand AS (
+  {branches}
+), hit AS (
+  SELECT c.nprobe, c.qid, c.cid
+  FROM cand c JOIN truth t ON t.qid = c.qid AND t.cid = c.cid
+)
+SELECT c.nprobe,
+       CAST({_IVF_CURVE_NQ} AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit h
+         WHERE h.nprobe = c.nprobe) AS n_truth_found,
+       ROUND((SELECT COUNT(*) FROM hit h WHERE h.nprobe = c.nprobe)
+             * 1.0 / ({_IVF_CURVE_NQ} * {_IVF_CURVE_K}), 6)
+         AS recall_at_{_IVF_CURVE_K}
+FROM cand c GROUP BY c.nprobe ORDER BY c.nprobe
+"""
+
+
+@query("similarity_ivf_recall_curve", oracle=_ivf_curve_oracle)
+def similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-cost CURVE: recall@10 against the exact-cosine
+    ground truth at nprobe ∈ {1, 2, 4}, with the candidate count
+    (the scan cost) beside each point — the tuning table every IVF
+    deployment reads before picking nprobe, completing the r13/r14
+    evaluation layer (dedup_lsh_recall_eval measures the deployed
+    banding; dedup_lsh_band_planning predicts alternatives; this does
+    both for the IVF index, on its true cost axis). Centroids and
+    assignment are the registry's deterministic IVF machinery
+    (operators/similarity.py:ivf_cells/ivf_probe); truth is
+    brute-force cosine top-10 with id tiebreaks.
+
+    Exactness: recall is a ratio of exact integer counts (truth hits
+    over 10·10 truth pairs); all ranking ties break by id; cosine is
+    the shared fixed-order fold both engines evaluate identically.
+
+    Scale: truth costs one |Q|·|C| broadcast scan (|Q| = 10 — the
+    exact-verifier budget); each curve point scans only its probed
+    cells, so the candidate column IS the per-query cost the curve
+    trades against recall. At 100 TB the truth slice stays
+    fixed-size while candidates grow with cell occupancy."""
+    from ibd_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_cells,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_raw = emb.filter(F.col("vec_id") < _IVF_CURVE_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    c_raw = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("vec")
+    )
+    truth = (
+        brute_force_topk(q_raw, c_raw, k=_IVF_CURVE_K)
+        .select(F.col("query_id").alias("qid"), F.col("corpus_id").alias("cid"))
+        .localCheckpoint(eager=True)  # joined once per curve point
+    )
+    cents, cells = ivf_cells(c_raw, _IVF_CURVE_CELLS)
+    cells = cells.select("cid", "cell_id").localCheckpoint(eager=True)
+    # one max-nprobe probe pass carrying the probe rank; each curve
+    # point filters its rank prefix (same ordering as ivf_probe)
+    from pyspark.sql import Window as _W
+
+    cents_b = cents.select("cent_id", "cent_v")
+    q = q_raw.select(
+        F.col("query_id").alias("qid"),
+        F.col("vec").alias("qv"),
+    )
+    from ibd_pipeline_spark.operators.similarity import as_double_array, cosine
+
+    pw = _W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    probes = (
+        q.select("qid", as_double_array("qv").alias("qv"))
+        .join(F.broadcast(cents_b))
+        .select(
+            "qid",
+            "cent_id",
+            cosine(F.col("qv"), F.col("cent_v")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= max(_IVF_CURVE_PROBES))
+        .select("qid", F.col("cent_id").alias("cell_id"), "rn")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for p in _IVF_CURVE_PROBES:
+        cand = (
+            probes.filter(F.col("rn") <= p)
+            .join(cells, "cell_id")
+            .filter(F.col("cid") != F.col("qid"))
+            .select("qid", "cid")
+        )
+        hit = cand.join(truth, ["qid", "cid"], "left_semi")
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(
+                    hit.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_truth_found")
+                    )
+                )
+            )
+            .select(
+                F.lit(p).alias("nprobe"),
+                F.lit(_IVF_CURVE_NQ).cast("bigint").alias("n_queries"),
+                "n_candidates",
+                "n_truth_found",
+                F.round(
+                    F.col("n_truth_found")
+                    / F.lit(float(_IVF_CURVE_NQ * _IVF_CURVE_K)),
+                    6,
+                ).alias(f"recall_at_{_IVF_CURVE_K}"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")

@@ -3171,3 +3171,163 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc pairwise test after Kruskal-Wallis (r14)
+# ---------------------------------------------------------------------------
+
+_DUNN_SQL = f"""
+WITH s AS (
+  SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT g,
+         RANK() OVER (ORDER BY v) + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0
+           AS avg_rank
+  FROM s
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(2 * avg_rank) AS BIGINT) AS r2_g
+  FROM r GROUP BY g
+), nn AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+  FROM grp
+), ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v)
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.n_g AS n_a, b.n_g AS n_b,
+         CAST(a.r2_g AS DOUBLE) / (2 * a.n_g) AS rbar_a,
+         CAST(b.r2_g AS DOUBLE) / (2 * b.n_g) AS rbar_b,
+         nn.n, nn.k, ties.tie_term
+  FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN nn CROSS JOIN ties
+), z AS (
+  SELECT group_a, group_b, n_a, n_b, rbar_a, rbar_b, k,
+         (rbar_a - rbar_b)
+         / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                 - CAST(tie_term AS DOUBLE) / (12.0 * (n - 1)))
+                * (1.0 / n_a + 1.0 / n_b)) AS zv
+  FROM pairs
+)
+SELECT group_a, group_b, n_a, n_b,
+       ROUND(rbar_a, 4) AS mean_rank_a,
+       ROUND(rbar_b, 4) AS mean_rank_b,
+       ROUND(zv, 6) AS z_stat,
+       ROUND(LEAST(1.0, k * (k - 1) * {_phi_tail_sql('abs(zv)')}), 8)
+         AS p_bonferroni,
+       LEAST(1.0, k * (k - 1) * {_phi_tail_sql('abs(zv)')}) < 0.05
+         AS significant
+FROM z ORDER BY group_a, group_b
+"""
+
+
+@query("stats_dunn_posthoc", oracle=_DUNN_SQL)
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after Kruskal–Wallis:
+    WHICH event types differ, once stats_kruskal_wallis says SOME do
+    — z_ij = (r̄_i − r̄_j)/√[(N(N+1)/12 − Στ/(12(N−1)))·(1/n_i+1/n_j)]
+    with the tie-corrected pooled variance, two-sided Φ-tail p,
+    Bonferroni-adjusted over all k(k−1)/2 pairs (the k·(k−1) factor
+    is 2·m for the two-sided m-pair family). The omnibus-then-pairs
+    chain is how the test is actually used; stopping at the omnibus
+    is the classic analysis dead-end.
+
+    Exactness: per-group rank sums are the same exact-integer 2·R_g
+    aggregates as the KW row (rank-from-prefix-sum, one multi-weight
+    scan); mean ranks, z, and p are plain double algebra on identical
+    inputs; the significance verdict compares the UNROUNDED p chain
+    both engines evaluate bit-identically.
+
+    Scale: identical to stats_kruskal_wallis plus a k²/2-row
+    broadcast pair join (k = 5)."""
+    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
+    gvals = sorted(r["g"] for r in s.select("g").distinct().collect())
+    gcols = [f"g__{i}" for i in range(len(gvals))]
+    per_value = s.groupBy("v").agg(
+        *[
+            F.count(F.when(F.col("g") == F.lit(v), 1))
+            .cast("bigint")
+            .alias(c)
+            for c, v in zip(gcols, gvals)
+        ]
+    )
+    per_value = per_value.withColumn(
+        "t", sum(F.col(c) for c in gcols).cast("bigint")
+    )
+    cum = with_global_prefix_sums(per_value, ["v"], ["t"])
+    two_avg_rank = 2 * F.col("_cum_t") - F.col("t") + F.lit(1)
+    grp_aggs = []
+    for c in gcols:
+        grp_aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"n__{c}"))
+        grp_aggs.append(
+            F.sum(F.col(c) * two_avg_rank).cast("bigint").alias(f"r2__{c}")
+        )
+    agg = cum.agg(
+        *grp_aggs,
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    grp = agg.select(
+        "tie_term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("g"),
+                        F.col(f"n__{c}").alias("n_g"),
+                        F.col(f"r2__{c}").alias("r2_g"),
+                    )
+                    for c, v in zip(gcols, gvals)
+                ]
+            )
+        ).alias("_s"),
+    ).select("tie_term", "_s.g", "_s.n_g", "_s.r2_g")
+    nn = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    a = grp.select(
+        F.col("g").alias("group_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r2_g").alias("r2_a"),
+        "tie_term",
+    )
+    b = grp.select(
+        F.col("g").alias("group_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r2_g").alias("r2_b"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(nn))
+    )
+    nd = F.col("n").cast("double")
+    rbar_a = F.col("r2_a").cast("double") / (2 * F.col("n_a"))
+    rbar_b = F.col("r2_b").cast("double") / (2 * F.col("n_b"))
+    zv = (rbar_a - rbar_b) / F.sqrt(
+        (
+            nd * (F.col("n") + 1) / F.lit(12.0)
+            - F.col("tie_term").cast("double")
+            / (F.lit(12.0) * (F.col("n") - 1))
+        )
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    p_adj = F.least(
+        F.lit(1.0),
+        F.col("k") * (F.col("k") - 1) * _phi_tail_col(F.abs(zv)),
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(rbar_a, 4).alias("mean_rank_a"),
+        F.round(rbar_b, 4).alias("mean_rank_b"),
+        F.round(zv, 6).alias("z_stat"),
+        F.round(p_adj, 8).alias("p_bonferroni"),
+        (p_adj < 0.05).alias("significant"),
+    ).orderBy("group_a", "group_b")
