@@ -1686,3 +1686,66 @@ def video_quality_gates(
             yield out[[f.name for f in VIDEO_GATE_SCHEMA.fields]]
 
     return assets.mapInPandas(batches, VIDEO_GATE_SCHEMA)
+
+
+def video_motion_stats(content: bytes) -> dict:
+    """Temporal-activity features from the real sample-table decode:
+    motion energy (mean |luma delta| between adjacent frames, the
+    cheapest action-vs-static screen), peak frame-to-frame delta, and
+    the static-pair count (exactly zero delta — the frozen-gate
+    boundary case). Integer sums over integer pixel deltas; the two
+    means are fixed-point strings of integer/integer divisions."""
+    w, h, frames = decode_video_samples(content)
+    n = len(frames)
+    px = w * h
+    total_abs = 0
+    peak = 0
+    static_pairs = 0
+    for a, b in zip(frames, frames[1:]):
+        d = sum(abs(x - y) for x, y in zip(a, b))
+        total_abs += d
+        peak = max(peak, d)
+        if d == 0:
+            static_pairs += 1
+    pairs = n - 1
+    return {
+        "n_frames": n,
+        "n_pairs": pairs,
+        "static_pairs": static_pairs,
+        "motion_energy": (
+            f"{total_abs / (pairs * px):.4f}" if pairs else "0.0000"
+        ),
+        "peak_pair_delta": peak,
+    }
+
+
+VIDEO_MOTION_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_pairs", IntegerType()),
+        StructField("static_pairs", IntegerType()),
+        StructField("motion_energy", StringType()),
+        StructField("peak_pair_delta", LongType()),
+    ]
+)
+
+
+def video_motion_features(assets: DataFrame) -> DataFrame:
+    """Per-video temporal-activity features via Arrow mapInPandas over
+    the raw-frame corpus — the feature sibling of video_quality_gates
+    (a video can pass every gate and still be a static slideshow; the
+    motion energy column catches that class before it wastes
+    codec-heavy featurization downstream)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["media_type"] == "video"]
+            if vids.empty:
+                continue
+            feats = [video_motion_stats(bytes(b)) for b in vids["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", vids["asset_id"].values)
+            yield out[[f.name for f in VIDEO_MOTION_SCHEMA.fields]]
+
+    return assets.mapInPandas(batches, VIDEO_MOTION_SCHEMA)

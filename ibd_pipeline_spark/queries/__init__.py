@@ -248,6 +248,9 @@ _ROUND14_NEW: list[str] = [
     "stats_dunn_posthoc",
     "dedup_lsh_band_planning",
     "similarity_ivf_recall_curve",
+    "multimodal_video_motion_energy",
+    "analytics_rfm_segmentation",
+    "graph_ktruss_peel",
 ]
 
 _ROUND13_PRIORITY: list[str] = []

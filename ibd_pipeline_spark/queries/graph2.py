@@ -1040,3 +1040,145 @@ def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("support")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss peel (bounded rounds) over the co-activity graph (r14)
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 4  # keep edges with support >= k-2 = 2
+_TRUSS_ROUNDS = 3
+
+
+def _ktruss_oracle() -> str:
+    head = """
+WITH b AS (
+  SELECT DISTINCT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id
+  FROM events WHERE user_id < 100
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c
+    ON a.event_type = c.event_type AND a.h = c.h
+   AND a.user_id < c.user_id
+)"""
+    body = ""
+    prev = "e0"
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        body += f""",
+t{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM {prev} e1 JOIN {prev} e2 ON e1.u = e2.u AND e1.v < e2.v
+                 JOIN {prev} e3 ON e3.u = e1.v AND e3.v = e2.v
+), s{r} AS MATERIALIZED (
+  SELECT e.u, e.v, CAST(COUNT(x.u) AS BIGINT) AS support
+  FROM {prev} e LEFT JOIN (
+    SELECT a AS u, b AS v FROM t{r}
+    UNION ALL SELECT a, c FROM t{r}
+    UNION ALL SELECT b, c FROM t{r}
+  ) x ON x.u = e.u AND x.v = e.v
+  GROUP BY e.u, e.v
+), e{r} AS MATERIALIZED (
+  SELECT u, v FROM s{r} WHERE support >= {_TRUSS_K - 2}
+)"""
+        prev = f"e{r}"
+    tail = f"""
+SELECT support,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(MIN(u) AS BIGINT) AS min_u,
+       CAST(MIN(v) AS BIGINT) AS min_v
+FROM s{_TRUSS_ROUNDS}
+WHERE support >= {_TRUSS_K - 2}
+GROUP BY support ORDER BY support
+"""
+    return head + body + tail
+
+
+@query("graph_ktruss_peel", oracle=_ktruss_oracle)
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-truss peel (k = 4): iteratively drop every edge in
+    fewer than k−2 triangles, recompute support on the survivor
+    graph, repeat for 3 monotone rounds — the EDGE-cohesion sibling
+    of graph_kcore_peel (k-core keeps well-connected NODES; k-truss
+    keeps ties that are themselves embedded in triangles, the
+    standard community-core definition one notch stronger). Output is
+    the survivor support histogram with endpoint-minima anchors, the
+    graph_edge_triangle_support convention.
+
+    Exactness: pure integer counting per round (the same oriented
+    wedge join + 3-way projection union as the support row); the
+    oracle unrolls the rounds as a MATERIALIZED CTE chain — the
+    k-core precedent.
+
+    Scale: each round is one triangle enumeration over the CURRENT
+    survivor set (monotonically shrinking — peels only delete), with
+    per-round localCheckpoint so Catalyst never replays earlier
+    rounds; rounds are bounded (3), the production pattern for
+    truss/core decompositions on a fixed compute budget."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    b = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def support_of(edges: DataFrame) -> DataFrame:
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e1.u") == F.col("e2.u"))
+                & (F.col("e1.v") < F.col("e2.v")),
+            )
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.v"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"),
+                F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"),
+            )
+        )
+        edge_tri = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        )
+        return (
+            edges.join(edge_tri.withColumn("hit", F.lit(1)), ["u", "v"], "left")
+            .groupBy("u", "v")
+            .agg(F.count("hit").cast("bigint").alias("support"))
+        )
+
+    sup = None
+    for _ in range(_TRUSS_ROUNDS):
+        sup = support_of(e)
+        e = (
+            sup.filter(F.col("support") >= _TRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sup.filter(F.col("support") >= _TRUSS_K - 2)
+        .groupBy("support")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.min("u").cast("bigint").alias("min_u"),
+            F.min("v").cast("bigint").alias("min_v"),
+        )
+        .orderBy("support")
+    )

@@ -699,3 +699,45 @@ def multimodal_video_gate_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("verdict")
     )
+
+
+def _video_motion_expected() -> str:
+    rows = []
+    for i, _media, blob, *_ in M.video_gate_asset_rows(24):
+        s = M.video_motion_stats(bytes(blob))
+        rows.append(
+            (
+                i,
+                s["n_frames"],
+                s["n_pairs"],
+                s["static_pairs"],
+                s["motion_energy"],
+                s["peak_pair_delta"],
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("asset_id", "BIGINT"),
+            ("n_frames", "INT"),
+            ("n_pairs", "INT"),
+            ("static_pairs", "INT"),
+            ("motion_energy", "VARCHAR"),
+            ("peak_pair_delta", "BIGINT"),
+        ],
+        "asset_id",
+    )
+
+
+@query("multimodal_video_motion_energy", oracle=_video_motion_expected)
+def multimodal_video_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-activity features per video over the real sample-table
+    decode: mean |luma delta| between adjacent frames (motion energy —
+    static slideshows score ~0, the keystream corpus scores high),
+    peak pair delta, and exact-static pair counts. The feature column
+    beside the r14 video GATES: frozen videos show motion_energy 0 on
+    their repeated span, black-heavy videos show bursts at the
+    black↔content boundaries — the VALUES oracle replays the same
+    integer pixel-delta sums in pure Python."""
+    assets = M.synthesize_video_gate_assets(spark, n=24)
+    return M.video_motion_features(assets).orderBy("asset_id")
