@@ -249,7 +249,6 @@ _ROUND14_NEW: list[str] = [
     "dedup_lsh_band_planning",
     "similarity_ivf_recall_curve",
     "multimodal_video_motion_energy",
-    "analytics_rfm_segmentation",
     "graph_ktruss_peel",
 ]
 

@@ -2050,129 +2050,3 @@ def analytics_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
-
-
-# ---------------------------------------------------------------------------
-# RFM customer segmentation (r14)
-# ---------------------------------------------------------------------------
-
-_RFM_SQL = """
-WITH horizon AS (
-  SELECT MAX(o_orderdate) AS maxd FROM orders
-), cust AS (
-  SELECT o_custkey AS ck,
-         CAST(date_diff('day', MAX(o_orderdate),
-                        (SELECT maxd FROM horizon)) AS BIGINT) AS rec_days,
-         CAST(COUNT(*) AS BIGINT) AS freq,
-         SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS mon
-  FROM orders GROUP BY o_custkey
-), n AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust
-), rsc AS (
-  SELECT rec_days,
-         5 - CAST(5 * (SUM(c) OVER (ORDER BY rec_days) - c)
-                  AS BIGINT) // (SELECT n FROM n) AS r_score
-  FROM (SELECT rec_days, CAST(COUNT(*) AS BIGINT) AS c
-        FROM cust GROUP BY rec_days)
-), fsc AS (
-  SELECT freq,
-         1 + CAST(5 * (SUM(c) OVER (ORDER BY freq) - c)
-                  AS BIGINT) // (SELECT n FROM n) AS f_score
-  FROM (SELECT freq, CAST(COUNT(*) AS BIGINT) AS c
-        FROM cust GROUP BY freq)
-), msc AS (
-  SELECT mon,
-         1 + CAST(5 * (SUM(c) OVER (ORDER BY mon) - c)
-                  AS BIGINT) // (SELECT n FROM n) AS m_score
-  FROM (SELECT mon, CAST(COUNT(*) AS BIGINT) AS c
-        FROM cust GROUP BY mon)
-)
-SELECT CAST(r.r_score AS INT) AS r_score,
-       CAST(f.f_score AS INT) AS f_score,
-       CAST(m.m_score AS INT) AS m_score,
-       CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(ROUND(SUM(c.mon), 2) AS DOUBLE) AS total_monetary
-FROM cust c
-JOIN rsc r ON r.rec_days = c.rec_days
-JOIN fsc f ON f.freq = c.freq
-JOIN msc m ON m.mon = c.mon
-GROUP BY 1, 2, 3
-ORDER BY 1, 2, 3
-"""
-
-
-@query("analytics_rfm_segmentation", oracle=_RFM_SQL)
-def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation — THE retention-marketing table:
-    per customer, Recency (days since last order, relative to the
-    corpus horizon for determinism), Frequency (order count), and
-    Monetary (exact-decimal revenue) are each scored into quintiles,
-    and the output is the (r, f, m) segment grid with customer counts
-    and revenue. Champions are (5,5,5); at-risk big spenders are
-    (1–2, *, 4–5) — the actionable cut.
-
-    Exactness: quintile scores are assigned on the DISTINCT-VALUE
-    frame by integer arithmetic — score = 1 + (5·cum_below) DIV n
-    (recency reversed so most-recent = 5) — so equal values always
-    share a score and no percentile interpolation is involved;
-    monetary sums are exact decimals.
-
-    Scale: one groupBy(custkey) shuffle builds the customer frame;
-    each score dimension is a prefix scan over its distinct-value
-    frame (operators/ranking.py machinery — no global row window);
-    the segment grid is ≤125 rows."""
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    o = load(spark, sf_dir, "orders")
-    horizon = o.agg(F.max("o_orderdate").alias("maxd"))
-    cust = (
-        o.groupBy(F.col("o_custkey").alias("ck"))
-        .agg(
-            F.max("o_orderdate").alias("lastd"),
-            F.count(F.lit(1)).cast("bigint").alias("freq"),
-            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias("mon"),
-        )
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            "ck",
-            F.datediff("maxd", "lastd").cast("bigint").alias("rec_days"),
-            "freq",
-            "mon",
-        )
-        .localCheckpoint(eager=True)  # three score dims + final join
-    )
-    n = cust.count()  # model-state-sized driver scalar (one bigint)
-
-    def scores(dim: str, reverse: bool):
-        dv = cust.groupBy(dim).agg(
-            F.count(F.lit(1)).cast("bigint").alias("c")
-        )
-        sp = with_global_prefix_sums(dv, [dim], ["c"])
-        below = F.col("_cum_c") - F.col("c")
-        raw = (5 * below).cast("bigint") / F.lit(n)
-        q = F.floor(raw).cast("int")
-        score = (
-            (F.lit(5) - q) if reverse else (F.lit(1) + q)
-        )
-        return sp.select(dim, score.alias(f"{dim}_score"))
-
-    r = scores("rec_days", reverse=True)
-    f = scores("freq", reverse=False)
-    m = scores("mon", reverse=False)
-    return (
-        cust.join(F.broadcast(r), "rec_days")
-        .join(F.broadcast(f), "freq")
-        .join(F.broadcast(m), "mon")
-        .groupBy(
-            F.col("rec_days_score").cast("int").alias("r_score"),
-            F.col("freq_score").cast("int").alias("f_score"),
-            F.col("mon_score").cast("int").alias("m_score"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.round(F.sum("mon"), 2)
-            .cast("double")
-            .alias("total_monetary"),
-        )
-        .orderBy("r_score", "f_score", "m_score")
-    )
