@@ -264,6 +264,26 @@ CURATED = {
     "oracle-bounded slice: shingle arrays + 16 md5 minhash components "
     "computed once per doc, all-pairs join exists only inside the "
     "400-doc bound; integer cross-multiplied gate.",
+    "io_avro_payload_roundtrip": "Kafka-payload codec path: Confluent "
+    "framing/unframing is pure codegen concat/substring; the Avro codec is "
+    "one Arrow batch round-trip per partition (JVM expressions when "
+    "spark-avro is deployed); map-side-combined event_type aggregate.",
+    "multimodal_video_quality_gates": "binary-column gate shape: blobs stay "
+    "in executor Arrow batches through ONE mapInPandas (real ISO-BMFF "
+    "sample-table decode), output metadata-sized; no shuffle before the "
+    "orderBy.",
+    "dedup_lsh_band_planning": "one run of the prefix-filter truth side "
+    "(rare-postings bounded, r14 probe) + four repeated-squaring s-curve "
+    "expressions per pair folded map-side; output is |configs| rows.",
+    "similarity_ivf_recall_curve": "per-curve-point cost = probed-cell "
+    "candidates only (the cost axis it reports); truth is one broadcast "
+    "|Q|x|C| scan shared across points via localCheckpoint.",
+    "stats_cliffs_delta": "distinct-value frame + one multi-weight range "
+    "exchange; the n_a*n_b pair space never materializes — dominance "
+    "counts are 2 expressions over prefix sums.",
+    "graph_ktruss_peel": "3 monotone peel rounds, each one oriented wedge "
+    "join over the shrinking survivor set with per-round localCheckpoint "
+    "so Catalyst never replays earlier rounds.",
 }
 
 
