@@ -156,3 +156,128 @@ def test_luhn_card_audit_planted(spark, tmp_path):
     # crawl: no 13-16 digit run at all
     assert by_src["crawl"]["n_candidates"] == 0
     assert by_src["crawl"]["n_luhn_valid"] == 0
+
+
+def test_cliffs_delta_planted_full_dominance(spark, tmp_path):
+    """All purchase values above all view values → δ = +1 exactly,
+    zero tied pairs, magnitude 'large'; and gt+lt+tied = n_a·n_b."""
+    from ibd_pipeline_spark.queries import all_queries
+
+    rows = []
+    eid = 0
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    for v in (10.0, 11.0, 12.0):
+        eid += 1
+        rows.append((eid, ts, eid, "purchase", v, "{}"))
+    for v in (1.0, 2.0):
+        eid += 1
+        rows.append((eid, ts, eid, "view", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    (r,) = all_queries()["stats_cliffs_delta"](spark, str(tmp_path)).collect()
+    got = dict(zip(r.__fields__, r))
+    assert got["gt_pairs"] == 6 and got["lt_pairs"] == 0
+    assert got["tied_pairs"] == 0
+    assert got["cliffs_delta"] == 1.0
+    assert got["magnitude"] == "large"
+    assert got["gt_pairs"] + got["lt_pairs"] + got["tied_pairs"] == (
+        got["n_a"] * got["n_b"]
+    )
+
+
+def test_lsh_band_planning_scurve_chains():
+    """The repeated-squaring expression chains must equal the
+    textbook 1-(1-s^r)^b, and expected recall must be monotone in s
+    and hit the endpoints exactly (s=0 → 0, s=1 → 1)."""
+    from ibd_pipeline_spark.queries.dedup import (
+        _BAND_CONFIGS,
+        _BAND_THRESH,
+        _band_planning_oracle,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    for b, r in _BAND_CONFIGS:
+        # replicate the SQL chain on a literal s column
+        sql = _band_planning_oracle()
+        # exactness of the threshold literal
+        assert abs(_BAND_THRESH[(b, r)] - (1.0 / b) ** (1.0 / r)) < 5e-7
+        for s in (0.0, 0.3, 0.5, 0.8, 1.0):
+            import re as _re
+
+            m = _re.search(
+                rf"CAST\(ROUND\((.+?), 9\) AS DECIMAL\(28,9\)\) AS p_{b}_{r}",
+                sql,
+            )
+            expr = m.group(1)
+            (got,) = con.execute(
+                f"SELECT {expr} FROM (SELECT CAST({s} AS DOUBLE) AS s)"
+            ).fetchone()
+            want = 1.0 - (1.0 - s**r) ** b
+            assert abs(got - want) < 1e-12, (b, r, s, got, want)
+    con.close()
+
+
+def test_ivf_recall_curve_monotone(spark, sf_dir):
+    """More probes can only help: recall@10 and candidate counts must
+    be non-decreasing in nprobe, with recall in [0, 1]."""
+    from ibd_pipeline_spark.queries import all_queries
+
+    rows = (
+        all_queries()["similarity_ivf_recall_curve"](spark, sf_dir)
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    recs = [r["recall_at_10"] for r in rows]
+    cands = [r["n_candidates"] for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in recs)
+    assert recs == sorted(recs)
+    assert cands == sorted(cands)
+
+
+def test_mendenhall_shares_sum_to_one(spark, sf_dir):
+    """Per-source word-length shares must sum to 1 (6-decimal
+    rounding tolerance x 13 buckets)."""
+    from collections import defaultdict
+
+    from ibd_pipeline_spark.queries import all_queries
+
+    rows = all_queries()["text_mendenhall_word_length"](
+        spark, sf_dir
+    ).collect()
+    per = defaultdict(float)
+    for r in rows:
+        per[r["source"]] += r["share"]
+    assert per and all(abs(v - 1.0) < 13 * 5e-7 for v in per.values()), per
+
+
+def test_burrows_delta_identical_sources_zero(spark, tmp_path):
+    """Two sources with identical word distributions must measure
+    Δ = 0; a third, different source must measure Δ > 0 from both."""
+    from ibd_pipeline_spark.queries import all_queries
+
+    base = "the cat sat on the mat and the dog ran off"
+    alt = "quantum flux capacitors resonate beyond manifold spectra"
+    rows = [
+        (1, base, "en", "src_a", len(base)),
+        (2, base, "en", "src_b", len(base)),
+        (3, alt, "en", "src_c", len(alt)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r["source_a"], r["source_b"]): r["burrows_delta"]
+        for r in all_queries()["text_burrows_delta"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("src_a", "src_b")] == 0.0
+    assert out[("src_a", "src_c")] > 0.0
+    assert out[("src_a", "src_c")] == out[("src_b", "src_c")]
