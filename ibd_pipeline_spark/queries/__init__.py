@@ -250,6 +250,8 @@ _ROUND14_NEW: list[str] = [
     "similarity_ivf_recall_curve",
     "multimodal_video_motion_energy",
     "graph_ktruss_peel",
+    "text_langid_confusion_eval",
+    "events_session_gap_sensitivity",
 ]
 
 _ROUND13_PRIORITY: list[str] = []

@@ -1935,3 +1935,115 @@ def events_value_psi_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return psi_report(cur, base)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization gap-sensitivity curve (r14)
+# ---------------------------------------------------------------------------
+
+_GAP_HOURS = (1, 6, 24)
+
+
+def _gap_sensitivity_oracle() -> str:
+    flags = ",\n         ".join(
+        f"CASE WHEN prev_us IS NULL OR us - prev_us > {h} * 3600000000 "
+        f"THEN 1 ELSE 0 END AS s{h}"
+        for h in _GAP_HOURS
+    )
+    rows = "\n  UNION ALL ".join(
+        f"""SELECT {h} AS gap_hours,
+         CAST(SUM(s{h}) AS BIGINT) AS n_sessions,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(s{h}), 4)
+           AS events_per_session,
+         CAST(SUM(CASE WHEN s{h} = 1
+                   AND COALESCE(next_s{h}, 1) = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS single_event_sessions
+  FROM g"""
+        for h in _GAP_HOURS
+    )
+    nexts = ",\n         ".join(
+        f"LEAD(s{h}) OVER (PARTITION BY user_id ORDER BY us, event_id)"
+        f" AS next_s{h}"
+        for h in _GAP_HOURS
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), l AS (
+  SELECT user_id, event_id, us,
+         LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS prev_us
+  FROM e
+), f AS (
+  SELECT user_id, event_id, us,
+         {flags}
+  FROM l
+), g AS (
+  SELECT *,
+         {nexts}
+  FROM f
+)
+{rows}
+ORDER BY gap_hours
+"""
+
+
+@query("events_session_gap_sensitivity", oracle=_gap_sensitivity_oracle)
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization TUNING curve: session counts, events-per-session,
+    and single-event-session counts at inactivity gaps of 1 h / 6 h /
+    24 h — the sensitivity table that justifies (or indicts) the 6 h
+    constant events_sessionize_gaps hardcodes, exactly as the r14
+    nprobe/banding rows do for the ANN and LSH constants. A gap whose
+    halving doubles the session count is cutting real sessions; one
+    whose doubling changes nothing is wasted state in the streaming
+    session window.
+
+    Exactness: session count = Σ session-start flags (no session ids
+    materialized); single-event sessions are starts whose NEXT event
+    is also a start (or absent) — all exact integers off ONE lag/lead
+    window pass shared by all three gaps; one division per row.
+
+    Scale: one shuffle on user_id; the three gap flags and their
+    leads ride the same sorted window — adding a gap costs two
+    expressions, not a pass. At 100 TB this is the standard
+    before-you-pick-the-watermark audit."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ).withColumn("prev_us", F.lag("us").over(w))
+    for h in _GAP_HOURS:
+        e = e.withColumn(
+            f"s{h}",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > h * 3_600_000_000),
+                1,
+            ).otherwise(0),
+        )
+    for h in _GAP_HOURS:
+        e = e.withColumn(f"next_s{h}", F.lead(f"s{h}").over(w))
+    out = None
+    for h in _GAP_HOURS:
+        row = e.agg(
+            F.lit(h).alias("gap_hours"),
+            F.sum(f"s{h}").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum(f"s{h}"), 4
+            ).alias("events_per_session"),
+            F.sum(
+                F.when(
+                    (F.col(f"s{h}") == 1)
+                    & (F.coalesce(F.col(f"next_s{h}"), F.lit(1)) == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("single_event_sessions"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gap_hours")

@@ -1641,3 +1641,75 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic evaluated against the labeled lang column (r14)
+# ---------------------------------------------------------------------------
+
+_LANGID_CASE = """CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[¿¡ñ]') THEN 'es'
+            WHEN regexp_matches(text, '[àâçéèêëîïôùûœ]') THEN 'fr'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            ELSE 'en' END"""
+
+_LANGID_EVAL_SQL = f"""
+WITH p AS (
+  SELECT lang AS labeled_lang, {_LANGID_CASE} AS predicted_lang
+  FROM documents
+), cell AS (
+  SELECT labeled_lang, predicted_lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+), tot AS (
+  SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS n_labeled
+  FROM cell GROUP BY labeled_lang
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+       c.labeled_lang = c.predicted_lang AS correct,
+       ROUND(CAST(c.n_docs AS DOUBLE) / t.n_labeled, 6) AS row_share
+FROM cell c JOIN tot t ON t.labeled_lang = c.labeled_lang
+ORDER BY c.labeled_lang, c.predicted_lang
+"""
+
+
+@query("text_langid_confusion_eval", oracle=_LANGID_EVAL_SQL)
+def text_langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the character-class language-ID heuristic
+    (operators/text.py:lang_id) against the corpus's LABELED lang
+    column — the eval row the r13/r14 evaluation layer owes the
+    lang-ID gate: text_lang_id reports the predicted distribution;
+    this measures whether the predictions are RIGHT. On the ASCII
+    fixture the heuristic honestly collapses to 'en' (recall 1.0 for
+    en, 0.0 elsewhere — the measured cost of the cheap gate);
+    tests/test_round14.py plants real marker characters and pins the
+    per-class recoveries.
+
+    Exactness: exact integer cell counts, one division per row for
+    the within-label share.
+
+    Scale: per-row codegen regex + one map-side-combined groupBy on
+    the ≤ |langs|² cell key."""
+    d = load_wide(spark, sf_dir, "documents")
+    cell = d.groupBy(
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id("text").alias("predicted_lang"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = cell.groupBy("labeled_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_labeled")
+    )
+    return (
+        cell.join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias(
+                "correct"
+            ),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_labeled"), 6
+            ).alias("row_share"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

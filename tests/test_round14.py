@@ -281,3 +281,37 @@ def test_burrows_delta_identical_sources_zero(spark, tmp_path):
     assert out[("src_a", "src_b")] == 0.0
     assert out[("src_a", "src_c")] > 0.0
     assert out[("src_a", "src_c")] == out[("src_b", "src_c")]
+
+
+def test_langid_confusion_planted_markers(spark, tmp_path):
+    """Plant real marker characters for each language class and pin
+    the per-class recoveries (diagonal) plus one deliberate
+    mislabel (labeled de, French text -> off-diagonal cell)."""
+    from ibd_pipeline_spark.queries import all_oracles, all_queries
+
+    rows = [
+        (1, "plain ascii text", "en", "web", 16),
+        (2, "你好 世界", "zh", "web", 5),
+        (3, "¿cómo estás señor?", "es", "web", 18),
+        (4, "être déjà là", "fr", "web", 12),
+        (5, "straße größe", "de", "web", 12),
+        (6, "château français", "de", "web", 16),  # mislabeled on purpose
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    q = all_queries()["text_langid_confusion_eval"]
+    sdf = q(spark, str(tmp_path))
+    got = {(r["labeled_lang"], r["predicted_lang"]): r["n_docs"] for r in sdf.collect()}
+    assert got[("en", "en")] == 1
+    assert got[("zh", "zh")] == 1
+    assert got[("es", "es")] == 1
+    assert got[("fr", "fr")] == 1
+    assert got[("de", "de")] == 1
+    assert got[("de", "fr")] == 1  # the planted mislabel lands off-diagonal
+    cols, d_rows = _oracle_on(
+        str(tmp_path), all_oracles()["text_langid_confusion_eval"]
+    )
+    s_rows = {tuple(r) for r in sdf.collect()}
+    assert s_rows == {tuple(r) for r in d_rows}
