@@ -252,6 +252,7 @@ _ROUND14_NEW: list[str] = [
     "graph_ktruss_peel",
     "text_langid_confusion_eval",
     "events_session_gap_sensitivity",
+    "io_avro_schema_dispatch",
 ]
 
 _ROUND13_PRIORITY: list[str] = []
