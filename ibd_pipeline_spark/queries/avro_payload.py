@@ -331,7 +331,7 @@ def io_avro_schema_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _MSG_SCHEMA,
                 spark,
             ),
-            _SCHEMA_ID + 1,  # _V2_ID
+            _V2_ID,
         ).alias("wire")
     )
     topic = w1.unionByName(w2)

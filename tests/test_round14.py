@@ -1,10 +1,13 @@
-"""Round-14 pins: planted-damage parity for the encoding audit (the
-clean driver corpus makes its zeros vacuous — ADVICE r13 #1), and the
-Page's L mid-rank tie convention (ADVICE r13 #2: the old treatment-
-order tiebreak inflated L toward the alternative). Each test builds a
-tiny parquet corpus with the structure PLANTED, then runs the real
-registry query AND its DuckDB oracle on that corpus — full engine
-parity on nonzero counts, not just the clean-fixture zeros.
+"""Round-14 pins (grown across the round — don't hardcode a count):
+planted-corpus parity tests that exercise NONZERO paths the clean
+driver fixtures leave vacuous (encoding damage / Page's L ties /
+Luhn checksums / language-ID markers — each builds a tiny parquet
+corpus with the structure PLANTED, then runs the real registry query
+AND its DuckDB oracle on it), plus semantic pins the oracle can't
+express (Cliff's delta full-dominance identity, the band-planning
+s-curve chains vs the textbook formula, IVF recall monotonicity in
+nprobe, Mendenhall share normalization, Burrows' Delta zero on
+identical distributions).
 """
 
 from __future__ import annotations
