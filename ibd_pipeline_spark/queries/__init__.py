@@ -229,6 +229,12 @@ _ROUND6_NEW: list[str] = [
 # this round's additions. Computed mechanically by
 # tools/attestation_status.py; tests/test_attestation.py gates drift.
 # ----------------------------------------------------------------------
+_ROUND15_PRIORITY: list[str] = []
+
+_ROUND15_NEW: list[str] = [
+    "dedup_lsh_calibration",
+]
+
 _ROUND14_PRIORITY: list[str] = [
     "stats_page_trend_test",
     "quality_encoding_damage",
@@ -745,9 +751,11 @@ def _driver_order(names: list[str]) -> list[str]:
     # r06 prefix: never-attested wave-3/4 queries + this round's new
     # registrations (≤50 total), then the r01–r05 attested history in
     # its historical order (evidence in CORRECTNESS_r{01..05}.json).
-    head = _ROUND14_PRIORITY + [
-        n for n in _ROUND14_NEW if n not in _ROUND14_PRIORITY
+    head = _ROUND15_PRIORITY + [
+        n for n in _ROUND15_NEW if n not in _ROUND15_PRIORITY
     ]
+    head = head + [n for n in _ROUND14_PRIORITY if n not in head]
+    head = head + [n for n in _ROUND14_NEW if n not in head]
     head = head + [n for n in _ROUND13_PRIORITY if n not in head]
     head = head + [n for n in _ROUND13_NEW if n not in head]
     head = head + [n for n in _ROUND12_PRIORITY if n not in head]

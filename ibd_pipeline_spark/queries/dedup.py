@@ -2089,27 +2089,57 @@ _BAND_CONFIGS = [(4, 8), (8, 4), (16, 2), (32, 1)]
 _BAND_THRESH = {(b, r): round((1.0 / b) ** (1.0 / r), 6) for b, r in _BAND_CONFIGS}
 
 
+def _scurve_sql(b: int, r: int, s: str = "s") -> str:
+    """SQL for the LSH s-curve P(hit | s) = 1 − (1 − s^r)^b with the
+    integer exponents expanded as repeated-squaring multiplication
+    chains (no libm pow in either engine). Shared by the planning
+    and calibration oracles."""
+    sr = s
+    k = 1
+    while k * 2 <= r:
+        sr = f"({sr} * {sr})"
+        k *= 2
+    while k < r:
+        sr = f"({sr} * {s})"
+        k += 1
+    t = f"(1.0 - {sr})"
+    tb = t
+    k = 1
+    while k * 2 <= b:
+        tb = f"({tb} * {tb})"
+        k *= 2
+    while k < b:
+        tb = f"({tb} * {t})"
+        k += 1
+    return f"(1.0 - {tb})"
+
+
+def _scurve_col(s, b: int, r: int):
+    """Spark Column twin of _scurve_sql: the same multiplication
+    chains over a double column `s`."""
+    sr = s
+    k = 1
+    while k * 2 <= r:
+        sr = sr * sr
+        k *= 2
+    while k < r:
+        sr = sr * s
+        k += 1
+    t = F.lit(1.0) - sr
+    tb = t
+    k = 1
+    while k * 2 <= b:
+        tb = tb * tb
+        k *= 2
+    while k < b:
+        tb = tb * t
+        k += 1
+    return F.lit(1.0) - tb
+
+
 def _band_planning_oracle() -> str:
     def p_expr(b: int, r: int) -> str:
-        # s^r and (1-s^r)^b by repeated squaring — plain multiplication
-        sr = "s"
-        k = 1
-        while k * 2 <= r:
-            sr = f"({sr} * {sr})"
-            k *= 2
-        while k < r:
-            sr = f"({sr} * s)"
-            k += 1
-        t = f"(1.0 - {sr})"
-        tb = t
-        k = 1
-        while k * 2 <= b:
-            tb = f"({tb} * {tb})"
-            k *= 2
-        while k < b:
-            tb = f"({tb} * {t})"
-            k += 1
-        return f"(1.0 - {tb})"
+        return _scurve_sql(b, r)
 
     cols = ",\n         ".join(
         f"CAST(ROUND({p_expr(b, r)}, 9) AS DECIMAL(28,9)) AS p_{b}_{r}"
@@ -2272,25 +2302,8 @@ def dedup_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def p_col(bnd: int, r: int):
-        sr = F.col("s")
-        k = 1
-        while k * 2 <= r:
-            sr = sr * sr
-            k *= 2
-        while k < r:
-            sr = sr * F.col("s")
-            k += 1
-        t = F.lit(1.0) - sr
-        tb = t
-        k = 1
-        while k * 2 <= bnd:
-            tb = tb * tb
-            k *= 2
-        while k < bnd:
-            tb = tb * t
-            k += 1
         return (
-            F.round(F.lit(1.0) - tb, 9)
+            F.round(_scurve_col(F.col("s"), bnd, r), 9)
             .cast("decimal(28,9)")
             .alias(f"p_{bnd}_{r}")
         )
@@ -2332,3 +2345,222 @@ def dedup_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "_c.expected_recall",
     ).orderBy("bands")
+
+
+# ---------------------------------------------------------------------------
+# Predicted-vs-measured LSH recall CALIBRATION at the deployed banding (r15)
+# ---------------------------------------------------------------------------
+
+# the banding minhash_candidate_pairs actually deploys (8 bands × 4
+# rows over the 32-hash signature) — the config the calibration row
+# must attest, kept as module constants so a banding change here
+# without a matching change in operators/dedup.py is visible in review
+_DEPLOYED_BANDS, _DEPLOYED_ROWS = 8, 4
+
+
+def _lsh_calibration_oracle() -> str:
+    p = _scurve_sql(_DEPLOYED_BANDS, _DEPLOYED_ROWS)
+    return (
+        _mh_cte(_REPS_SRC, "")
+        + f"""
+, tok AS (
+  SELECT doc_id, u.h FROM state, unnest(hs) AS u(h)
+), tfr AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY h
+), stp AS (
+  SELECT doc_id, array_agg(h ORDER BY freq, h) AS stoks,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT tok.doc_id, tok.h, tfr.freq FROM tok JOIN tfr USING (h))
+  GROUP BY doc_id
+), pref AS (
+  SELECT doc_id, u.h
+  FROM stp, unnest(list_slice(stoks, 1,
+         CAST(n - CEIL(n / 2.0) + 1 AS BIGINT))) AS u(h)
+), tcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+), tp AS (
+  SELECT CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS s
+  FROM tcand t JOIN state a ON a.doc_id = t.id_a
+               JOIN state b ON b.doc_id = t.id_b
+  WHERE 2 * len(list_intersect(a.hs, b.hs))
+        >= len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+), pr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         SUM(CAST(ROUND({p}, 9) AS DECIMAL(28,9))) AS sp
+  FROM tp
+), fnd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+  FROM cand c JOIN state a ON a.doc_id = c.id_a
+              JOIN state b ON b.doc_id = c.id_b
+  WHERE 2 * len(list_intersect(a.hs, b.hs))
+        >= len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+), fin AS (
+  SELECT n_true, n_found,
+         CAST(ROUND(CAST(n_found AS DOUBLE) / n_true, 6)
+              AS DECIMAL(18,6)) AS measured_recall,
+         CAST(ROUND(CAST(sp AS DOUBLE) / n_true, 6)
+              AS DECIMAL(18,6)) AS predicted_recall
+  FROM pr, fnd
+)
+SELECT {_DEPLOYED_BANDS} AS bands, {_DEPLOYED_ROWS} AS rows_per_band,
+       n_true AS n_true_pairs, n_found,
+       CAST(measured_recall AS DOUBLE) AS measured_recall,
+       CAST(predicted_recall AS DOUBLE) AS predicted_recall,
+       CAST(ABS(predicted_recall - measured_recall) AS DOUBLE)
+         AS calibration_gap
+FROM fin
+"""
+    )
+
+
+@query("dedup_lsh_calibration", oracle=_lsh_calibration_oracle)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICTED-vs-MEASURED recall of the deployed 8×4 LSH banding on
+    the SAME corpus and the SAME exact ground truth, in one row — the
+    calibrated instrument the r14 pair of readouts
+    (dedup_lsh_band_planning predicts, dedup_lsh_recall_eval measures)
+    was building toward. predicted_recall is E over true pairs of the
+    s-curve P(hit | s) = 1 − (1 − s^4)^8 evaluated at each pair's
+    exact Jaccard; measured_recall is |LSH-found ∩ truth| / |truth|
+    with truth from the prefix-filter exact join at J ≥ 1/2 (zero
+    false negatives by the pigeonhole bound). calibration_gap =
+    |predicted − measured| is the model error of the s-curve on THIS
+    corpus — the r14 scale probe found 16 real misses at J ≈ 0.5
+    (recall 0.99953, SCALE.md r14) and this row is the per-corpus
+    gauge of exactly that effect; a planted density-corpus test pins
+    the gap within its sampling bound (tests/test_round15.py).
+
+    Exactness: s = |∩|/|∪| is one division of exact integers; the
+    s-curve uses repeated-squaring multiplication chains (no libm
+    pow); per-pair probabilities ROUND→DECIMAL(28,9)-quantize before
+    the sum; the recalls quantize to DECIMAL(18,6) and the gap is a
+    DECIMAL subtraction of those quantized values — exact in both
+    engines.
+
+    Scale: one run of the prefix-filter truth side (rare-postings
+    bounded, probed in SCALE.md r14) + one run of the banded LSH side
+    (shared session-cached minhash state) + one codegen s-curve per
+    true pair; output is ONE row. This is what an offline recall
+    audit costs at 100 TB — and it is the row that tells you whether
+    the E[recall] planning table can be trusted before you re-band."""
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents")
+    reps = d.select("doc_id", "text").join(
+        D.exact_keeper_ids(d), "doc_id", "left_semi"
+    )
+    hashed = (
+        reps.repartition(par)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)  # split once (CollapseProject)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        D.shingles(F.concat_ws(" ", "w"), 3),
+                        lambda g: F.substring(F.md5(g), 1, 8),
+                    )
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)  # feeds tf, stp, and both verifies
+    )
+    sets = hashed.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tf = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    stp = (
+        hashed.join(tf, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "h"))),
+                lambda s: s["h"],
+            ).alias("stoks"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    plen = (
+        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
+    ).cast("int")
+    pref = stp.select(
+        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
+    ).localCheckpoint(eager=True)  # self-join: evaluate once
+    a, b = pref.alias("a"), pref.alias("b")
+    tcand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .repartition(par)  # verify-stage parallelism (AQE coalesce)
+    )
+    x = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
+    )
+    y = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    nu = F.col("na") + F.col("nb") - ni
+    gate = 2 * ni >= nu
+    p = F.round(
+        _scurve_col(
+            ni.cast("double") / nu, _DEPLOYED_BANDS, _DEPLOYED_ROWS
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    pr = (
+        tcand.join(x, "id_a")
+        .join(y, "id_b")
+        .filter(gate)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(p).alias("sp"),
+        )
+    )
+    cand = (
+        D.minhash_candidate_pairs(reps, "doc_id", "text", portable=True)
+        .select("id_a", "id_b")
+        .repartition(par)
+    )
+    fnd = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .filter(gate)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    )
+    fin = pr.crossJoin(F.broadcast(fnd)).select(
+        "n_true",
+        "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_true"), 6)
+        .cast("decimal(18,6)")
+        .alias("measured_recall"),
+        F.round(F.col("sp").cast("double") / F.col("n_true"), 6)
+        .cast("decimal(18,6)")
+        .alias("predicted_recall"),
+    )
+    return fin.select(
+        F.lit(_DEPLOYED_BANDS).alias("bands"),
+        F.lit(_DEPLOYED_ROWS).alias("rows_per_band"),
+        F.col("n_true").alias("n_true_pairs"),
+        "n_found",
+        F.col("measured_recall").cast("double").alias("measured_recall"),
+        F.col("predicted_recall").cast("double").alias("predicted_recall"),
+        F.abs(F.col("predicted_recall") - F.col("measured_recall"))
+        .cast("double")
+        .alias("calibration_gap"),
+    )

@@ -61,11 +61,15 @@ def test_pinned_rotation_matches_computed():
         _ROUND13_PRIORITY,
         _ROUND14_NEW,
         _ROUND14_PRIORITY,
+        _ROUND15_NEW,
+        _ROUND15_PRIORITY,
     )
 
     computed = set(_pending())
     pinned = (
-        set(_ROUND14_PRIORITY)
+        set(_ROUND15_PRIORITY)
+        | set(_ROUND15_NEW)
+        | set(_ROUND14_PRIORITY)
         | set(_ROUND14_NEW)
         | set(_ROUND13_PRIORITY)
         | set(_ROUND13_NEW)
@@ -74,6 +78,6 @@ def test_pinned_rotation_matches_computed():
     # extra re-attest entries (deliberate re-runs after rewrites).
     missing = computed - pinned
     assert missing == set(), (
-        f"attestation work-list drifted — add to _ROUND14_PRIORITY "
-        f"(or _ROUND14_NEW): {sorted(missing)}"
+        f"attestation work-list drifted — add to _ROUND15_PRIORITY "
+        f"(or _ROUND15_NEW): {sorted(missing)}"
     )
