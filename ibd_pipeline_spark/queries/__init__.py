@@ -233,6 +233,8 @@ _ROUND15_PRIORITY: list[str] = []
 
 _ROUND15_NEW: list[str] = [
     "dedup_lsh_calibration",
+    "io_proto_payload_roundtrip",
+    "io_proto_malformed_audit",
 ]
 
 _ROUND14_PRIORITY: list[str] = [
