@@ -235,6 +235,7 @@ _ROUND15_NEW: list[str] = [
     "dedup_lsh_calibration",
     "io_proto_payload_roundtrip",
     "io_proto_malformed_audit",
+    "io_avro_logical_roundtrip",
 ]
 
 _ROUND14_PRIORITY: list[str] = [

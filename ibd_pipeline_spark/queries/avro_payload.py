@@ -383,3 +383,139 @@ def io_avro_schema_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("schema_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Logical types through the payload codec (r15, VERDICT r14 #3)
+# ---------------------------------------------------------------------------
+
+_LOGICAL_ID = 11
+
+_LOGICAL_SCHEMA = (
+    '{"type":"record","name":"order_msg","fields":['
+    '{"name":"o_orderkey","type":"long"},'
+    '{"name":"price","type":{"type":"bytes","logicalType":"decimal",'
+    '"precision":12,"scale":2}},'
+    '{"name":"odate","type":{"type":"int","logicalType":"date"}},'
+    '{"name":"ots","type":["null",'
+    '{"type":"long","logicalType":"timestamp-micros"}]},'
+    '{"name":"status","type":"string"}]}'
+)
+
+# exact unscaled decimal cents: o_totalprice carries 2-dp values, so
+# the double product is integer-valued up to float noise and ROUND
+# recovers it exactly in both engines
+_CENTS_SQL = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+
+# minimal two's-complement byte width of the (positive) unscaled
+# value — the Avro bytes-decimal ladder, thresholds at 2^(8k-1)
+_DECLEN_SQL = f"""CASE
+  WHEN {_CENTS_SQL} < 128 THEN 1
+  WHEN {_CENTS_SQL} < 32768 THEN 2
+  WHEN {_CENTS_SQL} < 8388608 THEN 3
+  WHEN {_CENTS_SQL} < 2147483648 THEN 4
+  WHEN {_CENTS_SQL} < 549755813888 THEN 5
+  ELSE 6 END"""
+
+_DAYS_SQL = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+_OTS_NULL_SQL = "o_orderkey % 7 = 3"
+_OUS_SQL = "epoch_us(CAST(o_orderdate AS TIMESTAMP))"
+
+# Per-record body: varint(key) + [varint(declen) + declen bytes of
+# decimal] + varint(days) + [1 union byte + 0|varint(micros)] +
+# [varint(len) + len bytes of status]; the Confluent frame adds 5.
+_LOGICAL_BODY_SQL = (
+    f"{_vlen_sql(_zz_sql('o_orderkey'))} "
+    f"+ 1 + {_DECLEN_SQL} "
+    f"+ {_vlen_sql(_zz_sql(_DAYS_SQL))} "
+    f"+ 1 + CASE WHEN {_OTS_NULL_SQL} THEN 0 "
+    f"ELSE {_vlen_sql(_zz_sql(_OUS_SQL))} END "
+    f"+ {_vlen_sql(_zz_sql('strlen(o_orderstatus)'))} "
+    f"+ strlen(o_orderstatus)"
+)
+
+_LOGICAL_SQL = f"""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_price,
+       strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_odate,
+       strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS max_odate,
+       CAST(SUM(CASE WHEN {_OTS_NULL_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_ts,
+       CAST(MIN(CASE WHEN {_OTS_NULL_SQL} THEN NULL ELSE {_OUS_SQL} END)
+         AS BIGINT) AS min_ts_us,
+       CAST(SUM({_LOGICAL_BODY_SQL}) AS BIGINT) AS payload_bytes,
+       CAST(SUM({_LOGICAL_BODY_SQL}) + 5 * COUNT(*) AS BIGINT) AS wire_bytes
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
+@query("io_avro_logical_roundtrip", oracle=_LOGICAL_SQL)
+def io_avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL TYPES through the payload codec, END TO END — the
+    first message a Debezium/CDC consumer actually hits: a decimal
+    (bytes + logicalType, minimal two's-complement unscaled), a date
+    (int days), and a NULLABLE timestamp-micros (union + logical),
+    encoded → Confluent-framed → unframed → decoded → aggregated FROM
+    THE DECODED COLUMNS. The money column keeps the dsum rule intact:
+    the decoded DecimalType(12,2) sums exactly (order-independent) and
+    rounds in the decimal domain before one cast to double. Planted
+    NULL timestamps (o_orderkey ≡ 3 mod 7) exercise the union path
+    both ways. The oracle attests identity AND the encoded sizes —
+    including the bytes-decimal minimal-width ladder (thresholds at
+    2^(8k−1)) — so a non-minimal decimal encoding or a wrong
+    union/logical byte flips the hash. JVM byte parity for these
+    shapes is pinned separately against Spark's own Avro writer
+    (tests/test_avro_codec.py::test_jvm_byte_parity_logical_types_via_ocf).
+
+    Scale: same budget as io_avro_payload_roundtrip — framing is
+    codegen, the codec one Arrow batch per partition (JVM-native when
+    spark-avro is deployed), aggregation map-side combined on the
+    3-value status key."""
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.to_date("o_orderdate").alias("odate"),
+        F.when(F.col("o_orderkey") % 7 == 3, F.lit(None))
+        .otherwise(F.col("o_orderdate").cast("timestamp"))
+        .alias("ots"),
+    )
+    payload = A.to_avro_binary(
+        F.struct("o_orderkey", "price", "odate", "ots", "status"),
+        _LOGICAL_SCHEMA,
+        spark,
+    )
+    wire = od.select(
+        A.to_confluent_wire(payload, _LOGICAL_ID).alias("wire")
+    )
+    dec = wire.select(
+        F.octet_length("wire").alias("wire_len"),
+        A.from_avro_binary(
+            A.wire_payload(F.col("wire"), _LOGICAL_ID),
+            _LOGICAL_SCHEMA,
+            spark,
+            mode="FAILFAST",
+        ).alias("r"),
+    ).select("wire_len", "r.*")
+    return (
+        dec.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("price"), 2).cast("double").alias("sum_price"),
+            F.date_format(F.min("odate"), "yyyy-MM-dd").alias("min_odate"),
+            F.date_format(F.max("odate"), "yyyy-MM-dd").alias("max_odate"),
+            F.sum(F.when(F.col("ots").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_ts"),
+            F.unix_micros(F.min("ots")).cast("bigint").alias("min_ts_us"),
+            (F.sum("wire_len") - F.lit(5) * F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("payload_bytes"),
+            F.sum("wire_len").cast("bigint").alias("wire_bytes"),
+        )
+        .orderBy("status")
+    )

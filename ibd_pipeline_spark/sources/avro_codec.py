@@ -46,6 +46,8 @@ batch, the same budget class as the PNG/WAV decode paths).
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import struct as _struct
 
@@ -56,6 +58,8 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DataType,
+    DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -63,6 +67,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 # ---------------------------------------------------------------------------
@@ -148,9 +153,21 @@ _SPARK_TYPE: dict[str, DataType] = {
 
 
 class _Field:
-    __slots__ = ("name", "prim", "nullable", "null_index")
+    __slots__ = (
+        "name", "prim", "nullable", "null_index",
+        "precision", "scale", "fixed_size",
+    )
 
-    def __init__(self, name: str, prim: str, nullable: bool, null_index: int):
+    def __init__(
+        self,
+        name: str,
+        prim: str,
+        nullable: bool,
+        null_index: int,
+        precision: int = 0,
+        scale: int = 0,
+        fixed_size: int = 0,
+    ):
         self.name = name
         self.prim = prim
         self.nullable = nullable
@@ -158,6 +175,98 @@ class _Field:
         # SchemaConverters emits ["type","null"] OR ["null","type"]
         # depending on version; honor whatever the schema says.
         self.null_index = null_index
+        self.precision = precision
+        self.scale = scale
+        self.fixed_size = fixed_size
+
+
+# logical types (Avro spec §Logical Types — the CDC/Debezium set,
+# VERDICT r14 #3): decimal over bytes (length-prefixed minimal
+# two's-complement big-endian unscaled int — the Debezium form) and
+# over fixed (constant-size sign-extended — what Spark's own
+# SchemaConverters emits for DecimalType), timestamp-micros/-millis
+# over long, date over int (days since epoch)
+_LOGICAL_KINDS = {
+    "decimal-bytes", "decimal-fixed",
+    "timestamp-micros", "timestamp-millis", "date",
+}
+
+
+def _parse_type(t) -> tuple[str, int, int, int]:
+    """Normalize a field-type schema node (string primitive or
+    logical-type dict) → (kind, precision, scale, fixed_size)."""
+    if isinstance(t, str):
+        if t not in _PRIMITIVES:
+            raise ValueError(f"unsupported field type {t!r}")
+        return t, 0, 0, 0
+    if not isinstance(t, dict):
+        raise ValueError(f"unsupported field type {t!r}")
+    base = t.get("type")
+    lt = t.get("logicalType")
+    if lt == "decimal" and base in ("bytes", "fixed"):
+        prec = int(t.get("precision", 0))
+        scale = int(t.get("scale", 0))
+        if not (1 <= prec <= 38) or not (0 <= scale <= prec):
+            raise ValueError(
+                f"decimal(precision={prec}, scale={scale}) outside the "
+                "Spark DecimalType range"
+            )
+        if base == "fixed":
+            size = int(t.get("size", 0))
+            if size < 1:
+                raise ValueError("fixed decimal needs a positive size")
+            return "decimal-fixed", prec, scale, size
+        return "decimal-bytes", prec, scale, 0
+    if lt == "timestamp-micros" and base == "long":
+        return "timestamp-micros", 0, 0, 0
+    if lt == "timestamp-millis" and base == "long":
+        return "timestamp-millis", 0, 0, 0
+    if lt == "date" and base == "int":
+        return "date", 0, 0, 0
+    if lt is None and isinstance(base, str) and base in _PRIMITIVES:
+        # spec: attributes other than a recognized logicalType are
+        # annotations; honor the underlying primitive
+        return base, 0, 0, 0
+    raise ValueError(f"unsupported logical type {t!r}")
+
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+
+
+def _twos_complement_bytes(u: int) -> bytes:
+    """Minimal big-endian two's-complement of a signed int (the Avro
+    bytes-decimal payload — Java BigInteger.toByteArray minimality:
+    -128 is ONE byte 0x80, 128 is TWO bytes 0x0080)."""
+    n = (u.bit_length() if u >= 0 else (u + 1).bit_length()) // 8 + 1
+    return u.to_bytes(n, "big", signed=True)
+
+
+def _to_epoch_int(v, kind: str, name: str) -> int:
+    """Epoch micros/millis of a timestamp value. Naive timestamps are
+    taken as UTC — correct when spark.sql.session.timeZone is UTC
+    (the fixture/driver configuration); the JVM byte-parity test pins
+    this against Spark's own Avro writer."""
+    if isinstance(v, pd.Timestamp):
+        ns = v.value
+        return ns // 1000 if kind == "timestamp-micros" else ns // 10**6
+    if isinstance(v, _dt.datetime):
+        d = v - _EPOCH_DT
+        us = (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
+        return us if kind == "timestamp-micros" else us // 1000
+    return int(v)
+
+
+def _unscaled(v, scale: int, name: str) -> int:
+    """Exact unscaled integer of a Decimal at the schema scale."""
+    d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(str(v))
+    q = d.scaleb(scale)
+    u = int(q)
+    if q != u:
+        raise ValueError(
+            f"{name}: {d} does not fit scale {scale} exactly"
+        )
+    return u
 
 
 class RecordCodec:
@@ -174,24 +283,24 @@ class RecordCodec:
         self.fields: list[_Field] = []
         for f in s["fields"]:
             t = f["type"]
-            if isinstance(t, str):
-                if t not in _PRIMITIVES:
-                    raise ValueError(f"unsupported field type {t!r}")
-                self.fields.append(_Field(f["name"], t, False, -1))
-            elif isinstance(t, list):
+            if isinstance(t, list):
                 if len(t) != 2 or "null" not in t:
                     raise ValueError(
                         "schema subset: only two-branch null unions"
                     )
                 null_index = t.index("null")
-                prim = t[1 - null_index]
-                if not isinstance(prim, str) or prim not in _PRIMITIVES:
-                    raise ValueError(f"unsupported union member {prim!r}")
+                kind, prec, scale, size = _parse_type(t[1 - null_index])
                 self.fields.append(
-                    _Field(f["name"], prim, True, null_index)
+                    _Field(
+                        f["name"], kind, True, null_index,
+                        prec, scale, size,
+                    )
                 )
             else:
-                raise ValueError(f"unsupported field type {t!r}")
+                kind, prec, scale, size = _parse_type(t)
+                self.fields.append(
+                    _Field(f["name"], kind, False, -1, prec, scale, size)
+                )
 
     # -- encode ------------------------------------------------------------
 
@@ -199,14 +308,19 @@ class RecordCodec:
         """values: sequence aligned with self.fields."""
         out = bytearray()
         for fld, v in zip(self.fields, values):
+            # None, NaT (pandas' null timestamp), or NaN (fallback
+            # caveat) all mean "no value"
+            is_null = (
+                v is None
+                or v is pd.NaT
+                or (isinstance(v, float) and v != v)
+            )
             if fld.nullable:
-                if v is None or (
-                    isinstance(v, float) and v != v  # NaN (fallback caveat)
-                ):
+                if is_null:
                     write_varint(zigzag_encode(fld.null_index, 64), out)
                     continue
                 write_varint(zigzag_encode(1 - fld.null_index, 64), out)
-            elif v is None:
+            elif is_null:
                 raise ValueError(
                     f"null in non-nullable field {fld.name!r}"
                 )
@@ -229,6 +343,29 @@ class RecordCodec:
                 out += b
             elif p == "boolean":
                 out.append(1 if v else 0)
+            elif p == "decimal-bytes":
+                b = _twos_complement_bytes(_unscaled(v, fld.scale, fld.name))
+                write_long(len(b), out)
+                out += b
+            elif p == "decimal-fixed":
+                u = _unscaled(v, fld.scale, fld.name)
+                try:
+                    out += u.to_bytes(fld.fixed_size, "big", signed=True)
+                except OverflowError as e:
+                    raise ValueError(
+                        f"{fld.name}: unscaled {u} overflows "
+                        f"fixed({fld.fixed_size})"
+                    ) from e
+            elif p in ("timestamp-micros", "timestamp-millis"):
+                write_long(_to_epoch_int(v, p, fld.name), out)
+            elif p == "date":
+                if isinstance(v, _dt.datetime):
+                    v = v.date()
+                if isinstance(v, _dt.date):
+                    days = (v - _EPOCH_DATE).days
+                else:
+                    days = int(v)
+                write_varint(zigzag_encode(days, 32), out)
         return bytes(out)
 
     # -- decode ------------------------------------------------------------
@@ -275,7 +412,7 @@ class RecordCodec:
                     raise ValueError("truncated bytes")
                 v = bytes(buf[pos : pos + n])
                 pos += n
-            else:  # boolean
+            elif p == "boolean":
                 if pos >= len(buf):
                     raise ValueError("truncated boolean")
                 b = buf[pos]
@@ -283,6 +420,35 @@ class RecordCodec:
                 if b not in (0, 1):
                     raise ValueError("bad boolean byte")
                 v = bool(b)
+            elif p in ("decimal-bytes", "decimal-fixed"):
+                if p == "decimal-bytes":
+                    n, pos = read_long(buf, pos)
+                    if n < 1 or pos + n > len(buf):
+                        raise ValueError("truncated decimal bytes")
+                else:
+                    n = fld.fixed_size
+                    if pos + n > len(buf):
+                        raise ValueError("truncated decimal fixed")
+                u = int.from_bytes(
+                    bytes(buf[pos : pos + n]), "big", signed=True
+                )
+                pos += n
+                v = _decimal.Decimal(u).scaleb(-fld.scale)
+                if len(v.as_tuple().digits) > fld.precision:
+                    raise ValueError(
+                        f"decimal overflows precision {fld.precision}"
+                    )
+            elif p in ("timestamp-micros", "timestamp-millis"):
+                n, pos = read_long(buf, pos)
+                us = n if p == "timestamp-micros" else n * 1000
+                v = _EPOCH_DT + _dt.timedelta(microseconds=us)
+            elif p == "date":
+                n, pos = read_long(buf, pos)
+                if not (-(2**31) <= n < 2**31):
+                    raise ValueError("date out of range")
+                v = _EPOCH_DATE + _dt.timedelta(days=n)
+            else:
+                raise ValueError(f"unsupported kind {p!r}")
             vals.append(v)
         if strict_trailing and pos != len(buf):
             raise ValueError(f"{len(buf) - pos} trailing bytes")
@@ -295,11 +461,17 @@ class RecordCodec:
         null in a non-nullable vector at read time ("Value at index
         is null") — the avro-level nullability is still enforced,
         by encode()/decode() themselves."""
+        def typ(f: _Field) -> DataType:
+            if f.prim in ("decimal-bytes", "decimal-fixed"):
+                return DecimalType(f.precision, f.scale)
+            if f.prim in ("timestamp-micros", "timestamp-millis"):
+                return TimestampType()
+            if f.prim == "date":
+                return DateType()
+            return _SPARK_TYPE[f.prim]
+
         return StructType(
-            [
-                StructField(f.name, _SPARK_TYPE[f.prim], True)
-                for f in self.fields
-            ]
+            [StructField(f.name, typ(f), True) for f in self.fields]
         )
 
 
