@@ -254,16 +254,18 @@ def io_avro_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multi-schema topic: dispatch by wire schema id + reader defaulting (r14)
+# Multi-schema topic: dispatch by wire schema id + reader defaulting
+# (r14; r15 moved the encode/decode transforms to
+# streaming/avro_dispatch.py so the SAME code path runs under
+# readStream — stream-equals-batch pinned in
+# tests/test_streaming_avro_dispatch.py)
 # ---------------------------------------------------------------------------
 
-_V1_ID, _V2_ID = 7, 8
-
-_V1_SCHEMA = (
-    '{"type":"record","name":"event_msg","fields":['
-    '{"name":"event_id","type":"long"},'
-    '{"name":"event_type","type":"string"},'
-    '{"name":"ts_us","type":"long"}]}'
+from ibd_pipeline_spark.streaming.avro_dispatch import (  # noqa: E402
+    V1_ID as _V1_ID,
+    V2_ID as _V2_ID,
+    dispatch_decode as _dispatch_decode,
+    encode_topic as _encode_topic,
 )
 
 _DISPATCH_SQL = f"""
@@ -312,63 +314,8 @@ def io_avro_schema_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.unix_micros("ts").alias("ts_us"),
     )
-    v1 = ev.filter(F.col("event_id") % 3 == 0)
-    v2 = ev.filter(F.col("event_id") % 3 != 0)
-    w1 = v1.select(
-        A.to_confluent_wire(
-            A.to_avro_binary(
-                F.struct("event_id", "event_type", "ts_us"),
-                _V1_SCHEMA,
-                spark,
-            ),
-            _V1_ID,
-        ).alias("wire")
-    )
-    w2 = v2.select(
-        A.to_confluent_wire(
-            A.to_avro_binary(
-                F.struct("event_id", "event_type", "value", "ts_us"),
-                _MSG_SCHEMA,
-                spark,
-            ),
-            _V2_ID,
-        ).alias("wire")
-    )
-    topic = w1.unionByName(w2)
-    sid = A.wire_schema_id(F.col("wire"))
-    r1 = (
-        topic.filter(sid == _V1_ID)
-        .select(
-            F.lit(_V1_ID).alias("schema_id"),
-            A.from_avro_binary(
-                A.wire_payload(F.col("wire"), _V1_ID),
-                _V1_SCHEMA,
-                spark,
-                mode="FAILFAST",
-            ).alias("r"),
-        )
-        .select(
-            "schema_id",
-            "r.event_id",
-            "r.event_type",
-            F.lit(None).cast("double").alias("value"),  # reader default
-            "r.ts_us",
-        )
-    )
-    r2 = (
-        topic.filter(sid == _V2_ID)
-        .select(
-            F.lit(_V2_ID).alias("schema_id"),
-            A.from_avro_binary(
-                A.wire_payload(F.col("wire"), _V2_ID),
-                _MSG_SCHEMA,
-                spark,
-                mode="FAILFAST",
-            ).alias("r"),
-        )
-        .select("schema_id", "r.event_id", "r.event_type", "r.value", "r.ts_us")
-    )
-    dec = r1.unionByName(r2)
+    topic = _encode_topic(ev, spark)
+    dec = _dispatch_decode(topic, spark)
     return (
         dec.groupBy(F.col("schema_id").cast("int").alias("schema_id"), "event_type")
         .agg(
