@@ -814,195 +814,6 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH recall/precision evaluation against exact same-universe truth (r13)
-# ---------------------------------------------------------------------------
-
-
-def _lsh_recall_oracle() -> str:
-    """MinHash pipeline CTE (→ state/cand) + an exact prefix-filter
-    truth join over the SAME hashed-shingle universe at τ = 1/2, then
-    integer-gated counts."""
-    return (
-        _mh_cte(_REPS_SRC, "")
-        + """
-, tok AS (
-  SELECT doc_id, u.h FROM state, unnest(hs) AS u(h)
-), tfr AS (
-  SELECT h, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY h
-), stp AS (
-  SELECT doc_id, array_agg(h ORDER BY freq, h) AS stoks,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM (SELECT tok.doc_id, tok.h, tfr.freq FROM tok JOIN tfr USING (h))
-  GROUP BY doc_id
-), pref AS (
-  SELECT doc_id, u.h
-  FROM stp, unnest(list_slice(stoks, 1,
-         CAST(n - CEIL(n / 2.0) + 1 AS BIGINT))) AS u(h)
-), tcand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
-), truth AS (
-  SELECT t.id_a, t.id_b
-  FROM tcand t JOIN state a ON a.doc_id = t.id_a
-               JOIN state b ON b.doc_id = t.id_b
-  WHERE 2 * len(list_intersect(a.hs, b.hs))
-        >= len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
-), found AS (
-  SELECT c.id_a, c.id_b
-  FROM cand c JOIN state a ON a.doc_id = c.id_a
-              JOIN state b ON b.doc_id = c.id_b
-  WHERE 2 * len(list_intersect(a.hs, b.hs))
-        >= len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
-), counts AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found
-)
-SELECT n_true AS n_true_pairs, n_candidates, n_found,
-       ROUND(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
-       ROUND(CAST(n_found AS DOUBLE) / n_candidates, 6)
-         AS candidate_precision
-FROM counts
-"""
-    )
-
-
-@query("dedup_lsh_recall_eval", oracle=_lsh_recall_oracle)
-def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MEASURED recall/precision of the MinHash-LSH banding (8×4,
-    tuned s-curve threshold ≈ 0.59) against EXACT ground truth at
-    J ≥ 1/2 over the SAME hashed-shingle universe — the evaluation
-    row every approximate-dedup deployment owes its users
-    (similarity_ndcg_eval is the ANN twin). Truth comes from the
-    prefix-filter exact join (zero false negatives by the pigeonhole
-    bound), so recall = |LSH-found|/|truth| is an exact statement
-    about the banding, not an estimate; candidate_precision measures
-    the verify-stage waste.
-
-    Both sides share one similarity definition: Jaccard on the
-    md5-hashed shingle sets, gated by the INTEGER cross-multiplication
-    2·|∩| ≥ |∪| (no rounded-double thresholds anywhere), and both
-    engines replay the identical pipeline (the portable md5 family).
-
-    Scale: truth is the prefix-filter join (rare-postings bounded),
-    LSH is the banded bucket join — the eval costs one run of each,
-    which is exactly what an offline recall audit costs at 100 TB;
-    the shared session-cached minhash state feeds the LSH side."""
-    par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents")
-    reps = d.select("doc_id", "text").join(
-        D.exact_keeper_ids(d), "doc_id", "left_semi"
-    )
-    # hashed shingle sets — the md5-portable universe (mirrors the
-    # oracle's `state.hs` and minhash_candidate_pairs portable=True)
-    hashed = (
-        reps.repartition(par)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .localCheckpoint(eager=True)  # split once (CollapseProject)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        D.shingles(F.concat_ws(" ", "w"), 3),
-                        lambda g: F.substring(F.md5(g), 1, 8),
-                    )
-                )
-            ).alias("h"),
-        )
-        .localCheckpoint(eager=True)  # feeds tf, stp, and both verifies
-    )
-    sets = hashed.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hs"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    tf = hashed.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    )
-    stp = (
-        hashed.join(tf, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("freq", "h"))),
-                lambda s: s["h"],
-            ).alias("stoks"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
-    plen = (
-        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
-    ).cast("int")
-    pref = stp.select(
-        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
-    ).localCheckpoint(eager=True)  # self-join: evaluate once
-    a, b = pref.alias("a"), pref.alias("b")
-    tcand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(par)  # verify-stage parallelism (AQE coalesce)
-    )
-    x = sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("ha"),
-        F.col("n").alias("na"),
-    )
-    y = sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("hb"),
-        F.col("n").alias("nb"),
-    )
-    ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
-    gate = 2 * ni >= F.col("na") + F.col("nb") - ni
-    truth = (
-        tcand.join(x, "id_a").join(y, "id_b").filter(gate)
-        .select("id_a", "id_b")
-    )
-    cand = (
-        D.minhash_candidate_pairs(reps, "doc_id", "text", portable=True)
-        .select("id_a", "id_b")
-        .repartition(par)
-    )
-    found = (
-        cand.join(x, "id_a").join(y, "id_b").filter(gate)
-        .select("id_a", "id_b")
-    )
-    counts = (
-        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
-        .crossJoin(
-            F.broadcast(
-                cand.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_candidates")
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
-            )
-        )
-    )
-    return counts.select(
-        F.col("n_true").alias("n_true_pairs"),
-        "n_candidates",
-        "n_found",
-        F.round(F.col("n_found").cast("double") / F.col("n_true"), 6).alias(
-            "recall"
-        ),
-        F.round(
-            F.col("n_found").cast("double") / F.col("n_candidates"), 6
-        ).alias("candidate_precision"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # (moved from round10_similarity.py in the r14 chronological->topic split;
 # registry names, semantics, and oracles unchanged)
 # ---------------------------------------------------------------------------
@@ -1667,160 +1478,6 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
-# LSH blocking-quality evaluation (pair completeness / reduction ratio)
-# ---------------------------------------------------------------------------
-
-
-def _blocking_quality_oracle() -> str:
-    """The md5-portable LSH pipeline's candidates measured against
-    the EXACT truth set (all pairs with shingle-set Jaccard >= 0.5,
-    found via the inverted-index shingle join, J-test kept in integer
-    space: 2*inter >= union)."""
-    from ibd_pipeline_spark.queries.dedup import _mh_cte
-
-    return (
-        _mh_cte("src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)")
-        + """
-, dh AS (
-  SELECT DISTINCT doc_id, h FROM hashed
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM dh GROUP BY 1
-), inter AS (
-  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS ni
-  FROM dh l JOIN dh r ON l.h = r.h AND l.doc_id < r.doc_id
-  GROUP BY 1, 2
-), truth AS (
-  SELECT i.id_a, i.id_b
-  FROM inter i
-  JOIN sizes a ON a.doc_id = i.id_a
-  JOIN sizes b ON b.doc_id = i.id_b
-  WHERE 2 * i.ni >= a.n + b.n - i.ni
-), m AS (
-  SELECT (SELECT COUNT(*) FROM src) AS n_docs,
-         (SELECT COUNT(*) FROM cand) AS cand_pairs,
-         (SELECT COUNT(*) FROM truth) AS true_pairs,
-         (SELECT COUNT(*) FROM truth t
-            JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS found_true
-)
-SELECT CAST(n_docs AS BIGINT) AS n_docs,
-       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS total_pairs,
-       CAST(cand_pairs AS BIGINT) AS cand_pairs,
-       CAST(true_pairs AS BIGINT) AS true_pairs,
-       CAST(found_true AS BIGINT) AS found_true,
-       CAST((n_docs * (n_docs - 1) // 2 - cand_pairs) * 10000
-            // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS reduction_bp,
-       CAST(CASE WHEN true_pairs = 0 THEN 10000
-                 ELSE found_true * 10000 // true_pairs END AS BIGINT)
-         AS completeness_bp,
-       CAST(CASE WHEN cand_pairs = 0 THEN 0
-                 ELSE found_true * 10000 // cand_pairs END AS BIGINT)
-         AS precision_bp
-FROM m
-"""
-    )
-
-
-@query("dedup_blocking_quality", oracle=_blocking_quality_oracle)
-def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking-quality evaluation of the MinHash-LSH candidate
-    generator — the record-linkage acceptance test (pair completeness
-    / reduction ratio, Christen's survey metrics): LSH candidates
-    measured against the EXACT truth set (every pair with shingle-set
-    Jaccard >= 0.5), reporting how many comparisons blocking saved
-    (reduction ratio, basis points of the full n*(n-1)/2), how many
-    true duplicate pairs the bands caught (pair completeness =
-    recall), and how many candidates were worth verifying
-    (precision). This is how you TUNE (bands x rows) before trusting
-    a dedup pipeline at 100 TB: completeness says whether duplicates
-    leak through, reduction says whether the quadratic stage stays
-    dead.
-
-    The truth set comes from the inverted-index shingle join (pairs
-    sharing >= 1 shingle hash, exact inter/union counts) with the
-    J >= 0.5 test kept in INTEGER space (2*inter >= union) — no float
-    anywhere, so with the md5-portable signature mode the whole
-    relation is hash-attested. On the bounded doc_id < 300 slice the
-    exact truth is affordable; at scale you run this audit on exactly
-    such a sampled slice — the metrics, not the truth join, are the
-    production artifact.
-
-    Scale: the LSH branch is the attested banded shape (never
-    all-pairs); the truth branch's shingle join is the audit's
-    deliberate quadratic-in-collisions cost, bounded by the slice;
-    everything reduces to four single-row counts cross-joined
-    broadcast."""
-    from ibd_pipeline_spark.operators.dedup import (
-        minhash_candidate_pairs,
-        release_state,
-        shingles,
-    )
-
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    cand = minhash_candidate_pairs(d, portable=True)
-
-    dh = (
-        d.select("doc_id", F.explode(shingles("text")).alias("g"))
-        .select("doc_id", F.substring(F.md5("g"), 1, 8).alias("h"))
-        .distinct()
-    )
-    sizes = dh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    l, r = dh.alias("l"), dh.alias("r")
-    inter = (
-        l.join(
-            r,
-            (F.col("l.h") == F.col("r.h"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(
-            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    truth = (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
-        .filter(2 * F.col("ni") >= F.col("na") + F.col("nb") - F.col("ni"))
-        .select("id_a", "id_b")
-    )
-
-    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    cc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
-    tc = truth.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
-    fc = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).cast("bigint").alias("found_true")
-    )
-    out = (
-        nd.crossJoin(F.broadcast(cc))
-        .crossJoin(F.broadcast(tc))
-        .crossJoin(F.broadcast(fc))
-        .select(
-            "n_docs",
-            F.expr("n_docs * (n_docs - 1) div 2").cast("bigint").alias("total_pairs"),
-            "cand_pairs",
-            "true_pairs",
-            "found_true",
-            F.expr(
-                "(n_docs * (n_docs - 1) div 2 - cand_pairs) * 10000"
-                " div (n_docs * (n_docs - 1) div 2)"
-            )
-            .cast("bigint")
-            .alias("reduction_bp"),
-            F.when(F.col("true_pairs") == 0, F.lit(10000))
-            .otherwise(F.expr("found_true * 10000 div true_pairs"))
-            .cast("bigint")
-            .alias("completeness_bp"),
-            F.when(F.col("cand_pairs") == 0, F.lit(0))
-            .otherwise(F.expr("found_true * 10000 div cand_pairs"))
-            .cast("bigint")
-            .alias("precision_bp"),
-        )
-    )
-    out = out.localCheckpoint(eager=True)
-    release_state(cand)
-    return out
-
-
-# ---------------------------------------------------------------------------
 # Sorted-neighborhood dedup blocking (window-over-sort-key family)
 # ---------------------------------------------------------------------------
 
@@ -2074,493 +1731,4 @@ def dedup_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_agree") >= 3)
         .orderBy("id_a", "id_b")
-    )
-
-
-# ---------------------------------------------------------------------------
-# LSH band-configuration planning from the observed J-histogram (r14)
-# ---------------------------------------------------------------------------
-
-# (bands, rows) configurations spending the same 32-hash signature
-# budget as the deployed 8x4 banding; the s-curve threshold
-# (1/b)^(1/r) is a CONFIG constant, computed here once in Python and
-# shipped as a literal (no fractional pow in either engine).
-_BAND_CONFIGS = [(4, 8), (8, 4), (16, 2), (32, 1)]
-_BAND_THRESH = {(b, r): round((1.0 / b) ** (1.0 / r), 6) for b, r in _BAND_CONFIGS}
-
-
-def _scurve_sql(b: int, r: int, s: str = "s") -> str:
-    """SQL for the LSH s-curve P(hit | s) = 1 − (1 − s^r)^b with the
-    integer exponents expanded as repeated-squaring multiplication
-    chains (no libm pow in either engine). Shared by the planning
-    and calibration oracles."""
-    sr = s
-    k = 1
-    while k * 2 <= r:
-        sr = f"({sr} * {sr})"
-        k *= 2
-    while k < r:
-        sr = f"({sr} * {s})"
-        k += 1
-    t = f"(1.0 - {sr})"
-    tb = t
-    k = 1
-    while k * 2 <= b:
-        tb = f"({tb} * {tb})"
-        k *= 2
-    while k < b:
-        tb = f"({tb} * {t})"
-        k += 1
-    return f"(1.0 - {tb})"
-
-
-def _scurve_col(s, b: int, r: int):
-    """Spark Column twin of _scurve_sql: the same multiplication
-    chains over a double column `s`."""
-    sr = s
-    k = 1
-    while k * 2 <= r:
-        sr = sr * sr
-        k *= 2
-    while k < r:
-        sr = sr * s
-        k += 1
-    t = F.lit(1.0) - sr
-    tb = t
-    k = 1
-    while k * 2 <= b:
-        tb = tb * tb
-        k *= 2
-    while k < b:
-        tb = tb * t
-        k += 1
-    return F.lit(1.0) - tb
-
-
-def _band_planning_oracle() -> str:
-    def p_expr(b: int, r: int) -> str:
-        return _scurve_sql(b, r)
-
-    cols = ",\n         ".join(
-        f"CAST(ROUND({p_expr(b, r)}, 9) AS DECIMAL(28,9)) AS p_{b}_{r}"
-        for b, r in _BAND_CONFIGS
-    )
-    unions = "\n  UNION ALL ".join(
-        f"SELECT {b} AS bands, {r} AS rows_per_band, "
-        f"CAST({_BAND_THRESH[(b, r)]} AS DOUBLE) AS s_curve_threshold, "
-        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs, "
-        f"ROUND(CAST((SELECT SUM(p_{b}_{r}) FROM p) AS DOUBLE) "
-        f"/ (SELECT COUNT(*) FROM p), 6) AS expected_recall"
-        for b, r in _BAND_CONFIGS
-    )
-    return f"""
-WITH {_REPS_SRC}, tok AS (
-  SELECT doc_id, u.h FROM (
-    SELECT doc_id, list_distinct(list(substring(md5(g), 1, 8))) AS hs
-    FROM (
-      SELECT doc_id, unnest(
-        CASE WHEN len(w) >= 3
-             THEN list_transform(range(0, len(w) - 2),
-                    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))
-             ELSE [array_to_string(w, ' ')] END) AS g
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM src)
-    ) GROUP BY doc_id
-  ), unnest(hs) AS u(h)
-), sets AS (
-  SELECT doc_id, list(h ORDER BY h) AS hs, CAST(COUNT(*) AS BIGINT) AS n
-  FROM tok GROUP BY doc_id
-), tfr AS (
-  SELECT h, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY h
-), stp AS (
-  SELECT doc_id, array_agg(h ORDER BY freq, h) AS stoks,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM (SELECT tok.doc_id, tok.h, tfr.freq FROM tok JOIN tfr USING (h))
-  GROUP BY doc_id
-), pref AS (
-  SELECT doc_id, u.h
-  FROM stp, unnest(list_slice(stoks, 1,
-         CAST(n - CEIL(n / 2.0) + 1 AS BIGINT))) AS u(h)
-), tcand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
-), jp AS (
-  SELECT CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-         / (a.n + b.n - len(list_intersect(a.hs, b.hs))) AS s,
-         2 * len(list_intersect(a.hs, b.hs))
-           >= a.n + b.n - len(list_intersect(a.hs, b.hs)) AS keep
-  FROM tcand t JOIN sets a ON a.doc_id = t.id_a
-               JOIN sets b ON b.doc_id = t.id_b
-), p AS (
-  SELECT {cols} FROM jp WHERE keep
-)
-{unions}
-ORDER BY bands
-"""
-
-
-@query("dedup_lsh_band_planning", oracle=_band_planning_oracle)
-def dedup_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH band-configuration PLANNING table: for every (bands, rows)
-    split of the deployed 32-hash signature budget, the expected
-    recall over THIS corpus's observed true-pair similarity
-    distribution — E[recall] = mean over true pairs of the s-curve
-    P(hit | s) = 1 − (1 − s^r)^b — plus the config's threshold
-    (1/b)^(1/r). dedup_lsh_recall_eval measures what the deployed 8×4
-    banding DID; this row predicts what each alternative WOULD do, on
-    the same exact ground truth (prefix-filter join at J ≥ 1/2, zero
-    false negatives), which is precisely the r14 scale-probe lesson:
-    recall is a property of the corpus's J-histogram near τ, so the
-    tuning table must be computed per-corpus, not copied from a
-    textbook.
-
-    Exactness: s = |∩|/|∪| is one division of exact integers; s^r and
-    (1 − s^r)^b are repeated-squaring multiplication chains (integer
-    exponents — no libm pow anywhere); per-pair probabilities
-    ROUND→DECIMAL-quantize before the cross-pair mean; the thresholds
-    are Python-computed config literals.
-
-    Scale: one run of the truth side (rare-postings prefix-filter
-    join — the bound the r14 probe measured, SCALE.md) + four codegen
-    expressions per pair; output is |configs| rows."""
-    par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents")
-    reps = d.select("doc_id", "text").join(
-        D.exact_keeper_ids(d), "doc_id", "left_semi"
-    )
-    hashed = (
-        reps.repartition(par)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .localCheckpoint(eager=True)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        D.shingles(F.concat_ws(" ", "w"), 3),
-                        lambda g: F.substring(F.md5(g), 1, 8),
-                    )
-                )
-            ).alias("h"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sets = hashed.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hs"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    tf = hashed.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    )
-    stp = (
-        hashed.join(tf, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("freq", "h"))),
-                lambda s: s["h"],
-            ).alias("stoks"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
-    plen = (
-        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
-    ).cast("int")
-    pref = stp.select(
-        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
-    ).localCheckpoint(eager=True)
-    a, b = pref.alias("a"), pref.alias("b")
-    tcand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(par)
-    )
-    x = sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("ha"),
-        F.col("n").alias("na"),
-    )
-    y = sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("hb"),
-        F.col("n").alias("nb"),
-    )
-    ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
-    nu = F.col("na") + F.col("nb") - ni
-    s = ni.cast("double") / nu
-    jp = (
-        tcand.join(x, "id_a")
-        .join(y, "id_b")
-        .filter(2 * ni >= nu)
-        .select(s.alias("s"))
-    )
-
-    def p_col(bnd: int, r: int):
-        return (
-            F.round(_scurve_col(F.col("s"), bnd, r), 9)
-            .cast("decimal(28,9)")
-            .alias(f"p_{bnd}_{r}")
-        )
-
-    p = jp.select(*[p_col(bnd, r) for bnd, r in _BAND_CONFIGS])
-    agg = p.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        *[
-            F.sum(f"p_{bnd}_{r}").alias(f"sp_{bnd}_{r}")
-            for bnd, r in _BAND_CONFIGS
-        ],
-    )
-    rows = agg.select(
-        "n_pairs",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("bands"),
-                        F.lit(r).alias("rows_per_band"),
-                        F.lit(_BAND_THRESH[(bnd, r)])
-                        .cast("double")
-                        .alias("s_curve_threshold"),
-                        F.round(
-                            F.col(f"sp_{bnd}_{r}").cast("double")
-                            / F.col("n_pairs"),
-                            6,
-                        ).alias("expected_recall"),
-                    )
-                    for bnd, r in _BAND_CONFIGS
-                ]
-            )
-        ).alias("_c"),
-    )
-    return rows.select(
-        "_c.bands",
-        "_c.rows_per_band",
-        "_c.s_curve_threshold",
-        "n_pairs",
-        "_c.expected_recall",
-    ).orderBy("bands")
-
-
-# ---------------------------------------------------------------------------
-# Predicted-vs-measured LSH recall CALIBRATION at the deployed banding (r15)
-# ---------------------------------------------------------------------------
-
-# the banding minhash_candidate_pairs actually deploys (8 bands × 4
-# rows over the 32-hash signature) — the config the calibration row
-# must attest, kept as module constants so a banding change here
-# without a matching change in operators/dedup.py is visible in review
-_DEPLOYED_BANDS, _DEPLOYED_ROWS = 8, 4
-
-
-def _lsh_calibration_oracle() -> str:
-    p = _scurve_sql(_DEPLOYED_BANDS, _DEPLOYED_ROWS)
-    return (
-        _mh_cte(_REPS_SRC, "")
-        + f"""
-, tok AS (
-  SELECT doc_id, u.h FROM state, unnest(hs) AS u(h)
-), tfr AS (
-  SELECT h, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY h
-), stp AS (
-  SELECT doc_id, array_agg(h ORDER BY freq, h) AS stoks,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM (SELECT tok.doc_id, tok.h, tfr.freq FROM tok JOIN tfr USING (h))
-  GROUP BY doc_id
-), pref AS (
-  SELECT doc_id, u.h
-  FROM stp, unnest(list_slice(stoks, 1,
-         CAST(n - CEIL(n / 2.0) + 1 AS BIGINT))) AS u(h)
-), tcand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
-), tp AS (
-  SELECT CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-         / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS s
-  FROM tcand t JOIN state a ON a.doc_id = t.id_a
-               JOIN state b ON b.doc_id = t.id_b
-  WHERE 2 * len(list_intersect(a.hs, b.hs))
-        >= len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
-), pr AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
-         SUM(CAST(ROUND({p}, 9) AS DECIMAL(28,9))) AS sp
-  FROM tp
-), fnd AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_found
-  FROM cand c JOIN state a ON a.doc_id = c.id_a
-              JOIN state b ON b.doc_id = c.id_b
-  WHERE 2 * len(list_intersect(a.hs, b.hs))
-        >= len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
-), fin AS (
-  SELECT n_true, n_found,
-         CAST(ROUND(CAST(n_found AS DOUBLE) / n_true, 6)
-              AS DECIMAL(18,6)) AS measured_recall,
-         CAST(ROUND(CAST(sp AS DOUBLE) / n_true, 6)
-              AS DECIMAL(18,6)) AS predicted_recall
-  FROM pr, fnd
-)
-SELECT {_DEPLOYED_BANDS} AS bands, {_DEPLOYED_ROWS} AS rows_per_band,
-       n_true AS n_true_pairs, n_found,
-       CAST(measured_recall AS DOUBLE) AS measured_recall,
-       CAST(predicted_recall AS DOUBLE) AS predicted_recall,
-       CAST(ABS(predicted_recall - measured_recall) AS DOUBLE)
-         AS calibration_gap
-FROM fin
-"""
-    )
-
-
-@query("dedup_lsh_calibration", oracle=_lsh_calibration_oracle)
-def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PREDICTED-vs-MEASURED recall of the deployed 8×4 LSH banding on
-    the SAME corpus and the SAME exact ground truth, in one row — the
-    calibrated instrument the r14 pair of readouts
-    (dedup_lsh_band_planning predicts, dedup_lsh_recall_eval measures)
-    was building toward. predicted_recall is E over true pairs of the
-    s-curve P(hit | s) = 1 − (1 − s^4)^8 evaluated at each pair's
-    exact Jaccard; measured_recall is |LSH-found ∩ truth| / |truth|
-    with truth from the prefix-filter exact join at J ≥ 1/2 (zero
-    false negatives by the pigeonhole bound). calibration_gap =
-    |predicted − measured| is the model error of the s-curve on THIS
-    corpus — the r14 scale probe found 16 real misses at J ≈ 0.5
-    (recall 0.99953, SCALE.md r14) and this row is the per-corpus
-    gauge of exactly that effect; a planted density-corpus test pins
-    the gap within its sampling bound (tests/test_round15.py).
-
-    Exactness: s = |∩|/|∪| is one division of exact integers; the
-    s-curve uses repeated-squaring multiplication chains (no libm
-    pow); per-pair probabilities ROUND→DECIMAL(28,9)-quantize before
-    the sum; the recalls quantize to DECIMAL(18,6) and the gap is a
-    DECIMAL subtraction of those quantized values — exact in both
-    engines.
-
-    Scale: one run of the prefix-filter truth side (rare-postings
-    bounded, probed in SCALE.md r14) + one run of the banded LSH side
-    (shared session-cached minhash state) + one codegen s-curve per
-    true pair; output is ONE row. This is what an offline recall
-    audit costs at 100 TB — and it is the row that tells you whether
-    the E[recall] planning table can be trusted before you re-band."""
-    par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents")
-    reps = d.select("doc_id", "text").join(
-        D.exact_keeper_ids(d), "doc_id", "left_semi"
-    )
-    hashed = (
-        reps.repartition(par)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .localCheckpoint(eager=True)  # split once (CollapseProject)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        D.shingles(F.concat_ws(" ", "w"), 3),
-                        lambda g: F.substring(F.md5(g), 1, 8),
-                    )
-                )
-            ).alias("h"),
-        )
-        .localCheckpoint(eager=True)  # feeds tf, stp, and both verifies
-    )
-    sets = hashed.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hs"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    tf = hashed.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    )
-    stp = (
-        hashed.join(tf, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("freq", "h"))),
-                lambda s: s["h"],
-            ).alias("stoks"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
-    plen = (
-        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
-    ).cast("int")
-    pref = stp.select(
-        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
-    ).localCheckpoint(eager=True)  # self-join: evaluate once
-    a, b = pref.alias("a"), pref.alias("b")
-    tcand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(par)  # verify-stage parallelism (AQE coalesce)
-    )
-    x = sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("ha"),
-        F.col("n").alias("na"),
-    )
-    y = sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("hb"),
-        F.col("n").alias("nb"),
-    )
-    ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
-    nu = F.col("na") + F.col("nb") - ni
-    gate = 2 * ni >= nu
-    p = F.round(
-        _scurve_col(
-            ni.cast("double") / nu, _DEPLOYED_BANDS, _DEPLOYED_ROWS
-        ),
-        9,
-    ).cast("decimal(28,9)")
-    pr = (
-        tcand.join(x, "id_a")
-        .join(y, "id_b")
-        .filter(gate)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_true"),
-            F.sum(p).alias("sp"),
-        )
-    )
-    cand = (
-        D.minhash_candidate_pairs(reps, "doc_id", "text", portable=True)
-        .select("id_a", "id_b")
-        .repartition(par)
-    )
-    fnd = (
-        cand.join(x, "id_a")
-        .join(y, "id_b")
-        .filter(gate)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
-    )
-    fin = pr.crossJoin(F.broadcast(fnd)).select(
-        "n_true",
-        "n_found",
-        F.round(F.col("n_found").cast("double") / F.col("n_true"), 6)
-        .cast("decimal(18,6)")
-        .alias("measured_recall"),
-        F.round(F.col("sp").cast("double") / F.col("n_true"), 6)
-        .cast("decimal(18,6)")
-        .alias("predicted_recall"),
-    )
-    return fin.select(
-        F.lit(_DEPLOYED_BANDS).alias("bands"),
-        F.lit(_DEPLOYED_ROWS).alias("rows_per_band"),
-        F.col("n_true").alias("n_true_pairs"),
-        "n_found",
-        F.col("measured_recall").cast("double").alias("measured_recall"),
-        F.col("predicted_recall").cast("double").alias("predicted_recall"),
-        F.abs(F.col("predicted_recall") - F.col("measured_recall"))
-        .cast("double")
-        .alias("calibration_gap"),
     )

@@ -1,124 +1,23 @@
-"""Hypothesis-test queries (round-12 split): normality, effect size,
-outlier screens, independence, rank/EDF tests, multiplicity control,
-variance homogeneity, p-value combination, agreement.
-
-Split out of the former chronological round12.py (judge r12 item 5);
-registry names and semantics unchanged. No reference analog (the
-reference computes streaming means/max/stddev only —
-`spark_processor.py:153-164`); SURVEY §2.2 north-star rows.
+"""Moment-based hypothesis tests (r12 topic split; r15 seam split
+moved the rank/contingency/multiplicity/distribution families to
+stats_rank / stats_contingency / stats_multiplicity / stats_dist —
+registry names, semantics, and oracles unchanged throughout): effect
+size, outlier screens, mean comparison, and variance homogeneity.
+No reference analog (the reference computes streaming means/max/
+stddev only — `spark_processor.py:153-164`); SURVEY §2.2 north-star
+rows.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
-
 from ibd_pipeline_spark.catalog import load
 from ibd_pipeline_spark.queries import query
 from ibd_pipeline_spark.queries.statcommon import (
-    _PHI_B,
     _phi_tail_col,
     _phi_tail_sql,
 )
-
-# ---------------------------------------------------------------------------
-# Jarque–Bera normality test (events.value)
-# ---------------------------------------------------------------------------
-
-_JB_SQL = """
-WITH base AS (
-  SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL
-), m1 AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,8))), 6) AS DOUBLE)
-           / COUNT(*) AS mu
-  FROM base
-), cm AS (
-  SELECT n, mu,
-         CAST(ROUND(SUM(CAST((x - mu) * (x - mu) AS DECIMAL(38,8))), 4)
-              AS DOUBLE) AS m2s,
-         CAST(ROUND(SUM(CAST((x - mu) * (x - mu) * (x - mu)
-                             AS DECIMAL(38,8))), 4) AS DOUBLE) AS m3s,
-         CAST(ROUND(SUM(CAST((x - mu) * (x - mu) * (x - mu) * (x - mu)
-                             AS DECIMAL(38,8))), 4) AS DOUBLE) AS m4s
-  FROM base CROSS JOIN m1
-  GROUP BY n, mu
-), st AS (
-  SELECT n,
-         (m3s / n) / sqrt((m2s / n) * (m2s / n) * (m2s / n)) AS b1,
-         (m4s / n) / ((m2s / n) * (m2s / n)) AS b2
-  FROM cm
-)
-SELECT n AS n_obs,
-       ROUND(b1, 6) AS skewness,
-       ROUND(b2, 6) AS kurtosis,
-       ROUND(n / 6.0 * (b1 * b1 + (b2 - 3.0) * (b2 - 3.0) / 4.0), 4)
-         AS jb_stat,
-       ROUND(exp(-(n / 6.0 * (b1 * b1 + (b2 - 3.0) * (b2 - 3.0) / 4.0))
-                 / 2.0), 8) AS p_value
-FROM st
-"""
-
-
-@query("stats_jarque_bera", oracle=_JB_SQL)
-def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jarque–Bera normality test of the event `value` distribution:
-    JB = n/6·(b₁² + (b₂−3)²/4) from sample skewness b₁ and kurtosis
-    b₂. JB ~ χ²(2) under normality, whose survival has the EXACT
-    closed form e^(−x/2) — no approximation enters the p-value. The
-    go/no-go gate before any mean-based test in the stats belt (a
-    heavy-tailed metric sends you to the rank tests next door).
-
-    Exactness: μ is the davg rule (decimal sum rounded at 6, one
-    double division); centered power sums cast each per-row double
-    term to DECIMAL(38,8) so the moment sums are order-independent
-    and bit-identical cross-engine; everything after is identical
-    double algebra rounded at the end.
-
-    Scale: two scan-aggregates (mean pass + moment pass, the second
-    with a 1-row broadcast of μ); no shuffle beyond the map-side
-    partials. The moment pass would fold into the first at 100 TB
-    with a streaming one-pass central-moment formula, traded here
-    for the cross-engine-exact two-pass."""
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    base = ev.select(F.col("value").cast("double").alias("x"))
-    m1 = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (
-            F.round(F.sum(F.col("x").cast("decimal(28,8)")), 6).cast(
-                "double"
-            )
-            / F.count(F.lit(1))
-        ).alias("mu"),
-    )
-    d = F.col("x") - F.col("mu")
-    cm = (
-        base.crossJoin(F.broadcast(m1))
-        .groupBy("n", "mu")
-        .agg(
-            F.round(F.sum((d * d).cast("decimal(38,8)")), 4)
-            .cast("double")
-            .alias("m2s"),
-            F.round(F.sum((d * d * d).cast("decimal(38,8)")), 4)
-            .cast("double")
-            .alias("m3s"),
-            F.round(F.sum((d * d * d * d).cast("decimal(38,8)")), 4)
-            .cast("double")
-            .alias("m4s"),
-        )
-    )
-    m2 = F.col("m2s") / F.col("n")
-    b1 = (F.col("m3s") / F.col("n")) / F.sqrt(m2 * m2 * m2)
-    b2 = (F.col("m4s") / F.col("n")) / (m2 * m2)
-    jb = F.col("n") / 6.0 * (b1 * b1 + (b2 - 3.0) * (b2 - 3.0) / 4.0)
-    return cm.select(
-        F.col("n").alias("n_obs"),
-        F.round(b1, 6).alias("skewness"),
-        F.round(b2, 6).alias("kurtosis"),
-        F.round(jb, 4).alias("jb_stat"),
-        F.round(F.exp(-jb / 2.0), 8).alias("p_value"),
-    )
-
 
 # ---------------------------------------------------------------------------
 # Cohen's d / Hedges' g effect size (purchase vs view values)
@@ -219,7 +118,6 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(j * d, 6).alias("hedges_g"),
     )
 
-
 # ---------------------------------------------------------------------------
 # Grubbs' maximum-studentized-deviate outlier screen (order totals)
 # ---------------------------------------------------------------------------
@@ -316,855 +214,6 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.col("n") * 2.0 * _phi_tail_col(g)), 8
         ).alias("p_bonferroni_bound"),
     )
-
-
-# ---------------------------------------------------------------------------
-# G-test (log-likelihood ratio) of independence — event_type × ISO dow
-# ---------------------------------------------------------------------------
-
-_GTEST_SQL = f"""
-WITH o AS (
-  SELECT event_type, ISODOW(CAST(ts AS TIMESTAMP)) AS dow,
-         CAST(COUNT(*) AS BIGINT) AS obs
-  FROM events GROUP BY 1, 2
-), rt AS (SELECT event_type, SUM(obs) AS row_tot FROM o GROUP BY 1),
-ct AS (SELECT dow, SUM(obs) AS col_tot FROM o GROUP BY 1),
-nt AS (SELECT SUM(obs) AS n, CAST(COUNT(DISTINCT event_type) AS BIGINT)
-              AS n_types,
-              CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows
-       FROM o),
-t AS (
-  SELECT CAST(obs AS DOUBLE) AS od,
-         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
-           / CAST(n AS DOUBLE) AS e,
-         n_types, n_dows
-  FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt
-), s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-         MAX((n_types - 1) * (n_dows - 1)) AS df,
-         CAST(ROUND(SUM(CAST(od * ln(od / e) AS DECIMAL(28,8))), 4)
-              AS DOUBLE) * 2.0 AS g_stat
-  FROM t
-), wh AS (
-  SELECT n_cells, CAST(df AS INT) AS df, g_stat,
-         (exp(ln(g_stat / df) / 3.0) - (1.0 - 2.0 / (9.0 * df)))
-           * sqrt(9.0 * df / 2.0) AS z
-  FROM s
-)
-SELECT n_cells, df, ROUND(g_stat, 4) AS g_stat,
-       ROUND({_phi_tail_sql('z')}, 8) AS p_wilson_hilferty
-FROM wh
-"""
-
-
-@query("stats_g_test_independence", oracle=_GTEST_SQL)
-def stats_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G-test (likelihood-ratio) of independence between event_type
-    and ISO day-of-week: G = 2·Σ o·ln(o/e) over the contingency
-    cells — the information-theoretic twin of the chi-square query
-    (G = 2N·MI in nats; additive across partitions of the table,
-    which Pearson's X² is not). p via the Wilson–Hilferty cube-root
-    normal approximation at df = (r−1)(c−1), evaluated by the IDENTICAL
-    formula both engines (exp(ln(x)/3) for the cube root), so the
-    hash never depends on the approximation's quality.
-
-    Exactness: margins by aggregate-and-broadcast (the r12
-    chi-square form — no windows); each o·ln(o/e) term decimal-cast
-    per cell so the 35-term sum is order-independent.
-
-    Scale: one count shuffle on ~35 keys; margins are broadcast
-    joins; everything after runs on the cell frame."""
-    ev = load(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
-    ).agg(F.count(F.lit(1)).alias("obs"))
-    rt = obs.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
-    ct = obs.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
-    nt = obs.agg(
-        F.sum("obs").alias("n"),
-        F.countDistinct("event_type").cast("bigint").alias("n_types"),
-        F.countDistinct("dow").cast("bigint").alias("n_dows"),
-    )
-    t = (
-        obs.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            F.col("obs").cast("double").alias("od"),
-            (
-                F.col("row_tot").cast("double")
-                * F.col("col_tot").cast("double")
-                / F.col("n").cast("double")
-            ).alias("e"),
-            "n_types",
-            "n_dows",
-        )
-    )
-    s = t.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-        F.max((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("df"),
-        (
-            F.round(
-                F.sum(
-                    (F.col("od") * F.log(F.col("od") / F.col("e"))).cast(
-                        "decimal(28,8)"
-                    )
-                ),
-                4,
-            ).cast("double")
-            * 2.0
-        ).alias("g_stat"),
-    )
-    dfc = F.col("df").cast("double")
-    z = (
-        F.exp(F.log(F.col("g_stat") / dfc) / 3.0)
-        - (1.0 - 2.0 / (9.0 * dfc))
-    ) * F.sqrt(9.0 * dfc / 2.0)
-    return s.select(
-        "n_cells",
-        F.col("df").cast("int").alias("df"),
-        F.round("g_stat", 4).alias("g_stat"),
-        F.round(_phi_tail_col(z), 8).alias("p_wilson_hilferty"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Mood's median test (k-group, exact global median)
-# ---------------------------------------------------------------------------
-
-_MOOD_SQL = """
-WITH s AS (
-  SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL
-), pv AS (
-  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v
-), cum AS (
-  SELECT v, SUM(t) OVER (ORDER BY v) AS cw,
-         (SELECT SUM(t) FROM pv) AS n
-  FROM pv
-), med AS (
-  SELECT MIN(v) AS m FROM cum WHERE cw >= (n + 1) // 2
-), cells AS (
-  SELECT g,
-         CAST(COUNT(CASE WHEN v >  (SELECT m FROM med) THEN 1 END)
-              AS BIGINT) AS o_above,
-         CAST(COUNT(CASE WHEN v <= (SELECT m FROM med) THEN 1 END)
-              AS BIGINT) AS o_le
-  FROM s GROUP BY g
-), tot AS (
-  SELECT CAST(SUM(o_above) AS BIGINT) AS ta,
-         CAST(SUM(o_le) AS BIGINT) AS tl,
-         CAST(SUM(o_above + o_le) AS BIGINT) AS n,
-         CAST(COUNT(*) AS BIGINT) AS k
-  FROM cells
-), terms AS (
-  SELECT
-    CAST((CAST(o_above AS DOUBLE)
-          - CAST(ta AS DOUBLE) * (o_above + o_le) / n)
-         * (CAST(o_above AS DOUBLE)
-            - CAST(ta AS DOUBLE) * (o_above + o_le) / n)
-         / (CAST(ta AS DOUBLE) * (o_above + o_le) / n)
-         AS DECIMAL(28,8)) AS t1,
-    CAST((CAST(o_le AS DOUBLE)
-          - CAST(tl AS DOUBLE) * (o_above + o_le) / n)
-         * (CAST(o_le AS DOUBLE)
-            - CAST(tl AS DOUBLE) * (o_above + o_le) / n)
-         / (CAST(tl AS DOUBLE) * (o_above + o_le) / n)
-         AS DECIMAL(28,8)) AS t2,
-    n, k
-  FROM cells CROSS JOIN tot
-), agg AS (
-  SELECT n, CAST(k AS INT) AS n_groups, CAST(k - 1 AS INT) AS df,
-         CAST(ROUND(SUM(t1 + t2), 6) AS DOUBLE) AS chi2
-  FROM terms GROUP BY n, k
-), med2 AS (SELECT m FROM med)
-SELECT n AS n_total, n_groups, df,
-       ROUND((SELECT m FROM med2), 6) AS grand_median,
-       ROUND(chi2, 6) AS chi2,
-       ROUND(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 8) AS p_value
-FROM agg
-"""
-
-
-@query("stats_mood_median", oracle=_MOOD_SQL)
-def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mood's median test: does each event type put the same share of
-    its values above the EXACT grand median? The blunt-but-robust
-    k-group location test (only counts above/≤ the pooled median —
-    immune to any monotone transform and to outliers that wreck
-    ANOVA; Kruskal-Wallis is its sharper rank sibling next door).
-
-    The grand median is EXACT and distributed: per-value counts +
-    the global prefix-sum spine (no unpartitioned window), lower
-    median = least v with cum ≥ ⌈N/2⌉. Cells are integer counts
-    against the broadcast median; the 2×k chi-square folds
-    decimal-quantized per-cell terms; p at df = k−1 = 4 via the
-    even-df closed-form survival (asserted like Kruskal-Wallis).
-
-    Scale: one value-key shuffle + one range exchange for the
-    median, one 5-group scan aggregate for the cells."""
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    s = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
-    pv = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-    cum = with_global_prefix_sums(pv, ["v"], ["t"])
-    med = cum.filter(
-        F.col("_cum_t") >= F.expr("(_tot_t + 1) DIV 2")
-    ).agg(F.min("v").alias("m"))
-    cells = (
-        s.crossJoin(F.broadcast(med))
-        .groupBy("g")
-        .agg(
-            F.count(F.when(F.col("v") > F.col("m"), 1))
-            .cast("bigint")
-            .alias("o_above"),
-            F.count(F.when(F.col("v") <= F.col("m"), 1))
-            .cast("bigint")
-            .alias("o_le"),
-            F.max("m").alias("m"),
-        )
-    )
-    tot = cells.agg(
-        F.sum("o_above").cast("bigint").alias("ta"),
-        F.sum("o_le").cast("bigint").alias("tl"),
-        F.sum(F.col("o_above") + F.col("o_le")).cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-    )
-    j = cells.crossJoin(F.broadcast(tot))
-    col_n = F.col("o_above") + F.col("o_le")
-    e_a = F.col("ta").cast("double") * col_n / F.col("n")
-    e_l = F.col("tl").cast("double") * col_n / F.col("n")
-    t1 = (
-        (F.col("o_above").cast("double") - e_a)
-        * (F.col("o_above").cast("double") - e_a)
-        / e_a
-    ).cast("decimal(28,8)")
-    t2 = (
-        (F.col("o_le").cast("double") - e_l)
-        * (F.col("o_le").cast("double") - e_l)
-        / e_l
-    ).cast("decimal(28,8)")
-    agg = j.groupBy("n", "k", "m").agg(
-        F.round(F.sum(t1 + t2), 6).cast("double").alias("chi2")
-    )
-    # df = k-1 must be even for the closed-form survival (the
-    # Kruskal-Wallis contract); the corpus has k = 5 event types.
-    return agg.select(
-        F.col("n").alias("n_total"),
-        F.col("k").cast("int").alias("n_groups"),
-        (F.col("k") - 1).cast("int").alias("df"),
-        F.round("m", 6).alias("grand_median"),
-        F.round("chi2", 6).alias("chi2"),
-        F.round(
-            F.exp(-F.col("chi2") / 2.0) * (1.0 + F.col("chi2") / 2.0), 8
-        ).alias("p_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Two-sample Cramér–von Mises (purchase vs view values)
-# ---------------------------------------------------------------------------
-
-_CVM_SQL = """
-WITH s AS (
-  SELECT value AS v, event_type = 'purchase' AS is_a
-  FROM events WHERE event_type IN ('purchase', 'view')
-    AND value IS NOT NULL
-), pv AS (
-  SELECT v,
-         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS c1,
-         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS c2
-  FROM s GROUP BY v
-), cum AS (
-  SELECT v, c1, c2,
-         SUM(c1) OVER (ORDER BY v) AS f1,
-         SUM(c2) OVER (ORDER BY v) AS f2,
-         (SELECT SUM(c1) FROM pv) AS n,
-         (SELECT SUM(c2) FROM pv) AS m
-  FROM pv
-), terms AS (
-  SELECT n, m,
-         CAST((c1 + c2)
-              * (CAST(f1 AS DOUBLE) / n - CAST(f2 AS DOUBLE) / m)
-              * (CAST(f1 AS DOUBLE) / n - CAST(f2 AS DOUBLE) / m)
-              AS DECIMAL(28,10)) AS term
-  FROM cum
-), agg AS (
-  SELECT CAST(MAX(n) AS BIGINT) AS n1, CAST(MAX(m) AS BIGINT) AS n2,
-         CAST(ROUND(SUM(term), 6) AS DOUBLE) AS ssum
-  FROM terms
-)
-SELECT n1, n2,
-       ROUND(CAST(n1 AS DOUBLE) * n2
-             / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2))
-             * ssum, 6) AS cvm_t
-FROM agg
-"""
-
-
-@query("stats_cramer_von_mises", oracle=_CVM_SQL)
-def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Cramér–von Mises statistic between purchase and
-    view values: T = nm/N² · Σ over all pooled observations of
-    (F_n(x) − G_m(x))². Where KS reads only the single worst ECDF
-    gap, CvM integrates EVERY gap — far more sensitive to
-    distributed (scale/shape) differences that never produce one
-    large vertical gap. Statistic-only readout (its limiting law is
-    nonstandard; thresholds come from published tables — T ≳ 0.46
-    ≈ 5%), which is how the monitoring belt consumes it.
-
-    Exactness: rides the SAME distinct-value prefix-sum spine as the
-    KS query (exact integer cumulative counts under the value
-    order); per-value terms t_v·(F−G)² decimal-quantized so the sum
-    is order-independent; one closed-form double at output.
-
-    Scale: one value-key shuffle + one range exchange — identical
-    plan shape to stats_ks_two_sample; everything after runs on the
-    distinct-value frame."""
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "view")
-        & F.col("value").isNotNull()
-    )
-    s = ev.select(
-        F.col("value").alias("v"),
-        (F.col("event_type") == "purchase").alias("is_a"),
-    )
-    pv = s.groupBy("v").agg(
-        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("c1"),
-        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("c2"),
-    )
-    cum = with_global_prefix_sums(pv, ["v"], ["c1", "c2"])
-    gap = (
-        F.col("_cum_c1").cast("double") / F.col("_tot_c1")
-        - F.col("_cum_c2").cast("double") / F.col("_tot_c2")
-    )
-    term = ((F.col("c1") + F.col("c2")) * gap * gap).cast("decimal(28,10)")
-    agg = cum.agg(
-        F.max("_tot_c1").cast("bigint").alias("n1"),
-        F.max("_tot_c2").cast("bigint").alias("n2"),
-        F.round(F.sum(term), 6).cast("double").alias("ssum"),
-    )
-    n1d = F.col("n1").cast("double")
-    n2d = F.col("n2").cast("double")
-    return agg.select(
-        "n1",
-        "n2",
-        F.round(
-            n1d * F.col("n2") / ((n1d + F.col("n2")) * (n1d + F.col("n2")))
-            * F.col("ssum"),
-            6,
-        ).alias("cvm_t"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Friedman test (blocks = ISO dow, treatments = event types)
-# ---------------------------------------------------------------------------
-
-_FRIEDMAN_SQL = """
-WITH cell AS (
-  SELECT ISODOW(CAST(ts AS TIMESTAMP)) AS blk, event_type AS trt,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 6) AS DOUBLE)
-           / COUNT(value) AS m
-  FROM events WHERE value IS NOT NULL
-  GROUP BY 1, 2
-), rk AS (
-  SELECT a.blk, a.trt,
-         CAST(COUNT(*) AS BIGINT) AS r
-  FROM cell a JOIN cell b
-    ON a.blk = b.blk
-   AND (b.m < a.m OR (b.m = a.m AND b.trt <= a.trt))
-  GROUP BY a.blk, a.trt
-), rs AS (
-  SELECT trt, CAST(SUM(r) AS BIGINT) AS rj FROM rk GROUP BY trt
-), dims AS (
-  SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
-         CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
-  FROM cell
-), q AS (
-  SELECT b, k,
-         12.0 / (CAST(b AS DOUBLE) * k * (k + 1))
-           * (SELECT SUM(CAST(rj AS DOUBLE) * rj) FROM rs)
-           - 3.0 * b * (k + 1) AS qstat
-  FROM dims
-)
-SELECT CAST(b AS INT) AS n_blocks, CAST(k AS INT) AS n_treatments,
-       CAST(k - 1 AS INT) AS df,
-       ROUND(qstat, 6) AS q_stat,
-       ROUND(exp(-qstat / 2.0) * (1.0 + qstat / 2.0), 8) AS p_value
-FROM q
-"""
-
-
-@query("stats_friedman_test", oracle=_FRIEDMAN_SQL)
-def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Friedman two-way rank test: ranking the five event types'
-    mean values WITHIN each ISO-dow block, do the treatments differ
-    once the block (day-of-week) effect is removed? The repeated-
-    measures ANOVA-on-ranks — Kruskal-Wallis would confound the dow
-    effect; Friedman blocks it out. Q = 12/(bk(k+1))·ΣRⱼ² − 3b(k+1),
-    p at df = k−1 = 4 via the even-df closed-form survival.
-
-    Exactness: per-cell means use the davg rule (decimal sum rounded
-    at 6, one double division — bit-identical both engines); ranks
-    within a block come from a TRIANGULAR COUNT over the 5-row block
-    under the (m, treatment-name) total order — deterministic
-    tie-break, no window operator anywhere; rank sums are exact
-    integers. Complete blocks verified by construction (every type
-    occurs every dow at all fixture scales).
-
-    Scale: one 35-key count shuffle, then a 35×35 broadcast
-    triangular join on the cell frame — everything past the first
-    aggregate is metadata-sized."""
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    cell = ev.groupBy(
-        (F.weekday("ts") + F.lit(1)).alias("blk"),
-        F.col("event_type").alias("trt"),
-    ).agg(
-        (
-            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 6).cast(
-                "double"
-            )
-            / F.count("value")
-        ).alias("m")
-    )
-    a = cell.select(
-        F.col("blk"), F.col("trt"), F.col("m")
-    )
-    b = cell.select(
-        F.col("blk").alias("blk2"),
-        F.col("trt").alias("trt2"),
-        F.col("m").alias("m2"),
-    )
-    rk = (
-        a.join(
-            F.broadcast(b),
-            (F.col("blk") == F.col("blk2"))
-            & (
-                (F.col("m2") < F.col("m"))
-                | ((F.col("m2") == F.col("m")) & (F.col("trt2") <= F.col("trt")))
-            ),
-        )
-        .groupBy("blk", "trt")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
-    )
-    rs = rk.groupBy("trt").agg(F.sum("r").cast("bigint").alias("rj"))
-    dims = cell.agg(
-        F.countDistinct("blk").cast("bigint").alias("b"),
-        F.countDistinct("trt").cast("bigint").alias("k"),
-    )
-    ssq = rs.agg(
-        F.sum(F.col("rj").cast("double") * F.col("rj")).alias("s2")
-    )
-    q = dims.crossJoin(F.broadcast(ssq)).select(
-        "b",
-        "k",
-        (
-            12.0
-            / (F.col("b").cast("double") * F.col("k") * (F.col("k") + 1))
-            * F.col("s2")
-            - 3.0 * F.col("b") * (F.col("k") + 1)
-        ).alias("qstat"),
-    )
-    return q.select(
-        F.col("b").cast("int").alias("n_blocks"),
-        F.col("k").cast("int").alias("n_treatments"),
-        (F.col("k") - 1).cast("int").alias("df"),
-        F.round("qstat", 6).alias("q_stat"),
-        F.round(
-            F.exp(-F.col("qstat") / 2.0) * (1.0 + F.col("qstat") / 2.0), 8
-        ).alias("p_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Wald–Wolfowitz runs test on daily volume (above/below exact median)
-# ---------------------------------------------------------------------------
-
-_RUNS_SQL = f"""
-WITH dd AS (
-  SELECT CAST(date_diff('day', DATE '2024-01-01',
-                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
-              AS BIGINT) AS di,
-         CAST(COUNT(*) AS BIGINT) AS y
-  FROM events GROUP BY 1
-), med AS (
-  SELECT MIN(y) AS m FROM (
-    SELECT y, SUM(cnt) OVER (ORDER BY y) AS cw,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n
-    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM dd GROUP BY y)
-  ) WHERE cw >= (n + 1) // 2
-), kept AS (
-  SELECT di, CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
-  FROM dd WHERE y <> (SELECT m FROM med)
-), seq AS (
-  SELECT di, s, ROW_NUMBER() OVER (ORDER BY di) AS rn FROM kept
-), runs AS (
-  SELECT
-    (SELECT CAST(SUM(s) AS BIGINT) FROM kept) AS n1,
-    (SELECT CAST(COUNT(*) - SUM(s) AS BIGINT) FROM kept) AS n2,
-    CAST(1 + COUNT(*) AS BIGINT) AS r
-  FROM seq a JOIN seq b ON b.rn = a.rn + 1 AND b.s <> a.s
-), z AS (
-  SELECT n1, n2, r,
-         2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu,
-         sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
-           AS sd
-  FROM runs
-)
-SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
-       ROUND(mu, 6) AS expected_runs,
-       ROUND((r - mu) / sd, 6) AS z_stat,
-       ROUND(2.0 * {_phi_tail_sql('ABS((r - mu) / sd)')}, 8) AS p_value
-FROM z
-"""
-
-
-@query("stats_runs_test", oracle=_RUNS_SQL)
-def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald–Wolfowitz runs test for randomness of daily volume:
-    split days into above/below the EXACT median (median-equal days
-    excluded, the standard convention), count runs of consecutive
-    same-sign days, compare to E[R] = 2n₁n₂/N + 1. Too few runs =
-    trending/autocorrelated volume, too many = oscillation — the
-    nonparametric companion to Durbin–Watson (DW reads residual
-    correlation strength; runs reads sign-pattern randomness with
-    no linearity assumption).
-
-    Exactness: the median comes from the distributed prefix-sum
-    spine (exact, window-free on the Spark side); run boundaries are
-    integer comparisons between RANK-adjacent kept days (rank from
-    the same spine; calendar gaps don't split runs — documented
-    convention); one double chain + the shared normal tail.
-
-    Scale: one day-key count shuffle; the sequence logic runs on the
-    days-sized frame via a rank self-join."""
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    ev = load(spark, sf_dir, "events")
-    dd = ev.groupBy(
-        F.datediff(
-            F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01").cast("date")
-        ).alias("di")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    pv = dd.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    cum = with_global_prefix_sums(pv, ["y"], ["cnt"])
-    med = cum.filter(
-        F.col("_cum_cnt") >= F.expr("(_tot_cnt + 1) DIV 2")
-    ).agg(F.min("y").alias("m"))
-    kept = (
-        dd.crossJoin(F.broadcast(med))
-        .filter(F.col("y") != F.col("m"))
-        .select(
-            "di",
-            F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s"),
-        )
-        .withColumn("one", F.lit(1).cast("bigint"))
-    )
-    seq = with_global_prefix_sums(kept, ["di"], ["one"]).select(
-        "s", F.col("_cum_one").alias("rn")
-    )
-    nxt = seq.select((F.col("rn") - 1).alias("rnp"), F.col("s").alias("s2"))
-    changes = seq.join(nxt, F.col("rn") == F.col("rnp")).filter(
-        F.col("s") != F.col("s2")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("ch"))
-    counts = kept.agg(
-        F.sum("s").cast("bigint").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
-    )
-    z = counts.crossJoin(F.broadcast(changes)).select(
-        "n1",
-        "n2",
-        (F.col("ch") + 1).cast("bigint").alias("r"),
-    )
-    mu = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1.0
-    nn = (F.col("n1") + F.col("n2")).cast("double")
-    sd = F.sqrt(
-        2.0
-        * F.col("n1")
-        * F.col("n2")
-        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
-        / (nn * (F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1))
-    )
-    zs = (F.col("r") - mu) / sd
-    return z.select(
-        F.col("n1").alias("n_above"),
-        F.col("n2").alias("n_below"),
-        F.col("r").alias("n_runs"),
-        F.round(mu, 6).alias("expected_runs"),
-        F.round(zs, 6).alias("z_stat"),
-        F.round(2.0 * _phi_tail_col(F.abs(zs)), 8).alias("p_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Benjamini–Yekutieli FDR under arbitrary dependence (brand z-tests)
-# ---------------------------------------------------------------------------
-
-_BY_Q_NUM, _BY_Q_DEN = 1, 10  # q = 0.10, the BH family convention
-
-
-def _by_oracle() -> str:
-    from ibd_pipeline_spark.queries.statcommon import _phi_tail_sql as pts
-
-    return f"""
-WITH b AS (
-  SELECT p.p_brand AS brand,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-              AS BIGINT) AS r
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-  GROUP BY p.p_brand
-), tot AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
-), zt AS (
-  SELECT brand, n,
-         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
-             / sqrt((CAST(rt AS DOUBLE) / nt)
-                    * (1.0 - CAST(rt AS DOUBLE) / nt) / n)) AS az
-  FROM b CROSS JOIN tot
-), pv AS (
-  SELECT brand, n, az, ROUND(2.0 * {pts("az")}, 8) AS p_value FROM zt
-), mc AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS m,
-         CAST((SELECT CAST(ROUND(SUM(
-                 CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(28,12))), 10)
-               AS DOUBLE)
-               FROM range(1, 100001) t(i)
-               WHERE i <= (SELECT COUNT(*) FROM pv)) AS DOUBLE)
-           AS cm
-  FROM pv
-), rk AS (
-  SELECT a.brand, a.n, a.az, a.p_value,
-         CAST(COUNT(*) AS BIGINT) AS rank
-  FROM pv a
-  JOIN pv c ON (c.p_value < a.p_value)
-            OR (c.p_value = a.p_value AND c.brand <= a.brand)
-  GROUP BY a.brand, a.n, a.az, a.p_value
-), kmax AS (
-  SELECT COALESCE(MAX(rank), 0) AS kmax
-  FROM rk CROSS JOIN mc
-  WHERE p_value * m * cm * {_BY_Q_DEN} <= rank * {_BY_Q_NUM}
-)
-SELECT brand, n, ROUND(az, 6) AS z_stat, p_value,
-       CAST(rank AS INT) AS p_rank,
-       ROUND((SELECT cm FROM mc), 10) AS c_m,
-       rank <= kmax.kmax AS rejected
-FROM rk, kmax
-ORDER BY brand
-"""
-
-
-@query("stats_benjamini_yekutieli", oracle=_by_oracle)
-def stats_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini–Yekutieli FDR control (q = 0.10) over the SAME
-    per-brand z-test family as BH and Holm — the third corner of the
-    multiple-testing belt: BY's harmonic penalty c(m) = Σ 1/i makes
-    the FDR guarantee hold under ARBITRARY dependence between tests
-    (brand return rates share the corpus denominator, so they are
-    dependent — exactly BY's regime; BH assumes positive dependence
-    and is reported as triage).
-
-    Exactness: c(m) sums decimal-quantized harmonic terms
-    (order-independent; rounded at 10 in the decimal domain); the
-    step-up inequality p·m·c(m)·10 ≤ rank is evaluated on identical
-    doubles both engines; ranks via the brand-bounded triangular
-    join (window-free).
-
-    Scale: identical plan shape to BH — one fact-dim join, m-row
-    algebra after."""
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-            .cast("bigint")
-            .alias("r"),
-        )
-    )
-    tot = b.agg(
-        F.sum("n").cast("bigint").alias("nt"),
-        F.sum("r").cast("bigint").alias("rt"),
-    )
-    p0 = F.col("rt").cast("double") / F.col("nt")
-    az = F.abs(
-        (F.col("r").cast("double") / F.col("n") - p0)
-        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
-    )
-    pv = (
-        b.crossJoin(F.broadcast(tot))
-        .select(
-            "brand",
-            "n",
-            az.alias("az"),
-        )
-        .select(
-            "brand",
-            "n",
-            "az",
-            F.round(2.0 * _phi_tail_col(F.col("az")), 8).alias("p_value"),
-        )
-    )
-    mc = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m")).select(
-        "m",
-        F.round(
-            F.expr(
-                "aggregate(transform(sequence(1, CAST(m AS INT)),"
-                " i -> CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(28,12))),"
-                " CAST(0 AS DECIMAL(28,12)),"
-                " (acc, x) -> CAST(acc + x AS DECIMAL(28,12)))"
-            ),
-            10,
-        )
-        .cast("double")
-        .alias("cm"),
-    )
-    a, c = pv.alias("a"), pv.alias("c")
-    rk = (
-        a.join(
-            F.broadcast(c),
-            (F.col("c.p_value") < F.col("a.p_value"))
-            | (
-                (F.col("c.p_value") == F.col("a.p_value"))
-                & (F.col("c.brand") <= F.col("a.brand"))
-            ),
-        )
-        .groupBy("a.brand", "a.n", "a.az", "a.p_value")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
-        .crossJoin(F.broadcast(mc))
-    )
-    kmax = rk.filter(
-        F.col("p_value") * F.col("m") * F.col("cm") * _BY_Q_DEN
-        <= F.col("rank") * _BY_Q_NUM
-    ).agg(F.coalesce(F.max("rank"), F.lit(0)).alias("kmax"))
-    return (
-        rk.crossJoin(F.broadcast(kmax))
-        .select(
-            "brand",
-            "n",
-            F.round("az", 6).alias("z_stat"),
-            "p_value",
-            F.col("rank").cast("int").alias("p_rank"),
-            F.round("cm", 10).alias("c_m"),
-            (F.col("rank") <= F.col("kmax")).alias("rejected"),
-        )
-        .orderBy("brand")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Anderson–Darling k-sample (k=2, Scholz–Stephens ties version)
-# ---------------------------------------------------------------------------
-
-_AD_SQL = """
-WITH s AS (
-  SELECT value AS v, event_type = 'purchase' AS is_a
-  FROM events WHERE event_type IN ('purchase', 'view')
-    AND value IS NOT NULL
-), pv AS (
-  SELECT v,
-         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS l1,
-         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS l2
-  FROM s GROUP BY v
-), cum AS (
-  SELECT v, l1, l2, l1 + l2 AS lj,
-         SUM(l1) OVER (ORDER BY v) AS f1,
-         SUM(l2) OVER (ORDER BY v) AS f2,
-         (SELECT SUM(l1) FROM pv) AS n1,
-         (SELECT SUM(l2) FROM pv) AS n2
-  FROM pv
-), terms AS (
-  SELECT n1, n2, n1 + n2 AS nn,
-         CAST(f1 AS DOUBLE) - l1 / 2.0 AS ma1,
-         CAST(f2 AS DOUBLE) - l2 / 2.0 AS ma2,
-         CAST(f1 + f2 AS DOUBLE) - lj / 2.0 AS ba,
-         CAST(lj AS DOUBLE) AS lj
-  FROM cum
-), inner_t AS (
-  SELECT n1, n2, nn,
-    CAST((lj / nn) * ((nn * ma1 - n1 * ba) * (nn * ma1 - n1 * ba))
-         / (ba * (nn - ba) - nn * lj / 4.0) / n1 AS DECIMAL(28,10)) AS t1,
-    CAST((lj / nn) * ((nn * ma2 - n2 * ba) * (nn * ma2 - n2 * ba))
-         / (ba * (nn - ba) - nn * lj / 4.0) / n2 AS DECIMAL(28,10)) AS t2
-  FROM terms
-)
-SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
-       CAST(COUNT(*) AS BIGINT) AS n_distinct,
-       ROUND(CAST(MAX(nn) - 1 AS DOUBLE) / MAX(nn)
-             * CAST(ROUND(SUM(t1 + t2), 6) AS DOUBLE), 6) AS a2_stat
-FROM inner_t
-"""
-
-
-@query("stats_anderson_darling_2samp", oracle=_AD_SQL)
-def stats_anderson_darling_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Anderson–Darling statistic (Scholz & Stephens 1987,
-    the midrank/ties version of A²ₐₖN at k=2) between purchase and
-    view values. AD weights ECDF gaps by 1/(F(1−F)) — maximal
-    sensitivity in the TAILS, which is where training-data value
-    distributions actually drift (CvM weighs the middle, KS only the
-    worst point; the three together are the standard drift triage).
-    Statistic-only readout like CvM (the null law is tabulated;
-    A² ≫ k−1 = 1 is the drift signal).
-
-    Exactness: the midrank cumulatives (F − l/2) are exact halves of
-    integers; every per-value term is one identical double chain
-    decimal-quantized before the fold; the (N−1)/N factor applies
-    after the rounded sum.
-
-    Scale: the same distinct-value prefix-sum spine as KS/CvM — one
-    value-key shuffle + one range exchange."""
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "view")
-        & F.col("value").isNotNull()
-    )
-    s = ev.select(
-        F.col("value").alias("v"),
-        (F.col("event_type") == "purchase").alias("is_a"),
-    )
-    pv = s.groupBy("v").agg(
-        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("l1"),
-        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("l2"),
-    )
-    cum = with_global_prefix_sums(pv, ["v"], ["l1", "l2"])
-    n1 = F.col("_tot_l1")
-    n2 = F.col("_tot_l2")
-    nn = (n1 + n2).cast("double")
-    lj = (F.col("l1") + F.col("l2")).cast("double")
-    ma1 = F.col("_cum_l1").cast("double") - F.col("l1") / 2.0
-    ma2 = F.col("_cum_l2").cast("double") - F.col("l2") / 2.0
-    ba = (F.col("_cum_l1") + F.col("_cum_l2")).cast("double") - lj / 2.0
-    den = ba * (nn - ba) - nn * lj / 4.0
-    t1 = (
-        (lj / nn) * ((nn * ma1 - n1 * ba) * (nn * ma1 - n1 * ba)) / den / n1
-    ).cast("decimal(28,10)")
-    t2 = (
-        (lj / nn) * ((nn * ma2 - n2 * ba) * (nn * ma2 - n2 * ba)) / den / n2
-    ).cast("decimal(28,10)")
-    agg = cum.agg(
-        F.max(n1).cast("bigint").alias("n1"),
-        F.max(n2).cast("bigint").alias("n2"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        F.round(F.sum(t1 + t2), 6).cast("double").alias("ssum"),
-        F.max(nn).alias("nn"),
-    )
-    return agg.select(
-        "n1",
-        "n2",
-        "n_distinct",
-        F.round(
-            (F.col("nn") - 1.0) / F.col("nn") * F.col("ssum"), 6
-        ).alias("a2_stat"),
-    )
-
 
 # ---------------------------------------------------------------------------
 # Bartlett's test of variance homogeneity (k = 5 event types)
@@ -1263,287 +312,6 @@ def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("bartlett_stat"),
         F.round(F.exp(-t / 2.0) * (1.0 + t / 2.0), 8).alias("p_value"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Combined p-values: Fisher's method + Stouffer's Z (brand z-tests)
-# ---------------------------------------------------------------------------
-
-_COMBINED_SQL = f"""
-WITH b AS (
-  SELECT p.p_brand AS brand,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-              AS BIGINT) AS r
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-  GROUP BY p.p_brand
-), tot AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
-), zt AS (
-  SELECT brand,
-         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
-             / sqrt((CAST(rt AS DOUBLE) / nt)
-                    * (1.0 - CAST(rt AS DOUBLE) / nt) / n)) AS az
-  FROM b CROSS JOIN tot
-), pv AS (
-  SELECT brand, az, ROUND(2.0 * {_phi_tail_sql('az')}, 8) AS p_value
-  FROM zt
-), agg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS m,
-         CAST(ROUND(SUM(CAST(-2.0 * ln(p_value) AS DECIMAL(28,10))), 6)
-              AS DOUBLE) AS fisher_stat,
-         CAST(ROUND(SUM(CAST(az AS DECIMAL(28,10))), 6) AS DOUBLE) AS sz
-  FROM pv
-), s AS (
-  SELECT m, fisher_stat, sz / sqrt(CAST(m AS DOUBLE)) AS stouffer_z,
-         (exp(ln(fisher_stat / (2.0 * m)) / 3.0)
-          - (1.0 - 2.0 / (9.0 * (2.0 * m))))
-           * sqrt(9.0 * (2.0 * m) / 2.0) AS whz
-  FROM agg
-)
-SELECT CAST(m AS INT) AS n_tests,
-       ROUND(fisher_stat, 6) AS fisher_stat,
-       CAST(2 * m AS INT) AS fisher_df,
-       ROUND({_phi_tail_sql('whz')}, 8) AS fisher_p_wh,
-       ROUND(stouffer_z, 6) AS stouffer_z,
-       ROUND({_phi_tail_sql('ABS(stouffer_z)')}, 8) AS stouffer_p_onesided
-FROM s
-"""
-
-
-@query("stats_combined_pvalues", oracle=_COMBINED_SQL)
-def stats_combined_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Meta-analytic p-value COMBINATION over the per-brand z-test
-    family — the question BH/Holm/BY don't answer: not "which brands
-    deviate" but "is there any global deviation at all". Fisher's
-    method X = −2·Σ ln pᵢ ~ χ²(2m) (sensitive to a few strong
-    signals) and Stouffer's Z = Σzᵢ/√m (sensitive to many weak
-    ones, directionless here since |z| is used) — reporting both is
-    the standard meta-analysis practice. Fisher's p via the shared
-    Wilson–Hilferty cube-root normal (the G-test precedent; exact
-    closed forms need df/2 = m factorial terms that overflow
-    integer arithmetic at m = 25).
-
-    Exactness: each −2·ln p and z term is decimal-quantized before
-    the m-term fold; p-values themselves are the ROUNDED family
-    p-values (identical doubles both engines by construction).
-
-    Scale: one fact-dim join; everything after is m-row algebra."""
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-            .cast("bigint")
-            .alias("r"),
-        )
-    )
-    tot = b.agg(
-        F.sum("n").cast("bigint").alias("nt"),
-        F.sum("r").cast("bigint").alias("rt"),
-    )
-    p0 = F.col("rt").cast("double") / F.col("nt")
-    az = F.abs(
-        (F.col("r").cast("double") / F.col("n") - p0)
-        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
-    )
-    pv = b.crossJoin(F.broadcast(tot)).select(
-        "brand",
-        az.alias("az"),
-    ).select(
-        "brand",
-        "az",
-        F.round(2.0 * _phi_tail_col(F.col("az")), 8).alias("p_value"),
-    )
-    agg = pv.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.round(
-            F.sum((-2.0 * F.log("p_value")).cast("decimal(28,10)")), 6
-        )
-        .cast("double")
-        .alias("fisher_stat"),
-        F.round(F.sum(F.col("az").cast("decimal(28,10)")), 6)
-        .cast("double")
-        .alias("sz"),
-    )
-    md = F.col("m").cast("double")
-    df2 = 2.0 * md
-    whz = (
-        F.exp(F.log(F.col("fisher_stat") / df2) / 3.0)
-        - (1.0 - 2.0 / (9.0 * df2))
-    ) * F.sqrt(9.0 * df2 / 2.0)
-    stz = F.col("sz") / F.sqrt(md)
-    return agg.select(
-        F.col("m").cast("int").alias("n_tests"),
-        F.round("fisher_stat", 6).alias("fisher_stat"),
-        (2 * F.col("m")).cast("int").alias("fisher_df"),
-        F.round(_phi_tail_col(whz), 8).alias("fisher_p_wh"),
-        F.round(stz, 6).alias("stouffer_z"),
-        F.round(_phi_tail_col(F.abs(stz)), 8).alias("stouffer_p_onesided"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Cohen's kappa: behavioral agreement between window halves
-# ---------------------------------------------------------------------------
-
-_KAPPA_SQL = """
-WITH bnd AS (
-  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP)))
-          + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
-  FROM events
-), lab AS (
-  SELECT user_id,
-         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < (SELECT mid FROM bnd)
-              THEN 0 ELSE 1 END AS half,
-         event_type, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2, 3
-), dom AS (
-  SELECT user_id, half, event_type AS lab FROM (
-    SELECT user_id, half, event_type,
-           ROW_NUMBER() OVER (PARTITION BY user_id, half
-                              ORDER BY n DESC, event_type) AS rk
-    FROM lab
-  ) WHERE rk = 1
-), pair AS (
-  SELECT a.user_id, a.lab AS l1, b.lab AS l2
-  FROM dom a JOIN dom b
-    ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
-), agg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
-  FROM pair
-), marg AS (
-  SELECT CAST(ROUND(SUM(CAST(
-           (CAST(c1 AS DOUBLE) / agg.n) * (CAST(c2 AS DOUBLE) / agg.n)
-           AS DECIMAL(28,12))), 10) AS DOUBLE) AS p_e,
-         MAX(agg.n) AS n, MAX(agg.n_agree) AS n_agree
-  FROM (
-    SELECT COALESCE(m1.lab, m2.lab) AS lab,
-           COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
-    FROM (SELECT l1 AS lab, CAST(COUNT(*) AS BIGINT) AS c1
-          FROM pair GROUP BY l1) m1
-    FULL OUTER JOIN
-         (SELECT l2 AS lab, CAST(COUNT(*) AS BIGINT) AS c2
-          FROM pair GROUP BY l2) m2
-      ON m1.lab = m2.lab
-  ) CROSS JOIN agg
-)
-SELECT CAST(n AS BIGINT) AS n_users,
-       ROUND(CAST(n_agree AS DOUBLE) / n, 6) AS p_observed,
-       ROUND(p_e, 6) AS p_expected,
-       ROUND((CAST(n_agree AS DOUBLE) / n - p_e) / (1.0 - p_e), 6)
-         AS cohens_kappa
-FROM marg
-"""
-
-
-@query("stats_cohens_kappa", oracle=_KAPPA_SQL)
-def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa between each user's DOMINANT event type in the
-    first vs second half of the observation window — chance-corrected
-    agreement κ = (p₀ − p_e)/(1 − p_e). The inter-rater statistic
-    repurposed as a behavioral-stability readout (raw agreement
-    overstates stability whenever one behavior dominates the
-    marginals; κ subtracts exactly that) — and the same query shape
-    scores labeler-vs-labeler or model-vs-model agreement on any
-    (item, rater, label) table.
-
-    Exactness: dominant labels via a deterministic (count DESC,
-    type) rank inside bounded (user, half) groups; agreement and
-    marginal counts are exact integers; each marginal product is
-    decimal-quantized before the k-term p_e sum; the midpoint is the
-    McNemar integer-µs convention.
-
-    Scale: one (user, half, type) count shuffle, a user-keyed pair
-    join, then k-row marginal algebra."""
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    bnd = ev.agg(
-        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias(
-            "mid"
-        )
-    )
-    lab = (
-        ev.crossJoin(F.broadcast(bnd))
-        .groupBy(
-            "user_id",
-            F.when(F.expr("unix_micros(ts)") < F.col("mid"), 0)
-            .otherwise(1)
-            .alias("half"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    w = Window.partitionBy("user_id", "half").orderBy(
-        F.col("n").desc(), "event_type"
-    )
-    dom = (
-        lab.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("user_id", "half", F.col("event_type").alias("lab"))
-    )
-    a = dom.filter(F.col("half") == 0).select(
-        "user_id", F.col("lab").alias("l1")
-    )
-    b = dom.filter(F.col("half") == 1).select(
-        F.col("user_id").alias("uid2"), F.col("lab").alias("l2")
-    )
-    pair = a.join(b, F.col("user_id") == F.col("uid2")).select("l1", "l2")
-    agg = pair.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("l1") == F.col("l2"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_agree"),
-    )
-    m1 = pair.groupBy(F.col("l1").alias("lab")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1")
-    )
-    m2 = pair.groupBy(F.col("l2").alias("lab")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c2")
-    )
-    marg = (
-        m1.join(m2, "lab", "full")
-        .select(
-            F.coalesce("c1", F.lit(0)).alias("c1"),
-            F.coalesce("c2", F.lit(0)).alias("c2"),
-        )
-        .crossJoin(F.broadcast(agg))
-    )
-    pe = marg.agg(
-        F.round(
-            F.sum(
-                (
-                    (F.col("c1").cast("double") / F.col("n"))
-                    * (F.col("c2").cast("double") / F.col("n"))
-                ).cast("decimal(28,12)")
-            ),
-            10,
-        )
-        .cast("double")
-        .alias("p_e"),
-        F.max("n").alias("n"),
-        F.max("n_agree").alias("n_agree"),
-    )
-    po = F.col("n_agree").cast("double") / F.col("n")
-    return pe.select(
-        F.col("n").alias("n_users"),
-        F.round(po, 6).alias("p_observed"),
-        F.round("p_e", 6).alias("p_expected"),
-        F.round((po - F.col("p_e")) / (1.0 - F.col("p_e")), 6).alias(
-            "cohens_kappa"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# (moved from round11b.py in the r14 chronological->topic split;
-# registry names, semantics, and oracles unchanged)
-# ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
 # Welch's two-sample t-test
@@ -1667,681 +435,6 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-
-# ---------------------------------------------------------------------------
-# Kendall tau-b rank correlation
-# ---------------------------------------------------------------------------
-
-_KENDALL_SQL = """
-WITH d AS (
-  SELECT CAST(ts AS DATE) AS day,
-         CAST(COUNT(*) AS BIGINT) AS cnt,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS val
-  FROM events GROUP BY CAST(ts AS DATE)
-), p AS (
-  SELECT
-    CAST(SUM(CASE WHEN (b.cnt - a.cnt) * (b.val - a.val) > 0
-             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
-    CAST(SUM(CASE WHEN (b.cnt - a.cnt) * (b.val - a.val) < 0
-             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
-    CAST(SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
-    CAST(SUM(CASE WHEN b.val = a.val THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
-    CAST(COUNT(*) AS BIGINT) AS n0
-  FROM d a JOIN d b ON a.day < b.day
-), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
-SELECT n.n_days, p.conc AS concordant, p.disc AS discordant,
-       ROUND((CAST(p.conc AS DOUBLE) - p.disc)
-             / sqrt((CAST(p.n0 AS DOUBLE) - p.tie_x)
-                    * (CAST(p.n0 AS DOUBLE) - p.tie_y)), 6) AS tau_b,
-       ROUND(3.0 * (CAST(p.conc AS DOUBLE) - p.disc)
-             / sqrt(CAST(n.n_days AS DOUBLE) * (n.n_days - 1)
-                    * (2.0 * n.n_days + 5) / 2.0), 6) AS z_stat
-FROM p, n
-"""
-
-
-@query("stats_kendall_tau", oracle=_KENDALL_SQL)
-def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kendall tau-b between daily event volume and daily total
-    value — the pair-concordance rank correlation beside Spearman
-    (stats_spearman_corr): tau reads directly as P(concordant) −
-    P(discordant) and tau-b's denominator corrects for ties, which
-    integer daily counts WILL produce. z under the null uses the
-    standard no-ties variance n(n−1)(2n+5)/18 on 2(C−D) scale.
-
-    Scale: the pair join is over the DAY-GRAIN frame (one row per
-    day — metadata-sized at any corpus size; a year is 66k pairs),
-    broadcast-joined. The data pass is one groupBy(day) with exact
-    decimal sums. Day count n is data-derived, never assumed.
-    """
-    ev = load(spark, sf_dir, "events")
-    d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
-        .cast("double")
-        .alias("val"),
-    )
-    a, b = d.alias("a"), d.alias("b")
-    p = (
-        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
-        .agg(
-            F.sum(
-                (
-                    (F.col("b.cnt") - F.col("a.cnt"))
-                    * (F.col("b.val") - F.col("a.val"))
-                    > 0
-                ).cast("int")
-            )
-            .cast("bigint")
-            .alias("conc"),
-            F.sum(
-                (
-                    (F.col("b.cnt") - F.col("a.cnt"))
-                    * (F.col("b.val") - F.col("a.val"))
-                    < 0
-                ).cast("int")
-            )
-            .cast("bigint")
-            .alias("disc"),
-            F.sum((F.col("b.cnt") == F.col("a.cnt")).cast("int"))
-            .cast("bigint")
-            .alias("tie_x"),
-            F.sum((F.col("b.val") == F.col("a.val")).cast("int"))
-            .cast("bigint")
-            .alias("tie_y"),
-            F.count(F.lit(1)).cast("bigint").alias("n0"),
-        )
-    )
-    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    out = p.crossJoin(F.broadcast(n))
-    cd = F.col("conc").cast("double") - F.col("disc")
-    nd = F.col("n_days").cast("double")
-    return out.select(
-        "n_days",
-        F.col("conc").alias("concordant"),
-        F.col("disc").alias("discordant"),
-        F.round(
-            cd
-            / F.sqrt(
-                (F.col("n0").cast("double") - F.col("tie_x"))
-                * (F.col("n0").cast("double") - F.col("tie_y"))
-            ),
-            6,
-        ).alias("tau_b"),
-        F.round(
-            3.0 * cd / F.sqrt(nd * (nd - 1) * (2.0 * nd + 5) / 2.0), 6
-        ).alias("z_stat"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Two-sample Poisson rate z-test (rate drift between window halves)
-# ---------------------------------------------------------------------------
-
-_POIS_SQL = f"""
-WITH bounds AS (
-  SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
-         CAST(MIN(CAST(ts AS DATE)) AS DATE)
-           + INTERVAL (CAST(date_diff('day', MIN(CAST(ts AS DATE)),
-                                      MAX(CAST(ts AS DATE))) / 2 AS INT)) DAY
-           AS split_day
-  FROM events
-), halves AS (
-  SELECT e.event_type,
-         CASE WHEN CAST(e.ts AS DATE) <= b.split_day
-              THEN 'early' ELSE 'late' END AS half,
-         CAST(e.ts AS DATE) AS day
-  FROM events e, bounds b
-), c AS (
-  SELECT event_type,
-         CAST(SUM(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT)
-           AS c_early,
-         CAST(SUM(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT)
-           AS c_late
-  FROM halves GROUP BY event_type
-), expo AS (
-  SELECT
-    CAST(COUNT(DISTINCT CASE WHEN half = 'early' THEN day END) AS BIGINT)
-      AS t_early,
-    CAST(COUNT(DISTINCT CASE WHEN half = 'late' THEN day END) AS BIGINT)
-      AS t_late
-  FROM halves
-), z AS (
-  SELECT c.event_type, c.c_early, c.c_late, e.t_early, e.t_late,
-         (CAST(c.c_early AS DOUBLE) / e.t_early
-          - CAST(c.c_late AS DOUBLE) / e.t_late)
-         / sqrt(CAST(c.c_early AS DOUBLE) / (e.t_early * e.t_early)
-                + CAST(c.c_late AS DOUBLE) / (e.t_late * e.t_late)) AS z_stat
-  FROM c, expo e
-)
-SELECT event_type, c_early, c_late, t_early, t_late,
-       ROUND(CAST(c_early AS DOUBLE) / t_early, 6) AS rate_early,
-       ROUND(CAST(c_late AS DOUBLE) / t_late, 6) AS rate_late,
-       ROUND(z_stat, 6) AS z_stat,
-       ROUND(2.0 * {_phi_tail_sql('ABS(z_stat)')}, 8) AS p_value
-FROM z ORDER BY event_type
-"""
-
-
-@query("stats_poisson_rate_ztest", oracle=_POIS_SQL)
-def stats_poisson_rate_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Poisson rate z-test per event type: did the
-    DAILY ARRIVAL RATE drift between the first and second half of
-    the observed window? Exposure-corrected (counts divided by the
-    actual distinct days in each half, data-derived — an uneven
-    split or missing days never biases the test), unlike the naive
-    raw-count comparison. z = (λ̂₁−λ̂₂)/√(c₁/T₁² + c₂/T₂²) — the
-    standard unconditional rate test; p from the shared normal tail.
-
-    Scale: one scan → per-type counts (5 groups, map-side combine)
-    + one distinct-day frame (day-grain). All inputs to the double
-    algebra are exact integers.
-    """
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    )
-    bounds = ev.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    ).select(
-        F.date_add(
-            F.col("d0"),
-            (F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
-        ).alias("split_day")
-    )
-    halves = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        "day",
-        F.when(F.col("day") <= F.col("split_day"), "early")
-        .otherwise("late")
-        .alias("half"),
-    )
-    c = halves.groupBy("event_type").agg(
-        F.sum((F.col("half") == "early").cast("int"))
-        .cast("bigint")
-        .alias("c_early"),
-        F.sum((F.col("half") == "late").cast("int"))
-        .cast("bigint")
-        .alias("c_late"),
-    )
-    expo = halves.agg(
-        F.count_distinct(
-            F.when(F.col("half") == "early", F.col("day"))
-        )
-        .cast("bigint")
-        .alias("t_early"),
-        F.count_distinct(F.when(F.col("half") == "late", F.col("day")))
-        .cast("bigint")
-        .alias("t_late"),
-    )
-    z = c.crossJoin(F.broadcast(expo)).select(
-        "event_type",
-        "c_early",
-        "c_late",
-        "t_early",
-        "t_late",
-        (
-            (
-                F.col("c_early").cast("double") / F.col("t_early")
-                - F.col("c_late").cast("double") / F.col("t_late")
-            )
-            / F.sqrt(
-                F.col("c_early").cast("double")
-                / (F.col("t_early") * F.col("t_early"))
-                + F.col("c_late").cast("double")
-                / (F.col("t_late") * F.col("t_late"))
-            )
-        ).alias("z_stat"),
-    )
-    return z.select(
-        "event_type",
-        "c_early",
-        "c_late",
-        "t_early",
-        "t_late",
-        F.round(F.col("c_early").cast("double") / F.col("t_early"), 6).alias(
-            "rate_early"
-        ),
-        F.round(F.col("c_late").cast("double") / F.col("t_late"), 6).alias(
-            "rate_late"
-        ),
-        F.round("z_stat", 6).alias("z_stat"),
-        F.round(
-            2.0 * _phi_tail_col(F.abs(F.col("z_stat"))), 8
-        ).alias("p_value"),
-    ).orderBy("event_type")
-
-
-# ---------------------------------------------------------------------------
-# (moved from round11c.py in the r14 chronological->topic split;
-# registry names, semantics, and oracles unchanged)
-# ---------------------------------------------------------------------------
-
-# ---------------------------------------------------------------------------
-# Kruskal-Wallis H (k-group rank ANOVA over event-type values)
-# ---------------------------------------------------------------------------
-
-_KW_SQL = """
-WITH s AS (
-  SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL
-), r AS (
-  SELECT g,
-         RANK() OVER (ORDER BY v) + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0
-           AS avg_rank
-  FROM s
-), grp AS (
-  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
-         CAST(SUM(2 * avg_rank) AS BIGINT) AS r2_g
-  FROM r GROUP BY g
-), nn AS (
-  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
-         CAST(COUNT(*) AS BIGINT) AS k
-  FROM grp
-), ties AS (
-  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
-  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v)
-), dev AS (
-  SELECT SUM(CAST(ROUND(
-           n_g * (CAST(r2_g AS DOUBLE) / (2 * n_g) - (n + 1) / 2.0)
-               * (CAST(r2_g AS DOUBLE) / (2 * n_g) - (n + 1) / 2.0), 6)
-           AS DECIMAL(28,6))) AS ss
-  FROM grp, nn
-), h AS (
-  SELECT CAST(12.0 * CAST(ss AS DOUBLE)
-              / (CAST(n AS DOUBLE) * (n + 1)) AS DOUBLE) AS h_raw,
-         1.0 - CAST(tie_term AS DOUBLE)
-             / (CAST(n AS DOUBLE) * n * n - n) AS c,
-         n, k
-  FROM dev, nn, ties
-)
-SELECT n AS n_total, CAST(k AS INT) AS n_groups,
-       CAST(k - 1 AS INT) AS df,
-       ROUND(h_raw, 6) AS h_stat,
-       ROUND(h_raw / c, 6) AS h_corrected,
-       ROUND(exp(-(h_raw / c) / 2.0) * (1.0 + (h_raw / c) / 2.0), 8)
-         AS p_value
-FROM h
-"""
-
-
-@query("stats_kruskal_wallis", oracle=_KW_SQL)
-def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kruskal-Wallis H test — does the `value` distribution differ
-    across the FIVE event types? The k-group rank ANOVA that drops
-    ANOVA's normality assumption, generalizing stats_mann_whitney_u
-    beyond two groups: H = 12/(N(N+1))·Σ n_g(r̄_g − (N+1)/2)², tie
-    correction C = 1 − Σ(t³−t)/(N³−N), H_c = H/C, p from the
-    chi-square survival at df = k−1 = 4 (even df → the closed form
-    exp(−x/2)·Σ_{j<df/2}(x/2)^j/j! — no incomplete-gamma needed).
-
-    Exactness: rank sums are exact integers via rank-from-prefix-sum
-    (2·avg_rank(v) = 2·cum(v)−t(v)+1 — the r09 MWU pattern, one
-    multi-weight distributed scan, no global RANK window); per-group
-    squared deviations round to decimal before the k-term sum; the
-    p-value chain is plain double algebra on identical inputs.
-
-    Scale: one value-key shuffle for tie groups, one range exchange
-    for the prefix scan; everything after runs on k = 5 rows."""
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    s = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
-    # group list is k = 5 catalog values — one metadata-sized collect
-    # (what pivot() does internally, minus pivot's extra agg pass:
-    # measured 3.2 s -> 0.4 s for the per-value frame at sf0.1)
-    gvals = sorted(r["g"] for r in s.select("g").distinct().collect())
-    # Sanitized positional aliases (g__0..g__{k-1}) so a group value
-    # colliding with internal column names ('v', 't', 'n', 'k') or
-    # containing a quote can't corrupt the plan (ADVICE r11); the
-    # value itself travels only inside F.lit, never an f-string expr.
-    gcols = [f"g__{i}" for i in range(len(gvals))]
-    per_value = s.groupBy("v").agg(
-        *[
-            F.count(F.when(F.col("g") == F.lit(v), 1))
-            .cast("bigint")
-            .alias(c)
-            for c, v in zip(gcols, gvals)
-        ]
-    )
-    per_value = per_value.withColumn(
-        "t", sum(F.col(c) for c in gcols).cast("bigint")
-    )
-    cum = with_global_prefix_sums(per_value, ["v"], ["t"])
-    two_avg_rank = 2 * F.col("_cum_t") - F.col("t") + F.lit(1)
-    grp_aggs = []
-    for c in gcols:
-        grp_aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"n__{c}"))
-        grp_aggs.append(
-            F.sum(F.col(c) * two_avg_rank).cast("bigint").alias(f"r2__{c}")
-        )
-    agg = cum.agg(
-        *grp_aggs,
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("bigint")
-        .alias("tie_term"),
-    )
-    # unpivot the k per-group (n, 2R) pairs back to rows via an
-    # explode of struct literals — group names enter as F.lit only
-    grp = agg.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(v).alias("g"),
-                        F.col(f"n__{c}").alias("n_g"),
-                        F.col(f"r2__{c}").alias("r2_g"),
-                    )
-                    for c, v in zip(gcols, gvals)
-                ]
-            )
-        ).alias("_s")
-    ).select("_s.g", "_s.n_g", "_s.r2_g")
-    nn = grp.agg(
-        F.sum("n_g").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-    ).crossJoin(F.broadcast(agg.select("tie_term")))
-    nd = F.col("n").cast("double")
-    rbar = F.col("r2_g").cast("double") / (2 * F.col("n_g"))
-    dev = rbar - (F.col("n") + 1) / F.lit(2.0)
-    ss = (
-        grp.crossJoin(F.broadcast(nn))
-        .select(
-            F.round(F.col("n_g") * dev * dev, 6)
-            .cast("decimal(28,6)")
-            .alias("term"),
-            "n",
-            "k",
-            "tie_term",
-        )
-        .groupBy("n", "k", "tie_term")
-        .agg(F.sum("term").alias("ss"))
-    )
-    h = F.lit(12.0) * F.col("ss").cast("double") / (nd * (F.col("n") + 1))
-    c = F.lit(1.0) - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
-    hc = h / c
-    # chi-square survival at df = k-1, built FROM the driver-side k so
-    # p_value always matches the emitted df (ADVICE r11: the old form
-    # hardcoded the df=4 polynomial while df floated with the data).
-    # Even df has the exact closed form exp(-x/2)·Σ_{j<df/2}(x/2)^j/j!;
-    # odd df would need the erf branch, which this corpus never takes —
-    # fail loudly instead of silently mis-stating p.
-    df = len(gvals) - 1
-    if df < 2 or df % 2 != 0:
-        raise ValueError(
-            "stats_kruskal_wallis closed-form p-value requires even "
-            f"df >= 2; got k={len(gvals)} groups (df={df}). Use the "
-            "regularized-gamma survival for odd df."
-        )
-    fact = 1.0
-    series = F.lit(1.0)
-    for j in range(1, df // 2):
-        fact *= j
-        series = series + F.pow(hc / 2.0, F.lit(float(j))) / F.lit(fact)
-    return ss.select(
-        F.col("n").alias("n_total"),
-        F.col("k").cast("int").alias("n_groups"),
-        (F.col("k") - 1).cast("int").alias("df"),
-        F.round(h, 6).alias("h_stat"),
-        F.round(hc, 6).alias("h_corrected"),
-        F.round(F.exp(-hc / 2.0) * series, 8).alias("p_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Holm-Bonferroni step-down (FWER control over the BH z-test family)
-# ---------------------------------------------------------------------------
-
-_HOLM_ALPHA_NUM, _HOLM_ALPHA_DEN = 1, 20  # alpha = 0.05, cross-multiplied
-
-_HOLM_SQL = f"""
-WITH b AS (
-  SELECT p.p_brand AS brand,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-              AS BIGINT) AS r
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-  GROUP BY p.p_brand
-), tot AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
-), zt AS (
-  SELECT brand, n, r,
-         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
-             / sqrt((CAST(rt AS DOUBLE) / nt) * (1.0 - CAST(rt AS DOUBLE) / nt)
-                    / n)) AS az
-  FROM b, tot
-), pv AS (
-  SELECT brand, n, az,
-         ROUND(2.0 * {_phi_tail_sql("az")}, 8) AS p_value
-  FROM zt
-), rk AS (
-  SELECT a.brand, a.n, a.az, a.p_value,
-         CAST(COUNT(*) AS BIGINT) AS rank,
-         CAST(MAX(cnt.m) AS BIGINT) AS m
-  FROM pv a
-  JOIN pv c ON (c.p_value < a.p_value)
-            OR (c.p_value = a.p_value AND c.brand <= a.brand)
-  CROSS JOIN (SELECT COUNT(*) AS m FROM pv) cnt
-  GROUP BY a.brand, a.n, a.az, a.p_value
-), holm AS (
-  SELECT a.brand, a.n, a.az, a.p_value, a.rank, a.m,
-         LEAST(1.0, MAX((a.m - c.rank + 1) * c.p_value)) AS holm_p,
-         MIN(CASE WHEN c.p_value * (a.m - c.rank + 1) * {_HOLM_ALPHA_DEN}
-                       <= {_HOLM_ALPHA_NUM} THEN 1 ELSE 0 END) AS rej
-  FROM rk a JOIN rk c ON c.rank <= a.rank
-  GROUP BY a.brand, a.n, a.az, a.p_value, a.rank, a.m
-)
-SELECT brand, n, ROUND(az, 6) AS z_stat, p_value,
-       CAST(rank AS INT) AS p_rank,
-       ROUND(holm_p, 8) AS holm_p,
-       rej = 1 AS rejected
-FROM holm ORDER BY brand
-"""
-
-
-@query("stats_holm_bonferroni", oracle=_HOLM_SQL)
-def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holm-Bonferroni step-down over the SAME per-brand z-test family
-    as stats_benjamini_hochberg — the FWER-controlling sibling (no
-    false positive at all with prob ≥ 1−α) beside BH's FDR control:
-    order the m p-values ascending; reject while p(i) ≤ α/(m−i+1);
-    the first failure stops everything after it. Adjusted p̃(i) =
-    max_{j≤i} min(1, (m−j+1)·p(j)). Running both on one family is the
-    standard analyst report (Holm for ship/no-ship, BH for triage).
-
-    Exactness: p-values are the Zelen-Severo polynomial rounded to 8
-    (identical on both engines); ranks and the prefix min/max ride
-    TRIANGULAR JOINS over the brand-bounded frame (m = |brands| —
-    catalog metadata, window-free); the step-down inequality is
-    evaluated cross-multiplied in exact arithmetic (p·(m−i+1)·20 ≤ 1).
-
-    Scale: one fact-dimension join + per-brand counts (map-side
-    combined); everything after runs on m rows."""
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-            .cast("bigint")
-            .alias("r"),
-        )
-    )
-    tot = b.agg(
-        F.sum("n").cast("bigint").alias("nt"),
-        F.sum("r").cast("bigint").alias("rt"),
-    )
-    p0 = F.col("rt").cast("double") / F.col("nt")
-    az = F.abs(
-        (F.col("r").cast("double") / F.col("n") - p0)
-        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
-    )
-    zt = b.crossJoin(F.broadcast(tot)).select("brand", "n", az.alias("az"))
-    pv = zt.select(
-        "brand", "n", "az",
-        F.round(2.0 * _phi_tail_col(F.col("az")), 8).alias("p_value"),
-    )
-    a, c = pv.alias("a"), pv.alias("c")
-    rk = (
-        a.join(
-            F.broadcast(c),
-            (F.col("c.p_value") < F.col("a.p_value"))
-            | (
-                (F.col("c.p_value") == F.col("a.p_value"))
-                & (F.col("c.brand") <= F.col("a.brand"))
-            ),
-        )
-        .groupBy("a.brand", "a.n", "a.az", "a.p_value")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
-    )
-    m = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    rk = rk.crossJoin(F.broadcast(m))
-    ra = rk.select(
-        F.col("brand"), F.col("n"), F.col("az"), F.col("p_value"),
-        F.col("rank"), F.col("m"),
-    ).alias("ra")
-    rc = rk.select(
-        F.col("rank").alias("c_rank"), F.col("p_value").alias("c_p")
-    ).alias("rc")
-    holm = (
-        ra.join(F.broadcast(rc), F.col("c_rank") <= F.col("rank"))
-        .groupBy("brand", "n", "az", "p_value", "rank", "m")
-        .agg(
-            F.least(
-                F.lit(1.0),
-                F.max((F.col("m") - F.col("c_rank") + 1) * F.col("c_p")),
-            ).alias("holm_p"),
-            F.min(
-                F.when(
-                    F.col("c_p")
-                    * (F.col("m") - F.col("c_rank") + 1)
-                    * _HOLM_ALPHA_DEN
-                    <= _HOLM_ALPHA_NUM,
-                    1,
-                ).otherwise(0)
-            ).alias("rej"),
-        )
-    )
-    return holm.select(
-        "brand",
-        "n",
-        F.round("az", 6).alias("z_stat"),
-        "p_value",
-        F.col("rank").cast("int").alias("p_rank"),
-        F.round("holm_p", 8).alias("holm_p"),
-        (F.col("rej") == 1).alias("rejected"),
-    ).orderBy("brand")
-
-
-# ---------------------------------------------------------------------------
-# (moved from round10_stats.py in the r14 chronological->topic split;
-# registry names, semantics, and oracles unchanged)
-# ---------------------------------------------------------------------------
-
-# ---------------------------------------------------------------------------
-# Spearman rank correlation (tie-corrected), per group
-# ---------------------------------------------------------------------------
-
-_SPEARMAN_SQL = """
-WITH r AS (
-  SELECT l_linestatus AS g, l_quantity AS x, l_extendedprice AS y
-  FROM lineitem
-), xr AS (
-  SELECT g, x,
-         2 * SUM(cnt) OVER (PARTITION BY g ORDER BY x) - cnt + 1 AS rx2
-  FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY g, x)
-), yr AS (
-  SELECT g, y,
-         2 * SUM(cnt) OVER (PARTITION BY g ORDER BY y) - cnt + 1 AS ry2
-  FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY g, y)
-), j AS (
-  SELECT r.g, xr.rx2, yr.ry2
-  FROM r JOIN xr ON xr.g = r.g AND xr.x = r.x
-         JOIN yr ON yr.g = r.g AND yr.y = r.y
-), m AS (
-  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
-         CAST(SUM(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
-         CAST(SUM(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
-         CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
-         CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy,
-         CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy
-  FROM j GROUP BY g
-)
-SELECT g AS l_linestatus, CAST(n AS BIGINT) AS n,
-       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-         AS spearman_rho
-FROM m ORDER BY l_linestatus
-"""
-
-
-@query("stats_spearman_corr", oracle=_SPEARMAN_SQL)
-def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tie-corrected Spearman rank correlation between quantity and
-    price per line status — Pearson over AVERAGE ranks, where the
-    average rank of a tied block is pure integer algebra:
-    2·r̄(v) = 2·c_le(v) − cnt(v) + 1 (c_le = inclusive cumulative
-    count under the value order). Doubling keeps every rank an exact
-    BIGINT, and the ×2 scale cancels in the correlation, so the
-    moments are exact integers and both engines agree bit-for-bit
-    until the single final division.
-
-    Scale: ranks are computed on the DISTINCT-VALUE frame (counts per
-    (group, value)) via the distributed grouped prefix-sum — never a
-    row-level sort — then broadcast/shuffle-joined back; moment sums
-    are one map-side-combined aggregate. No value buffer, no
-    single-task window (the in-operator offset window runs over
-    partition metadata only)."""
-    from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
-
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_linestatus").alias("g"),
-        F.col("l_quantity").alias("x"),
-        F.col("l_extendedprice").alias("y"),
-    )
-
-    def rank2(col: str) -> DataFrame:
-        vc = li.groupBy("g", col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt")
-        )
-        ps = with_grouped_prefix_sum(vc, ["g"], [col], "cnt")
-        return ps.select(
-            "g",
-            col,
-            (2 * F.col("_cw") - F.col("cnt") + 1).alias(f"r{col}2"),
-        )
-
-    j = li.join(rank2("x"), ["g", "x"]).join(rank2("y"), ["g", "y"])
-    dec = "decimal(38,0)"
-    m = j.groupBy("g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("rx2").cast(dec)).alias("sx"),
-        F.sum(F.col("ry2").cast(dec)).alias("sy"),
-        F.sum((F.col("rx2").cast(dec) * F.col("rx2"))).alias("sxx"),
-        F.sum((F.col("ry2").cast(dec) * F.col("ry2"))).alias("syy"),
-        F.sum((F.col("rx2").cast(dec) * F.col("ry2"))).alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
-        "sy"
-    ).cast("double")
-    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
-        "sx"
-    ).cast("double")
-    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
-        "sy"
-    ).cast("double")
-    return m.select(
-        F.col("g").alias("l_linestatus"),
-        "n",
-        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_rho"),
-    ).orderBy("l_linestatus")
-
-
 # ---------------------------------------------------------------------------
 # One-way ANOVA across groups
 # ---------------------------------------------------------------------------
@@ -2430,7 +523,6 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(msb / msw, 6).alias("f_stat"),
         F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
     )
-
 
 # ---------------------------------------------------------------------------
 # Brown–Forsythe (robust Levene) variance-homogeneity test
@@ -2547,787 +639,3 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("levene_w"),
         (w > 3.0).alias("variance_heterogeneous"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Benjamini–Hochberg FDR control over per-brand return-rate tests
-# ---------------------------------------------------------------------------
-
-_BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
-
-
-_BH_SQL = f"""
-WITH b AS (
-  SELECT p.p_brand AS brand,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-              AS BIGINT) AS r
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-  GROUP BY p.p_brand
-), tot AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt FROM b
-), zt AS (
-  SELECT brand, n, r,
-         ABS((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
-             / sqrt((CAST(rt AS DOUBLE) / nt) * (1.0 - CAST(rt AS DOUBLE) / nt)
-                    / n)) AS az
-  FROM b, tot
-), pv AS (
-  SELECT brand, n, az,
-         ROUND(2.0 * {_phi_tail_sql("az")}, 8) AS p_value
-  FROM zt
-), rk AS (
-  SELECT a.brand, a.n, a.az, a.p_value,
-         CAST(COUNT(*) AS BIGINT) AS rank,
-         CAST(MAX(cnt.m) AS BIGINT) AS m
-  FROM pv a
-  JOIN pv c ON (c.p_value < a.p_value)
-            OR (c.p_value = a.p_value AND c.brand <= a.brand)
-  CROSS JOIN (SELECT COUNT(*) AS m FROM pv) cnt
-  GROUP BY a.brand, a.n, a.az, a.p_value
-), kmax AS (
-  SELECT COALESCE(MAX(rank), 0) AS kmax
-  FROM rk WHERE p_value * m * {_BH_Q_DEN} <= rank * {_BH_Q_NUM}
-)
-SELECT brand, n, ROUND(az, 6) AS z_stat, p_value,
-       CAST(rank AS INT) AS p_rank,
-       rank <= kmax.kmax AS rejected
-FROM rk, kmax
-ORDER BY brand
-"""
-
-
-@query("stats_benjamini_hochberg", oracle=_BH_SQL)
-def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini–Hochberg FDR control (q = 0.10) over one z-test per
-    part brand (brand return rate vs the corpus rate) — the multiple-
-    testing guardrail every metrics platform needs once it runs one
-    test per segment: order the m p-values, find the largest k with
-    p(k) ≤ k·q/m, reject ranks ≤ k. The BH inequality is evaluated in
-    CROSS-MULTIPLIED integer-scaled form (p·m·10 ≤ rank·1), p-values
-    come from the Zelen–Severo normal-CDF polynomial (plain exp +
-    double algebra both engines evaluate identically, error < 7.5e-8,
-    rounded to 8), and ranks come from a triangular self-join over
-    the BRAND-bounded frame (catalog metadata, window-free).
-
-    Scale: one fact-dimension join + per-brand counts (map-side
-    combined); everything after runs on m = |brands| rows."""
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-            .cast("bigint")
-            .alias("r"),
-        )
-    )
-    tot = b.agg(
-        F.sum("n").cast("bigint").alias("nt"),
-        F.sum("r").cast("bigint").alias("rt"),
-    )
-    p0 = F.col("rt").cast("double") / F.col("nt")
-    az = F.abs(
-        (F.col("r").cast("double") / F.col("n") - p0)
-        / F.sqrt(p0 * (1.0 - p0) / F.col("n"))
-    )
-    zt = b.crossJoin(F.broadcast(tot)).select("brand", "n", az.alias("az"))
-    k = 1.0 / (1.0 + 0.2316419 * F.col("az"))
-    poly = (
-        (
-            (
-                (F.lit(_PHI_B[4]) * k + F.lit(_PHI_B[3])) * k
-                + F.lit(_PHI_B[2])
-            )
-            * k
-            + F.lit(_PHI_B[1])
-        )
-        * k
-        + F.lit(_PHI_B[0])
-    ) * k
-    tail = F.lit(0.3989422804014327) * F.exp(-0.5 * F.col("az") * F.col("az")) * poly
-    pv = zt.select(
-        "brand", "n", "az", F.round(2.0 * tail, 8).alias("p_value")
-    )
-    a, c = pv.alias("a"), pv.alias("c")
-    rk = (
-        # brand-bounded frame: broadcast one side so the non-equi
-        # rank join plans as BNLJ, never a partitioned cartesian
-        a.join(
-            F.broadcast(c),
-            (F.col("c.p_value") < F.col("a.p_value"))
-            | (
-                (F.col("c.p_value") == F.col("a.p_value"))
-                & (F.col("c.brand") <= F.col("a.brand"))
-            ),
-        )
-        .groupBy("a.brand", "a.n", "a.az", "a.p_value")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
-    )
-    m = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    rk = rk.crossJoin(F.broadcast(m))
-    kmax = rk.filter(
-        F.col("p_value") * F.col("m") * _BH_Q_DEN
-        <= F.col("rank") * _BH_Q_NUM
-    ).agg(F.coalesce(F.max("rank"), F.lit(0)).alias("kmax"))
-    return (
-        rk.crossJoin(F.broadcast(kmax))
-        .select(
-            F.col("brand"),
-            F.col("n"),
-            F.round("az", 6).alias("z_stat"),
-            "p_value",
-            F.col("rank").cast("int").alias("p_rank"),
-            (F.col("rank") <= F.col("kmax")).alias("rejected"),
-        )
-        .orderBy("brand")
-    )
-
-
-# ---------------------------------------------------------------------------
-# (moved from round11.py in the r14 chronological->topic split;
-# registry names, semantics, and oracles unchanged)
-# ---------------------------------------------------------------------------
-
-# ---------------------------------------------------------------------------
-# Cochran–Armitage trend test
-# ---------------------------------------------------------------------------
-
-
-_CA_SQL = f"""
-WITH g AS (
-  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS r
-  FROM orders GROUP BY 1
-), m AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
-         CAST(SUM(s * n) AS BIGINT) AS sn,
-         CAST(SUM(s * s * n) AS BIGINT) AS ssn,
-         CAST(SUM(s * r) AS BIGINT) AS sr
-  FROM g
-), z AS (
-  SELECT nn, rr,
-         (CAST(sr AS DOUBLE) - CAST(rr AS DOUBLE) * sn / nn) AS t,
-         (CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)
-           * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nn) AS v
-  FROM m
-)
-SELECT nn AS n, rr AS n_success,
-       ROUND(t / sqrt(v), 6) AS z_stat,
-       ROUND(2.0 * {_phi_tail_sql("abs(t / sqrt(v))")}, 8) AS p_value
-FROM z
-"""
-
-
-@query("stats_cochran_armitage", oracle=_CA_SQL)
-def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cochran–Armitage trend test: is the 'F'-status proportion
-    monotonically associated with order priority (scores 1..5 from
-    the priority prefix)? The dose-response test a chi-square of
-    independence wastes power on — one degree of freedom aimed at
-    the ORDERED alternative. T = Σsᵢrᵢ − R·Σsᵢnᵢ/N with
-    Var = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N); all five moments are exact
-    BIGINTs from one map-side-combined aggregate, the z and the
-    Abramowitz–Stegun two-sided p are fixed double algebra at
-    output (the BH normal-tail pattern).
-
-    Scale: one scan, one 5-row group frame — nothing else."""
-    od = load(spark, sf_dir, "orders")
-    g = od.groupBy(
-        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1))
-        .cast("bigint")
-        .alias("r"),
-    )
-    m = g.agg(
-        F.sum("n").cast("bigint").alias("nn"),
-        F.sum("r").cast("bigint").alias("rr"),
-        F.sum(F.col("s") * F.col("n")).cast("bigint").alias("sn"),
-        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("bigint").alias("ssn"),
-        F.sum(F.col("s") * F.col("r")).cast("bigint").alias("sr"),
-    )
-    t = (
-        F.col("sr").cast("double")
-        - F.col("rr").cast("double") * F.col("sn") / F.col("nn")
-    )
-    v = (
-        (F.col("rr").cast("double") / F.col("nn"))
-        * (F.lit(1.0) - F.col("rr").cast("double") / F.col("nn"))
-        * (
-            F.col("ssn").cast("double")
-            - F.col("sn").cast("double") * F.col("sn") / F.col("nn")
-        )
-    )
-    az = F.abs(t / F.sqrt(v))
-    kk = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
-    poly = (
-        (
-            (
-                (F.lit(_PHI_B[4]) * kk + F.lit(_PHI_B[3])) * kk
-                + F.lit(_PHI_B[2])
-            )
-            * kk
-            + F.lit(_PHI_B[1])
-        )
-        * kk
-        + F.lit(_PHI_B[0])
-    ) * kk
-    tail = F.lit(0.3989422804014327) * F.exp(-0.5 * az * az) * poly
-    return m.select(
-        F.col("nn").alias("n"),
-        F.col("rr").alias("n_success"),
-        F.round(t / F.sqrt(v), 6).alias("z_stat"),
-        F.round(2.0 * tail, 8).alias("p_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Wilson score confidence intervals
-# ---------------------------------------------------------------------------
-
-_WILSON_Z = 1.959963985
-
-_WILSON_SQL = f"""
-WITH assigned AS (
-  SELECT user_id,
-         CAST(('0x' || substring(md5('11:' || CAST(user_id AS VARCHAR)), 1, 8))
-              AS BIGINT) % 2 AS arm,
-         MAX(CASE WHEN event_type = 'purchase' AND value > 80
-                  THEN 1 ELSE 0 END) AS converted
-  FROM events GROUP BY user_id
-), c AS (
-  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(converted) AS BIGINT) AS conv
-  FROM assigned GROUP BY arm
-), w AS (
-  SELECT arm, n, conv,
-         CAST(conv AS DOUBLE) / n AS p,
-         {_WILSON_Z} * {_WILSON_Z} / n AS z2n
-  FROM c
-)
-SELECT CAST(arm AS INT) AS arm, n, conv,
-       ROUND(p, 6) AS p_hat,
-       ROUND((p + z2n / 2.0
-              - {_WILSON_Z} * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)))
-             / (1.0 + z2n), 6) AS wilson_lo,
-       ROUND((p + z2n / 2.0
-              + {_WILSON_Z} * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)))
-             / (1.0 + z2n), 6) AS wilson_hi
-FROM w ORDER BY arm
-"""
-
-
-@query("stats_wilson_ci", oracle=_WILSON_SQL)
-def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wilson score 95% confidence intervals for each arm's
-    conversion rate — the binomial interval that behaves at the
-    extremes where the Wald interval collapses (never escapes [0,1],
-    correct coverage at small n or p near 0/1); the per-arm readout
-    next to the difference tests. Same md5 split and conversion
-    rule as the z-test family.
-
-    Exactness: exact integer counts; the interval is one fixed
-    double formula per arm. Scale: one user-grain aggregate."""
-    from ibd_pipeline_spark.operators.sketches import md5_bucket
-
-    ev = load(spark, sf_dir, "events")
-    assigned = ev.groupBy(
-        "user_id", md5_bucket(F.col("user_id"), 11, 2).alias("arm")
-    ).agg(
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("value") > 80), 1
-            ).otherwise(0)
-        ).alias("converted")
-    )
-    c = assigned.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("converted").cast("bigint").alias("conv"),
-    )
-    p = F.col("conv").cast("double") / F.col("n")
-    z2n = F.lit(_WILSON_Z) * F.lit(_WILSON_Z) / F.col("n")
-    rad = F.lit(_WILSON_Z) * F.sqrt(
-        p * (F.lit(1.0) - p) / F.col("n") + z2n / (F.lit(4.0) * F.col("n"))
-    )
-    return c.select(
-        F.col("arm").cast("int").alias("arm"),
-        "n",
-        "conv",
-        F.round(p, 6).alias("p_hat"),
-        F.round((p + z2n / 2.0 - rad) / (F.lit(1.0) + z2n), 6).alias("wilson_lo"),
-        F.round((p + z2n / 2.0 + rad) / (F.lit(1.0) + z2n), 6).alias("wilson_hi"),
-    ).orderBy("arm")
-
-
-# ---------------------------------------------------------------------------
-# (moved from round9.py in the r14 chronological->topic split;
-# registry names, semantics, and oracles unchanged)
-# ---------------------------------------------------------------------------
-
-# ---------------------------------------------------------------------------
-# Wasserstein-1 (earth mover) drift between two event populations
-# ---------------------------------------------------------------------------
-
-_W1_SQL = """
-WITH p AS (
-  SELECT value AS v,
-         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS c1,
-         CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS c2
-  FROM events
-  WHERE event_type IN ('purchase', 'view')
-  GROUP BY value
-), c AS (
-  SELECT v,
-         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
-         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
-         SUM(c1) OVER () AS n1,
-         SUM(c2) OVER () AS n2,
-         LEAD(v) OVER (ORDER BY v) AS v_next
-  FROM p
-)
-SELECT CAST(MAX(n1) AS BIGINT) AS n1,
-       CAST(MAX(n2) AS BIGINT) AS n2,
-       CAST(COUNT(*) AS BIGINT) AS n_segments,
-       CAST(ROUND(SUM(CAST(
-              ABS(cum1 * n2 - cum2 * n1) * (v_next - v)
-            AS DECIMAL(28,8))), 4) AS DOUBLE)
-         / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS w1
-FROM c
-WHERE v_next IS NOT NULL
-"""
-
-
-@query("stats_wasserstein_drift", oracle=_W1_SQL)
-def stats_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wasserstein-1 (earth mover's) distance between the `value`
-    distributions of purchase vs view events — the drift metric that,
-    unlike KS's max-gap, weighs HOW FAR mass moved:
-    W1 = ∫|F1−F2| dv = Σ over adjacent support points of
-    |F1(v)−F2(v)|·(v_next−v).
-
-    Fully distributed: group by value (one shuffle, support-sized
-    frame), then ONE multi-weight prefix-sum scan
-    (operators/ranking.py:with_global_prefix_sums) carrying c1, c2
-    AND a unit weight — the unit's running total is the support row
-    number, so the adjacent-point gap comes from an rn ↔ rn+1
-    self-join instead of a LEAD window (no single-task WindowExec
-    anywhere; the scan is checkpointed once so both join sides read
-    the same physical rows).
-
-    Exactness: per-segment mass |cum1·n2 − cum2·n1| is an exact
-    integer; its product with the gap is one IEEE multiply on
-    identical doubles; segments sum in the decimal domain (dsum
-    contract) and divide by the exact n1·n2 once at the end.
-    """
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "view")
-    )
-    per_value = (
-        ev.groupBy(F.col("value").alias("v"))
-        .agg(
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
-            F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
-        )
-        .withColumn("one", F.lit(1).cast("bigint"))
-    )
-    cum = with_global_prefix_sums(per_value, ["v"], ["c1", "c2", "one"])
-    a = cum.select(
-        "v",
-        F.col("_cum_c1").alias("cum1"),
-        F.col("_cum_c2").alias("cum2"),
-        F.col("_tot_c1").alias("n1"),
-        F.col("_tot_c2").alias("n2"),
-        F.col("_cum_one").alias("rn"),
-    )
-    b = cum.select(
-        F.col("v").alias("v_next"), (F.col("_cum_one") - 1).alias("rn")
-    )
-    # inner join drops the last support point (no successor): its
-    # segment has zero width, exactly the oracle's v_next IS NOT NULL.
-    seg = a.join(b, "rn")
-    mass = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
-    term = mass * (F.col("v_next") - F.col("v"))
-    return seg.agg(
-        F.max("n1").cast("bigint").alias("n1"),
-        F.max("n2").cast("bigint").alias("n2"),
-        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
-        (
-            F.round(F.sum(term.cast("decimal(28,8)")), 4).cast("double")
-            / (F.max("n1").cast("double") * F.max("n2").cast("double"))
-        ).alias("w1"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Mutual information + Cramér's V (association strength)
-# ---------------------------------------------------------------------------
-
-_MI_SQL = """
-WITH o AS (
-  SELECT event_type AS t, ISODOW(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS obs
-  FROM events GROUP BY 1, 2
-), tot AS (
-  SELECT CAST(SUM(obs) AS BIGINT) AS n,
-         CAST(COUNT(DISTINCT t) AS BIGINT) AS r_rows,
-         CAST(COUNT(DISTINCT dow) AS BIGINT) AS c_cols
-  FROM o
-), rt AS (SELECT t, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY t),
-   ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY dow),
-   terms AS (
-  SELECT CAST(o.obs AS DOUBLE) AS od,
-         CAST(rt.row_tot AS DOUBLE) AS rtd,
-         CAST(ct.col_tot AS DOUBLE) AS ctd,
-         CAST(tot.n AS DOUBLE) AS nd
-  FROM o JOIN rt ON rt.t = o.t JOIN ct ON ct.dow = o.dow CROSS JOIN tot
-)
-SELECT tot.n AS n, tot.r_rows AS r_rows, tot.c_cols AS c_cols,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_cells,
-       (SELECT CAST(ROUND(SUM(CAST(
-            od / nd * ln(od * nd / (rtd * ctd)) AS DECIMAL(28,8))), 6)
-          AS DOUBLE) FROM terms) AS mi_nats,
-       (SELECT ROUND(SQRT(
-            SUM((od - rtd * ctd / nd) * (od - rtd * ctd / nd)
-                / (rtd * ctd / nd))
-            / (MAX(nd) * (CASE WHEN tot.r_rows < tot.c_cols
-                               THEN tot.r_rows ELSE tot.c_cols END - 1))), 6)
-          FROM terms) AS cramers_v
-FROM tot
-"""
-
-
-@query("stats_mutual_information", oracle=_MI_SQL)
-def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual information (nats) and Cramér's V between event_type and
-    ISO day-of-week — the association-STRENGTH readouts beside
-    stats_chi_square_independence's yes/no: MI = Σ p_ij·ln(p_ij/p_i·p_j)
-    over the contingency cells, V = √(χ²/(n·(min(r,c)−1))).
-
-    Margins come from two cell-frame aggregates broadcast back (no
-    window at all — the chi² query's window-margin idiom replaced so
-    the plan has zero unpartitioned windows even on the cell frame).
-    Each MI term is the identical double chain in both engines
-    (counts exact, one ln per cell) decimal-cast before the
-    order-independent sum; χ² inside V uses the same per-cell decimal
-    discipline, with √ as the final single IEEE op.
-
-    Scale: one map-side-combined count shuffle on ~35 keys; margins
-    and folds run on the cell frame."""
-    ev = load(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        F.col("event_type").alias("t"),
-        (F.weekday("ts") + F.lit(1)).alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("obs"))
-    rt = obs.groupBy("t").agg(F.sum("obs").alias("row_tot"))
-    ct = obs.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
-    tot = obs.agg(
-        F.sum("obs").cast("bigint").alias("n"),
-        F.countDistinct("t").cast("bigint").alias("r_rows"),
-        F.countDistinct("dow").cast("bigint").alias("c_cols"),
-    )
-    cells = (
-        obs.join(F.broadcast(rt), "t")
-        .join(F.broadcast(ct), "dow")
-        .crossJoin(F.broadcast(tot))
-    )
-    od = F.col("obs").cast("double")
-    rtd = F.col("row_tot").cast("double")
-    ctd = F.col("col_tot").cast("double")
-    nd = F.col("n").cast("double")
-    mi_term = od / nd * F.log(od * nd / (rtd * ctd))
-    e = rtd * ctd / nd
-    chi_term = (od - e) * (od - e) / e
-    return cells.groupBy("n", "r_rows", "c_cols").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-        F.round(F.sum(mi_term.cast("decimal(28,8)")), 6)
-        .cast("double")
-        .alias("mi_nats"),
-        F.round(
-            F.sqrt(
-                F.sum(chi_term.cast("decimal(28,8)")).cast("double")
-                / (
-                    F.max(nd)
-                    * (F.least(F.col("r_rows"), F.col("c_cols")) - 1).cast(
-                        "double"
-                    )
-                )
-            ),
-            6,
-        ).alias("cramers_v"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Cliff's delta ordinal effect size (r14)
-# ---------------------------------------------------------------------------
-
-_CLIFFS_SQL = """
-WITH s AS (
-  SELECT value AS v, event_type = 'purchase' AS is_a
-  FROM events WHERE event_type IN ('purchase', 'view')
-        AND value IS NOT NULL
-), dv AS (
-  SELECT v,
-         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
-  FROM s GROUP BY v
-), sp AS (
-  SELECT v, ca, cb,
-         SUM(cb) OVER (ORDER BY v) AS cum_b,
-         SUM(cb) OVER () AS tot_b,
-         SUM(ca) OVER () AS tot_a
-  FROM dv
-), agg AS (
-  SELECT CAST(MAX(tot_a) AS BIGINT) AS n_a,
-         CAST(MAX(tot_b) AS BIGINT) AS n_b,
-         CAST(SUM(ca * (cum_b - cb)) AS BIGINT) AS gt_pairs,
-         CAST(SUM(ca * (tot_b - cum_b)) AS BIGINT) AS lt_pairs
-  FROM sp
-)
-SELECT n_a, n_b, gt_pairs, lt_pairs,
-       CAST(n_a * n_b - gt_pairs - lt_pairs AS BIGINT) AS tied_pairs,
-       ROUND(CAST(gt_pairs - lt_pairs AS DOUBLE) / (n_a * n_b), 6)
-         AS cliffs_delta,
-       CASE WHEN 1000 * ABS(gt_pairs - lt_pairs) < 147 * n_a * n_b
-              THEN 'negligible'
-            WHEN 1000 * ABS(gt_pairs - lt_pairs) < 330 * n_a * n_b
-              THEN 'small'
-            WHEN 1000 * ABS(gt_pairs - lt_pairs) < 474 * n_a * n_b
-              THEN 'medium'
-            ELSE 'large' END AS magnitude
-FROM agg
-"""
-
-
-@query("stats_cliffs_delta", oracle=_CLIFFS_SQL)
-def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cliff's delta ordinal effect size between purchase and view
-    values: δ = (#{x>y} − #{x<y}) / (n_a·n_b) — the distribution-free
-    "how often does one group dominate" companion to
-    stats_mann_whitney_u's p-value (significance without effect size
-    is the classic A/B misread; this row completes the pair). The
-    Romano et al. magnitude bands (0.147/0.33/0.474) are evaluated as
-    exact cross-multiplied INTEGER comparisons — no rounded-double
-    thresholds.
-
-    Exactness: dominance pair counts come from the distinct-value
-    frame — for a distinct value v, the purchases there dominate
-    exactly (running view count strictly below v) pairs — so gt/lt/
-    tied are exact BIGINTs off one multi-weight prefix scan
-    (operators/ranking.py:with_global_prefix_sums, the MWU spine);
-    one double division at output.
-
-    Scale: one groupBy(value) shuffle + the range-exchange scan; no
-    pairwise join, no global row window — the n_a·n_b pair space is
-    never materialized."""
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "view")
-        & F.col("value").isNotNull()
-    )
-    dv = (
-        ev.select(
-            F.col("value").alias("v"),
-            (F.col("event_type") == "purchase").alias("is_a"),
-        )
-        .groupBy("v")
-        .agg(
-            F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("ca"),
-            F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("cb"),
-        )
-    )
-    sp = with_global_prefix_sums(dv, ["v"], ["ca", "cb"])
-    agg = sp.agg(
-        F.max("_tot_ca").cast("bigint").alias("n_a"),
-        F.max("_tot_cb").cast("bigint").alias("n_b"),
-        F.sum(F.col("ca") * (F.col("_cum_cb") - F.col("cb")))
-        .cast("bigint")
-        .alias("gt_pairs"),
-        F.sum(F.col("ca") * (F.col("_tot_cb") - F.col("_cum_cb")))
-        .cast("bigint")
-        .alias("lt_pairs"),
-    )
-    diff = F.col("gt_pairs") - F.col("lt_pairs")
-    pairs = F.col("n_a") * F.col("n_b")
-    return agg.select(
-        "n_a",
-        "n_b",
-        "gt_pairs",
-        "lt_pairs",
-        (pairs - F.col("gt_pairs") - F.col("lt_pairs"))
-        .cast("bigint")
-        .alias("tied_pairs"),
-        F.round(diff.cast("double") / pairs, 6).alias("cliffs_delta"),
-        F.when(1000 * F.abs(diff) < 147 * pairs, "negligible")
-        .when(1000 * F.abs(diff) < 330 * pairs, "small")
-        .when(1000 * F.abs(diff) < 474 * pairs, "medium")
-        .otherwise("large")
-        .alias("magnitude"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dunn's post-hoc pairwise test after Kruskal-Wallis (r14)
-# ---------------------------------------------------------------------------
-
-_DUNN_SQL = f"""
-WITH s AS (
-  SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL
-), r AS (
-  SELECT g,
-         RANK() OVER (ORDER BY v) + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0
-           AS avg_rank
-  FROM s
-), grp AS (
-  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
-         CAST(SUM(2 * avg_rank) AS BIGINT) AS r2_g
-  FROM r GROUP BY g
-), nn AS (
-  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
-  FROM grp
-), ties AS (
-  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
-  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v)
-), pairs AS (
-  SELECT a.g AS group_a, b.g AS group_b, a.n_g AS n_a, b.n_g AS n_b,
-         CAST(a.r2_g AS DOUBLE) / (2 * a.n_g) AS rbar_a,
-         CAST(b.r2_g AS DOUBLE) / (2 * b.n_g) AS rbar_b,
-         nn.n, nn.k, ties.tie_term
-  FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN nn CROSS JOIN ties
-), z AS (
-  SELECT group_a, group_b, n_a, n_b, rbar_a, rbar_b, k,
-         (rbar_a - rbar_b)
-         / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
-                 - CAST(tie_term AS DOUBLE) / (12.0 * (n - 1)))
-                * (1.0 / n_a + 1.0 / n_b)) AS zv
-  FROM pairs
-)
-SELECT group_a, group_b, n_a, n_b,
-       ROUND(rbar_a, 4) AS mean_rank_a,
-       ROUND(rbar_b, 4) AS mean_rank_b,
-       ROUND(zv, 6) AS z_stat,
-       ROUND(LEAST(1.0, k * (k - 1) * {_phi_tail_sql('abs(zv)')}), 8)
-         AS p_bonferroni,
-       LEAST(1.0, k * (k - 1) * {_phi_tail_sql('abs(zv)')}) < 0.05
-         AS significant
-FROM z ORDER BY group_a, group_b
-"""
-
-
-@query("stats_dunn_posthoc", oracle=_DUNN_SQL)
-def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dunn's post-hoc pairwise comparisons after Kruskal–Wallis:
-    WHICH event types differ, once stats_kruskal_wallis says SOME do
-    — z_ij = (r̄_i − r̄_j)/√[(N(N+1)/12 − Στ/(12(N−1)))·(1/n_i+1/n_j)]
-    with the tie-corrected pooled variance, two-sided Φ-tail p,
-    Bonferroni-adjusted over all k(k−1)/2 pairs (the k·(k−1) factor
-    is 2·m for the two-sided m-pair family). The omnibus-then-pairs
-    chain is how the test is actually used; stopping at the omnibus
-    is the classic analysis dead-end.
-
-    Exactness: per-group rank sums are the same exact-integer 2·R_g
-    aggregates as the KW row (rank-from-prefix-sum, one multi-weight
-    scan); mean ranks, z, and p are plain double algebra on identical
-    inputs; the significance verdict compares the UNROUNDED p chain
-    both engines evaluate bit-identically.
-
-    Scale: identical to stats_kruskal_wallis plus a k²/2-row
-    broadcast pair join (k = 5)."""
-    from ibd_pipeline_spark.operators.ranking import with_global_prefix_sums
-
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    s = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
-    gvals = sorted(r["g"] for r in s.select("g").distinct().collect())
-    gcols = [f"g__{i}" for i in range(len(gvals))]
-    per_value = s.groupBy("v").agg(
-        *[
-            F.count(F.when(F.col("g") == F.lit(v), 1))
-            .cast("bigint")
-            .alias(c)
-            for c, v in zip(gcols, gvals)
-        ]
-    )
-    per_value = per_value.withColumn(
-        "t", sum(F.col(c) for c in gcols).cast("bigint")
-    )
-    cum = with_global_prefix_sums(per_value, ["v"], ["t"])
-    two_avg_rank = 2 * F.col("_cum_t") - F.col("t") + F.lit(1)
-    grp_aggs = []
-    for c in gcols:
-        grp_aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"n__{c}"))
-        grp_aggs.append(
-            F.sum(F.col(c) * two_avg_rank).cast("bigint").alias(f"r2__{c}")
-        )
-    agg = cum.agg(
-        *grp_aggs,
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("bigint")
-        .alias("tie_term"),
-    )
-    grp = agg.select(
-        "tie_term",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(v).alias("g"),
-                        F.col(f"n__{c}").alias("n_g"),
-                        F.col(f"r2__{c}").alias("r2_g"),
-                    )
-                    for c, v in zip(gcols, gvals)
-                ]
-            )
-        ).alias("_s"),
-    ).select("tie_term", "_s.g", "_s.n_g", "_s.r2_g")
-    nn = grp.agg(
-        F.sum("n_g").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-    )
-    a = grp.select(
-        F.col("g").alias("group_a"),
-        F.col("n_g").alias("n_a"),
-        F.col("r2_g").alias("r2_a"),
-        "tie_term",
-    )
-    b = grp.select(
-        F.col("g").alias("group_b"),
-        F.col("n_g").alias("n_b"),
-        F.col("r2_g").alias("r2_b"),
-    )
-    pairs = (
-        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
-        .crossJoin(F.broadcast(nn))
-    )
-    nd = F.col("n").cast("double")
-    rbar_a = F.col("r2_a").cast("double") / (2 * F.col("n_a"))
-    rbar_b = F.col("r2_b").cast("double") / (2 * F.col("n_b"))
-    zv = (rbar_a - rbar_b) / F.sqrt(
-        (
-            nd * (F.col("n") + 1) / F.lit(12.0)
-            - F.col("tie_term").cast("double")
-            / (F.lit(12.0) * (F.col("n") - 1))
-        )
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-    )
-    p_adj = F.least(
-        F.lit(1.0),
-        F.col("k") * (F.col("k") - 1) * _phi_tail_col(F.abs(zv)),
-    )
-    return pairs.select(
-        "group_a",
-        "group_b",
-        "n_a",
-        "n_b",
-        F.round(rbar_a, 4).alias("mean_rank_a"),
-        F.round(rbar_b, 4).alias("mean_rank_b"),
-        F.round(zv, 6).alias("z_stat"),
-        F.round(p_adj, 8).alias("p_bonferroni"),
-        (p_adj < 0.05).alias("significant"),
-    ).orderBy("group_a", "group_b")

@@ -47,10 +47,10 @@ def test_holm_rejections_subset_of_bh(spark, sf_dir):
     """Holm (FWER) is uniformly more conservative than BH (FDR) on
     the same p-value family: every Holm rejection must also be a BH
     rejection, and holm_p must be monotone in p_rank."""
-    from ibd_pipeline_spark.queries.stats2 import (
+    from ibd_pipeline_spark.queries.stats_multiplicity import (
         stats_benjamini_hochberg,
+        stats_holm_bonferroni,
     )
-    from ibd_pipeline_spark.queries.stats2 import stats_holm_bonferroni
 
     holm = {
         r["brand"]: r for r in stats_holm_bonferroni(spark, sf_dir).collect()

@@ -163,7 +163,7 @@ def test_mcnemar_plants_a_flip(spark, sf_dir):
 def test_friedman_and_mood_quiet_on_even_df(spark, sf_dir):
     """Both k-group tests must emit the df their p was computed at
     (the Kruskal-Wallis hardcode lesson, ADVICE r11)."""
-    from ibd_pipeline_spark.queries.stats2 import (
+    from ibd_pipeline_spark.queries.stats_rank import (
         stats_friedman_test,
         stats_mood_median,
     )

@@ -196,7 +196,7 @@ def test_lsh_band_planning_scurve_chains():
     """The repeated-squaring expression chains must equal the
     textbook 1-(1-s^r)^b, and expected recall must be monotone in s
     and hit the endpoints exactly (s=0 → 0, s=1 → 1)."""
-    from ibd_pipeline_spark.queries.dedup import (
+    from ibd_pipeline_spark.queries.dedup_eval import (
         _BAND_CONFIGS,
         _BAND_THRESH,
         _band_planning_oracle,
