@@ -945,8 +945,145 @@ def main_r14() -> None:
     spark.stop()
 
 
+def main_r15() -> None:
+    """Round-15 probe (`python tools/scale_probe.py r15`) — VERDICT
+    r14 #7: the k-truss peel loop (`queries/graph2.py:graph_ktruss_peel`),
+    whose "round r costs <= round r-1" bound was inherited from the
+    k-core precedent, not measured. Per-ROUND instrumentation under
+    1x/4x volume AND density:
+
+    - volume mode: 4 disjoint copies (user ids shifted AND event_type
+      namespaced per copy, so no cross-copy co-activity) — edges,
+      triangles, and per-round cost should grow ~linearly.
+    - density mode: 4 user populations co-active in the SAME
+      (event_type, hour) slots — per-slot occupancy x4, so the edge
+      count grows ~quadratically and the triangle count ~cubically
+      BY CONSTRUCTION; the probe measures whether each peel round's
+      wall follows the survivor triangle count and whether the
+      monotone "round r <= round r-1" claim holds when round 1 is
+      violently dense.
+    """
+    from ibd_pipeline_spark.catalog import load
+    from ibd_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    results: dict[str, dict[str, object]] = {}
+    base = load(spark, SF, "events").filter(F.col("user_id") < 100)
+
+    def peel_rounds(ev):
+        """graph_ktruss_peel re-driven with per-round metrics
+        (mirrors queries/graph2.py:1098 — same builder, same
+        support_of, same k=4 / 3-round peel)."""
+        b = ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+        ).distinct()
+        a, c = b.alias("a"), b.alias("c")
+        e = (
+            a.join(
+                c,
+                (F.col("a.event_type") == F.col("c.event_type"))
+                & (F.col("a.h") == F.col("c.h"))
+                & (F.col("a.user_id") < F.col("c.user_id")),
+            )
+            .select(
+                F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        def support_of(edges):
+            e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+            tri = (
+                e1.join(
+                    e2,
+                    (F.col("e1.u") == F.col("e2.u"))
+                    & (F.col("e1.v") < F.col("e2.v")),
+                )
+                .join(
+                    e3,
+                    (F.col("e3.u") == F.col("e1.v"))
+                    & (F.col("e3.v") == F.col("e2.v")),
+                )
+                .select(
+                    F.col("e1.u").alias("a"),
+                    F.col("e1.v").alias("b"),
+                    F.col("e2.v").alias("c"),
+                )
+            )
+            edge_tri = (
+                tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .unionAll(
+                    tri.select(F.col("a").alias("u"), F.col("c").alias("v"))
+                )
+                .unionAll(
+                    tri.select(F.col("b").alias("u"), F.col("c").alias("v"))
+                )
+            )
+            return (
+                edges.join(
+                    edge_tri.withColumn("hit", F.lit(1)), ["u", "v"], "left"
+                )
+                .groupBy("u", "v")
+                .agg(F.count("hit").cast("bigint").alias("support"))
+            )
+
+        rounds = []
+        for r in range(3):
+            n_in = e.count()
+            t0 = time.perf_counter()
+            sup = support_of(e).localCheckpoint(eager=True)
+            wall = round(time.perf_counter() - t0, 3)
+            tri3 = sup.agg(F.sum("support")).collect()[0][0] or 0
+            e = (
+                sup.filter(F.col("support") >= 2)
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            rounds.append(
+                {
+                    "round": r + 1,
+                    "edges_in": n_in,
+                    "tri_incidences": int(tri3),
+                    "survivors": e.count(),
+                    "wall_s": wall,
+                }
+            )
+        return rounds
+
+    for k in (1, 4):
+        vol = None
+        for i in range(k):
+            c = base.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 1000)
+            )
+            if i:
+                c = c.withColumn(
+                    "event_type", F.concat(F.col("event_type"), F.lit(f"_c{i}"))
+                )
+            vol = c if vol is None else vol.unionByName(c)
+        dens = None
+        for i in range(k):
+            c = base.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 1000)
+            )
+            dens = c if dens is None else dens.unionByName(c)
+        for mode, src in (("volume", vol), ("density", dens)):
+            t0 = time.perf_counter()
+            rounds = peel_rounds(src)
+            results.setdefault(f"ktruss_peel_{mode}_x", {})[str(k)] = {
+                "rounds": rounds,
+                "wall_total_s": round(time.perf_counter() - t0, 3),
+            }
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r14":
+    if len(sys.argv) > 1 and sys.argv[1] == "r15":
+        main_r15()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r14":
         main_r14()
     elif len(sys.argv) > 1 and sys.argv[1] == "r13":
         main_r13()
