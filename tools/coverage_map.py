@@ -312,6 +312,28 @@ def survey_rows() -> "list[tuple[str, str]]":
     return rows
 
 
+def survey21_rows() -> "list[str]":
+    """Operator ids (S1..W4) for every SURVEY.md §2.1 table row — so
+    the survey's component count (§2.1 + §2.2) is mechanically
+    derivable, never a hand-maintained claim (VERDICT r14 blemish #3)."""
+    rows = []
+    in21 = False
+    for ln in Path("SURVEY.md").read_text().split("\n"):
+        if ln.startswith("### 2.1"):
+            in21 = True
+            continue
+        if in21 and ln.startswith("### "):
+            break
+        if (
+            in21
+            and ln.startswith("|")
+            and not ln.startswith("|---")
+            and "| operator |" not in ln
+        ):
+            rows.append(ln.split("|")[1].strip())
+    return rows
+
+
 def survey_row_map(query_names: "set[str]") -> "dict[str, list[str]]":
     """§2.2 row cell → mapped queries (explicit name matches in the
     row text, unioned with the curated SURVEY_ROW_QUERIES entry)."""
@@ -353,6 +375,15 @@ def main() -> None:
     ]
     rowmap = survey_row_map(set(queries))
     unmapped_rows = [c for c, qs in rowmap.items() if not qs]
+    n21 = len(survey21_rows())
+    lines.insert(
+        5,
+        f"**Component inventory, mechanically derived from SURVEY.md "
+        f"(tools/coverage_map.py:survey21_rows/survey_rows): {n21} §2.1 "
+        f"operator rows + {len(rowmap)} §2.2 capability rows = "
+        f"{n21 + len(rowmap)} components.**",
+    )
+    lines.insert(6, "")
     q_to_row: dict[str, str] = {}
     for cell, qs in rowmap.items():
         for q in qs:
@@ -394,8 +425,8 @@ def main() -> None:
     Path("COVERAGE.md").write_text("\n".join(lines))
     print(
         f"wrote COVERAGE.md ({len(queries)} queries, {len(by_cat)} "
-        f"categories, {len(rowmap)} survey rows, "
-        f"{len(unmapped_rows)} unmapped)"
+        f"categories, {n21} + {len(rowmap)} = {n21 + len(rowmap)} "
+        f"survey components, {len(unmapped_rows)} unmapped)"
     )
 
 
