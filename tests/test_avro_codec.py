@@ -340,3 +340,36 @@ def test_native_probe_contract(spark):
     except Exception:
         ran = False
     assert ran == avail
+
+
+def test_file_pair_logical_types_roundtrip(spark, tmp_path):
+    """The FILE pair (read_avro/write_avro, JVM datasource) must
+    round-trip DecimalType/DateType/TimestampType values exactly —
+    the file-level half of the r15 logical-types story (the payload
+    half is io_avro_logical_roundtrip)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from ibd_pipeline_spark.sources.io import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    if not avro_available(spark):
+        pytest.skip("no Avro datasource on this classpath")
+
+    rows = [
+        (1, Decimal("0.01"), dt.date(2024, 2, 29),
+         dt.datetime(2024, 2, 29, 23, 59, 59, 999999)),
+        (2, Decimal("-9999999999.99"), dt.date(1969, 7, 20), None),
+        (3, None, dt.date(1970, 1, 1), dt.datetime(1970, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, price decimal(12,2), d date, ts timestamp"
+    )
+    out = str(tmp_path / "logical_pair")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)

@@ -367,3 +367,63 @@ def test_native_probe_contract(spark):
                 use_native="native",
             )
         ).collect()
+
+
+def test_proto_decode_under_readstream(spark, tmp_path):
+    """The proto decode path must be streaming-legal, like the Avro
+    dispatch (r15): the same from_protobuf_binary column over a
+    file-source stream must equal the batch decode row-for-row."""
+    import pyspark.sql.functions as F
+
+    from ibd_pipeline_spark.sources import proto_codec as P
+
+    src_proto = (
+        "message T { int64 id = 1; string s = 2; optional double v = 3; }"
+    )
+    rows = [(i, f"s{i}", None if i % 3 == 0 else i / 4.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, s string, v double")
+    wire = df.select(
+        P.to_confluent_proto_wire(
+            P.to_protobuf_binary(
+                F.struct("id", "s", "v"), src_proto, spark,
+                use_native="fallback",
+            ),
+            5,
+        ).alias("wire")
+    )
+    src = str(tmp_path / "proto_topic")
+    wire.repartition(4).write.parquet(src)
+
+    def decode(frame):
+        return frame.select(
+            P.from_protobuf_binary(
+                P.proto_wire_payload(F.col("wire"), 5),
+                src_proto,
+                spark,
+                mode="FAILFAST",
+                use_native="fallback",
+            ).alias("r")
+        ).select("r.*")
+
+    batch = sorted(tuple(r) for r in decode(spark.read.parquet(src)).collect())
+    stream = (
+        spark.readStream.schema("wire binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        decode(stream)
+        .writeStream.format("memory")
+        .queryName("proto_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2
+    got = sorted(
+        tuple(r) for r in spark.table("proto_stream_sink").collect()
+    )
+    assert got == batch == sorted(rows)
