@@ -284,6 +284,19 @@ CURATED = {
     "graph_ktruss_peel": "3 monotone peel rounds, each one oriented wedge "
     "join over the shrinking survivor set with per-round localCheckpoint "
     "so Catalyst never replays earlier rounds.",
+    "dedup_lsh_calibration": "ONE run of the prefix-filter truth side + ONE "
+    "banded-LSH run (shared session-cached minhash state), one s-curve "
+    "codegen expression per true pair; predicted and measured recall meet "
+    "in a single-row decimal subtraction.",
+    "io_proto_payload_roundtrip": "proto-payload codec path: Confluent "
+    "proto framing (6-byte literal concat) is pure codegen; the wire codec "
+    "is one Arrow batch round-trip per partition (JVM expressions when "
+    "spark-protobuf is deployed); map-side-combined event_type aggregate "
+    "attests sizes against first-principles varint SQL.",
+    "io_avro_logical_roundtrip": "logical-types payload path: decimal/date/"
+    "timestamp encode-decode in one Arrow batch per partition, framing "
+    "codegen; decimal sums stay exact through the decoded DecimalType "
+    "column (dsum rule), 3-group map-side-combined aggregate.",
 }
 
 
