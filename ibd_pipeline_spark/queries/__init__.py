@@ -236,6 +236,7 @@ _ROUND15_NEW: list[str] = [
     "io_proto_payload_roundtrip",
     "io_proto_malformed_audit",
     "io_avro_logical_roundtrip",
+    "io_proto_embedding_roundtrip",
 ]
 
 _ROUND14_PRIORITY: list[str] = [

@@ -274,3 +274,139 @@ def io_proto_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed repeated fields: embedding vectors over proto payloads (r15)
+# ---------------------------------------------------------------------------
+
+_VEC_ID = 12
+
+_VEC_PROTO = """
+syntax = "proto3";
+message vec_msg {
+  int64 vec_id = 1;
+  sint32 label = 2;
+  repeated float embedding = 3;
+}
+"""
+
+# planted: vec_id ≡ 3 (mod 17) ships an EMPTY embedding (elided on
+# the wire, [] on decode); vec_id 0 and label 0 occur naturally and
+# exercise the scalar elision/refill paths
+_EMB_SQL = (
+    "CASE WHEN vec_id % 17 = 3 THEN CAST([] AS FLOAT[]) "
+    "ELSE embedding END"
+)
+
+# Per-record body: [tag + varint(vec_id)] elided when 0 + [tag +
+# varint(zigzag(label))] elided when 0 + packed embedding: [tag +
+# varint(4·dim) + 4·dim] elided when empty; Confluent frame adds 6.
+_VEC_BODY_SQL = (
+    f"CASE WHEN vec_id = 0 THEN 0 "
+    f"ELSE 1 + {_vlen_sql('CAST(vec_id AS HUGEINT)')} END "
+    f"+ CASE WHEN label = 0 THEN 0 "
+    f"ELSE 1 + {_vlen_sql(_zz_sql('label'))} END "
+    f"+ CASE WHEN len({_EMB_SQL}) = 0 THEN 0 "
+    f"ELSE 1 + {_vlen_sql(f'CAST(4 * len({_EMB_SQL}) AS HUGEINT)')} "
+    f"+ 4 * len({_EMB_SQL}) END"
+)
+
+_VEC_SQL = f"""
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(CASE WHEN vec_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty,
+       CAST(MAX(len({_EMB_SQL})) AS BIGINT) AS dim_max,
+       CAST(ROUND(SUM(COALESCE(list_sum(list_transform({_EMB_SQL},
+             x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  AS DECIMAL(28,12)))), 0)), 4) AS DOUBLE) AS sum_norm2,
+       CAST(SUM({_VEC_BODY_SQL}) AS BIGINT) AS payload_bytes,
+       CAST(SUM({_VEC_BODY_SQL}) + 6 * COUNT(*) AS BIGINT) AS wire_bytes
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("io_proto_embedding_roundtrip", oracle=_VEC_SQL)
+def io_proto_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING vectors over proto payloads — the multimodal-column
+    transport case: `repeated float` encodes PACKED (proto3 default
+    for scalar numerics; spec vector `32 06 03 8E 02 9E A7 05`
+    pinned in tests/test_proto_codec.py), decodes to a Spark
+    array<float>, and the aggregates come FROM THE DECODED VECTORS.
+    Planted empty embeddings (vec_id ≡ 3 mod 17) exercise the
+    repeated-elision path (absent on the wire, [] on decode); the
+    naturally-occurring vec_id 0 and label 0 exercise scalar elision
+    + default refill. The oracle attests identity AND sizes — packed
+    length arithmetic (tag + varint(4·dim) + 4·dim) in exact integer
+    SQL, so a non-packed encoding or a wrong element count flips the
+    byte totals.
+
+    Exactness: per-vector Σx² folds float→double element squares
+    cast to DECIMAL(28,12) BEFORE summation (decimal addition
+    commutes, so neither the in-vector fold order nor the cross-row
+    aggregation order matters), one decimal-domain round, one cast.
+
+    Scale: the packed codec is one Arrow batch per partition; the
+    vector fold is a codegen higher-order aggregate; the 10-key label
+    aggregate is map-side combined. This is how embedding shards move
+    through Kafka at 100 TB — length-prefixed packed floats, not one
+    message per element."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("vec_id") % 17 == 3,
+            F.array().cast("array<float>"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    payload = P.to_protobuf_binary(
+        F.struct("vec_id", "label", "embedding"),
+        _VEC_PROTO,
+        spark,
+    )
+    wire = emb.select(
+        P.to_confluent_proto_wire(payload, _VEC_ID).alias("wire")
+    )
+    dec = wire.select(
+        F.octet_length("wire").alias("wire_len"),
+        P.from_protobuf_binary(
+            P.proto_wire_payload(F.col("wire"), _VEC_ID),
+            _VEC_PROTO,
+            spark,
+            mode="FAILFAST",
+        ).alias("r"),
+    ).select("wire_len", "r.*")
+    # fold type discipline: DECIMAL(37,12) + DECIMAL(28,12) widens to
+    # (38,12) with NO scale loss (scale-12 addition is exact); the
+    # cast back to (37,12) is range-check-only (same scale), keeping
+    # the accumulator type invariant Spark's aggregate() requires
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("decimal(37,12)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(28,12)")
+        ).cast("decimal(37,12)"),
+    )
+    return (
+        dec.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+            F.sum(F.when(F.size("embedding") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty"),
+            F.max(F.size("embedding")).cast("bigint").alias("dim_max"),
+            F.round(F.sum(norm2), 4).cast("double").alias("sum_norm2"),
+            (F.sum("wire_len") - F.lit(6) * F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("payload_bytes"),
+            F.sum("wire_len").cast("bigint").alias("wire_bytes"),
+        )
+        .orderBy("label")
+    )

@@ -172,22 +172,35 @@ _DEFAULTS = {
 }
 
 _FIELD_RE = re.compile(
-    r"^\s*(optional\s+)?([a-z0-9]+)\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
-    r"(\d+)\s*;\s*$"
+    r"^\s*(optional\s+|repeated\s+)?([a-z0-9]+)\s+([A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*=\s*(\d+)\s*;\s*$"
 )
+
+# packable element types (proto3 packs scalar numerics/bool by
+# default; repeated string/bytes are never packed and stay outside
+# this subset)
+_PACKABLE = _VARINT_TYPES | _I64_TYPES | _I32_TYPES
 _MSG_RE = re.compile(
     r"message\s+([A-Za-z_][A-Za-z0-9_]*)\s*\{(.*?)\}", re.S
 )
 
 
 class _PField:
-    __slots__ = ("name", "ptype", "number", "optional", "wire_type")
+    __slots__ = ("name", "ptype", "number", "optional", "repeated", "wire_type")
 
-    def __init__(self, name: str, ptype: str, number: int, optional: bool):
+    def __init__(
+        self,
+        name: str,
+        ptype: str,
+        number: int,
+        optional: bool,
+        repeated: bool = False,
+    ):
         self.name = name
         self.ptype = ptype
         self.number = number
         self.optional = optional
+        self.repeated = repeated
         if ptype in _VARINT_TYPES:
             self.wire_type = _WT_VARINT
         elif ptype in _I64_TYPES:
@@ -217,20 +230,21 @@ def parse_proto(proto_src: str) -> tuple[str, list[_PField]]:
         fm = _FIELD_RE.match(line + ";")
         if not fm:
             raise ValueError(f"unsupported field declaration: {line!r}")
-        opt, ptype, fname, num = (
-            bool(fm.group(1)),
-            fm.group(2),
-            fm.group(3),
-            int(fm.group(4)),
-        )
+        label = (fm.group(1) or "").strip()
+        opt, rep = label == "optional", label == "repeated"
+        ptype, fname, num = fm.group(2), fm.group(3), int(fm.group(4))
         if ptype not in _ALL_TYPES:
             raise ValueError(f"unsupported field type {ptype!r}")
+        if rep and ptype not in _PACKABLE:
+            raise ValueError(
+                f"repeated {ptype} is outside the packed-scalar subset"
+            )
         if num < 1 or 19000 <= num <= 19999 or num > 536870911:
             raise ValueError(f"invalid field number {num}")
         if num in seen_nums:
             raise ValueError(f"duplicate field number {num}")
         seen_nums.add(num)
-        fields.append(_PField(fname, ptype, num, opt))
+        fields.append(_PField(fname, ptype, num, opt, rep))
     if not fields:
         raise ValueError("schema subset: message has no fields")
     return name, fields
@@ -239,6 +253,102 @@ def parse_proto(proto_src: str) -> tuple[str, list[_PField]]:
 # ---------------------------------------------------------------------------
 # Message codec
 # ---------------------------------------------------------------------------
+
+
+def _decode_scalar(t: str, buf, pos: int):
+    """One numeric/bool element from the wire (no tag) → (value,
+    new_pos) — shared by the singular, packed, and unpacked paths."""
+    if t in _VARINT_TYPES:
+        u, pos = read_uvarint(buf, pos)
+        if t in ("int32", "int64"):
+            v = u - (1 << 64) if u >= (1 << 63) else u
+            if t == "int32":
+                if not (-(2**31) <= v < 2**31):
+                    raise ValueError("int32 out of range")
+                v = int(v)
+        elif t in ("uint32", "uint64"):
+            hi = 2**32 if t == "uint32" else 2**63
+            if u >= hi:
+                raise ValueError(f"{t} out of range")
+            v = u
+        elif t in ("sint32", "sint64"):
+            v = zigzag_decode(u)
+            if t == "sint32" and not (-(2**31) <= v < 2**31):
+                raise ValueError("sint32 out of range")
+        else:  # bool
+            v = bool(u)
+        return v, pos
+    if t in _I64_TYPES:
+        if pos + 8 > len(buf):
+            raise ValueError("truncated 64-bit element")
+        if t == "double":
+            (v,) = _struct.unpack_from("<d", buf, pos)
+        elif t == "sfixed64":
+            (v,) = _struct.unpack_from("<q", buf, pos)
+        else:  # fixed64
+            (v,) = _struct.unpack_from("<Q", buf, pos)
+            if v >= 2**63:
+                raise ValueError("fixed64 out of the Spark-long-safe range")
+        return v, pos + 8
+    if t in _I32_TYPES:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated 32-bit element")
+        if t == "float":
+            (v,) = _struct.unpack_from("<f", buf, pos)
+        elif t == "sfixed32":
+            (v,) = _struct.unpack_from("<i", buf, pos)
+        else:  # fixed32
+            (v,) = _struct.unpack_from("<I", buf, pos)
+        return v, pos + 4
+    raise ValueError(f"non-scalar element type {t!r}")
+
+
+def _encode_scalar(t: str, v, out: bytearray, name: str) -> None:
+    """One numeric/bool element's wire bytes (no tag) — shared by the
+    singular path and the packed-repeated path."""
+    if t in ("int32", "int64"):
+        iv = int(v)
+        if t == "int32" and not (-(2**31) <= iv < 2**31):
+            raise ValueError(f"{name}: int32 out of range")
+        write_uvarint(iv & _MASK64, out)  # two's complement
+    elif t in ("uint32", "uint64"):
+        iv = int(v)
+        hi = 2**32 if t == "uint32" else 2**63
+        if not (0 <= iv < hi):
+            raise ValueError(
+                f"{name}: {t} out of the Spark-long-safe range [0, {hi})"
+            )
+        write_uvarint(iv, out)
+    elif t in ("sint32", "sint64"):
+        bits = 32 if t == "sint32" else 64
+        iv = int(v)
+        if t == "sint32" and not (-(2**31) <= iv < 2**31):
+            raise ValueError(f"{name}: sint32 out of range")
+        write_uvarint(zigzag_encode(iv, bits), out)
+    elif t == "bool":
+        write_uvarint(1 if v else 0, out)
+    elif t == "double":
+        out += _struct.pack("<d", float(v))
+    elif t == "float":
+        out += _struct.pack("<f", float(v))
+    elif t == "fixed64":
+        iv = int(v)
+        if not (0 <= iv < 2**63):
+            raise ValueError(
+                f"{name}: fixed64 out of the Spark-long-safe range"
+            )
+        out += _struct.pack("<Q", iv)
+    elif t == "sfixed64":
+        out += _struct.pack("<q", int(v))
+    elif t == "fixed32":
+        iv = int(v)
+        if not (0 <= iv < 2**32):
+            raise ValueError(f"{name}: fixed32 out of range")
+        out += _struct.pack("<I", iv)
+    elif t == "sfixed32":
+        out += _struct.pack("<i", int(v))
+    else:
+        raise ValueError(f"{name}: non-scalar element type {t!r}")
 
 
 class MessageCodec:
@@ -255,12 +365,26 @@ class MessageCodec:
         """values: sequence aligned with self.fields. Fields are
         written in ascending field-number order (the canonical
         serialization order). Implicit-presence zero values are
-        elided per proto3; None in an optional field means absent."""
+        elided per proto3; None in an optional field means absent;
+        repeated fields encode PACKED (the proto3 default for scalar
+        numerics), with None/empty elided."""
         out = bytearray()
         pairs = sorted(zip(self.fields, values), key=lambda p: p[0].number)
         for fld, v in pairs:
             t = fld.ptype
-            if v is None or (isinstance(v, float) and v != v):  # NaN caveat
+            if fld.repeated:
+                if v is None or len(v) == 0:
+                    continue  # proto3: empty repeated is elided
+                packed = bytearray()
+                for el in v:
+                    _encode_scalar(t, el, packed, fld.name)
+                write_tag(fld.number, _WT_LEN, out)
+                write_uvarint(len(packed), out)
+                out += packed
+                continue
+            if v is None or v is pd.NaT or (
+                isinstance(v, float) and v != v  # NaN caveat
+            ):
                 if fld.optional:
                     continue  # absent
                 v = _DEFAULTS.get(t, 0)  # implicit: None == default
@@ -285,57 +409,16 @@ class MessageCodec:
                 ):
                     continue
             write_tag(fld.number, fld.wire_type, out)
-            if t in ("int32", "int64"):
-                iv = int(v)
-                if t == "int32" and not (-(2**31) <= iv < 2**31):
-                    raise ValueError(f"{fld.name}: int32 out of range")
-                write_uvarint(iv & _MASK64, out)  # two's complement
-            elif t in ("uint32", "uint64"):
-                iv = int(v)
-                hi = 2**32 if t == "uint32" else 2**63
-                if not (0 <= iv < hi):
-                    raise ValueError(
-                        f"{fld.name}: {t} out of the Spark-long-safe "
-                        f"range [0, {hi})"
-                    )
-                write_uvarint(iv, out)
-            elif t in ("sint32", "sint64"):
-                bits = 32 if t == "sint32" else 64
-                iv = int(v)
-                if t == "sint32" and not (-(2**31) <= iv < 2**31):
-                    raise ValueError(f"{fld.name}: sint32 out of range")
-                write_uvarint(zigzag_encode(iv, bits), out)
-            elif t == "bool":
-                write_uvarint(1 if v else 0, out)
-            elif t == "double":
-                out += _struct.pack("<d", float(v))
-            elif t == "float":
-                out += _struct.pack("<f", float(v))
-            elif t == "fixed64":
-                iv = int(v)
-                if not (0 <= iv < 2**63):
-                    raise ValueError(
-                        f"{fld.name}: fixed64 out of the Spark-long-safe "
-                        "range"
-                    )
-                out += _struct.pack("<Q", iv)
-            elif t == "sfixed64":
-                out += _struct.pack("<q", int(v))
-            elif t == "fixed32":
-                iv = int(v)
-                if not (0 <= iv < 2**32):
-                    raise ValueError(f"{fld.name}: fixed32 out of range")
-                out += _struct.pack("<I", iv)
-            elif t == "sfixed32":
-                out += _struct.pack("<i", int(v))
-            elif t == "string":
+            if t == "string":
                 b = str(v).encode("utf-8")
                 write_uvarint(len(b), out)
                 out += b
-            else:  # bytes
+            elif t == "bytes":
                 b = bytes(v)
                 write_uvarint(len(b), out)
                 out += b
+            else:
+                _encode_scalar(t, v, out, fld.name)
         return bytes(out)
 
     # -- decode ------------------------------------------------------------
@@ -354,35 +437,24 @@ class MessageCodec:
             if num == 0:
                 raise ValueError("field number 0")
             fld = self._by_num.get(num)
-            if fld is not None and wt != fld.wire_type:
-                raise ValueError(
-                    f"field {num}: wire type {wt}, schema says "
-                    f"{fld.wire_type}"
+            if fld is not None:
+                ok_wts = (
+                    (fld.wire_type, _WT_LEN) if fld.repeated
+                    else (fld.wire_type,)
                 )
+                if wt not in ok_wts:
+                    raise ValueError(
+                        f"field {num}: wire type {wt}, schema says "
+                        f"{fld.wire_type}"
+                    )
             if wt == _WT_VARINT:
-                u, pos = read_uvarint(buf, pos)
                 if fld is None:
+                    _, pos = read_uvarint(buf, pos)
                     continue
                 t = fld.ptype
-                if t in ("int32", "int64"):
-                    v = u - (1 << 64) if u >= (1 << 63) else u
-                    if t == "int32":
-                        if not (-(2**31) <= v < 2**31):
-                            raise ValueError("int32 out of range")
-                        v = int(v)
-                elif t in ("uint32", "uint64"):
-                    hi = 2**32 if t == "uint32" else 2**63
-                    if u >= hi:
-                        raise ValueError(f"{t} out of range")
-                    v = u
-                elif t in ("sint32", "sint64"):
-                    v = zigzag_decode(u)
-                    if t == "sint32" and not (-(2**31) <= v < 2**31):
-                        raise ValueError("sint32 out of range")
-                elif t == "bool":
-                    v = bool(u)
-                else:
+                if t not in _VARINT_TYPES:
                     raise ValueError(f"varint for non-varint {t}")
+                v, pos = _decode_scalar(t, buf, pos)
             elif wt == _WT_I64:
                 if pos + 8 > n:
                     raise ValueError("truncated 64-bit field")
@@ -390,17 +462,9 @@ class MessageCodec:
                     pos += 8
                     continue
                 t = fld.ptype
-                if t == "double":
-                    (v,) = _struct.unpack_from("<d", buf, pos)
-                elif t == "sfixed64":
-                    (v,) = _struct.unpack_from("<q", buf, pos)
-                else:  # fixed64
-                    (v,) = _struct.unpack_from("<Q", buf, pos)
-                    if v >= 2**63:
-                        raise ValueError(
-                            "fixed64 out of the Spark-long-safe range"
-                        )
-                pos += 8
+                if t not in _I64_TYPES:
+                    raise ValueError(f"64-bit wire for {t}")
+                v, pos = _decode_scalar(t, buf, pos)
             elif wt == _WT_I32:
                 if pos + 4 > n:
                     raise ValueError("truncated 32-bit field")
@@ -408,13 +472,9 @@ class MessageCodec:
                     pos += 4
                     continue
                 t = fld.ptype
-                if t == "float":
-                    (v,) = _struct.unpack_from("<f", buf, pos)
-                elif t == "sfixed32":
-                    (v,) = _struct.unpack_from("<i", buf, pos)
-                else:  # fixed32
-                    (v,) = _struct.unpack_from("<I", buf, pos)
-                pos += 4
+                if t not in _I32_TYPES:
+                    raise ValueError(f"32-bit wire for {t}")
+                v, pos = _decode_scalar(t, buf, pos)
             elif wt == _WT_LEN:
                 ln, pos = read_uvarint(buf, pos)
                 if ln < 0 or pos + ln > n:
@@ -424,6 +484,14 @@ class MessageCodec:
                 if fld is None:
                     continue
                 t = fld.ptype
+                if fld.repeated:
+                    # packed elements fill the chunk exactly
+                    els, p2 = [], 0
+                    while p2 < ln:
+                        el, p2 = _decode_scalar(t, raw, p2)
+                        els.append(el)
+                    got.setdefault(num, []).extend(els)
+                    continue
                 if t == "string":
                     v = raw.decode("utf-8")  # ValueError on bad UTF-8
                 elif t == "bytes":
@@ -432,11 +500,18 @@ class MessageCodec:
                     raise ValueError(f"LEN for scalar {t}")
             else:
                 raise ValueError(f"invalid wire type {wt}")
-            got[num] = v
+            if fld.repeated:
+                # unpacked occurrence (spec: parsers accept both forms
+                # and concatenate across occurrences)
+                got.setdefault(num, []).append(v)
+            else:
+                got[num] = v
         vals = []
         for fld in self.fields:
             if fld.number in got:
                 vals.append(got[fld.number])
+            elif fld.repeated:
+                vals.append([])  # proto3: absent repeated == empty
             elif fld.optional:
                 vals.append(None)
             else:
@@ -447,11 +522,14 @@ class MessageCodec:
         """Spark shape of a decoded message. Every field is nullable
         regardless of presence mode (same Arrow/PERMISSIVE rationale
         as avro_codec.RecordCodec.spark_schema)."""
+        from pyspark.sql.types import ArrayType
+
+        def typ(f: _PField) -> DataType:
+            base = _SPARK_TYPE[f.ptype]
+            return ArrayType(base, False) if f.repeated else base
+
         return StructType(
-            [
-                StructField(f.name, _SPARK_TYPE[f.ptype], True)
-                for f in self.fields
-            ]
+            [StructField(f.name, typ(f), True) for f in self.fields]
         )
 
 
@@ -509,7 +587,8 @@ def descriptor_set_bytes(
         fd = bytearray()
         _len_field(1, f.name.encode(), fd)  # name
         _varint_field(3, f.number, fd)  # number
-        _varint_field(4, 1, fd)  # label = LABEL_OPTIONAL
+        # label: LABEL_REPEATED = 3, else LABEL_OPTIONAL = 1
+        _varint_field(4, 3 if f.repeated else 1, fd)
         _varint_field(5, _TYPE_ENUM[f.ptype], fd)  # type
         if f.optional:
             _varint_field(9, oneof_idx, fd)  # oneof_index

@@ -187,7 +187,7 @@ def test_schema_subset_rejections():
         "message M { int64 a = 19000; }",  # reserved range
         "message M { int64 a = 1; int32 b = 1; }",  # duplicate number
         "message M { map<string,int64> a = 1; }",  # unsupported type
-        "message M { repeated int64 a = 1; }",  # unsupported label
+        "message M { repeated string a = 1; }",  # repeated is packed-scalar only
         "not a proto at all",
     ]:
         with pytest.raises(ValueError):
@@ -427,3 +427,74 @@ def test_proto_decode_under_readstream(spark, tmp_path):
         tuple(r) for r in spark.table("proto_stream_sink").collect()
     )
     assert got == batch == sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# packed repeated fields (r15 second wave — embedding transport)
+# ---------------------------------------------------------------------------
+
+
+def test_packed_repeated_spec_vector():
+    """The spec's canonical packed example: repeated int32 field 6
+    with [3, 270, 86942] -> `32 06 03 8E 02 9E A7 05`."""
+    c = MessageCodec("message Test5 { repeated int32 f = 6; }")
+    enc = c.encode([[3, 270, 86942]])
+    assert enc.hex() == "3206038e029ea705"
+    assert c.decode(enc) == [[3, 270, 86942]]
+
+
+def test_packed_repeated_semantics():
+    c = MessageCodec("message Test5 { repeated int32 f = 6; }")
+    # empty/None elided; absent decodes to []
+    assert c.encode([[]]) == b"" and c.encode([None]) == b""
+    assert c.decode(b"") == [[]]
+    # spec: parsers accept UNPACKED occurrences and concatenate
+    unpacked = bytes([0x30, 0x03, 0x30, 0x8E, 0x02])
+    assert c.decode(unpacked) == [[3, 270]]
+    assert c.decode(c.encode([[1]]) + unpacked) == [[1, 3, 270]]
+    # truncated packed chunk is malformation
+    cf = MessageCodec("message V { repeated float xs = 1; }")
+    good = cf.encode([[1.5, -2.0]])
+    with pytest.raises(ValueError):
+        cf.decode(good[:-1])
+    # float packing is 4-byte little-endian per element
+    assert good.hex() == "0a080000c03f000000c0"
+    assert cf.decode(good) == [[1.5, -2.0]]
+
+
+def test_packed_repeated_zigzag_and_double():
+    c = MessageCodec(
+        "message P { repeated sint64 a = 1; repeated double b = 2; }"
+    )
+    enc = c.encode([[-1, 0, 2**40], [0.5, -0.0]])
+    got = c.decode(enc)
+    assert got == [[-1, 0, 2**40], [0.5, -0.0]]
+
+
+def test_descriptor_label_repeated():
+    from ibd_pipeline_spark.sources.proto_codec import read_uvarint
+
+    buf = descriptor_set_bytes("message V { repeated float xs = 1; }")
+
+    def walk(b):
+        out, pos = [], 0
+        while pos < len(b):
+            key, pos = read_uvarint(b, pos)
+            num, wt = key >> 3, key & 7
+            if wt == 2:
+                ln, pos = read_uvarint(b, pos)
+                out.append((num, b[pos : pos + ln]))
+                pos += ln
+            else:
+                v, pos = read_uvarint(b, pos)
+                out.append((num, v))
+        return out
+
+    (file_entry,) = walk(buf)
+    fdp = dict(walk(file_entry[1]))
+    msg = walk(fdp[4])
+    (field,) = [v for n, v in msg if n == 2]
+    f = dict(walk(field))
+    assert f[4] == 3  # LABEL_REPEATED
+    assert f[5] == 2  # TYPE_FLOAT
+    assert 17 not in f  # no proto3_optional on repeated
