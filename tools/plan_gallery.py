@@ -297,6 +297,10 @@ CURATED = {
     "timestamp encode-decode in one Arrow batch per partition, framing "
     "codegen; decimal sums stay exact through the decoded DecimalType "
     "column (dsum rule), 3-group map-side-combined aggregate.",
+    "io_proto_embedding_roundtrip": "packed-vector transport: array<float> "
+    "through one Arrow-batched codec round-trip per partition; the "
+    "norm^2 fold is a codegen higher-order aggregate over the decoded "
+    "array (decimal-quantized per element), 10-key map-side-combined.",
 }
 
 
