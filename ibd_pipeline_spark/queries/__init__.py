@@ -237,6 +237,7 @@ _ROUND15_NEW: list[str] = [
     "io_proto_malformed_audit",
     "io_avro_logical_roundtrip",
     "io_proto_embedding_roundtrip",
+    "sketch_error_calibration",
 ]
 
 _ROUND14_PRIORITY: list[str] = [

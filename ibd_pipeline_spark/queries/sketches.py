@@ -971,3 +971,251 @@ def sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch error CALIBRATION: predicted bound vs measured error (r15)
+# ---------------------------------------------------------------------------
+
+# the instruments' theoretical error constants — Python literals, the
+# config-constant convention (no engine-side fractional pow)
+_BLOOM_M, _BLOOM_K = 8192, 3
+_HLL_RSE = round(1.04 / (32 ** 0.5), 6)  # 1.04/sqrt(m), m = 32
+
+
+def _calibration_oracle() -> str:
+    # Bloom predicted FPR = (1 - e^{-kn/m})^k (the standard uniform-
+    # hashing expectation; the exact (1-(1-1/m)^{kn})^k differs by
+    # O(kn/m^2), far inside the 3-sigma band)
+    base = f"(1.0 - exp(-({_BLOOM_K}.0 * n_items) / {_BLOOM_M}.0))"
+    bloom_pred = f"({base} * {base} * {base})"
+    return f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+         user_id,
+         CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM events
+), rho AS (
+  SELECT week, user_id,
+         h % {_HLL_M} AS b,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_RHO_MAX}
+              ELSE CAST(ROUND(log2((h // {_HLL_M}) & (-(h // {_HLL_M}))), 0)
+                        AS INT) + 1 END AS r
+  FROM ev
+), direct AS (
+  SELECT week, b, MAX(r) AS reg FROM rho GROUP BY week, b
+), est AS (
+  SELECT week, CAST(COUNT(*) AS INT) AS n_nonempty,
+         SUM(CAST(POWER(2.0, {_HLL_RHO_MAX} - reg) AS DECIMAL(38,0)))
+           + CAST(({_HLL_M} - COUNT(*)) * {2 ** _HLL_RHO_MAX} AS DECIMAL(38,0))
+           AS z
+  FROM direct GROUP BY week
+), meta AS (
+  SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY week
+), hll_rows AS (
+  SELECT 'hll_w:' || strftime(m.week, '%Y-%m-%d') AS instrument,
+         m.exact_users AS n_items,
+         CAST(NULL AS BIGINT) AS n_probes,
+         {_HLL_RSE} AS predicted_err,
+         ABS(CASE WHEN {_HLL_C!r} / CAST(e.z AS DOUBLE) <= {2.5 * _HLL_M}
+                       AND e.n_nonempty < {_HLL_M}
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - e.n_nonempty))
+                  ELSE {_HLL_C!r} / CAST(e.z AS DOUBLE) END
+             - m.exact_users) / m.exact_users AS measured_err,
+         ABS(CASE WHEN {_HLL_C!r} / CAST(e.z AS DOUBLE) <= {2.5 * _HLL_M}
+                       AND e.n_nonempty < {_HLL_M}
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - e.n_nonempty))
+                  ELSE {_HLL_C!r} / CAST(e.z AS DOUBLE) END
+             - m.exact_users) / m.exact_users <= 3.0 * {_HLL_RSE}
+           AS within_3sigma
+  FROM meta m JOIN est e USING (week)
+), e AS (
+  SELECT DISTINCT {_NORM} AS h FROM documents WHERE doc_id % 10 = 0
+), eh AS (
+  SELECT h,
+         CAST(('0x' || substring(md5(h), 1, 8)) AS BIGINT) AS h1,
+         2 * CAST(('0x' || substring(md5(h), 9, 8)) AS BIGINT) + 1 AS st
+  FROM e
+), bits AS (
+  SELECT LIST(DISTINCT (h1 + j * st) % {_BLOOM_M}) AS bl
+  FROM eh CROSS JOIN (VALUES (0), (1), (2)) s(j)
+), nonmem AS (
+  SELECT DISTINCT {_NORM} AS h FROM documents
+  WHERE doc_id % 10 <> 0 AND {_NORM} NOT IN (SELECT h FROM e)
+), np AS (
+  SELECT h,
+         CAST(('0x' || substring(md5(h), 1, 8)) AS BIGINT) AS h1,
+         2 * CAST(('0x' || substring(md5(h), 9, 8)) AS BIGINT) + 1 AS st
+  FROM nonmem
+), bc AS (
+  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_items,
+         CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(COUNT(*) FILTER (
+           list_contains((SELECT bl FROM bits), (h1 + 0 * st) % {_BLOOM_M})
+           AND list_contains((SELECT bl FROM bits), (h1 + 1 * st) % {_BLOOM_M})
+           AND list_contains((SELECT bl FROM bits), (h1 + 2 * st) % {_BLOOM_M}))
+           AS BIGINT) AS fp
+  FROM np
+), bloom_row AS (
+  SELECT 'bloom_fpr' AS instrument, n_items, n_probes,
+         {bloom_pred} AS predicted_err,
+         CAST(fp AS DOUBLE) / n_probes AS measured_err,
+         ABS(CAST(fp AS DOUBLE) / n_probes - {bloom_pred})
+           <= 3.0 * sqrt({bloom_pred} * (1.0 - {bloom_pred}) / n_probes)
+           AS within_3sigma
+  FROM bc
+)
+SELECT instrument, n_items, n_probes,
+       ROUND(predicted_err, 6) AS predicted_err,
+       ROUND(measured_err, 6) AS measured_err,
+       within_3sigma
+FROM (SELECT * FROM bloom_row UNION ALL SELECT * FROM hll_rows)
+ORDER BY instrument
+"""
+
+
+@query("sketch_error_calibration", oracle=_calibration_oracle)
+def sketch_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-vs-measured error for the approximate COUNTING
+    machinery — the sketch-family twin of dedup_lsh_calibration
+    (r13 measured, r14 planned, r15 calibrates): does the theory
+    constant each sketch is deployed under actually describe its
+    behavior on THIS data?
+
+    - `bloom_fpr`: the 8192-bit/3-hash contamination gate's measured
+      false-positive rate over DISTINCT non-member probe keys beside
+      the uniform-hashing expectation (1 − e^{−kn/m})^k, with the
+      Bernoulli sampling band 3·√(p(1−p)/n_probes) deciding
+      within_3sigma — the md5 'randomness' is fixed, so this is the
+      same fixed-family calibration argument the LSH row makes.
+    - `hll_w:<week>`: the m = 32 portable HLL's per-week relative
+      error beside the estimator's relative standard error 1.04/√m
+      (a Python config literal, like the LSH thresholds), LC branch
+      included.
+
+    Exactness: every count is an exact integer both engines reproduce
+    bit-for-bit (md5-derived positions/registers); the only doubles
+    are the ln/exp/√ chains both engines evaluate identically (the
+    Jarque–Bera/MI convention), verdict booleans compared on the
+    UNROUNDED chain (the Dunn convention), displayed errors rounded
+    at 6.
+
+    Scale: the Bloom side re-runs the gate's build+probe (bitset
+    broadcast, zero shuffle on the probe side); the HLL side is one
+    register aggregate (m × weeks rows). The exact distinct counts
+    ride along as the audit truth and are what you'd drop at 100 TB —
+    after THIS row has told you the error model can be trusted."""
+    from ibd_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        hll_registers,
+    )
+
+    # --- HLL side (direct weekly registers, union-equal by the
+    # attested merge algebra) ---
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"), "user_id"
+    )
+    rho = ev.select("week", "user_id", *hll_registers(F.col("user_id"), _HLL_M))
+    direct = rho.groupBy("week", "b").agg(F.max("r").alias("reg"))
+    est = direct.groupBy("week").agg(
+        F.count(F.lit(1)).cast("int").alias("n_nonempty"),
+        (
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("reg")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            + (
+                (F.lit(_HLL_M) - F.count(F.lit(1)))
+                * F.lit(2 ** _HLL_RHO_MAX)
+            ).cast("decimal(38,0)")
+        ).alias("z"),
+    )
+    meta = ev.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    raw = F.lit(_HLL_C) / F.col("z").cast("double")
+    small = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_nonempty"))
+    )
+    e_hll = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_nonempty") < _HLL_M), small
+    ).otherwise(raw)
+    h_err = F.abs(e_hll - F.col("exact_users")) / F.col("exact_users")
+    hll_rows = (
+        meta.join(est, "week")
+        .select(
+            F.concat(
+                F.lit("hll_w:"), F.date_format("week", "yyyy-MM-dd")
+            ).alias("instrument"),
+            F.col("exact_users").alias("n_items"),
+            F.lit(None).cast("bigint").alias("n_probes"),
+            F.lit(_HLL_RSE).alias("predicted_err"),
+            h_err.alias("measured_err"),
+            (h_err <= F.lit(3.0 * _HLL_RSE)).alias("within_3sigma"),
+        )
+    )
+
+    # --- Bloom side (distinct non-member probes) ---
+    docs = load(spark, sf_dir, "documents")
+    norm_h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    eval_h = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(norm_h.alias("h"))
+        .distinct()
+    )
+    bits = bloom_build(eval_h, "h")
+    nonmem = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(norm_h.alias("h"))
+        .distinct()
+        .join(eval_h, "h", "left_anti")
+    )
+    bc = (
+        nonmem.crossJoin(F.broadcast(bits))
+        .select(
+            bloom_maybe_contains("bloom_words", F.col("h")).alias("flagged")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.count(F.when(F.col("flagged"), 1)).cast("bigint").alias("fp"),
+        )
+        .crossJoin(
+            F.broadcast(
+                eval_h.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+            )
+        )
+    )
+    base = F.lit(1.0) - F.exp(
+        -(F.lit(float(_BLOOM_K)) * F.col("n_items")) / F.lit(float(_BLOOM_M))
+    )
+    b_pred = base * base * base
+    b_meas = F.col("fp").cast("double") / F.col("n_probes")
+    bloom_row = bc.select(
+        F.lit("bloom_fpr").alias("instrument"),
+        "n_items",
+        "n_probes",
+        b_pred.alias("predicted_err"),
+        b_meas.alias("measured_err"),
+        (
+            F.abs(b_meas - b_pred)
+            <= F.lit(3.0)
+            * F.sqrt(b_pred * (F.lit(1.0) - b_pred) / F.col("n_probes"))
+        ).alias("within_3sigma"),
+    )
+
+    return (
+        bloom_row.unionByName(hll_rows)
+        .select(
+            "instrument",
+            "n_items",
+            "n_probes",
+            F.round("predicted_err", 6).alias("predicted_err"),
+            F.round("measured_err", 6).alias("measured_err"),
+            "within_3sigma",
+        )
+        .orderBy("instrument")
+    )
