@@ -301,6 +301,11 @@ CURATED = {
     "through one Arrow-batched codec round-trip per partition; the "
     "norm^2 fold is a codegen higher-order aggregate over the decoded "
     "array (decimal-quantized per element), 10-key map-side-combined.",
+    "sketch_error_calibration": "two sketches re-run at their deployed "
+    "configs: Bloom build+probe with a broadcast one-row bitset (zero "
+    "shuffle on the probe side) and one m x weeks HLL register "
+    "aggregate; the theory bounds are literals, output |instruments| "
+    "rows.",
 }
 
 
