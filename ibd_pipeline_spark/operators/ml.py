@@ -693,21 +693,44 @@ def logreg_fit_attested(
     row id plus one d-row gradient aggregate; model state is d
     doubles on the driver."""
     spark = df.sparkSession
-    view = "__logreg_attested_xk"
-    x = df.select(
+    view = "__logreg_attested_x"
+    # r15 optimization (guide §1.2: fix the distributed algorithm
+    # first). The r11 form kept features EXPLODED as (rid, k, xk) rows
+    # and each GD round paid: re-scan + re-explode from storage, a
+    # VALUES join, a groupBy(rid) SHUFFLE for z, a join back on rid
+    # (another shuffle), and a groupBy(k) shuffle for the gradient —
+    # ~3 exchanges × `iters` rounds for a model-state-sized result.
+    # Now the features stay an ARRAY column materialized ONCE
+    # (localCheckpoint), z is a per-row fixed-point fold
+    # (aggregate∘zip_with — map-side, no shuffle), and the gradient is
+    # ONE global aggregate of d SUM expressions (partial aggregation;
+    # a 1-row exchange). Per round: one map-only pass, zero data-sized
+    # shuffles. EVERY integer is unchanged: the same FLOOR(xi·wk·1e12)
+    # terms are summed (integer addition commutes — the exploded
+    # groupBy and the in-order array fold land on the same BIGINT),
+    # and g_fp_k sums the same per-row FLOOR terms the rid-join
+    # produced, so the weight trajectory and the oracle's CTE replay
+    # are bit-identical.
+    rows = df.select(
         F.col(id_col).alias("rid"),
         F.col(label).cast("double").alias("y"),
-        F.posexplode(as_double_array(features)).alias("k", "xk"),
-    )
-    x.createOrReplaceTempView(view)
-    d = spark.sql(f"SELECT MAX(k) + 1 AS d FROM {view}").collect()[0]["d"]
-    n = spark.sql(
-        f"SELECT COUNT(DISTINCT rid) AS n FROM {view}"
-    ).collect()[0]["n"]
+        as_double_array(features).alias("x"),
+    ).localCheckpoint(eager=True)
+    rows.createOrReplaceTempView(view)
+    dims = spark.sql(
+        f"SELECT MAX(size(x)) AS d, COUNT(DISTINCT rid) AS n FROM {view}"
+    ).collect()[0]
+    d, n = dims["d"], dims["n"]
     w = [0.0] * d
 
     def wvals(ws: "list[float]") -> str:
         return ", ".join(f"({k}, {ws[k]!r}D)" for k in range(len(ws)))
+
+    def warr(ws: "list[float]") -> str:
+        # weights inlined as ONE SQL array literal: building ~d literal
+        # Columns per round through py4j costs ~1 s (the
+        # kmeans_attested measurement); SQL-text parsing is cheap.
+        return "array(" + ", ".join(f"{wk!r}D" for wk in ws) + ")"
 
     def p_expr() -> str:
         return (
@@ -716,24 +739,35 @@ def logreg_fit_attested(
         )
 
     def z_sql(ws: "list[float]") -> str:
+        # Per-row fixed-point dot: FLOOR each term exactly as the
+        # exploded form did, fold in array order (COALESCE guards a
+        # ragged row shorter than d — the exploded form simply had no
+        # row for that k, i.e. contributed 0).
         return f"""
-  SELECT rid, y, SUM(CAST(FLOOR(xk * wk * 1e12) AS BIGINT)) AS z_fp
-  FROM {view} JOIN (VALUES {wvals(ws)}) AS w(k, wk) USING (k)
-  GROUP BY rid, y"""
+  SELECT rid, y, x,
+         aggregate(zip_with(x, {warr(ws)},
+                            (xi, wi) -> COALESCE(
+                              CAST(FLOOR(xi * wi * 1e12) AS BIGINT),
+                              CAST(0 AS BIGINT))),
+                   CAST(0 AS BIGINT), (a, b) -> a + b) AS z_fp
+  FROM {view}"""
 
+    grad_cols = ", ".join(
+        f"COALESCE(SUM(CAST(FLOOR((p - y) * x[{k}] * 1e12) AS BIGINT)),"
+        f" CAST(0 AS BIGINT)) AS g{k}"
+        for k in range(d)
+    )
     for _ in range(iters):
         grads = spark.sql(
             f"""
-SELECT v.k, SUM(CAST(FLOOR((pe.p - pe.y) * v.xk * 1e12) AS BIGINT)) AS g_fp
+SELECT {grad_cols}
 FROM (
-  SELECT rid, y, {p_expr()} AS p
-  FROM ({z_sql(w)})
-) pe JOIN {view} v USING (rid)
-GROUP BY v.k"""
-        ).collect()  # d rows — model state, not data
-        g = {r["k"]: r["g_fp"] for r in grads}
+  SELECT y, x, {p_expr()} AS p
+  FROM ({z_sql(w)} )
+)"""
+        ).collect()[0]  # 1 row × d cols — model state, not data
         w = [
-            w[k] - lr * (g.get(k, 0) / (1e12 * n)) for k in range(d)
+            w[k] - lr * (grads[f"g{k}"] / (1e12 * n)) for k in range(d)
         ]
 
     return spark.sql(

@@ -721,7 +721,16 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level sort — then broadcast/shuffle-joined back; moment sums
     are one map-side-combined aggregate. No value buffer, no
     single-task window (the in-operator offset window runs over
-    partition metadata only)."""
+    partition metadata only).
+
+    r15 optimization (guide §2.4 — share the exchange): the x-axis and
+    y-axis value frames are UNION-tagged and ranked by ONE
+    with_grouped_prefix_sum call grouped on (axis, group) instead of
+    two — one range exchange + checkpoint + cumsum + offset pass
+    serves both axes. Prefix sums within disjoint (axis, group) groups
+    are identical to the two separate calls (the operator's
+    partition-invariance guarantee), so every rank and moment is
+    bit-unchanged."""
     from ibd_pipeline_spark.operators.ranking import with_grouped_prefix_sum
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -730,18 +739,34 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("y"),
     )
 
-    def rank2(col: str) -> DataFrame:
-        vc = li.groupBy("g", col).agg(
+    def vcounts(col: str) -> DataFrame:
+        return li.groupBy("g", F.col(col).alias("v")).agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt")
-        )
-        ps = with_grouped_prefix_sum(vc, ["g"], [col], "cnt")
-        return ps.select(
-            "g",
-            col,
-            (2 * F.col("_cw") - F.col("cnt") + 1).alias(f"r{col}2"),
+        ).withColumn("ax", F.lit(col))
+
+    ps = with_grouped_prefix_sum(
+        vcounts("x").unionByName(vcounts("y")), ["ax", "g"], ["v"], "cnt"
+    )
+    # materialize the rank frame ONCE: its two consumers (x- and
+    # y-rank join sides) would otherwise each re-run the operator's
+    # cumulative-sum pass (two physical evaluations of the same rows)
+    r2 = ps.select(
+        "ax", "g", "v", (2 * F.col("_cw") - F.col("cnt") + 1).alias("r2")
+    ).localCheckpoint(eager=True)
+
+    def rank2(col: str) -> DataFrame:
+        return r2.filter(F.col("ax") == col).select(
+            "g", F.col("v").alias(col), F.col("r2").alias(f"r{col}2")
         )
 
-    j = li.join(rank2("x"), ["g", "x"]).join(rank2("y"), ["g", "y"])
+    # y-rank frame is data-sized (one row per distinct price): hint it
+    # into a shuffled-hash join — measured faster than the 583k-row
+    # broadcast build locally AND the scale-safe strategy at 100 TB
+    # (never collect a data-sized frame to the driver); the ~100-row
+    # x-rank frame stays an auto-broadcast.
+    j = li.join(rank2("x"), ["g", "x"]).join(
+        rank2("y").hint("shuffle_hash"), ["g", "y"]
+    )
     dec = "decimal(38,0)"
     m = j.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
