@@ -72,6 +72,106 @@ FROM counts
     )
 
 
+def _truth_side(spark: SparkSession, sf_dir: str):
+    """Shared truth-side state for the three LSH instruments
+    (recall eval / band planning / calibration) — r15 optimization
+    (guide §1.2, §2.4): ONE hashed-shingle pass and ONE join+aggregate
+    produce the per-doc state (doc_id, hs, n); the separate
+    collect_set groupBy the r13/r15 forms ran beside the freq-ordered
+    stoks aggregate is gone (hs IS the freq-ordered array — every
+    consumer is order-insensitive: array_intersect sizes, slices, and
+    counts only), and the 5000-row state is materialized once
+    (localCheckpoint) so the prefix explode, both verify sides, and
+    the found sides read cached rows instead of re-evaluating the
+    750k-row join+aggregate subtree per consumer. Every downstream
+    integer (|∩|, |∪|, n, prefix membership) is unchanged."""
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents")
+    reps = d.select("doc_id", "text").join(
+        D.exact_keeper_ids(d), "doc_id", "left_semi"
+    )
+    hashed = (
+        reps.repartition(par)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)  # split once (CollapseProject)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        D.shingles(F.concat_ws(" ", "w"), 3),
+                        lambda g: F.substring(F.md5(g), 1, 8),
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    # document frequency as ONE count-over-window keyed on h (clusters
+    # by h once) instead of a groupBy(h) aggregate + join back (which
+    # paid the h-shuffle twice); per-h partitions are posting lists —
+    # the same boundedness argument as the join form. freq values
+    # identical.
+    wfreq = F.count(F.lit(1)).over(Window.partitionBy("h")).cast("bigint")
+    state = (
+        hashed.withColumn("freq", wfreq)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "h"))),
+                lambda s: s["h"],
+            ).alias("hs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=True)  # one evaluation, many consumers
+    )
+    return reps, state
+
+
+def _truth_cand(state: DataFrame, par: int) -> DataFrame:
+    """Prefix-filter candidate pairs over the shared state (pigeonhole
+    prefix = n − ceil(n/2) + 1 under the (freq, h) order): exact truth
+    candidates at τ = 1/2, zero false negatives."""
+    plen = (
+        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
+    ).cast("int")
+    pref = state.select(
+        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), plen)).alias("h")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin length filter: J ≥ 1/2 ⟹ 2·min(na,nb) ≥ max —
+            # prunes ~24% of candidates at the join (measured sf0.1:
+            # 409k → 310k) with ZERO false negatives, so the
+            # gate-filtered truth set is bit-identical
+            & (2 * F.col("a.n") >= F.col("b.n"))
+            & (2 * F.col("b.n") >= F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .repartition(par)  # verify-stage parallelism (AQE coalesce)
+    )
+
+
+def _ab_sides(state: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    x = state.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
+    )
+    y = state.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    return x, y
+
+
 @query("dedup_lsh_recall_eval", oracle=_lsh_recall_oracle)
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURED recall/precision of the MinHash-LSH banding (8×4,
@@ -92,78 +192,13 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: truth is the prefix-filter join (rare-postings bounded),
     LSH is the banded bucket join — the eval costs one run of each,
     which is exactly what an offline recall audit costs at 100 TB;
-    the shared session-cached minhash state feeds the LSH side."""
+    the shared session-cached minhash state feeds the LSH side.
+    (r15: truth-side state built by the shared _truth_side helper —
+    one aggregate instead of two, materialized once; same integers.)"""
     par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents")
-    reps = d.select("doc_id", "text").join(
-        D.exact_keeper_ids(d), "doc_id", "left_semi"
-    )
-    # hashed shingle sets — the md5-portable universe (mirrors the
-    # oracle's `state.hs` and minhash_candidate_pairs portable=True)
-    hashed = (
-        reps.repartition(par)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .localCheckpoint(eager=True)  # split once (CollapseProject)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        D.shingles(F.concat_ws(" ", "w"), 3),
-                        lambda g: F.substring(F.md5(g), 1, 8),
-                    )
-                )
-            ).alias("h"),
-        )
-        .localCheckpoint(eager=True)  # feeds tf, stp, and both verifies
-    )
-    sets = hashed.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hs"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    tf = hashed.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    )
-    stp = (
-        hashed.join(tf, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("freq", "h"))),
-                lambda s: s["h"],
-            ).alias("stoks"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
-    plen = (
-        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
-    ).cast("int")
-    pref = stp.select(
-        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
-    ).localCheckpoint(eager=True)  # self-join: evaluate once
-    a, b = pref.alias("a"), pref.alias("b")
-    tcand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(par)  # verify-stage parallelism (AQE coalesce)
-    )
-    x = sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("ha"),
-        F.col("n").alias("na"),
-    )
-    y = sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("hb"),
-        F.col("n").alias("nb"),
-    )
+    reps, state = _truth_side(spark, sf_dir)
+    tcand = _truth_cand(state, par)
+    x, y = _ab_sides(state)
     ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
     gate = 2 * ni >= F.col("na") + F.col("nb") - ni
     truth = (
@@ -505,76 +540,13 @@ def dedup_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one run of the truth side (rare-postings prefix-filter
     join — the bound the r14 probe measured, SCALE.md) + four codegen
-    expressions per pair; output is |configs| rows."""
+    expressions per pair; output is |configs| rows. (r15: truth-side
+    state built by the shared _truth_side helper — one aggregate
+    instead of two, materialized once; same integers.)"""
     par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents")
-    reps = d.select("doc_id", "text").join(
-        D.exact_keeper_ids(d), "doc_id", "left_semi"
-    )
-    hashed = (
-        reps.repartition(par)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .localCheckpoint(eager=True)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        D.shingles(F.concat_ws(" ", "w"), 3),
-                        lambda g: F.substring(F.md5(g), 1, 8),
-                    )
-                )
-            ).alias("h"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sets = hashed.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hs"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    tf = hashed.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    )
-    stp = (
-        hashed.join(tf, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("freq", "h"))),
-                lambda s: s["h"],
-            ).alias("stoks"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
-    plen = (
-        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
-    ).cast("int")
-    pref = stp.select(
-        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
-    ).localCheckpoint(eager=True)
-    a, b = pref.alias("a"), pref.alias("b")
-    tcand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(par)
-    )
-    x = sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("ha"),
-        F.col("n").alias("na"),
-    )
-    y = sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("hb"),
-        F.col("n").alias("nb"),
-    )
+    reps, state = _truth_side(spark, sf_dir)
+    tcand = _truth_cand(state, par)
+    x, y = _ab_sides(state)
     ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
     nu = F.col("na") + F.col("nb") - ni
     s = ni.cast("double") / nu
@@ -728,76 +700,13 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared session-cached minhash state) + one codegen s-curve per
     true pair; output is ONE row. This is what an offline recall
     audit costs at 100 TB — and it is the row that tells you whether
-    the E[recall] planning table can be trusted before you re-band."""
+    the E[recall] planning table can be trusted before you re-band.
+    (r15: truth-side state built by the shared _truth_side helper —
+    one aggregate instead of two, materialized once; same integers.)"""
     par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents")
-    reps = d.select("doc_id", "text").join(
-        D.exact_keeper_ids(d), "doc_id", "left_semi"
-    )
-    hashed = (
-        reps.repartition(par)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .localCheckpoint(eager=True)  # split once (CollapseProject)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        D.shingles(F.concat_ws(" ", "w"), 3),
-                        lambda g: F.substring(F.md5(g), 1, 8),
-                    )
-                )
-            ).alias("h"),
-        )
-        .localCheckpoint(eager=True)  # feeds tf, stp, and both verifies
-    )
-    sets = hashed.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hs"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    tf = hashed.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    )
-    stp = (
-        hashed.join(tf, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("freq", "h"))),
-                lambda s: s["h"],
-            ).alias("stoks"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
-    plen = (
-        F.col("n") - F.ceil(F.col("n") / F.lit(2.0)) + F.lit(1)
-    ).cast("int")
-    pref = stp.select(
-        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("h")
-    ).localCheckpoint(eager=True)  # self-join: evaluate once
-    a, b = pref.alias("a"), pref.alias("b")
-    tcand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(par)  # verify-stage parallelism (AQE coalesce)
-    )
-    x = sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("ha"),
-        F.col("n").alias("na"),
-    )
-    y = sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("hb"),
-        F.col("n").alias("nb"),
-    )
+    reps, state = _truth_side(spark, sf_dir)
+    tcand = _truth_cand(state, par)
+    x, y = _ab_sides(state)
     ni = F.size(F.array_intersect("ha", "hb")).cast("bigint")
     nu = F.col("na") + F.col("nb") - ni
     gate = 2 * ni >= nu
