@@ -567,6 +567,15 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         )
 
+    # r15: fixpoint early-exit. Each round's edge set is a SUBSET of
+    # the previous (semi-joins only remove), so an unchanged count ⟹
+    # identical set ⟹ every later round is a no-op and the output is
+    # bit-identical; the count runs over the just-checkpointed blocks
+    # (~ms) and saves the remaining degree aggregates + semi-joins
+    # whenever the peel converges before the round bound (at sf0.1 it
+    # converges in round 1 — the 3-core IS the whole co-activity
+    # graph).
+    prev = e.count()
     for _ in range(_KCORE_ROUNDS):
         alive = degrees(e).filter(F.col("deg") >= _KCORE_K).select("n")
         e = (
@@ -575,6 +584,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)  # next round reads it twice
         )
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
     return (
         degrees(e)
         .filter(F.col("deg") >= _KCORE_K)
@@ -1164,7 +1177,14 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("hit").cast("bigint").alias("support"))
         )
 
+    # r15: fixpoint early-exit (same argument as graph_kcore_peel —
+    # the survivor set only shrinks, so an unchanged count means the
+    # remaining rounds recompute identical support tables; `sup` at
+    # the break is already support_of(final e), so the returned rows
+    # are bit-identical while the saved rounds skip the expensive
+    # per-round triangle join).
     sup = None
+    prev = e.count()
     for _ in range(_TRUSS_ROUNDS):
         sup = support_of(e)
         e = (
@@ -1172,6 +1192,10 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
     return (
         sup.filter(F.col("support") >= _TRUSS_K - 2)
         .groupBy("support")

