@@ -475,9 +475,23 @@ def cosine_near_dup_pairs(
     v = vectors.select(
         F.col(id_col).alias("id"), as_double_array(vec).alias("v")
     )
-    v = v.select("id", "v", l2_norm(F.col("v")).alias("nrm")).localCheckpoint(
-        eager=True
-    )
+    # r15: the checkpointed per-vector state also carries the vector
+    # EXPANDED to `dim` real double columns. The verify dot over the
+    # array form ran as an interpreted aggregate-over-zip_with per
+    # pair (higher-order functions don't codegen); over real columns
+    # it is a plain left-associated multiply-add chain that
+    # whole-stage-codegen compiles (measured 2.9 → 1.7 s on the 236k
+    # sf0.1 pairs). The adds happen in the IDENTICAL order
+    # ((0 + x0·y0) + x1·y1) + …, so every double is bit-unchanged and
+    # hash-attested consumers are unaffected. Assumes fixed-dim
+    # vectors (the same `dim` contract the bucket tables already
+    # hold).
+    v = v.select(
+        "id",
+        "v",
+        l2_norm(F.col("v")).alias("nrm"),
+        *[F.col("v")[k].alias(f"e{k}") for k in range(dim)],
+    ).localCheckpoint(eager=True)
     buckets = (
         axis_sign_bucket_tables(F.col("v"), n_tables, bits_per_table)
         if portable
@@ -496,29 +510,36 @@ def cosine_near_dup_pairs(
         .localCheckpoint(eager=True)
     )
     a = v.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        F.col("id").alias("id_a"),
+        F.col("nrm").alias("na"),
+        *[F.col(f"e{k}").alias(f"xa{k}") for k in range(dim)],
     )
     b = v.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        F.col("id").alias("id_b"),
+        F.col("nrm").alias("nb"),
+        *[F.col(f"e{k}").alias(f"xb{k}") for k in range(dim)],
     )
-    # Verify = fold dot ÷ precomputed norms over BROADCAST vector
-    # sides. Measured at sf0.1 (236k pairs): per-pair norm folds cost
-    # 2× the dot alone; letting AQE pick sort-merge for the vector
-    # joins shuffled 240 MB of arrays (10 s vs 1.5 s broadcast); and
-    # a 64-term element_at chain — tried as a nested-lambda-hazard
-    # workaround — was 2× SLOWER than the zip_with fold (the hazard
-    # doesn't bite aggregate-over-zip_with; per-access element_at
-    # overhead does). The arithmetic is unchanged: same fold order,
-    # same sqrt(0.0 + Σx²) norms, identical doubles.
+    # Verify = codegen dot ÷ precomputed norms over BROADCAST vector
+    # sides (letting AQE pick sort-merge for the vector joins shuffled
+    # 240 MB of arrays — 10 s vs 1.5 s broadcast, the r11
+    # measurement). The arithmetic is unchanged: same fold order, same
+    # sqrt(0.0 + Σx²) norms, identical doubles.
+    import functools
+
+    dot_cols = functools.reduce(
+        lambda acc, k: acc + F.col(f"xa{k}") * F.col(f"xb{k}"),
+        range(dim),
+        F.lit(0.0),
+    )
     return (
         pairs.join(F.broadcast(a), "id_a")
         .join(F.broadcast(b), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine_sim"),
+            F.round(dot_cols / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
