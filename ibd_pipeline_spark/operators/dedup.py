@@ -721,6 +721,12 @@ def semdedup_pairs(
     else:
         assigned = build()
     assigned = assigned.select(F.col(id_col).alias("vec_id"), "cluster_id")
+    # r15 note: a columnar-expanded codegen dot (the
+    # cosine_near_dup_pairs optimization) was A/B-measured HERE and
+    # lost (2.7 s fold vs 2.8-4.3 s columnar): this pair scan is a
+    # cluster-keyed self-JOIN, so the expansion widens the shuffled
+    # rows 64× — unlike the broadcast-side pair verify where only the
+    # probe widens. The interpreted fold stays.
     vecs = vectors.select(
         F.col(id_col).alias("vec_id"),
         S.as_double_array(vec).alias("v"),

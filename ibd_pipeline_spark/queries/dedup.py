@@ -916,9 +916,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # verify join reads it twice
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
-    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    # r15: document frequency as ONE count-over-window keyed on tok
+    # (clusters by tok once) instead of a groupBy(tok) aggregate +
+    # join back (paid the tok-shuffle twice); freq values identical.
+    from pyspark.sql import Window as _W
+
+    wfreq = F.count(F.lit(1)).over(_W.partitionBy("tok")).cast("bigint")
     st = (
-        tok.join(tf, "tok")
+        tok.withColumn("freq", wfreq)
         .groupBy("doc_id")
         .agg(
             F.transform(
@@ -932,6 +937,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = (
         st.select(
             "doc_id",
+            "n",
             F.explode(F.slice("stoks", F.lit(1), plen)).alias("tok"),
         )
         .localCheckpoint(eager=True)  # self-join: evaluate ONCE
@@ -939,7 +945,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # r15 PPJoin length filter: J ≥ τ ⟹ τ·max(na,nb) ≤
+               # min — prunes candidates at the join with zero false
+               # negatives (J ≤ min/max), so the τ-gated output is
+               # bit-identical
+               & (F.lit(_PFJ_TAU_DEN) * F.col("a.n")
+                  >= F.lit(_PFJ_TAU_NUM) * F.col("b.n"))
+               & (F.lit(_PFJ_TAU_DEN) * F.col("b.n")
+                  >= F.lit(_PFJ_TAU_NUM) * F.col("a.n")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         # the candidate frame is BYTE-small but each row costs a full
@@ -951,7 +965,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
     y = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
     ni = F.size(F.array_intersect("ta", "tb")).cast("bigint")
-    nu = F.size(F.array_union("ta", "tb")).cast("bigint")
+    # |∪| = |A| + |B| − |∩| on distinct arrays — saves the second
+    # per-pair array traversal (array_union) for identical integers
+    nu = (F.size("ta") + F.size("tb")).cast("bigint") - ni
     return (
         cand.join(x, "id_a")
         .join(y, "id_b")

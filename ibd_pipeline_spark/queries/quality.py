@@ -121,25 +121,37 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     null count, distinct count, lexicographic min/max per column,
     one row per column.
 
-    Scale: every column's metrics come from ONE aggregate over ONE
-    scan (the oracle's UNION-ALL-per-column form is the anti-pattern
-    — it re-reads the table per column; Spark's multi-count-distinct
-    expands in a single Expand+aggregate). At 100 TB swap
-    countDistinct for approx_count_distinct — exact per-column
-    distinct counts force an Expand row per column per input row.
-    Min/max stringified AFTER the typed aggregate, so numeric columns
-    compare numerically, not lexically."""
+    Scale: null/min/max metrics come from ONE aggregate over ONE scan
+    (the oracle's UNION-ALL-per-column form re-reads the table per
+    column). Exact distinct counts are per-column TWO-LEVEL aggregates
+    (map-side partial dedup shrinks each column to its distinct frame
+    before its shuffle) instead of countDistinct terms in the shared
+    agg — which planned an Expand row per column per input row, the
+    4× shuffle the r15 optimization removed (same counts, 1-row
+    frames cross-joined back). At 100 TB swap the exact distincts for
+    approx_count_distinct and the Expand question disappears
+    entirely. Min/max stringified AFTER the typed aggregate, so
+    numeric columns compare numerically, not lexically."""
     o = load(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     aggs = []
     for c in cols:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
     one = o.agg(*aggs)
+    for c in cols:
+        dc = (
+            o.select(c)
+            .groupBy(c)
+            .agg(F.lit(1))
+            # count(c), not count(*): countDistinct never counts the
+            # NULL group
+            .agg(F.count(F.col(c)).alias(f"{c}__distinct"))
+        )
+        one = one.crossJoin(F.broadcast(dc))
     stack_args = ", ".join(
         f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
     )
