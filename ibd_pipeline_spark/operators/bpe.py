@@ -76,41 +76,45 @@ def bpe_learn(
     """
     from ibd_pipeline_spark.operators.ckpt import RoundCheckpointer
 
-    ckpt = RoundCheckpointer(sample.sparkSession, checkpoint_dir)
+    spark = sample.sparkSession
+    ckpt = RoundCheckpointer(spark, checkpoint_dir)
     corpus = sample.select(F.split(F.col(text), " ").alias("syms"))
-    merges = None
+    # r15: the per-round best pair is MODEL STATE (one row) — collect
+    # it to the driver (the kmeans/logreg driver-state precedent)
+    # instead of reliable-checkpointing six 1-row frames + isEmpty
+    # actions + a crossJoin per round; the merge table returns as one
+    # driver-local frame with identical values/schema. The corpus
+    # truncation cadence is unchanged.
+    rows: "list[tuple]" = []
     for rank in range(1, n_merges + 1):
-        best = (
+        got = (
             corpus.select(F.explode(adjacent_pairs(F.col("syms"))).alias("pair"))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).cast("bigint").alias("pair_freq"))
             .orderBy(F.col("pair_freq").desc(), "pair")
             .limit(1)
             .select(
-                F.lit(rank).alias("rank"),
                 F.split_part(F.col("pair"), F.lit(MERGE_SEP), F.lit(1)).alias("left"),
                 F.split_part(F.col("pair"), F.lit(MERGE_SEP), F.lit(2)).alias("right"),
                 "pair_freq",
             )
+            .collect()
         )
-        # Per-rank slot, never GC'd before return: the merge table
-        # unions every round's best row.
-        best = ckpt(best, f"best{rank}")
         # An exhausted sample (no adjacent pair left, or empty input)
-        # yields an EMPTY best — continuing would crossJoin the corpus
-        # against zero rows and silently empty it (r05 ADVICE). Stop
-        # and return the merges learned so far; raise if the very
-        # first round finds nothing to learn from.
-        if best.isEmpty():
-            if merges is None:
+        # yields an EMPTY best — stop and return the merges learned so
+        # far; raise if the very first round finds nothing to learn
+        # from (r05 ADVICE).
+        if not got:
+            if not rows:
                 raise ValueError(
                     "bpe_learn: sample has no adjacent symbol pairs — "
                     "empty sample or all rows single-symbol"
                 )
             break
-        merges = best if merges is None else merges.unionAll(best)
-        corpus = corpus.crossJoin(F.broadcast(best.select("left", "right"))).select(
-            merge_pair(F.col("syms"), F.col("left"), F.col("right")).alias("syms")
+        left, right, freq = got[0]["left"], got[0]["right"], got[0]["pair_freq"]
+        rows.append((rank, left, right, freq))
+        corpus = corpus.select(
+            merge_pair(F.col("syms"), F.lit(left), F.lit(right)).alias("syms")
         )
         # Truncate the sample corpus every 2nd round and on the last
         # (the pagerank cadence): an un-truncated round just leaves one
@@ -119,7 +123,9 @@ def bpe_learn(
         if rank % 2 == 0 or rank == n_merges:
             corpus = ckpt(corpus, "corpus")
     ckpt.release("corpus")
-    return merges
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_freq bigint"
+    )
 
 
 _STR_SEP = "\x1f"  # unit separator: joins symbols for the string-form passes
