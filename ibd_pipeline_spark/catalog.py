@@ -37,12 +37,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Lazy-plan cache (r15, guide §1.2 driver overhead): spark.read.parquet
+# re-reads the footer schema and re-lists the path on EVERY call —
+# measured ~0.1 s of pure driver time per load(), ~600 calls across a
+# full bench run. The cache holds the UNEXECUTED DataFrame (scan plan +
+# schema — metadata, never rows): every action on it still scans the
+# parquet files, so bench/oracle runs keep computing from the inputs;
+# only the per-query footer/listing round-trip is deduplicated. Keyed
+# by (applicationId, sf_dir, table) — a new JVM/app misses, same as the
+# operator-state session caches.
+_PLAN_CACHE: "dict[tuple, DataFrame]" = {}
+_PLAN_CACHE_CAP = 64
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _PLAN_CACHE if k[0] != key[0]]:
+        del _PLAN_CACHE[k]  # dead application's plans
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_CAP:
+        del _PLAN_CACHE[next(iter(_PLAN_CACHE))]
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _PLAN_CACHE[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
