@@ -53,7 +53,22 @@ _PLAN_CACHE_CAP = 64
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    path = table_path(sf_dir, name)
+    # Cheap invalidation fingerprint (r16, ADVICE r15): rewriting the
+    # fixture directory bumps its mtime, so a regenerated table misses
+    # the cache instead of serving the stale file listing captured at
+    # first load. One stat() per call — microseconds vs the ~0.1 s
+    # footer/listing round-trip the cache exists to skip.
+    try:
+        stamp = os.path.getmtime(path)
+    except OSError:
+        stamp = -1.0
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        stamp,
+    )
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit

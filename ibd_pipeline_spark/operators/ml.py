@@ -740,9 +740,14 @@ def logreg_fit_attested(
 
     def z_sql(ws: "list[float]") -> str:
         # Per-row fixed-point dot: FLOOR each term exactly as the
-        # exploded form did, fold in array order (COALESCE guards a
-        # ragged row shorter than d — the exploded form simply had no
-        # row for that k, i.e. contributed 0).
+        # exploded form did, fold in array order. FIXED-DIM CONTRACT:
+        # every feature row must carry exactly d elements — the
+        # gradient's x[k] (GetArrayItem) errors on shorter rows under
+        # ANSI mode, and n = COUNT(DISTINCT rid) counts empty-array
+        # rows the old exploded form excluded. Callers pad/validate
+        # upstream (the quality-gate caller builds fixed 65-dim rows).
+        # The COALESCE below only guards NULL elements, not ragged
+        # rows.
         return f"""
   SELECT rid, y, x,
          aggregate(zip_with(x, {warr(ws)},

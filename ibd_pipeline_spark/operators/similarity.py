@@ -491,6 +491,18 @@ def cosine_near_dup_pairs(
         "v",
         l2_norm(F.col("v")).alias("nrm"),
         *[F.col("v")[k].alias(f"e{k}") for k in range(dim)],
+        # Guard the fixed-dim contract ONCE per vector (ADVICE r15):
+        # the expanded e0..e{dim-1} dot silently ignores elements past
+        # `dim` (and ANSI-errors on shorter vectors); assert the size
+        # here so a mismatched `dim` argument fails loudly at the
+        # eager checkpoint instead of diverging downstream.
+        F.assert_true(
+            F.size("v") == dim,
+            F.concat(
+                F.lit(f"cosine_near_dup_pairs: expected dim={dim}, got "),
+                F.size("v").cast("string"),
+            ),
+        ).alias("_dimck"),
     ).localCheckpoint(eager=True)
     buckets = (
         axis_sign_bucket_tables(F.col("v"), n_tables, bits_per_table)

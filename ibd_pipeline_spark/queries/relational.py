@@ -432,12 +432,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def exact(col: str, alias: str) -> DataFrame:
+        # count(col), NOT count(1): COUNT(DISTINCT col) excludes NULLs,
+        # so the NULL-key group of the distinct frame must not count
+        # (l_suppkey/l_partkey are non-null in TPC-H, but the
+        # equivalence should not depend on that).
         return (
             li.select("l_returnflag", col)
             .groupBy("l_returnflag", col)
             .agg(F.lit(1))
             .groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+            .agg(F.count(F.col(col)).cast("bigint").alias(alias))
         )
 
     hll = li.groupBy("l_returnflag").agg(

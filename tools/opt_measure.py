@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Round-15 optimization measurement harness.
+"""Optimization measurement harness (r15/r16).
 
 Times named queries (noop sink, N runs each, min reported) at
 $SPARK_GRAFT_SF_DIR and optionally dumps `explain("formatted")` to
-plans/r15/<query>_<tag>.txt.
+plans/<round>/<query>_<tag>.txt.
 
     python tools/opt_measure.py --tag before --runs 3 q1_pricing_summary ...
     python tools/opt_measure.py --top 40 --tag before    # slowest 40 per BENCH_COMMITTED
@@ -25,13 +25,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PLANS = Path(__file__).resolve().parent.parent / "plans" / "r15"
+PLANS = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+    "SPARK_GRAFT_PLANS_ROUND", "r16"
+)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--tag", default=None, help="dump plans/r15/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="dump plans/<round>/<q>_<tag>.txt")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--top", type=int, default=0,
                     help="add the N slowest queries per BENCH_COMMITTED.json")
