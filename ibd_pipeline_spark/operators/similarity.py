@@ -486,23 +486,27 @@ def cosine_near_dup_pairs(
     # hash-attested consumers are unaffected. Assumes fixed-dim
     # vectors (the same `dim` contract the bucket tables already
     # hold).
-    v = v.select(
+    # r16 (guide §1.2 driver overhead): the wide projections below are
+    # built as SQL STRINGS in ONE selectExpr py4j call each — the
+    # per-Column py4j form cost ~9300 gateway round-trips ≈ 1.7 s of
+    # pure driver chatter per construction at dim=64 (r16 cProfile);
+    # the parsed trees (GetArrayItem, left-assoc chains) are
+    # node-identical, so every double is bit-unchanged.
+    v = v.selectExpr(
         "id",
         "v",
-        l2_norm(F.col("v")).alias("nrm"),
-        *[F.col("v")[k].alias(f"e{k}") for k in range(dim)],
+        # same fold as l2_norm(): sqrt(aggregate(x², 0.0, +))
+        "SQRT(aggregate(transform(v, x -> x * x), 0.0D,"
+        " (acc, x) -> acc + x)) AS nrm",
+        *[f"v[{k}] AS e{k}" for k in range(dim)],
         # Guard the fixed-dim contract ONCE per vector (ADVICE r15):
         # the expanded e0..e{dim-1} dot silently ignores elements past
         # `dim` (and ANSI-errors on shorter vectors); assert the size
         # here so a mismatched `dim` argument fails loudly at the
         # eager checkpoint instead of diverging downstream.
-        F.assert_true(
-            F.size("v") == dim,
-            F.concat(
-                F.lit(f"cosine_near_dup_pairs: expected dim={dim}, got "),
-                F.size("v").cast("string"),
-            ),
-        ).alias("_dimck"),
+        f"assert_true(size(v) = {dim}, concat("
+        f"'cosine_near_dup_pairs: expected dim={dim}, got ',"
+        " CAST(size(v) AS STRING))) AS _dimck",
     ).localCheckpoint(eager=True)
     buckets = (
         axis_sign_bucket_tables(F.col("v"), n_tables, bits_per_table)
@@ -521,37 +525,30 @@ def cosine_near_dup_pairs(
         # the standard persisted artifact of an LSH pipeline anyway
         .localCheckpoint(eager=True)
     )
-    a = v.select(
-        F.col("id").alias("id_a"),
-        F.col("nrm").alias("na"),
-        *[F.col(f"e{k}").alias(f"xa{k}") for k in range(dim)],
+    a = v.selectExpr(
+        "id AS id_a",
+        "nrm AS na",
+        *[f"e{k} AS xa{k}" for k in range(dim)],
     )
-    b = v.select(
-        F.col("id").alias("id_b"),
-        F.col("nrm").alias("nb"),
-        *[F.col(f"e{k}").alias(f"xb{k}") for k in range(dim)],
+    b = v.selectExpr(
+        "id AS id_b",
+        "nrm AS nb",
+        *[f"e{k} AS xb{k}" for k in range(dim)],
     )
     # Verify = codegen dot ÷ precomputed norms over BROADCAST vector
     # sides (letting AQE pick sort-merge for the vector joins shuffled
     # 240 MB of arrays — 10 s vs 1.5 s broadcast, the r11
     # measurement). The arithmetic is unchanged: same fold order, same
-    # sqrt(0.0 + Σx²) norms, identical doubles.
-    import functools
-
-    dot_cols = functools.reduce(
-        lambda acc, k: acc + F.col(f"xa{k}") * F.col(f"xb{k}"),
-        range(dim),
-        F.lit(0.0),
-    )
+    # sqrt(0.0 + Σx²) norms, identical doubles — the SQL `+` chain
+    # parses left-associated exactly like the old functools.reduce.
+    dot_sql = "0.0D" + "".join(f" + xa{k} * xb{k}" for k in range(dim))
     return (
         pairs.join(F.broadcast(a), "id_a")
         .join(F.broadcast(b), "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(dot_cols / (F.col("na") * F.col("nb")), 6).alias(
-                "cosine_sim"
-            ),
+            f"round(({dot_sql}) / (na * nb), 6) AS cosine_sim",
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

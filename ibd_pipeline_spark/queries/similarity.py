@@ -1229,7 +1229,6 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks via qid-partitioned windows. At 100 TB the corpus side
     would come pre-filtered by the candidate generator under test.
     """
-    from ibd_pipeline_spark.operators.similarity import as_double_array, dot
     emb = load(spark, sf_dir, "embeddings")
     projs = _jl_proj_sql("v", False)
     # materialize the projected corpus ONCE: the 16 JL projections are
@@ -1238,53 +1237,54 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — measured, the wall here was plan compilation, not arithmetic
     from ibd_pipeline_spark.operators.ckpt import literal_barrier
 
+    # r16 (guide §1.2 driver overhead): every wide projection/chain in
+    # this query is now ONE selectExpr of SQL strings — the per-Column
+    # py4j form cost 12,134 gateway round-trips ≈ 2.3 s of driver
+    # chatter per construction (r16 cProfile). Parsed trees are
+    # node-identical (element_at, left-assoc `+` chains), so every
+    # double is bit-unchanged.
     p = literal_barrier(
-        emb.select(
-            F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
-        ).select(
-            "id", "v", *[F.expr(pp).alias(f"p{j}") for j, pp in enumerate(projs)]
+        emb.selectExpr(
+            "vec_id AS id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        ).selectExpr(
+            "id", "v", *[f"{pp} AS p{j}" for j, pp in enumerate(projs)]
         )
     )
-    q = p.filter(F.col("id") < _NDCG_Q).select(
-        F.col("id").alias("qid"),
-        F.col("v").alias("qv"),
-        *[F.col(f"p{j}").alias(f"qp{j}") for j in range(16)],
+    q = p.filter(F.col("id") < _NDCG_Q).selectExpr(
+        "id AS qid",
+        "v AS qv",
+        *[f"p{j} AS qp{j}" for j in range(16)],
     )
-    c = p.select(
-        F.col("id").alias("cid"),
-        F.col("v").alias("cv"),
-        *[F.col(f"p{j}").alias(f"cp{j}") for j in range(16)],
+    c = p.selectExpr(
+        "id AS cid",
+        "v AS cv",
+        *[f"p{j} AS cp{j}" for j in range(16)],
     )
 
     def chain(terms):
-        acc = None
-        for t in terms:
-            acc = t if acc is None else acc + t
-        return acc
+        return " + ".join(terms)
 
     d64 = chain(
-        [
-            F.element_at("qv", i) * F.element_at("cv", i)
-            for i in range(1, 65)
-        ]
+        [f"element_at(qv, {i}) * element_at(cv, {i})" for i in range(1, 65)]
     )
     qn = chain(
-        [F.element_at("qv", i) * F.element_at("qv", i) for i in range(1, 65)]
+        [f"element_at(qv, {i}) * element_at(qv, {i})" for i in range(1, 65)]
     )
     cn = chain(
-        [F.element_at("cv", i) * F.element_at("cv", i) for i in range(1, 65)]
+        [f"element_at(cv, {i}) * element_at(cv, {i})" for i in range(1, 65)]
     )
-    d16 = chain([F.col(f"qp{j}") * F.col(f"cp{j}") for j in range(16)])
-    qn16 = chain([F.col(f"qp{j}") * F.col(f"qp{j}") for j in range(16)])
-    cn16 = chain([F.col(f"cp{j}") * F.col(f"cp{j}") for j in range(16)])
+    d16 = chain([f"qp{j} * cp{j}" for j in range(16)])
+    qn16 = chain([f"qp{j} * qp{j}" for j in range(16)])
+    cn16 = chain([f"cp{j} * cp{j}" for j in range(16)])
     s = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col("qid"))
-        .select(
+        .selectExpr(
             "qid",
             "cid",
-            (d64 / (F.sqrt(qn) * F.sqrt(cn))).alias("cos64"),
-            (d16 / (F.sqrt(qn16) * F.sqrt(cn16))).alias("cos16"),
+            f"({d64}) / (SQRT({qn}) * SQRT({cn})) AS cos64",
+            f"({d16}) / (SQRT({qn16}) * SQRT({cn16})) AS cos16",
         )
     )
     from pyspark.sql import Window as W
@@ -1513,52 +1513,49 @@ def similarity_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: projection is a per-row map (16 dot folds); the audit's
     pair join is probe-set-sized (190 pairs), broadcast."""
-    from ibd_pipeline_spark.operators.similarity import as_double_array
-
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
-    v = emb.select(
-        F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
+    v = emb.selectExpr(
+        "vec_id AS id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
     )
     from ibd_pipeline_spark.operators.ckpt import literal_barrier
 
+    # r16 (guide §1.2 driver overhead): projections/renames/chains as
+    # SQL strings — the per-Column py4j form cost ~8,000 gateway
+    # round-trips ≈ 1.5 s of driver chatter per construction (r16
+    # cProfile); parsed trees node-identical, doubles bit-unchanged.
     projs = _jl_proj_sql("v", False)
     p = literal_barrier(  # probe-set-sized; barrier stops re-projection
-        v.select(
-            "id", "v", *[F.expr(pp).alias(f"p{j}") for j, pp in enumerate(projs)]
+        v.selectExpr(
+            "id", "v", *[f"{pp} AS p{j}" for j, pp in enumerate(projs)]
         )
     )
-    a = p.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        *[F.col(f"p{j}").alias(f"pa{j}") for j in range(_JL_M)],
+    a = p.selectExpr(
+        "id AS id_a",
+        "v AS va",
+        *[f"p{j} AS pa{j}" for j in range(_JL_M)],
     )
-    b = p.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        *[F.col(f"p{j}").alias(f"pb{j}") for j in range(_JL_M)],
+    b = p.selectExpr(
+        "id AS id_b",
+        "v AS vb",
+        *[f"p{j} AS pb{j}" for j in range(_JL_M)],
     )
-    d_orig = F.lit(0.0)
     # left-assoc without a leading 0.0 to mirror the oracle's chain
-    d_orig = None
-    for i in range(1, _JL_DIM + 1):
-        t = (F.element_at("va", i) - F.element_at("vb", i)) * (
-            F.element_at("va", i) - F.element_at("vb", i)
-        )
-        d_orig = t if d_orig is None else d_orig + t
-    d_proj = None
-    for j in range(_JL_M):
-        t = (F.col(f"pa{j}") - F.col(f"pb{j}")) * (
-            F.col(f"pa{j}") - F.col(f"pb{j}")
-        )
-        d_proj = t if d_proj is None else d_proj + t
+    d_orig = " + ".join(
+        f"(element_at(va, {i}) - element_at(vb, {i}))"
+        f" * (element_at(va, {i}) - element_at(vb, {i}))"
+        for i in range(1, _JL_DIM + 1)
+    )
+    d_proj = " + ".join(
+        f"(pa{j} - pb{j}) * (pa{j} - pb{j})" for j in range(_JL_M)
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(d_orig, 6).alias("d_orig"),
-            F.round(d_proj, 6).alias("d_proj"),
-            F.round(d_proj / d_orig, 4).alias("distortion"),
+            f"round({d_orig}, 6) AS d_orig",
+            f"round({d_proj}, 6) AS d_proj",
+            f"round(({d_proj}) / ({d_orig}), 4) AS distortion",
         )
         .orderBy("id_a", "id_b")
     )

@@ -762,9 +762,13 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # y-rank frame is data-sized (one row per distinct price): hint it
     # into a shuffled-hash join — measured faster than the 583k-row
     # broadcast build locally AND the scale-safe strategy at 100 TB
-    # (never collect a data-sized frame to the driver); the ~100-row
-    # x-rank frame stays an auto-broadcast.
-    j = li.join(rank2("x"), ["g", "x"]).join(
+    # (never collect a data-sized frame to the driver). The x-rank
+    # frame is DOMAIN-bounded (l_quantity ∈ 1..50 × 3 statuses ≈ 150
+    # rows at any SF): broadcast it EXPLICITLY — without the hint the
+    # planner was broadcasting the 600k-row lineitem side instead
+    # (BuildLeft in plans/r16/stats_spearman_corr_before.txt), paying
+    # a data-sized single-threaded hash-relation build.
+    j = li.join(F.broadcast(rank2("x")), ["g", "x"]).join(
         rank2("y").hint("shuffle_hash"), ["g", "y"]
     )
     dec = "decimal(38,0)"
