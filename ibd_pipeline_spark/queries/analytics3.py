@@ -1567,32 +1567,45 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = load(spark, sf_dir, "events")
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ord_ = ev.select(
-        "user_id", "event_type", F.row_number().over(w_u).alias("rn")
-    )
-    fp = ord_.groupBy("user_id").agg(
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("rn"))
-        ).alias("prn")
-    )
     bit = (
         F.when(F.col("event_type") == "click", 1)
         .when(F.col("event_type") == "error", 2)
         .when(F.col("event_type") == "signup", 4)
         .when(F.col("event_type") == "view", 8)
     )
-    touches = ord_.select("user_id", bit.alias("bit"), "rn")
-    um = (
-        fp.filter(F.col("prn").isNotNull())
-        .alias("f")
-        .join(
-            touches.alias("o"),
-            (F.col("o.user_id") == F.col("f.user_id"))
-            & (F.col("o.rn") < F.col("f.prn")),
-            "left",
+    # r16 (guide §2.4 — share the exchange): the old form paid a
+    # groupBy(user_id) aggregate for the first-purchase row PLUS a
+    # per-user inequality join (o.rn < f.prn) back onto the touches —
+    # two more exchanges and a second evaluation of the row_number
+    # window subtree. The pre-purchase touch mask is a CUMULATIVE
+    # bit_or over the SAME (user_id, ts, event_id) window, read off at
+    # the first-purchase row: bit_or skips NULL bits exactly as the
+    # old left join + coalesce did, rows before the FIRST purchase
+    # contain no purchase bits by definition, and users whose first
+    # event is the purchase get the same mask 0. One shuffle total;
+    # identical masks.
+    ord_ = ev.select(
+        "user_id", "event_type", F.row_number().over(w_u).alias("rn")
+    ).select(
+        "user_id",
+        "event_type",
+        "rn",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
         )
-        .groupBy("f.user_id")
-        .agg(F.coalesce(F.bit_or("o.bit"), F.lit(0)).alias("mask"))
+        .over(Window.partitionBy("user_id"))
+        .alias("prn"),
+        F.coalesce(
+            F.bit_or(bit).over(
+                Window.partitionBy("user_id")
+                .orderBy("rn")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_mask"),
+    )
+    um = ord_.filter(F.col("rn") == F.col("prn")).select(
+        "user_id", F.col("cum_mask").alias("mask")
     )
     mc = um.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     sp = spark.range(16).select(F.col("id").cast("int").alias("S"))
@@ -1958,15 +1971,22 @@ def analytics_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # r16 (guide §2.4 — share the exchange): the first-purchase row
+    # number is a second window over the SAME user_id partitioning
+    # instead of the old groupBy(user_id) aggregate + join back, which
+    # paid an extra exchange AND evaluated the row_number window
+    # subtree twice (once under fp, once under kept). min-over-
+    # partition of the identical when(purchase, rn) terms — values
+    # unchanged, one shuffle total for the whole journey build.
     ord_ = ev.select(
         "user_id", "event_type", F.row_number().over(w_u).alias("rn")
-    )
-    fp = ord_.groupBy("user_id").agg(
+    ).withColumn(
+        "prn",
         F.min(
             F.when(F.col("event_type") == "purchase", F.col("rn"))
-        ).alias("prn")
+        ).over(Window.partitionBy("user_id")),
     )
-    kept = ord_.join(fp, "user_id").filter(
+    kept = ord_.filter(
         F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
     )
     w_k = Window.partitionBy("user_id").orderBy("rn")
@@ -1982,13 +2002,20 @@ def analytics_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~(F.col("nxt").isNull() & (F.col("src") == "purchase"))
         ).select("src", F.coalesce("nxt", F.lit("END")).alias("dst"))
     )
-    variants = (
-        ev.filter(F.col("event_type") != "purchase")
+    # r16 (guide §5 — model state on the driver): the channel list is
+    # event-type-domain-sized; collect it ONCE and feed both the
+    # variant fan-out and the absorption targets from the same list —
+    # the old distinct() frame re-scanned events a second time inside
+    # absorption_probability's targets.collect().
+    vlist = sorted(
+        r["v"]
+        for r in ev.filter(F.col("event_type") != "purchase")
         .select(F.col("event_type").alias("v"))
         .distinct()
-        .unionByName(
-            ev.sparkSession.createDataFrame([("BASE",)], "v string")
-        )
+        .collect()
+    ) + ["BASE"]
+    variants = ev.sparkSession.createDataFrame(
+        [(v,) for v in vlist], "v string"
     )
     vcounts = (
         steps.crossJoin(F.broadcast(variants))
