@@ -1564,18 +1564,28 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") > 0)
+    # r16 (guide §2.4 — one corpus pass, re-aggregate the rest): the
+    # old form evaluated the corpus-wide explode THREE times (top-word
+    # list, per-source totals, per-(source, tok) counts — 76 Exchange
+    # nodes in plans/r16/text_burrows_delta_before.txt). Now ONE
+    # (source, tok) count shuffle is materialized (vocab×sources-sized,
+    # far below corpus scale) and both other aggregates are exact
+    # integer re-aggregations of it: Σ cnt per tok == corpus tok count,
+    # Σ cnt per source == source token total. Identical integers.
+    cnt = (
+        w.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)  # three consumers below
+    )
     topw = (
-        w.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        cnt.groupBy("tok")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
         .orderBy(F.col("c").desc(), "tok")
         .limit(_BURROWS_TOPW)
         .select("tok")
     )
-    stot = w.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("toks")
-    )
-    cnt = w.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    stot = cnt.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("toks")
     )
     f = (
         stot.crossJoin(F.broadcast(topw))
@@ -1599,13 +1609,22 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nsd * F.col("sf2") - F.col("sf").cast("double") * F.col("sf"))
         / (nsd * F.col("ns"))
     )
-    z = f.join(F.broadcast(mom), "tok").select(
-        "source",
-        "tok",
-        (
-            (F.col("f9").cast("double") - F.col("sf").cast("double") / F.col("ns"))
-            / F.when(sd != 0, sd)
-        ).alias("zv"),
+    z = (
+        f.join(F.broadcast(mom), "tok")
+        .select(
+            "source",
+            "tok",
+            (
+                (
+                    F.col("f9").cast("double")
+                    - F.col("sf").cast("double") / F.col("ns")
+                )
+                / F.when(sd != 0, sd)
+            ).alias("zv"),
+        )
+        # |sources|×20 rows; the a/b pair sides below are two
+        # consumers — materialize once (r16)
+        .localCheckpoint(eager=True)
     )
     za = z.select(
         F.col("source").alias("source_a"), "tok", F.col("zv").alias("zva")
