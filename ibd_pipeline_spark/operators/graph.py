@@ -254,6 +254,8 @@ def label_propagation(
     label: str = "label",
     max_iter: int = 5,
     checkpoint_dir: str | None = None,
+    driver_solve: "bool | None" = None,
+    max_driver_edges: int = 65536,
 ) -> DataFrame:
     """Semi-supervised label propagation over undirected `edges`:
     seed vertices keep their label forever; every other vertex takes,
@@ -285,6 +287,113 @@ def label_propagation(
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
 
     import pyspark.sql.functions as F
+
+    # DRIVER SOLVE (r16, default for small graphs — the
+    # markov_stationary / absorption_probability doctrine verbatim):
+    # when the edge list AND the seed list fit under max_driver_edges,
+    # the voting rounds run as plain Python over the collected pairs —
+    # the distributed work is the caller's edge construction (for the
+    # near-dup queries, the full MinHash band join), while each voting
+    # round on a bounded graph cost ~0.4 s of pure job scheduling for
+    # microseconds of arithmetic. Semantics are replicated exactly:
+    # symmetrized-distinct edges, seeds keep their label, non-seeds
+    # take the most common labeled-neighbor label with ties to the
+    # lexicographically smallest (Python str comparison == Spark
+    # UTF8String order — UTF-8 byte order is code-point order), and
+    # the loop exits early on an unchanged state, which can only skip
+    # no-op rounds. Set driver_solve=False for genuinely large graphs
+    # (the distributed loop below is unchanged).
+    if driver_solve is None or driver_solve:
+        erows = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .limit(max_driver_edges + 1)
+            .collect()
+        )
+        if len(erows) <= max_driver_edges:
+            srows = (
+                seeds.select(F.col(vertex).alias("v"), F.col(label).alias("lbl"))
+                .limit(max_driver_edges + 1)
+                .collect()
+            )
+            if len(srows) <= max_driver_edges:
+                sym_set: set = set()
+                for r in erows:
+                    sym_set.add((r["a"], r["b"]))
+                    sym_set.add((r["b"], r["a"]))
+                adj: dict = {}
+                for a_, b_ in sorted(
+                    sym_set, key=lambda t: (str(t[0]), str(t[1]))
+                ):
+                    adj.setdefault(a_, []).append(b_)
+                seed_lbl = {
+                    r["v"]: r["lbl"]
+                    for r in sorted(srows, key=lambda r: str(r["v"]))
+                }
+                lbl = {v: seed_lbl.get(v) for v in adj}
+                lbl.update(
+                    {v: l for v, l in seed_lbl.items() if v not in adj}
+                )
+                is_seed = {v: v in seed_lbl for v in lbl}
+                # Early exit replicates the distributed loop's
+                # fingerprint gate EXACTLY: the state is compared at
+                # every 2nd round (and the last) against the previous
+                # comparison point, so a period-2 oscillation exits at
+                # the same round with the same labels the DataFrame
+                # loop (and the unrolled oracle) produce — comparing
+                # every round would converge to the OTHER phase.
+                prev_check = None
+                for i in range(max_iter):
+                    new = {}
+                    for v in lbl:
+                        if is_seed[v]:
+                            new[v] = lbl[v]
+                            continue
+                        cnt: dict = {}
+                        for b_ in adj.get(v, ()):
+                            nl = lbl.get(b_)
+                            if nl is not None:
+                                cnt[nl] = cnt.get(nl, 0) + 1
+                        if cnt:
+                            new[v] = min(
+                                cnt, key=lambda l: (-cnt[l], l)
+                            )
+                        else:
+                            new[v] = lbl[v]
+                    lbl = new
+                    if (i + 1) % 2 == 0 or i == max_iter - 1:
+                        if lbl == prev_check:
+                            break
+                        prev_check = lbl
+                from pyspark.sql.types import (
+                    BooleanType,
+                    StructField,
+                    StructType,
+                )
+
+                schema = StructType(
+                    [
+                        StructField(
+                            vertex, edges.schema[src].dataType, True
+                        ),
+                        StructField(
+                            label, seeds.schema[label].dataType, True
+                        ),
+                        StructField("is_seed", BooleanType(), False),
+                    ]
+                )
+                return edges.sparkSession.createDataFrame(
+                    [
+                        (v, lbl[v], is_seed[v])
+                        for v in sorted(lbl, key=str)
+                    ],
+                    schema,
+                )
+        if driver_solve:
+            raise ValueError(
+                f"driver_solve=True but the graph exceeds "
+                f"max_driver_edges={max_driver_edges}"
+            )
+        # fall through to the distributed loop
 
     ckpt = _checkpointer(edges, checkpoint_dir)
     # Materialize the loop-invariant symmetrized edge list ONCE.

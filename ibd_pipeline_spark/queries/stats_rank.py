@@ -1002,7 +1002,10 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
         .cast("bigint")
         .alias("tie_term"),
-    )
+    # ONE row; its explode fans out to THREE consumers below (totals +
+    # both pair sides), each of which otherwise re-runs the cumsum
+    # pass and the multi-weight aggregate (r16: measured 2.3 -> 1.2 s)
+    ).localCheckpoint(eager=True)
     grp = agg.select(
         "tie_term",
         F.explode(
