@@ -2056,35 +2056,61 @@ def similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("cent_id").alias("cell_id"), "rn")
         .localCheckpoint(eager=True)
     )
-    out = None
-    for p in _IVF_CURVE_PROBES:
-        cand = (
-            probes.filter(F.col("rn") <= p)
-            .join(cells, "cell_id")
-            .filter(F.col("cid") != F.col("qid"))
-            .select("qid", "cid")
-        )
-        hit = cand.join(truth, ["qid", "cid"], "left_semi")
-        row = (
-            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-            .crossJoin(
-                F.broadcast(
-                    hit.agg(
-                        F.count(F.lit(1)).cast("bigint").alias("n_truth_found")
+    # r16 (guide §1.2): ONE probe⋈cells join + ONE conditional
+    # aggregate produces all three curve points — the old per-point
+    # loop re-ran the join and launched two counting jobs per point
+    # (6 jobs total). Each (qid, cid) pair carries exactly one probe
+    # rank (IVF assigns a vector to one cell), so the nprobe ≤ p
+    # candidate sets are rank prefixes of the same frame and the
+    # counts are conditional sums — identical integers.
+    j = (
+        probes.join(cells, "cell_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "rn")
+    )
+    marked = j.join(
+        truth.withColumn("_t", F.lit(1)), ["qid", "cid"], "left"
+    )
+    agg = marked.agg(
+        *[
+            F.sum(F.when(F.col("rn") <= p, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nc{p}")
+            for p in _IVF_CURVE_PROBES
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("rn") <= p) & F.col("_t").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"nt{p}")
+            for p in _IVF_CURVE_PROBES
+        ],
+    )
+    out = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("nprobe"),
+                        F.col(f"nc{p}").alias("n_candidates"),
+                        F.col(f"nt{p}").alias("n_truth_found"),
                     )
-                )
+                    for p in _IVF_CURVE_PROBES
+                ]
             )
-            .select(
-                F.lit(p).alias("nprobe"),
-                F.lit(_IVF_CURVE_NQ).cast("bigint").alias("n_queries"),
-                "n_candidates",
-                "n_truth_found",
-                F.round(
-                    F.col("n_truth_found")
-                    / F.lit(float(_IVF_CURVE_NQ * _IVF_CURVE_K)),
-                    6,
-                ).alias(f"recall_at_{_IVF_CURVE_K}"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
+        ).alias("_s")
+    ).select(
+        F.col("_s.nprobe").alias("nprobe"),
+        F.lit(_IVF_CURVE_NQ).cast("bigint").alias("n_queries"),
+        F.col("_s.n_candidates").alias("n_candidates"),
+        F.col("_s.n_truth_found").alias("n_truth_found"),
+        F.round(
+            F.col("_s.n_truth_found")
+            / F.lit(float(_IVF_CURVE_NQ * _IVF_CURVE_K)),
+            6,
+        ).alias(f"recall_at_{_IVF_CURVE_K}"),
+    )
     return out.orderBy("nprobe")
