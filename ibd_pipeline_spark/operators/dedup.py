@@ -412,11 +412,20 @@ def simhash_signatures(
     # Tokenize+hash is the dominant cost and runs in the SCAN stage;
     # a small corpus arrives as 1-2 parquet splits and would serialize
     # it on 1-2 cores. Fan the rows out first when the source has
-    # fewer splits than the cluster has slots (metadata check, no
-    # job). At real scale the input has plenty of splits and no
-    # exchange is added — the 100 TB path is untouched.
+    # fewer splits than the cluster has slots. r16: the split count
+    # comes from the zero-job file-size heuristic
+    # (_estimated_scan_splits) — the old df.rdd.getNumPartitions()
+    # "metadata check" actually launches a DataFrame→RDD conversion
+    # job (~1 s of wall per call on Spark 4, the _estimated_scan_splits
+    # docstring's own measurement). Non-file-backed frames return a
+    # large sentinel and stay untouched — at real scale the input has
+    # plenty of splits and no exchange is added; the repartition is a
+    # perf-only branch either way (per-doc aggregates are
+    # partition-invariant).
+    from ibd_pipeline_spark.operators.similarity import _estimated_scan_splits
+
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(2, parallelism // 2):
+    if _estimated_scan_splits(docs) < max(2, parallelism // 2):
         docs = docs.repartition(parallelism)
     exploded = docs.select(F.col(id_col).alias("id"), F.explode(h).alias("hv"))
     sums = exploded.groupBy("id").agg(
@@ -500,8 +509,12 @@ def simhash_signatures_md5(
     non-negative 32-bit value in a bigint."""
     grams = shingles(text_col, ngram)
     hv = F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint")
+    # zero-job split estimate — see simhash_signatures (r16): the old
+    # df.rdd.getNumPartitions() check launched a conversion job.
+    from ibd_pipeline_spark.operators.similarity import _estimated_scan_splits
+
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(2, parallelism // 2):
+    if _estimated_scan_splits(docs) < max(2, parallelism // 2):
         docs = docs.repartition(parallelism)
     exploded = docs.select(
         F.col(id_col).alias("id"), F.explode(grams).alias("_g")
